@@ -1,0 +1,63 @@
+#!/usr/bin/env python
+"""Benchmark driver: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is materialized with collect() (results are small aggregates /
+top-k) or a noop-count for large outputs. Timing includes plan + execution,
+excludes session startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from tts_etl_pipeline_spark.registry import all_queries  # noqa: E402
+from tts_etl_pipeline_spark.session import DEFAULT_SF_DIR, get_spark  # noqa: E402
+
+# Queries timed per-round; grows as operators land. Names must exist in the
+# registry. Keep this the "one of each shape" set, not the full inventory.
+HEADLINE = [
+    "q1_pricing_summary",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark("bench")
+    queries = all_queries()
+    names = [n for n in HEADLINE if n in queries]
+
+    # warm the JVM + file index once with a trivial action
+    spark.range(1).count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        df = queries[name](spark, sf_dir)
+        df.collect()  # headline queries return aggregates / top-k (small)
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

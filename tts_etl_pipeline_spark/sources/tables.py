@@ -1,0 +1,42 @@
+"""Parquet table loaders for the driver's deterministic test tables.
+
+The star schema (region..lineitem), the events stream table, the documents
+corpus and the embeddings vector table are described in FIXTURES.md. At
+100 TB these would be partitioned (e.g. lineitem by l_shipdate month,
+events by ts date) — partition pruning then composes with the predicate
+pushdown that the plain `spark.read.parquet` path already gets us.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+# Small dimensions that should always be broadcast in joins (region: 5 rows,
+# nation: 25, supplier/part/customer grow slowly with sf but stay far below
+# any reasonable broadcast threshold at bench scale).
+BROADCAST_DIMS = {"region", "nation", "supplier", "part", "customer"}
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLE_NAMES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every test table as a temp view (for the SQL API path)."""
+    for name in TABLE_NAMES:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)
