@@ -1,0 +1,188 @@
+"""Multi-dimensional aggregation (rollup / cube / grouping sets), set
+operations, and distinct aggregates (SURVEY.md §2.2-B7).
+
+Grouping keys are COALESCEd to sentinel labels on both engines so the
+subtotal rows compare exactly (and so null semantics never depend on engine
+defaults). These all run as a single hash-agg with map-side expansion —
+no extra shuffles versus a plain GROUP BY.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tts_etl_pipeline_spark.functions.exact import SQL_DISC_PRICE, disc_price, money
+from tts_etl_pipeline_spark.sources.tables import table
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def _register(name: str, oracle: str | None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+@_register(
+    "g1_rollup_revenue",
+    f"""
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           CAST(SUM({SQL_DISC_PRICE}) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY returnflag, linestatus
+    """,
+)
+def g1_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(disc_price()).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "revenue",
+            "n_items",
+        )
+        .orderBy("returnflag", "linestatus")
+    )
+
+
+@_register(
+    "g2_cube_orders",
+    """
+    SELECT COALESCE(o_orderstatus, 'ALL') AS orderstatus,
+           COALESCE(o_orderpriority, 'ALL') AS orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY orderstatus, orderpriority
+    """,
+)
+def g2_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(money("o_totalprice")).cast("double").alias("total_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("orderpriority"),
+            "n_orders",
+            "total_price",
+        )
+        .orderBy("orderstatus", "orderpriority")
+    )
+
+
+@_register(
+    "g3_grouping_sets",
+    """
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(CAST(EXTRACT(YEAR FROM l_shipdate) AS VARCHAR), 'ALL') AS ship_year,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (EXTRACT(YEAR FROM l_shipdate)))
+    ORDER BY returnflag, ship_year
+    """,
+)
+def g3_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("__g3_lineitem")
+    return spark.sql(
+        """
+        SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+               COALESCE(CAST(EXTRACT(YEAR FROM l_shipdate) AS STRING), 'ALL') AS ship_year,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        FROM __g3_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (EXTRACT(YEAR FROM l_shipdate)))
+        ORDER BY returnflag, ship_year
+        """
+    )
+
+
+@_register(
+    "s1_set_ops",
+    """
+    WITH c95 AS (SELECT DISTINCT o_custkey FROM orders
+                 WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+                   AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'),
+         c97 AS (SELECT DISTINCT o_custkey FROM orders
+                 WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+                   AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00')
+    SELECT 'both' AS bucket, COUNT(*) AS n FROM (SELECT * FROM c95 INTERSECT SELECT * FROM c97) x
+    UNION ALL
+    SELECT 'only_1995' AS bucket, COUNT(*) AS n FROM (SELECT * FROM c95 EXCEPT SELECT * FROM c97) y
+    UNION ALL
+    SELECT 'either' AS bucket, COUNT(*) AS n FROM (SELECT * FROM c95 UNION SELECT * FROM c97) z
+    ORDER BY bucket
+    """,
+)
+def s1_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+
+    def custs(lo: str, hi: str) -> DataFrame:
+        return (
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit(lo).cast("timestamp_ntz"))
+                & (F.col("o_orderdate") < F.lit(hi).cast("timestamp_ntz"))
+            )
+            .select("o_custkey")
+            .distinct()
+        )
+
+    c95 = custs("1995-01-01 00:00:00", "1996-01-01 00:00:00")
+    c97 = custs("1997-01-01 00:00:00", "1998-01-01 00:00:00")
+    both = c95.intersect(c97).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("both").alias("bucket"), "n"
+    )
+    only95 = c95.exceptAll(c97.distinct()).distinct().agg(
+        F.count(F.lit(1)).alias("n")
+    ).select(F.lit("only_1995").alias("bucket"), "n")
+    either = c95.union(c97).distinct().agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("either").alias("bucket"), "n"
+    )
+    return both.unionAll(only95).unionAll(either).orderBy("bucket")
+
+
+@_register(
+    "g4_distinct_aggregates",
+    """
+    SELECT c_mktsegment,
+           COUNT(DISTINCT c_nationkey) AS n_nations,
+           COUNT(DISTINCT c_custkey) AS n_customers,
+           COUNT(*) AS n_rows,
+           CAST(MIN(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS min_bal,
+           CAST(MAX(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS max_bal
+    FROM customer
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def g4_distinct_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    return (
+        cust.groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("c_nationkey").alias("n_nations"),
+            F.countDistinct("c_custkey").alias("n_customers"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min(money("c_acctbal")).cast("double").alias("min_bal"),
+            F.max(money("c_acctbal")).cast("double").alias("max_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -14,6 +14,8 @@ from pyspark.sql import DataFrame, SparkSession
 
 _MODULES = [
     "tts_etl_pipeline_spark.operators.relational",
+    "tts_etl_pipeline_spark.operators.windows",
+    "tts_etl_pipeline_spark.operators.grouping",
 ]
 
 
