@@ -1,0 +1,195 @@
+"""Event-table operators: JSON extraction (SURVEY.md §2.2-B5) and batch
+time-window aggregation — the batch twins of the streaming pipeline in
+``streaming/`` (same transformations, applied to a static read, which is
+what the batch-vs-stream equivalence test in SURVEY.md §5.2 relies on).
+
+`props` is a JSON object string; extraction uses get_json_object (JVM-side,
+codegen'd) — never a Python UDF. Time bucketing uses date_trunc so the
+grouping key is computed scan-side and the agg stays one shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tts_etl_pipeline_spark.sources.tables import table
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def _register(name: str, oracle: str | None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def add_json_k(df: DataFrame) -> DataFrame:
+    """Extract props.k as BIGINT (shared by batch and streaming paths)."""
+    return df.withColumn("k", F.get_json_object(F.col("props"), "$.k").cast("bigint"))
+
+
+def hourly_event_counts(df: DataFrame) -> DataFrame:
+    """Tumbling 1-hour counts per event_type — shared batch/stream logic."""
+    return (
+        df.withColumn("hour", F.date_trunc("hour", "ts"))
+        .groupBy("hour", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# e1 — JSON extraction + aggregation by event type.
+# ---------------------------------------------------------------------------
+@_register(
+    "e1_json_extract_agg",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def e1_json_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = add_json_k(table(spark, sf_dir, "events"))
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# e2 — tumbling-window (1 hour) event counts: the batch twin of the
+# streaming aggregation in streaming/events_stream.py.
+# ---------------------------------------------------------------------------
+@_register(
+    "e2_hourly_event_counts",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+           event_type, COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+    ORDER BY hour, event_type
+    """,
+)
+def e2_hourly_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return (
+        hourly_event_counts(ev)
+        .select(
+            F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+            "n_events",
+            "n_users",
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# e3 — sessionization in batch: a new session starts after a >30 min gap per
+# user (lag + cumulative-sum-of-flags window). The streaming analogue is a
+# session window with gap timeout; this batch form is the oracle-checkable one.
+# ---------------------------------------------------------------------------
+@_register(
+    "e3_user_sessions",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    OR date_diff('second',
+                         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) > 1800
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sessioned AS (
+      SELECT user_id,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, COUNT(DISTINCT session_id) AS n_sessions,
+           COUNT(*) AS n_events
+    FROM sessioned
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def e3_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wsum = W.partitionBy("user_id").orderBy("ts").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    # truncate to epoch seconds (session tz is UTC, so NTZ->timestamp is a
+    # no-op shift) — matches DuckDB's second-boundary date_diff semantics
+    prev_ts = F.lag("ts").over(w)
+    epoch = lambda c: c.cast("timestamp").cast("long")  # noqa: E731
+    gap_s = epoch(F.col("ts")) - epoch(prev_ts)
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(prev_ts.isNull() | (gap_s > 1800), F.lit(1)).otherwise(F.lit(0)),
+    )
+    sessioned = flagged.withColumn("session_id", F.sum("new_session").over(wsum))
+    return (
+        sessioned.groupBy("user_id")
+        .agg(
+            F.countDistinct("session_id").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# e4 — value stats per user with HAVING over a high-cardinality key — the
+# per-entity rollup shape that dominates 100 TB event workloads: partial aggs
+# map-side, one shuffle on user_id.
+# ---------------------------------------------------------------------------
+@_register(
+    "e4_user_value_stats",
+    """
+    SELECT user_id,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+           CAST(MAX(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS max_value
+    FROM events
+    WHERE event_type = 'purchase'
+    GROUP BY user_id
+    HAVING COUNT(*) >= 3
+    ORDER BY user_id
+    """,
+)
+def e4_user_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total_value"),
+            F.max(F.col("value").cast("decimal(12,2)")).cast("double").alias("max_value"),
+        )
+        .filter(F.col("n") >= 3)
+        .orderBy("user_id")
+    )

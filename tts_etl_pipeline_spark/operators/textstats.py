@@ -1,0 +1,287 @@
+"""Text analysis over the documents corpus (SURVEY.md §2.2-B4 + the
+north-star text-analysis operators: token counting, quality scoring,
+language stats, fingerprinting, language-ID heuristic).
+
+Everything here is built-in pyspark.sql.functions (JVM-side, whole-stage
+codegen) — no Python UDFs. The token pipeline is split/filter/explode;
+fingerprinting is md5 (identical in DuckDB, so oracle-checkable).
+
+These are also the relational stand-ins for the reference's transcript
+operators: trim (process_audio.py:275), lower+split (pa:319-320), word-count
+filter (pa:302), regex filters (pa:291-294,304) — exercised on real text at
+sf scale instead of ASR output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tts_etl_pipeline_spark.sources.tables import table
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+# Small stopword list used for the quality score (deterministic, shared with
+# the SQL oracle below).
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it"]
+
+
+def _register(name: str, oracle: str | None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def tokens(col: str | Column) -> Column:
+    """Whitespace tokenization of trimmed, lowercased text."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.lower(F.trim(c)), r"\s+")
+
+
+# ---------------------------------------------------------------------------
+# t1 — per-language token statistics: tokenize + aggregate.
+# ---------------------------------------------------------------------------
+@_register(
+    "t1_lang_token_stats",
+    """
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           SUM(len(string_split(lower(trim(text)), ' '))) AS total_tokens,
+           CAST(SUM(len(string_split(lower(trim(text)), ' '))) AS DOUBLE) / COUNT(*)
+             AS avg_tokens,
+           SUM(n_chars) AS total_chars
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def t1_lang_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    ntok = F.size(F.split(F.lower(F.trim("text")), " ")).cast("bigint")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(ntok).alias("total_tokens"),
+            (F.sum(ntok).cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# t2 — global token frequency: explode + count, top-20. The canonical
+# "word count" — shuffle carries (token, partial_count) thanks to map-side
+# combine, so the explode never hits the wire raw.
+# ---------------------------------------------------------------------------
+@_register(
+    "t2_top_tokens",
+    """
+    SELECT token, COUNT(*) AS freq
+    FROM (SELECT unnest(string_split(lower(trim(text)), ' ')) AS token FROM documents) t
+    GROUP BY token
+    ORDER BY freq DESC, token
+    LIMIT 20
+    """,
+)
+def t2_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split(F.lower(F.trim("text")), " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), "token")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# t3 — quality scoring: length, stopword ratio, lexical diversity per doc.
+# Mirrors the reference's text-quality gating (word-count filter pa:302-303)
+# with the scoring heuristics a pretraining pipeline would add.
+# ---------------------------------------------------------------------------
+_SW_SQL = "', '".join(STOPWORDS)
+
+
+@_register(
+    "t3_quality_scores",
+    f"""
+    SELECT doc_id,
+           n_tokens,
+           CAST(n_stop AS DOUBLE) / n_tokens AS stopword_ratio,
+           CAST(n_distinct AS DOUBLE) / n_tokens AS lexical_diversity,
+           CAST(n_chars AS DOUBLE) / n_tokens AS avg_token_len
+    FROM (
+      SELECT doc_id, n_chars,
+             len(toks) AS n_tokens,
+             len(list_filter(toks, t -> list_contains(['{_SW_SQL}'], t))) AS n_stop,
+             len(list_distinct(toks)) AS n_distinct
+      FROM (SELECT doc_id, n_chars, string_split(lower(trim(text)), ' ') AS toks
+            FROM documents) base
+    ) scored
+    WHERE n_tokens > 2
+    ORDER BY doc_id
+    """,
+)
+def t3_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim("text")), " ")
+    sw = F.array(*[F.lit(s) for s in STOPWORDS])
+    base = docs.select(
+        "doc_id",
+        "n_chars",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.filter(toks, lambda t: F.array_contains(sw, t))).cast("bigint").alias("n_stop"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct"),
+    )
+    return (
+        base.filter(F.col("n_tokens") > 2)
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("n_stop").cast("double") / F.col("n_tokens")).alias("stopword_ratio"),
+            (F.col("n_distinct").cast("double") / F.col("n_tokens")).alias(
+                "lexical_diversity"
+            ),
+            (F.col("n_chars").cast("double") / F.col("n_tokens")).alias("avg_token_len"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# t4 — document fingerprinting: md5 over normalized text (md5 is identical
+# in Spark and DuckDB, so this is an oracle-checkable content hash). The
+# dedup operators build on the same fingerprint.
+# ---------------------------------------------------------------------------
+@_register(
+    "t4_fingerprints",
+    """
+    SELECT doc_id, md5(lower(trim(text))) AS fingerprint,
+           substr(md5(lower(trim(text))), 1, 4) AS shard
+    FROM documents
+    WHERE doc_id < 100
+    ORDER BY doc_id
+    """,
+)
+def t4_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    fp = F.md5(F.lower(F.trim("text")))
+    return docs.select(
+        "doc_id",
+        fp.alias("fingerprint"),
+        F.substring(fp, 1, 4).alias("shard"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# t5 — language-ID heuristic: score each doc against per-language marker
+# tokens and compare to the labeled lang column. A real pipeline would use
+# character n-gram profiles; the harness corpus is English word soup with
+# random lang labels, so the heuristic is exercised (and oracle-checked) on
+# marker-token counting + argmax-with-tiebreak semantics, not accuracy.
+# ---------------------------------------------------------------------------
+@_register(
+    "t5_lang_id_heuristic",
+    """
+    SELECT predicted, COUNT(*) AS n_docs,
+           SUM(CASE WHEN predicted = lang THEN 1 ELSE 0 END) AS n_match
+    FROM (
+      SELECT lang,
+             CASE WHEN n_en >= n_data AND n_en >= n_query THEN 'en'
+                  WHEN n_data >= n_query THEN 'data-ish'
+                  ELSE 'query-ish' END AS predicted
+      FROM (
+        SELECT lang,
+               len(list_filter(string_split(lower(trim(text)), ' '),
+                   t -> list_contains(['the','a','of'], t))) AS n_en,
+               len(list_filter(string_split(lower(trim(text)), ' '),
+                   t -> list_contains(['data','row','column','table'], t))) AS n_data,
+               len(list_filter(string_split(lower(trim(text)), ' '),
+                   t -> list_contains(['query','filter','join','sort'], t))) AS n_query
+        FROM documents
+      ) scores
+    ) pred
+    GROUP BY predicted
+    ORDER BY predicted
+    """,
+)
+def t5_lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim("text")), " ")
+
+    def marker_count(words: list[str]) -> Column:
+        arr = F.array(*[F.lit(w) for w in words])
+        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+    scores = docs.select(
+        "lang",
+        marker_count(["the", "a", "of"]).alias("n_en"),
+        marker_count(["data", "row", "column", "table"]).alias("n_data"),
+        marker_count(["query", "filter", "join", "sort"]).alias("n_query"),
+    )
+    pred = scores.select(
+        "lang",
+        F.when(
+            (F.col("n_en") >= F.col("n_data")) & (F.col("n_en") >= F.col("n_query")), "en"
+        )
+        .when(F.col("n_data") >= F.col("n_query"), "data-ish")
+        .otherwise("query-ish")
+        .alias("predicted"),
+    )
+    return (
+        pred.groupBy("predicted")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("predicted") == F.col("lang"), 1).otherwise(0)).alias(
+                "n_match"
+            ),
+        )
+        .orderBy("predicted")
+    )
+
+
+# ---------------------------------------------------------------------------
+# t6 — the reference's transcript quality gate (F4/F5/F6, pa:281-307) applied
+# to the documents corpus: >2 words, contains [a-zA-Z], not hallucination-
+# pattern. Returns per-source keep/drop counts.
+# ---------------------------------------------------------------------------
+HALLUCINATION_RE = r"\[.*?\]|\(.*?\)|thanks for watching|thank you for watching"
+
+
+@_register(
+    "t6_transcript_quality_gate",
+    r"""
+    SELECT source,
+           COUNT(*) AS n_total,
+           SUM(CASE WHEN len(string_split(trim(text), ' ')) > 2
+                     AND regexp_matches(text, '[a-zA-Z]')
+                     AND NOT regexp_matches(lower(text),
+                         '\[.*?\]|\(.*?\)|thanks for watching|thank you for watching')
+                    THEN 1 ELSE 0 END) AS n_kept
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def t6_transcript_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    keep = (
+        (F.size(F.split(F.trim("text"), " ")) > 2)
+        & F.col("text").rlike("[a-zA-Z]")
+        & ~F.lower(F.col("text")).rlike(HALLUCINATION_RE)
+    )
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.when(keep, 1).otherwise(0)).alias("n_kept"),
+        )
+        .orderBy("source")
+    )

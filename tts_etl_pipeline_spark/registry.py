@@ -16,6 +16,8 @@ _MODULES = [
     "tts_etl_pipeline_spark.operators.relational",
     "tts_etl_pipeline_spark.operators.windows",
     "tts_etl_pipeline_spark.operators.grouping",
+    "tts_etl_pipeline_spark.operators.events",
+    "tts_etl_pipeline_spark.operators.textstats",
 ]
 
 

@@ -33,7 +33,23 @@ BROADCAST_DIMS = {"region", "nation", "supplier", "part", "customer"}
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    if name == "events":
+        return _events(spark, sf_dir)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
+    rejects. Read it as raw nanos (legacy conf, settable per-session at
+    runtime) and convert to TIMESTAMP_NTZ via integer division — ts values
+    (~1.7e18) exceed double's 53-bit mantissa, so `div`, never `/`."""
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return df.withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+    )
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
