@@ -1,0 +1,289 @@
+"""Deduplication operators (SURVEY.md §2.2-B1/B2 + north-star dedup family):
+
+- exact dedup by key / by content fingerprint (hash-groupBy)
+- n-gram (shingle) Jaccard near-dedup, exact formulation: token-inverted-index
+  self-join -> pair intersection counts -> Jaccard, so the cross join never
+  materializes (pairs sharing zero tokens are never generated). This is the
+  scale path for exact Jaccard; MinHash-LSH below is the approximate path.
+- MinHash-LSH near-dedup (pyspark.ml) — approximate, rows-only check
+- SimHash near-dedup — deterministic 64-bit simhash via xxhash64 over tokens,
+  banded buckets; rows-only check (hash family is engine-specific)
+
+The reference's dedup surface is only `INSERT OR IGNORE` on wav_path
+(process_audio.py:377-383); its Spark equivalent (dropDuplicates before an
+append / anti-join against the sink) lives in sources/sink.py. The operators
+here are the corpus-level dedup a 100 TB text pipeline needs.
+
+Scale notes: the inverted-index join shuffles on token; hot tokens are
+bounded because we drop tokens occurring in > MAX_DF docs (standard practice
+— stop-token removal caps the per-key fanout that would otherwise quadratically
+blow up the self-join). MinHash/SimHash banding turns all-pairs into
+per-bucket pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tts_etl_pipeline_spark.sources.tables import table
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def _register(name: str, oracle: str | None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# d1 — exact dedup by content fingerprint: canonical representative = min
+# doc_id per normalized-text group. One hash-agg shuffle on the fingerprint.
+# ---------------------------------------------------------------------------
+@_register(
+    "d1_exact_dedup",
+    """
+    SELECT COUNT(*) AS n_groups,
+           SUM(cnt) AS n_docs,
+           SUM(CASE WHEN cnt > 1 THEN cnt - 1 ELSE 0 END) AS n_removed,
+           MIN(keeper) AS min_keeper, MAX(keeper) AS max_keeper
+    FROM (
+      SELECT md5(lower(trim(text))) AS fp, COUNT(*) AS cnt, MIN(doc_id) AS keeper
+      FROM documents
+      GROUP BY md5(lower(trim(text)))
+    ) g
+    """,
+)
+def d1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    groups = (
+        docs.groupBy(F.md5(F.lower(F.trim("text"))).alias("fp"))
+        .agg(F.count(F.lit(1)).alias("cnt"), F.min("doc_id").alias("keeper"))
+    )
+    return groups.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("cnt").alias("n_docs"),
+        F.sum(F.when(F.col("cnt") > 1, F.col("cnt") - 1).otherwise(0)).alias("n_removed"),
+        F.min("keeper").alias("min_keeper"),
+        F.max("keeper").alias("max_keeper"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# d2 — exact full-row dedup over a projection (the dropDuplicates primitive).
+# ---------------------------------------------------------------------------
+@_register(
+    "d2_distinct_rows",
+    """
+    SELECT lang, source, COUNT(*) AS n
+    FROM (SELECT DISTINCT lang, source FROM documents) d
+    GROUP BY lang, source
+    ORDER BY lang, source
+    """,
+)
+def d2_distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", "source")
+        .distinct()
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# d3 — exact token-set Jaccard near-dup pairs WITHOUT a cross join:
+#   distinct (doc, token) -> self-join on token (inverted index) ->
+#   per-pair intersection count -> jaccard = inter / (|A| + |B| - inter).
+# Pairs sharing no token never appear, so the shuffle is bounded by
+# sum(df(token)^2) over tokens, which stop-token capping keeps linear-ish.
+# Oracle: identical formulation in SQL (DuckDB), bit-exact.
+# ---------------------------------------------------------------------------
+JACCARD_THRESHOLD = 0.6
+MAX_DF_FRACTION = 0.5  # drop tokens present in more than half the corpus
+
+
+@_register(
+    "d3_jaccard_neardup_pairs",
+    f"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS token
+      FROM documents
+    ),
+    df AS (SELECT token, COUNT(*) AS n FROM tok GROUP BY token),
+    total AS (SELECT COUNT(*) AS n_docs FROM documents),
+    tok_f AS (
+      SELECT t.doc_id, t.token FROM tok t, df, total
+      WHERE df.token = t.token AND df.n <= {MAX_DF_FRACTION} * total.n_docs
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tok_f GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      FROM tok_f a JOIN tok_f b ON a.token = b.token AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
+    FROM pairs, sizes sa, sizes sb
+    WHERE sa.doc_id = id_a AND sb.doc_id = id_b
+      AND CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= {JACCARD_THRESHOLD}
+    ORDER BY id_a, id_b
+    """,
+)
+def d3_jaccard_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.lower(F.trim("text")), " ")).alias("token")
+    ).distinct()
+    n_docs = docs.count()  # scalar; at scale use an approx or a config cap
+    df_tok = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    keep_tokens = df_tok.filter(F.col("n") <= MAX_DF_FRACTION * n_docs).select("token")
+    tok_f = tok.join(F.broadcast(keep_tokens), "token")
+    sizes = tok_f.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = tok_f.select(F.col("doc_id").alias("id_a"), "token")
+    b = tok_f.select(F.col("doc_id").alias("id_b"), "token")
+    pairs = (
+        a.join(b, "token")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b"))
+    jacc = F.col("inter").cast("double") / (
+        F.col("sz_a") + F.col("sz_b") - F.col("inter")
+    )
+    return (
+        pairs.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .withColumn("jaccard", jacc)
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("id_a", "id_b", "jaccard")
+        .orderBy("id_a", "id_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# d4 — 3-gram (character-shingle) containment dedup on a sampled slice:
+# shingles via a self-expressible substring sequence. Demonstrates shingle
+# construction relationally (sequence + transform), oracle-checkable.
+# ---------------------------------------------------------------------------
+@_register(
+    "d4_char_shingles",
+    """
+    SELECT doc_id,
+           len(list_distinct([substr(txt, i, 3)
+                              FOR i IN range(1, len(txt) - 1)])) AS n_shingles,
+           len(txt) AS n_chars
+    FROM (SELECT doc_id, lower(trim(text)) AS txt FROM documents WHERE doc_id < 50) d
+    ORDER BY doc_id
+    """,
+)
+def d4_char_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    base = docs.select("doc_id", F.lower(F.trim("text")).alias("txt"))
+    return base.select(
+        "doc_id",
+        F.size(
+            F.array_distinct(
+                F.expr("transform(sequence(1, length(txt) - 2), i -> substring(txt, i, 3))")
+            )
+        ).cast("bigint").alias("n_shingles"),
+        F.length("txt").cast("bigint").alias("n_chars"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# d5 — MinHash-LSH near-dedup (approximate; rows-only check). Shingle ->
+# HashingTF sparse vector -> MinHashLSH approxSimilarityJoin. The banding/
+# bucketing inside MinHashLSH is the 100 TB path: candidate pairs come from
+# band-bucket joins, never an all-pairs comparison.
+# ---------------------------------------------------------------------------
+@_register("d5_minhash_lsh_neardup", None)  # hash-family dependent => rows-only
+def d5_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.feature import HashingTF, MinHashLSH, RegexTokenizer
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    tokenizer = RegexTokenizer(inputCol="text", outputCol="tokens", pattern=r"\s+")
+    tokenized = tokenizer.transform(docs)
+    tf = HashingTF(inputCol="tokens", outputCol="features", numFeatures=1 << 18)
+    feats = tf.transform(tokenized).filter(
+        F.expr("size(tokens) > 0")
+    )
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
+    model = lsh.fit(feats)
+    pairs = model.approxSimilarityJoin(feats, feats, 0.4, distCol="jaccard_dist")
+    return (
+        pairs.select(
+            F.col("datasetA.doc_id").alias("id_a"),
+            F.col("datasetB.doc_id").alias("id_b"),
+            F.col("jaccard_dist"),
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# d6 — SimHash near-dedup: 64-bit simhash from xxhash64(token), banded into
+# 4x16-bit bands; pairs agreeing on any band are candidates, verified by
+# hamming distance. Deterministic but hash-family-specific => rows-only.
+# ---------------------------------------------------------------------------
+@_register("d6_simhash_neardup", None)
+def d6_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.lower(F.trim("text")), " ")).alias("token")
+    )
+    hashed = tok.select("doc_id", F.xxhash64("token").alias("h"))
+    # per-bit weighted sums: bit i contributes +1 if set else -1
+    bits = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    agg = hashed.groupBy("doc_id").agg(*bits)
+    sim = agg.select(
+        "doc_id",
+        sum(
+            [
+                F.when(
+                    F.col(f"b{i}") > 0,
+                    # bit 63 is the sign bit of a signed 64-bit long
+                    F.lit(-(1 << 63) if i == 63 else (1 << i)).cast("long"),
+                ).otherwise(0)
+                for i in range(64)
+            ],
+            F.lit(0).cast("long"),
+        ).alias("simhash"),
+    )
+    banded = sim.select(
+        "doc_id",
+        "simhash",
+        *[
+            F.shiftright(F.col("simhash"), 16 * b).bitwiseAND(F.lit(0xFFFF)).alias(f"band{b}")
+            for b in range(4)
+        ],
+    )
+    cands = None
+    for b in range(4):
+        l = banded.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sh_a"), F.col(f"band{b}").alias("bk"))
+        r = banded.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sh_b"), F.col(f"band{b}").alias("bk"))
+        c = l.join(r, "bk").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b", "sh_a", "sh_b")
+        cands = c if cands is None else cands.unionAll(c)
+    cands = cands.distinct()
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cands.withColumn("hamming", hamming.cast("bigint"))
+        .filter(F.col("hamming") <= 12)
+        .select("id_a", "id_b", "hamming")
+        .orderBy("id_a", "id_b")
+    )

@@ -1,0 +1,266 @@
+"""Similarity search over the embeddings table (SURVEY.md §2.2-B3/B6).
+
+- exact top-k cosine: broadcast the (small) query set against the corpus,
+  dot/norm via higher-order functions (JVM-side, no Python), rank per query.
+  At 100 TB the corpus side stays partitioned; only queries broadcast.
+- embedding-cosine near-dup pairs: same kernel, threshold instead of top-k.
+- IVF-style ANN: coarse quantization by nearest label centroid, probe only
+  matching cells (rows-only check — recall-dependent).
+- BucketedRandomProjectionLSH ANN (pyspark.ml): rows-only check.
+
+The dot product uses F.aggregate over zip_with in BOTH engines' formulation
+(DuckDB: list_dot_product) — float arrays are cast to double element-wise
+first so the sequential left-fold accumulates identically bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tts_etl_pipeline_spark.sources.tables import table
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def _register(name: str, oracle: str | None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def dot(a: str, b: str) -> Column:
+    """Sequential left-fold dot product of two float-array columns in double."""
+    return F.aggregate(
+        F.zip_with(F.col(a), F.col(b), lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: str) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.col(a),
+            F.lit(0.0),
+            lambda acc, v: acc + v.cast("double") * v.cast("double"),
+        )
+    )
+
+
+# DuckDB-side equivalents with the same fold order. DuckDB 1.0's list_reduce
+# takes no initial value — its left fold ((x1+x2)+x3)... equals Spark's
+# ((0.0+x1)+x2)... bit-for-bit because 0.0+x == x in IEEE 754.
+def _sql_dot(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_transform(range(1, len({a})+1), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), "
+        f"(acc, v) -> acc + v)"
+    )
+
+
+def _sql_sqnorm(a: str) -> str:
+    return (
+        f"list_reduce(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+        f"(acc, v) -> acc + v)"
+    )
+
+
+N_QUERY_VECS = 5
+TOP_K = 10
+
+
+# ---------------------------------------------------------------------------
+# v1 — exact top-k cosine neighbors for a fixed query set (vec_id < 5).
+# ---------------------------------------------------------------------------
+@_register(
+    "v1_topk_cosine_exact",
+    f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+               WHERE vec_id < {N_QUERY_VECS}),
+    scored AS (
+      SELECT q.q_id, e.vec_id AS n_id,
+             {_sql_dot('q.q_emb', 'e.embedding')}
+               / (sqrt({_sql_sqnorm('q.q_emb')}) * sqrt({_sql_sqnorm('e.embedding')}))
+               AS cosine
+      FROM q, embeddings e
+      WHERE e.vec_id <> q.q_id
+    ),
+    ranked AS (
+      SELECT q_id, n_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rn
+      FROM scored
+    )
+    SELECT q_id, n_id, ROUND(cosine, 9) AS cosine, rn
+    FROM ranked WHERE rn <= {TOP_K}
+    ORDER BY q_id, rn
+    """,
+)
+def v1_topk_cosine_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    corpus = emb.select(F.col("vec_id").alias("n_id"), F.col("embedding").alias("n_emb"))
+    scored = (
+        corpus.join(F.broadcast(q))
+        .filter(F.col("n_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "n_id",
+            (dot("q_emb", "n_emb") / (norm("q_emb") * norm("n_emb"))).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("cosine"), "n_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= TOP_K)
+        .select("q_id", "n_id", F.round("cosine", 9).alias("cosine"), "rn")
+        .orderBy("q_id", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# v2 — embedding near-duplicate pairs: cosine >= threshold within a label
+# block (blocking keeps the pair space linear-ish; the unblocked exact scan
+# is v1's shape). Oracle-checkable: same blocking in SQL.
+# ---------------------------------------------------------------------------
+COSINE_DUP_THRESHOLD = 0.95
+
+
+@_register(
+    "v2_embedding_neardup_pairs",
+    f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND({_sql_dot('a.embedding', 'b.embedding')}
+             / (sqrt({_sql_sqnorm('a.embedding')}) * sqrt({_sql_sqnorm('b.embedding')})), 9)
+             AS cosine
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_sql_dot('a.embedding', 'b.embedding')}
+            / (sqrt({_sql_sqnorm('a.embedding')}) * sqrt({_sql_sqnorm('b.embedding')}))
+          >= {COSINE_DUP_THRESHOLD}
+    ORDER BY id_a, id_b
+    """,
+)
+def v2_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("id_a"), F.col("label").alias("label"), F.col("embedding").alias("emb_a")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"), F.col("label").alias("label"), F.col("embedding").alias("emb_b")
+    )
+    cos = dot("emb_a", "emb_b") / (norm("emb_a") * norm("emb_b"))
+    return (
+        a.join(b, "label")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= COSINE_DUP_THRESHOLD)
+        .select("id_a", "id_b", F.round("cosine", 9).alias("cosine"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# v3 — IVF-style ANN: build label centroids (coarse quantizer), assign each
+# query to its nearest centroid, then search only that cell. Approximate
+# (recall < 1) => rows-only check. At 100 TB: centroids broadcast, corpus
+# pre-partitioned by cell — each query touches 1/nlist of the data.
+# ---------------------------------------------------------------------------
+@_register("v3_ivf_ann_topk", None)
+def v3_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    emb = table(spark, sf_dir, "embeddings")
+    dim = 64
+    # centroids: element-wise mean per label via posexplode + groupBy
+    exploded = emb.select("label", F.posexplode("embedding").alias("pos", "val"))
+    centroids = (
+        exploded.groupBy("label", "pos")
+        .agg(F.avg(F.col("val").cast("double")).alias("c"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+        .select(
+            F.col("label").alias("cell"),
+            F.expr("transform(pc, x -> x.c)").alias("centroid"),
+        )
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    # assign query -> nearest centroid (broadcast both; tiny)
+    qc = (
+        q.join(F.broadcast(centroids))
+        .withColumn(
+            "dist2",
+            F.aggregate(
+                F.zip_with(
+                    F.col("q_emb"),
+                    F.col("centroid"),
+                    lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+        )
+    )
+    wq = W.partitionBy("q_id").orderBy("dist2", "cell")
+    assigned = qc.withColumn("rn", F.row_number().over(wq)).filter(F.col("rn") == 1).select(
+        "q_id", "q_emb", "cell"
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("n_id"), F.col("label").alias("cell"), F.col("embedding").alias("n_emb")
+    )
+    scored = (
+        corpus.join(F.broadcast(assigned), "cell")
+        .filter(F.col("n_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "n_id",
+            (dot("q_emb", "n_emb") / (norm("q_emb") * norm("n_emb"))).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("cosine"), "n_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= TOP_K)
+        .select("q_id", "n_id", F.round("cosine", 9).alias("cosine"), "rn")
+        .orderBy("q_id", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# v4 — random-hyperplane LSH ANN via pyspark.ml BucketedRandomProjectionLSH
+# (euclidean buckets); approximate => rows-only.
+# ---------------------------------------------------------------------------
+@_register("v4_lsh_ann_topk", None)
+def v4_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", array_to_vector(F.col("embedding")).alias("features")
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes", bucketLength=2.0, numHashTables=4, seed=42
+    )
+    model = lsh.fit(emb)
+    q = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    pairs = model.approxSimilarityJoin(q, emb, 10.0, distCol="l2_dist")
+    return (
+        pairs.select(
+            F.col("datasetA.vec_id").alias("q_id"),
+            F.col("datasetB.vec_id").alias("n_id"),
+            F.col("l2_dist"),
+        )
+        .filter(F.col("q_id") != F.col("n_id"))
+        .orderBy("q_id", "l2_dist", "n_id")
+    )

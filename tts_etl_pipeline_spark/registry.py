@@ -18,6 +18,8 @@ _MODULES = [
     "tts_etl_pipeline_spark.operators.grouping",
     "tts_etl_pipeline_spark.operators.events",
     "tts_etl_pipeline_spark.operators.textstats",
+    "tts_etl_pipeline_spark.operators.dedup",
+    "tts_etl_pipeline_spark.operators.similarity",
 ]
 
 
