@@ -71,6 +71,11 @@ def compare(spark_df, oracle_pdf: pd.DataFrame, name: str) -> list[str]:
         errs.append(f"{name}: columns {list(a.columns)} != {list(b.columns)}")
         return errs
     for c in a.columns:
+        if a[c].dtype != b[c].dtype:
+            errs.append(
+                f"{name}: column {c!r} dtype {a[c].dtype} (spark) != {b[c].dtype} (oracle)"
+            )
+    for c in a.columns:
         av, bv = a[c].tolist(), b[c].tolist()
         bad = [
             (i, x, y) for i, (x, y) in enumerate(zip(av, bv)) if not _cell_equal(x, y)

@@ -50,8 +50,8 @@ def _register(name: str, oracle: str | None):
     "d1_exact_dedup",
     """
     SELECT COUNT(*) AS n_groups,
-           SUM(cnt) AS n_docs,
-           SUM(CASE WHEN cnt > 1 THEN cnt - 1 ELSE 0 END) AS n_removed,
+           CAST(SUM(cnt) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN cnt > 1 THEN cnt - 1 ELSE 0 END) AS BIGINT) AS n_removed,
            MIN(keeper) AS min_keeper, MAX(keeper) AS max_keeper
     FROM (
       SELECT md5(lower(trim(text))) AS fp, COUNT(*) AS cnt, MIN(doc_id) AS keeper

@@ -51,10 +51,10 @@ def tokens(col: str | Column) -> Column:
     """
     SELECT lang,
            COUNT(*) AS n_docs,
-           SUM(len(string_split(lower(trim(text)), ' '))) AS total_tokens,
+           CAST(SUM(len(string_split(lower(trim(text)), ' '))) AS BIGINT) AS total_tokens,
            CAST(SUM(len(string_split(lower(trim(text)), ' '))) AS DOUBLE) / COUNT(*)
              AS avg_tokens,
-           SUM(n_chars) AS total_chars
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM documents
     GROUP BY lang
     ORDER BY lang
@@ -191,7 +191,7 @@ def t4_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     "t5_lang_id_heuristic",
     """
     SELECT predicted, COUNT(*) AS n_docs,
-           SUM(CASE WHEN predicted = lang THEN 1 ELSE 0 END) AS n_match
+           CAST(SUM(CASE WHEN predicted = lang THEN 1 ELSE 0 END) AS BIGINT) AS n_match
     FROM (
       SELECT lang,
              CASE WHEN n_en >= n_data AND n_en >= n_query THEN 'en'
@@ -260,11 +260,11 @@ HALLUCINATION_RE = r"\[.*?\]|\(.*?\)|thanks for watching|thank you for watching"
     r"""
     SELECT source,
            COUNT(*) AS n_total,
-           SUM(CASE WHEN len(string_split(trim(text), ' ')) > 2
+           CAST(SUM(CASE WHEN len(string_split(trim(text), ' ')) > 2
                      AND regexp_matches(text, '[a-zA-Z]')
                      AND NOT regexp_matches(lower(text),
                          '\[.*?\]|\(.*?\)|thanks for watching|thank you for watching')
-                    THEN 1 ELSE 0 END) AS n_kept
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
     FROM documents
     GROUP BY source
     ORDER BY source
