@@ -25,6 +25,20 @@ from tts_etl_pipeline_spark.session import DEFAULT_SF_DIR, get_spark  # noqa: E4
 # registry. Keep this the "one of each shape" set, not the full inventory.
 HEADLINE = [
     "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "q9_product_profit",
+    "q13_customer_distribution",
+    "q18_large_volume_customer",
+    "w1_topk_suppliers_per_nation",
+    "w2_supplier_monthly_running",
+    "g1_rollup_revenue",
+    "e2_hourly_event_counts",
+    "e3_user_sessions",
+    "t2_top_tokens",
+    "d1_exact_dedup",
+    "d3_jaccard_neardup_pairs",
+    "v1_topk_cosine_exact",
 ]
 
 

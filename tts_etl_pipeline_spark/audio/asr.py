@@ -1,0 +1,109 @@
+"""M1 — batched ASR behind an injectable interface (pa.py:241-278).
+
+Design (SURVEY §2.1-M1, §7 hard-part 5):
+- the model is a PER-EXECUTOR lazy singleton (the reference's module global,
+  pa.py:40-46) — never pickled through the driver closure;
+- inference runs in mapInPandas with internal micro-batching
+  (reference batch_size=8, pa.py:268-271);
+- the transform is marked nondeterministic so Catalyst never re-orders it
+  below the cheap audio filters (SURVEY §4);
+- the real Whisper model is optional (transformers is not in this runtime);
+  tests inject FakeAsrModel, a deterministic stand-in whose output is a pure
+  function of (original_name, start_ms, end_ms).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+ASR_BATCH_SIZE = 8  # pa.py:270
+
+_VOCAB = (
+    "the quick brown fox jumps over a lazy dog while rain falls on green "
+    "hills and birds sing softly in morning light near the old stone bridge"
+).split()
+
+_MODEL = None  # per-executor singleton slot (pa.py:40-46 equivalent)
+
+
+class FakeAsrModel:
+    """Deterministic ASR stand-in: transcript = seeded word sequence.
+
+    Emits 1 word per ~600 ms of audio, seeded by the segment identity, so
+    unit/E2E tests get stable transcripts with realistic word counts.
+    """
+
+    def transcribe_batch(self, rows: pd.DataFrame) -> list[str]:
+        out = []
+        for name, start, end in zip(rows["original_name"], rows["start_ms"], rows["end_ms"]):
+            seed = int.from_bytes(
+                hashlib.md5(f"{name}:{start}:{end}".encode()).digest()[:4], "big"
+            )
+            rng = np.random.default_rng(seed)
+            n_words = max(1, int((end - start) / 600))
+            words = [_VOCAB[i] for i in rng.integers(0, len(_VOCAB), n_words)]
+            out.append(" ".join(words))
+        return out
+
+
+class WhisperAsrModel:
+    """Real Whisper ASR (pa.py:36-46); requires transformers+torch, which
+    are not in this container — import is deferred and failure is explicit."""
+
+    def __init__(self, model_id: str = "openai/whisper-medium"):
+        try:
+            import torch  # noqa: F401
+            from transformers import pipeline  # noqa: F401
+        except ImportError as e:  # pragma: no cover
+            raise NotImplementedError(
+                "WhisperAsrModel needs transformers+torch; inject FakeAsrModel "
+                "in this runtime"
+            ) from e
+        import torch
+        from transformers import pipeline
+
+        device = "cuda:0" if torch.cuda.is_available() else "cpu"  # pa.py:38
+        self._pipe = pipeline(
+            "automatic-speech-recognition", model=model_id, device=device
+        )
+
+    def transcribe_batch(self, rows: pd.DataFrame) -> list[str]:  # pragma: no cover
+        inputs = [
+            {"sampling_rate": int(r), "raw": np.asarray(s, dtype=np.float32)}
+            for s, r in zip(rows["samples"], rows["frame_rate"])
+        ]
+        results = self._pipe(inputs, batch_size=ASR_BATCH_SIZE, generate_kwargs={"language": "english"})
+        return [r["text"] for r in results]
+
+
+def _get_model(kind: str):
+    global _MODEL
+    if _MODEL is None or _MODEL[0] != kind:
+        _MODEL = (kind, FakeAsrModel() if kind == "fake" else WhisperAsrModel())
+    return _MODEL[1]
+
+
+def transcribe(segments_df: DataFrame, model: str = "fake") -> DataFrame:
+    """Add a `text` column (stripped, pa.py:275 / P8)."""
+    fields = segments_df.schema.fields
+    out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in fields)
+    out_schema += ", text string"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        mdl = _get_model(model)
+        for pdf in batches:
+            texts: list[str] = []
+            for lo in range(0, len(pdf), ASR_BATCH_SIZE):  # micro-batch (pa.py:268-271)
+                texts.extend(mdl.transcribe_batch(pdf.iloc[lo : lo + ASR_BATCH_SIZE]))
+            pdf = pdf.copy()
+            pdf["text"] = [t.strip() for t in texts]  # P8 (pa.py:275)
+            yield pdf
+
+    return segments_df.mapInPandas(gen, out_schema)

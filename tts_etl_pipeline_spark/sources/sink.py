@@ -1,0 +1,115 @@
+"""Sinks S3-S5 (pa.py:49-76, 335-391).
+
+- `create_table` / `insert_or_ignore`: the SQLite DDL + `INSERT OR IGNORE`
+  surface re-expressed as a Parquet table with first-writer-wins append:
+  dedup within the incoming batch on the key, then LEFT ANTI join against the
+  existing table's keys, then append (SURVEY §2.1-S4). The anti join's build
+  side is keys-only — at 100 TB the sink table's key column is a fraction of
+  the data and the join is AQE-optimized; with Delta available this becomes
+  MERGE WHEN NOT MATCHED.
+- `export_wavs`: per-row WAV file sink via foreachPartition-style
+  mapInPandas (Spark has no native per-row binary sink); failures yield a
+  null wav_path which the F7 filter drops (pa.py:348-352).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tts_etl_pipeline_spark.audio import params as P
+
+
+def insert_or_ignore(
+    df: DataFrame, table_path: str, key: str = "wav_path"
+) -> int:
+    """Append rows whose `key` is not already present (first writer wins).
+
+    Returns the number of rows appended. Replicates INSERT OR IGNORE
+    (pa.py:377-383) including intra-batch duplicates (executemany applies
+    rows in order; we keep an arbitrary single row per key via
+    dropDuplicates, matching the reference's per-batch uniqueness).
+    """
+    spark = df.sparkSession
+    incoming = df.dropDuplicates([key])
+    if _table_exists(spark, table_path):
+        existing_keys = spark.read.parquet(table_path).select(key)
+        incoming = incoming.join(existing_keys, key, "left_anti")
+    n = incoming.count()
+    if n:
+        incoming.write.mode("append").parquet(table_path)
+    return n
+
+
+def create_table(spark: SparkSession, table_path: str, refresh: bool = True) -> None:
+    """S3 (pa.py:49-76): refresh=True drops existing data first."""
+    if refresh and _table_exists(spark, table_path):
+        import shutil
+
+        shutil.rmtree(table_path)
+
+
+def _table_exists(spark: SparkSession, path: str) -> bool:
+    return os.path.isdir(path) and any(
+        f.endswith(".parquet") for f in os.listdir(path)
+    )
+
+
+def clip_filename(stem_col, start_col, end_col):
+    """P9 (pa.py:339-343): {stem}_{start_s:04d}s_{end_s:04d}s.wav with
+    integer-second zero padding."""
+    return F.format_string(
+        "%s_%04ds_%04ds.wav",
+        stem_col,
+        F.floor(start_col / 1000).cast("long"),
+        F.floor(end_col / 1000).cast("long"),
+    )
+
+
+def export_wavs(segments_df: DataFrame, out_dir: str) -> DataFrame:
+    """S5 (pa.py:335-352): write each segment's padded samples as a WAV clip;
+    wav_path column holds the written path or null on failure."""
+    os.makedirs(out_dir, exist_ok=True)
+    stem = F.regexp_replace("original_name", r"\.wav$", "")
+    named = segments_df.withColumn(
+        "wav_name", clip_filename(stem, F.col("start_ms"), F.col("end_ms"))
+    )
+    fields = named.schema.fields
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in fields if f.name != "wav_name"
+    )
+    out_schema += ", wav_path string"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import wave as wave_mod
+
+        for pdf in batches:
+            paths = []
+            for samples, rate, name in zip(
+                pdf["samples"], pdf["frame_rate"], pdf["wav_name"]
+            ):
+                path = os.path.join(out_dir, name)
+                try:
+                    ints = (
+                        np.clip(np.asarray(samples, dtype=np.float64), -1.0, 1.0)
+                        * P.INT16_FULL_SCALE
+                    ).astype("<i2")
+                    with wave_mod.open(path, "wb") as w:
+                        w.setnchannels(1)
+                        w.setsampwidth(2)
+                        w.setframerate(int(rate))
+                        w.writeframes(ints.tobytes())
+                    paths.append(path)
+                except Exception:
+                    paths.append(None)  # pa.py:348-352 -> dropped by F7
+            pdf = pdf.drop(columns=["wav_name"]).copy()
+            pdf["wav_path"] = paths
+            yield pdf
+
+    return named.mapInPandas(gen, out_schema)
