@@ -1,0 +1,80 @@
+"""Batch-vs-stream equivalence (SURVEY.md §5.2) + streaming dedup behavior."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from tts_etl_pipeline_spark.sources.tables import table
+from tts_etl_pipeline_spark.streaming.events_stream import (
+    deduped_stream,
+    hourly_counts,
+    run_to_memory,
+    stream_events,
+    user_sessions,
+)
+
+
+def test_stream_hourly_equals_batch(spark, sf_dir):
+    got = run_to_memory(hourly_counts(stream_events(spark, sf_dir)), "t_hourly")
+    batch = (
+        table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("hour", "ts").alias("h"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    a = sorted(map(tuple, got.collect()))
+    b = sorted(map(tuple, batch.collect()))
+    assert a == b and len(a) > 0
+
+
+def test_stream_dedup_drops_injected_duplicates(spark, sf_dir, tmp_path):
+    # write events twice into one stream-source dir -> every event_id dupes
+    ev = table(spark, sf_dir, "events").limit(200)
+    src = str(tmp_path / "dupes")
+    ev.write.mode("overwrite").parquet(src)
+    ev.write.mode("append").parquet(src)
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampNTZType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(src)
+        .withColumn("ts", F.col("ts").cast("timestamp"))  # watermark needs TZ type
+    )
+    got = run_to_memory(deduped_stream(stream), "t_dedup")
+    assert got.count() == 200
+    assert got.select("event_id").distinct().count() == 200
+
+
+def test_stream_sessions_match_batch_sessionization(spark, sf_dir):
+    from tts_etl_pipeline_spark.operators.events import e3_user_sessions
+
+    sess = run_to_memory(user_sessions(stream_events(spark, sf_dir)), "t_sess")
+    stream_counts = {
+        r["user_id"]: r["n"]
+        for r in sess.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    batch_counts = {
+        r["user_id"]: r["n_sessions"] for r in e3_user_sessions(spark, sf_dir).collect()
+    }
+    assert stream_counts == batch_counts

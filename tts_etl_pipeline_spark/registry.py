@@ -20,6 +20,7 @@ _MODULES = [
     "tts_etl_pipeline_spark.operators.textstats",
     "tts_etl_pipeline_spark.operators.dedup",
     "tts_etl_pipeline_spark.operators.similarity",
+    "tts_etl_pipeline_spark.operators.streaming_queries",
 ]
 
 

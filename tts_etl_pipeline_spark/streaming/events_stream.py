@@ -1,0 +1,135 @@
+"""B8 — Structured Streaming ingest of the events table (SURVEY.md §2.2-B8).
+
+The stream source is the same parquet file the batch path reads (file-stream
+source + availableNow trigger = replay-the-table semantics), so every
+streaming transformation has a batch twin and the driver's DuckDB oracle can
+check the STREAMING result, not a stand-in:
+
+    read parquet (ns->us ts)  ->  withWatermark  ->  tumbling/session windows
+    -> memory sink (tests/queries)  or  foreachBatch insert_or_ignore (sink)
+
+The reference has no streaming construct (SURVEY §2.3) — its closest analogue
+is the lazy one-file-at-a-time generator (pa.py:79-92,404), which is exactly
+what a file stream generalizes: unbounded arrival, bounded state via
+watermarks.
+
+Scale posture: state is keyed by (window, event_type) or session key; the
+watermark bounds state size; dropDuplicatesWithinWatermark keeps the dedup
+state window-bounded instead of unbounded-keys (the streaming analogue of
+S4's INSERT OR IGNORE, pa.py:377-383).
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # nanos (read via nanosAsLong)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet with the same ns->us conversion as
+    the batch loader (sources/tables.py)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    # watermarks require session-tz TIMESTAMP (not NTZ); the session runs in
+    # UTC so wall times match the batch NTZ path exactly
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def hourly_counts(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Tumbling 1-hour counts + exact-decimal value sums per event type.
+    (countDistinct is not available in streaming aggs; the batch twin e2
+    carries it instead.)"""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def deduped_stream(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming INSERT OR IGNORE analogue: event_id-keyed dedup with
+    watermark-bounded state (SURVEY §2.2-B8)."""
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def user_sessions(stream: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours") -> DataFrame:
+    """Session windows per user with a 30-minute inactivity gap — the
+    streaming twin of the batch lag/cumsum sessionization (operators/events.py
+    e3_user_sessions)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sess"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sess.start").alias("session_start"),
+            F.col("sess.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def run_to_memory(df: DataFrame, prefix: str = "stream_result") -> DataFrame:
+    """Execute a streaming DataFrame with trigger(availableNow) into a memory
+    sink and return the materialized result as a batch DataFrame."""
+    name = f"{prefix}_{uuid.uuid4().hex[:8]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete" if df.isStreaming and _has_agg(df) else "append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(name)
+
+
+def _has_agg(df: DataFrame) -> bool:
+    plan = df._jdf.queryExecution().analyzed().toString()
+    return "Aggregate" in plan
+
+
+def stream_to_table(df: DataFrame, table_path: str, key: str, checkpoint: str) -> None:
+    """foreachBatch sink reusing the batch OR-IGNORE writer (S4) — the
+    canonical exactly-once-per-key pattern: idempotent anti-join append keyed
+    on `key`, safe under foreachBatch's at-least-once replay."""
+    from tts_etl_pipeline_spark.sources.sink import insert_or_ignore
+
+    q = (
+        df.writeStream.foreachBatch(
+            lambda batch_df, batch_id: insert_or_ignore(batch_df, table_path, key)
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
