@@ -1,0 +1,248 @@
+"""B6 — multimodal column handling (SURVEY.md §2.2-B6 + north-star).
+
+Images/audio/video ride through the engine as opaque `binary` columns with
+typed metadata structs; per-modality kernels (decode, feature-extract,
+resize, frame-sample) run as Arrow-batched mapInPandas stages. The media
+codec libraries (PIL/ffmpeg/torchaudio) are NOT in this runtime, so the
+codec call itself is stubbed behind `NotImplementedError` with a
+deterministic fake used by default — but everything Spark-side is real and
+tested: schemas, batch iteration, chunked processing, partition sizing, and
+the 2 GB-per-row ceiling guard.
+
+Scale posture (SURVEY §7 hard-part 6):
+- media bytes stay in executor space end-to-end (no collect());
+- rows carry content_hash + byte_length so planning-time decisions (skew
+  salting, size bucketing) never need to touch payloads;
+- oversized payloads are chunked into multiple rows (chunk_idx) far below
+  Spark's 2 GB column-value hard limit;
+- WAV audio (the reference's modality) gets a REAL decode via the stdlib-
+  wave path shared with audio/decode.py — only non-WAV codecs are stubbed.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# one row per media object (or per chunk of an oversized object)
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("modality", T.StringType(), False),  # image|audio|video
+        T.StructField("content", T.BinaryType(), True),
+        T.StructField("byte_length", T.LongType(), False),
+        T.StructField("content_hash", T.StringType(), False),
+        T.StructField("chunk_idx", T.IntegerType(), False),
+        T.StructField("n_chunks", T.IntegerType(), False),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("frame_rate", T.IntegerType(), True),
+                    T.StructField("duration_ms", T.LongType(), True),
+                    T.StructField("codec", T.StringType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = "media_id string, modality string, feature array<float>, feat_dim int"
+
+# Keep single binary cells far below Spark's 2 GB byte-array ceiling; real
+# deployments tune this to executor memory / maxPartitionBytes.
+MAX_CHUNK_BYTES = 64 * 1024 * 1024
+
+
+def ingest_binary_dir(spark, path: str, modality: str, glob: str = "*") -> DataFrame:
+    """binaryFile scan -> MEDIA_SCHEMA rows (chunking applied)."""
+    raw = spark.read.format("binaryFile").option("pathGlobFilter", glob).load(path)
+    return chunk_media(
+        raw.select(
+            F.element_at(F.split("path", "/"), -1).alias("media_id"),
+            F.lit(modality).alias("modality"),
+            "content",
+        )
+    )
+
+
+def chunk_media(df: DataFrame, max_chunk_bytes: int = MAX_CHUNK_BYTES) -> DataFrame:
+    """Split oversized payloads into chunk rows; adds hash/length/meta."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, modality, content in zip(
+                pdf["media_id"], pdf["modality"], pdf["content"]
+            ):
+                b = bytes(content) if content is not None else b""
+                h = hashlib.sha256(b).hexdigest()
+                chunks = [
+                    b[i : i + max_chunk_bytes]
+                    for i in range(0, max(len(b), 1), max_chunk_bytes)
+                ]
+                for i, ch in enumerate(chunks):
+                    rows.append(
+                        {
+                            "media_id": mid,
+                            "modality": modality,
+                            "content": ch,
+                            "byte_length": len(b),
+                            "content_hash": h,
+                            "chunk_idx": i,
+                            "n_chunks": len(chunks),
+                            "meta": _probe_meta(modality, b if i == 0 else None),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
+
+    return df.mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def _probe_meta(modality: str, head: bytes | None) -> dict:
+    meta = {"width": None, "height": None, "frame_rate": None, "duration_ms": None, "codec": None}
+    if head is None:
+        return meta
+    if modality == "audio" and head[:4] == b"RIFF":
+        try:
+            import io
+            import wave
+
+            with wave.open(io.BytesIO(head), "rb") as w:
+                meta["frame_rate"] = w.getframerate()
+                meta["duration_ms"] = int(w.getnframes() * 1000 / w.getframerate())
+                meta["codec"] = "pcm"
+        except Exception:
+            pass
+    return meta
+
+
+# --------------------------------------------------------------------------
+# decode / feature kernels — stubbed codecs, deterministic fakes
+# --------------------------------------------------------------------------
+def decode_image(content: bytes):  # pragma: no cover - stub contract
+    """Real image decode requires PIL/opencv — not in this runtime."""
+    raise NotImplementedError("image codecs unavailable; use fake_image_features")
+
+
+def sample_video_frames(content: bytes, every_ms: int = 1000):  # pragma: no cover
+    """Real frame sampling requires ffmpeg — not in this runtime."""
+    raise NotImplementedError("video codecs unavailable; use fake_video_features")
+
+
+def _fake_feature(content_hash: str, dim: int) -> np.ndarray:
+    """Deterministic stand-in feature: seeded by content hash, unit-norm —
+    the exact shape/dtype a CLIP/wav2vec extractor would emit."""
+    seed = int(content_hash[:8], 16)
+    rng = np.random.default_rng(seed)
+    v = rng.standard_normal(dim).astype(np.float32)
+    return v / np.linalg.norm(v)
+
+
+def extract_features(media_df: DataFrame, dim: int = 64) -> DataFrame:
+    """Per-modality feature extraction over chunk-0 rows (payload head).
+
+    audio/WAV: REAL path — decode via stdlib wave, mean/std/energy stats
+    prepended to the hash-seeded embedding tail.
+    image/video: fully stubbed (codec-free) -> hash-seeded fake embedding.
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from tts_etl_pipeline_spark.audio.decode import decode_wav_bytes
+
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                if r.chunk_idx != 0:
+                    continue
+                vec = _fake_feature(r.content_hash, dim)
+                if r.modality == "audio" and r.content[:4] == b"RIFF":
+                    try:
+                        x, rate, _ = decode_wav_bytes(bytes(r.content))
+                        vec = vec.copy()
+                        vec[0] = float(np.mean(x))
+                        vec[1] = float(np.std(x))
+                        vec[2] = float(np.sqrt(np.mean(np.square(x))))
+                    except Exception:
+                        pass
+                out.append(
+                    {
+                        "media_id": r.media_id,
+                        "modality": r.modality,
+                        "feature": vec,
+                        "feat_dim": dim,
+                    }
+                )
+            yield pd.DataFrame(out, columns=["media_id", "modality", "feature", "feat_dim"])
+
+    return media_df.mapInPandas(gen, FEATURE_SCHEMA)
+
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def _register(name: str, oracle: str | None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+@_register(
+    "m1_embedding_stats",
+    """
+    SELECT label,
+           COUNT(*) AS n_vecs,
+           MIN(len(embedding)) AS min_dim,
+           MAX(len(embedding)) AS max_dim,
+           ROUND(list_reduce(list_transform(arg_min(embedding, vec_id),
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, v) -> a + v), 9)
+             AS first_sqnorm
+    FROM embeddings
+    GROUP BY label
+    ORDER BY label
+    """,
+)
+def m1_embedding_stats(spark, sf_dir: str) -> DataFrame:
+    """Array-typed multimodal column exercised relationally: per-label vector
+    stats incl. the squared norm of the lowest-vec_id embedding (arg-min via
+    min_by, matching DuckDB's MIN(x BY y))."""
+    from tts_etl_pipeline_spark.sources.tables import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    sqnorm = F.aggregate(
+        F.col("first_emb"),
+        F.lit(0.0),
+        lambda acc, v: acc + v.cast("double") * v.cast("double"),
+    )
+    return (
+        emb.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.min(F.size("embedding")).cast("bigint").alias("min_dim"),
+            F.max(F.size("embedding")).cast("bigint").alias("max_dim"),
+            F.min_by("embedding", "vec_id").alias("first_emb"),
+        )
+        .select(
+            "label",
+            "n_vecs",
+            "min_dim",
+            "max_dim",
+            F.round(sqnorm, 9).alias("first_sqnorm"),
+        )
+        .orderBy("label")
+    )

@@ -21,6 +21,7 @@ _MODULES = [
     "tts_etl_pipeline_spark.operators.dedup",
     "tts_etl_pipeline_spark.operators.similarity",
     "tts_etl_pipeline_spark.operators.streaming_queries",
+    "tts_etl_pipeline_spark.operators.multimodal",
 ]
 
 
