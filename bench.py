@@ -49,8 +49,14 @@ def main() -> None:
     queries = all_queries()
     names = [n for n in HEADLINE if n in queries]
 
-    # warm the JVM + file index once with a trivial action
+    # warm the JVM: codegen, parquet reader, Arrow, and broadcast machinery
+    # all JIT on first use — run the flagship once at the smallest sf so the
+    # timed loop measures steady-state execution, not JVM warmup
     spark.range(1).count()
+    try:
+        queries["q1_pricing_summary"](spark, "/root/testdata/sf0.001").collect()
+    except Exception:
+        pass
 
     timings: dict[str, float] = {}
     for name in names:

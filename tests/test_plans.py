@@ -1,0 +1,85 @@
+"""Plan-shape assertions: the 100 TB design rules as executable checks.
+
+A query that silently regresses to a shuffled dimension join or a full-column
+scan still returns correct rows — only these tests catch it.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tts_etl_pipeline_spark.operators.dedup import d3_jaccard_neardup_pairs
+from tts_etl_pipeline_spark.operators.relational import (
+    q1_pricing_summary,
+    q3_shipping_priority,
+    q5_local_supplier,
+    q6_forecast_revenue,
+    q13_customer_distribution,
+)
+from tts_etl_pipeline_spark.operators.similarity import v1_topk_cosine_exact
+from tts_etl_pipeline_spark.plans import (
+    count_shuffles,
+    has_broadcast_join,
+    physical_plan,
+    pushed_filters,
+    scan_columns,
+)
+
+
+def test_q1_pushdown_and_pruning(spark, sf_dir):
+    df = q1_pricing_summary(spark, sf_dir)
+    pushed = pushed_filters(df)
+    assert any("l_shipdate" in p and "LessThanOrEqual" in p for p in pushed)
+    # column pruning: only the 7 needed columns, not all 11
+    (cols,) = scan_columns(df)
+    assert cols == {
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate",
+    }
+    # partial+final agg => exactly 2 exchanges (agg + sort)
+    assert count_shuffles(df) == 2
+
+
+def test_q6_single_stage_no_join_shuffle(spark, sf_dir):
+    df = q6_forecast_revenue(spark, sf_dir)
+    # global scalar agg: one exchange for the final single-partition agg
+    assert count_shuffles(df) <= 1
+    assert any("l_discount" in p for p in pushed_filters(df))
+
+
+def test_q3_broadcasts_customer(spark, sf_dir):
+    df = q3_shipping_priority(spark, sf_dir)
+    assert has_broadcast_join(df)
+    plan = physical_plan(df)
+    # the only SortMergeJoin/shuffle join allowed is orders x lineitem
+    assert plan.count("SortMergeJoin") <= 1
+
+
+def test_q5_only_one_fact_shuffle_join(spark, sf_dir):
+    plan = physical_plan(q5_local_supplier(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 4  # cust/supp/nation/region
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1
+
+
+def test_q13_preaggregates_before_join(spark, sf_dir):
+    plan = physical_plan(q13_customer_distribution(spark, sf_dir))
+    # the orders-per-customer agg must sit BELOW the customer join: the
+    # HashAggregate on o_custkey appears before the join node in the plan
+    agg_pos = plan.find("Functions [1]: [partial_count(1)]")
+    join_pos = max(plan.find("SortMergeJoin"), plan.find("BroadcastHashJoin"))
+    assert agg_pos != -1 and join_pos != -1 and agg_pos > join_pos  # formatted
+    # plan lists leaves first; partial agg node id < join node id in text order
+
+
+def test_v1_broadcasts_queries_not_corpus(spark, sf_dir):
+    df = v1_topk_cosine_exact(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # corpus side must NOT be broadcast: the vec_id < 5 filter is on the
+    # broadcast side's scan
+    assert any("vec_id" in p and "LessThan" in p for p in pushed_filters(df))
+
+
+def test_d3_no_cartesian(spark, sf_dir):
+    plan = physical_plan(d3_jaccard_neardup_pairs(spark, sf_dir))
+    assert "CartesianProduct" not in plan

@@ -1,0 +1,250 @@
+"""Scalar function families (SURVEY.md §2.2-B7 tail): string, date/time,
+math, and array functions, plus pivot and as-of-join shapes.
+
+The reference's scalar surface is tiny (strip/lower/split/regex/format —
+SURVEY §2.3); everything here follows ANSI/Spark semantics and is verified
+against DuckDB. Math functions are restricted to the correctly-rounded IEEE
+set (sqrt, abs, floor/ceil, mod) — transcendentals (exp/ln/pow) are libm-
+dependent and would not hash-match across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tts_etl_pipeline_spark.sources.tables import table
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def _register(name: str, oracle: str | None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+@_register(
+    "f1_string_functions",
+    """
+    SELECT p_partkey,
+           upper(p_name) AS uname,
+           lower(p_brand) AS lbrand,
+           substr(p_name, 1, 5) AS head5,
+           replace(p_type, 'A', '@') AS repl,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size4,
+           concat(p_brand, ':', p_type) AS brand_type,
+           length(p_name) AS name_len,
+           reverse(p_brand) AS rbrand,
+           CAST(strpos(p_name, 'a') AS BIGINT) AS first_a
+    FROM part
+    WHERE p_partkey <= 100
+    ORDER BY p_partkey
+    """,
+)
+def f1_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 100)
+    return part.select(
+        "p_partkey",
+        F.upper("p_name").alias("uname"),
+        F.lower("p_brand").alias("lbrand"),
+        F.substring("p_name", 1, 5).alias("head5"),
+        F.replace(F.col("p_type"), F.lit("A"), F.lit("@")).alias("repl"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size4"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.length("p_name").cast("bigint").alias("name_len"),
+        F.reverse("p_brand").alias("rbrand"),
+        F.instr(F.col("p_name"), "a").cast("bigint").alias("first_a"),
+    ).orderBy("p_partkey")
+
+
+@_register(
+    "f2_datetime_functions",
+    """
+    SELECT o_orderkey,
+           EXTRACT(YEAR FROM o_orderdate) AS y,
+           EXTRACT(MONTH FROM o_orderdate) AS m,
+           EXTRACT(DAY FROM o_orderdate) AS d,
+           EXTRACT(QUARTER FROM o_orderdate) AS q,
+           CAST(EXTRACT(ISODOW FROM o_orderdate) AS BIGINT) AS iso_dow,
+           strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS plus30,
+           strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+           CAST(date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS BIGINT)
+             AS days_since_epoch_start
+    FROM orders
+    WHERE o_orderkey <= 200
+    ORDER BY o_orderkey
+    """,
+)
+def f2_datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 200)
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("bigint").alias("y"),
+        F.month("o_orderdate").cast("bigint").alias("m"),
+        F.dayofmonth("o_orderdate").cast("bigint").alias("d"),
+        F.quarter("o_orderdate").cast("bigint").alias("q"),
+        F.expr("extract(DAYOFWEEK_ISO FROM o_orderdate)").cast("bigint").alias("iso_dow"),
+        F.date_format(F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"), "yyyy-MM-dd").alias(
+            "plus30"
+        ),
+        F.date_format(F.last_day("o_orderdate"), "yyyy-MM-dd").alias("month_end"),
+        F.datediff(
+            F.col("o_orderdate"), F.lit("1995-01-01 00:00:00").cast("timestamp_ntz")
+        )
+        .cast("bigint")
+        .alias("days_since_epoch_start"),
+    ).orderBy("o_orderkey")
+
+
+@_register(
+    "f3_math_functions",
+    """
+    SELECT l_orderkey, l_linenumber,
+           abs(l_discount - 0.05) AS abs_d,
+           CAST(ceil(l_extendedprice) AS BIGINT) AS ceil_p,
+           CAST(floor(l_extendedprice) AS BIGINT) AS floor_p,
+           round(l_extendedprice / 7, 2) AS div7,
+           sqrt(l_quantity) AS sqrt_q,
+           CAST(l_partkey % 7 AS BIGINT) AS pk_mod7,
+           greatest(l_tax, l_discount) AS max_rate,
+           least(l_tax, l_discount) AS min_rate,
+           CAST(sign(l_discount - 0.05) AS BIGINT) AS sgn
+    FROM lineitem
+    WHERE l_orderkey <= 60
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def f3_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 60)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_discount") - 0.05).alias("abs_d"),
+        F.ceil("l_extendedprice").cast("bigint").alias("ceil_p"),
+        F.floor("l_extendedprice").cast("bigint").alias("floor_p"),
+        F.round(F.col("l_extendedprice") / 7, 2).alias("div7"),
+        F.sqrt("l_quantity").alias("sqrt_q"),
+        (F.col("l_partkey") % 7).cast("bigint").alias("pk_mod7"),
+        F.greatest("l_tax", "l_discount").alias("max_rate"),
+        F.least("l_tax", "l_discount").alias("min_rate"),
+        F.signum(F.col("l_discount") - 0.05).cast("bigint").alias("sgn"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+@_register(
+    "f4_array_functions",
+    """
+    SELECT vec_id,
+           len(embedding) AS dim,
+           ROUND(CAST(embedding[1] AS DOUBLE), 9) AS first_elem,
+           ROUND(CAST(list_max(embedding) AS DOUBLE), 9) AS max_elem,
+           ROUND(CAST(list_min(embedding) AS DOUBLE), 9) AS min_elem,
+           len(list_filter(embedding, x -> x > 0)) AS n_positive,
+           ROUND(list_reduce(list_transform(list_slice(embedding, 1, 8),
+                 x -> CAST(x AS DOUBLE)), (a, v) -> a + v), 9) AS head8_sum
+    FROM embeddings
+    WHERE vec_id < 100
+    ORDER BY vec_id
+    """,
+)
+def f4_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    head8_sum = F.aggregate(
+        F.slice("embedding", 1, 8), F.lit(0.0), lambda a, v: a + v.cast("double")
+    )
+    return emb.select(
+        "vec_id",
+        F.size("embedding").cast("bigint").alias("dim"),
+        F.round(F.element_at("embedding", 1).cast("double"), 9).alias("first_elem"),
+        F.round(F.array_max("embedding").cast("double"), 9).alias("max_elem"),
+        F.round(F.array_min("embedding").cast("double"), 9).alias("min_elem"),
+        F.size(F.filter("embedding", lambda x: x > 0)).cast("bigint").alias("n_positive"),
+        F.round(head8_sum, 9).alias("head8_sum"),
+    ).orderBy("vec_id")
+
+
+@_register(
+    "g5_pivot_revenue",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN l_linestatus = 'O'
+                THEN CAST(l_extendedprice AS DECIMAL(12,2))
+                ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS O,
+           CAST(SUM(CASE WHEN l_linestatus = 'F'
+                THEN CAST(l_extendedprice AS DECIMAL(12,2))
+                ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS F
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def g5_pivot_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).cast("double"))
+        .select(
+            "l_returnflag",
+            F.coalesce("O", F.lit(0.0)).alias("O"),
+            F.coalesce("F", F.lit(0.0)).alias("F"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@_register(
+    "a1_asof_last_click_before_purchase",
+    """
+    SELECT event_id, user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS purchase_s,
+           strftime(last_click, '%Y-%m-%d %H:%M:%S') AS last_click_s,
+           COALESCE(CAST(date_diff('second', last_click, ts) AS BIGINT), -1)
+             AS gap_s
+    FROM (
+      SELECT event_id, user_id, ts, event_type,
+             last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click
+      FROM events
+    ) x
+    WHERE event_type = 'purchase'
+    ORDER BY event_id
+    """,
+)
+def a1_asof_last_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join expressed as a single ordered window (no range-join shuffle
+    explosion): for each purchase, the latest strictly-prior click of the
+    same user. At 100 TB this is one shuffle on user_id — the canonical
+    scalable as-of pattern; an inequality join would be quadratic per user."""
+    from pyspark.sql.window import Window as W
+
+    ev = table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    click_ts = F.when(F.col("event_type") == "click", F.col("ts"))
+    epoch = lambda c: c.cast("timestamp").cast("long")  # noqa: E731
+    out = (
+        ev.withColumn("last_click", F.last(click_ts, ignorenulls=True).over(w))
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_s"),
+            F.date_format("last_click", "yyyy-MM-dd HH:mm:ss").alias("last_click_s"),
+            F.coalesce(
+                epoch(F.col("ts")) - epoch(F.col("last_click")), F.lit(-1).cast("long")
+            ).alias("gap_s"),
+        )
+        .orderBy("event_id")
+    )
+    return out

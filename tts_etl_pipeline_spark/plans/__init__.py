@@ -1,0 +1,15 @@
+from tts_etl_pipeline_spark.plans.inspect import (
+    count_shuffles,
+    has_broadcast_join,
+    physical_plan,
+    pushed_filters,
+    scan_columns,
+)
+
+__all__ = [
+    "count_shuffles",
+    "has_broadcast_join",
+    "physical_plan",
+    "pushed_filters",
+    "scan_columns",
+]

@@ -22,6 +22,7 @@ _MODULES = [
     "tts_etl_pipeline_spark.operators.similarity",
     "tts_etl_pipeline_spark.operators.streaming_queries",
     "tts_etl_pipeline_spark.operators.multimodal",
+    "tts_etl_pipeline_spark.operators.scalars",
 ]
 
 
