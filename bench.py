@@ -39,6 +39,8 @@ HEADLINE = [
     "d1_exact_dedup",
     "d3_jaccard_neardup_pairs",
     "v1_topk_cosine_exact",
+    "q17_small_quantity_revenue",
+    "t7_bpe_token_counts",
 ]
 
 

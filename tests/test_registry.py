@@ -1,0 +1,30 @@
+"""Registry contract: importable without a SparkSession, names unique,
+every oracle key has a query, and the driver entry surface is intact."""
+
+from __future__ import annotations
+
+
+def test_registry_importable_and_consistent():
+    # must not require an active SparkSession at import/build time (the
+    # driver imports __spark_entry__ before creating its session)
+    from tts_etl_pipeline_spark.registry import all_oracles, all_queries
+
+    qs, osql = all_queries(), all_oracles()
+    assert set(osql) <= set(qs), sorted(set(osql) - set(qs))
+    assert len(qs) >= 50
+    # rows-only (oracle-less) set is exactly the approximate/hash-family ops
+    rows_only = set(qs) - set(osql)
+    assert rows_only == {
+        "d5_minhash_lsh_neardup",
+        "d6_simhash_neardup",
+        "v3_ivf_ann_topk",
+        "v4_lsh_ann_topk",
+        "st3_stream_sessions",
+    }
+
+
+def test_driver_entry_surface():
+    import __spark_entry__ as e
+
+    assert callable(e.entry)
+    assert set(e.oracle_sql()) <= set(e.queries())

@@ -581,3 +581,151 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# q17 — small-quantity-order revenue: correlated scalar subquery (per-part
+# average) decorrelated by hand into a pre-aggregation + broadcast join-back,
+# which is exactly what Catalyst's decorrelation would produce — but explicit,
+# so the plan is guaranteed: per-part avg is dimension-sized, broadcast onto
+# the fact scan, zero correlated re-execution.
+# ---------------------------------------------------------------------------
+@_register(
+    "q17_small_quantity_revenue",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0
+             AS avg_yearly
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey AND p_brand = 'Brand#3'
+      AND l_quantity < (
+        SELECT 0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                      / COUNT(*))
+        FROM lineitem l2 WHERE l2.l_partkey = p_partkey
+      )
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
+    per_part = (
+        li.groupBy(F.col("l_partkey").alias("pp_key"))
+        .agg(
+            (F.sum(money("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_q")
+        )
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(per_part), li.l_partkey == F.col("pp_key"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_q"))
+        .agg(
+            (F.sum(money("l_extendedprice")).cast("double") / F.lit(7.0)).alias(
+                "avg_yearly"
+            )
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q2-style — cheapest supplier per nation: min-per-group + join-back on the
+# (group, min) pair. Both the min table and supplier are broadcastable.
+# ---------------------------------------------------------------------------
+@_register(
+    "q2_min_balance_supplier",
+    """
+    SELECT n_name, s_name, CAST(s_acctbal AS DOUBLE) AS s_acctbal
+    FROM supplier s, nation n,
+         (SELECT s_nationkey AS mk, MIN(s_acctbal) AS mb
+          FROM supplier GROUP BY s_nationkey) m
+    WHERE s.s_nationkey = n.n_nationkey
+      AND s.s_nationkey = m.mk AND s.s_acctbal = m.mb
+    ORDER BY n_name, s_name
+    """,
+)
+def q2_min_balance_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supp = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation")
+    mins = supp.groupBy(F.col("s_nationkey").alias("mk")).agg(
+        F.min("s_acctbal").alias("mb")
+    )
+    return (
+        supp.join(
+            F.broadcast(mins),
+            (supp.s_nationkey == F.col("mk")) & (supp.s_acctbal == F.col("mb")),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select("n_name", "s_name", F.col("s_acctbal").cast("double").alias("s_acctbal"))
+        .orderBy("n_name", "s_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q15-style — top revenue supplier(s): agg -> global max -> equality join
+# back (the view-based TPC-H Q15 shape without a view).
+# ---------------------------------------------------------------------------
+@_register(
+    "q15_top_supplier",
+    f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(SUM({SQL_DISC_PRICE}) AS DOUBLE) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier, revenue
+    WHERE s_suppkey = supplier_no
+      AND total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supp = table(spark, sf_dir, "supplier")
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp_ntz"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(disc_price()).cast("double").alias("total_revenue")
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("mx"))
+    return (
+        revenue.join(F.broadcast(mx), F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(supp), F.col("supplier_no") == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q21-style exact percentiles: Spark percentile() and DuckDB quantile_cont
+# share the linear-interpolation definition on doubles — verified bit-exact
+# in the harness at sf0.001 and sf0.01.
+# ---------------------------------------------------------------------------
+@_register(
+    "q21_price_percentiles",
+    """
+    SELECT o_orderpriority,
+           quantile_cont(CAST(o_totalprice AS DOUBLE), 0.5) AS p50,
+           quantile_cont(CAST(o_totalprice AS DOUBLE), 0.9) AS p90,
+           quantile_cont(CAST(o_totalprice AS DOUBLE), 0.99) AS p99,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q21_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    tp = F.col("o_totalprice").cast("double")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.percentile(tp, F.lit(0.5)).alias("p50"),
+            F.percentile(tp, F.lit(0.9)).alias("p90"),
+            F.percentile(tp, F.lit(0.99)).alias("p99"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -285,3 +285,81 @@ def t6_transcript_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# t7 — BPE-ish token counting: whitespace tokens vs regex subword-ish tokens
+# (letter runs / digit runs / single punctuation), the pretraining-pipeline
+# token-budget estimator. regexp_extract_all is JVM-side in Spark and has an
+# identical RE2-compatible semantics subset in DuckDB for this pattern.
+# ---------------------------------------------------------------------------
+BPE_ISH_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+@_register(
+    "t7_bpe_token_counts",
+    rf"""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(string_split(trim(text), ' '))) AS BIGINT) AS ws_tokens,
+           CAST(SUM(len(regexp_extract_all(lower(text), '{BPE_ISH_RE}'))) AS BIGINT)
+             AS bpe_ish_tokens,
+           CAST(SUM(len(regexp_extract_all(lower(text), '{BPE_ISH_RE}'))) AS DOUBLE)
+             / SUM(len(string_split(trim(text), ' '))) AS tokens_per_word
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def t7_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    ws = F.size(F.split(F.trim("text"), " ")).cast("bigint")
+    # idx=0 = whole match (Spark defaults to group 1; the pattern is group-free)
+    bpe = F.size(
+        F.regexp_extract_all(F.lower("text"), F.lit(BPE_ISH_RE), F.lit(0))
+    ).cast("bigint")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(ws).alias("ws_tokens"),
+            F.sum(bpe).alias("bpe_ish_tokens"),
+            (F.sum(bpe).cast("double") / F.sum(ws)).alias("tokens_per_word"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# t8 — rolling-hash document fingerprint: polynomial hash over the token
+# stream, h = (h*31 + ascii(head) + 7*len(token)) mod (2^31 - 1). Pure
+# integer left-fold — bit-exact in both engines (no hash library involved),
+# unlike md5 (t4) this is an ORDER-SENSITIVE content signature, the
+# shift-resistant primitive used for chunk-level dedup.
+# ---------------------------------------------------------------------------
+@_register(
+    "t8_rolling_hash_fingerprint",
+    """
+    SELECT doc_id,
+           list_reduce(list_transform(string_split(lower(trim(text)), ' '),
+               t -> CAST(ascii(t) + 7 * len(t) AS BIGINT)),
+               (h, v) -> (h * 31 + v) % 2147483647) AS roll_hash
+    FROM documents
+    WHERE doc_id < 200
+    ORDER BY doc_id
+    """,
+)
+def t8_rolling_hash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    toks = F.split(F.lower(F.trim("text")), " ")
+    vals = F.transform(
+        toks, lambda t: (F.ascii(t) + 7 * F.length(t)).cast("bigint")
+    )
+    # seed the fold with the first element to mirror DuckDB's init-less
+    # list_reduce: fold(tail, head)
+    roll = F.aggregate(
+        F.slice(vals, 2, F.size(vals) - 1),
+        F.element_at(vals, 1),
+        lambda h, v: (h * 31 + v) % 2147483647,
+    )
+    return docs.select("doc_id", roll.alias("roll_hash")).orderBy("doc_id")

@@ -1,0 +1,121 @@
+"""UDF registration surfaces (SURVEY.md §2.3 notes the reference has none;
+these document the engine's supported extension points and their cost
+model):
+
+- u1: vectorized pandas UDF (Arrow-batched, the sanctioned Python path) —
+  arithmetic matches the SQL oracle bit-for-bit because numpy double ops are
+  IEEE-identical to the engines';
+- u2: Python UDTF (table function, Spark 4) exploding text into scored
+  sentences — lateral-join shape with an unnest-based oracle;
+- row-at-a-time `F.udf` is deliberately absent from the operator set: it is
+  10-100x slower than a pandas UDF and never necessary (pyspark_guide
+  'UDFs are the slow path').
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tts_etl_pipeline_spark.sources.tables import table
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def _register(name: str, oracle: str | None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _balance_risk_kernel(acctbal: pd.Series, n_orders: pd.Series) -> pd.Series:
+    """Toy vectorized scoring kernel: IEEE-exact arithmetic only (no
+    transcendentals), so the DuckDB oracle reproduces it exactly."""
+    return acctbal / 1000.0 + n_orders.astype("float64") * 0.25
+
+
+def _balance_risk_udf():
+    # pandas_udf parses its return type against the ACTIVE session, so the
+    # decorator must run inside a query builder, not at module import
+    return F.pandas_udf(_balance_risk_kernel, "double")
+
+
+@_register(
+    "u1_pandas_udf_score",
+    """
+    SELECT c_custkey,
+           CAST(c_acctbal AS DOUBLE) / 1000.0
+             + CAST(n_orders AS DOUBLE) * 0.25 AS risk_score
+    FROM (
+      SELECT c_custkey, c_acctbal, COUNT(o_orderkey) AS n_orders
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey, c_acctbal
+    ) x
+    ORDER BY c_custkey
+    """,
+)
+def u1_pandas_udf_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_acctbal")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    score = _balance_risk_udf()
+    return (
+        per_cust.select(
+            "c_custkey",
+            score(F.col("c_acctbal").cast("double"), F.col("n_orders")).alias(
+                "risk_score"
+            ),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@_register(
+    "u2_udtf_token_explode",
+    """
+    SELECT doc_id, pos, token, CAST(length(token) AS BIGINT) AS token_len
+    FROM (
+      SELECT doc_id,
+             unnest(string_split(lower(trim(text)), ' ')) AS token,
+             CAST(unnest(range(1, len(string_split(lower(trim(text)), ' ')) + 1)) AS BIGINT) AS pos
+      FROM documents
+      WHERE doc_id < 20
+    ) t
+    ORDER BY doc_id, pos
+    """,
+)
+def u2_udtf_token_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4 table function): text -> (pos, token, len) rows.
+    The genuinely-useful version of this runs JVM-side (posexplode, see
+    textstats.py); the UDTF form documents the registration surface."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos: bigint, token: string, token_len: bigint")
+    class Tokenize:
+        def eval(self, text: str):
+            if text is None:
+                return
+            for i, tok in enumerate(text.strip().lower().split(" "), start=1):
+                yield i, tok, len(tok)
+
+    spark.udtf.register("tokenize_udtf", Tokenize)
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    docs.createOrReplaceTempView("__u2_docs")
+    return spark.sql(
+        """
+        SELECT doc_id, pos, token, token_len
+        FROM __u2_docs, LATERAL tokenize_udtf(text)
+        ORDER BY doc_id, pos
+        """
+    )

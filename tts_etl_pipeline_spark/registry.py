@@ -23,6 +23,7 @@ _MODULES = [
     "tts_etl_pipeline_spark.operators.streaming_queries",
     "tts_etl_pipeline_spark.operators.multimodal",
     "tts_etl_pipeline_spark.operators.scalars",
+    "tts_etl_pipeline_spark.operators.udfs",
 ]
 
 

@@ -98,14 +98,16 @@ def user_sessions(stream: DataFrame, gap: str = "30 minutes", watermark: str = "
     )
 
 
-def run_to_memory(df: DataFrame, prefix: str = "stream_result") -> DataFrame:
+def run_to_memory(
+    df: DataFrame, prefix: str = "stream_result", output_mode: str | None = None
+) -> DataFrame:
     """Execute a streaming DataFrame with trigger(availableNow) into a memory
     sink and return the materialized result as a batch DataFrame."""
     name = f"{prefix}_{uuid.uuid4().hex[:8]}"
     q = (
         df.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete" if df.isStreaming and _has_agg(df) else "append")
+        .outputMode(output_mode or _default_mode(df))
         .trigger(availableNow=True)
         .start()
     )
@@ -113,9 +115,11 @@ def run_to_memory(df: DataFrame, prefix: str = "stream_result") -> DataFrame:
     return df.sparkSession.table(name)
 
 
-def _has_agg(df: DataFrame) -> bool:
+def _default_mode(df: DataFrame) -> str:
     plan = df._jdf.queryExecution().analyzed().toString()
-    return "Aggregate" in plan
+    if "FlatMapGroupsInPandasWithState" in plan:
+        return "update"  # applyInPandasWithState(update) requires update sink
+    return "complete" if "Aggregate" in plan else "append"
 
 
 def stream_to_table(df: DataFrame, table_path: str, key: str, checkpoint: str) -> None:
