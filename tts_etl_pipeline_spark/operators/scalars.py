@@ -248,3 +248,77 @@ def a1_asof_last_click_before_purchase(spark: SparkSession, sf_dir: str) -> Data
         .orderBy("event_id")
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# f5 — map + conditional-null functions: JSON props -> MAP, map_keys/values,
+# element access, coalesce/nullif/CASE. DuckDB twin uses its MAP type.
+# ---------------------------------------------------------------------------
+@_register(
+    "f5_map_null_functions",
+    """
+    SELECT event_id,
+           CAST(map_extract(m, 'k')[1] AS BIGINT) AS k_val,
+           CAST(len(map_keys(m)) AS BIGINT) AS n_keys,
+           COALESCE(NULLIF(event_type, 'error'), 'ERR!') AS etype,
+           CASE WHEN value >= 100 THEN 'high'
+                WHEN value >= 10 THEN 'mid'
+                ELSE 'low' END AS value_band
+    FROM (
+      SELECT event_id, event_type, value,
+             MAP(['k'], [CAST(json_extract_string(props, '$.k') AS BIGINT)]) AS m
+      FROM events
+      WHERE event_id < 200
+    ) x
+    ORDER BY event_id
+    """,
+)
+def f5_map_null_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").filter(F.col("event_id") < 200)
+    m = F.create_map(
+        F.lit("k"), F.get_json_object("props", "$.k").cast("bigint")
+    )
+    return (
+        ev.withColumn("m", m)
+        .select(
+            "event_id",
+            F.element_at(F.col("m"), "k").alias("k_val"),
+            F.size(F.map_keys("m")).cast("bigint").alias("n_keys"),
+            F.coalesce(F.nullif("event_type", F.lit("error")), F.lit("ERR!")).alias(
+                "etype"
+            ),
+            F.when(F.col("value") >= 100, "high")
+            .when(F.col("value") >= 10, "mid")
+            .otherwise("low")
+            .alias("value_band"),
+        )
+        .orderBy("event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# f6 — regexp_replace / regexp_matches / split_part: the reference's regex
+# surface (pa.py:291-294,304) generalized.
+# ---------------------------------------------------------------------------
+@_register(
+    "f6_regex_functions",
+    r"""
+    SELECT doc_id,
+           regexp_replace(text, '[aeiou]', '_', 'g') AS devoweled_head,
+           CAST(regexp_matches(text, '\bdata\b') AS BOOLEAN) AS mentions_data,
+           split_part(text, ' ', 1) AS first_word,
+           split_part(text, ' ', -1) AS last_word
+    FROM (SELECT doc_id, substr(text, 1, 40) AS text FROM documents WHERE doc_id < 100) d
+    ORDER BY doc_id
+    """,
+)
+def f6_regex_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    head = F.substring("text", 1, 40)
+    return docs.select(
+        "doc_id",
+        F.regexp_replace(head, "[aeiou]", "_").alias("devoweled_head"),
+        head.rlike(r"\bdata\b").alias("mentions_data"),
+        F.split_part(head, F.lit(" "), F.lit(1)).alias("first_word"),
+        F.split_part(head, F.lit(" "), F.lit(-1)).alias("last_word"),
+    ).orderBy("doc_id")
