@@ -1,0 +1,77 @@
+"""Source-format round-trips (CSV/JSONL/partitioned parquet) and the CLI."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from tts_etl_pipeline_spark.sources import formats
+from tts_etl_pipeline_spark.sources.tables import table
+
+
+def test_csv_roundtrip(spark, sf_dir, tmp_path):
+    nation = table(spark, sf_dir, "nation")
+    path = str(tmp_path / "nation_csv")
+    formats.write_csv(nation, path)
+    schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.IntegerType()),
+        ]
+    )
+    back = formats.read_csv(spark, path, schema)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, nation.collect()))
+
+
+def test_jsonl_roundtrip(spark, sf_dir, tmp_path):
+    docs = table(spark, sf_dir, "documents").limit(50)
+    path = str(tmp_path / "docs_jsonl")
+    formats.write_jsonl(docs, path)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    back = formats.read_jsonl(spark, path, schema).select(*[f.name for f in schema.fields])
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, docs.select(*[f.name for f in schema.fields]).collect())
+    )
+
+
+def test_partitioned_parquet_prunes(spark, sf_dir, tmp_path):
+    from tts_etl_pipeline_spark.plans.inspect import physical_plan
+
+    docs = table(spark, sf_dir, "documents")
+    path = str(tmp_path / "docs_by_lang")
+    formats.write_partitioned_parquet(docs, path, ["lang"])
+    back = spark.read.parquet(path).filter(F.col("lang") == "en")
+    assert back.count() == docs.filter(F.col("lang") == "en").count()
+    # partition pruning: the scan's PartitionFilters carry the lang predicate
+    assert "lang" in physical_plan(back).split("PartitionFilters")[1][:120]
+
+
+def test_cli_list_and_run(tmp_path):
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+    out = subprocess.run(
+        [sys.executable, "-m", "tts_etl_pipeline_spark", "list-queries"],
+        capture_output=True, text=True, env=env, cwd="/root/repo", timeout=120,
+    )
+    assert out.returncode == 0
+    lines = out.stdout.strip().splitlines()
+    assert any(line.startswith("q1_pricing_summary\toracle") for line in lines)
+    assert len(lines) >= 60
+    bad = subprocess.run(
+        [sys.executable, "-m", "tts_etl_pipeline_spark", "run-query", "nope"],
+        capture_output=True, text=True, env=env, cwd="/root/repo", timeout=240,
+    )
+    assert bad.returncode == 2 and "unknown query" in bad.stderr

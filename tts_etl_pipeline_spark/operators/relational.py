@@ -729,3 +729,68 @@ def q21_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# q8 — market share: a target nation's share of regional revenue per order
+# year. Nested conditional aggregation over the full star join; all dims
+# broadcast, single fact shuffle for the (year) aggregation.
+# ---------------------------------------------------------------------------
+@_register(
+    "q8_market_share",
+    f"""
+    SELECT o_year,
+           CAST(SUM(CASE WHEN nation = 'NATION_3' THEN volume
+                         ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+             / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+    FROM (
+      SELECT EXTRACT(YEAR FROM o_orderdate) AS o_year,
+             {SQL_DISC_PRICE} AS volume,
+             n2.n_name AS nation
+      FROM lineitem, orders, customer, supplier, nation n1, nation n2, region
+      WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+        AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+        AND r_name = 'ASIA' AND l_suppkey = s_suppkey
+        AND s_nationkey = n2.n_nationkey
+    ) all_nations
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    supp = table(spark, sf_dir, "supplier")
+    n1 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
+    )
+    region = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    vol = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(region), F.col("n1_region") == region.r_regionkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .select(
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            disc_price().alias("volume"),
+            "nation",
+        )
+    )
+    target = F.when(F.col("nation") == "NATION_3", F.col("volume")).otherwise(
+        F.lit(0).cast("decimal(12,2)")
+    )
+    return (
+        vol.groupBy("o_year")
+        .agg(
+            (F.sum(target).cast("double") / F.sum("volume").cast("double")).alias(
+                "mkt_share"
+            )
+        )
+        .orderBy("o_year")
+    )
