@@ -322,3 +322,53 @@ def f6_regex_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split_part(head, F.lit(" "), F.lit(1)).alias("first_word"),
         F.split_part(head, F.lit(" "), F.lit(-1)).alias("last_word"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# r1 — range (band) join: orders banded into price tiers by o_totalprice
+# BETWEEN lo AND hi against an inline tier dimension. A true non-equi join:
+# Spark executes it as a BroadcastNestedLoopJoin with the tiny band table
+# broadcast — the only sane physical strategy for band joins at scale
+# (the alternative, binning to an equi key, is shown by value_band in f5).
+# ---------------------------------------------------------------------------
+PRICE_BANDS = [
+    ("budget", 0.0, 50_000.0),
+    ("mid", 50_000.0, 150_000.0),
+    ("premium", 150_000.0, 400_000.0),
+    ("whale", 400_000.0, 1e18),
+]
+
+
+@_register(
+    "r1_range_join_price_bands",
+    """
+    WITH bands(band, lo, hi) AS (VALUES
+      ('budget', 0.0, 50000.0),
+      ('mid', 50000.0, 150000.0),
+      ('premium', 150000.0, 400000.0),
+      ('whale', 400000.0, 1e18))
+    SELECT band, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+    FROM orders JOIN bands
+      ON o_totalprice >= lo AND o_totalprice < hi
+    GROUP BY band
+    ORDER BY band
+    """,
+)
+def r1_range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(PRICE_BANDS, "band string, lo double, hi double")
+    return (
+        orders.join(
+            F.broadcast(bands),
+            (orders.o_totalprice >= bands.lo) & (orders.o_totalprice < bands.hi),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)")).cast("double").alias(
+                "total"
+            ),
+        )
+        .orderBy("band")
+    )

@@ -33,6 +33,11 @@ BROADCAST_DIMS = {"region", "nation", "supplier", "part", "customer"}
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    # The driver runs queries with ITS OWN session whose timezone is not
+    # ours to configure up front. Every NTZ->timestamp->epoch cast (session-
+    # ization, as-of gaps, streaming watermarks) assumes UTC wall time, so
+    # pin it here on the query path (runtime-settable SQL conf).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         return _events(spark, sf_dir)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
