@@ -81,3 +81,22 @@ def test_salted_join_left_outer(spark, sf_dir):
     assert len(out) == 4
     names = {(r["k"], r["v"]): r["name"] for r in out}
     assert names[(99, "orphan")] is None
+
+
+def test_scalable_topk_matches_window_topk(spark, sf_dir):
+    """The heap-merge top-k must rank identically to the window-based v1
+    (cosine VALUES differ in low bits — numpy matmul is not a sequential
+    fold — but the neighbor ranking must agree)."""
+    from tts_etl_pipeline_spark.operators.similarity import (
+        N_QUERY_VECS,
+        topk_cosine_scalable,
+        v1_topk_cosine_exact,
+    )
+    from tts_etl_pipeline_spark.sources.tables import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    fast = topk_cosine_scalable(emb, list(range(N_QUERY_VECS)), k=10)
+    slow = v1_topk_cosine_exact(spark, sf_dir)
+    a = {(r["q_id"], r["rn"]): r["n_id"] for r in fast.collect()}
+    b = {(r["q_id"], r["rn"]): r["n_id"] for r in slow.collect()}
+    assert a == b and len(a) == N_QUERY_VECS * 10
