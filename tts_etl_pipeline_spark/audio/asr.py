@@ -4,9 +4,10 @@ Design (SURVEY §2.1-M1, §7 hard-part 5):
 - the model is a PER-EXECUTOR lazy singleton (the reference's module global,
   pa.py:40-46) — never pickled through the driver closure;
 - inference runs in mapInPandas with internal micro-batching
-  (reference batch_size=8, pa.py:268-271);
-- the transform is marked nondeterministic so Catalyst never re-orders it
-  below the cheap audio filters (SURVEY §4);
+  (reference batch_size=8, pa.py:268-271); mapInPandas is itself an
+  optimizer barrier, which is what keeps the cheap audio filters below the
+  ASR stage (SURVEY §4) — if this is ever refactored to a plain pandas_udf
+  column, mark it nonDeterministic() to retain that guarantee;
 - the real Whisper model is optional (transformers is not in this runtime);
   tests inject FakeAsrModel, a deterministic stand-in whose output is a pure
   function of (original_name, start_ms, end_ms).

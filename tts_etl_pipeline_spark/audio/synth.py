@@ -10,7 +10,6 @@ to exercise the binaryFile decode path end-to-end.
 from __future__ import annotations
 
 import io
-import struct
 import wave
 
 import numpy as np

@@ -43,16 +43,6 @@ def frac(col: str | Column) -> Column:
     return c.cast(FRAC)
 
 
-def dsum(col: Column) -> Column:
-    """Exact decimal sum, returned as double (bit-identical across engines)."""
-    return F.sum(col).cast("double")
-
-
-def davg(col: Column) -> Column:
-    """avg = exact-decimal sum / count, divided in double space."""
-    return (F.sum(col).cast("double") / F.count(col)).alias("avg")
-
-
 def disc_price() -> Column:
     """l_extendedprice * (1 - l_discount), exact decimal."""
     return money("l_extendedprice") * (F.lit(1).cast(FRAC) - frac("l_discount"))
@@ -69,11 +59,3 @@ SQL_DISC_PRICE = (
     " * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))"
 )
 SQL_CHARGE = SQL_DISC_PRICE + " * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))"
-
-
-def sql_dsum(expr: str) -> str:
-    return f"CAST(SUM({expr}) AS DOUBLE)"
-
-
-def sql_davg(expr: str) -> str:
-    return f"CAST(SUM({expr}) AS DOUBLE) / COUNT({expr})"

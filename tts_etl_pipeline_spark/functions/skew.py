@@ -30,7 +30,15 @@ def salted_join(
 
     Use when the dim side is too big to broadcast AND the fact side has hot
     keys. The dim side is replicated n_salts times — size that accordingly.
+    Only fact-preserving join types are sound: replicated dim rows would
+    surface as spurious/multiplied output in right/full outer joins.
     """
+    if how not in {"inner", "left", "left_outer", "leftouter", "left_semi",
+                   "leftsemi", "left_anti", "leftanti", "semi", "anti", "cross"}:
+        raise ValueError(
+            f"salted_join does not support how={how!r}: the dim side is "
+            "replicated, so right/full outer results would be wrong"
+        )
     salted_fact = fact.withColumn(
         SALT_COL, F.pmod(F.xxhash64(*fact.columns), F.lit(n_salts)).cast("int")
     )

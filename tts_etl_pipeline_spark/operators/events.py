@@ -114,7 +114,7 @@ def e2_hourly_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "e3_user_sessions",
     """
     WITH flagged AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                     OR date_diff('second',
                          LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) > 1800
@@ -123,7 +123,7 @@ def e2_hourly_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sessioned AS (
       SELECT user_id,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
       FROM flagged
     )
@@ -139,7 +139,9 @@ def e3_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = table(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    wsum = W.partitionBy("user_id").orderBy("ts").rowsBetween(
+    # same full tiebreak as the flag window — a ts tie straddling a session
+    # boundary would otherwise make the cumulative sum order-dependent
+    wsum = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
         W.unboundedPreceding, W.currentRow
     )
     # truncate to epoch seconds (session tz is UTC, so NTZ->timestamp is a

@@ -305,7 +305,10 @@ def topk_cosine_scalable(
                 cand = np.flatnonzero(mask)
                 if cand.size == 0:
                     continue
-                take = cand[np.argsort(-s[cand], kind="stable")[:k]]
+                # tie-break exactly like v1: cosine DESC, then n_id ASC
+                # (lexsort keys are last-key-primary)
+                order = np.lexsort((n_ids[cand], -s[cand]))
+                take = cand[order[:k]]
                 out.append(
                     pd.DataFrame(
                         {"q_id": qid, "n_id": n_ids[take], "cosine": s[take]}

@@ -14,7 +14,7 @@ sf scale instead of ASR output.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tts_etl_pipeline_spark.sources.tables import table
@@ -37,11 +37,9 @@ def _register(name: str, oracle: str | None):
     return deco
 
 
-def tokens(col: str | Column) -> Column:
-    """Whitespace tokenization of trimmed, lowercased text."""
-    c = F.col(col) if isinstance(col, str) else col
-    return F.split(F.lower(F.trim(c)), r"\s+")
-
+# Tokenization convention across t1-t8: single-space split of lower(trim())
+# — matching DuckDB string_split(..., ' ') exactly. Do NOT switch to a \s+
+# regex on one side only; the oracles would hash-mismatch.
 
 # ---------------------------------------------------------------------------
 # t1 — per-language token statistics: tokenize + aggregate.

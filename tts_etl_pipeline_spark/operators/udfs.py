@@ -106,7 +106,9 @@ def u2_udtf_token_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         def eval(self, text: str):
             if text is None:
                 return
-            for i, tok in enumerate(text.strip().lower().split(" "), start=1):
+            # strip(" ") not strip(): SQL trim() removes only spaces, while
+            # Python's bare strip() also eats tabs/newlines — keep parity
+            for i, tok in enumerate(text.strip(" ").lower().split(" "), start=1):
                 yield i, tok, len(tok)
 
     spark.udtf.register("tokenize_udtf", Tokenize)

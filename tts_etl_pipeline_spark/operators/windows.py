@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from tts_etl_pipeline_spark.functions.exact import SQL_DISC_PRICE, disc_price, money
+from tts_etl_pipeline_spark.functions.exact import SQL_DISC_PRICE, disc_price
 from tts_etl_pipeline_spark.sources.tables import table
 
 QUERIES: dict = {}

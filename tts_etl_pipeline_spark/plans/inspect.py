@@ -34,7 +34,8 @@ def count_shuffles(df: DataFrame) -> int:
 
 
 def has_broadcast_join(df: DataFrame) -> bool:
-    return "BroadcastHashJoin" in physical_plan(df) or "BroadcastNestedLoopJoin" in physical_plan(df)
+    plan = physical_plan(df)
+    return "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
 
 
 def pushed_filters(df: DataFrame) -> list[str]:

@@ -41,9 +41,17 @@ def insert_or_ignore(
     if _table_exists(spark, table_path):
         existing_keys = spark.read.parquet(table_path).select(key)
         incoming = incoming.join(existing_keys, key, "left_anti")
-    n = incoming.count()
-    if n:
-        incoming.write.mode("append").parquet(table_path)
+    # persist before count+write: without it the count action and the write
+    # action would each execute the FULL upstream DAG (in run_pipeline that
+    # means decode, ASR inference, and the side-effecting WAV export — twice),
+    # and a nondeterministic upstream could write different rows than counted
+    incoming = incoming.persist()
+    try:
+        n = incoming.count()
+        if n:
+            incoming.write.mode("append").parquet(table_path)
+    finally:
+        incoming.unpersist()
     return n
 
 
@@ -56,9 +64,13 @@ def create_table(spark: SparkSession, table_path: str, refresh: bool = True) -> 
 
 
 def _table_exists(spark: SparkSession, path: str) -> bool:
-    return os.path.isdir(path) and any(
-        f.endswith(".parquet") for f in os.listdir(path)
-    )
+    if not os.path.isdir(path):
+        return False
+    # walk: partitioned layouts keep part files in key=value subdirectories
+    for _root, _dirs, files in os.walk(path):
+        if any(f.endswith(".parquet") for f in files):
+            return True
+    return False
 
 
 def clip_filename(stem_col, start_col, end_col):
