@@ -20,6 +20,8 @@ def test_registry_importable_and_consistent():
         "v3_ivf_ann_topk",
         "v4_lsh_ann_topk",
         "st3_stream_sessions",
+        "x1_approx_distinct_stats",
+        "x2_cms_heavy_hitters",
     }
 
 

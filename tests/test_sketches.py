@@ -1,0 +1,76 @@
+"""Sketch operators: error bounds vs exact twins, merge associativity."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from tts_etl_pipeline_spark.functions.cms import CountMinSketch
+from tts_etl_pipeline_spark.operators.sketches import (
+    build_token_cms,
+    x1_approx_distinct_stats,
+    x2_cms_heavy_hitters,
+)
+from tts_etl_pipeline_spark.sources.tables import table
+
+
+def test_cms_never_underestimates_and_bounds_overestimate():
+    rng = np.random.default_rng(7)
+    items = [f"tok{i}" for i in rng.integers(0, 200, size=5000)]
+    sk = CountMinSketch(eps=0.01, delta=0.01)
+    truth: dict[str, int] = {}
+    for it in items:
+        sk.add(it)
+        truth[it] = truth.get(it, 0) + 1
+    n = len(items)
+    for it, cnt in truth.items():
+        est = sk.estimate(it)
+        assert est >= cnt  # CMS never underestimates
+        assert est <= cnt + 0.01 * n + 1  # eps*N bound (whp)
+
+
+def test_cms_merge_equals_single_build():
+    a, b, whole = CountMinSketch(), CountMinSketch(), CountMinSketch()
+    for i in range(100):
+        a.add(f"x{i % 7}")
+        whole.add(f"x{i % 7}")
+    for i in range(50):
+        b.add(f"y{i % 3}")
+        whole.add(f"y{i % 3}")
+    merged = a.merge(b)
+    assert np.array_equal(merged.table, whole.table)
+
+
+def test_cms_heavy_hitters_match_exact_topk(spark, sf_dir):
+    from tts_etl_pipeline_spark.operators.textstats import t2_top_tokens
+
+    approx = {r["token"]: r["est_freq"] for r in x2_cms_heavy_hitters(spark, sf_dir).collect()}
+    exact = {r["token"]: r["freq"] for r in t2_top_tokens(spark, sf_dir).collect()}
+    # with eps=0.001 and this vocab the sketch is effectively exact:
+    # same top-20 membership, estimates >= truth within eps*N
+    n_tokens = (
+        table(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.lower(F.trim("text")), " ")))
+        .count()
+    )
+    assert set(approx) == set(exact)
+    for tok, freq in exact.items():
+        assert freq <= approx[tok] <= freq + 0.001 * n_tokens + 1
+
+
+def test_approx_distinct_within_rsd(spark, sf_dir):
+    rows = {r["o_orderpriority"]: r for r in x1_approx_distinct_stats(spark, sf_dir).collect()}
+    exact = {
+        r["o_orderpriority"]: r["n"]
+        for r in table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    for prio, true_n in exact.items():
+        approx_n = rows[prio]["approx_customers"]
+        assert approx_n == pytest.approx(true_n, rel=0.1)
+        p50, p90 = rows[prio]["approx_p50_p90"]
+        assert 0 < p50 < p90

@@ -1,0 +1,107 @@
+"""Sketch-based approximate operators — the constant-memory scale path for
+cardinality and frequency questions (SURVEY.md §2.2-B7 'distinct' family +
+the north-star 'novel sketch' slot).
+
+Rows-only checks by design: sketch outputs are estimator-dependent with no
+DuckDB twin. tests/test_sketches.py bounds the estimation error against the
+exact operators instead.
+
+At 100 TB these replace exact countDistinct / token groupBy (whose shuffles
+carry every distinct key) with mergeable fixed-size state: HLL registers and
+CMS counter tables combine associatively, so the aggregation tree transfers
+kilobytes per partition regardless of data volume.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tts_etl_pipeline_spark.functions.cms import CountMinSketch
+from tts_etl_pipeline_spark.sources.tables import table
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def _register(name: str, oracle: str | None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+@_register("x1_approx_distinct_stats", None)
+def x1_approx_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ cardinalities + approximate percentiles per priority —
+    the sketch twins of g4 (exact distinct) and q21 (exact percentiles)."""
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
+            F.percentile_approx("o_totalprice", [0.5, 0.9], 10_000).alias(
+                "approx_p50_p90"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def build_token_cms(
+    docs: DataFrame, eps: float = 0.001, delta: float = 0.01, seed: int = 42
+) -> CountMinSketch:
+    """Distributed CMS build: one partial sketch per partition (mapInPandas),
+    merged by summation. Each partition ships depth*width int64 counters —
+    fixed size no matter how many tokens it saw."""
+    toks = docs.select(F.explode(F.split(F.lower(F.trim("text")), " ")).alias("token"))
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        sk = CountMinSketch(eps, delta, seed)
+        seen = False
+        for pdf in batches:
+            seen = True
+            for tok, cnt in pdf["token"].value_counts().items():
+                sk.add(str(tok), int(cnt))
+        if seen:
+            yield pd.DataFrame({"sketch": [sk.to_bytes()]})
+
+    parts = toks.mapInPandas(partial, "sketch binary").collect()
+    merged = CountMinSketch(eps, delta, seed)
+    for row in parts:
+        merged.merge(CountMinSketch.from_bytes(bytes(row["sketch"]), eps, delta, seed))
+    return merged
+
+
+@_register("x2_cms_heavy_hitters", None)
+def x2_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters over the token stream — the sketch twin
+    of t2_top_tokens. Candidates (distinct tokens) are probed against the
+    broadcast merged sketch; top-20 by estimated frequency."""
+    docs = table(spark, sf_dir, "documents")
+    sketch = build_token_cms(docs)
+    bc = spark.sparkContext.broadcast(sketch.to_bytes())
+
+    toks = docs.select(F.explode(F.split(F.lower(F.trim("text")), " ")).alias("token"))
+    candidates = toks.distinct()
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        sk = CountMinSketch.from_bytes(bc.value)
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["est_freq"] = [sk.estimate(t) for t in pdf["token"]]
+            yield pdf
+
+    return (
+        candidates.mapInPandas(probe, "token string, est_freq long")
+        .orderBy(F.desc("est_freq"), "token")
+        .limit(20)
+    )

@@ -24,6 +24,7 @@ _MODULES = [
     "tts_etl_pipeline_spark.operators.multimodal",
     "tts_etl_pipeline_spark.operators.scalars",
     "tts_etl_pipeline_spark.operators.udfs",
+    "tts_etl_pipeline_spark.operators.sketches",
 ]
 
 
