@@ -75,3 +75,20 @@ def test_cli_list_and_run(tmp_path):
         capture_output=True, text=True, env=env, cwd="/root/repo", timeout=240,
     )
     assert bad.returncode == 2 and "unknown query" in bad.stderr
+
+
+def test_orc_roundtrip(spark, sf_dir, tmp_path):
+    cust = table(spark, sf_dir, "customer")
+    path = str(tmp_path / "cust_orc")
+    formats.write_orc(cust, path)
+    schema = T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType()),
+            T.StructField("c_name", T.StringType()),
+            T.StructField("c_nationkey", T.IntegerType()),
+            T.StructField("c_acctbal", T.DoubleType()),
+            T.StructField("c_mktsegment", T.StringType()),
+        ]
+    )
+    back = formats.read_orc(spark, path, schema)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, cust.collect()))

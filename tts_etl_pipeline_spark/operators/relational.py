@@ -793,3 +793,141 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_year")
     )
+
+
+# ---------------------------------------------------------------------------
+# q12 — shipping-delay buckets (adapted: no l_shipmode/commit/receipt dates
+# in this schema, so the bucket is ship-lag days): orders joined to their
+# lineitems, bucketed by how long after the order date they shipped, with
+# the TPC-H Q12 high/low-priority split.
+# ---------------------------------------------------------------------------
+@_register(
+    "q12_shipping_delay",
+    """
+    SELECT delay_bucket,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM (
+      SELECT o_orderpriority,
+             CASE WHEN date_diff('day', o_orderdate, l_shipdate) <= 7 THEN 'week'
+                  WHEN date_diff('day', o_orderdate, l_shipdate) <= 30 THEN 'month'
+                  ELSE 'late' END AS delay_bucket
+      FROM lineitem, orders
+      WHERE l_orderkey = o_orderkey
+        AND l_shipdate >= o_orderdate
+    ) lagged
+    GROUP BY delay_bucket
+    ORDER BY delay_bucket
+    """,
+)
+def q12_shipping_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    lag_days = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    bucket = (
+        F.when(lag_days <= 7, "week").when(lag_days <= 30, "month").otherwise("late")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate"))
+        .select(bucket.alias("delay_bucket"), high.alias("is_high"))
+        .groupBy("delay_bucket")
+        .agg(
+            F.sum(F.when(F.col("is_high"), 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~F.col("is_high"), 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("delay_bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q16 — parts/supplier relationship (adapted: supplier-part pairs come from
+# lineitem, no partsupp table): distinct supplier count per part attribute
+# group, excluding a NOT-IN subquery of suppliers (negative balance).
+# NOT IN is safe here (s_suppkey is non-null); Catalyst plans it as a
+# null-aware anti join.
+# ---------------------------------------------------------------------------
+@_register(
+    "q16_parts_supplier_relationship",
+    """
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey
+      AND p_brand <> 'Brand#1'
+      AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22, 25)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def q16_parts_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22, 25)
+    )
+    bad_supp = (
+        table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select(F.col("s_suppkey").alias("bad_key"))
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(bad_supp), li.l_suppkey == F.col("bad_key"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q20-style — dominant suppliers: suppliers providing more than 25% of a
+# part's total shipped quantity (per-part share via pre-agg at two grains,
+# both dimension-sized after aggregation -> broadcast join-back).
+# ---------------------------------------------------------------------------
+@_register(
+    "q20_dominant_suppliers",
+    """
+    SELECT s_name, p_name,
+           CAST(supp_qty AS DOUBLE) / part_qty AS share
+    FROM (
+      SELECT l_partkey, l_suppkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS supp_qty
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ) ps,
+    (
+      SELECT l_partkey AS pk,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS part_qty
+      FROM lineitem GROUP BY l_partkey
+    ) p_tot,
+    supplier, part
+    WHERE ps.l_partkey = p_tot.pk
+      AND CAST(supp_qty AS DOUBLE) / part_qty > 0.25
+      AND s_suppkey = ps.l_suppkey AND p_partkey = ps.l_partkey
+    ORDER BY s_name, p_name
+    """,
+)
+def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    supp = table(spark, sf_dir, "supplier")
+    part = table(spark, sf_dir, "part")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(money("l_quantity")).cast("double").alias("supp_qty")
+    )
+    p_tot = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(money("l_quantity")).cast("double").alias("part_qty")
+    )
+    share = F.col("supp_qty") / F.col("part_qty")
+    return (
+        ps.join(p_tot, ps.l_partkey == F.col("pk"))
+        .withColumn("share", share)
+        .filter(F.col("share") > 0.25)
+        .join(F.broadcast(supp), ps.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(part), ps.l_partkey == part.p_partkey)
+        .select("s_name", "p_name", "share")
+        .orderBy("s_name", "p_name")
+    )

@@ -44,3 +44,11 @@ def write_partitioned_parquet(
     """Partition-pruned layout — the at-rest default for large fact tables
     (readers with a filter on partition_cols skip whole directories)."""
     df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).orc(path)
+
+
+def read_orc(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    return spark.read.schema(schema).orc(path)
