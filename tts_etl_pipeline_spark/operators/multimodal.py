@@ -246,3 +246,48 @@ def m1_embedding_stats(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@_register(
+    "j1_docs_embeddings_join",
+    """
+    SELECT lang,
+           COUNT(*) AS n,
+           ROUND(CAST(SUM(sqnorm) AS DOUBLE) / COUNT(*), 9) AS avg_sqnorm,
+           CAST(SUM(CASE WHEN n_chars > 300 THEN 1 ELSE 0 END) AS BIGINT) AS n_long
+    FROM (
+      SELECT d.lang, d.n_chars,
+             list_reduce(list_transform(e.embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, v) -> a + v)
+               AS sqnorm
+      FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    ) joined
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def j1_docs_embeddings_join(spark, sf_dir: str) -> DataFrame:
+    """Cross-modal join: text table x vector table on the shared id —
+    the text+embedding record a curation pipeline operates on."""
+    from tts_etl_pipeline_spark.sources.tables import table
+
+    docs = table(spark, sf_dir, "documents")
+    emb = table(spark, sf_dir, "embeddings")
+    sqnorm = F.aggregate(
+        F.col("embedding"),
+        F.lit(0.0),
+        lambda a, v: a + v.cast("double") * v.cast("double"),
+    )
+    return (
+        docs.join(emb, docs.doc_id == emb.vec_id)
+        .select("lang", "n_chars", sqnorm.alias("sqnorm"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("sqnorm").cast("double") / F.count(F.lit(1)), 9).alias(
+                "avg_sqnorm"
+            ),
+            F.sum(F.when(F.col("n_chars") > 300, 1).otherwise(0)).alias("n_long"),
+        )
+        .orderBy("lang")
+    )

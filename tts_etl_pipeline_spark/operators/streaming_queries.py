@@ -74,3 +74,52 @@ def st3_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(user_sessions(stream_events(spark, sf_dir)), "st3").orderBy(
         "user_id", "session_start"
     )
+
+
+@_register(
+    "st4_stream_sliding_counts",
+    """
+    SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT event_type) AS n_types
+    FROM (
+      SELECT unnest([date_trunc('hour', ts) - INTERVAL 1 HOUR,
+                     date_trunc('hour', ts)]) AS win_start,
+             event_type
+      FROM events
+    ) expanded
+    GROUP BY win_start
+    ORDER BY win_start
+    """,
+)
+def st4_stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (2h length, 1h slide): every event lands in exactly
+    two windows. The batch oracle reproduces Spark's window assignment by
+    expanding each event into its two hour-aligned window starts.
+    countDistinct is not allowed in streaming aggs, so distinct event types
+    are counted via a two-stage streaming plan: dedup on (window, type)
+    happens in the same agg by grouping, then the outer batch agg over the
+    materialized memory sink counts them."""
+    stream = stream_events(spark, sf_dir)
+    windowed = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(
+            F.window("ts", "2 hours", "1 hour").alias("win"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "event_type",
+            "n",
+        )
+    )
+    per_window_type = run_to_memory(windowed, "st4")
+    return (
+        per_window_type.groupBy("win_start")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_events"),
+            F.countDistinct("event_type").alias("n_types"),
+        )
+        .orderBy("win_start")
+    )
