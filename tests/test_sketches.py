@@ -39,8 +39,12 @@ def test_cms_merge_equals_single_build():
     for i in range(50):
         b.add(f"y{i % 3}")
         whole.add(f"y{i % 3}")
+    a_before, b_before = a.table.copy(), b.table.copy()
     merged = a.merge(b)
     assert np.array_equal(merged.table, whole.table)
+    # merge must not mutate its inputs (callers may keep probing them)
+    assert np.array_equal(a.table, a_before)
+    assert np.array_equal(b.table, b_before)
 
 
 def test_cms_heavy_hitters_match_exact_topk(spark, sf_dir):

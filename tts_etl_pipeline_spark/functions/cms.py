@@ -40,13 +40,17 @@ class CountMinSketch:
         return int(self.table[np.arange(self.depth), idx].min())
 
     def merge(self, other: "CountMinSketch") -> "CountMinSketch":
+        """Return a NEW sketch with summed counters; neither input mutates
+        (callers may keep probing per-partition sketches after merging)."""
         assert (self.width, self.depth, self.seed) == (
             other.width,
             other.depth,
             other.seed,
         ), "sketches must share shape and seed to merge"
-        self.table += other.table
-        return self
+        out = CountMinSketch.__new__(CountMinSketch)
+        out.width, out.depth, out.seed = self.width, self.depth, self.seed
+        out.table = self.table + other.table
+        return out
 
     def to_bytes(self) -> bytes:
         return self.table.tobytes()

@@ -253,13 +253,13 @@ def m1_embedding_stats(spark, sf_dir: str) -> DataFrame:
     """
     SELECT lang,
            COUNT(*) AS n,
-           ROUND(CAST(SUM(sqnorm) AS DOUBLE) / COUNT(*), 9) AS avg_sqnorm,
+           CAST(SUM(sqnorm_dec) AS DOUBLE) / COUNT(*) AS avg_sqnorm,
            CAST(SUM(CASE WHEN n_chars > 300 THEN 1 ELSE 0 END) AS BIGINT) AS n_long
     FROM (
       SELECT d.lang, d.n_chars,
-             list_reduce(list_transform(e.embedding,
+             CAST(list_reduce(list_transform(e.embedding,
                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, v) -> a + v)
-               AS sqnorm
+               AS DECIMAL(20,9)) AS sqnorm_dec
       FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
     ) joined
     GROUP BY lang
@@ -273,18 +273,21 @@ def j1_docs_embeddings_join(spark, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     emb = table(spark, sf_dir, "embeddings")
-    sqnorm = F.aggregate(
+    # per-row fold is order-deterministic, but the CROSS-ROW sum must go
+    # through decimal: summing raw doubles is partial-agg-order dependent
+    # and would flake the bit-exact oracle gate (functions/exact.py rules)
+    sqnorm_dec = F.aggregate(
         F.col("embedding"),
         F.lit(0.0),
         lambda a, v: a + v.cast("double") * v.cast("double"),
-    )
+    ).cast("decimal(20,9)")
     return (
         docs.join(emb, docs.doc_id == emb.vec_id)
-        .select("lang", "n_chars", sqnorm.alias("sqnorm"))
+        .select("lang", "n_chars", sqnorm_dec.alias("sqnorm_dec"))
         .groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("sqnorm").cast("double") / F.count(F.lit(1)), 9).alias(
+            (F.sum("sqnorm_dec").cast("double") / F.count(F.lit(1))).alias(
                 "avg_sqnorm"
             ),
             F.sum(F.when(F.col("n_chars") > 300, 1).otherwise(0)).alias("n_long"),

@@ -847,8 +847,10 @@ def q12_shipping_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q16 — parts/supplier relationship (adapted: supplier-part pairs come from
 # lineitem, no partsupp table): distinct supplier count per part attribute
 # group, excluding a NOT-IN subquery of suppliers (negative balance).
-# NOT IN is safe here (s_suppkey is non-null); Catalyst plans it as a
-# null-aware anti join.
+# Equivalence note: the DataFrame side uses a PLAIN anti join, which matches
+# SQL NOT IN only because both key columns are non-null in this schema
+# (s_suppkey is a key; l_suppkey is a non-null FK). With nullable keys,
+# NOT IN's three-valued logic would need a null-aware anti join instead.
 # ---------------------------------------------------------------------------
 @_register(
     "q16_parts_supplier_relationship",

@@ -62,7 +62,9 @@ def build_token_cms(
     """Distributed CMS build: one partial sketch per partition (mapInPandas),
     merged by summation. Each partition ships depth*width int64 counters —
     fixed size no matter how many tokens it saw."""
-    toks = docs.select(F.explode(F.split(F.lower(F.trim("text")), " ")).alias("token"))
+    from tts_etl_pipeline_spark.operators.textstats import token_stream
+
+    toks = token_stream(docs)
 
     def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         sk = CountMinSketch(eps, delta, seed)
@@ -77,7 +79,9 @@ def build_token_cms(
     parts = toks.mapInPandas(partial, "sketch binary").collect()
     merged = CountMinSketch(eps, delta, seed)
     for row in parts:
-        merged.merge(CountMinSketch.from_bytes(bytes(row["sketch"]), eps, delta, seed))
+        merged = merged.merge(
+            CountMinSketch.from_bytes(bytes(row["sketch"]), eps, delta, seed)
+        )
     return merged
 
 
@@ -90,8 +94,9 @@ def x2_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch = build_token_cms(docs)
     bc = spark.sparkContext.broadcast(sketch.to_bytes())
 
-    toks = docs.select(F.explode(F.split(F.lower(F.trim("text")), " ")).alias("token"))
-    candidates = toks.distinct()
+    from tts_etl_pipeline_spark.operators.textstats import token_stream
+
+    candidates = token_stream(docs).distinct()
 
     def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         sk = CountMinSketch.from_bytes(bc.value)

@@ -37,9 +37,17 @@ def _register(name: str, oracle: str | None):
     return deco
 
 
-# Tokenization convention across t1-t8: single-space split of lower(trim())
-# — matching DuckDB string_split(..., ' ') exactly. Do NOT switch to a \s+
-# regex on one side only; the oracles would hash-mismatch.
+# Tokenization convention across t1-t8 (and the sketch twins in
+# sketches.py): single-space split of lower(trim()) — matching DuckDB
+# string_split(..., ' ') exactly. Do NOT switch to a \s+ regex on one side
+# only; the oracles would hash-mismatch.
+
+
+def token_stream(docs: DataFrame) -> DataFrame:
+    """One row per token (the canonical tokenization; see note above)."""
+    return docs.select(
+        F.explode(F.split(F.lower(F.trim("text")), " ")).alias("token")
+    )
 
 # ---------------------------------------------------------------------------
 # t1 — per-language token statistics: tokenize + aggregate.
