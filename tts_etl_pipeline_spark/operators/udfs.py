@@ -121,3 +121,53 @@ def u2_udtf_token_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY doc_id, pos
         """
     )
+
+
+@_register(
+    "u3_applyinpandas_zscore",
+    """
+    SELECT doc_id, lang,
+           CASE WHEN sd = 0 THEN 0.0
+                ELSE (CAST(n_chars AS DOUBLE) - mu) / sd END AS z_chars
+    FROM (
+      SELECT doc_id, lang, n_chars,
+             CAST(SUM(n_chars) OVER w AS DOUBLE) / COUNT(*) OVER w AS mu,
+             sqrt((CAST(SUM(n_chars * n_chars) OVER w AS DOUBLE)
+                   - CAST(SUM(n_chars) OVER w AS DOUBLE)
+                     * CAST(SUM(n_chars) OVER w AS DOUBLE) / COUNT(*) OVER w)
+                  / (COUNT(*) OVER w - 1)) AS sd
+      FROM documents
+      WINDOW w AS (PARTITION BY lang)
+    ) stats
+    ORDER BY doc_id
+    """,
+)
+def u3_applyinpandas_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas: z-score n_chars within each language.
+
+    Determinism across engines: the group moments are computed from EXACT
+    int64 sums (n_chars and its square fit comfortably), so mean/std are
+    single double divisions on identical integers — no order-dependent float
+    accumulation. The oracle spells out the same sum/sumsq formula.
+    """
+    import numpy as np
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf["n_chars"].to_numpy(dtype=np.int64)
+        n = x.size
+        s = int(x.sum())
+        sq = int((x * x).sum())
+        mu = s / n
+        sd = ((sq - (s * s) / n) / (n - 1)) ** 0.5 if n > 1 else 0.0
+        z = (x.astype(np.float64) - mu) / sd if sd != 0 else np.zeros(n)
+        return pd.DataFrame(
+            {"doc_id": pdf["doc_id"], "lang": pdf["lang"], "z_chars": z}
+        )
+
+    return (
+        docs.groupBy("lang")
+        .applyInPandas(zscore, "doc_id long, lang string, z_chars double")
+        .orderBy("doc_id")
+    )
