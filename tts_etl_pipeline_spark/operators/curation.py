@@ -1,0 +1,172 @@
+"""Data-curation operators a training-data pipeline runs constantly:
+deterministic sampling, histograms, n-gram profiles, edit-distance QA.
+
+All oracle-checkable: sampling uses md5-hash buckets (identical in both
+engines — never rand(), which is irreproducible and engine-specific),
+histograms use integer bucket arithmetic, and levenshtein has one standard
+definition in Spark and DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tts_etl_pipeline_spark.sources.tables import table
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def _register(name: str, oracle: str | None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# c1 — deterministic hash sampling: ~10% of documents selected by an md5
+# bucket of the key. Reproducible across engines, runs, and cluster sizes —
+# the only sane way to sample in a pipeline whose outputs get audited.
+# ---------------------------------------------------------------------------
+@_register(
+    "c1_hash_sample",
+    """
+    SELECT lang, COUNT(*) AS n_sampled, MIN(doc_id) AS first_doc
+    FROM documents
+    WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 10 = 0
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def c1_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast(
+        "long"
+    ) % 10
+    return (
+        docs.filter(bucket == 0)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_sampled"), F.min("doc_id").alias("first_doc"))
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# c2 — fixed-width histogram of order totals: integer bucket arithmetic
+# (floor division), the groupwork behind every data-quality dashboard.
+# ---------------------------------------------------------------------------
+BIN_WIDTH = 50_000
+
+
+@_register(
+    "c2_price_histogram",
+    f"""
+    SELECT CAST(floor(o_totalprice / {BIN_WIDTH}) AS BIGINT) AS bin,
+           COUNT(*) AS n,
+           CAST(MIN(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS bin_min,
+           CAST(MAX(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS bin_max
+    FROM orders
+    GROUP BY bin
+    ORDER BY bin
+    """,
+)
+def c2_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.floor(F.col("o_totalprice") / BIN_WIDTH).cast("bigint").alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(F.col("o_totalprice").cast("decimal(12,2)")).cast("double").alias(
+                "bin_min"
+            ),
+            F.max(F.col("o_totalprice").cast("decimal(12,2)")).cast("double").alias(
+                "bin_max"
+            ),
+        )
+        .orderBy("bin")
+    )
+
+
+# ---------------------------------------------------------------------------
+# c3 — token-bigram profile: consecutive-pair extraction over the token
+# array (the n-gram primitive behind language ID and shingle dedup),
+# top-15 bigrams by frequency.
+# ---------------------------------------------------------------------------
+@_register(
+    "c3_bigram_profile",
+    """
+    SELECT bigram, COUNT(*) AS freq
+    FROM (
+      SELECT unnest([toks[i] || ' ' || toks[i+1]
+                     FOR i IN range(1, len(toks))]) AS bigram
+      FROM (SELECT string_split(lower(trim(text)), ' ') AS toks FROM documents) t
+      WHERE len(toks) >= 2
+    ) b
+    GROUP BY bigram
+    ORDER BY freq DESC, bigram
+    LIMIT 15
+    """,
+)
+def c3_bigram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim("text")), " ")
+    bigrams = F.expr(
+        "transform(sequence(1, size(toks) - 1), "
+        "i -> concat(toks[i-1], ' ', toks[i]))"
+    )
+    return (
+        docs.select(toks.alias("toks"))
+        .filter(F.size("toks") >= 2)
+        .select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), "bigram")
+        .limit(15)
+    )
+
+
+# ---------------------------------------------------------------------------
+# c4 — edit-distance QA: levenshtein of each part name against its brand's
+# alphabetically-first name — the near-duplicate-label check a catalog
+# cleanup runs. levenshtein is built-in (JVM-side) in both engines.
+# ---------------------------------------------------------------------------
+@_register(
+    "c4_levenshtein_catalog",
+    """
+    SELECT p_brand,
+           COUNT(*) AS n_parts,
+           CAST(SUM(levenshtein(p_name, first_name)) AS BIGINT) AS total_dist,
+           MAX(levenshtein(p_name, first_name)) AS max_dist
+    FROM (
+      SELECT p_brand, p_name,
+             MIN(p_name) OVER (PARTITION BY p_brand) AS first_name
+      FROM part
+    ) x
+    GROUP BY p_brand
+    ORDER BY p_brand
+    """,
+)
+def c4_levenshtein_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    part = table(spark, sf_dir, "part")
+    w = W.partitionBy("p_brand")
+    dist = F.levenshtein(F.col("p_name"), F.col("first_name"))
+    return (
+        part.withColumn("first_name", F.min("p_name").over(w))
+        .select("p_brand", dist.alias("d"))
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("d").cast("bigint").alias("total_dist"),
+            F.max("d").cast("bigint").alias("max_dist"),
+        )
+        .orderBy("p_brand")
+    )

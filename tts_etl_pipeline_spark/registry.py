@@ -25,6 +25,7 @@ _MODULES = [
     "tts_etl_pipeline_spark.operators.scalars",
     "tts_etl_pipeline_spark.operators.udfs",
     "tts_etl_pipeline_spark.operators.sketches",
+    "tts_etl_pipeline_spark.operators.curation",
 ]
 
 
