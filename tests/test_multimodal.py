@@ -78,4 +78,6 @@ def test_codec_stubs_raise(spark):
     with pytest.raises(NotImplementedError):
         MM.decode_image(b"xx")
     with pytest.raises(NotImplementedError):
+        MM.resize_image(b"xx", 224, 224)
+    with pytest.raises(NotImplementedError):
         MM.sample_video_frames(b"xx")

@@ -135,6 +135,13 @@ def decode_image(content: bytes):  # pragma: no cover - stub contract
     raise NotImplementedError("image codecs unavailable; use fake_image_features")
 
 
+def resize_image(content: bytes, width: int, height: int):  # pragma: no cover
+    """Real image resize requires PIL/opencv — not in this runtime. The
+    Spark-side shape is identical to extract_features: a mapInPandas stage
+    over chunk-0 rows emitting a new binary column."""
+    raise NotImplementedError("image codecs unavailable")
+
+
 def sample_video_frames(content: bytes, every_ms: int = 1000):  # pragma: no cover
     """Real frame sampling requires ffmpeg — not in this runtime."""
     raise NotImplementedError("video codecs unavailable; use fake_video_features")
