@@ -171,3 +171,48 @@ def u3_applyinpandas_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(zscore, "doc_id long, lang string, z_chars double")
         .orderBy("doc_id")
     )
+
+
+@_register(
+    "u4_grouped_agg_udf_median",
+    """
+    SELECT event_type,
+           quantile_cont(CAST(value AS DOUBLE), 0.5) AS median_value,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def u4_grouped_agg_udf_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas UDF (Series -> scalar inside groupBy().agg())
+    — the fourth and last Python extension surface (after u1 scalar pandas
+    UDF, u2 UDTF, u3 grouped-map). Median via explicit sort + linear
+    interpolation: order-independent, so it matches quantile_cont exactly."""
+    import numpy as np
+
+    def median_kernel(v: pd.Series) -> float:
+        x = np.sort(v.to_numpy(dtype=np.float64))
+        n = x.size
+        if n == 0:
+            return float("nan")
+        mid = (n - 1) / 2
+        lo, hi = int(mid), -int(-mid // 1)
+        return float(x[lo] + (x[hi] - x[lo]) * (mid - lo))
+
+    def count_kernel(v: pd.Series) -> int:
+        return int(v.size)
+
+    # a grouped-agg pandas UDF cannot share an agg() with JVM aggregates
+    # (INVALID_PANDAS_UDF_PLACEMENT) — so the row count is a pandas agg too
+    median_udf = F.pandas_udf(median_kernel, "double", F.PandasUDFType.GROUPED_AGG)
+    count_udf = F.pandas_udf(count_kernel, "long", F.PandasUDFType.GROUPED_AGG)
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            median_udf(F.col("value").cast("double")).alias("median_value"),
+            count_udf(F.col("value")).alias("n"),
+        )
+        .orderBy("event_type")
+    )
