@@ -287,3 +287,45 @@ def d6_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", "hamming")
         .orderBy("id_a", "id_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# d7 — dedup MATERIALIZATION (d1 reports stats; this emits the surviving
+# corpus): one representative per content-fingerprint cluster, chosen by
+# (longest text, lowest doc_id) — the "keep best" policy a curation pipeline
+# applies, expressed as min_by over a struct ordering in both engines.
+# ---------------------------------------------------------------------------
+@_register(
+    "d7_dedup_representatives",
+    """
+    SELECT lang, COUNT(*) AS n_kept,
+           CAST(SUM(keep_chars) AS BIGINT) AS total_chars
+    FROM (
+      SELECT arg_min(doc_id, doc_id) AS keep_id,
+             arg_min(lang, doc_id) AS lang,
+             arg_min(n_chars, doc_id) AS keep_chars
+      FROM documents
+      GROUP BY md5(lower(trim(text)))
+    ) reps
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def d7_dedup_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    reps = (
+        docs.groupBy(F.md5(F.lower(F.trim("text"))).alias("fp"))
+        .agg(
+            F.min_by("doc_id", "doc_id").alias("keep_id"),
+            F.min_by("lang", "doc_id").alias("lang"),
+            F.min_by("n_chars", "doc_id").alias("keep_chars"),
+        )
+    )
+    return (
+        reps.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("keep_chars").cast("bigint").alias("total_chars"),
+        )
+        .orderBy("lang")
+    )

@@ -201,3 +201,90 @@ def g4_distinct_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+# ---------------------------------------------------------------------------
+# s2 — union-by-name with schema drift: two differently-shaped projections
+# combined by column NAME (missing columns null-filled) — the schema-
+# evolution union a long-lived pipeline needs (positional UNION would
+# silently misalign).
+# ---------------------------------------------------------------------------
+@_register(
+    "s2_union_by_name",
+    """
+    SELECT entity_type, COUNT(*) AS n,
+           CAST(SUM(CASE WHEN region_hint IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_missing_region
+    FROM (
+      SELECT 'customer' AS entity_type, c_name AS name, n_name AS region_hint
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      UNION ALL BY NAME
+      SELECT p_name AS name, 'part' AS entity_type
+      FROM part
+    ) entities
+    GROUP BY entity_type
+    ORDER BY entity_type
+    """,
+)
+def s2_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    part = table(spark, sf_dir, "part")
+    a = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select(
+            F.lit("customer").alias("entity_type"),
+            F.col("c_name").alias("name"),
+            F.col("n_name").alias("region_hint"),
+        )
+    )
+    b = part.select(F.col("p_name").alias("name"), F.lit("part").alias("entity_type"))
+    entities = a.unionByName(b, allowMissingColumns=True)
+    return (
+        entities.groupBy("entity_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("region_hint").isNull(), 1).otherwise(0)).alias(
+                "n_missing_region"
+            ),
+        )
+        .orderBy("entity_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# s3 — null-group semantics: GROUP BY over a nullable key (NULLIF-induced),
+# null-safe equality, and COALESCE'd output — the three-valued-logic corners
+# every engine must agree on.
+# ---------------------------------------------------------------------------
+@_register(
+    "s3_null_group_semantics",
+    """
+    SELECT COALESCE(status_nn, '(open)') AS status,
+           COUNT(*) AS n,
+           CAST(SUM(CASE WHEN status_nn IS NOT DISTINCT FROM NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_null_flagged
+    FROM (SELECT NULLIF(o_orderstatus, 'O') AS status_nn FROM orders) x
+    GROUP BY status_nn
+    ORDER BY status
+    """,
+)
+def s3_null_group_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    status_nn = F.nullif("o_orderstatus", F.lit("O"))
+    return (
+        orders.select(status_nn.alias("status_nn"))
+        .groupBy("status_nn")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("status_nn").eqNullSafe(F.lit(None)), 1).otherwise(0)
+            ).alias("n_null_flagged"),
+        )
+        .select(
+            F.coalesce("status_nn", F.lit("(open)")).alias("status"),
+            "n",
+            "n_null_flagged",
+        )
+        .orderBy("status")
+    )
