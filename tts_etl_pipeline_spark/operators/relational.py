@@ -887,6 +887,61 @@ def q16_parts_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 # ---------------------------------------------------------------------------
+# q11-style — important parts (adapted: part value comes from lineitem
+# revenue, no partsupp table): parts whose revenue exceeds 1.2x the average
+# per-part revenue. Exercises the scalar-aggregate-subquery shape. Plan note:
+# a naive crossJoin(broadcast(part_rev.agg(total))) would recompute part_rev
+# — Spark has no DAG reuse without caching, so the fact table would be
+# scanned and shuffled TWICE. Instead the global total is an unpartitioned
+# window over the dimension-sized per-part aggregate: one fact scan, one
+# shuffle to part grain, then |parts| rows (dimension-sized) fold to the
+# total on a single task — the scalable trade at 100 TB where the fact scan
+# dominates and parts stay in the millions.
+# ---------------------------------------------------------------------------
+@_register(
+    "q11_important_parts",
+    f"""
+    WITH part_rev AS (
+      SELECT l_partkey, SUM({SQL_DISC_PRICE}) AS rev_dec
+      FROM lineitem GROUP BY l_partkey
+    ),
+    total AS (
+      SELECT SUM(rev_dec) AS total_dec, COUNT(*) AS nparts FROM part_rev
+    )
+    SELECT p_name,
+           CAST(rev_dec AS DOUBLE) AS part_revenue,
+           CAST(rev_dec AS DOUBLE) / CAST(total_dec AS DOUBLE) AS revenue_share
+    FROM part_rev, total, part
+    WHERE p_partkey = l_partkey
+      AND CAST(rev_dec AS DOUBLE)
+          > 1.2 * (CAST(total_dec AS DOUBLE) / nparts)
+    ORDER BY part_revenue DESC, p_name
+    """,
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part")
+    part_rev = li.groupBy("l_partkey").agg(F.sum(disc_price()).alias("rev_dec"))
+    wglobal = W.partitionBy()
+    total_dbl = F.col("total_dec").cast("double")
+    return (
+        part_rev.withColumn("total_dec", F.sum("rev_dec").over(wglobal))
+        .withColumn("nparts", F.count(F.lit(1)).over(wglobal))
+        .withColumn("part_revenue", F.col("rev_dec").cast("double"))
+        .filter(F.col("part_revenue") > F.lit(1.2) * (total_dbl / F.col("nparts")))
+        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .select(
+            "p_name",
+            "part_revenue",
+            (F.col("part_revenue") / total_dbl).alias("revenue_share"),
+        )
+        .orderBy(F.desc("part_revenue"), "p_name")
+    )
+
+
+# ---------------------------------------------------------------------------
 # q20-style — dominant suppliers: suppliers providing more than 25% of a
 # part's total shipped quantity (per-part share via pre-agg at two grains,
 # both dimension-sized after aggregation -> broadcast join-back).

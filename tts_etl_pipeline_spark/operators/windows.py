@@ -160,6 +160,55 @@ def w3_customer_balance_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# RANGE frame (value-based, not row-count-based): 30-day trailing revenue
+# per supplier. The window input is pre-aggregated to (supplier, day) grain
+# first — at 100 TB the window sort sees |suppliers| x |days| rows, not raw
+# lineitem rows, and the day key is numeric (days since epoch) so the RANGE
+# frame is engine-portable. Decimal sums keep the trailing total exact.
+# ---------------------------------------------------------------------------
+@_register(
+    "w5_range_frame_revenue",
+    f"""
+    SELECT l_suppkey, ship_day,
+           CAST(day_rev AS DOUBLE) AS day_revenue,
+           CAST(SUM(day_rev) OVER (PARTITION BY l_suppkey ORDER BY ship_day
+                RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS rev_30d
+    FROM (
+      SELECT l_suppkey,
+             CAST(date_diff('day', TIMESTAMP '1992-01-01 00:00:00', l_shipdate) AS BIGINT)
+               AS ship_day,
+             SUM({SQL_DISC_PRICE}) AS day_rev
+      FROM lineitem
+      WHERE l_suppkey <= 10
+      GROUP BY 1, 2
+    ) daily
+    ORDER BY l_suppkey, ship_day
+    """,
+)
+def w5_range_frame_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") <= 10)
+    daily = li.groupBy(
+        "l_suppkey",
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.lit("1992-01-01").cast("date")
+        )
+        .cast("bigint")
+        .alias("ship_day"),
+    ).agg(F.sum(disc_price()).alias("day_rev"))
+    w = W.partitionBy("l_suppkey").orderBy("ship_day").rangeBetween(-29, 0)
+    return (
+        daily.select(
+            "l_suppkey",
+            "ship_day",
+            F.col("day_rev").cast("double").alias("day_revenue"),
+            F.sum("day_rev").over(w).cast("double").alias("rev_30d"),
+        )
+        .orderBy("l_suppkey", "ship_day")
+    )
+
+
+# ---------------------------------------------------------------------------
 # lead() + first/last_value with explicit frames over order history per
 # customer — the sequential-adjacency primitive behind the reference's W1
 # overlap flag (process_audio.py:311-330), exercised on relational data.
