@@ -288,3 +288,65 @@ def s3_null_group_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status")
     )
+
+
+# ---------------------------------------------------------------------------
+# s4 — FULL OUTER join reconciliation: early-period vs late-period customer
+# order counts. Both sides are pre-aggregated to customer grain BEFORE the
+# join, so the full-outer shuffle moves |customers| rows, not |orders|; the
+# null patterns on either side drive the presence classification (the
+# three-way churn split only a full outer join can produce in one pass).
+# ---------------------------------------------------------------------------
+@_register(
+    "s4_full_outer_reconcile",
+    """
+    WITH early AS (
+      SELECT o_custkey AS e_key, COUNT(*) AS early_orders
+      FROM orders WHERE o_orderdate < TIMESTAMP '1995-01-01 00:00:00'
+      GROUP BY o_custkey
+    ),
+    late AS (
+      SELECT o_custkey AS l_key, COUNT(*) AS late_orders
+      FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY o_custkey
+    )
+    SELECT COALESCE(e_key, l_key) AS custkey,
+           COALESCE(early_orders, 0) AS early_orders,
+           COALESCE(late_orders, 0) AS late_orders,
+           CASE WHEN e_key IS NULL THEN 'late_only'
+                WHEN l_key IS NULL THEN 'early_only'
+                ELSE 'both' END AS presence
+    FROM early FULL OUTER JOIN late ON e_key = l_key
+    ORDER BY custkey
+    """,
+)
+def s4_full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    early = (
+        orders.filter(
+            F.col("o_orderdate") < F.lit("1995-01-01 00:00:00").cast("timestamp_ntz")
+        )
+        .groupBy(F.col("o_custkey").alias("e_key"))
+        .agg(F.count(F.lit(1)).alias("early_orders"))
+    )
+    late = (
+        orders.filter(
+            F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz")
+        )
+        .groupBy(F.col("o_custkey").alias("l_key"))
+        .agg(F.count(F.lit(1)).alias("late_orders"))
+    )
+    zero = F.lit(0).cast("bigint")
+    return (
+        early.join(late, F.col("e_key") == F.col("l_key"), "full_outer")
+        .select(
+            F.coalesce("e_key", "l_key").alias("custkey"),
+            F.coalesce("early_orders", zero).alias("early_orders"),
+            F.coalesce("late_orders", zero).alias("late_orders"),
+            F.when(F.col("e_key").isNull(), "late_only")
+            .when(F.col("l_key").isNull(), "early_only")
+            .otherwise("both")
+            .alias("presence"),
+        )
+        .orderBy("custkey")
+    )

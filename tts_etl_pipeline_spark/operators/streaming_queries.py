@@ -123,3 +123,61 @@ def st4_stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("win_start")
     )
+
+
+@_register(
+    "st5_stream_stream_join",
+    """
+    SELECT c.user_id AS user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+           epoch_us(c.ts) AS click_us, epoch_us(p.ts) AS purchase_us
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    ORDER BY user_id, click_id, purchase_id
+    """,
+)
+def st5_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join: purchases within one hour of
+    a click by the same user. The time-bound join condition plus the 2-hour
+    watermark on BOTH sides lets Spark expire join state (a click can stop
+    waiting for purchases once the purchase watermark passes click_ts + 1h),
+    so state is bounded at any input rate — the canonical scalable
+    stream-stream join shape. Inner join with an exact predicate => output
+    is deterministic and oracle-checkable, unlike session windows (st3).
+    Timestamps are surfaced as unix microseconds (exact integers on both
+    engines)."""
+    clicks = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .withWatermark("ts", "2 hours")
+        .select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    purchases = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    ).select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        F.unix_micros("click_ts").alias("click_us"),
+        F.unix_micros("purchase_ts").alias("purchase_us"),
+    )
+    return run_to_memory(joined, "st5").orderBy("user_id", "click_id", "purchase_id")

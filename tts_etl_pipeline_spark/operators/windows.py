@@ -247,3 +247,36 @@ def w4_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey", "o_orderdate", "o_orderkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Distribution window functions: percent_rank + cume_dist over customer
+# balances per market segment. The ORDER BY carries a unique tiebreak
+# (c_custkey) so ranks are total and both ratios are deterministic integer
+# divisions — bit-identical across engines.
+# ---------------------------------------------------------------------------
+@_register(
+    "w6_distribution_ranks",
+    """
+    SELECT c_mktsegment, c_custkey,
+           CAST(c_acctbal AS DOUBLE) AS c_acctbal,
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST() OVER w AS cume
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    ORDER BY c_mktsegment, c_custkey
+    """,
+)
+def w6_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return (
+        cust.select(
+            "c_mktsegment",
+            "c_custkey",
+            F.col("c_acctbal").cast("double").alias("c_acctbal"),
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cume"),
+        )
+        .orderBy("c_mktsegment", "c_custkey")
+    )
