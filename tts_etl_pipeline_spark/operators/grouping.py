@@ -350,3 +350,79 @@ def s4_full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("custkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# g6 — statistical aggregate family: sample variance, stddev, Pearson
+# correlation and OLS slope of (l_quantity, l_extendedprice) per return
+# flag. Native STDDEV/CORR are single-pass incremental doubles — order-
+# dependent, so never hash-stable across engines. Instead both engines
+# compute EXACT integer moments (n, Sx, Sy, Sxx, Syy, Sxy over CENT units —
+# integer sums are associative) and derive every statistic with the
+# identical sequence of IEEE double operations. The moments are kept at
+# decimal SCALE 0: a scaled decimal like DECIMAL(38,4) converts to double
+# via int128->double then x1e-4 in DuckDB (two roundings) but via a single
+# correctly-rounded conversion in the JVM — at magnitudes past 2^53 these
+# differ by 1 ULP. Scale-0 sums convert in one step on both engines.
+# Correlation is scale-invariant; variance descaled by 1e4 in double.
+# Same trick scales: integer moments combine associatively, so partial
+# aggregation / AQE re-aggregation stays exact.
+# ---------------------------------------------------------------------------
+@_register(
+    "g6_stat_moments",
+    """
+    SELECT l_returnflag, n,
+           ((nd*sxx - sx*sx) / (nd*(nd - 1))) / 10000.0 AS var_qty,
+           SQRT(((nd*sxx - sx*sx) / (nd*(nd - 1))) / 10000.0) AS stddev_qty,
+           (nd*sxy - sx*sy)
+             / (SQRT(nd*sxx - sx*sx) * SQRT(nd*syy - sy*sy)) AS corr_qty_price,
+           (nd*sxy - sx*sy) / (nd*sxx - sx*sx) AS slope_price_per_qty
+    FROM (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             CAST(COUNT(*) AS DOUBLE) AS nd,
+             CAST(SUM(qc) AS DOUBLE) AS sx,
+             CAST(SUM(pc) AS DOUBLE) AS sy,
+             CAST(SUM(qc*qc) AS DOUBLE) AS sxx,
+             CAST(SUM(pc*pc) AS DOUBLE) AS syy,
+             CAST(SUM(qc*pc) AS DOUBLE) AS sxy
+      FROM (
+        SELECT l_returnflag,
+               CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS DECIMAL(14,0)) AS qc,
+               CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS DECIMAL(14,0)) AS pc
+        FROM lineitem
+      ) cents
+      GROUP BY l_returnflag
+    ) m
+    ORDER BY l_returnflag
+    """,
+)
+def g6_stat_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    qc = (money("l_quantity") * 100).cast("decimal(14,0)")
+    pc = (money("l_extendedprice") * 100).cast("decimal(14,0)")
+    m = li.select(
+        "l_returnflag", qc.alias("qc"), pc.alias("pc")
+    ).groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.lit(1)).cast("double").alias("nd"),
+        F.sum("qc").cast("double").alias("sx"),
+        F.sum("pc").cast("double").alias("sy"),
+        F.sum(F.col("qc") * F.col("qc")).cast("double").alias("sxx"),
+        F.sum(F.col("pc") * F.col("pc")).cast("double").alias("syy"),
+        F.sum(F.col("qc") * F.col("pc")).cast("double").alias("sxy"),
+    )
+    nd, sx, sy = F.col("nd"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    var_qty = ((nd * sxx - sx * sx) / (nd * (nd - 1))) / F.lit(10000.0)
+    return m.select(
+        "l_returnflag",
+        "n",
+        var_qty.alias("var_qty"),
+        F.sqrt(var_qty).alias("stddev_qty"),
+        (
+            (nd * sxy - sx * sy)
+            / (F.sqrt(nd * sxx - sx * sx) * F.sqrt(nd * syy - sy * sy))
+        ).alias("corr_qty_price"),
+        ((nd * sxy - sx * sy) / (nd * sxx - sx * sx)).alias("slope_price_per_qty"),
+    ).orderBy("l_returnflag")
