@@ -109,11 +109,10 @@ def d2_distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 JACCARD_THRESHOLD = 0.6
 MAX_DF_FRACTION = 0.5  # drop tokens present in more than half the corpus
 
-
-@_register(
-    "d3_jaccard_neardup_pairs",
-    f"""
-    WITH tok AS (
+# Shared CTE chain: inverted-index Jaccard pairs above threshold. Reused by
+# the d3 oracle (pair listing) and the d8 oracle (connected components).
+_PAIRS_CTES = f"""
+    tok AS (
       SELECT DISTINCT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS token
       FROM documents
     ),
@@ -124,20 +123,35 @@ MAX_DF_FRACTION = 0.5  # drop tokens present in more than half the corpus
       WHERE df.token = t.token AND df.n <= {MAX_DF_FRACTION} * total.n_docs
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tok_f GROUP BY doc_id),
-    pairs AS (
+    ipairs AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
       FROM tok_f a JOIN tok_f b ON a.token = b.token AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id
-    )
-    SELECT id_a, id_b,
-           CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
-    FROM pairs, sizes sa, sizes sb
-    WHERE sa.doc_id = id_a AND sb.doc_id = id_b
-      AND CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= {JACCARD_THRESHOLD}
+    ),
+    jpairs AS (
+      SELECT id_a, id_b,
+             CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
+      FROM ipairs, sizes sa, sizes sb
+      WHERE sa.doc_id = id_a AND sb.doc_id = id_b
+        AND CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= {JACCARD_THRESHOLD}
+    )"""
+
+
+@_register(
+    "d3_jaccard_neardup_pairs",
+    f"""
+    WITH {_PAIRS_CTES}
+    SELECT id_a, id_b, jaccard FROM jpairs
     ORDER BY id_a, id_b
     """,
 )
 def d3_jaccard_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _jaccard_pairs(spark, sf_dir).orderBy("id_a", "id_b")
+
+
+def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unordered (id_a, id_b, jaccard) pairs above JACCARD_THRESHOLD via the
+    inverted-index self-join (no cross join). Shared by d3 and d8."""
     docs = table(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id", F.explode(F.split(F.lower(F.trim("text")), " ")).alias("token")
@@ -166,8 +180,72 @@ def d3_jaccard_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("jaccard", jacc)
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("id_a", "id_b", "jaccard")
-        .orderBy("id_a", "id_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# d8 — connected components over the near-dup graph (the step that turns
+# PAIRS into dedup CLUSTERS): iterative min-label propagation until
+# fixpoint — the one genuinely iterative algorithm in the engine, expressed
+# as a driver-controlled loop of joins. Each iteration: every node takes
+# min(own label, neighbors' labels); converges in <= graph-diameter rounds
+# (near-dup clusters are small, so a handful). localCheckpoint truncates
+# lineage each round so the plan doesn't grow with iterations; at cluster
+# scale, swap for reliable checkpointing (spark.sparkContext.setCheckpointDir)
+# and the large-star/small-star variant for skewed components. The result is
+# the graph's unique fixpoint, so it is deterministic and oracle-checkable
+# against DuckDB's recursive CTE transitive closure.
+# ---------------------------------------------------------------------------
+@_register(
+    "d8_neardup_components",
+    f"""
+    WITH RECURSIVE {_PAIRS_CTES},
+    sym AS (
+      SELECT id_a AS src, id_b AS dst FROM jpairs
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM jpairs
+    ),
+    reach(node, label) AS (
+      SELECT DISTINCT src, src FROM sym
+      UNION
+      SELECT s.src, r.label FROM sym s JOIN reach r ON s.dst = r.node
+    )
+    SELECT node AS doc_id, CAST(MIN(label) AS BIGINT) AS component
+    FROM reach GROUP BY node
+    ORDER BY doc_id
+    """,
+)
+def d8_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _jaccard_pairs(spark, sf_dir).select("id_a", "id_b")
+    sym = pairs.selectExpr("id_a AS src", "id_b AS dst").unionAll(
+        pairs.selectExpr("id_b AS src", "id_a AS dst")
+    )
+    sym = sym.localCheckpoint(eager=True)  # compute the pair graph ONCE
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = None
+    for _ in range(25):  # >= diameter of any near-dup cluster in practice
+        nbr = (
+            sym.join(labels, sym.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        labels = (
+            labels.join(nbr, labels.node == nbr.src, "left")
+            .select(labels.node, F.least("label", "nbr_min").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]  # scalar control only
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("component")
+    ).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------
