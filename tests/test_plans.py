@@ -83,3 +83,32 @@ def test_v1_broadcasts_queries_not_corpus(spark, sf_dir):
 def test_d3_no_cartesian(spark, sf_dir):
     plan = physical_plan(d3_jaccard_neardup_pairs(spark, sf_dir))
     assert "CartesianProduct" not in plan
+
+
+def test_q11_single_fact_scan_global_window(spark, sf_dir):
+    from tts_etl_pipeline_spark.operators.relational import q11_important_parts
+
+    df = q11_important_parts(spark, sf_dir)
+    plan = physical_plan(df)
+    # the scalar-subquery total must NOT rescan lineitem: exactly two scan
+    # nodes total (lineitem once, part dimension once) — formatted explain
+    # lists each node once in the tree and once as a "(n) Scan" detail header
+    import re
+
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, flags=re.MULTILINE)) == 2
+    # the global total folds through a single-partition exchange over the
+    # dimension-sized per-part aggregate, and part joins by broadcast
+    assert "SinglePartition" in plan
+    assert has_broadcast_join(df)
+
+
+def test_w5_window_input_preaggregated(spark, sf_dir):
+    from tts_etl_pipeline_spark.operators.windows import w5_range_frame_revenue
+
+    df = w5_range_frame_revenue(spark, sf_dir)
+    plan = physical_plan(df)
+    # the RANGE-frame window must consume the (supplier, day) pre-aggregate,
+    # not raw lineitem rows: HashAggregate appears below Window in the plan
+    assert "Window" in plan and "HashAggregate" in plan
+    # suppkey filter reaches the scan
+    assert any("l_suppkey" in p for p in pushed_filters(df))
