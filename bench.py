@@ -41,6 +41,11 @@ HEADLINE = [
     "v1_topk_cosine_exact",
     "q17_small_quantity_revenue",
     "t7_bpe_token_counts",
+    "q11_important_parts",
+    "w5_range_frame_revenue",
+    "w6_distribution_ranks",
+    "s4_full_outer_reconcile",
+    "g6_stat_moments",
 ]
 
 
