@@ -372,3 +372,38 @@ def r1_range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("band")
     )
+
+
+# ---------------------------------------------------------------------------
+# g7 — unpivot/melt (the inverse of g5's pivot): the wide per-status revenue
+# table back to long form via DataFrame.unpivot. Unpivot is a zero-shuffle
+# row-local Expand (each input row emits one row per value column), so at
+# scale its cost is pure output width — no exchange is added beyond the
+# aggregation that produced the wide input.
+# ---------------------------------------------------------------------------
+@_register(
+    "g7_unpivot_revenue",
+    """
+    WITH wide AS (
+      SELECT l_returnflag,
+             CAST(SUM(CASE WHEN l_linestatus = 'O'
+                  THEN CAST(l_extendedprice AS DECIMAL(12,2))
+                  ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS O,
+             CAST(SUM(CASE WHEN l_linestatus = 'F'
+                  THEN CAST(l_extendedprice AS DECIMAL(12,2))
+                  ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS F
+      FROM lineitem
+      GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, 'O' AS status, O AS revenue FROM wide
+    UNION ALL
+    SELECT l_returnflag, 'F' AS status, F AS revenue FROM wide
+    ORDER BY l_returnflag, status
+    """,
+)
+def g7_unpivot_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wide = g5_pivot_revenue(spark, sf_dir)
+    return (
+        wide.unpivot(["l_returnflag"], ["O", "F"], "status", "revenue")
+        .orderBy("l_returnflag", "status")
+    )
