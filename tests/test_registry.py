@@ -13,13 +13,14 @@ def test_registry_importable_and_consistent():
     assert set(osql) <= set(qs), sorted(set(osql) - set(qs))
     assert len(qs) >= 50
     # rows-only (oracle-less) set is exactly the approximate/hash-family ops
+    # (st3 session windows were PROMOTED to oracle-exact: the session_window
+    # split rule is deterministic and replicated in SQL at full precision)
     rows_only = set(qs) - set(osql)
     assert rows_only == {
         "d5_minhash_lsh_neardup",
         "d6_simhash_neardup",
         "v3_ivf_ann_topk",
         "v4_lsh_ann_topk",
-        "st3_stream_sessions",
         "x1_approx_distinct_stats",
         "x2_cms_heavy_hitters",
     }

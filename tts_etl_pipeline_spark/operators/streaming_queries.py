@@ -67,13 +67,47 @@ def st2_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("st3_stream_sessions", None)  # session_window start/end are
-# watermark-emission artifacts with no 1:1 SQL twin -> rows-only; the
-# session-count equivalence vs the batch e3 query is asserted in tests/
-def st3_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return run_to_memory(user_sessions(stream_events(spark, sf_dir)), "st3").orderBy(
-        "user_id", "session_start"
+@_register(
+    "st3_stream_sessions",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR ts >= LAG(ts) OVER w + INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessioned AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flagged
     )
+    SELECT user_id,
+           epoch_us(MIN(ts)) AS session_start_us,
+           epoch_us(MAX(ts) + INTERVAL 30 MINUTE) AS session_end_us,
+           COUNT(*) AS n_events
+    FROM sessioned GROUP BY user_id, sid
+    ORDER BY user_id, session_start_us
+    """,
+)
+def st3_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """session_window bounds ARE deterministic given the input: a session is
+    the maximal chain of events where each starts strictly before
+    prev_ts + gap (an event at exactly prev_ts + gap opens a NEW session —
+    session windows are half-open [start, last_ts + gap)), and the emitted
+    window is [min(ts), max(ts) + gap). The oracle replicates that split
+    rule at full microsecond precision with a lag/cumsum chain — unlike the
+    batch e3 query, whose second-truncated gap rule intentionally differs.
+    Bounds surface as unix micros (exact integers in both engines)."""
+    out = run_to_memory(user_sessions(stream_events(spark, sf_dir)), "st3")
+    return out.select(
+        "user_id",
+        F.unix_micros("session_start").alias("session_start_us"),
+        F.unix_micros("session_end").alias("session_end_us"),
+        "n_events",
+    ).orderBy("user_id", "session_start_us")
 
 
 @_register(
