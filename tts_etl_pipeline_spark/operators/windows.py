@@ -280,3 +280,78 @@ def w6_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment", "c_custkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# w7 — calendar gap-fill + forward fill (time-series densification): every
+# supplier gets a complete daily calendar between its first and last
+# shipment; missing days carry the last observed revenue forward
+# (last(ignorenulls) over an ordered window). The calendar is generated
+# per-supplier with sequence()+explode from the supplier's own bounds —
+# dimension-grain work, never a fact-table blowup; the daily pre-aggregate
+# is checkpointed so the fact table is scanned once, not once per reuse.
+# ---------------------------------------------------------------------------
+@_register(
+    "w7_gap_fill_forward",
+    f"""
+    WITH daily AS (
+      SELECT l_suppkey,
+             CAST(date_diff('day', TIMESTAMP '1992-01-01 00:00:00', l_shipdate) AS BIGINT)
+               AS ship_day,
+             SUM({SQL_DISC_PRICE}) AS day_rev
+      FROM lineitem
+      WHERE l_suppkey <= 5
+      GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT l_suppkey, MIN(ship_day) AS d0, MAX(ship_day) AS d1
+      FROM daily GROUP BY l_suppkey
+    ),
+    cal AS (
+      SELECT l_suppkey, unnest(generate_series(d0, d1)) AS ship_day FROM bounds
+    )
+    SELECT c.l_suppkey AS l_suppkey, c.ship_day AS ship_day,
+           d.day_rev IS NOT NULL AS is_observed,
+           CAST(LAST_VALUE(d.day_rev IGNORE NULLS) OVER (
+                PARTITION BY c.l_suppkey ORDER BY c.ship_day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS rev_filled
+    FROM cal c LEFT JOIN daily d
+      ON c.l_suppkey = d.l_suppkey AND c.ship_day = d.ship_day
+    ORDER BY l_suppkey, ship_day
+    """,
+)
+def w7_gap_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") <= 5)
+    daily = (
+        li.groupBy(
+            "l_suppkey",
+            F.datediff(
+                F.col("l_shipdate").cast("date"), F.lit("1992-01-01").cast("date")
+            )
+            .cast("bigint")
+            .alias("ship_day"),
+        )
+        .agg(F.sum(disc_price()).alias("day_rev"))
+        .localCheckpoint(eager=True)  # reused by bounds + join: one fact scan
+    )
+    cal = (
+        daily.groupBy("l_suppkey")
+        .agg(F.min("ship_day").alias("d0"), F.max("ship_day").alias("d1"))
+        .select("l_suppkey", F.explode(F.sequence("d0", "d1")).alias("ship_day"))
+    )
+    w = (
+        W.partitionBy("l_suppkey")
+        .orderBy("ship_day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        cal.join(daily, ["l_suppkey", "ship_day"], "left")
+        .select(
+            "l_suppkey",
+            "ship_day",
+            F.col("day_rev").isNotNull().alias("is_observed"),
+            F.last("day_rev", ignorenulls=True).over(w).cast("double").alias("rev_filled"),
+        )
+        .orderBy("l_suppkey", "ship_day")
+    )
