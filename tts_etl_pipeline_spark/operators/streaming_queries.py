@@ -178,9 +178,8 @@ def st5_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     waiting for purchases once the purchase watermark passes click_ts + 1h),
     so state is bounded at any input rate — the canonical scalable
     stream-stream join shape. Inner join with an exact predicate => output
-    is deterministic and oracle-checkable, unlike session windows (st3).
-    Timestamps are surfaced as unix microseconds (exact integers on both
-    engines)."""
+    is deterministic and oracle-checkable. Timestamps are surfaced as unix
+    microseconds (exact integers on both engines)."""
     clicks = (
         stream_events(spark, sf_dir)
         .filter(F.col("event_type") == "click")
@@ -215,3 +214,34 @@ def st5_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("purchase_ts").alias("purchase_us"),
     )
     return run_to_memory(joined, "st5").orderBy("user_id", "click_id", "purchase_id")
+
+
+@_register(
+    "st6_stream_static_join",
+    """
+    SELECT c_mktsegment,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    WHERE e.event_type = 'purchase'
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def st6_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the streaming events enrich against the static
+    customer dimension (no watermark needed — static sides are re-read per
+    microbatch and never hold state), then aggregate per market segment.
+    This is the streaming twin of the batch broadcast-dimension rule: at any
+    rate the dimension is broadcast per microbatch, the stream never
+    shuffles for the join. Aggregation state is bounded by |segments|."""
+    from tts_etl_pipeline_spark.sources.tables import table as _table
+
+    ev = stream_events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    cust = _table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey)
+    agg = joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"),
+    )
+    return run_to_memory(agg, "st6").orderBy("c_mktsegment")
