@@ -369,3 +369,66 @@ def t8_rolling_hash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda h, v: (h * 31 + v) % 2147483647,
     )
     return docs.select("doc_id", roll.alias("roll_hash")).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# t9 — distinctive tokens per language: TF-IDF-style scoring with a RATIONAL
+# idf (tf * n_docs / df) instead of the usual log — log/ln are libm-
+# dependent and would never hash-match across engines, while this rational
+# score ranks identically for top-k purposes and stays bit-exact. Shuffles:
+# one on (lang, token) for TF, one on token for DF, then the per-lang
+# top-5 window over the already-aggregated (dimension-sized) score table.
+# ---------------------------------------------------------------------------
+@_register(
+    "t9_distinctive_tokens",
+    """
+    WITH tok AS (
+      SELECT doc_id, lang,
+             unnest(string_split(lower(trim(text)), ' ')) AS token
+      FROM documents
+    ),
+    tf AS (SELECT lang, token, COUNT(*) AS tf FROM tok GROUP BY lang, token),
+    df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY token),
+    total AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT lang, tf.token AS token, tf, df,
+             CAST(tf AS DOUBLE) * (CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE))
+               AS score
+      FROM tf, df, total WHERE tf.token = df.token
+    )
+    SELECT lang, token, tf, df, score, rn
+    FROM (
+      SELECT lang, token, tf, df, score,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY score DESC, token) AS rn
+      FROM scored
+    ) ranked
+    WHERE rn <= 5
+    ORDER BY lang, rn
+    """,
+)
+def t9_distinctive_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "lang", F.explode(F.split(F.lower(F.trim("text")), " ")).alias("token")
+    )
+    n_docs = docs.count()  # scalar; dimension of the corpus, not data-plane
+    tf = tok.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    scored = (
+        tf.join(df, "token")
+        .withColumn(
+            "score",
+            F.col("tf").cast("double")
+            * (F.lit(float(n_docs)) / F.col("df").cast("double")),
+        )
+    )
+    w = W.partitionBy("lang").orderBy(F.desc("score"), "token")
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= 5)
+        .select("lang", "token", "tf", "df", "score", "rn")
+        .orderBy("lang", "rn")
+    )
