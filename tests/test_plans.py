@@ -112,3 +112,23 @@ def test_w5_window_input_preaggregated(spark, sf_dir):
     assert "Window" in plan and "HashAggregate" in plan
     # suppkey filter reaches the scan
     assert any("l_suppkey" in p for p in pushed_filters(df))
+
+
+def test_no_duplicate_fact_scans(spark, sf_dir):
+    """The two-grain queries must not pay a second fact-table scan: the
+    second grain folds from the first via a window (q15/q17/q20) or a
+    materialized intermediate (d3/t9 checkpoint the token index, so their
+    plans contain no parquet scan of documents at all)."""
+    from tts_etl_pipeline_spark.operators.relational import (
+        q15_top_supplier,
+        q17_small_quantity_revenue,
+        q20_dominant_suppliers,
+    )
+    from tts_etl_pipeline_spark.operators.textstats import t9_distinctive_tokens
+    from tts_etl_pipeline_spark.plans.inspect import scans_by_table
+
+    for fn in (q15_top_supplier, q17_small_quantity_revenue, q20_dominant_suppliers):
+        scans = scans_by_table(fn(spark, sf_dir))
+        assert scans.get("lineitem", 0) == 1, (fn.__name__, scans)
+    assert scans_by_table(t9_distinctive_tokens(spark, sf_dir)).get("documents", 0) == 0
+    assert scans_by_table(d3_jaccard_neardup_pairs(spark, sf_dir)).get("documents", 0) == 0

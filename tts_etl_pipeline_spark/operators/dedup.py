@@ -151,15 +151,27 @@ def d3_jaccard_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unordered (id_a, id_b, jaccard) pairs above JACCARD_THRESHOLD via the
-    inverted-index self-join (no cross join). Shared by d3 and d8."""
+    inverted-index self-join (no cross join). Shared by d3 and d8.
+
+    The tokenized corpus (`tok`) and the df-capped index (`tok_f`) are each
+    referenced by several downstream branches (document frequencies, set
+    sizes, both self-join sides); without materialization Spark re-derives
+    every branch from the source — 8 scans of the documents table. Both are
+    checkpointed once: at cluster scale this is the standard "materialize
+    the inverted index" step of a dedup pipeline, and the corpus is scanned
+    exactly once."""
     docs = table(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id", F.explode(F.split(F.lower(F.trim("text")), " ")).alias("token")
-    ).distinct()
+    tok = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.lower(F.trim("text")), " ")).alias("token")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     n_docs = docs.count()  # scalar; at scale use an approx or a config cap
     df_tok = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
     keep_tokens = df_tok.filter(F.col("n") <= MAX_DF_FRACTION * n_docs).select("token")
-    tok_f = tok.join(F.broadcast(keep_tokens), "token")
+    tok_f = tok.join(F.broadcast(keep_tokens), "token").localCheckpoint(eager=True)
     sizes = tok_f.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = tok_f.select(F.col("doc_id").alias("id_a"), "token")
     b = tok_f.select(F.col("doc_id").alias("id_b"), "token")
@@ -350,7 +362,9 @@ def d6_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.shiftright(F.col("simhash"), 16 * b).bitwiseAND(F.lit(0xFFFF)).alias(f"band{b}")
             for b in range(4)
         ],
-    )
+    ).localCheckpoint(eager=True)
+    # ^ the per-doc simhash table feeds all 4 band self-joins (8 plan
+    # branches); materializing it once keeps the corpus scan count at 1
     cands = None
     for b in range(4):
         l = banded.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sh_a"), F.col(f"band{b}").alias("bk"))

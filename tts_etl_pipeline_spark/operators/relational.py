@@ -604,17 +604,22 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Single fact scan: broadcast-join the Brand#3 part subset FIRST (so the
+    # per-part average is only ever computed for parts the query cares
+    # about), then the decorrelated avg is a window over l_partkey on the
+    # filtered rows — one scan + one part-keyed shuffle of the small subset,
+    # instead of a second full-lineitem scan and aggregate.
+    from pyspark.sql.window import Window as W
+
     li = table(spark, sf_dir, "lineitem")
     part = table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
-    per_part = (
-        li.groupBy(F.col("l_partkey").alias("pp_key"))
-        .agg(
-            (F.sum(money("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_q")
-        )
-    )
+    w = W.partitionBy("l_partkey")
+    avg_q = F.sum(money("l_quantity")).over(w).cast("double") / F.count(
+        F.lit(1)
+    ).over(w)
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(per_part), li.l_partkey == F.col("pp_key"))
+        .withColumn("avg_q", avg_q)
         .filter(F.col("l_quantity") < 0.2 * F.col("avg_q"))
         .agg(
             (F.sum(money("l_extendedprice")).cast("double") / F.lit(7.0)).alias(
@@ -688,9 +693,14 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
         F.sum(disc_price()).cast("double").alias("total_revenue")
     )
-    mx = revenue.agg(F.max("total_revenue").alias("mx"))
+    # global max via an unpartitioned window over the supplier-grain
+    # aggregate (dimension-sized, one task) — a broadcast(agg) join-back
+    # would recompute the whole revenue subtree and rescan lineitem
+    from pyspark.sql.window import Window as W
+
     return (
-        revenue.join(F.broadcast(mx), F.col("total_revenue") == F.col("mx"))
+        revenue.withColumn("mx", F.max("total_revenue").over(W.partitionBy()))
+        .filter(F.col("total_revenue") == F.col("mx"))
         .join(F.broadcast(supp), F.col("supplier_no") == supp.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
@@ -969,19 +979,27 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Single fact scan: the part-level total is a decimal window-sum over
+    # the (part, supplier) pre-aggregate — sum-of-sums is exact, and the
+    # window shuffles only the dimension-product-sized ps table instead of
+    # rescanning and reshuffling lineitem for the second grain.
+    from pyspark.sql.window import Window as W
+
     li = table(spark, sf_dir, "lineitem")
     supp = table(spark, sf_dir, "supplier")
     part = table(spark, sf_dir, "part")
     ps = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.sum(money("l_quantity")).cast("double").alias("supp_qty")
+        F.sum(money("l_quantity")).alias("supp_qty_dec")
     )
-    p_tot = li.groupBy(F.col("l_partkey").alias("pk")).agg(
-        F.sum(money("l_quantity")).cast("double").alias("part_qty")
+    wpart = W.partitionBy("l_partkey")
+    ps = ps.select(
+        "l_partkey",
+        "l_suppkey",
+        F.col("supp_qty_dec").cast("double").alias("supp_qty"),
+        F.sum("supp_qty_dec").over(wpart).cast("double").alias("part_qty"),
     )
-    share = F.col("supp_qty") / F.col("part_qty")
     return (
-        ps.join(p_tot, ps.l_partkey == F.col("pk"))
-        .withColumn("share", share)
+        ps.withColumn("share", F.col("supp_qty") / F.col("part_qty"))
         .filter(F.col("share") > 0.25)
         .join(F.broadcast(supp), ps.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(part), ps.l_partkey == part.p_partkey)

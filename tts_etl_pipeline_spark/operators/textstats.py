@@ -411,12 +411,23 @@ def t9_distinctive_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
 
     docs = table(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id", "lang", F.explode(F.split(F.lower(F.trim("text")), " ")).alias("token")
+    # single corpus scan: aggregate to (doc, token) grain once and derive
+    # BOTH term frequency and document frequency from that materialized
+    # grain (sum of per-doc counts == raw TF; row count per token == DF
+    # because the grain is already distinct per doc)
+    dt = (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.explode(F.split(F.lower(F.trim("text")), " ")).alias("token"),
+        )
+        .groupBy("doc_id", "lang", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
     )
     n_docs = docs.count()  # scalar; dimension of the corpus, not data-plane
-    tf = tok.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("tf"))
-    df = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    tf = dt.groupBy("lang", "token").agg(F.sum("c").cast("bigint").alias("tf"))
+    df = dt.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     scored = (
         tf.join(df, "token")
         .withColumn(

@@ -56,3 +56,17 @@ def scan_columns(df: DataFrame) -> list[set[str]]:
         cols = {c.split(":")[0].strip() for c in m.group(1).split(",") if c.strip()}
         out.append(cols)
     return out
+
+
+def scans_by_table(df: DataFrame) -> dict[str, int]:
+    """Parquet scan-node count per table file — the duplicate-fact-scan
+    detector. Checkpointed/cached inputs contribute no parquet scans."""
+    out: dict[str, int] = {}
+    pat = re.compile(
+        r"^\(\d+\) Scan parquet\b.*\n(?:.*\n)*?Location.*?\[file:(.*?)\]",
+        flags=re.MULTILINE,
+    )
+    for m in pat.finditer(physical_plan(df)):
+        t = m.group(1).rsplit("/", 1)[-1].removesuffix(".parquet")
+        out[t] = out.get(t, 0) + 1
+    return out
