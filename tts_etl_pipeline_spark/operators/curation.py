@@ -170,3 +170,55 @@ def c4_levenshtein_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+# ---------------------------------------------------------------------------
+# c5 — stratified deterministic sampling: a different keep-rate per language
+# stratum (downsample the majority language, keep all of the rare ones),
+# driven by the same md5-bucket discipline as c1 so the sample is
+# reproducible across engines and cluster sizes. The rate table is a literal
+# map — at scale a broadcast dimension; no shuffle is added beyond the
+# final audit aggregation.
+# ---------------------------------------------------------------------------
+STRATA_PCT = {"en": 10, "de": 50, "fr": 50}  # % kept per lang; others 100
+
+
+@_register(
+    "c5_stratified_hash_sample",
+    """
+    SELECT lang, COUNT(*) AS n_sampled, MIN(doc_id) AS first_doc,
+           MAX(doc_id) AS last_doc
+    FROM (
+      SELECT lang, doc_id,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 100
+               AS bucket,
+             CASE lang WHEN 'en' THEN 10 WHEN 'de' THEN 50 WHEN 'fr' THEN 50
+                  ELSE 100 END AS pct
+      FROM documents
+    ) x
+    WHERE bucket < pct
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def c5_stratified_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast(
+            "long"
+        )
+        % 100
+    )
+    pct = F.lit(100)
+    for lang, p in STRATA_PCT.items():
+        pct = F.when(F.col("lang") == lang, p).otherwise(pct)
+    return (
+        docs.filter(bucket < pct)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("lang")
+    )

@@ -426,3 +426,45 @@ def g6_stat_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("corr_qty_price"),
         ((nd * sxy - sx * sy) / (nd * sxx - sx * sx)).alias("slope_price_per_qty"),
     ).orderBy("l_returnflag")
+
+
+# ---------------------------------------------------------------------------
+# s5 — bag (multiset) set operations: EXCEPT ALL / INTERSECT ALL preserve
+# duplicate multiplicity, unlike s1's distinct set ops. Spark implements
+# both as a single hash aggregation on the value computing per-side counts
+# then replicating min/difference — one shuffle on the value key, no join.
+# Folding to (op, q, n) keeps the result grain auditable.
+# ---------------------------------------------------------------------------
+@_register(
+    "s5_bag_semantics",
+    """
+    WITH a AS (SELECT CAST(l_quantity AS BIGINT) AS q FROM lineitem WHERE l_returnflag = 'R'),
+         b AS (SELECT CAST(l_quantity AS BIGINT) AS q FROM lineitem WHERE l_returnflag = 'A')
+    SELECT 'a_minus_b' AS op, q, COUNT(*) AS n
+    FROM (SELECT q FROM a EXCEPT ALL SELECT q FROM b) x GROUP BY q
+    UNION ALL
+    SELECT 'a_intersect_b' AS op, q, COUNT(*) AS n
+    FROM (SELECT q FROM a INTERSECT ALL SELECT q FROM b) y GROUP BY q
+    ORDER BY op, q
+    """,
+)
+def s5_bag_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+
+    def side(flag: str) -> DataFrame:
+        return li.filter(F.col("l_returnflag") == flag).select(
+            F.col("l_quantity").cast("bigint").alias("q")
+        )
+
+    a, b = side("R"), side("A")
+
+    def fold(df: DataFrame, op: str) -> DataFrame:
+        return df.groupBy("q").agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit(op).alias("op"), "q", "n"
+        )
+
+    return (
+        fold(a.exceptAll(b), "a_minus_b")
+        .unionAll(fold(a.intersectAll(b), "a_intersect_b"))
+        .orderBy("op", "q")
+    )

@@ -407,3 +407,65 @@ def g7_unpivot_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         wide.unpivot(["l_returnflag"], ["O", "F"], "status", "revenue")
         .orderBy("l_returnflag", "status")
     )
+
+
+# ---------------------------------------------------------------------------
+# a2 — forward as-of join with tolerance: for each click, the FIRST purchase
+# by the same user strictly after it, matched only if within 1 hour. Same
+# single-shuffle ordered-window pattern as a1 (backward as-of) — the
+# tolerance is a post-window predicate, so no inequality join materializes.
+# Unmatched clicks are kept with matched=false (left as-of semantics).
+# ---------------------------------------------------------------------------
+ASOF_TOLERANCE_S = 3600
+
+
+@_register(
+    "a2_asof_next_purchase_tolerance",
+    f"""
+    SELECT event_id, user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS click_s,
+           CASE WHEN gap_s <= {ASOF_TOLERANCE_S} THEN gap_s ELSE -1 END AS gap_s,
+           COALESCE(gap_s <= {ASOF_TOLERANCE_S}, FALSE) AS matched
+    FROM (
+      SELECT event_id, user_id, ts, event_type,
+             date_diff('second', ts,
+               first_value(CASE WHEN event_type = 'purchase' THEN ts END IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)) AS gap_s
+      FROM events
+    ) x
+    WHERE event_type = 'click'
+    ORDER BY event_id
+    """,
+)
+def a2_asof_next_purchase_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    ev = table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(1, W.unboundedFollowing)
+    )
+    purchase_ts = F.when(F.col("event_type") == "purchase", F.col("ts"))
+    epoch = lambda c: c.cast("timestamp").cast("long")  # noqa: E731
+    nxt = F.first(purchase_ts, ignorenulls=True).over(w)
+    gap = epoch(nxt) - epoch(F.col("ts"))
+    within = gap <= ASOF_TOLERANCE_S
+    return (
+        ev.withColumn("gap_raw", gap)
+        .filter(F.col("event_type") == "click")
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("click_s"),
+            F.when(F.col("gap_raw") <= ASOF_TOLERANCE_S, F.col("gap_raw"))
+            .otherwise(F.lit(-1))
+            .cast("long")
+            .alias("gap_s"),
+            F.coalesce(
+                F.col("gap_raw") <= ASOF_TOLERANCE_S, F.lit(False)
+            ).alias("matched"),
+        )
+        .orderBy("event_id")
+    )
