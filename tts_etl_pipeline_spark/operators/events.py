@@ -195,3 +195,47 @@ def e4_user_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n") >= 3)
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# e5 — cohort retention matrix: users grouped by first-seen day, counted on
+# each subsequent active day. Two shuffles total at any scale: one on
+# user_id to derive (distinct activity day, cohort day) per user — the
+# per-user min folds through the same aggregation — and one on the tiny
+# (cohort_day, day_offset) grid. The classic growth-analytics query.
+# ---------------------------------------------------------------------------
+@_register(
+    "e5_cohort_retention",
+    """
+    WITH activity AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+      FROM events
+    ),
+    cohorts AS (
+      SELECT user_id, MIN(day) AS cohort_day FROM activity GROUP BY user_id
+    )
+    SELECT strftime(c.cohort_day, '%Y-%m-%d') AS cohort_day,
+           date_diff('day', c.cohort_day, a.day) AS day_offset,
+           COUNT(*) AS n_users
+    FROM activity a JOIN cohorts c ON a.user_id = c.user_id
+    GROUP BY c.cohort_day, day_offset
+    ORDER BY cohort_day, day_offset
+    """,
+)
+def e5_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    ev = table(spark, sf_dir, "events")
+    activity = ev.select(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).distinct()
+    cohort = F.min("day").over(W.partitionBy("user_id"))
+    return (
+        activity.withColumn("cohort_day_d", cohort)
+        .groupBy(
+            F.date_format("cohort_day_d", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff("day", "cohort_day_d").cast("bigint").alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    )

@@ -245,3 +245,56 @@ def st6_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"),
     )
     return run_to_memory(agg, "st6").orderBy("c_mktsegment")
+
+
+@_register(
+    "st7_stream_foreachbatch_upsert",
+    """
+    SELECT event_type, COUNT(*) AS n_rows, COUNT(DISTINCT event_id) AS n_ids,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+    FROM events
+    WHERE event_type IN ('click', 'purchase')
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def st7_stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch + INSERT OR IGNORE sink (the streaming S4 path,
+    pa.py:354-391 semantics): the stream is written to a parquet table via
+    the idempotent anti-join-append writer TWICE — the second availableNow
+    run (fresh checkpoint, so a full replay) re-offers every row and the
+    OR-IGNORE keying on event_id must drop all of them. The oracle checks
+    the final TABLE contents equal one clean copy of the input: replay
+    safety is the property under test, exactly what makes foreachBatch
+    sinks exactly-once-per-key at any scale."""
+    import shutil
+    import tempfile
+
+    from tts_etl_pipeline_spark.streaming.events_stream import (
+        stream_events,
+        stream_to_table,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="st7_")
+    table_path = f"{tmp}/events_sink"
+    try:
+        for run in range(2):  # second run = at-least-once replay
+            src = stream_events(spark, sf_dir).filter(
+                F.col("event_type").isin("click", "purchase")
+            )
+            stream_to_table(src, table_path, key="event_id", checkpoint=f"{tmp}/ckpt{run}")
+        sunk = spark.read.parquet(table_path)
+        return (
+            sunk.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.countDistinct("event_id").alias("n_ids"),
+                F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias(
+                    "sum_value"
+                ),
+            )
+            .orderBy("event_type")
+            .localCheckpoint(eager=True)  # materialize before the tmp dir vanishes
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
