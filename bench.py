@@ -46,6 +46,8 @@ HEADLINE = [
     "w6_distribution_ranks",
     "s4_full_outer_reconcile",
     "g6_stat_moments",
+    "e5_cohort_retention",
+    "h1_time_rollup_hierarchy",
 ]
 
 

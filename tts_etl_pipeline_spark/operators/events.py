@@ -239,3 +239,74 @@ def e5_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy("cohort_day", "day_offset")
     )
+
+
+# ---------------------------------------------------------------------------
+# h1 — hierarchical time rollup (continuous-aggregate pattern): minute-grain
+# aggregate computed from the raw events ONCE, then hour folded from minute
+# and day folded from hour. Decimal sum-of-sums is exact, so the coarse
+# grains are bit-identical to aggregating raw data — but each re-aggregation
+# shuffles only the previous grain (~rows/60), not the fact table. This is
+# how a 100 TB events table serves dashboards at every zoom level from one
+# scan; the checkpoint materializes the minute grain so the three-grain
+# union does not re-derive it per branch.
+# ---------------------------------------------------------------------------
+@_register(
+    "h1_time_rollup_hierarchy",
+    """
+    WITH minute AS (
+      SELECT date_trunc('minute', ts) AS b, COUNT(*) AS n,
+             SUM(CAST(value AS DECIMAL(12,2))) AS v
+      FROM events GROUP BY b
+    ),
+    hour AS (
+      SELECT date_trunc('hour', b) AS b, SUM(n) AS n, SUM(v) AS v
+      FROM minute GROUP BY 1
+    ),
+    day AS (
+      SELECT date_trunc('day', b) AS b, SUM(n) AS n, SUM(v) AS v
+      FROM hour GROUP BY 1
+    )
+    SELECT grain, strftime(b, '%Y-%m-%d %H:%M:%S') AS bucket,
+           CAST(n AS BIGINT) AS n_events, CAST(v AS DOUBLE) AS sum_value
+    FROM (
+      SELECT 'minute' AS grain, * FROM minute
+      UNION ALL SELECT 'hour', * FROM hour
+      UNION ALL SELECT 'day', * FROM day
+    ) g
+    ORDER BY grain, bucket
+    """,
+)
+def h1_time_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    minute = (
+        ev.groupBy(F.date_trunc("minute", "ts").alias("b"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(12,2)")).alias("v"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    def fold(df: DataFrame, unit: str) -> DataFrame:
+        return df.groupBy(F.date_trunc(unit, "b").alias("b")).agg(
+            F.sum("n").alias("n"), F.sum("v").alias("v")
+        )
+
+    hour = fold(minute, "hour")
+    day = fold(hour, "day")
+
+    def labeled(df: DataFrame, grain: str) -> DataFrame:
+        return df.select(
+            F.lit(grain).alias("grain"),
+            F.date_format("b", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+            F.col("n").cast("bigint").alias("n_events"),
+            F.col("v").cast("double").alias("sum_value"),
+        )
+
+    return (
+        labeled(minute, "minute")
+        .unionAll(labeled(hour, "hour"))
+        .unionAll(labeled(day, "day"))
+        .orderBy("grain", "bucket")
+    )
