@@ -122,13 +122,26 @@ def test_no_duplicate_fact_scans(spark, sf_dir):
     from tts_etl_pipeline_spark.operators.relational import (
         q15_top_supplier,
         q17_small_quantity_revenue,
+        q18_large_volume_customer,
         q20_dominant_suppliers,
     )
     from tts_etl_pipeline_spark.operators.textstats import t9_distinctive_tokens
     from tts_etl_pipeline_spark.plans.inspect import scans_by_table
 
-    for fn in (q15_top_supplier, q17_small_quantity_revenue, q20_dominant_suppliers):
+    for fn in (
+        q15_top_supplier,
+        q17_small_quantity_revenue,
+        q18_large_volume_customer,
+        q20_dominant_suppliers,
+    ):
         scans = scans_by_table(fn(spark, sf_dir))
         assert scans.get("lineitem", 0) == 1, (fn.__name__, scans)
     assert scans_by_table(t9_distinctive_tokens(spark, sf_dir)).get("documents", 0) == 0
     assert scans_by_table(d3_jaccard_neardup_pairs(spark, sf_dir)).get("documents", 0) == 0
+    # s5's two bag ops slice one checkpointed projection (not 4 fact scans);
+    # h1's hour/day grains fold from the checkpointed minute grain
+    from tts_etl_pipeline_spark.operators.events import h1_time_rollup_hierarchy
+    from tts_etl_pipeline_spark.operators.grouping import s5_bag_semantics
+
+    assert scans_by_table(s5_bag_semantics(spark, sf_dir)).get("lineitem", 0) == 0
+    assert scans_by_table(h1_time_rollup_hierarchy(spark, sf_dir)).get("events", 0) == 0

@@ -199,10 +199,10 @@ def e4_user_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # e5 — cohort retention matrix: users grouped by first-seen day, counted on
-# each subsequent active day. Two shuffles total at any scale: one on
-# user_id to derive (distinct activity day, cohort day) per user — the
-# per-user min folds through the same aggregation — and one on the tiny
-# (cohort_day, day_offset) grid. The classic growth-analytics query.
+# each subsequent active day. Three shuffles, each smaller than the last:
+# (user_id, day) distinct over the fact rows, a user_id-keyed window for the
+# per-user first day (operating on ~rows/day_dups), and the tiny
+# (cohort_day, day_offset) grid agg. The classic growth-analytics query.
 # ---------------------------------------------------------------------------
 @_register(
     "e5_cohort_retention",

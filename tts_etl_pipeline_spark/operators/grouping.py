@@ -450,11 +450,17 @@ def g6_stat_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def s5_bag_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
+    # one fact scan: both sides of both bag ops slice the same checkpointed
+    # (flag, q) projection — without it each exceptAll/intersectAll branch
+    # re-derives its side from parquet (4 scans of lineitem)
+    base = (
+        li.filter(F.col("l_returnflag").isin("R", "A"))
+        .select("l_returnflag", F.col("l_quantity").cast("bigint").alias("q"))
+        .localCheckpoint(eager=True)
+    )
 
     def side(flag: str) -> DataFrame:
-        return li.filter(F.col("l_returnflag") == flag).select(
-            F.col("l_quantity").cast("bigint").alias("q")
-        )
+        return base.filter(F.col("l_returnflag") == flag).select("q")
 
     a, b = side("R"), side("A")
 

@@ -460,9 +460,13 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q18 — large-volume customers: GROUP BY + HAVING as a join-back filter.
-# The HAVING key set is produced by a fact-side agg; joining it back to
-# orders/customer is a key-only semi join (small, broadcastable after AQE).
+# q18 — large-volume customers: the HAVING aggregate IS the output aggregate
+# (both are sum(l_quantity) per order), so one per-order aggregation serves
+# as filter and projection — a single fact scan and a single fact-grain
+# shuffle. The surviving key set is tiny (HAVING > 170 is highly selective),
+# so AQE broadcasts it to the orders join; customer joins by broadcast.
+# The textbook form (IN-subquery + re-join + re-GROUP BY) would scan and
+# shuffle lineitem twice.
 # ---------------------------------------------------------------------------
 @_register(
     "q18_large_volume_customer",
@@ -491,14 +495,11 @@ def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy("l_orderkey")
         .agg(F.sum(money("l_quantity")).alias("q"))
         .filter(F.col("q") > 170)
-        .select(F.col("l_orderkey").alias("big_orderkey"))
     )
     return (
-        li.join(big, li.l_orderkey == F.col("big_orderkey"), "left_semi")
-        .join(orders, li.l_orderkey == orders.o_orderkey)
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(F.sum(money("l_quantity")).cast("double").alias("sum_qty"))
+        .withColumn("sum_qty", F.col("q").cast("double"))
         .select(
             "c_name",
             "c_custkey",
