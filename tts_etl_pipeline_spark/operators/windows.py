@@ -56,11 +56,16 @@ def w1_topk_suppliers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     supp = table(spark, sf_dir, "supplier")
     nation = table(spark, sf_dir, "nation")
+    # pre-aggregate on the bigint fact key BEFORE the dimension joins: the
+    # shuffle carries |suppliers| partial sums keyed by long, and the
+    # broadcast joins touch supplier-grain rows, not fact rows. Equivalent to
+    # grouping by (n_name, s_name) because supplier names are unique per key.
     rev = (
-        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
-        .groupBy("n_name", "s_name")
+        li.groupBy("l_suppkey")
         .agg(F.sum(disc_price()).cast("double").alias("revenue"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .select("n_name", "s_name", "revenue")
     )
     w = W.partitionBy("n_name").orderBy(F.desc("revenue"), "s_name")
     return (
