@@ -92,3 +92,47 @@ def test_orc_roundtrip(spark, sf_dir, tmp_path):
     )
     back = formats.read_orc(spark, path, schema)
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, cust.collect()))
+
+
+def test_overwrite_partitions_replaces_only_touched(spark, sf_dir, tmp_path):
+    from tts_etl_pipeline_spark.sources.sink import overwrite_partitions
+
+    path = str(tmp_path / "part_table")
+    nation = table(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    overwrite_partitions(nation, path, ["n_regionkey"])
+    before = spark.read.parquet(path)
+    n_total = before.count()
+    n_r0 = before.filter(F.col("n_regionkey") == 0).count()
+
+    # rewrite ONLY region 0 with mutated names; other partitions must survive
+    patched = (
+        nation.filter(F.col("n_regionkey") == 0)
+        .withColumn("n_name", F.lit("PATCHED"))
+    )
+    overwrite_partitions(patched, path, ["n_regionkey"])
+    after = spark.read.parquet(path)
+    assert after.count() == n_total
+    assert after.filter(F.col("n_name") == "PATCHED").count() == n_r0
+    assert after.filter((F.col("n_regionkey") != 0) & (F.col("n_name") == "PATCHED")).count() == 0
+    # static overwrite mode restored
+    assert spark.conf.get("spark.sql.sources.partitionOverwriteMode") == "static"
+
+
+def test_compact_parquet_shrinks_file_count(spark, sf_dir, tmp_path):
+    from tts_etl_pipeline_spark.sources.sink import compact_parquet
+
+    path = str(tmp_path / "fragmented")
+    orders = table(spark, sf_dir, "orders")
+    orders.repartition(16).write.parquet(path)  # simulate streaming small files
+    n_before = sum(f.endswith(".parquet") for f in os.listdir(path))
+    assert n_before >= 16
+    rows = spark.read.parquet(path).count()
+    checksum = spark.read.parquet(path).agg(F.sum("o_orderkey")).collect()[0][0]
+
+    n_files = compact_parquet(spark, path, target_file_mb=512)
+    assert n_files == 1  # sf0.001 orders is far below 512 MB
+    assert sum(f.endswith(".parquet") for f in os.listdir(path)) == 1
+    assert spark.read.parquet(path).count() == rows
+    assert spark.read.parquet(path).agg(F.sum("o_orderkey")).collect()[0][0] == checksum
+    assert not os.path.exists(path + "._compact_tmp")
+    assert not os.path.exists(path + "._compact_old")

