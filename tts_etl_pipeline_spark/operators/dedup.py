@@ -304,9 +304,11 @@ def d5_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokenizer = RegexTokenizer(inputCol="text", outputCol="tokens", pattern=r"\s+")
     tokenized = tokenizer.transform(docs)
     tf = HashingTF(inputCol="tokens", outputCol="features", numFeatures=1 << 18)
+    # both sides of the self-join read the materialized features — without
+    # the checkpoint the tokenize+TF+minhash pipeline runs twice per side
     feats = tf.transform(tokenized).filter(
         F.expr("size(tokens) > 0")
-    )
+    ).localCheckpoint(eager=True)
     lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
     model = lsh.fit(feats)
     pairs = model.approxSimilarityJoin(feats, feats, 0.4, distCol="jaccard_dist")

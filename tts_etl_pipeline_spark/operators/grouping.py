@@ -150,6 +150,9 @@ def g3_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 def s1_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders")
 
+    # each year's distinct customer set feeds three set ops (both sides of
+    # intersect/except/union) — checkpoint once or orders is scanned and
+    # distinct-shuffled 6 times
     def custs(lo: str, hi: str) -> DataFrame:
         return (
             orders.filter(
@@ -158,6 +161,7 @@ def s1_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .select("o_custkey")
             .distinct()
+            .localCheckpoint(eager=True)
         )
 
     c95 = custs("1995-01-01 00:00:00", "1996-01-01 00:00:00")
