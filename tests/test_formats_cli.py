@@ -136,3 +136,16 @@ def test_compact_parquet_shrinks_file_count(spark, sf_dir, tmp_path):
     assert spark.read.parquet(path).agg(F.sum("o_orderkey")).collect()[0][0] == checksum
     assert not os.path.exists(path + "._compact_tmp")
     assert not os.path.exists(path + "._compact_old")
+
+
+def test_cli_explain(tmp_path):
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+    out = subprocess.run(
+        [sys.executable, "-m", "tts_etl_pipeline_spark", "explain",
+         "q1_pricing_summary", "--sf-dir", "/root/testdata/sf0.001"],
+        capture_output=True, text=True, env=env, cwd="/root/repo", timeout=240,
+    )
+    assert out.returncode == 0
+    assert "Scan parquet" in out.stdout
+    summary = json.loads(out.stdout.strip().splitlines()[-1])
+    assert summary["scans_by_table"] == {"lineitem": 1}

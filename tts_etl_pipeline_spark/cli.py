@@ -26,7 +26,13 @@ def main(argv: list[str] | None = None) -> int:
     rq.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     rq.add_argument("--limit", type=int, default=20)
 
-    lq = sub.add_parser("list-queries", help="list registered queries")
+    lq = sub.add_parser("list-queries", help="list registered queries")  # noqa: F841
+
+    ex = sub.add_parser(
+        "explain", help="print the physical plan + scan summary for a query"
+    )
+    ex.add_argument("name")
+    ex.add_argument("--sf-dir", default="/root/testdata/sf0.01")
 
     args = parser.parse_args(argv)
 
@@ -55,13 +61,30 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"rows_written": n, "table": args.table}))
         return 0
 
-    if args.cmd == "run-query":
+    if args.cmd in ("run-query", "explain"):
         queries = all_queries()
         if args.name not in queries:
             print(f"unknown query {args.name!r}; see list-queries", file=sys.stderr)
             return 2
         df = queries[args.name](spark, args.sf_dir)
-        df.show(args.limit, truncate=False)
+        if args.cmd == "explain":
+            from tts_etl_pipeline_spark.plans.inspect import (
+                count_shuffles,
+                physical_plan,
+                scans_by_table,
+            )
+
+            print(physical_plan(df))
+            print(
+                json.dumps(
+                    {
+                        "scans_by_table": scans_by_table(df),
+                        "exchanges": count_shuffles(df),
+                    }
+                )
+            )
+        else:
+            df.show(args.limit, truncate=False)
         return 0
     return 2
 
