@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from tts_etl_pipeline_spark.functions.exact import money
 from tts_etl_pipeline_spark.sources.tables import table
 
 QUERIES: dict = {}
@@ -221,4 +222,117 @@ def c5_stratified_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("last_doc"),
         )
         .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# dq1 — referential-integrity audit: orphan foreign keys counted per edge of
+# the star schema with anti joins. Each check is key-projected before the
+# join, so at 100 TB the anti join compares key columns only (and AQE
+# broadcasts the dimension side); the fact table is never widened.
+# ---------------------------------------------------------------------------
+@_register(
+    "dq1_referential_integrity",
+    """
+    SELECT 'lineitem.l_orderkey->orders' AS edge,
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+             AS n_orphans
+    UNION ALL
+    SELECT 'orders.o_custkey->customer',
+           (SELECT COUNT(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+    UNION ALL
+    SELECT 'customer.c_nationkey->nation',
+           (SELECT COUNT(*) FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey))
+    ORDER BY edge
+    """,
+)
+def dq1_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey")
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation").select("n_nationkey")
+
+    def orphans(child: DataFrame, ckey: str, parent: DataFrame, pkey: str, edge: str) -> DataFrame:
+        return (
+            child.join(parent.select(pkey), child[ckey] == F.col(pkey), "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+            .select(F.lit(edge).alias("edge"), "n_orphans")
+        )
+
+    return (
+        orphans(li, "l_orderkey", orders, "o_orderkey", "lineitem.l_orderkey->orders")
+        .unionAll(
+            orphans(
+                orders.select("o_custkey"), "o_custkey", cust, "c_custkey",
+                "orders.o_custkey->customer",
+            )
+        )
+        .unionAll(
+            orphans(
+                cust.select("c_nationkey"), "c_nationkey", nation, "n_nationkey",
+                "customer.c_nationkey->nation",
+            )
+        )
+        .orderBy("edge")
+    )
+
+
+# ---------------------------------------------------------------------------
+# dq2 — column profile: per-column null fraction, distinct count, min/max —
+# the schema-drift canary every ingest pipeline runs. One scan, one partial+
+# final aggregation; every statistic is computed in the same pass.
+# ---------------------------------------------------------------------------
+@_register(
+    "dq2_column_profile",
+    """
+    SELECT 'o_custkey' AS col,
+           CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT) AS n_null,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+           CAST(MIN(o_custkey) AS DOUBLE) AS min_v,
+           CAST(MAX(o_custkey) AS DOUBLE) AS max_v
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice',
+           CAST(COUNT(*) - COUNT(o_totalprice) AS BIGINT),
+           CAST(COUNT(DISTINCT o_totalprice) AS BIGINT),
+           CAST(MIN(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE),
+           CAST(MAX(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+    FROM orders
+    ORDER BY col
+    """,
+)
+def dq2_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    n = F.count(F.lit(1))
+    prof = orders.agg(
+        (n - F.count("o_custkey")).alias("ck_null"),
+        F.countDistinct("o_custkey").alias("ck_distinct"),
+        F.min("o_custkey").cast("double").alias("ck_min"),
+        F.max("o_custkey").cast("double").alias("ck_max"),
+        (n - F.count("o_totalprice")).alias("tp_null"),
+        F.countDistinct("o_totalprice").alias("tp_distinct"),
+        F.min(money("o_totalprice")).cast("double").alias("tp_min"),
+        F.max(money("o_totalprice")).cast("double").alias("tp_max"),
+    )
+    return (
+        prof.select(
+            F.lit("o_custkey").alias("col"),
+            F.col("ck_null").alias("n_null"),
+            F.col("ck_distinct").alias("n_distinct"),
+            F.col("ck_min").alias("min_v"),
+            F.col("ck_max").alias("max_v"),
+        )
+        .unionAll(
+            prof.select(
+                F.lit("o_totalprice").alias("col"),
+                F.col("tp_null").alias("n_null"),
+                F.col("tp_distinct").alias("n_distinct"),
+                F.col("tp_min").alias("min_v"),
+                F.col("tp_max").alias("max_v"),
+            )
+        )
+        .orderBy("col")
     )
