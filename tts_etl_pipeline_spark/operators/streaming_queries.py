@@ -298,3 +298,79 @@ def st7_stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFram
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@_register(
+    "st8_stateful_running_totals",
+    """
+    SELECT user_id,
+           CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT)
+             AS n_purchases,
+           CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                  THEN CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) END), 0)
+                AS DOUBLE) / 100.0 AS total_value
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def st8_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState), made
+    ORACLE-EXACT: per-user running purchase totals where the state carries
+    integer CENTS (value is converted to cents JVM-side via decimal(12,2)
+    before the UDF, so the Python sum is an exact int64 fold — a float
+    running sum would be order-dependent and never hash-match). Update-mode
+    emits the running total per user per micro-batch; totals are monotone,
+    so the batch-side max per user is the final state regardless of how
+    availableNow slices the input into batches. The streaming twin of e4's
+    batch aggregation, proving custom cross-batch state — not just built-in
+    windows — can stay bit-exact. Library variant (float state, optional
+    inactivity-timeout flush): streaming/stateful.py."""
+    from collections.abc import Iterable
+
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from tts_etl_pipeline_spark.streaming.events_stream import (
+        run_to_memory,
+        stream_events,
+    )
+
+    ev = stream_events(spark, sf_dir).select(
+        "user_id",
+        "event_type",
+        (F.col("value").cast("decimal(12,2)") * 100).cast("long").alias("cents"),
+    )
+
+    def fn(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        (user_id,) = key
+        n, cents = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            purchases = pdf[pdf["event_type"] == "purchase"]
+            n += len(purchases)
+            cents += int(purchases["cents"].sum())
+        state.update((n, cents))
+        yield pd.DataFrame(
+            [{"user_id": user_id, "n_purchases": n, "total_cents": cents}]
+        )
+
+    updates = ev.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType="user_id bigint, n_purchases bigint, total_cents bigint",
+        stateStructType="n bigint, cents bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    out = run_to_memory(updates, "st8")
+    return (
+        out.groupBy("user_id")
+        .agg(F.max("n_purchases").alias("n_purchases"), F.max("total_cents").alias("mc"))
+        .select(
+            "user_id",
+            "n_purchases",
+            (F.col("mc").cast("double") / F.lit(100.0)).alias("total_value"),
+        )
+        .orderBy("user_id")
+    )
