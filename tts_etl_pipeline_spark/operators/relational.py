@@ -115,14 +115,18 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
     li = table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    # pre-aggregate lineitem to order grain BEFORE the orders join: the SMJ
+    # probe side shrinks ~4x (lines per order), the agg's l_orderkey shuffle
+    # doubles as the join partitioning, and no post-join re-aggregation is
+    # needed (o_orderdate/o_orderpriority are functionally dependent on the
+    # key, and orders joins 1:1)
+    rev = li.groupBy("l_orderkey").agg(F.sum(disc_price()).alias("rev_dec"))
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        rev.join(orders, rev.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.sum(disc_price()).cast("double").alias("revenue"))
         .select(
             "l_orderkey",
-            "revenue",
+            F.col("rev_dec").cast("double").alias("revenue"),
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
             "o_orderpriority",
         )
@@ -367,12 +371,17 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("o_orderdate") < F.lit("1997-07-01 00:00:00").cast("timestamp_ntz"))
     )
     li = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    # pre-aggregate the returned-lines revenue to order grain before the
+    # orders join (decimal sum-of-sums stays exact through the custkey
+    # re-aggregation): the fact-fact SMJ probes order-grain rows, and the
+    # second agg shuffles customer-grain partials only
+    rev = li.groupBy("l_orderkey").agg(F.sum(disc_price()).alias("rev_dec"))
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        rev.join(orders, rev.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(F.sum(disc_price()).cast("double").alias("revenue"))
+        .agg(F.sum("rev_dec").cast("double").alias("revenue"))
         .select(
             "c_custkey",
             "c_name",
