@@ -278,12 +278,21 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
         & (F.col("l_shipdate") <= F.lit("1997-12-31 00:00:00").cast("timestamp_ntz"))
     )
+    # resolve each side's nation and restrict to the two relevant ones
+    # BEFORE the fact-fact join: the inner broadcast joins against the
+    # 2-nation supplier/customer subsets drop ~(1 - 2/|nations|) of both
+    # fact inputs, so the orders SMJ probes ~12x fewer rows. The cross-pair
+    # filter (1-2 / 2-1, excluding same-nation) applies after the join.
+    supp_n = supp.join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key")).filter(
+        F.col("supp_nation").isin("NATION_1", "NATION_2")
+    )
+    cust_n = cust.join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key")).filter(
+        F.col("cust_nation").isin("NATION_1", "NATION_2")
+    )
+    li_f = li.join(F.broadcast(supp_n), li.l_suppkey == F.col("s_suppkey"))
+    ord_f = orders.join(F.broadcast(cust_n), orders.o_custkey == F.col("c_custkey"))
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
-        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        li_f.join(ord_f, li_f.l_orderkey == F.col("o_orderkey"))
         .filter(
             ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
             | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
@@ -788,11 +797,19 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
     )
     region = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
-    vol = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+    # restrict orders to ASIA-region customers BEFORE the fact-fact join
+    # (region -> nations -> customers -> orders, all broadcast): the SMJ
+    # probe shrinks by the regional selectivity (~1/|regions|). The supplier
+    # side must stay per-line — every supplier nation contributes to the
+    # market-share denominator.
+    cust_asia = (
+        cust.join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
         .join(F.broadcast(region), F.col("n1_region") == region.r_regionkey)
+        .select("c_custkey")
+    )
+    ord_f = orders.join(F.broadcast(cust_asia), orders.o_custkey == F.col("c_custkey"))
+    vol = (
+        li.join(ord_f, li.l_orderkey == F.col("o_orderkey"))
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
         .select(
