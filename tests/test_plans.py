@@ -55,6 +55,28 @@ def test_q3_broadcasts_customer(spark, sf_dir):
     assert plan.count("SortMergeJoin") <= 1
 
 
+def test_q7_q8_single_fact_fact_join(spark, sf_dir):
+    """q7/q8 push their nation/region restrictions below the fact-fact join:
+    each plan may contain at most ONE shuffle join (lineitem x orders), with
+    every dimension subset broadcast onto a fact side first."""
+    from tts_etl_pipeline_spark.operators.relational import (
+        q7_volume_shipping,
+        q8_market_share,
+    )
+    from tts_etl_pipeline_spark.plans.inspect import scans_by_table
+
+    for fn in (q7_volume_shipping, q8_market_share):
+        df = fn(spark, sf_dir)
+        plan = physical_plan(df)
+        # formatted plans mention each node twice (tree + detail header)
+        assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 2, fn.__name__
+        scans = scans_by_table(df)
+        assert scans.get("lineitem", 0) == 1 and scans.get("orders", 0) == 1, (
+            fn.__name__,
+            scans,
+        )
+
+
 def test_q5_only_one_fact_shuffle_join(spark, sf_dir):
     plan = physical_plan(q5_local_supplier(spark, sf_dir))
     assert plan.count("BroadcastHashJoin") >= 4  # cust/supp/nation/region
