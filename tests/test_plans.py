@@ -107,20 +107,20 @@ def test_d3_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
-def test_q11_single_fact_scan_global_window(spark, sf_dir):
+def test_q11_no_global_window_no_fact_rescan(spark, sf_dir):
     from tts_etl_pipeline_spark.operators.relational import q11_important_parts
+    from tts_etl_pipeline_spark.plans.inspect import scans_by_table
 
     df = q11_important_parts(spark, sf_dir)
     plan = physical_plan(df)
-    # the scalar-subquery total must NOT rescan lineitem: exactly two scan
-    # nodes total (lineitem once, part dimension once) — formatted explain
-    # lists each node once in the tree and once as a "(n) Scan" detail header
-    import re
-
-    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, flags=re.MULTILINE)) == 2
-    # the global total folds through a single-partition exchange over the
-    # dimension-sized per-part aggregate, and part joins by broadcast
-    assert "SinglePartition" in plan
+    # the part-grain pre-agg is checkpointed: neither the main branch nor the
+    # global-total branch rescans lineitem, and the total folds via a
+    # partial+final aggregate — NO unpartitioned WindowExec (which would
+    # drag the whole part grain through one task at 100 TB)
+    scans = scans_by_table(df)
+    assert scans.get("lineitem", 0) == 0, scans
+    assert scans.get("part", 0) == 1, scans
+    assert "Window" not in plan
     assert has_broadcast_join(df)
 
 
@@ -151,13 +151,17 @@ def test_no_duplicate_fact_scans(spark, sf_dir):
     from tts_etl_pipeline_spark.plans.inspect import scans_by_table
 
     for fn in (
-        q15_top_supplier,
         q17_small_quantity_revenue,
         q18_large_volume_customer,
         q20_dominant_suppliers,
     ):
         scans = scans_by_table(fn(spark, sf_dir))
         assert scans.get("lineitem", 0) == 1, (fn.__name__, scans)
+    # q15 checkpoints its supplier-grain pre-agg: zero lineitem scans remain
+    # in the final plan, and no unpartitioned window computes the global max
+    q15 = q15_top_supplier(spark, sf_dir)
+    assert scans_by_table(q15).get("lineitem", 0) == 0
+    assert "Window" not in physical_plan(q15)
     assert scans_by_table(t9_distinctive_tokens(spark, sf_dir)).get("documents", 0) == 0
     assert scans_by_table(d3_jaccard_neardup_pairs(spark, sf_dir)).get("documents", 0) == 0
     # s5's two bag ops slice one checkpointed projection (not 4 fact scans);

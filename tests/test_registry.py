@@ -15,6 +15,8 @@ def test_registry_importable_and_consistent():
     # rows-only (oracle-less) set is exactly the approximate/hash-family ops
     # (st3 session windows were PROMOTED to oracle-exact: the session_window
     # split rule is deterministic and replicated in SQL at full precision)
+    # plus the audio E2E pipeline (inputs are synthesized WAVs, not the
+    # driver's parquet tables — DuckDB has nothing equivalent to run)
     rows_only = set(qs) - set(osql)
     assert rows_only == {
         "d5_minhash_lsh_neardup",
@@ -23,6 +25,7 @@ def test_registry_importable_and_consistent():
         "v4_lsh_ann_topk",
         "x1_approx_distinct_stats",
         "x2_cms_heavy_hitters",
+        "p1_audio_pipeline_e2e",
     }
 
 

@@ -168,9 +168,16 @@ def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)
     )
-    n_docs = docs.count()  # scalar; at scale use an approx or a config cap
+    # corpus size folds from the checkpointed token index (every doc emits
+    # >= 1 token row, so distinct doc_id == document count) as a broadcast
+    # 1-row aggregate — no separate count job, no second documents scan
+    n_docs = tok.agg(F.countDistinct("doc_id").alias("n_docs"))
     df_tok = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
-    keep_tokens = df_tok.filter(F.col("n") <= MAX_DF_FRACTION * n_docs).select("token")
+    keep_tokens = (
+        df_tok.join(F.broadcast(n_docs))
+        .filter(F.col("n") <= MAX_DF_FRACTION * F.col("n_docs"))
+        .select("token")
+    )
     tok_f = tok.join(F.broadcast(keep_tokens), "token").localCheckpoint(eager=True)
     sizes = tok_f.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = tok_f.select(F.col("doc_id").alias("id_a"), "token")

@@ -709,17 +709,19 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
         & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp_ntz"))
     )
-    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.sum(disc_price()).cast("double").alias("total_revenue")
+    # Checkpoint the supplier-grain pre-agg so BOTH grains (per-supplier
+    # revenue and the global max) read it without rescanning lineitem, then
+    # fold the max as a real partial+final aggregate — an unpartitioned
+    # window here would funnel every supplier row through ONE task, while
+    # the aggregate moves one partial row per partition.
+    revenue = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(disc_price()).cast("double").alias("total_revenue"))
+        .localCheckpoint(eager=True)
     )
-    # global max via an unpartitioned window over the supplier-grain
-    # aggregate (dimension-sized, one task) — a broadcast(agg) join-back
-    # would recompute the whole revenue subtree and rescan lineitem
-    from pyspark.sql.window import Window as W
-
+    mx = revenue.agg(F.max("total_revenue").alias("mx"))
     return (
-        revenue.withColumn("mx", F.max("total_revenue").over(W.partitionBy()))
-        .filter(F.col("total_revenue") == F.col("mx"))
+        revenue.join(F.broadcast(mx), F.col("total_revenue") == F.col("mx"))
         .join(F.broadcast(supp), F.col("supplier_no") == supp.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
@@ -929,11 +931,10 @@ def q16_parts_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFra
 # per-part revenue. Exercises the scalar-aggregate-subquery shape. Plan note:
 # a naive crossJoin(broadcast(part_rev.agg(total))) would recompute part_rev
 # — Spark has no DAG reuse without caching, so the fact table would be
-# scanned and shuffled TWICE. Instead the global total is an unpartitioned
-# window over the dimension-sized per-part aggregate: one fact scan, one
-# shuffle to part grain, then |parts| rows (dimension-sized) fold to the
-# total on a single task — the scalable trade at 100 TB where the fact scan
-# dominates and parts stay in the millions.
+# scanned and shuffled TWICE. localCheckpoint materializes the part-grain
+# aggregate once; the global total then folds as an ordinary parallel
+# aggregate (one partial row per partition) rather than an unpartitioned
+# window that drags the whole part grain through a single task.
 # ---------------------------------------------------------------------------
 @_register(
     "q11_important_parts",
@@ -956,18 +957,29 @@ def q16_parts_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFra
     """,
 )
 def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window as W
-
     li = table(spark, sf_dir, "lineitem")
     part = table(spark, sf_dir, "part")
-    part_rev = li.groupBy("l_partkey").agg(F.sum(disc_price()).alias("rev_dec"))
-    wglobal = W.partitionBy()
+    # Checkpoint the part-grain pre-agg (one lineitem scan+shuffle), fold the
+    # global total/count as a partial+final 1-row aggregate, and broadcast it
+    # back. The previous unpartitioned-window version pushed every per-part
+    # row through a single task — at 100 TB that grain is billions of rows;
+    # the aggregate tree moves one partial row per partition instead, and
+    # decimal sum-of-sums keeps the oracle hash exact.
+    part_rev = (
+        li.groupBy("l_partkey")
+        .agg(F.sum(disc_price()).alias("rev_dec"))
+        .localCheckpoint(eager=True)
+    )
+    totals = part_rev.agg(
+        F.sum("rev_dec").alias("total_dec"), F.count(F.lit(1)).alias("nparts")
+    )
     total_dbl = F.col("total_dec").cast("double")
     return (
-        part_rev.withColumn("total_dec", F.sum("rev_dec").over(wglobal))
-        .withColumn("nparts", F.count(F.lit(1)).over(wglobal))
-        .withColumn("part_revenue", F.col("rev_dec").cast("double"))
-        .filter(F.col("part_revenue") > F.lit(1.2) * (total_dbl / F.col("nparts")))
+        part_rev.withColumn("part_revenue", F.col("rev_dec").cast("double"))
+        .join(
+            F.broadcast(totals),
+            F.col("part_revenue") > F.lit(1.2) * (total_dbl / F.col("nparts")),
+        )
         .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
         .select(
             "p_name",
