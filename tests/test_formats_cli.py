@@ -149,3 +149,38 @@ def test_cli_explain(tmp_path):
     assert "Scan parquet" in out.stdout
     summary = json.loads(out.stdout.strip().splitlines()[-1])
     assert summary["scans_by_table"] == {"lineitem": 1}
+
+
+def test_compact_parquet_crash_recovery(spark, sf_dir, tmp_path):
+    """A crash between compact_parquet's two renames leaves the data parked
+    at <table>._compact_old with the table path absent. recover_compaction
+    (called automatically on the next compact) must roll it back with no
+    data loss."""
+    import os
+    import shutil
+
+    from tts_etl_pipeline_spark.sources.sink import (
+        compact_parquet,
+        recover_compaction,
+    )
+    from tts_etl_pipeline_spark.sources.tables import table
+
+    path = str(tmp_path / "t")
+    table(spark, sf_dir, "nation").write.parquet(path)
+    expected = spark.read.parquet(path).count()
+
+    # simulate the crash window: table renamed away, staged never renamed in
+    os.rename(path, path + "._compact_old")
+    assert not os.path.exists(path)
+
+    assert recover_compaction(path) is True
+    assert spark.read.parquet(path).count() == expected
+    assert not os.path.exists(path + "._compact_old")
+
+    # the same crash state is also healed by compact_parquet itself
+    os.rename(path, path + "._compact_old")
+    n_files = compact_parquet(spark, path, target_file_mb=512)
+    assert n_files == 1
+    assert spark.read.parquet(path).count() == expected
+    assert recover_compaction(path) is False  # healthy table: no-op
+    shutil.rmtree(path)

@@ -100,3 +100,78 @@ def test_scalable_topk_matches_window_topk(spark, sf_dir):
     a = {(r["q_id"], r["rn"]): r["n_id"] for r in fast.collect()}
     b = {(r["q_id"], r["rn"]): r["n_id"] for r in slow.collect()}
     assert a == b and len(a) == N_QUERY_VECS * 10
+
+
+def test_label_propagation_fixpoint_guard(spark):
+    """d8's connected components must never silently return unconverged
+    labels: a chain longer than the iteration cap raises instead of
+    mislabeling (VERDICT r2 item 3), and a chain within the cap converges
+    to the true single component."""
+    from tts_etl_pipeline_spark.operators.dedup import _min_label_propagation
+
+    def chain(n):
+        edges = [(i, i + 1) for i in range(n - 1)]
+        return spark.createDataFrame(
+            edges + [(b, a) for a, b in edges], "src long, dst long"
+        )
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        _min_label_propagation(chain(30), max_iters=5)
+
+    labels = {
+        r["node"]: r["label"]
+        for r in _min_label_propagation(chain(8), max_iters=10).collect()
+    }
+    assert labels == {i: 0 for i in range(8)}
+
+
+def test_materialize_uses_reliable_checkpoint_when_configured(spark, sf_dir, tmp_path):
+    """materialize() must switch every operator to fault-tolerant
+    checkpointing when a checkpoint dir is configured — same results, with
+    the intermediates written to the reliable dir instead of executor-local
+    block storage (VERDICT r2 item 8)."""
+    from tts_etl_pipeline_spark.functions.checkpoints import materialize
+    from tts_etl_pipeline_spark.operators.dedup import d3_jaccard_neardup_pairs
+    from tts_etl_pipeline_spark.operators.grouping import s5_bag_semantics
+
+    sc = spark.sparkContext
+    assert sc.getCheckpointDir() is None
+    base_s5 = sorted(map(tuple, s5_bag_semantics(spark, sf_dir).collect()))
+    base_d3 = sorted(map(tuple, d3_jaccard_neardup_pairs(spark, sf_dir).collect()))
+
+    ckpt = tmp_path / "ckpt"
+    sc.setCheckpointDir(str(ckpt))
+    try:
+        assert sorted(map(tuple, s5_bag_semantics(spark, sf_dir).collect())) == base_s5
+        assert sorted(map(tuple, d3_jaccard_neardup_pairs(spark, sf_dir).collect())) == base_d3
+        assert any(ckpt.rglob("rdd-*")), "no reliable checkpoint was written"
+        small = materialize(spark.range(5))
+        assert small.count() == 5
+    finally:
+        # reset the context's checkpointDir Option to None so the rest of
+        # the session-scoped suite keeps using localCheckpoint
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(sc._jvm.scala.Option.apply(None))
+        assert sc.getCheckpointDir() is None
+
+
+def test_salted_join_spreads_duplicate_hot_key_rows(spark):
+    """The salt must come from row POSITION, not row content: a hot key's
+    rows are often bit-identical duplicates, and a content hash would land
+    them all in one salt bucket, defeating the salting entirely."""
+    from tts_etl_pipeline_spark.functions.skew import SALT_COL, salted_join
+
+    # 400 identical rows of one hot key — the worst case for a content hash
+    fact = spark.createDataFrame([(1, "same")] * 400, "k long, v string")
+    dim = spark.createDataFrame([(1, "one")], "k long, name string")
+
+    salted = fact.withColumn(
+        SALT_COL,
+        F.pmod(F.monotonically_increasing_id(), F.lit(4)).cast("int"),
+    )
+    n_buckets = salted.select(SALT_COL).distinct().count()
+    assert n_buckets >= 2, "identical hot-key rows collapsed into one bucket"
+
+    out = salted_join(fact, dim, "k", n_salts=4)
+    assert out.count() == 400  # row-identical to the unsalted join
+    with pytest.raises(ValueError):
+        salted_join(fact, dim, "k", how="cross")

@@ -73,8 +73,23 @@ def test_approx_distinct_within_rsd(spark, sf_dir):
         .agg(F.countDistinct("o_custkey").alias("n"))
         .collect()
     }
+    exact_pcts = {
+        r["o_orderpriority"]: (r["p50"], r["p90"])
+        for r in table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
+            F.expr("percentile(o_totalprice, 0.9)").alias("p90"),
+        )
+        .collect()
+    }
     for prio, true_n in exact.items():
         approx_n = rows[prio]["approx_customers"]
         assert approx_n == pytest.approx(true_n, rel=0.1)
-        p50, p90 = rows[prio]["approx_p50_p90"]
+        p50, p90 = rows[prio]["approx_p50"], rows[prio]["approx_p90"]
         assert 0 < p50 < p90
+        # x1 output must stay scalar-typed (the driver canonicalizer cannot
+        # hash array cells) and within tolerance of the exact percentiles
+        assert isinstance(p50, float) and isinstance(p90, float)
+        assert p50 == pytest.approx(exact_pcts[prio][0], rel=0.05)
+        assert p90 == pytest.approx(exact_pcts[prio][1], rel=0.05)

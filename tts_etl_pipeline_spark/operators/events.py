@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from tts_etl_pipeline_spark.functions.checkpoints import materialize
 from tts_etl_pipeline_spark.sources.tables import table
 
 QUERIES: dict = {}
@@ -279,13 +280,11 @@ def e5_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def h1_time_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
-    minute = (
-        ev.groupBy(F.date_trunc("minute", "ts").alias("b"))
-        .agg(
+    minute = materialize(
+        ev.groupBy(F.date_trunc("minute", "ts").alias("b")).agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.col("value").cast("decimal(12,2)")).alias("v"),
         )
-        .localCheckpoint(eager=True)
     )
 
     def fold(df: DataFrame, unit: str) -> DataFrame:

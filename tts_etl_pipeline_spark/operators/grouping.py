@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from tts_etl_pipeline_spark.functions.checkpoints import materialize
 from tts_etl_pipeline_spark.functions.exact import SQL_DISC_PRICE, disc_price, money
 from tts_etl_pipeline_spark.sources.tables import table
 
@@ -154,14 +155,13 @@ def s1_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     # intersect/except/union) — checkpoint once or orders is scanned and
     # distinct-shuffled 6 times
     def custs(lo: str, hi: str) -> DataFrame:
-        return (
+        return materialize(
             orders.filter(
                 (F.col("o_orderdate") >= F.lit(lo).cast("timestamp_ntz"))
                 & (F.col("o_orderdate") < F.lit(hi).cast("timestamp_ntz"))
             )
             .select("o_custkey")
             .distinct()
-            .localCheckpoint(eager=True)
         )
 
     c95 = custs("1995-01-01 00:00:00", "1996-01-01 00:00:00")
@@ -457,10 +457,10 @@ def s5_bag_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one fact scan: both sides of both bag ops slice the same checkpointed
     # (flag, q) projection — without it each exceptAll/intersectAll branch
     # re-derives its side from parquet (4 scans of lineitem)
-    base = (
-        li.filter(F.col("l_returnflag").isin("R", "A"))
-        .select("l_returnflag", F.col("l_quantity").cast("bigint").alias("q"))
-        .localCheckpoint(eager=True)
+    base = materialize(
+        li.filter(F.col("l_returnflag").isin("R", "A")).select(
+            "l_returnflag", F.col("l_quantity").cast("bigint").alias("q")
+        )
     )
 
     def side(flag: str) -> DataFrame:

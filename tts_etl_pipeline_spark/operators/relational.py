@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from tts_etl_pipeline_spark.functions.checkpoints import materialize
 from tts_etl_pipeline_spark.functions.exact import (
     FRAC,
     SQL_CHARGE,
@@ -714,10 +715,10 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fold the max as a real partial+final aggregate — an unpartitioned
     # window here would funnel every supplier row through ONE task, while
     # the aggregate moves one partial row per partition.
-    revenue = (
-        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
-        .agg(F.sum(disc_price()).cast("double").alias("total_revenue"))
-        .localCheckpoint(eager=True)
+    revenue = materialize(
+        li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+            F.sum(disc_price()).cast("double").alias("total_revenue")
+        )
     )
     mx = revenue.agg(F.max("total_revenue").alias("mx"))
     return (
@@ -965,10 +966,8 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # row through a single task — at 100 TB that grain is billions of rows;
     # the aggregate tree moves one partial row per partition instead, and
     # decimal sum-of-sums keeps the oracle hash exact.
-    part_rev = (
-        li.groupBy("l_partkey")
-        .agg(F.sum(disc_price()).alias("rev_dec"))
-        .localCheckpoint(eager=True)
+    part_rev = materialize(
+        li.groupBy("l_partkey").agg(F.sum(disc_price()).alias("rev_dec"))
     )
     totals = part_rev.agg(
         F.sum("rev_dec").alias("total_dec"), F.count(F.lit(1)).alias("nparts")

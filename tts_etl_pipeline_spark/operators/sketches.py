@@ -41,15 +41,20 @@ def _register(name: str, oracle: str | None):
 @_register("x1_approx_distinct_stats", None)
 def x1_approx_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ cardinalities + approximate percentiles per priority —
-    the sketch twins of g4 (exact distinct) and q21 (exact percentiles)."""
+    the sketch twins of g4 (exact distinct) and q21 (exact percentiles).
+
+    Output is scalar columns only (p50/p90 via element_at, not the raw
+    percentile array): the driver's canonicalizer sorts on every column and
+    cannot hash array cells. tests/test_sketches.py bounds both estimators
+    against their exact twins."""
     orders = table(spark, sf_dir, "orders")
+    pcts = F.percentile_approx("o_totalprice", [0.5, 0.9], 10_000)
     return (
         orders.groupBy("o_orderpriority")
         .agg(
             F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
-            F.percentile_approx("o_totalprice", [0.5, 0.9], 10_000).alias(
-                "approx_p50_p90"
-            ),
+            F.element_at(pcts, 1).alias("approx_p50"),
+            F.element_at(pcts, 2).alias("approx_p90"),
             F.count(F.lit(1)).alias("n"),
         )
         .orderBy("o_orderpriority")

@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from tts_etl_pipeline_spark.functions.checkpoints import materialize
 from tts_etl_pipeline_spark.sources.tables import table
 
 QUERIES: dict = {}
@@ -415,7 +416,7 @@ def t9_distinctive_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     # BOTH term frequency and document frequency from that materialized
     # grain (sum of per-doc counts == raw TF; row count per token == DF
     # because the grain is already distinct per doc)
-    dt = (
+    dt = materialize(
         docs.select(
             "doc_id",
             "lang",
@@ -423,7 +424,6 @@ def t9_distinctive_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("doc_id", "lang", "token")
         .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint(eager=True)
     )
     n_docs = docs.count()  # scalar; dimension of the corpus, not data-plane
     tf = dt.groupBy("lang", "token").agg(F.sum("c").cast("bigint").alias("tf"))

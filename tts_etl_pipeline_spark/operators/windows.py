@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from tts_etl_pipeline_spark.functions.checkpoints import materialize
 from tts_etl_pipeline_spark.functions.exact import SQL_DISC_PRICE, disc_price
 from tts_etl_pipeline_spark.sources.tables import table
 
@@ -328,7 +329,7 @@ def w6_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def w7_gap_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") <= 5)
-    daily = (
+    daily = materialize(  # reused by bounds + join: one fact scan
         li.groupBy(
             "l_suppkey",
             F.datediff(
@@ -336,9 +337,7 @@ def w7_gap_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .cast("bigint")
             .alias("ship_day"),
-        )
-        .agg(F.sum(disc_price()).alias("day_rev"))
-        .localCheckpoint(eager=True)  # reused by bounds + join: one fact scan
+        ).agg(F.sum(disc_price()).alias("day_rev"))
     )
     cal = (
         daily.groupBy("l_suppkey")

@@ -35,6 +35,12 @@ def insert_or_ignore(
     (pa.py:377-383) including intra-batch duplicates (executemany applies
     rows in order; we keep an arbitrary single row per key via
     dropDuplicates, matching the reference's per-batch uniqueness).
+
+    Concurrency: single-writer only, like the SQLite original. The
+    read-keys/anti-join/append sequence is not transactional — two writers
+    racing on the same table can both miss the other's keys and append
+    duplicates. A multi-writer deployment needs a table format with
+    optimistic transactions (Delta/Iceberg MERGE WHEN NOT MATCHED).
     """
     spark = df.sparkSession
     incoming = df.dropDuplicates([key])
@@ -151,17 +157,27 @@ def compact_parquet(
     spark: SparkSession, table_path: str, target_file_mb: int = 512
 ) -> int:
     """Small-file compaction: rewrite a parquet directory into
-    ceil(bytes / target_file_mb) files and atomically swap it in.
+    ceil(bytes / target_file_mb) files and swap it in with crash recovery.
 
     Streaming sinks and fine-grained backfills accrete thousands of tiny
     files; at cluster scale every one is a scan task and a NameNode entry.
     Rewrite is a zero-shuffle coalesce when shrinking (repartition only to
-    grow parallelism), staged to a sibling path then renamed so readers
-    never see a half-written directory. Returns the output file count.
+    grow parallelism), staged to a sibling path then swapped in. Returns
+    the output file count.
+
+    Atomicity contract (single-writer, like a filesystem table without a
+    transaction log): the swap is two renames, so a crash can leave the
+    table briefly absent with the data parked at `<table>._compact_old`.
+    Both this function (on its next run) and `recover_compaction` roll that
+    state back, so no committed data is ever lost — but a concurrent READER
+    between the renames can observe a missing table. Concurrent
+    reader-safety needs a catalog/table format (Delta/Iceberg) whose commit
+    is a single metadata swap; this is documented, not claimed.
     """
     import math
     import shutil
 
+    recover_compaction(table_path)  # roll back any crashed previous swap
     size_b = 0
     for root, _dirs, files in os.walk(table_path):
         size_b += sum(
@@ -176,6 +192,23 @@ def compact_parquet(
     old = table_path.rstrip("/") + "._compact_old"
     shutil.rmtree(old, ignore_errors=True)  # leftover from an aborted run
     os.rename(table_path, old)
-    os.rename(staged, table_path)
+    try:
+        os.rename(staged, table_path)
+    except OSError:
+        os.rename(old, table_path)  # roll the original back in
+        raise
     shutil.rmtree(old)
     return n_files
+
+
+def recover_compaction(table_path: str) -> bool:
+    """Recover a table stranded by a crash between compact_parquet's two
+    renames: if the table path is gone but `<table>._compact_old` exists,
+    rename the original data back in. Returns True if a rollback happened.
+    Safe to call unconditionally at startup; compact_parquet calls it first.
+    """
+    old = table_path.rstrip("/") + "._compact_old"
+    if not os.path.exists(table_path) and os.path.isdir(old):
+        os.rename(old, table_path)
+        return True
+    return False
