@@ -175,3 +175,38 @@ def test_salted_join_spreads_duplicate_hot_key_rows(spark):
     assert out.count() == 400  # row-identical to the unsalted join
     with pytest.raises(ValueError):
         salted_join(fact, dim, "k", how="cross")
+
+
+def test_bigstar_components_match_propagation(spark):
+    """large-star/small-star (functions/graph.py) and min-label propagation
+    must agree exactly — same (node, component-min) fixpoint — on chains
+    (the propagation worst case) and random graphs. The big-star variant is
+    the 100 TB path: O(log n) rounds vs O(diameter)."""
+    import random
+
+    from tts_etl_pipeline_spark.functions.graph import connected_components
+    from tts_etl_pipeline_spark.operators.dedup import _min_label_propagation
+
+    def both(edges):
+        df = spark.createDataFrame(edges, "src long, dst long")
+        lsss = {
+            (r["node"], r["label"])
+            for r in connected_components(df).collect()
+        }
+        sym = df.unionAll(df.selectExpr("dst as src", "src as dst"))
+        prop = {
+            (r["node"], r["label"])
+            for r in _min_label_propagation(sym, max_iters=200).collect()
+        }
+        return lsss, prop
+
+    # a 64-node chain: diameter 63 >> the 50-round cap would doom a
+    # propagation-style algorithm; star contraction handles it easily
+    lsss, prop = both([(i, i + 1) for i in range(63)])
+    assert lsss == prop == {(i, 0) for i in range(64)}
+
+    rng = random.Random(11)
+    edges = [(rng.randrange(60), rng.randrange(60)) for _ in range(70)]
+    edges = [e for e in edges if e[0] != e[1]]
+    lsss, prop = both(edges)
+    assert lsss == prop and len(lsss) > 0

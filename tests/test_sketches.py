@@ -93,3 +93,55 @@ def test_approx_distinct_within_rsd(spark, sf_dir):
         assert isinstance(p50, float) and isinstance(p90, float)
         assert p50 == pytest.approx(exact_pcts[prio][0], rel=0.05)
         assert p90 == pytest.approx(exact_pcts[prio][1], rel=0.05)
+
+
+def test_bloom_no_false_negatives_and_bounded_fpp():
+    from tts_etl_pipeline_spark.functions.bloom import BloomFilter
+
+    bf = BloomFilter(n_items=2000, fpp=0.01)
+    members = [f"fp{i}" for i in range(2000)]
+    for m in members:
+        bf.add(m)
+    # Bloom invariant: zero false negatives, ever
+    assert all(bf.might_contain(m) for m in members)
+    # false-positive rate near the design point (generous 3x headroom)
+    fps = sum(bf.might_contain(f"absent{i}") for i in range(10_000))
+    assert fps / 10_000 < 0.03
+
+
+def test_bloom_merge_equals_single_build_and_roundtrip():
+    from tts_etl_pipeline_spark.functions.bloom import BloomFilter
+
+    a, b, whole = BloomFilter(), BloomFilter(), BloomFilter()
+    for i in range(500):
+        a.add(f"x{i}")
+        whole.add(f"x{i}")
+    for i in range(500):
+        b.add(f"y{i}")
+        whole.add(f"y{i}")
+    merged = a.merge(b)
+    assert (merged.bits == whole.bits).all()
+    rt = BloomFilter.from_bytes(merged.to_bytes())
+    assert (rt.bits == merged.bits).all()
+    with pytest.raises(ValueError):
+        a.merge(BloomFilter(n_items=10))
+
+
+def test_d10_matches_plain_antijoin(spark, sf_dir):
+    """The bloom routing must be invisible in the results: identical rows to
+    a direct left_anti join of batch fingerprints against the corpus."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from tts_etl_pipeline_spark.operators.dedup import d10_incremental_dedup
+    from tts_etl_pipeline_spark.sources.tables import table as _table
+
+    docs = _table(spark, sf_dir, "documents")
+    fp = F.md5(F.lower(F.trim("text")))
+    corpus = docs.filter(F.col("doc_id") % 5 != 0).select(fp.alias("fp"))
+    batch = docs.filter(F.col("doc_id") % 5 == 0).select(
+        "doc_id", "lang", "n_chars", fp.alias("fp")
+    )
+    plain = batch.join(corpus, "fp", "left_anti").select("doc_id", "lang", "n_chars")
+    expected = sorted(map(tuple, plain.collect()))
+    got = sorted(map(tuple, d10_incremental_dedup(spark, sf_dir).collect()))
+    assert got == expected and len(got) > 0

@@ -295,6 +295,114 @@ def d8_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# d9 — the SAME clustering as d8 via alternating large-star/small-star
+# (functions/graph.py): O(log n) rounds regardless of component diameter,
+# vs min-label propagation's O(diameter). Identical fixpoint => identical
+# oracle. At 100 TB this is the variant to run: a pathological near-dup
+# CHAIN costs propagation one shuffle round per hop, while star contraction
+# halves the graph's height every other round.
+# ---------------------------------------------------------------------------
+@_register(
+    "d9_neardup_components_bigstar",
+    ORACLES["d8_neardup_components"],  # same clustering contract, same oracle
+)
+def d9_neardup_components_bigstar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tts_etl_pipeline_spark.functions.graph import connected_components
+
+    pairs = _jaccard_pairs(spark, sf_dir).select("id_a", "id_b")
+    edges = pairs.selectExpr("id_a AS src", "id_b AS dst")
+    return connected_components(edges).select(
+        F.col("node").alias("doc_id"), F.col("label").alias("component")
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# d10 — INCREMENTAL dedup, the most common production shape: dedup a new
+# batch against an existing corpus (not the corpus against itself). A
+# mergeable Bloom filter over the corpus fingerprints (functions/bloom.py;
+# built distributed, kilobytes broadcast) routes the batch: rows the bloom
+# says are ABSENT are definitely new (no false negatives) and skip the
+# anti-join entirely; only the maybe-duplicates — a sliver of an
+# incremental batch — reach the exact anti-join, which removes the bloom's
+# false positives. Output is therefore bit-identical to the plain anti-join
+# the oracle runs; at 100 TB the bloom turns "shuffle the whole batch
+# against the corpus key set" into "shuffle only the suspected dups".
+# ---------------------------------------------------------------------------
+@_register(
+    "d10_incremental_dedup",
+    """
+    SELECT b.doc_id, b.lang, b.n_chars
+    FROM documents b
+    WHERE b.doc_id % 5 = 0
+      AND NOT EXISTS (
+        SELECT 1 FROM documents c
+        WHERE c.doc_id % 5 <> 0
+          AND md5(lower(trim(c.text))) = md5(lower(trim(b.text)))
+      )
+    ORDER BY b.doc_id
+    """,
+)
+def d10_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from tts_etl_pipeline_spark.functions.bloom import BloomFilter
+
+    docs = table(spark, sf_dir, "documents")
+    fp = F.md5(F.lower(F.trim("text")))
+    # the standing corpus vs. the incoming increment (deterministic split so
+    # the oracle can reproduce it; in production these are two tables)
+    corpus_fps = docs.filter(F.col("doc_id") % 5 != 0).select(fp.alias("fp"))
+    batch = docs.filter(F.col("doc_id") % 5 == 0).select(
+        "doc_id", "lang", "n_chars", fp.alias("fp")
+    )
+
+    # distributed bloom build: one partial filter per partition, OR-merged —
+    # fixed KBs per partition regardless of corpus size (cms.py pattern)
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bf = BloomFilter()
+        seen = False
+        for pdf in batches:
+            seen = True
+            for v in pdf["fp"]:
+                if v is not None:
+                    bf.add(str(v))
+        if seen:
+            yield pd.DataFrame({"bloom": [bf.to_bytes()]})
+
+    merged = BloomFilter()
+    for row in corpus_fps.mapInPandas(partial, "bloom binary").collect():
+        merged = merged.merge(BloomFilter.from_bytes(bytes(row["bloom"])))
+    bc = spark.sparkContext.broadcast(merged.to_bytes())
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bf = BloomFilter.from_bytes(bc.value)
+        for pdf in batches:
+            pdf = pdf.copy()
+            # NULL fingerprint (NULL text): "maybe" — routed to the exact
+            # join, where NULL never equals and the row survives as new,
+            # matching the oracle's NOT EXISTS semantics
+            pdf["maybe_dup"] = [
+                True if v is None else bf.might_contain(str(v)) for v in pdf["fp"]
+            ]
+            yield pdf
+
+    routed = materialize(
+        batch.mapInPandas(
+            probe, "doc_id bigint, lang string, n_chars bigint, fp string, maybe_dup boolean"
+        )
+    )
+    definitely_new = routed.filter(~F.col("maybe_dup"))
+    survivors = routed.filter(F.col("maybe_dup")).join(corpus_fps, "fp", "left_anti")
+    return (
+        definitely_new.select("doc_id", "lang", "n_chars")
+        .unionAll(survivors.select("doc_id", "lang", "n_chars"))
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # d4 — 3-gram (character-shingle) containment dedup on a sampled slice:
 # shingles via a self-expressible substring sequence. Demonstrates shingle
 # construction relationally (sequence + transform), oracle-checkable.
