@@ -336,3 +336,119 @@ def dq2_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("col")
     )
+
+# ---------------------------------------------------------------------------
+# c6 — the corpus-curation FUNNEL, end to end in one query: the pass every
+# LLM training-data pipeline runs over raw documents before anything else.
+#   raw docs -> quality gate (token count, stopword ratio, lexical
+#   diversity — t3's scoring turned into a filter) -> exact dedup
+#   (md5-of-normalized-text fingerprint, keep lowest doc_id — d1/d7's
+#   machinery) -> per-language funnel report.
+# Mirrors the reference's cost discipline (cheap filters before expensive
+# stages, process_audio.py:406-415 order / README.md:33) applied to text.
+#
+# Scale shape: ONE scan of documents projected to a ~50-byte row
+# (lang, n_chars, fingerprint, quality flag), materialized once
+# (functions/checkpoints.py), then two branches: a 5-key language rollup
+# (broadcast-sized) and the fingerprint groupBy — the same single
+# hash-partitioned shuffle as exact dedup, partial-aggregated map-side.
+# The two per-language aggregates join broadcast. At 100 TB the only real
+# shuffle is the fingerprint one, which is the irreducible cost of exact
+# dedup itself.
+#
+# Exactness: counts are COUNT (never DuckDB's HUGEINT-producing SUM over
+# ints), kept_chars is CAST(SUM(...) AS BIGINT) on both sides, ratio
+# comparisons are double-vs-double with identical operand derivations, and
+# the dedup representative is min(doc_id) — unique, so no tie ambiguity.
+# ---------------------------------------------------------------------------
+_C6_SW = "', '".join(["the", "a", "of", "and", "to", "in", "is", "it"])
+
+
+@_register(
+    "c6_corpus_curation_funnel",
+    f"""
+    WITH scored AS (
+      SELECT doc_id, lang, n_chars,
+             md5(lower(trim(coalesce(text, '')))) AS fp,
+             len(toks) AS n_tokens,
+             CAST(len(list_filter(toks, t -> list_contains(['{_C6_SW}'], t))) AS DOUBLE)
+               / len(toks) AS swr,
+             CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS lexdiv
+      FROM (SELECT *, string_split(lower(trim(coalesce(text, ''))), ' ') AS toks
+            FROM documents) base
+    ),
+    gated AS (
+      SELECT *,
+             (n_tokens BETWEEN 25 AND 90 AND swr <= 0.18 AND lexdiv >= 0.45) AS ok
+      FROM scored
+    ),
+    totals AS (
+      SELECT lang,
+             COUNT(*) AS n_docs,
+             COUNT(*) FILTER (WHERE ok) AS n_quality
+      FROM gated GROUP BY lang
+    ),
+    reps AS (
+      SELECT fp, arg_min(lang, doc_id) AS lang, arg_min(n_chars, doc_id) AS n_chars
+      FROM gated WHERE ok GROUP BY fp
+    ),
+    kept AS (
+      SELECT lang, COUNT(*) AS n_kept, CAST(SUM(n_chars) AS BIGINT) AS kept_chars
+      FROM reps GROUP BY lang
+    )
+    SELECT t.lang, t.n_docs, t.n_quality,
+           COALESCE(k.n_kept, 0) AS n_kept,
+           COALESCE(k.kept_chars, 0) AS kept_chars
+    FROM totals t LEFT JOIN kept k USING (lang)
+    ORDER BY t.lang
+    """,
+)
+def c6_corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tts_etl_pipeline_spark.functions.checkpoints import materialize
+    from tts_etl_pipeline_spark.operators.textstats import STOPWORDS
+
+    docs = table(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.coalesce("text", F.lit(""))))
+    toks = F.split(norm, " ")
+    sw = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_tokens = F.size(toks).cast("bigint")
+    swr = F.size(F.filter(toks, lambda t: F.array_contains(sw, t))).cast("double") / n_tokens
+    lexdiv = F.size(F.array_distinct(toks)).cast("double") / n_tokens
+    ok = n_tokens.between(25, 90) & (swr <= 0.18) & (lexdiv >= 0.45)
+
+    # one scan of documents, narrow projection, materialized once; both
+    # funnel branches below read this — never the parquet again
+    per_doc = materialize(
+        docs.select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.md5(norm).alias("fp"),
+            ok.alias("ok"),
+        )
+    )
+    totals = per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(F.col("ok"), F.lit(1))).alias("n_quality"),
+    )
+    kept = (
+        per_doc.filter("ok")
+        .groupBy("fp")
+        .agg(F.min_by(F.struct("lang", "n_chars"), "doc_id").alias("rep"))
+        .groupBy(F.col("rep.lang").alias("lang"))
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("rep.n_chars").alias("kept_chars"),
+        )
+    )
+    return (
+        totals.join(F.broadcast(kept), "lang", "left")
+        .select(
+            "lang",
+            "n_docs",
+            "n_quality",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("kept_chars", F.lit(0)).alias("kept_chars"),
+        )
+        .orderBy("lang")
+    )
