@@ -10,28 +10,30 @@ from pyspark.sql import functions as F
 
 from tts_etl_pipeline_spark.functions.skew import salted_join
 from tts_etl_pipeline_spark.plans.inspect import count_shuffles, physical_plan
+from tts_etl_pipeline_spark.sources.bucketing import (
+    drop_bucketed,
+    read_bucketed,
+    write_bucketed,
+)
 from tts_etl_pipeline_spark.sources.tables import table
 
 
 def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
     """Pre-bucketing both sides on the join key makes the join read
     co-located buckets — zero Exchange nodes at query time. This is the
-    at-rest layout a 100 TB deployment uses for its hottest join."""
+    at-rest layout a 100 TB deployment uses for its hottest join.
+    Goes through sources/bucketing.py, the library surface for the pattern."""
     # spark.sql.warehouse.dir is a static conf — bucketed tables land in the
     # session's default ./spark-warehouse (gitignored) and are dropped below
     li = table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_quantity", "l_extendedprice"
     )
     orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
-    li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode("overwrite").saveAsTable(
-        "li_bucketed"
-    )
-    orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode(
-        "overwrite"
-    ).saveAsTable("orders_bucketed")
+    write_bucketed(li, "li_bucketed", ["l_orderkey"], 8)
+    write_bucketed(orders, "orders_bucketed", ["o_orderkey"], 8)
 
-    lb = spark.table("li_bucketed")
-    ob = spark.table("orders_bucketed")
+    lb = read_bucketed(spark, "li_bucketed")
+    ob = read_bucketed(spark, "orders_bucketed")
     # disable broadcast so the join strategy decision is about shuffles
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
@@ -46,8 +48,14 @@ def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
         assert joined.collect()[0]["count"] == expected
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        spark.sql("DROP TABLE IF EXISTS li_bucketed")
-        spark.sql("DROP TABLE IF EXISTS orders_bucketed")
+        drop_bucketed(spark, "li_bucketed")
+        drop_bucketed(spark, "orders_bucketed")
+
+
+def test_write_bucketed_rejects_bad_bucket_count(spark):
+    df = spark.range(3)
+    with pytest.raises(ValueError):
+        write_bucketed(df, "never_written", ["id"], 0)
 
 
 def test_salted_join_matches_unsalted(spark, sf_dir):
