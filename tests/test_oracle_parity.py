@@ -33,7 +33,6 @@ SCAN_ALLOWANCE = {
     ("s4_full_outer_reconcile", "orders"): 2,     # disjoint date slices
     ("v1_topk_cosine_exact", "embeddings"): 2,    # 5-row query side vs corpus
     ("v2_embedding_neardup_pairs", "embeddings"): 2,
-    ("v3_ivf_ann_topk", "embeddings"): 3,         # centroids + assign + probe
     ("v4_lsh_ann_topk", "embeddings"): 2,
     ("dq1_referential_integrity", "orders"): 2,   # child AND parent role
     ("dq1_referential_integrity", "customer"): 2,

@@ -4,9 +4,11 @@
   dot/norm via higher-order functions (JVM-side, no Python), rank per query.
   At 100 TB the corpus side stays partitioned; only queries broadcast.
 - embedding-cosine near-dup pairs: same kernel, threshold instead of top-k.
-- IVF-style ANN: coarse quantization by nearest label centroid, probe only
-  matching cells (rows-only check — recall-dependent).
-- BucketedRandomProjectionLSH ANN (pyspark.ml): rows-only check.
+- IVF ANN: KMeans-learned coarse quantizer, multi-probe search of the
+  nearest cells (rows-only driver check; recall floor pinned in
+  tests/test_ann_recall.py).
+- BucketedRandomProjectionLSH ANN (pyspark.ml): rows-only check, same
+  recall-floor treatment.
 
 The dot product uses F.aggregate over zip_with in BOTH engines' formulation
 (DuckDB: list_dot_product) — float arrays are cast to double element-wise
@@ -170,57 +172,81 @@ def v2_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# v3 — IVF-style ANN: build label centroids (coarse quantizer), assign each
-# query to its nearest centroid, then search only that cell. Approximate
-# (recall < 1) => rows-only check. At 100 TB: centroids broadcast, corpus
-# pre-partitioned by cell — each query touches 1/nlist of the data.
+# v3 — IVF ANN done properly: KMeans-LEARNED centroids (coarse quantizer)
+# with MULTI-PROBE search. The r2 version quantized by the `label` column,
+# which is uncorrelated with embedding geometry — measured recall@10 was
+# 0.12, barely above the 1/n_cells random floor. Learned centroids + 3-cell
+# probing lifts recall to the level tests/test_ann_recall.py pins, while
+# still touching only nprobe/n_cells of the corpus per query.
+# Approximate (recall < 1) => rows-only driver check; the recall floor is
+# the pytest-side guarantee.
+# At 100 TB: fit KMeans on a hash-sample (centroids are k x dim floats —
+# kilobytes), broadcast them, partition/bucket the corpus BY cell so a
+# probe reads only its cells' files, and batch queries per cell.
 # ---------------------------------------------------------------------------
+N_CELLS = 16
+N_PROBE = 3
+
+
 @_register("v3_ivf_ann_topk", None)
 def v3_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
     from pyspark.sql.window import Window as W
 
+    from tts_etl_pipeline_spark.functions.checkpoints import materialize
+
     emb = table(spark, sf_dir, "embeddings")
-    dim = 64
-    # centroids: element-wise mean per label via posexplode + groupBy
-    exploded = emb.select("label", F.posexplode("embedding").alias("pos", "val"))
-    centroids = (
-        exploded.groupBy("label", "pos")
-        .agg(F.avg(F.col("val").cast("double")).alias("c"))
-        .groupBy("label")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
-        .select(
-            F.col("label").alias("cell"),
-            F.expr("transform(pc, x -> x.c)").alias("centroid"),
+    feats = emb.select(
+        "vec_id",
+        "embedding",
+        array_to_vector(F.expr("transform(embedding, x -> cast(x as double))")).alias(
+            "features"
+        ),
+    )
+    # coarse quantizer: k centroids learned from the data (seeded — the
+    # whole query is deterministic). In production fit on a hash-sample.
+    model = KMeans(
+        k=N_CELLS, seed=42, featuresCol="features", predictionCol="cell"
+    ).fit(feats)
+    # one materialized corpus-with-cells table feeds both the probe join
+    # and (in production) the bucket-by-cell layout
+    corpus = materialize(
+        model.transform(feats).select(
+            F.col("vec_id").alias("n_id"),
+            F.col("embedding").alias("n_emb"),
+            "cell",
         )
     )
-    q = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    # centroids: k x dim doubles — driver-side tiny, broadcast back
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cell int, centroid array<double>",
     )
-    # assign query -> nearest centroid (broadcast both; tiny)
-    qc = (
-        q.join(F.broadcast(centroids))
-        .withColumn(
-            "dist2",
-            F.aggregate(
-                F.zip_with(
-                    F.col("q_emb"),
-                    F.col("centroid"),
-                    lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
+    q = corpus.filter(F.col("n_id") < N_QUERY_VECS).select(
+        F.col("n_id").alias("q_id"), F.col("n_emb").alias("q_emb")
+    )
+    # multi-probe: each query searches its N_PROBE nearest cells
+    qc = q.join(F.broadcast(centroids)).withColumn(
+        "dist2",
+        F.aggregate(
+            F.zip_with(
+                F.col("q_emb"),
+                F.col("centroid"),
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
             ),
-        )
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
     )
     wq = W.partitionBy("q_id").orderBy("dist2", "cell")
-    assigned = qc.withColumn("rn", F.row_number().over(wq)).filter(F.col("rn") == 1).select(
-        "q_id", "q_emb", "cell"
-    )
-    corpus = emb.select(
-        F.col("vec_id").alias("n_id"), F.col("label").alias("cell"), F.col("embedding").alias("n_emb")
+    probes = (
+        qc.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= N_PROBE)
+        .select("q_id", "q_emb", "cell")
     )
     scored = (
-        corpus.join(F.broadcast(assigned), "cell")
+        corpus.join(F.broadcast(probes), "cell")
         .filter(F.col("n_id") != F.col("q_id"))
         .select(
             "q_id",
