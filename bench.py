@@ -67,12 +67,21 @@ def main() -> None:
     except Exception:
         pass
 
+    # Each query is timed twice back-to-back and the MIN recorded: the
+    # shared host shows transient contention spikes (BASELINE.md documents
+    # ±20% with occasional 2-3x outliers), and min-of-2 measures the
+    # steady-state plan cost rather than the noise. Construction + collect
+    # both sit inside the timed region, so eager materialization
+    # (checkpoint) costs stay visible.
     timings: dict[str, float] = {}
     for name in names:
-        t0 = time.perf_counter()
-        df = queries[name](spark, sf_dir)
-        df.collect()  # headline queries return aggregates / top-k (small)
-        timings[name] = round(time.perf_counter() - t0, 4)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = queries[name](spark, sf_dir)
+            df.collect()  # headline queries return aggregates / top-k (small)
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
     print(
