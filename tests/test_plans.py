@@ -171,3 +171,30 @@ def test_no_duplicate_fact_scans(spark, sf_dir):
 
     assert scans_by_table(s5_bag_semantics(spark, sf_dir)).get("lineitem", 0) == 0
     assert scans_by_table(h1_time_rollup_hierarchy(spark, sf_dir)).get("events", 0) == 0
+
+
+def test_c6_single_scan_broadcast_report_join(spark, sf_dir):
+    """c6's funnel: documents scanned zero times in the final plan (the
+    narrow per-doc projection is checkpointed), the per-language report
+    join is broadcast, and no Window appears anywhere — the only heavy
+    shuffle is the fingerprint groupBy."""
+    from tts_etl_pipeline_spark.operators.curation import c6_corpus_curation_funnel
+    from tts_etl_pipeline_spark.plans.inspect import scans_by_table
+
+    df = c6_corpus_curation_funnel(spark, sf_dir)
+    plan = physical_plan(df)
+    assert scans_by_table(df).get("documents", 0) == 0
+    assert has_broadcast_join(df)
+    assert "Window" not in plan
+
+
+def test_v3_probe_join_broadcasts_queries(spark, sf_dir):
+    """IVF probe: the corpus-with-cells side stays partitioned; only the
+    (query x probed-cell) side — N_QUERY_VECS x N_PROBE rows — broadcasts."""
+    from tts_etl_pipeline_spark.operators.similarity import v3_ivf_ann_topk
+
+    df = v3_ivf_ann_topk(spark, sf_dir)
+    assert has_broadcast_join(df)
+    # final ranking window partitions by q_id — no unpartitioned window
+    assert "Window" in physical_plan(df)
+    assert "No Partition Defined" not in physical_plan(df)
