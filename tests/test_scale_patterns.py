@@ -218,3 +218,38 @@ def test_bigstar_components_match_propagation(spark):
     edges = [e for e in edges if e[0] != e[1]]
     lsss, prop = both(edges)
     assert lsss == prop and len(lsss) > 0
+
+
+def test_bigstar_components_5k_node_stress(spark):
+    """graph.py vs a driver-side union-find oracle on a 5,000-node random
+    graph (~6,000 edges => many nontrivial components): the O(log n)
+    round bound must hold far beyond the toy sizes of the equivalence
+    test, and labels must be exactly the component minimum."""
+    import random
+
+    from tts_etl_pipeline_spark.functions.graph import connected_components
+
+    rng = random.Random(7)
+    n = 5000
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(6000)]
+    edges = [e for e in edges if e[0] != e[1]]
+
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    touched = {v for e in edges for v in e}
+    expected = {v: find(v) for v in sorted(touched)}
+    # union-find roots path-compress toward the minimum because we always
+    # parent the larger root under the smaller — find(v) IS the comp min
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["label"] for r in connected_components(df).collect()}
+    assert got == expected
