@@ -48,6 +48,10 @@ HEADLINE = [
     "g6_stat_moments",
     "e5_cohort_retention",
     "h1_time_rollup_hierarchy",
+    # r3 additions — new shapes: checkpointed funnel fan-out; bloom-routed
+    # incremental anti-join (BASELINE.md "round 3" note has their costs)
+    "c6_corpus_curation_funnel",
+    "d10_incremental_dedup",
 ]
 
 
