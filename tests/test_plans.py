@@ -198,3 +198,17 @@ def test_v3_probe_join_broadcasts_queries(spark, sf_dir):
     # final ranking window partitions by q_id — no unpartitioned window
     assert "Window" in physical_plan(df)
     assert "No Partition Defined" not in physical_plan(df)
+
+
+def test_e6_one_fact_shuffle_shared_sort(spark, sf_dir):
+    """The funnel's three stacked windows + per-user groupBy must ride ONE
+    user_id Exchange (the groupBy reuses the window partitioning); the only
+    other Exchange is the 1-row global rollup."""
+    from tts_etl_pipeline_spark.operators.events import e6_conversion_funnel
+    from tts_etl_pipeline_spark.plans.inspect import scans_by_table
+
+    df = e6_conversion_funnel(spark, sf_dir)
+    plan = physical_plan(df)
+    assert scans_by_table(df).get("events", 0) == 1
+    assert count_shuffles(df) == 2, plan
+    assert "No Partition Defined" not in plan

@@ -309,3 +309,84 @@ def h1_time_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(labeled(day, "day"))
         .orderBy("grain", "bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# e6 — ordered conversion funnel with first-touch semantics: a user converts
+# at stage N only via an event STRICTLY AFTER their stage-N-1 conversion
+# (view -> first click after first view -> first purchase after that
+# click). The "min-after-min" dependency chain is computed with three
+# stacked UNORDERED windows over the same user_id partitioning — ONE
+# shuffle total, no sorts (no ORDER BY in any window frame), then the
+# per-user grain reuses that partitioning for its groupBy before a 1-row
+# global rollup. At 100 TB: events shuffle once on user_id and everything
+# else is map-side; no sort, no join, no second scan.
+# ---------------------------------------------------------------------------
+@_register(
+    "e6_conversion_funnel",
+    """
+    WITH fv AS (
+      SELECT user_id,
+             MIN(ts) FILTER (WHERE event_type = 'view') AS fv
+      FROM events GROUP BY user_id
+    ),
+    fc AS (
+      SELECT e.user_id, f.fv,
+             MIN(e.ts) FILTER (WHERE e.event_type = 'click' AND e.ts > f.fv
+                               AND e.ts <= f.fv + INTERVAL 1 DAY) AS fc
+      FROM events e JOIN fv f USING (user_id) GROUP BY e.user_id, f.fv
+    ),
+    fp AS (
+      SELECT c.user_id, c.fv, c.fc,
+             MIN(e.ts) FILTER (WHERE e.event_type = 'purchase' AND e.ts > c.fc
+                               AND e.ts <= c.fc + INTERVAL 7 DAY) AS fp
+      FROM events e JOIN fc c USING (user_id) GROUP BY c.user_id, c.fv, c.fc
+    )
+    SELECT COUNT(*) AS n_users,
+           COUNT(fv) AS n_viewed,
+           COUNT(fc) AS n_clicked_after_view,
+           COUNT(fp) AS n_purchased_after_click
+    FROM fp
+    """,
+)
+def e6_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    ev = table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    w = W.partitionBy("user_id")
+    staged = (
+        ev.withColumn(
+            "fv", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+        )
+        .withColumn(
+            "fc",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("ts") > F.col("fv"))
+                    & (F.col("ts") <= F.col("fv") + F.expr("INTERVAL 1 DAY")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "fp",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("fc"))
+                    & (F.col("ts") <= F.col("fc") + F.expr("INTERVAL 7 DAY")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.max("fv").alias("fv"), F.max("fc").alias("fc"), F.max("fp").alias("fp")
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("fv").alias("n_viewed"),
+        F.count("fc").alias("n_clicked_after_view"),
+        F.count("fp").alias("n_purchased_after_click"),
+    )
