@@ -11,7 +11,10 @@ Measured at sf0.001 (2026-08-13, pyspark 4.1.2):
   v3 KMeans-IVF multi-probe (3/16 cells ~ 19% of corpus): recall@10 = 0.44
      (the r2 label-quantized version measured 0.12 — the random floor);
   v4 BRP-LSH radius join: recall(r<=10) = 0.935;
-  d5 MinHash-LSH: recall(jaccard>=0.6) = 0.970;
+  d5 MinHash-LSH at the 0.2-distance production threshold:
+     recall(jaccard>=0.8) ~ 1.0 (OR-amplified, catches everything; its cost
+     is the candidate blowup d11's AND-amplified banding fixes);
+  d11 banded MinHash: recall(j>=0.9) = 0.897, zero false positives;
   d6 SimHash: recall(tf-cosine>=0.95) = 0.964.
 
 d6's ground truth is TF-COSINE, not set-Jaccard, and the distinction is
@@ -96,6 +99,38 @@ def test_simhash_recall_floor_tf_cosine(spark, sf_dir):
     assert recall >= 0.85, f"SimHash recall(cos>=0.95) collapsed to {recall:.2f}"
 
 
+def test_banded_minhash_recall_and_exactness(spark, sf_dir):
+    """d11 (AND-amplified b=4 x r=8 banding, exact-verified candidates):
+    zero false positives BY CONSTRUCTION (every output pair carries its
+    exact token-set Jaccard >= 0.8), and recall vs clearly-above-threshold
+    ground truth (j >= 0.9) must clear the banding S-curve's theoretical
+    ~0.90 with margin. Measured 0.897 at sf0.001; at the 0.8 boundary
+    itself the S-curve gives ~0.74 — that tail is the designed trade."""
+    from tts_etl_pipeline_spark.operators.dedup import d11_banded_minhash_neardup
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", F.lower(F.trim("text")).alias("t"))
+        .collect()
+    )
+    toks = {r.doc_id: set((r.t or "").split()) for r in docs}
+    rows = d11_banded_minhash_neardup(spark, sf_dir).collect()
+    for r in rows:  # exact-verification invariant
+        sa, sb = toks[r.id_a], toks[r.id_b]
+        exact = len(sa & sb) / len(sa | sb)
+        assert abs(exact - r.jaccard) < 1e-9 and exact >= 0.8
+    got = {(r.id_a, r.id_b) for r in rows}
+    ids = sorted(toks)
+    truth = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            sa, sb = toks[a], toks[b]
+            if (sa or sb) and len(sa & sb) / len(sa | sb) >= 0.9:
+                truth.add((a, b))
+    recall = len(truth & got) / max(len(truth), 1)
+    assert recall >= 0.80, f"banded MinHash recall(j>=0.9) collapsed to {recall:.2f}"
+
+
 def test_minhash_lsh_recall_floor(spark, sf_dir):
     docs = (
         table(spark, sf_dir, "documents")
@@ -108,8 +143,8 @@ def test_minhash_lsh_recall_floor(spark, sf_dir):
     for i, a in enumerate(ids):
         for b in ids[i + 1 :]:
             sa, sb = toks[a], toks[b]
-            if (sa or sb) and len(sa & sb) / len(sa | sb) >= 0.6:
+            if (sa or sb) and len(sa & sb) / len(sa | sb) >= 0.8:
                 truth.add((a, b))
     got = {(r.id_a, r.id_b) for r in d5_minhash_lsh_neardup(spark, sf_dir).collect()}
     recall = len(truth & got) / max(len(truth), 1)
-    assert recall >= 0.90, f"MinHash-LSH recall(j>=0.6) collapsed to {recall:.2f}"
+    assert recall >= 0.90, f"MinHash-LSH recall(j>=0.8) collapsed to {recall:.2f}"

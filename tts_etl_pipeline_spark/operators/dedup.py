@@ -434,9 +434,14 @@ def d4_char_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # d5 — MinHash-LSH near-dedup (approximate; rows-only check). Shingle ->
-# HashingTF sparse vector -> MinHashLSH approxSimilarityJoin. The banding/
-# bucketing inside MinHashLSH is the 100 TB path: candidate pairs come from
-# band-bucket joins, never an all-pairs comparison.
+# HashingTF sparse vector -> MinHashLSH approxSimilarityJoin at the
+# production near-dup threshold (jaccard distance <= 0.2, i.e. sim >= 0.8 —
+# the Lee-et-al dedup operating point). pyspark.ml's LSH is OR-amplified
+# (a pair is a candidate if ANY of the 8 tables collides), so on a highly
+# self-similar corpus the candidate set grows toward quadratic — the r3
+# sf0.1 sweep measured the old 0.4-distance setting at 6.9M output pairs /
+# 32 min. The 0.2 threshold matches practice and halves the work, but the
+# structural fix is AND-amplified banding — see d11, the scale path.
 # ---------------------------------------------------------------------------
 @_register("d5_minhash_lsh_neardup", None)  # hash-family dependent => rows-only
 def d5_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -453,7 +458,7 @@ def d5_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
     model = lsh.fit(feats)
-    pairs = model.approxSimilarityJoin(feats, feats, 0.4, distCol="jaccard_dist")
+    pairs = model.approxSimilarityJoin(feats, feats, 0.2, distCol="jaccard_dist")
     return (
         pairs.select(
             F.col("datasetA.doc_id").alias("id_a"),
@@ -461,6 +466,80 @@ def d5_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("jaccard_dist"),
         )
         .filter(F.col("id_a") < F.col("id_b"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# d11 — banded MinHash near-dedup, the 100 TB-correct LSH: 32 xxhash64
+# minhashes per document grouped into 4 bands of 8, AND-amplified — a pair
+# becomes a candidate only when ALL 8 hashes of some band agree, so
+# P(candidate | sim s) = 1-(1-s^8)^4: ~0.07 at s=0.6, ~0.52 at s=0.8,
+# ~0.90 at s=0.9. Moderately-similar bulk pairs (the quadratic mass that
+# drowns OR-amplified LSH on self-similar corpora, see d5) never become
+# candidates; the true near-dups do. Candidates are then verified with the
+# EXACT token-set Jaccard (array_intersect on collected sets — candidate-
+# sized work, not corpus-squared), keeping only sim >= 0.8 with the exact
+# value in the output. Rows-only for the driver (banding is recall<1 by
+# design at the threshold boundary); the recall floor is pinned vs
+# exact-Jaccard ground truth in tests/test_ann_recall.py.
+# Plan shape: one documents scan (tokens materialized), one signature
+# groupBy, 4 band self-joins keyed by 64-bit band hash, candidate-keyed
+# verification joins. No all-pairs stage anywhere.
+# ---------------------------------------------------------------------------
+_D11_BANDS = 4
+_D11_ROWS_PER_BAND = 8
+_D11_SIM = 0.8
+
+
+@_register("d11_banded_minhash_neardup", None)  # hash-family => rows-only
+def d11_banded_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.split(F.lower(F.trim(F.coalesce("text", F.lit("")))), " ")
+            )
+        ).alias("token"),
+    )
+    k = _D11_BANDS * _D11_ROWS_PER_BAND
+    # k independent minhashes: min over the doc's tokens of a seeded
+    # xxhash64; one groupBy computes the whole signature
+    sig = tok.groupBy("doc_id").agg(
+        *[F.min(F.xxhash64(F.lit(i), "token")).alias(f"h{i}") for i in range(k)],
+        F.collect_set("token").alias("toks"),
+    )
+    # band key = hash of the band's 8 minhashes (AND-amplification)
+    banded = materialize(
+        sig.select(
+            "doc_id",
+            "toks",
+            *[
+                F.xxhash64(
+                    *[F.col(f"h{b * _D11_ROWS_PER_BAND + j}") for j in range(_D11_ROWS_PER_BAND)]
+                ).alias(f"band{b}")
+                for b in range(_D11_BANDS)
+            ],
+        )
+    )
+    cands = None
+    for b in range(_D11_BANDS):
+        l = banded.select(F.col("doc_id").alias("id_a"), F.col(f"band{b}").alias("bk"))
+        r = banded.select(F.col("doc_id").alias("id_b"), F.col(f"band{b}").alias("bk"))
+        c = l.join(r, "bk").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
+        cands = c if cands is None else cands.unionAll(c)
+    cands = cands.distinct()
+    # exact verification on the candidate set only
+    sa = banded.select(F.col("doc_id").alias("id_a"), F.col("toks").alias("toks_a"))
+    sb = banded.select(F.col("doc_id").alias("id_b"), F.col("toks").alias("toks_b"))
+    inter = F.size(F.array_intersect("toks_a", "toks_b")).cast("double")
+    union = (F.size("toks_a") + F.size("toks_b")).cast("double") - inter
+    return (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", F.round(inter / union, 9).alias("jaccard"))
+        .filter(F.col("jaccard") >= _D11_SIM)
         .orderBy("id_a", "id_b")
     )
 
