@@ -253,3 +253,29 @@ def test_bigstar_components_5k_node_stress(spark):
     df = spark.createDataFrame(edges, "src long, dst long")
     got = {r["node"]: r["label"] for r in connected_components(df).collect()}
     assert got == expected
+
+
+def test_bucket_pruning_reads_one_bucket(spark, sf_dir):
+    """A point filter on the bucket column must prune the scan to the one
+    matching bucket (SelectedBucketsCount 1 of 8) — at 100 TB that's a
+    key-lookup reading 1/8 of the files with zero index structures.
+    autoBucketedScan is disabled for the check because the planner turns
+    bucketed scans off when nothing downstream consumes the distribution —
+    pruning itself is what we assert."""
+    from tts_etl_pipeline_spark.sources.bucketing import (
+        drop_bucketed,
+        read_bucketed,
+        write_bucketed,
+    )
+
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    write_bucketed(orders, "orders_bp", ["o_orderkey"], 8)
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try:
+        b = read_bucketed(spark, "orders_bp").filter(F.col("o_orderkey") == 7)
+        plan = physical_plan(b)
+        assert "SelectedBucketsCount: 1 out of 8" in plan, plan
+        assert b.count() == orders.filter(F.col("o_orderkey") == 7).count()
+    finally:
+        spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
+        drop_bucketed(spark, "orders_bp")
