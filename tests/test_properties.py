@@ -114,3 +114,66 @@ import pytest  # noqa: E402
 @pytest.fixture(scope="session")
 def spark_module(spark):
     return spark
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter invariants (functions/bloom.py): membership is NEVER lost —
+# not by any add order, not by serialization, not by merging — and merge is
+# a homomorphism (merge(build(A), build(B)) == build(A | B) bit-for-bit).
+# These are the properties d10's correctness proof rests on.
+# ---------------------------------------------------------------------------
+@given(
+    st.lists(st.text(min_size=0, max_size=30), max_size=80),
+    st.lists(st.text(min_size=0, max_size=30), max_size=80),
+)
+@settings(max_examples=100, deadline=None)
+def test_bloom_membership_and_merge_homomorphism(xs, ys):
+    from tts_etl_pipeline_spark.functions.bloom import BloomFilter
+
+    a, b, whole = (BloomFilter(n_items=1000) for _ in range(3))
+    for x in xs:
+        a.add(x)
+        whole.add(x)
+    for y in ys:
+        b.add(y)
+        whole.add(y)
+    merged = BloomFilter.from_bytes(a.merge(b).to_bytes(), n_items=1000)
+    assert (merged.bits == whole.bits).all()
+    assert all(merged.might_contain(v) for v in xs + ys)
+
+
+# ---------------------------------------------------------------------------
+# Connected components vs a union-find oracle on arbitrary random graphs —
+# the hypothesis twin of the 5k-node stress test (smaller graphs, many
+# shapes: self-loops, duplicate edges, both orientations, isolated from the
+# edge-incident contract's perspective).
+# ---------------------------------------------------------------------------
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 25), st.integers(0, 25)), min_size=1, max_size=60
+    )
+)
+@settings(max_examples=12, deadline=None)
+def test_bigstar_components_match_union_find(spark_module, edges):
+    from tts_etl_pipeline_spark.functions.graph import connected_components
+
+    real = [e for e in edges if e[0] != e[1]]
+    if not real:
+        return
+    parent = list(range(26))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in real:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    touched = {v for e in real for v in e}
+    expected = {v: find(v) for v in touched}
+    df = spark_module.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["label"] for r in connected_components(df).collect()}
+    assert got == expected
