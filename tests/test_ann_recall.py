@@ -131,6 +131,45 @@ def test_banded_minhash_recall_and_exactness(spark, sf_dir):
     assert recall >= 0.80, f"banded MinHash recall(j>=0.9) collapsed to {recall:.2f}"
 
 
+def test_dedup_e2e_agreement_floor(spark, sf_dir):
+    """d12 (banded pairs -> large-star components -> keep-min) vs the EXACT
+    pipeline (exact j>=0.8 pairs -> union-find -> keep-min): per-document
+    keep/drop agreement must stay high. Banding misses boundary pairs
+    (recall ~0.74 at j=0.8), but a missed edge only changes the verdict
+    when it was the sole bridge between clusters — measured agreement
+    0.982 at sf0.001."""
+    from tts_etl_pipeline_spark.operators.dedup import d12_neardup_dedup_e2e
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", F.lower(F.trim("text")).alias("t"))
+        .collect()
+    )
+    toks = {r.doc_id: set((r.t or "").split()) for r in docs}
+    ids = sorted(toks)
+    parent = {d: d for d in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            sa, sb = toks[a], toks[b]
+            if (sa or sb) and len(sa & sb) / len(sa | sb) >= 0.8:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    exact_kept = {d for d in ids if find(d) == d}
+    rows = d12_neardup_dedup_e2e(spark, sf_dir).collect()
+    assert len(rows) == len(ids)  # one verdict per document
+    got_kept = {r.doc_id for r in rows if r.is_kept}
+    agree = sum((d in exact_kept) == (d in got_kept) for d in ids) / len(ids)
+    assert agree >= 0.95, f"dedup-e2e agreement collapsed to {agree:.3f}"
+
+
 def test_minhash_lsh_recall_floor(spark, sf_dir):
     docs = (
         table(spark, sf_dir, "documents")

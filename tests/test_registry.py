@@ -21,6 +21,7 @@ def test_registry_importable_and_consistent():
     assert rows_only == {
         "d5_minhash_lsh_neardup",
         "d11_banded_minhash_neardup",
+        "d12_neardup_dedup_e2e",
         "d6_simhash_neardup",
         "v3_ivf_ann_topk",
         "v4_lsh_ann_topk",

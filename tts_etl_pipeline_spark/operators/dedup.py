@@ -646,3 +646,38 @@ def d7_dedup_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# d12 — the COMPLETE near-dup dedup pipeline in one query, composed from
+# the three scale primitives: banded-MinHash candidate pairs (d11) ->
+# large-star/small-star connected components (functions/graph.py) ->
+# keep-lowest-doc_id representative per cluster. Output is the per-document
+# verdict every LLM corpus build ships: (doc_id, cluster, is_kept).
+# Docs in no near-dup pair form singleton clusters and keep themselves.
+# Rows-only for the driver (banding recall < 1); the agreement floor vs the
+# exact pipeline (exact j>=0.8 pairs -> union-find -> same keep rule) is
+# pinned in tests/test_ann_recall.py.
+# Scale shape: d11's shape + O(log n) component rounds + one doc_id-keyed
+# left join and one cluster-keyed min — nothing quadratic, no new scans
+# (documents re-read once for the verdict join).
+# ---------------------------------------------------------------------------
+@_register("d12_neardup_dedup_e2e", None)  # hash-family => rows-only
+def d12_neardup_dedup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from tts_etl_pipeline_spark.functions.graph import connected_components
+
+    pairs = d11_banded_minhash_neardup(spark, sf_dir)
+    comp = connected_components(pairs.selectExpr("id_a AS src", "id_b AS dst"))
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    labeled = (
+        docs.join(comp, docs.doc_id == comp.node, "left")
+        .select("doc_id", F.coalesce("label", "doc_id").alias("cluster"))
+    )
+    w = W.partitionBy("cluster")
+    return (
+        labeled.withColumn("keeper", F.min("doc_id").over(w))
+        .select("doc_id", "cluster", (F.col("doc_id") == F.col("keeper")).alias("is_kept"))
+        .orderBy("doc_id")
+    )
