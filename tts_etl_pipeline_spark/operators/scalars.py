@@ -469,3 +469,66 @@ def a2_asof_next_purchase_tolerance(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# f7 — bitwise function family: per-row AND/OR/XOR/shifts/popcount on
+# bigint keys plus the bit_and/bit_or/bit_xor aggregates per group. All
+# operands are non-negative bounded bigints so two's-complement semantics
+# agree bit-for-bit between Spark and DuckDB. Scan-side expressions + one
+# partial+final aggregate — whole-stage-codegen'd end to end.
+# ---------------------------------------------------------------------------
+@_register(
+    "f7_bitwise_functions",
+    """
+    WITH base AS (
+      SELECT o_orderkey % 4096 AS a, o_custkey % 4096 AS b, o_orderpriority
+      FROM orders
+    ),
+    rows_out AS (
+      SELECT a, b,
+             a & b AS band, a | b AS bor, xor(a, b) AS bxor,
+             a << 3 AS shl, a >> 2 AS shr,
+             CAST(bit_count(CAST(a AS BIGINT)) AS BIGINT) AS pop,
+             o_orderpriority
+      FROM base
+    )
+    SELECT o_orderpriority,
+           COUNT(*) AS n,
+           CAST(bit_and(band) AS BIGINT) AS agg_and,
+           CAST(bit_or(bor) AS BIGINT) AS agg_or,
+           CAST(bit_xor(bxor) AS BIGINT) AS agg_xor,
+           CAST(SUM(pop) AS BIGINT) AS total_pop,
+           CAST(MAX(shl) AS BIGINT) AS max_shl,
+           CAST(MIN(shr) AS BIGINT) AS min_shr
+    FROM rows_out
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def f7_bitwise_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    a = (F.col("o_orderkey") % 4096).cast("bigint")
+    b = (F.col("o_custkey") % 4096).cast("bigint")
+    rows_out = orders.select(
+        "o_orderpriority",
+        a.bitwiseAND(b).alias("band"),
+        a.bitwiseOR(b).alias("bor"),
+        a.bitwiseXOR(b).alias("bxor"),
+        F.shiftleft(a, 3).cast("bigint").alias("shl"),
+        F.shiftright(a, 2).cast("bigint").alias("shr"),
+        F.bit_count(a).cast("bigint").alias("pop"),
+    )
+    return (
+        rows_out.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_and("band").alias("agg_and"),
+            F.bit_or("bor").alias("agg_or"),
+            F.bit_xor("bxor").alias("agg_xor"),
+            F.sum("pop").alias("total_pop"),
+            F.max("shl").alias("max_shl"),
+            F.min("shr").alias("min_shr"),
+        )
+        .orderBy("o_orderpriority")
+    )
