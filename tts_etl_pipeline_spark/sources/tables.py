@@ -44,17 +44,29 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    rejects. Read it as raw nanos (legacy conf, settable per-session at
-    runtime) and convert to TIMESTAMP_NTZ via integer division — ts values
-    (~1.7e18) exceed double's 53-bit mantissa, so `div`, never `/`."""
+    """events.ts has shipped as BOTH parquet TIMESTAMP(NANOS) (older driver
+    fixtures) and TIMESTAMP(MICROS) (current ones), so branch on the footer
+    type at read time instead of hard-coding a vintage:
+
+    - nanos: Spark's vectorized reader rejects TIMESTAMP(NANOS); with the
+      legacy ``nanosAsLong`` conf it arrives as int64 nanos, converted via
+      integer division (`div`, never `/` — ~1.7e18 exceeds double's 53-bit
+      mantissa).
+    - micros/millis: arrives as a timestamp already; just normalize to
+      TIMESTAMP_NTZ (session tz is pinned to UTC above, so wall times are
+      identical either way).
+
+    The schema probe is a parquet-footer read only — no data scan."""
     from pyspark.sql import functions as F
+    from pyspark.sql import types as T
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return df.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
-    )
+    if isinstance(df.schema["ts"].dataType, T.LongType):  # TIMESTAMP(NANOS)
+        ts = F.timestamp_micros(F.expr("ts div 1000"))
+    else:  # TIMESTAMP(MICROS)/(MILLIS) — already a timestamp column
+        ts = F.col("ts")
+    return df.withColumn("ts", ts.cast("timestamp_ntz"))
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

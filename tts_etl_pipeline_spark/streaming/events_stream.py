@@ -27,30 +27,28 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # nanos (read via nanosAsLong)
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
-
-
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """readStream over the events parquet with the same ns->us conversion as
-    the batch loader (sources/tables.py)."""
+    """readStream over the events parquet with the same schema-adaptive ts
+    handling as the batch loader (sources/tables.py::_events): the fixture
+    has shipped as both TIMESTAMP(NANOS) (int64 under ``nanosAsLong``) and
+    TIMESTAMP(MICROS), so take the readStream schema from a batch footer
+    probe instead of hard-coding one — a stale hard-coded LongType over a
+    micros column silently reads raw micros and shrinks every ts 1000×."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # footer-only probe; readStream needs an explicit schema up front
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
     # watermarks require session-tz TIMESTAMP (not NTZ); the session runs in
     # UTC so wall times match the batch NTZ path exactly
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(schema["ts"].dataType, T.LongType):  # TIMESTAMP(NANOS)
+        ts = F.timestamp_micros(F.expr("ts div 1000"))
+    else:  # TIMESTAMP(MICROS) — already a timestamp; NTZ->TZ is wall-time
+        ts = F.col("ts").cast("timestamp")
+    return raw.withColumn("ts", ts)
 
 
 def hourly_counts(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
