@@ -8,8 +8,12 @@ deterministic, so the floors have margin only for library-version drift,
 not run-to-run noise.
 
 Measured at sf0.001 (2026-08-13, pyspark 4.1.2):
-  v3 KMeans-IVF multi-probe (3/16 cells ~ 19% of corpus): recall@10 = 0.44
-     (the r2 label-quantized version measured 0.12 — the random floor);
+  v3 multi-assignment KMeans-IVF (64 cells, corpus in 3 cells, 3 probes,
+     21.8% of corpus probed): recall@10 = 0.66 on the uniform-random
+     fixture (r2 label-quantized: 0.12; r3 single-assignment: 0.44) and
+     1.00 on a clustered corpus at the same probe budget — see the two
+     ivf tests for why the fixture number is the data's ceiling, not the
+     operator's;
   v4 BRP-LSH radius join: recall(r<=10) = 0.935;
   d5 MinHash-LSH at the 0.2-distance production threshold:
      recall(jaccard>=0.8) ~ 1.0 (OR-amplified, catches everything; its cost
@@ -45,12 +49,65 @@ from tts_etl_pipeline_spark.sources.tables import table
 
 
 def test_ivf_multiprobe_recall_floor(spark, sf_dir):
+    """Multi-assignment IVF (64 cells, corpus in its 3 nearest cells, 3
+    probes/query) on the DRIVER FIXTURE — which is uniform random on the
+    64-d sphere (top-10 neighbor cosine ~0.35 = ~70° away, no cluster
+    structure). On such data no partition-based ANN localizes well: a
+    numpy sweep over k∈{8..128} x assign∈{1..6} x probe∈{2..24} x 6 KMeans
+    seeds caps at mean recall ~0.65-0.70 under a 25%-candidate budget
+    (single-assignment r3 measured 0.44). Measured here: recall 0.66 at
+    21.8% probed with pyspark KMeans seed 42. The operator itself clears
+    0.9+ on clustered corpora — see test_ivf_recall_clustered_corpus."""
+    from tts_etl_pipeline_spark.operators.similarity import (
+        ivf_candidates,
+    )
+    from tts_etl_pipeline_spark.sources.tables import table
+
     exact = {(r.q_id, r.n_id) for r in v1_topk_cosine_exact(spark, sf_dir).collect()}
     ivf = {(r.q_id, r.n_id) for r in v3_ivf_ann_topk(spark, sf_dir).collect()}
     recall = len(exact & ivf) / len(exact)
-    # 3/16 cells probed; random assignment would land ~0.19 — learned
-    # centroids must clear it by a wide margin
-    assert recall >= 0.30, f"IVF recall@10 collapsed to {recall:.2f}"
+    assert recall >= 0.60, f"IVF recall@10 collapsed to {recall:.2f}"
+    # the sublinearity contract: candidates stay within a quarter of the
+    # corpus per query (else "approximate" quietly degrades to brute force)
+    emb = table(spark, sf_dir, "embeddings")
+    cand, _ = ivf_candidates(emb)
+    frac = cand.count() / (N_QUERY_VECS * emb.count())
+    assert frac <= 0.25, f"IVF probed fraction grew to {frac:.3f}"
+
+
+def test_ivf_recall_clustered_corpus(spark):
+    """The same ivf_topk code on a CLUSTERED corpus — what real embedding
+    models emit — must reach high recall within the same probe budget.
+    20 spherical Gaussian clusters (sigma 0.4/sqrt(dim)) x 500 vectors:
+    measured recall 1.0 at <25% probed across numpy seeds; floor 0.90."""
+    import numpy as np
+
+    from tts_etl_pipeline_spark.operators.similarity import (
+        ivf_candidates,
+        ivf_topk,
+    )
+
+    rng = np.random.RandomState(7)
+    centers = rng.randn(20, 64)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    X = centers[rng.randint(0, 20, 500)] + 0.4 * rng.randn(500, 64) / np.sqrt(64)
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(X)],
+        "vec_id bigint, embedding array<float>",
+    )
+    Xf = X.astype(np.float32).astype(np.float64)  # match stored precision
+    cos = Xf @ Xf.T
+    np.fill_diagonal(cos, -2)
+    exact = {
+        (q, n) for q in range(N_QUERY_VECS) for n in np.argsort(-cos[q])[:10]
+    }
+    got = {(r.q_id, r.n_id) for r in ivf_topk(emb).collect()}
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.90, f"IVF recall on clustered corpus fell to {recall:.2f}"
+    cand, _ = ivf_candidates(emb)
+    frac = cand.count() / (N_QUERY_VECS * 500)
+    assert frac <= 0.25, f"IVF probed fraction on clustered corpus {frac:.3f}"
 
 
 def test_lsh_radius_recall_floor(spark, sf_dir):

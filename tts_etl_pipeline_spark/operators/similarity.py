@@ -172,31 +172,60 @@ def v2_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# v3 — IVF ANN done properly: KMeans-LEARNED centroids (coarse quantizer)
-# with MULTI-PROBE search. The r2 version quantized by the `label` column,
-# which is uncorrelated with embedding geometry — measured recall@10 was
-# 0.12, barely above the 1/n_cells random floor. Learned centroids + 3-cell
-# probing lifts recall to the level tests/test_ann_recall.py pins, while
-# still touching only nprobe/n_cells of the corpus per query.
-# Approximate (recall < 1) => rows-only driver check; the recall floor is
-# the pytest-side guarantee.
+# v3 — IVF ANN with KMeans-learned centroids, MULTI-ASSIGNMENT indexing and
+# multi-probe search. Two upgrades over the r3 version (recall@10 0.44):
+#
+# 1. Multi-assignment ("cluster pruning with replication", Chierichetti et
+#    al. WWW'07; FAISS's IVF-with-replicas): each CORPUS vector is indexed
+#    into its N_ASSIGN nearest cells, not just its Voronoi cell. A true
+#    neighbor is found if ANY of its N_ASSIGN cells is among the query's
+#    N_PROBE probes — storage ×N_ASSIGN buys a multiplicative recall lift
+#    at the same probe cost. At 100 TB that trade (3× index storage for
+#    2× recall) is the standard production choice.
+# 2. Finer quantizer (64 cells, 3 probes/query), keeping the probed-
+#    candidate fraction ≤ 25% of the corpus on the test fixture
+#    (measured: recall 0.66 at 21.8% probed, vs r3's 0.44 at 19%).
+#
+# Honest limit, measured (tests/test_ann_recall.py): the driver's fixture
+# embeddings are UNIFORM RANDOM on the 64-d sphere (top-10 neighbor cosine
+# ≈ 0.35, i.e. ~70° away — nearly orthogonal; no label/cluster structure).
+# On such data NO partition-based ANN localizes well: a sweep over
+# k∈{8..128} × assign∈{1..6} × probe∈{2..24} × 6 seeds caps out at
+# recall ≈ 0.62-0.84 (mean ~0.70) under a 25%-candidates budget. On
+# CLUSTERED corpora — what real embedding models emit — the identical
+# operator at the identical settings measures recall 1.0 at <25% probed
+# across seeds (pinned in test_ivf_recall_clustered_corpus). Approximate
+# (recall < 1) => rows-only driver check; recall floors are pytest-side.
+#
 # At 100 TB: fit KMeans on a hash-sample (centroids are k x dim floats —
 # kilobytes), broadcast them, partition/bucket the corpus BY cell so a
 # probe reads only its cells' files, and batch queries per cell.
 # ---------------------------------------------------------------------------
-N_CELLS = 16
+N_CELLS = 64
+N_ASSIGN = 3
 N_PROBE = 3
 
 
-@_register("v3_ivf_ann_topk", None)
-def v3_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ivf_candidates(
+    emb: DataFrame,
+    n_query: int = N_QUERY_VECS,
+    n_cells: int = N_CELLS,
+    n_assign: int = N_ASSIGN,
+    n_probe: int = N_PROBE,
+) -> tuple[DataFrame, DataFrame]:
+    """Candidate generation for multi-assignment IVF.
+
+    Returns (candidates, queries): candidates = distinct (q_id, n_id, n_emb)
+    pairs whose corpus replica shares a probed cell with the query; queries =
+    (q_id, q_emb). Split out from ivf_topk so tests can audit the probed
+    fraction |candidates| / (n_query * corpus) without duplicating logic."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
     from pyspark.sql.window import Window as W
 
     from tts_etl_pipeline_spark.functions.checkpoints import materialize
 
-    emb = table(spark, sf_dir, "embeddings")
+    spark = emb.sparkSession
     feats = emb.select(
         "vec_id",
         "embedding",
@@ -207,60 +236,98 @@ def v3_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # coarse quantizer: k centroids learned from the data (seeded — the
     # whole query is deterministic). In production fit on a hash-sample.
     model = KMeans(
-        k=N_CELLS, seed=42, featuresCol="features", predictionCol="cell"
+        k=n_cells, seed=42, featuresCol="features", predictionCol="cell"
     ).fit(feats)
-    # one materialized corpus-with-cells table feeds both the probe join
-    # and (in production) the bucket-by-cell layout
-    corpus = materialize(
-        model.transform(feats).select(
-            F.col("vec_id").alias("n_id"),
-            F.col("embedding").alias("n_emb"),
-            "cell",
-        )
-    )
     # centroids: k x dim doubles — driver-side tiny, broadcast back
     centroids = spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
         "cell int, centroid array<double>",
     )
-    q = corpus.filter(F.col("n_id") < N_QUERY_VECS).select(
-        F.col("n_id").alias("q_id"), F.col("n_emb").alias("q_emb")
-    )
-    # multi-probe: each query searches its N_PROBE nearest cells
-    qc = q.join(F.broadcast(centroids)).withColumn(
-        "dist2",
-        F.aggregate(
+
+    def nearest_cells(df: DataFrame, id_col: str, emb_col: str, top: int) -> DataFrame:
+        """id x its `top` nearest centroid cells via broadcast + rank."""
+        dist2 = F.aggregate(
             F.zip_with(
-                F.col("q_emb"),
+                F.col(emb_col),
                 F.col("centroid"),
                 lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
             ),
             F.lit(0.0),
             lambda acc, v: acc + v,
-        ),
-    )
-    wq = W.partitionBy("q_id").orderBy("dist2", "cell")
-    probes = (
-        qc.withColumn("rn", F.row_number().over(wq))
-        .filter(F.col("rn") <= N_PROBE)
-        .select("q_id", "q_emb", "cell")
-    )
-    scored = (
-        corpus.join(F.broadcast(probes), "cell")
-        .filter(F.col("n_id") != F.col("q_id"))
-        .select(
-            "q_id",
-            "n_id",
-            (dot("q_emb", "n_emb") / (norm("q_emb") * norm("n_emb"))).alias("cosine"),
         )
+        w = W.partitionBy(id_col).orderBy("dist2", "cell")
+        return (
+            df.join(F.broadcast(centroids))
+            .withColumn("dist2", dist2)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= top)
+            .select(id_col, emb_col, "cell")
+        )
+
+    # multi-assignment index: corpus replicated into its N_ASSIGN cells.
+    # Materialized: this is the on-disk inverted file (bucket-by-cell layout
+    # in production), reused across every probe.
+    corpus = materialize(
+        nearest_cells(
+            emb.select(F.col("vec_id").alias("n_id"), F.col("embedding").alias("n_emb")),
+            "n_id",
+            "n_emb",
+            n_assign,
+        )
+    )
+    # queries come out of the materialized index, not a fresh table scan
+    # (replicas carry identical embeddings — dedupe by id)
+    q = (
+        corpus.filter(F.col("n_id") < n_query)
+        .select(F.col("n_id").alias("q_id"), F.col("n_emb").alias("q_emb"))
+        .dropDuplicates(["q_id"])
+    )
+    probes = nearest_cells(q, "q_id", "q_emb", n_probe)
+    # candidate = corpus replica sharing any probed cell; a pair can match
+    # on several cells — dedupe BEFORE scoring so cosine runs once per pair
+    candidates = (
+        corpus.join(F.broadcast(probes.select("q_id", "cell")), "cell")
+        .filter(F.col("n_id") != F.col("q_id"))
+        .select("q_id", "n_id", "n_emb")
+        .dropDuplicates(["q_id", "n_id"])
+    )
+    return candidates, q
+
+
+def ivf_topk(
+    emb: DataFrame,
+    n_query: int = N_QUERY_VECS,
+    k: int = TOP_K,
+    n_cells: int = N_CELLS,
+    n_assign: int = N_ASSIGN,
+    n_probe: int = N_PROBE,
+) -> DataFrame:
+    """Multi-assignment IVF top-k over a (vec_id, embedding) DataFrame.
+
+    Queries are the vectors with vec_id < n_query (matching v1's exact
+    ground truth). Returns (q_id, n_id, cosine, rn)."""
+    from pyspark.sql.window import Window as W
+
+    candidates, q = ivf_candidates(emb, n_query, n_cells, n_assign, n_probe)
+    scored = candidates.join(
+        F.broadcast(q), "q_id"
+    ).select(
+        "q_id",
+        "n_id",
+        (dot("q_emb", "n_emb") / (norm("q_emb") * norm("n_emb"))).alias("cosine"),
     )
     w = W.partitionBy("q_id").orderBy(F.desc("cosine"), "n_id")
     return (
         scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rn") <= TOP_K)
+        .filter(F.col("rn") <= k)
         .select("q_id", "n_id", F.round("cosine", 9).alias("cosine"), "rn")
         .orderBy("q_id", "rn")
     )
+
+
+@_register("v3_ivf_ann_topk", None)
+def v3_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ivf_topk(table(spark, sf_dir, "embeddings"))
 
 
 # ---------------------------------------------------------------------------
