@@ -55,50 +55,81 @@ class FakeAsrModel:
 
 
 class WhisperAsrModel:
-    """Real Whisper ASR (pa.py:36-46); requires transformers+torch, which
-    are not in this container — import is deferred and failure is explicit."""
+    """Real Whisper ASR (pa.py:36-46) against the transformers `pipeline`
+    API. transformers+torch are not in this container, so the HF pipeline
+    is INJECTABLE: pass ``pipeline_factory(model_id) -> pipe`` to run the
+    full path (inputs dict shape, batch_size, text extraction) under a
+    mock — tests/test_asr.py does exactly that. With no factory the real
+    libraries are imported lazily and failure is explicit."""
 
-    def __init__(self, model_id: str = "openai/whisper-medium"):
+    def __init__(
+        self, model_id: str = "openai/whisper-medium", pipeline_factory=None
+    ):
+        if pipeline_factory is not None:
+            self._pipe = pipeline_factory(model_id)
+            return
         try:
-            import torch  # noqa: F401
-            from transformers import pipeline  # noqa: F401
+            import torch
+            from transformers import pipeline
         except ImportError as e:  # pragma: no cover
             raise NotImplementedError(
                 "WhisperAsrModel needs transformers+torch; inject FakeAsrModel "
-                "in this runtime"
+                "or a pipeline_factory in this runtime"
             ) from e
-        import torch
-        from transformers import pipeline
-
         device = "cuda:0" if torch.cuda.is_available() else "cpu"  # pa.py:38
-        self._pipe = pipeline(
+        self._pipe = pipeline(  # pragma: no cover
             "automatic-speech-recognition", model=model_id, device=device
         )
 
-    def transcribe_batch(self, rows: pd.DataFrame) -> list[str]:  # pragma: no cover
+    def transcribe_batch(self, rows: pd.DataFrame) -> list[str]:
+        # HF long-form API: raw float32 waveform + its sampling rate
+        # (pa.py:241-249); batch_size is HF's internal GPU micro-batch
+        # (pa.py:268-271) — our mapInPandas loop chunks to the same size
+        # above it so a straggler partition never queues unbounded audio.
         inputs = [
             {"sampling_rate": int(r), "raw": np.asarray(s, dtype=np.float32)}
             for s, r in zip(rows["samples"], rows["frame_rate"])
         ]
-        results = self._pipe(inputs, batch_size=ASR_BATCH_SIZE, generate_kwargs={"language": "english"})
+        results = self._pipe(
+            inputs, batch_size=ASR_BATCH_SIZE, generate_kwargs={"language": "english"}
+        )
         return [r["text"] for r in results]
 
 
-def _get_model(kind: str):
+# Named model kinds. A zero-arg factory travels through the mapInPandas
+# closure pickled BY REFERENCE (module-level class/function), so the model
+# itself is only ever constructed executor-side — heavyweight weights never
+# enter a pickle.
+MODEL_FACTORIES = {
+    "fake": FakeAsrModel,
+    "whisper": WhisperAsrModel,
+}
+
+
+def _get_model(kind: str, factory):
+    """Per-executor-process lazy singleton (pa.py:40-46): the model loads
+    once per (python worker, kind) and is reused across batches/tasks."""
     global _MODEL
     if _MODEL is None or _MODEL[0] != kind:
-        _MODEL = (kind, FakeAsrModel() if kind == "fake" else WhisperAsrModel())
+        _MODEL = (kind, factory())
     return _MODEL[1]
 
 
-def transcribe(segments_df: DataFrame, model: str = "fake") -> DataFrame:
-    """Add a `text` column (stripped, pa.py:275 / P8)."""
+def transcribe(segments_df: DataFrame, model="fake") -> DataFrame:
+    """Add a `text` column (stripped, pa.py:275 / P8).
+
+    ``model`` is a MODEL_FACTORIES key ("fake", "whisper") or any
+    importable zero-arg factory (e.g. audio.testing.mock_whisper_factory)."""
+    if callable(model):
+        kind, factory = f"{model.__module__}.{model.__qualname__}", model
+    else:
+        kind, factory = model, MODEL_FACTORIES[model]
     fields = segments_df.schema.fields
     out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in fields)
     out_schema += ", text string"
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        mdl = _get_model(model)
+        mdl = _get_model(kind, factory)
         for pdf in batches:
             texts: list[str] = []
             for lo in range(0, len(pdf), ASR_BATCH_SIZE):  # micro-batch (pa.py:268-271)
