@@ -433,7 +433,10 @@ def d4_char_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# d5 — MinHash-LSH near-dedup (approximate; rows-only check). Shingle ->
+# d5 — DEMO ONLY, not a production entry point (see COVERAGE.md): the
+# production near-dup path is d11 (banded pairs) -> d9 (components) ->
+# d12 (end-to-end). MinHash-LSH near-dedup (approximate; rows-only check)
+# kept registered as the pyspark.ml API demonstration. Shingle ->
 # HashingTF sparse vector -> MinHashLSH approxSimilarityJoin at the
 # production near-dup threshold (jaccard distance <= 0.2, i.e. sim >= 0.8 —
 # the Lee-et-al dedup operating point). pyspark.ml's LSH is OR-amplified
