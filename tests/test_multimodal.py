@@ -1,5 +1,6 @@
 """Multimodal column plumbing: chunking, hashing, metadata probe, feature
-extraction batch shape — real Spark paths with stubbed codecs (B6)."""
+extraction batch shape (B6). Real Spark paths throughout; codecs are real
+for WAV/BMP/y4m and stubbed for compressed formats (PNG/JPEG/H.264)."""
 
 from __future__ import annotations
 
@@ -75,9 +76,85 @@ def test_feature_extraction_shapes_and_determinism(spark, media_df):
 
 
 def test_codec_stubs_raise(spark):
+    # compressed formats stay stubbed (no PIL/opencv/ffmpeg here)
     with pytest.raises(NotImplementedError):
-        MM.decode_image(b"xx")
+        MM.decode_image(b"\x89PNG not decodable")
     with pytest.raises(NotImplementedError):
-        MM.resize_image(b"xx", 224, 224)
+        MM.resize_image(b"\x89PNG not decodable", 224, 224)
     with pytest.raises(NotImplementedError):
-        MM.sample_video_frames(b"xx")
+        MM.sample_video_frames(b"\x00\x00ftyp h264 not decodable")
+
+
+# --------------------------------------------------------------------------
+# real dependency-free codecs: BMP images, y4m video
+# --------------------------------------------------------------------------
+def _test_img(w=31, h=17, seed=3):  # odd width exercises BMP row padding
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+def _y4m_bytes(w=32, h=16, n_frames=30, fps=10):
+    rng = np.random.default_rng(5)
+    head = f"YUV4MPEG2 W{w} H{h} F{fps}:1 Ip A1:1 C420jpeg\n".encode()
+    body = b""
+    for _ in range(n_frames):
+        luma = rng.integers(0, 256, size=w * h, dtype=np.uint8).tobytes()
+        chroma = rng.integers(0, 256, size=2 * (w // 2) * (h // 2), dtype=np.uint8).tobytes()
+        body += b"FRAME\n" + luma + chroma
+    return head + body
+
+
+def test_bmp_roundtrip_exact():
+    img = _test_img()
+    assert np.array_equal(MM.decode_image(MM.encode_bmp(img)), img)
+
+
+def test_bmp_resize_nearest_neighbor():
+    img = _test_img()
+    out = MM.decode_image(MM.resize_image(MM.encode_bmp(img), 8, 5))
+    assert out.shape == (5, 8, 3)
+    # downsample by integer factor on a solid-color image is lossless
+    solid = np.full((16, 16, 3), 99, dtype=np.uint8)
+    out2 = MM.decode_image(MM.resize_image(MM.encode_bmp(solid), 4, 4))
+    assert np.array_equal(out2, np.full((4, 4, 3), 99, dtype=np.uint8))
+
+
+def test_y4m_frame_sampling():
+    content = _y4m_bytes(n_frames=30, fps=10)  # 3 s of video
+    frames = MM.sample_video_frames(content, every_ms=1000)
+    assert [ts for ts, _ in frames] == [0, 1000, 2000]
+    assert all(f.shape == (16, 32) for _, f in frames)
+    # every_ms smaller than the frame interval -> every frame sampled
+    assert len(MM.sample_video_frames(content, every_ms=1)) == 30
+
+
+def test_real_codec_meta_probe(spark):
+    rows = [
+        ("pic.bmp", "image", bytes(MM.encode_bmp(_test_img(w=31, h=17)))),
+        ("mov.y4m", "video", bytes(_y4m_bytes(w=32, h=16, n_frames=30, fps=10))),
+    ]
+    df = spark.createDataFrame(rows, "media_id string, modality string, content binary")
+    out = {r["media_id"]: r["meta"] for r in MM.chunk_media(df).collect()}
+    assert out["pic.bmp"]["width"] == 31 and out["pic.bmp"]["height"] == 17
+    assert out["pic.bmp"]["codec"] == "bmp"
+    assert out["mov.y4m"]["width"] == 32 and out["mov.y4m"]["height"] == 16
+    assert out["mov.y4m"]["frame_rate"] == 10
+    assert out["mov.y4m"]["duration_ms"] == 3000
+    assert out["mov.y4m"]["codec"] == "y4m"
+
+
+def test_real_codec_features(spark):
+    img = _test_img()
+    rows = [
+        ("pic.bmp", "image", bytes(MM.encode_bmp(img))),
+        ("mov.y4m", "video", bytes(_y4m_bytes())),
+    ]
+    df = spark.createDataFrame(rows, "media_id string, modality string, content binary")
+    feats = {
+        r["media_id"]: np.array(r["feature"])
+        for r in MM.extract_features(MM.chunk_media(df), dim=16).collect()
+    }
+    luma = img.astype(np.float64).mean(axis=2) / 255.0
+    assert feats["pic.bmp"][0] == pytest.approx(float(luma.mean()), rel=1e-5)
+    assert feats["pic.bmp"][1] == pytest.approx(float(luma.std()), rel=1e-5)
+    assert feats["mov.y4m"][2] == 3.0  # 3 sampled frames of the 3 s clip

@@ -2,12 +2,18 @@
 
 Images/audio/video ride through the engine as opaque `binary` columns with
 typed metadata structs; per-modality kernels (decode, feature-extract,
-resize, frame-sample) run as Arrow-batched mapInPandas stages. The media
-codec libraries (PIL/ffmpeg/torchaudio) are NOT in this runtime, so the
-codec call itself is stubbed behind `NotImplementedError` with a
-deterministic fake used by default — but everything Spark-side is real and
-tested: schemas, batch iteration, chunked processing, partition sizing, and
-the 2 GB-per-row ceiling guard.
+resize, frame-sample) run as Arrow-batched mapInPandas stages.
+
+Codec coverage in this runtime (no PIL/opencv/ffmpeg available):
+- REAL: WAV audio (stdlib wave), uncompressed 24-bit BMP images (numpy
+  decode/encode/nearest-neighbor resize), YUV4MPEG2 (.y4m) video (header
+  probe + luma-plane frame sampling).
+- STUBBED: compressed codecs (PNG/JPEG, H.264/VP9) raise
+  NotImplementedError with the hash-seeded deterministic fake as the
+  documented fallback.
+Everything Spark-side is real and tested either way: schemas, batch
+iteration, chunked processing, partition sizing, and the 2 GB-per-row
+ceiling guard.
 
 Scale posture (SURVEY §7 hard-part 6):
 - media bytes stay in executor space end-to-end (no collect());
@@ -124,27 +130,162 @@ def _probe_meta(modality: str, head: bytes | None) -> dict:
                 meta["codec"] = "pcm"
         except Exception:
             pass
+    elif modality == "image" and head[:2] == b"BM":
+        try:
+            import struct
+
+            meta["width"], h = struct.unpack_from("<ii", head, 18)
+            meta["height"] = abs(h)
+            meta["codec"] = "bmp"
+        except Exception:
+            pass
+    elif modality == "video" and head[:9] == b"YUV4MPEG2":
+        try:
+            v, off = _parse_y4m_header(head)
+            meta["width"], meta["height"] = v["width"], v["height"]
+            meta["frame_rate"] = int(round(v["fps_num"] / v["fps_den"]))
+            frame_rec = v["width"] * v["height"] + 2 * (
+                (v["width"] // 2) * (v["height"] // 2)
+            )
+            n_frames = head.count(b"FRAME", off)
+            meta["duration_ms"] = int(
+                n_frames * 1000 * v["fps_den"] / v["fps_num"]
+            ) if frame_rec else None
+            meta["codec"] = "y4m"
+        except Exception:
+            pass
     return meta
 
 
 # --------------------------------------------------------------------------
-# decode / feature kernels — stubbed codecs, deterministic fakes
+# decode / feature kernels.
+#
+# REAL, dependency-free codecs (pure numpy + struct):
+#   - image: uncompressed 24-bit BI_RGB BMP (decode_image / encode_bmp /
+#     resize_image with nearest-neighbor sampling)
+#   - video: YUV4MPEG2 (.y4m) with C420 subsampling — header probe +
+#     per-frame luma-plane extraction + every_ms frame sampling
+#   - audio: RIFF/WAV via the stdlib wave path shared with audio/decode.py
+#
+# Compressed codecs (PNG/JPEG, H.264/VP9) require PIL/opencv/ffmpeg, which
+# are not in this runtime — those paths stay explicit NotImplementedError
+# stubs with the hash-seeded fake as the documented fallback.
 # --------------------------------------------------------------------------
-def decode_image(content: bytes):  # pragma: no cover - stub contract
-    """Real image decode requires PIL/opencv — not in this runtime."""
-    raise NotImplementedError("image codecs unavailable; use fake_image_features")
+def decode_image(content: bytes) -> np.ndarray:
+    """Decode an image payload to an HxWx3 uint8 RGB array.
+
+    Real path: uncompressed 24-bit BMP (the only image format decodable
+    without PIL/opencv). Anything else raises — callers fall back to
+    fake_image_features."""
+    if content[:2] != b"BM":
+        raise NotImplementedError(
+            "only uncompressed 24-bit BMP decodes in this runtime; "
+            "PNG/JPEG need PIL/opencv"
+        )
+    import struct
+
+    data_off = struct.unpack_from("<I", content, 10)[0]
+    hdr_size = struct.unpack_from("<I", content, 14)[0]
+    if hdr_size < 40:
+        raise ValueError(f"unsupported BMP header size {hdr_size}")
+    width, height = struct.unpack_from("<ii", content, 18)
+    planes, bpp = struct.unpack_from("<HH", content, 26)
+    compression = struct.unpack_from("<I", content, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(f"BMP bpp={bpp} compression={compression}")
+    flipped = height > 0  # positive height = bottom-up row order
+    height = abs(height)
+    row_bytes = (width * 3 + 3) & ~3  # rows pad to 4-byte boundaries
+    rows = np.frombuffer(
+        content, dtype=np.uint8, count=row_bytes * height, offset=data_off
+    ).reshape(height, row_bytes)[:, : width * 3]
+    img = rows.reshape(height, width, 3)[..., ::-1]  # BGR -> RGB
+    return img[::-1] if flipped else img
 
 
-def resize_image(content: bytes, width: int, height: int):  # pragma: no cover
-    """Real image resize requires PIL/opencv — not in this runtime. The
-    Spark-side shape is identical to extract_features: a mapInPandas stage
-    over chunk-0 rows emitting a new binary column."""
-    raise NotImplementedError("image codecs unavailable")
+def encode_bmp(img: np.ndarray) -> bytes:
+    """Encode an HxWx3 uint8 RGB array as an uncompressed 24-bit BMP."""
+    import struct
+
+    h, w, _ = img.shape
+    row_bytes = (w * 3 + 3) & ~3
+    pad = row_bytes - w * 3
+    body = np.zeros((h, row_bytes), dtype=np.uint8)
+    body[:, : w * 3] = img[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+    data = body.tobytes()
+    header = struct.pack(
+        "<2sIHHI", b"BM", 14 + 40 + len(data), 0, 0, 14 + 40
+    ) + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0)
+    assert pad < 4
+    return header + data
 
 
-def sample_video_frames(content: bytes, every_ms: int = 1000):  # pragma: no cover
-    """Real frame sampling requires ffmpeg — not in this runtime."""
-    raise NotImplementedError("video codecs unavailable; use fake_video_features")
+def resize_image(content: bytes, width: int, height: int) -> bytes:
+    """Nearest-neighbor resize of a BMP payload, re-encoded as BMP.
+
+    The Spark-side shape is a mapInPandas stage over chunk-0 rows emitting
+    a new binary column; the kernel itself is pure numpy index sampling."""
+    img = decode_image(content)
+    h, w, _ = img.shape
+    rows = (np.arange(height) * (h / height)).astype(np.int64).clip(0, h - 1)
+    cols = (np.arange(width) * (w / width)).astype(np.int64).clip(0, w - 1)
+    return encode_bmp(img[rows][:, cols])
+
+
+def _parse_y4m_header(content: bytes) -> tuple[dict, int]:
+    """Parse a YUV4MPEG2 stream header -> (meta dict, body offset)."""
+    if not content.startswith(b"YUV4MPEG2"):
+        raise NotImplementedError(
+            "only .y4m video parses in this runtime; H.264/VP9 need ffmpeg"
+        )
+    nl = content.index(b"\n")
+    meta = {"width": None, "height": None, "fps_num": None, "fps_den": 1}
+    for tok in content[9:nl].split():
+        tag, val = chr(tok[0]), tok[1:].decode()
+        if tag == "W":
+            meta["width"] = int(val)
+        elif tag == "H":
+            meta["height"] = int(val)
+        elif tag == "F":
+            num, den = val.split(":")
+            meta["fps_num"], meta["fps_den"] = int(num), int(den)
+        elif tag == "C" and not val.startswith("420"):
+            raise NotImplementedError(f"y4m chroma {val}; only C420 supported")
+    if not (meta["width"] and meta["height"] and meta["fps_num"]):
+        raise ValueError("y4m header missing W/H/F")
+    return meta, nl + 1
+
+
+def sample_video_frames(
+    content: bytes, every_ms: int = 1000
+) -> list[tuple[int, np.ndarray]]:
+    """Sample luma frames from a .y4m payload every `every_ms`.
+
+    Returns [(ts_ms, HxW uint8 luma plane), ...] — the input shape a
+    frame-level feature extractor consumes. C420: each FRAME record is
+    w*h luma bytes + 2*(w/2*h/2) chroma bytes (chroma skipped here)."""
+    meta, off = _parse_y4m_header(content)
+    w, h = meta["width"], meta["height"]
+    frame_bytes = w * h + 2 * ((w // 2) * (h // 2))
+    ms_per_frame = 1000.0 * meta["fps_den"] / meta["fps_num"]
+    out: list[tuple[int, np.ndarray]] = []
+    idx = 0
+    next_ts = 0.0
+    while off < len(content):
+        nl = content.index(b"\n", off)  # FRAME marker (+ optional params)
+        if content[off : off + 5] != b"FRAME":
+            raise ValueError(f"bad y4m FRAME marker at {off}")
+        body = nl + 1
+        ts = idx * ms_per_frame
+        if ts + 1e-9 >= next_ts:
+            luma = np.frombuffer(
+                content, dtype=np.uint8, count=w * h, offset=body
+            ).reshape(h, w)
+            out.append((int(round(ts)), luma))
+            next_ts += every_ms
+        off = body + frame_bytes
+        idx += 1
+    return out
 
 
 def _fake_feature(content_hash: str, dim: int) -> np.ndarray:
@@ -159,9 +300,10 @@ def _fake_feature(content_hash: str, dim: int) -> np.ndarray:
 def extract_features(media_df: DataFrame, dim: int = 64) -> DataFrame:
     """Per-modality feature extraction over chunk-0 rows (payload head).
 
-    audio/WAV: REAL path — decode via stdlib wave, mean/std/energy stats
-    prepended to the hash-seeded embedding tail.
-    image/video: fully stubbed (codec-free) -> hash-seeded fake embedding.
+    audio/WAV, image/BMP, video/y4m: REAL paths — decode (stdlib wave /
+    numpy BMP / y4m luma sampling), mean/std/energy stats prepended to the
+    hash-seeded embedding tail.
+    compressed codecs (PNG/JPEG/H.264): stubbed -> hash-seeded fake only.
     """
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -180,6 +322,26 @@ def extract_features(media_df: DataFrame, dim: int = 64) -> DataFrame:
                         vec[0] = float(np.mean(x))
                         vec[1] = float(np.std(x))
                         vec[2] = float(np.sqrt(np.mean(np.square(x))))
+                    except Exception:
+                        pass
+                elif r.modality == "image" and bytes(r.content[:2]) == b"BM":
+                    try:
+                        img = decode_image(bytes(r.content))
+                        luma = img.astype(np.float64).mean(axis=2) / 255.0
+                        vec = vec.copy()
+                        vec[0] = float(luma.mean())
+                        vec[1] = float(luma.std())
+                        vec[2] = float(np.sqrt(np.mean(np.square(luma))))
+                    except Exception:
+                        pass
+                elif r.modality == "video" and bytes(r.content[:9]) == b"YUV4MPEG2":
+                    try:
+                        frames = sample_video_frames(bytes(r.content), every_ms=1000)
+                        luma = np.stack([f for _, f in frames]).astype(np.float64) / 255.0
+                        vec = vec.copy()
+                        vec[0] = float(luma.mean())
+                        vec[1] = float(luma.std())
+                        vec[2] = float(len(frames))
                     except Exception:
                         pass
                 out.append(
