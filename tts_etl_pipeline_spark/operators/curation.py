@@ -452,3 +452,57 @@ def c6_corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# c7 — deterministic train/val/test split: the operation every training run
+# starts with. md5-bucket of the key -> 80/10/10, so the split is stable
+# across engines, runs, re-partitions and cluster sizes (never rand(): a
+# resampled split silently leaks val into train on every re-run). Output is
+# the per-(split, lang) audit a data card reports. At 100 TB the bucket
+# expression is a pure per-row map — no shuffle until the tiny audit agg.
+# ---------------------------------------------------------------------------
+@_register(
+    "c7_train_val_test_split",
+    """
+    SELECT split, lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           MIN(doc_id) AS first_doc
+    FROM (
+      SELECT CASE
+               WHEN bucket < 80 THEN 'train'
+               WHEN bucket < 90 THEN 'val'
+               ELSE 'test'
+             END AS split, lang, n_chars, doc_id
+      FROM (
+        SELECT lang, n_chars, doc_id,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER)
+                 % 100 AS bucket
+        FROM documents
+      )
+    )
+    GROUP BY split, lang
+    ORDER BY split, lang
+    """,
+)
+def c7_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast(
+            "long"
+        )
+        % 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), "lang", "n_chars", "doc_id")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("split", "lang")
+    )

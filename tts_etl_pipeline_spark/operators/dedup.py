@@ -684,3 +684,101 @@ def d12_neardup_dedup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "cluster", (F.col("doc_id") == F.col("keeper")).alias("is_kept"))
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# d13 — benchmark-contamination check (decontamination): flag training docs
+# sharing any word 8-gram with a held-out benchmark set — the GPT-3 paper's
+# 13-gram overlap dedup, scaled to this corpus's ~25-token docs. The
+# "benchmark" is the deterministic doc_id % 97 == 3 slice, so both engines
+# agree on it without a second input table.
+#
+# Scale shape: grams of the (small) benchmark side are DISTINCT'd and
+# broadcast; the training side streams its grams through a broadcast-hash
+# semi join — no shuffle of the big side at all. At a real 100 TB corpus
+# with a genuinely large benchmark suite, the same plan degrades gracefully
+# to a shuffled semi join on the gram hash; either way contamination is one
+# scan of each side. The semi join (left_semi + distinct doc) never
+# materializes the quadratic gram-pair blowup an equi-join would.
+# ---------------------------------------------------------------------------
+CONTAM_NGRAM = 8
+
+
+@_register(
+    "d13_benchmark_contamination",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             regexp_split_to_array(lower(trim(coalesce(text, ''))), '\\s+') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, lang,
+             array_to_string(t[i : i + {CONTAM_NGRAM - 1}], ' ') AS g
+      FROM (
+        SELECT doc_id, lang, t,
+               unnest(range(1, len(t) - {CONTAM_NGRAM} + 2)) AS i
+        FROM toks
+        WHERE len(t) >= {CONTAM_NGRAM}
+      )
+    ),
+    bench_grams AS (
+      SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 3
+    ),
+    contaminated AS (
+      SELECT DISTINCT doc_id, lang
+      FROM grams
+      WHERE doc_id % 97 <> 3
+        AND g IN (SELECT g FROM bench_grams)
+    ),
+    train AS (
+      SELECT lang, COUNT(*) AS n_train
+      FROM documents WHERE doc_id % 97 <> 3
+      GROUP BY lang
+    )
+    SELECT train.lang, n_train,
+           CAST(COALESCE(c.n_contaminated, 0) AS BIGINT) AS n_contaminated
+    FROM train
+    LEFT JOIN (
+      SELECT lang, COUNT(*) AS n_contaminated FROM contaminated GROUP BY lang
+    ) c ON train.lang = c.lang
+    ORDER BY train.lang
+    """,
+)
+def d13_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.coalesce(F.col("text"), F.lit("")))), r"\s+")
+    grams_col = F.expr(
+        f"transform(sequence(0, size(t) - {CONTAM_NGRAM}), "
+        f"i -> concat_ws(' ', slice(t, i + 1, {CONTAM_NGRAM})))"
+    )
+    # one narrow gram table feeds both sides (single documents scan)
+    grams = materialize(
+        docs.select("doc_id", "lang", toks.alias("t"))
+        .filter(F.size("t") >= CONTAM_NGRAM)
+        .select("doc_id", "lang", F.explode(grams_col).alias("g"))
+    )
+    is_bench = F.col("doc_id") % 97 == 3
+    bench_grams = grams.filter(is_bench).select("g").distinct()
+    contaminated = (
+        grams.filter(~is_bench)
+        .join(F.broadcast(bench_grams), "g", "left_semi")
+        .select("doc_id", "lang")
+        .distinct()
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    train = (
+        docs.filter(F.col("doc_id") % 97 != 3)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_train"))
+    )
+    return (
+        train.join(F.broadcast(contaminated), "lang", "left")
+        .select(
+            "lang",
+            "n_train",
+            F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+        )
+        .orderBy("lang")
+    )

@@ -443,3 +443,82 @@ def t9_distinctive_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "token", "tf", "df", "score", "rn")
         .orderBy("lang", "rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# t10 — PII redaction: regex-scrub emails and phone numbers from text, the
+# mandatory scrub pass before any corpus ships. The fixture corpus contains
+# no PII, so the query first INJECTS deterministic synthetic PII derived
+# from doc_id (identical expression in both engines) and then redacts it —
+# what's under test is the redaction kernel and its bookkeeping, on inputs
+# both engines agree about. Patterns use the common regex subset that Java
+# (Spark) and RE2 (DuckDB) evaluate identically: char classes + bounded
+# quantifiers, no lookaround.
+# Per-row map -> tiny per-lang agg: nothing here shuffles payload text.
+# ---------------------------------------------------------------------------
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PHONE_RE = "\\+1 \\(555\\) 010-[0-9]{4}"
+
+
+@_register(
+    "t10_pii_redaction",
+    f"""
+    WITH enriched AS (
+      SELECT doc_id, lang,
+             text || ' reach me at user' || CAST(doc_id AS VARCHAR)
+                  || '@mail.example or +1 (555) 010-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+      FROM documents
+    ),
+    redacted AS (
+      SELECT doc_id, lang,
+             len(regexp_extract_all(t, '{EMAIL_RE}')) AS n_emails,
+             len(regexp_extract_all(t, '{PHONE_RE}')) AS n_phones,
+             regexp_replace(regexp_replace(t, '{EMAIL_RE}', '[EMAIL]', 'g'),
+                            '{PHONE_RE}', '[PHONE]', 'g') AS clean
+      FROM enriched
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_emails) AS BIGINT) AS emails_redacted,
+           CAST(SUM(n_phones) AS BIGINT) AS phones_redacted,
+           CAST(SUM(CASE WHEN regexp_matches(clean, '{EMAIL_RE}')
+                          OR regexp_matches(clean, '{PHONE_RE}')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS residual_pii,
+           CAST(SUM(len(clean)) AS BIGINT) AS clean_chars
+    FROM redacted
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def t10_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    enriched = F.concat(
+        F.col("text"),
+        F.lit(" reach me at user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example or +1 (555) 010-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    t = docs.select("doc_id", "lang", enriched.alias("t"))
+    clean = F.regexp_replace(
+        F.regexp_replace(F.col("t"), EMAIL_RE, "[EMAIL]"), PHONE_RE, "[PHONE]"
+    )
+    red = t.select(
+        "lang",
+        F.size(F.regexp_extract_all("t", F.lit(EMAIL_RE), F.lit(0))).alias("n_emails"),
+        F.size(F.regexp_extract_all("t", F.lit(PHONE_RE), F.lit(0))).alias("n_phones"),
+        clean.alias("clean"),
+    )
+    residual = F.col("clean").rlike(EMAIL_RE) | F.col("clean").rlike(PHONE_RE)
+    return (
+        red.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_emails").cast("bigint").alias("emails_redacted"),
+            F.sum("n_phones").cast("bigint").alias("phones_redacted"),
+            F.sum(F.when(residual, 1).otherwise(0)).cast("bigint").alias("residual_pii"),
+            F.sum(F.length("clean")).cast("bigint").alias("clean_chars"),
+        )
+        .orderBy("lang")
+    )
