@@ -200,6 +200,22 @@ def test_v3_probe_join_broadcasts_queries(spark, sf_dir):
     assert "No Partition Defined" not in physical_plan(df)
 
 
+def test_d13_broadcast_semi_join_no_pair_blowup(spark, sf_dir):
+    """Contamination check: benchmark grams broadcast into a left-semi join
+    (training side never shuffles on gram; no gram-pair equi-join row set);
+    the gram table is materialized once so documents is not re-scanned."""
+    from tts_etl_pipeline_spark.operators.dedup import d13_benchmark_contamination
+    from tts_etl_pipeline_spark.plans.inspect import scans_by_table
+
+    df = d13_benchmark_contamination(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "LeftSemi" in plan
+    assert has_broadcast_join(df)
+    assert "CartesianProduct" not in plan
+    # gram table checkpointed: at most the train-count branch reads parquet
+    assert scans_by_table(df).get("documents", 0) <= 1
+
+
 def test_e6_one_fact_shuffle_shared_sort(spark, sf_dir):
     """The funnel's three stacked windows + per-user groupBy must ride ONE
     user_id Exchange (the groupBy reuses the window partitioning); the only
