@@ -52,6 +52,10 @@ HEADLINE = [
     # incremental anti-join (BASELINE.md "round 3" note has their costs)
     "c6_corpus_curation_funnel",
     "d10_incremental_dedup",
+    # r4 additions — new shapes: 8-gram broadcast-semi-join decontamination;
+    # regex-heavy per-row scrub (BASELINE.md "round 4" note)
+    "d13_benchmark_contamination",
+    "t10_pii_redaction",
 ]
 
 
