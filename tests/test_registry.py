@@ -36,3 +36,15 @@ def test_driver_entry_surface():
 
     assert callable(e.entry)
     assert set(e.oracle_sql()) <= set(e.queries())
+
+
+def test_verify_priority_file_complete_and_valid():
+    """Every VERIFY_PRIORITY.txt name must exist in the registry (a typo
+    silently falls out of the driver's verification window) and every
+    registered query should be listed so the rotation is explicit."""
+    from tts_etl_pipeline_spark.registry import _priority, all_queries
+
+    qs, pr = set(all_queries()), _priority()
+    assert [n for n in pr if n not in qs] == []
+    assert sorted(qs - set(pr)) == []
+    assert len(pr) == len(set(pr))  # no duplicates hiding a shadowed entry
