@@ -25,6 +25,7 @@ def test_registry_importable_and_consistent():
         "d6_simhash_neardup",
         "v3_ivf_ann_topk",
         "v4_lsh_ann_topk",
+        "v5_graph_ann_topk",
         "x1_approx_distinct_stats",
         "x2_cms_heavy_hitters",
         "p1_audio_pipeline_e2e",

@@ -1,0 +1,187 @@
+"""Graph-based ANN: distributed NN-Descent kNN-graph build + batched beam
+search (v5). The second ANN architecture next to IVF (operators/similarity),
+and the one that keeps working when the corpus has NO cluster structure —
+spatial partitioning (IVF/LSH) caps out on uniform-random embeddings (see
+test_ann_recall.py's measured ceiling), while greedy graph routing only
+needs *local* proximity to navigate.
+
+Public-algorithm provenance: NN-Descent is Dong/Moses/Li, "Efficient
+k-nearest neighbor graph construction for generic similarity measures",
+WWW'11 — iterate "my neighbors' neighbors are probably my neighbors".
+Search is standard NSW-style best-first beam search, batched for Spark:
+every query advances one hop per round, so H hops = H joins, not H
+round-trips per query.
+
+Everything is deterministic: init edges and entry points come from
+xxhash64, scoring ties break on node id, so results are stable across
+runs/partitionings (the property the rows-only driver check + pytest
+recall floors rely on).
+
+Scale shape:
+- build round: edges ⋈ edges (neighbors-of-neighbors) produces n·K² candidate
+  rows, scored JVM-side, top-K kept per node via a window partitioned by
+  node — the textbook NN-Descent cost, shuffling on node id only;
+- search hop: frontier ⋈ edges produces (queries · beam · K) rows — constant
+  in corpus size; the corpus is only touched through the edge list.
+- the edge list (n·K rows) is the index artifact: at 100 TB it would be
+  built once, stored bucketed by node id, and shared by every query batch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from tts_etl_pipeline_spark.functions.checkpoints import materialize
+from tts_etl_pipeline_spark.operators.similarity import dot, norm
+
+K_NEIGHBORS = 12  # graph degree
+N_DESCENT_ROUNDS = 3
+BEAM = 16
+N_HOPS = 3
+N_ENTRIES = 4  # seeded entry points per query
+
+
+def _cosine(a_emb: str, b_emb: str):
+    return dot(a_emb, b_emb) / (norm(a_emb) * norm(b_emb))
+
+
+def build_knn_graph(
+    emb: DataFrame,
+    k: int = K_NEIGHBORS,
+    rounds: int = N_DESCENT_ROUNDS,
+) -> DataFrame:
+    """NN-Descent: returns the directed kNN edge list (src, dst, cosine).
+
+    Init: k pseudo-random edges per node (xxhash64 over (id, salt) mod n,
+    mapped to ids through a dense ordinal — deterministic, no rand()).
+    Round: candidates = current edges ∪ reversed edges ∪ two-hop edges,
+    scored exactly, top-k kept per src."""
+    nodes = materialize(
+        emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("e"))
+    )
+    n = nodes.count()
+    # dense ordinal <-> id map for hash-mod-n init (ids need not be dense)
+    ordinals = materialize(
+        nodes.select(
+            "id",
+            (F.row_number().over(W.orderBy("id")) - 1).alias("ord"),
+        )
+    )
+    salts = F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("salt")
+    init = (
+        nodes.select("id", salts)
+        .withColumn("ord", F.abs(F.xxhash64("id", "salt")) % n)
+        .join(ordinals.select(F.col("id").alias("dst"), "ord"), "ord")
+        .filter(F.col("id") != F.col("dst"))
+        .select(F.col("id").alias("src"), "dst")
+        .distinct()
+    )
+    edges = _score_and_trim(init, nodes, k)
+    for _ in range(rounds):
+        fwd = edges.select("src", "dst")
+        rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        undirected = materialize(fwd.union(rev).distinct())
+        two_hop = (
+            undirected.alias("ab")
+            .join(
+                undirected.alias("bc"),
+                F.col("ab.dst") == F.col("bc.src"),
+            )
+            .select(F.col("ab.src").alias("src"), F.col("bc.dst").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+        )
+        cands = fwd.union(two_hop).distinct()
+        edges = _score_and_trim(cands, nodes, k)
+    return edges
+
+
+def _score_and_trim(pairs: DataFrame, nodes: DataFrame, k: int) -> DataFrame:
+    scored = (
+        pairs.join(nodes.select(F.col("id").alias("src"), F.col("e").alias("se")), "src")
+        .join(nodes.select(F.col("id").alias("dst"), F.col("e").alias("de")), "dst")
+        .select("src", "dst", _cosine("se", "de").alias("cosine"))
+    )
+    w = W.partitionBy("src").orderBy(F.desc("cosine"), "dst")
+    return materialize(
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("src", "dst", "cosine")
+    )
+
+
+def graph_search_topk(
+    emb: DataFrame,
+    edges: DataFrame,
+    n_query: int,
+    k: int,
+    beam: int = BEAM,
+    hops: int = N_HOPS,
+    n_entries: int = N_ENTRIES,
+) -> tuple[DataFrame, DataFrame]:
+    """Batched beam search over the kNN graph.
+
+    Returns (topk, scored): topk = (q_id, n_id, cosine, rn) for the k best
+    per query; scored = every distinct (q_id, n_id) pair the search ever
+    scored — the candidate audit trail the recall tests use to assert the
+    search stayed sublinear (|scored| ≈ entries + beam·K·hops per query,
+    constant in corpus size)."""
+    nodes = materialize(
+        emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("e"))
+    )
+    n = nodes.count()
+    q = nodes.filter(F.col("id") < n_query).select(
+        F.col("id").alias("q_id"), F.col("e").alias("qe")
+    )
+    ordinals = materialize(
+        nodes.select("id", (F.row_number().over(W.orderBy("id")) - 1).alias("ord"))
+    )
+    salts = F.explode(F.array(*[F.lit(1000 + i) for i in range(n_entries)])).alias(
+        "salt"
+    )
+    entries = (
+        q.select("q_id", salts)
+        .withColumn("ord", F.abs(F.xxhash64("q_id", "salt")) % n)
+        .join(ordinals.select(F.col("id").alias("n_id"), "ord"), "ord")
+        .filter(F.col("n_id") != F.col("q_id"))
+        .select("q_id", "n_id")
+        .distinct()
+    )
+    best = _score_vs_queries(entries, q, nodes, beam)
+    seen = best.select("q_id", "n_id")
+    for _ in range(hops):
+        frontier = best.select("q_id", "n_id")
+        expanded = (
+            frontier.join(edges.select(F.col("src").alias("n_id"), "dst"), "n_id")
+            .select("q_id", F.col("dst").alias("n_id"))
+            .filter(F.col("n_id") != F.col("q_id"))
+            .union(frontier)
+            .distinct()
+        )
+        best = _score_vs_queries(expanded, q, nodes, beam)
+        seen = materialize(seen.union(expanded).distinct())
+    w = W.partitionBy("q_id").orderBy(F.desc("cosine"), "n_id")
+    topk = (
+        best.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "n_id", F.round("cosine", 9).alias("cosine"), "rn")
+        .orderBy("q_id", "rn")
+    )
+    return topk, seen
+
+
+def _score_vs_queries(
+    pairs: DataFrame, q: DataFrame, nodes: DataFrame, beam: int
+) -> DataFrame:
+    scored = (
+        pairs.join(F.broadcast(q), "q_id")
+        .join(nodes.select(F.col("id").alias("n_id"), F.col("e").alias("ne")), "n_id")
+        .select("q_id", "n_id", _cosine("qe", "ne").alias("cosine"))
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("cosine"), "n_id")
+    return materialize(
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= beam)
+        .select("q_id", "n_id", "cosine")
+    )

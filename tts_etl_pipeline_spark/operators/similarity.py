@@ -331,6 +331,28 @@ def v3_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# v5 — graph-based ANN: NN-Descent kNN-graph build + batched beam search
+# (functions/graph_ann.py). The architecture that still works when the
+# corpus has no cluster structure for IVF cells to exploit: greedy routing
+# over a proximity graph needs only LOCAL neighborhoods. Deterministic
+# (hash-seeded init/entries, id tie-breaks) but hash-family-dependent =>
+# rows-only driver check; recall + sublinearity floors in
+# tests/test_ann_recall.py.
+# ---------------------------------------------------------------------------
+@_register("v5_graph_ann_topk", None)
+def v5_graph_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tts_etl_pipeline_spark.functions.graph_ann import (
+        build_knn_graph,
+        graph_search_topk,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    edges = build_knn_graph(emb)
+    topk, _ = graph_search_topk(emb, edges, N_QUERY_VECS, TOP_K)
+    return topk
+
+
+# ---------------------------------------------------------------------------
 # v4 — random-hyperplane LSH ANN via pyspark.ml BucketedRandomProjectionLSH
 # (euclidean buckets); approximate => rows-only.
 # ---------------------------------------------------------------------------
