@@ -151,3 +151,51 @@ class TestResampleDownmix:
     def test_normalize_silence_unchanged(self):
         x = synth.silence(100)
         assert np.array_equal(kernels.peak_normalize(x), x)
+
+
+class TestMusicRatioPydubParity:
+    """music_ratio_pydub re-implements the reference's exact pydub chain
+    (pa.py:191-210; single-pole RC filters + audioop integer RMS). The FFT
+    band-RMS variant stays the fast gate default — these tests pin that
+    BOTH variants classify every synth fixture identically at the
+    MUSIC_ENERGY_RATIO=2.0 gate threshold, so the speed/fidelity choice
+    cannot silently change gate outcomes."""
+
+    def test_classification_agreement_with_fft_variant(self):
+        from tts_etl_pipeline_spark.audio.params import MUSIC_ENERGY_RATIO
+
+        cases = [
+            synth.speech_like(2000, seed=3),
+            synth.music_like(2000, seed=12),
+            synth.tone(440.0, 1500),
+            synth.speech_like(1500, seed=44),
+        ]
+        for x in cases:
+            fft = kernels.music_ratio(x, synth.RATE)
+            pdb = kernels.music_ratio_pydub(x, synth.RATE)
+            assert (fft > MUSIC_ENERGY_RATIO) == (pdb > MUSIC_ENERGY_RATIO)
+
+    def test_music_rejected_speech_passes(self):
+        assert kernels.music_ratio_pydub(synth.music_like(2000, seed=12), synth.RATE) > 2.0
+        assert kernels.music_ratio_pydub(synth.speech_like(2000, seed=3), synth.RATE) < 2.0
+
+    def test_empty_returns_sentinel(self):
+        assert kernels.music_ratio_pydub(np.array([], dtype=np.float32), 16000) == -1.0
+
+    def test_silence_ratio_uses_integer_floors(self):
+        # pure silence: every RMS is 0, both floors engage -> ratio 0/1 = 0
+        assert kernels.music_ratio_pydub(synth.silence(500), synth.RATE) == 0.0
+
+    def test_one_pole_filters_frequency_response(self):
+        # DC survives the low-pass and dies in the high-pass
+        dc = np.full(4000, 1000, dtype=np.int64)
+        lp = kernels._one_pole_low_pass(dc, 100.0, 16000)
+        hp = kernels._one_pole_high_pass(dc, 100.0, 16000)
+        assert abs(int(lp[-1]) - 1000) <= 1
+        assert abs(int(hp[-1])) <= 1
+        # a 6 kHz tone passes a 8 kHz-cutoff high-pass far better than 100 Hz
+        t = np.arange(8000) / 16000.0
+        tone = (10000 * np.sin(2 * np.pi * 6000 * t)).astype(np.int64)
+        hi = kernels._audioop_rms(kernels._one_pole_high_pass(tone, 100.0, 16000))
+        lo = kernels._audioop_rms(kernels._one_pole_low_pass(tone, 100.0, 16000))
+        assert hi > 10 * lo

@@ -72,6 +72,92 @@ def music_ratio(samples: np.ndarray, frame_rate: int) -> float:
         return P.MUSIC_ERROR_SENTINEL
 
 
+def _one_pole_low_pass(x: np.ndarray, cutoff_hz: float, rate: int) -> np.ndarray:
+    """pydub effects.low_pass_filter, line-faithful (mono int16 domain):
+    float accumulator `last_val += alpha * (x[i] - last_val)`, each OUTPUT
+    sample truncated with int(). Sequential by definition — same O(n)
+    Python-loop cost the reference pays inside pydub."""
+    rc = 1.0 / (cutoff_hz * 2 * np.pi)
+    dt = 1.0 / rate
+    alpha = dt / (rc + dt)
+    out = np.empty(x.size, dtype=np.int64)
+    if x.size == 0:
+        return out
+    last = float(x[0])
+    out[0] = int(x[0])
+    xi = x.astype(np.float64)
+    for i in range(1, x.size):
+        last = last + alpha * (xi[i] - last)
+        out[i] = int(last)
+    return out
+
+
+def _one_pole_high_pass(x: np.ndarray, cutoff_hz: float, rate: int) -> np.ndarray:
+    """pydub effects.high_pass_filter, line-faithful (mono int16 domain):
+    `last_val = alpha * (last_val + x[i] - x[i-1])`, output int-truncated
+    and clamped to the int16 range."""
+    rc = 1.0 / (cutoff_hz * 2 * np.pi)
+    dt = 1.0 / rate
+    alpha = rc / (rc + dt)
+    out = np.empty(x.size, dtype=np.int64)
+    if x.size == 0:
+        return out
+    last = float(x[0])
+    out[0] = int(x[0])
+    xi = x.astype(np.float64)
+    for i in range(1, x.size):
+        last = alpha * (last + xi[i] - xi[i - 1])
+        out[i] = int(min(max(last, -32768.0), 32767.0))
+    return out
+
+
+def _audioop_rms(x: np.ndarray) -> int:
+    """audioop.rms semantics: int(sqrt(sum(x^2)/n)) on integer samples."""
+    if x.size == 0:
+        return 0
+    return int(np.sqrt(np.mean(x.astype(np.float64) ** 2)))
+
+
+def music_ratio_pydub(samples: np.ndarray, frame_rate: int) -> float:
+    """P7 with the reference's EXACT pydub filter chain (pa.py:191-210),
+    re-implemented from pydub's published effects.py (single-pole RC
+    filters, int-truncated per output sample, audioop integer RMS) since
+    pydub itself is not in this runtime:
+
+        calc  = high_pass(100) |> low_pass(7500)       (pa.py:193)
+        total = max(1, rms(calc))                      (pa.py:195-197)
+        bass  = rms(calc |> low_pass(MUSIC_BASS_HZ))   (pa.py:199)
+        treble= rms(calc |> high_pass(MUSIC_TREBLE_HZ))(pa.py:200)
+        ratio = (bass+treble) / max(1, total-bass-treble)  (pa.py:202-206)
+
+    The vectorized FFT band-RMS version (music_ratio above) remains the
+    fast default in the F2 gate; this faithful variant exists so the
+    deviation is a choice, not a gap, and both classify the synth
+    fixtures identically (tests/test_audio_kernels.py)."""
+    try:
+        if samples.size == 0:
+            return P.MUSIC_ERROR_SENTINEL
+        x = np.clip(
+            np.rint(samples.astype(np.float64) * P.INT16_FULL_SCALE),
+            -32768,
+            32767,
+        ).astype(np.int64)
+        calc = _one_pole_low_pass(
+            _one_pole_high_pass(x, P.MUSIC_BAND_LOW_HZ, frame_rate),
+            P.MUSIC_BAND_HIGH_HZ,
+            frame_rate,
+        )
+        total = max(1, _audioop_rms(calc))
+        bass = _audioop_rms(_one_pole_low_pass(calc, P.MUSIC_BASS_HZ, frame_rate))
+        treble = _audioop_rms(
+            _one_pole_high_pass(calc, P.MUSIC_TREBLE_HZ, frame_rate)
+        )
+        non_speech = bass + treble
+        return non_speech / max(1, total - non_speech)
+    except Exception:
+        return P.MUSIC_ERROR_SENTINEL
+
+
 def peak_normalize(samples: np.ndarray, headroom_db: float = 0.1) -> np.ndarray:
     """Loudness (peak) normalization (pa.py:85-87, pydub effects.normalize):
     scale so the peak sits at -headroom_db dBFS; silent input unchanged."""
