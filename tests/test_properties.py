@@ -177,3 +177,54 @@ def test_bigstar_components_match_union_find(spark_module, edges):
     df = spark_module.createDataFrame(edges, "src long, dst long")
     got = {r["node"]: r["label"] for r in connected_components(df).collect()}
     assert got == expected
+
+
+# --------------------------------------------------------------------------
+# B6 codec invariants: BMP round-trip is bit-exact at every (w, h) incl.
+# every row-padding class (w mod 4); y4m frame sampling hits exactly the
+# ceil(n_frames / frames_per_period) cadence.
+# --------------------------------------------------------------------------
+@given(
+    w=st.integers(1, 40),
+    h=st.integers(1, 24),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_bmp_roundtrip_any_shape(w, h, seed):
+    import numpy as np
+
+    from tts_etl_pipeline_spark.operators import multimodal as MM
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    assert np.array_equal(MM.decode_image(MM.encode_bmp(img)), img)
+
+
+@given(
+    n_frames=st.integers(1, 40),
+    fps=st.integers(1, 30),
+    every_ms=st.sampled_from([1, 250, 1000, 5000]),
+)
+@settings(max_examples=30, deadline=None)
+def test_y4m_sampling_cadence(n_frames, fps, every_ms):
+    import numpy as np
+
+    from tts_etl_pipeline_spark.operators import multimodal as MM
+
+    w, h = 8, 6
+    rng = np.random.default_rng(7)
+    head = f"YUV4MPEG2 W{w} H{h} F{fps}:1 Ip A1:1 C420\n".encode()
+    body = b""
+    frame_payload = w * h + 2 * (w // 2) * (h // 2)
+    for _ in range(n_frames):
+        body += b"FRAME\n" + rng.integers(0, 256, frame_payload, dtype=np.uint8).tobytes()
+    frames = MM.sample_video_frames(head + body, every_ms=every_ms)
+    # reference cadence: greedy next_ts += every_ms from 0
+    ms_per_frame = 1000.0 / fps
+    expect, next_ts = 0, 0.0
+    for i in range(n_frames):
+        if i * ms_per_frame + 1e-9 >= next_ts:
+            expect += 1
+            next_ts += every_ms
+    assert len(frames) == expect
+    assert all(f.shape == (h, w) for _, f in frames)
