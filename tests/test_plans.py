@@ -200,6 +200,19 @@ def test_v3_probe_join_broadcasts_queries(spark, sf_dir):
     assert "No Partition Defined" not in physical_plan(df)
 
 
+def test_c7_t10_per_row_maps_no_extra_shuffle(spark, sf_dir):
+    """The split and scrub are pure per-row maps: the only Exchanges are
+    the tiny final aggregate (+ sort); no payload text or join shuffles."""
+    from tts_etl_pipeline_spark.operators.curation import c7_train_val_test_split
+    from tts_etl_pipeline_spark.operators.textstats import t10_pii_redaction
+
+    for fn in (c7_train_val_test_split, t10_pii_redaction):
+        df = fn(spark, sf_dir)
+        plan = physical_plan(df)
+        assert count_shuffles(df) <= 2, (fn.__name__, plan)  # agg + sort
+        assert "Join" not in plan, fn.__name__
+
+
 def test_d13_broadcast_semi_join_no_pair_blowup(spark, sf_dir):
     """Contamination check: benchmark grams broadcast into a left-semi join
     (training side never shuffles on gram; no gram-pair equi-join row set);
