@@ -139,6 +139,48 @@ def test_graph_ann_recall_and_sublinearity(spark, sf_dir):
     assert n_scored <= bound, f"scored {n_scored} pairs > bound {bound}"
 
 
+def test_graph_ann_search_cost_constant_in_corpus_size(spark):
+    """The graph search's scored set is bounded by entries + beam +
+    hops·beam·(K+1) per query — a budget the CALLER picks for the recall
+    they need, INDEPENDENT of corpus size n. At n=5000 (10× the fixture,
+    still uniform-random — the worst case) a beam=48/hops=10 budget
+    measures recall 0.78 while scoring ~1200 candidates/query (24% here,
+    2.4% at n=50k, 0.24% at n=500k: the fraction is what shrinks).
+    Contrast IVF, whose probe cost is a FRACTION of n by construction."""
+    import numpy as np
+
+    from tts_etl_pipeline_spark.functions.graph_ann import (
+        build_knn_graph,
+        graph_search_topk,
+    )
+
+    n, nq, k = 5000, 5, 10
+    beam, hops, ents, kn = 48, 10, 16, 12
+    rng = np.random.RandomState(11)
+    X = rng.randn(n, 64)
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    emb = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(X)],
+        "vec_id bigint, embedding array<float>",
+    )
+    Xd = X.astype(np.float32).astype(np.float64)
+    cos = Xd[:nq] @ Xd.T
+    for q in range(nq):
+        cos[q, q] = -2
+    exact = {(q, j) for q in range(nq) for j in np.argsort(-cos[q])[:k]}
+    edges = build_knn_graph(emb, k=kn)
+    topk, seen = graph_search_topk(
+        emb, edges, nq, k, beam=beam, hops=hops, n_entries=ents
+    )
+    got = {(r.q_id, r.n_id) for r in topk.collect()}
+    recall = len(exact & got) / len(exact)
+    n_scored = seen.count()
+    bound = nq * (ents + beam + hops * beam * (kn + 1))
+    assert n_scored <= bound, f"scored {n_scored} > bound {bound}"
+    assert n_scored / (nq * n) <= 0.26, "scored set exceeded its budget"
+    assert recall >= 0.70, f"graph-ANN recall at n=5000 fell to {recall:.2f}"
+
+
 def test_lsh_radius_recall_floor(spark, sf_dir):
     emb = {
         r.vec_id: np.asarray(r.embedding, dtype=np.float64)
