@@ -283,7 +283,12 @@ def st7_stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFram
                 F.col("event_type").isin("click", "purchase")
             )
             stream_to_table(src, table_path, key="event_id", checkpoint=f"{tmp}/ckpt{run}")
-        sunk = spark.read.parquet(table_path)
+        import os
+
+        if os.path.exists(table_path):
+            sunk = spark.read.parquet(table_path)
+        else:  # zero qualifying rows ever arrived -> sink was never created
+            sunk = spark.createDataFrame([], src.schema)
         return (
             sunk.groupBy("event_type")
             .agg(
