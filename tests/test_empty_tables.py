@@ -34,3 +34,28 @@ def empty_sf(sf_dir, tmp_path_factory):
 def test_query_survives_empty_tables(spark, empty_sf, name):
     n = all_queries()[name](spark, empty_sf).count()
     assert n >= 0
+
+
+def test_queries_survive_all_null_text_columns(spark, sf_dir, tmp_path):
+    """Second adversarial vintage: every nullable text-ish column is 100%
+    NULL (documents.text/lang/source, events.props/event_type,
+    customer.c_mktsegment). All oracle-backed queries must still run —
+    the coalesce()/null-semantics discipline, exercised corpus-wide."""
+    nullable = {
+        "documents": ["text", "lang", "source"],
+        "events": ["props", "event_type"],
+        "customer": ["c_mktsegment"],
+    }
+    root = tmp_path / "null_sf"
+    root.mkdir()
+    for t in TABLE_NAMES:
+        tbl = pq.read_table(f"{sf_dir}/{t}.parquet")
+        for col in nullable.get(t, []):
+            i = tbl.schema.get_field_index(col)
+            tbl = tbl.set_column(
+                i, col, pa.nulls(len(tbl), type=tbl.schema.field(col).type)
+            )
+        pq.write_table(tbl, str(root / f"{t}.parquet"))
+    qs = all_queries()
+    for name in sorted(all_oracles()):
+        assert qs[name](spark, str(root)).count() >= 0, name
