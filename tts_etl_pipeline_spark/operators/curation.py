@@ -506,3 +506,50 @@ def c7_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split", "lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# c8 — per-source quota sampling ("domain capping"): keep at most N docs per
+# source, preferring the longest — the standard corpus-balancing pass that
+# stops one crawl domain from dominating a training mix. Deterministic
+# ordering (n_chars DESC, doc_id) so the kept set is reproducible.
+# One shuffle on source for the window; at 100 TB source-hashed
+# partitioning makes this the same single-exchange shape.
+# ---------------------------------------------------------------------------
+SOURCE_QUOTA = 40
+
+
+@_register(
+    "c8_source_quota_cap",
+    f"""
+    SELECT source,
+           COUNT(*) AS n_kept,
+           CAST(SUM(n_chars) AS BIGINT) AS kept_chars,
+           MIN(doc_id) AS first_doc
+    FROM (
+      SELECT source, n_chars, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id) AS rn
+      FROM documents
+    )
+    WHERE rn <= {SOURCE_QUOTA}
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def c8_source_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    docs = table(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy(F.desc("n_chars"), "doc_id")
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= SOURCE_QUOTA)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").cast("bigint").alias("kept_chars"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("source")
+    )

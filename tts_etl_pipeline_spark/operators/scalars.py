@@ -532,3 +532,71 @@ def f7_bitwise_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# f8 — URL parsing family: a training pipeline filters and rolls up by
+# domain constantly (domain caps, source quality tiers, crawl dedup). URLs
+# are synthesized deterministically from documents columns (both engines
+# build the identical string), then parsed back: Spark uses the JVM
+# parse_url fast path, the DuckDB oracle mirrors with anchored regexps —
+# equivalent on these controlled shapes, both sides verified to re-extract
+# what was embedded. NULL source/lang rows coalesce to 'unknown' first
+# (the all-NULL robustness sweep covers this path).
+# ---------------------------------------------------------------------------
+@_register(
+    "f8_url_functions",
+    """
+    WITH urls AS (
+      SELECT doc_id,
+             'https://' || coalesce(source, 'unknown') || '.example.com/docs/'
+               || CAST(doc_id AS VARCHAR) || '?lang=' || coalesce(lang, 'unknown')
+               || '&v=2' AS url
+      FROM documents
+    ),
+    parsed AS (
+      SELECT doc_id,
+             regexp_extract(url, '^https://([^/]+)', 1) AS host,
+             regexp_extract(url, '^https://[^/]+(/[^?]*)', 1) AS path,
+             regexp_extract(url, '[?&]lang=([^&]*)', 1) AS lang_param,
+             regexp_extract(url, '^([a-z]+)://', 1) AS scheme
+      FROM urls
+    )
+    SELECT host,
+           COUNT(*) AS n_urls,
+           COUNT(DISTINCT lang_param) AS n_langs,
+           MIN(path) AS first_path,
+           MAX(scheme) AS scheme
+    FROM parsed
+    GROUP BY host
+    ORDER BY host
+    """,
+)
+def f8_url_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.coalesce("source", F.lit("unknown")),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.coalesce("lang", F.lit("unknown")),
+        F.lit("&v=2"),
+    )
+    parsed = docs.select(
+        "doc_id",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+        F.parse_url(url, F.lit("PROTOCOL")).alias("scheme"),
+    )
+    return (
+        parsed.groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.countDistinct("lang_param").alias("n_langs"),
+            F.min("path").alias("first_path"),
+            F.max("scheme").alias("scheme"),
+        )
+        .orderBy("host")
+    )
