@@ -522,3 +522,54 @@ def t10_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# t11 — deterministic text normalization: the canonical pre-dedup cleanup
+# (lowercase, collapse all whitespace runs to single spaces, strip
+# non-alphanumeric-non-space chars, trim). Output audits the effect:
+# per-lang char deltas plus how many distinct docs COLLAPSE to the same
+# normalized form (normalization creating new duplicates is exactly what a
+# dedup pipeline wants to measure before/after). Same regexps in both
+# engines (Java and RE2 agree on these classes). Per-row map + one
+# fingerprint distinct + tiny agg.
+# ---------------------------------------------------------------------------
+@_register(
+    "t11_text_normalization",
+    """
+    WITH norm AS (
+      SELECT doc_id, lang,
+             length(coalesce(text, '')) AS raw_chars,
+             trim(regexp_replace(regexp_replace(lower(coalesce(text, '')),
+                  '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g')) AS clean
+      FROM documents
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(raw_chars) AS BIGINT) AS raw_chars,
+           CAST(SUM(length(clean)) AS BIGINT) AS clean_chars,
+           COUNT(DISTINCT clean) AS n_distinct_normalized
+    FROM norm
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def t11_text_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    raw = F.coalesce("text", F.lit(""))
+    clean = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(raw), r"[^a-z0-9\s]", ""), r"\s+", " "
+        )
+    )
+    return (
+        docs.select("lang", F.length(raw).alias("raw_chars"), clean.alias("clean"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("raw_chars").cast("bigint").alias("raw_chars"),
+            F.sum(F.length("clean")).cast("bigint").alias("clean_chars"),
+            F.countDistinct("clean").alias("n_distinct_normalized"),
+        )
+        .orderBy("lang")
+    )
