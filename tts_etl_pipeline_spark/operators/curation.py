@@ -553,3 +553,50 @@ def c8_source_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# dq3 — temporal-consistency audit: lineitems shipped BEFORE their order was
+# placed, per order status — the cross-table invariant check (event-time
+# sanity) every DQ suite runs alongside dq1's referential integrity. The
+# join is key+two-date projected before shuffling, so at 100 TB the
+# exchange carries three small columns per side, never the wide fact rows.
+# ---------------------------------------------------------------------------
+@_register(
+    "dq3_temporal_consistency",
+    """
+    SELECT o_orderstatus,
+           COUNT(*) AS n_lineitems,
+           CAST(SUM(CASE WHEN l_shipdate < o_orderdate THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_violations,
+           CAST(MIN(CASE WHEN l_shipdate < o_orderdate
+                    THEN date_diff('day', CAST(l_shipdate AS DATE),
+                                   CAST(o_orderdate AS DATE)) END)
+                AS BIGINT) AS min_violation_days,
+           CAST(MAX(CASE WHEN l_shipdate < o_orderdate
+                    THEN date_diff('day', CAST(l_shipdate AS DATE),
+                                   CAST(o_orderdate AS DATE)) END)
+                AS BIGINT) AS max_violation_days
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def dq3_temporal_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderstatus"
+    )
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    viol = F.col("l_shipdate") < F.col("o_orderdate")
+    gap = F.datediff(F.col("o_orderdate"), F.col("l_shipdate"))
+    return (
+        j.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            F.sum(F.when(viol, 1).otherwise(0)).cast("bigint").alias("n_violations"),
+            F.min(F.when(viol, gap)).cast("bigint").alias("min_violation_days"),
+            F.max(F.when(viol, gap)).cast("bigint").alias("max_violation_days"),
+        )
+        .orderBy("o_orderstatus")
+    )
