@@ -573,3 +573,87 @@ def t11_text_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# t12 — sequence packing (concat-and-chunk accounting): the GPT-style
+# pretraining step that concatenates the tokenized corpus in doc_id order
+# and splits it into fixed-length training sequences. Output audits the
+# packing: per chunk, how many docs START there and their token mass.
+#
+# The interesting part is the GLOBAL RUNNING SUM at scale: a naive
+# Window.orderBy(doc_id) is unpartitioned — one task drags the whole corpus
+# (banned by this repo's plan discipline). Instead the classic distributed
+# prefix sum: deterministic doc_id buckets -> per-bucket token sums
+# (tiny; collected control-plane like d8/d10's convergence scalars) ->
+# driver cumsum -> broadcast offsets back -> per-row position = bucket
+# offset + within-bucket running sum (window PARTITIONED by bucket). Exact,
+# deterministic, and every window stays partitioned.
+# ---------------------------------------------------------------------------
+SEQ_LEN = 512
+PACK_BUCKET = 100  # docs per prefix-sum bucket; offsets stay driver-tiny
+
+
+@_register(
+    "t12_sequence_packing",
+    f"""
+    WITH d AS (
+      SELECT doc_id,
+             len(string_split(lower(trim(coalesce(text, ''))), ' ')) AS ntok
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, ntok,
+             SUM(ntok) OVER (ORDER BY doc_id) - ntok AS cum_start
+      FROM d
+    )
+    SELECT CAST(floor(cum_start / {SEQ_LEN}) AS BIGINT) AS chunk_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+           MIN(doc_id) AS first_doc,
+           MAX(doc_id) AS last_doc
+    FROM c
+    GROUP BY chunk_id
+    ORDER BY chunk_id
+    """,
+)
+def t12_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    docs = table(spark, sf_dir, "documents")
+    ntok = F.size(
+        F.split(F.lower(F.trim(F.coalesce("text", F.lit("")))), " ")
+    ).cast("bigint")
+    d = docs.select(
+        "doc_id",
+        ntok.alias("ntok"),
+        F.floor(F.col("doc_id") / PACK_BUCKET).alias("bucket"),
+    )
+    # control-plane: per-bucket sums are |corpus|/PACK_BUCKET rows — collect,
+    # cumsum on the driver, broadcast back (same pattern as the bloom/d8
+    # scalar probes; kilobytes at any corpus size with a sane bucket width)
+    sums = {
+        r["bucket"]: r["s"]
+        for r in d.groupBy("bucket").agg(F.sum("ntok").alias("s")).collect()
+    }
+    offsets, acc = [], 0
+    for b in sorted(sums):
+        offsets.append((b, acc))
+        acc += sums[b]
+    off = spark.createDataFrame(offsets, "bucket bigint, bucket_offset bigint")
+    w = W.partitionBy("bucket").orderBy("doc_id")
+    cum_start = (
+        F.col("bucket_offset") + F.sum("ntok").over(w) - F.col("ntok")
+    )
+    return (
+        d.join(F.broadcast(off), "bucket")
+        .withColumn("chunk_id", F.floor(cum_start / SEQ_LEN).cast("bigint"))
+        .groupBy("chunk_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ntok").alias("n_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("chunk_id")
+    )
