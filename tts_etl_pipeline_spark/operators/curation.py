@@ -600,3 +600,45 @@ def dq3_temporal_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+# ---------------------------------------------------------------------------
+# dq4 — cross-modal coverage audit: before training on (text, embedding)
+# pairs, count docs with no embedding and embeddings with no doc, per lang —
+# dq1's orphan pattern applied to the multimodal join. Key-projected anti
+# joins; embeddings' id side is broadcast-size here and AQE picks the
+# broadcast at scale when one side stays small.
+# ---------------------------------------------------------------------------
+@_register(
+    "dq4_embedding_coverage",
+    """
+    SELECT d.lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN e.vec_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS docs_without_embedding,
+           (SELECT COUNT(*) FROM embeddings e2
+            WHERE NOT EXISTS (SELECT 1 FROM documents d2 WHERE d2.doc_id = e2.vec_id))
+             AS embeddings_without_doc
+    FROM documents d LEFT JOIN embeddings e ON d.doc_id = e.vec_id
+    GROUP BY d.lang
+    ORDER BY d.lang
+    """,
+)
+def dq4_embedding_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    emb = table(spark, sf_dir, "embeddings").select("vec_id")
+    orphan_emb = emb.join(
+        docs.select("doc_id"), emb.vec_id == F.col("doc_id"), "left_anti"
+    ).count()  # scalar: one number reused on every output row
+    return (
+        docs.join(F.broadcast(emb), docs.doc_id == emb.vec_id, "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("vec_id").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("docs_without_embedding"),
+        )
+        .withColumn("embeddings_without_doc", F.lit(orphan_emb).cast("bigint"))
+        .orderBy("lang")
+    )

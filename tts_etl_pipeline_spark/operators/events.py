@@ -390,3 +390,66 @@ def e6_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("fc").alias("n_clicked_after_view"),
         F.count("fp").alias("n_purchased_after_click"),
     )
+
+
+# ---------------------------------------------------------------------------
+# e7 — conversion-latency percentiles: for click→purchase pairs within a
+# 1-hour window (st5's interval-join shape, batch side), the p50/p90
+# latency per click hour-of-day — the product-analytics rollup behind
+# "how fast do users convert". Exact interpolated percentiles (Spark
+# percentile == DuckDB quantile_cont on the same integer-microsecond
+# inputs); latencies surfaced in seconds rounded to 1 ms grain.
+# The join shuffles on user_id only after both sides are key+ts projected.
+# ---------------------------------------------------------------------------
+@_register(
+    "e7_conversion_latency",
+    """
+    WITH pairs AS (
+      SELECT c.ts AS cts, epoch_us(p.ts) - epoch_us(c.ts) AS lat_us
+      FROM events c JOIN events p
+        ON c.user_id = p.user_id
+       AND c.event_type = 'click' AND p.event_type = 'purchase'
+       AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    )
+    SELECT CAST(hour(cts) AS BIGINT) AS click_hour,
+           COUNT(*) AS n_pairs,
+           ROUND(quantile_cont(lat_us, 0.5) / 1000000, 3) AS p50_s,
+           ROUND(quantile_cont(lat_us, 0.9) / 1000000, 3) AS p90_s
+    FROM pairs
+    GROUP BY click_hour
+    ORDER BY click_hour
+    """,
+)
+def e7_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    # one narrow projected scan feeds both self-join sides (d3 discipline)
+    both = materialize(
+        ev.filter(F.col("event_type").isin("click", "purchase")).select(
+            "user_id", "event_type", "ts"
+        )
+    )
+    clicks = both.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("cts")
+    )
+    purchases = both.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"), F.col("ts").alias("pts")
+    )
+    pairs = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("pts") > F.col("cts"))
+        & (F.col("pts") <= F.col("cts") + F.expr("INTERVAL 1 HOUR")),
+    ).select(
+        F.hour("cts").cast("bigint").alias("click_hour"),
+        (F.unix_micros(F.col("pts").cast("timestamp"))
+         - F.unix_micros(F.col("cts").cast("timestamp"))).alias("lat_us"),
+    )
+    return (
+        pairs.groupBy("click_hour")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.percentile("lat_us", F.lit(0.5)) / 1000000, 3).alias("p50_s"),
+            F.round(F.percentile("lat_us", F.lit(0.9)) / 1000000, 3).alias("p90_s"),
+        )
+        .orderBy("click_hour")
+    )
