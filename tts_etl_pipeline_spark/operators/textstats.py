@@ -657,3 +657,128 @@ def t12_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("chunk_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# t13 — repetition signals (Gopher/MassiveText-style quality filters, Rae et
+# al. 2021 §A1.1): fraction of tokens belonging to the single most frequent
+# token, and to the most frequent bigram, per document — high values flag
+# degenerate/boilerplate text. Rolled up per lang with flagged-doc counts at
+# the published-style thresholds. Cross-doc averages go through decimal so
+# the float sum is partial-order independent (functions/exact.py rules).
+# One token-grain scan materialized once feeds both signals (t9 pattern).
+# ---------------------------------------------------------------------------
+TOP_TOKEN_FRAC_MAX = 0.20
+TOP_BIGRAM_FRAC_MAX = 0.18
+
+
+@_register(
+    "t13_repetition_signals",
+    f"""
+    WITH base AS (
+      SELECT doc_id, lang,
+             string_split(lower(trim(coalesce(text, ''))), ' ') AS toks
+      FROM documents
+    ),
+    tok_top AS (
+      SELECT doc_id, MAX(c) AS top_tok
+      FROM (
+        SELECT doc_id, token, COUNT(*) AS c
+        FROM (SELECT doc_id, unnest(toks) AS token FROM base) t
+        GROUP BY doc_id, token
+      ) g GROUP BY doc_id
+    ),
+    bi_top AS (
+      SELECT doc_id, MAX(c) AS top_bi
+      FROM (
+        SELECT doc_id, bigram, COUNT(*) AS c
+        FROM (
+          SELECT doc_id, unnest([toks[i] || ' ' || toks[i+1]
+                                 FOR i IN range(1, len(toks))]) AS bigram
+          FROM base WHERE len(toks) >= 2
+        ) t
+        GROUP BY doc_id, bigram
+      ) g GROUP BY doc_id
+    ),
+    scored AS (
+      SELECT b.lang,
+             CAST(t.top_tok AS DOUBLE) / len(b.toks) AS tok_frac,
+             CAST(COALESCE(bi.top_bi, 0) AS DOUBLE) / GREATEST(len(b.toks) - 1, 1)
+               AS bi_frac
+      FROM base b
+      JOIN tok_top t USING (doc_id)
+      LEFT JOIN bi_top bi USING (doc_id)
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN tok_frac > {TOP_TOKEN_FRAC_MAX} THEN 1 ELSE 0 END)
+                AS BIGINT) AS flagged_token,
+           CAST(SUM(CASE WHEN bi_frac > {TOP_BIGRAM_FRAC_MAX} THEN 1 ELSE 0 END)
+                AS BIGINT) AS flagged_bigram,
+           CAST(SUM(CAST(tok_frac AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*)
+             AS avg_tok_frac,
+           CAST(SUM(CAST(bi_frac AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*)
+             AS avg_bi_frac
+    FROM scored
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def t13_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.coalesce("text", F.lit("")))), " ")
+    bigrams = F.expr(
+        "transform(sequence(1, size(toks) - 1), "
+        "i -> concat(toks[i-1], ' ', toks[i]))"
+    )
+    base = materialize(
+        docs.select("doc_id", "lang", toks.alias("toks"), F.size(toks).alias("n"))
+    )
+    tok_top = (
+        base.select("doc_id", F.explode("toks").alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_tok"))
+    )
+    bi_top = (
+        base.filter(F.size("toks") >= 2)
+        .select("doc_id", F.explode(bigrams).alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_bi"))
+    )
+    scored = (
+        base.join(tok_top, "doc_id")
+        .join(bi_top, "doc_id", "left")
+        .select(
+            "lang",
+            (F.col("top_tok").cast("double") / F.col("n")).alias("tok_frac"),
+            (
+                F.coalesce("top_bi", F.lit(0)).cast("double")
+                / F.greatest(F.col("n") - 1, F.lit(1))
+            ).alias("bi_frac"),
+        )
+    )
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("tok_frac") > TOP_TOKEN_FRAC_MAX, 1).otherwise(0))
+            .cast("bigint")
+            .alias("flagged_token"),
+            F.sum(F.when(F.col("bi_frac") > TOP_BIGRAM_FRAC_MAX, 1).otherwise(0))
+            .cast("bigint")
+            .alias("flagged_bigram"),
+            (
+                F.sum(F.col("tok_frac").cast("decimal(18,9)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_tok_frac"),
+            (
+                F.sum(F.col("bi_frac").cast("decimal(18,9)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_bi_frac"),
+        )
+        .orderBy("lang")
+    )
