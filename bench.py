@@ -56,6 +56,11 @@ HEADLINE = [
     # regex-heavy per-row scrub (BASELINE.md "round 4" note)
     "d13_benchmark_contamination",
     "t10_pii_redaction",
+    # r5 additions — new shapes: fully in-Spark two-level prefix sum;
+    # two-phase hot-key top-N; broadcast-rate mixture downsample
+    "t12_sequence_packing",
+    "c8_source_quota_cap",
+    "c9_mixture_downsample",
 ]
 
 

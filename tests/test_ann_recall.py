@@ -56,8 +56,21 @@ def test_ivf_multiprobe_recall_floor(spark, sf_dir):
     numpy sweep over k∈{8..128} x assign∈{1..6} x probe∈{2..24} x 6 KMeans
     seeds caps at mean recall ~0.65-0.70 under a 25%-candidate budget
     (single-assignment r3 measured 0.44). Measured here: recall 0.66 at
-    21.8% probed with pyspark KMeans seed 42. The operator itself clears
-    0.9+ on clustered corpora — see test_ivf_recall_clustered_corpus."""
+    21.8% probed with pyspark KMeans seed 42.
+
+    TARGET CLOSED (round 5, verdict item 4, option B): a wider-pool sweep
+    through the real operator measured, on this fixture —
+      cells=128 assign=4 probe=8: recall 0.82 at 37.3% probed
+      cells=128 assign=6 probe=8: recall 0.90 at 50.5% probed
+      cells=96  assign=4 probe=6: recall 0.82 at 39.8% probed
+    i.e. >=0.8 recall is reachable but ONLY by probing ~1.5-2x the 25%
+    budget; no config meets 0.8 within it. The >=0.8-uniform target is
+    therefore retired as infeasible for partition-based ANN on
+    structure-free embeddings, and v5 (graph ANN, recall 0.86 on this same
+    fixture within a corpus-size-independent search budget — see
+    test_graph_ann_recall_and_sublinearity) is the DESIGNATED uniform-corpus
+    path. v3 remains the clustered-corpus path (recall 1.0 at <25% probed,
+    test_ivf_recall_clustered_corpus). Recorded in COVERAGE.md B3."""
     from tts_etl_pipeline_spark.operators.similarity import (
         ivf_candidates,
     )
@@ -113,10 +126,12 @@ def test_ivf_recall_clustered_corpus(spark):
 def test_graph_ann_recall_and_sublinearity(spark, sf_dir):
     """v5 NN-Descent + beam search: on the SAME uniform-random fixture
     where partition-based ANN caps at ~0.66 (see above), graph routing
-    measured recall@10 = 0.86 — local proximity is enough to navigate even
-    without global cluster structure. Also asserts the search's scored set
-    respects its corpus-size-INDEPENDENT bound (entries + hops·beam·(K+1)
-    per query): that bound, not the n=500 fraction, is the 100 TB story."""
+    measured recall@10 = 0.92 (k=16 graph, r5 re-tune after the
+    dense-ordinal rework; 0.86 with the r4 k=12 graph) — local proximity is
+    enough to navigate even without global cluster structure. Also asserts
+    the search's scored set respects its corpus-size-INDEPENDENT bound
+    (entries + hops·beam·(K+1) per query): that bound, not the n=500
+    fraction, is the 100 TB story."""
     from tts_etl_pipeline_spark.functions.graph_ann import (
         BEAM,
         K_NEIGHBORS,

@@ -76,13 +76,18 @@ def test_feature_extraction_shapes_and_determinism(spark, media_df):
 
 
 def test_codec_stubs_raise(spark):
-    # compressed formats stay stubbed (no PIL/opencv/ffmpeg here)
+    # compressed formats beyond PNG stay stubbed (no PIL/opencv/ffmpeg here)
     with pytest.raises(NotImplementedError):
-        MM.decode_image(b"\x89PNG not decodable")
+        MM.decode_image(b"\xff\xd8\xff\xe0 jpeg not decodable")
     with pytest.raises(NotImplementedError):
-        MM.resize_image(b"\x89PNG not decodable", 224, 224)
+        MM.resize_image(b"\xff\xd8\xff\xe0 jpeg not decodable", 224, 224)
     with pytest.raises(NotImplementedError):
         MM.sample_video_frames(b"\x00\x00ftyp h264 not decodable")
+    # PNG variants outside the real path stay explicit too: 16-bit depth
+    img = _test_img(w=4, h=3)
+    png16 = _encode_png(img, depth=16)
+    with pytest.raises(NotImplementedError):
+        MM.decode_png(png16)
 
 
 # --------------------------------------------------------------------------
@@ -104,9 +109,107 @@ def _y4m_bytes(w=32, h=16, n_frames=30, fps=10):
     return head + body
 
 
+def _encode_png(img, filters=None, depth=8, color=None):
+    """Minimal PNG writer for decoder tests: applies the spec's scanline
+    filters FORWARD (sub/up/average/paeth deltas), so decode_png must run
+    the reconstruction to get the pixels back. img: HxW (gray), HxWx3 (RGB)
+    or HxWx4 (RGBA) uint8; filters: per-row filter ids (cycled)."""
+    import struct
+    import zlib
+
+    if img.ndim == 2:
+        img = img[..., None]
+    h, w, ch = img.shape
+    color = {1: 0, 3: 2, 4: 6}[ch] if color is None else color
+    filters = filters if filters is not None else [0]
+    bpp = ch
+    raw = bytearray()
+    prev = np.zeros(w * ch, dtype=np.int32)
+    for y in range(h):
+        f = filters[y % len(filters)]
+        cur = img[y].reshape(-1).astype(np.int32)
+        out = np.zeros_like(cur)
+        for i in range(len(cur)):
+            a = int(cur[i - bpp]) if i >= bpp else 0
+            b = int(prev[i])
+            c = int(prev[i - bpp]) if i >= bpp else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            out[i] = (cur[i] - pred) & 0xFF
+        raw.append(f)
+        raw.extend(out.astype(np.uint8).tobytes())
+        prev = cur
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
 def test_bmp_roundtrip_exact():
     img = _test_img()
     assert np.array_equal(MM.decode_image(MM.encode_bmp(img)), img)
+
+
+def test_png_decode_all_filters_exact():
+    """Every scanline filter (None/Sub/Up/Average/Paeth) reconstructs the
+    exact pixels, through the public decode_image dispatch."""
+    img = _test_img(w=13, h=11, seed=7)
+    for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+        got = MM.decode_image(_encode_png(img, filters=filters))
+        assert np.array_equal(got, img), f"filters={filters}"
+
+
+def test_png_decode_gray_and_rgba():
+    rng = np.random.default_rng(9)
+    gray = rng.integers(0, 256, size=(6, 10), dtype=np.uint8)
+    got = MM.decode_png(_encode_png(gray, filters=[0, 2, 4]))
+    assert np.array_equal(got, np.repeat(gray[..., None], 3, axis=2))
+    rgba = rng.integers(0, 256, size=(5, 7, 4), dtype=np.uint8)
+    got = MM.decode_png(_encode_png(rgba, filters=[1, 3, 4]))
+    assert np.array_equal(got, rgba[..., :3])  # alpha dropped
+
+
+def test_png_resize_and_probe(spark):
+    img = _test_img(w=16, h=16)
+    png = _encode_png(img, filters=[4])
+    # resize consumes PNG input, emits BMP (the writer format)
+    out = MM.decode_image(MM.resize_image(png, 4, 4))
+    assert out.shape == (4, 4, 3)
+    df = spark.createDataFrame(
+        [("pic.png", "image", png)],
+        "media_id string, modality string, content binary",
+    )
+    meta = {r["media_id"]: r["meta"] for r in MM.chunk_media(df).collect()}
+    assert meta["pic.png"]["width"] == 16 and meta["pic.png"]["height"] == 16
+    assert meta["pic.png"]["codec"] == "png"
+    feats = {
+        r["media_id"]: np.array(r["feature"])
+        for r in MM.extract_features(MM.chunk_media(df), dim=16).collect()
+    }
+    luma = img.astype(np.float64).mean(axis=2) / 255.0
+    assert feats["pic.png"][0] == pytest.approx(float(luma.mean()), rel=1e-5)
 
 
 def test_bmp_resize_nearest_neighbor():

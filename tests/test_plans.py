@@ -241,3 +241,49 @@ def test_e6_one_fact_shuffle_shared_sort(spark, sf_dir):
     assert scans_by_table(df).get("events", 0) == 1
     assert count_shuffles(df) == 2, plan
     assert "No Partition Defined" not in plan
+
+
+def test_t12_no_driver_roundtrip(spark, sf_dir):
+    """t12's global prefix sum must be computed IN Spark: no driver-collected
+    offsets relation (LocalTableScan) anywhere in the lineage, the tokenized
+    projection materialized once (zero documents re-scans downstream), and
+    the only unpartitioned window is the superbucket cumsum — a relation
+    n/(PACK_BUCKET*PACK_SUPER) the corpus size, never the corpus itself."""
+    from tts_etl_pipeline_spark.operators.textstats import t12_sequence_packing
+    from tts_etl_pipeline_spark.plans.inspect import scans_by_table
+
+    df = t12_sequence_packing(spark, sf_dir)
+    plan = physical_plan(df)
+    # no driver round-trip proportional to corpus size: the old collect+
+    # createDataFrame offsets showed up as a LocalTableScan — must be gone
+    assert "LocalTableScan" not in plan
+    # tokenized projection checkpointed once; no parquet re-scan per branch
+    assert scans_by_table(df).get("documents", 0) == 0
+    # exactly one unpartitioned window — the superbucket cumsum, a relation
+    # n/(PACK_BUCKET*PACK_SUPER) the corpus size, never the corpus itself
+    from tts_etl_pipeline_spark.plans import unpartitioned_windows
+
+    assert unpartitioned_windows(df) == 1, plan
+
+
+def test_c8_partial_topn_before_source_shuffle(spark, sf_dir):
+    """c8's per-source quota is two-phase: the MapInPandas partial top-N
+    prunes below the window's source Exchange (a hot source no longer ships
+    every row to one reducer), and the shuffle count stays at the original
+    two (window hash + final sort)."""
+    import re
+
+    from tts_etl_pipeline_spark.operators.curation import c8_source_quota_cap
+
+    df = c8_source_quota_cap(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "MapInPandas" in plan
+    assert count_shuffles(df) == 2, plan
+    # the partial prune sits BELOW the hash Exchange: formatted plans number
+    # leaves first, so the MapInPandas node id < the source-hash Exchange id
+    map_id = int(re.search(r"\((\d+)\) MapInPandas", plan).group(1))
+    ex_ids = [
+        int(m.group(1))
+        for m in re.finditer(r"\((\d+)\) Exchange", plan)
+    ]
+    assert any(map_id < e for e in ex_ids) and all(map_id < e for e in ex_ids), plan

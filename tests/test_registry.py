@@ -17,9 +17,12 @@ def test_registry_importable_and_consistent():
     # split rule is deterministic and replicated in SQL at full precision)
     # plus the audio E2E pipeline (inputs are synthesized WAVs, not the
     # driver's parquet tables — DuckDB has nothing equivalent to run)
+    # d5_minhash_lsh_neardup is deliberately ABSENT: the pyspark.ml demo is
+    # retired from the registry (OR-amplified LSH goes quadratic on
+    # self-similar corpora) — code + pytest remain, drivers can't reach it
+    assert "d5_minhash_lsh_neardup" not in qs
     rows_only = set(qs) - set(osql)
     assert rows_only == {
-        "d5_minhash_lsh_neardup",
         "d11_banded_minhash_neardup",
         "d12_neardup_dedup_e2e",
         "d6_simhash_neardup",

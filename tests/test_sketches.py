@@ -145,3 +145,24 @@ def test_d10_matches_plain_antijoin(spark, sf_dir):
     expected = sorted(map(tuple, plain.collect()))
     got = sorted(map(tuple, d10_incremental_dedup(spark, sf_dir).collect()))
     assert got == expected and len(got) > 0
+
+
+def test_bloom_sized_from_count_keeps_fpr_at_10x_default_load():
+    """d10 sizes the filter from a corpus count() instead of a fixed
+    n_items: at 10x an undersized design load the fixed filter saturates
+    (FPR explodes), while count-based sizing holds the design FPR. The
+    magnitudes are scaled down 50x so the test runs in milliseconds — the
+    ratio (items = 10 x n_items vs items = n_items) is what matters."""
+    from tts_etl_pipeline_spark.functions.bloom import BloomFilter
+
+    items = [f"fp{i}" for i in range(20_000)]
+    undersized = BloomFilter(n_items=2_000, fpp=0.01)  # fixed sizing, 10x load
+    sized = BloomFilter(n_items=20_000, fpp=0.01)  # sized from count
+    for it in items:
+        undersized.add(it)
+        sized.add(it)
+    probes = [f"absent{i}" for i in range(10_000)]
+    fpr_under = sum(undersized.might_contain(p) for p in probes) / len(probes)
+    fpr_sized = sum(sized.might_contain(p) for p in probes) / len(probes)
+    assert fpr_under > 0.20  # saturated: the silent failure mode d10 avoids
+    assert fpr_sized < 0.05  # the verdict's bound for count-based sizing

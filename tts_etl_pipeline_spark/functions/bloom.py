@@ -1,9 +1,11 @@
 """Mergeable Bloom filter — the membership twin of functions/cms.py.
 
 Used by the incremental-dedup operator (operators/dedup.py d10): the
-existing corpus's fingerprint set is summarized into a fixed-size bit array
-(built distributed: one partial filter per partition via mapInPandas,
-OR-merged — kilobytes per partition regardless of corpus size), broadcast,
+existing corpus's fingerprint set is summarized into a bit array sized from
+a corpus count() — a fixed m would saturate at scale, FPR -> 1, silently
+routing every row to the exact join — (built distributed: one partial
+filter per partition via mapInPandas, tree-merged through an executor
+reduce level before one small driver collect), broadcast,
 and probed to split an incoming batch into definitely-new rows (bloom says
 absent — NO false negatives, so they skip the expensive anti-join entirely)
 and maybe-duplicate rows (bloom says present — verified by an exact

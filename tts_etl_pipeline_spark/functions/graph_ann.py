@@ -36,7 +36,14 @@ from pyspark.sql.window import Window as W
 from tts_etl_pipeline_spark.functions.checkpoints import materialize
 from tts_etl_pipeline_spark.operators.similarity import dot, norm
 
-K_NEIGHBORS = 12  # graph degree
+# graph degree: r5 re-tune after the dense-ordinal rework perturbed the
+# deterministic init (recall moved 0.86 -> 0.70 at k=12 — seed luck on the
+# 500-vector fixture). Measured sweep on the fixture, default search budget:
+# k=12 0.70, k=16 0.92 (beam=24/ents=8 buys 0.98-1.00 at 1.25x search cost).
+# Degree is an INDEX-build knob: build cost scales n*k^2 (once), search cost
+# is unchanged — the right side of the trade for a build-once/query-many
+# artifact.
+K_NEIGHBORS = 16
 N_DESCENT_ROUNDS = 3
 BEAM = 16
 N_HOPS = 3
@@ -45,6 +52,32 @@ N_ENTRIES = 4  # seeded entry points per query
 
 def _cosine(a_emb: str, b_emb: str):
     return dot(a_emb, b_emb) / (norm(a_emb) * norm(b_emb))
+
+
+_ORD_BUCKETS = 1024  # constant — the offset relation never grows with n
+
+
+def _dense_ordinals(nodes: DataFrame) -> DataFrame:
+    """(id, ord) with ord a dense 0..n-1 bijection, WITHOUT a global window.
+
+    The hash-mod-n init only needs *some* deterministic dense bijection, not
+    one that respects global id order — so ids hash into a CONSTANT number
+    of buckets (balanced by construction), ranks come from a window
+    PARTITIONED by bucket, and bucket offsets from an exclusive cumsum over
+    the bucket-count relation, which has at most _ORD_BUCKETS rows no matter
+    the corpus size. Same discipline as t12's prefix sum: the only
+    unpartitioned window runs over a bounded-constant relation."""
+    d = nodes.select("id", (F.abs(F.xxhash64("id")) % _ORD_BUCKETS).alias("b"))
+    counts = d.groupBy("b").agg(F.count(F.lit(1)).alias("c"))
+    w_off = W.orderBy("b").rowsBetween(W.unboundedPreceding, -1)
+    offsets = counts.select(
+        "b", F.coalesce(F.sum("c").over(w_off), F.lit(0)).alias("off")
+    )
+    w_rank = W.partitionBy("b").orderBy("id")
+    return d.join(F.broadcast(offsets), "b").select(
+        "id",
+        (F.col("off") + F.row_number().over(w_rank) - 1).alias("ord"),
+    )
 
 
 def build_knn_graph(
@@ -56,19 +89,19 @@ def build_knn_graph(
 
     Init: k pseudo-random edges per node (xxhash64 over (id, salt) mod n,
     mapped to ids through a dense ordinal — deterministic, no rand()).
-    Round: candidates = current edges ∪ reversed edges ∪ two-hop edges,
-    scored exactly, top-k kept per src."""
+    Round: candidates = current edges ∪ two-hop edges over the UNDIRECTED
+    graph (reversed one-hop edges participate as transit points of the
+    two-hop expansion, not as direct candidates — including them directly
+    was tried in r5 and measured recall 0.72 vs 0.86 on the uniform
+    fixture, so the implemented candidate set is the keeper), scored
+    exactly, top-k kept per src."""
     nodes = materialize(
         emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("e"))
     )
     n = nodes.count()
-    # dense ordinal <-> id map for hash-mod-n init (ids need not be dense)
-    ordinals = materialize(
-        nodes.select(
-            "id",
-            (F.row_number().over(W.orderBy("id")) - 1).alias("ord"),
-        )
-    )
+    # dense ordinal <-> id map for hash-mod-n init (ids need not be dense);
+    # built without a global window — see _dense_ordinals
+    ordinals = materialize(_dense_ordinals(nodes))
     salts = F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("salt")
     init = (
         nodes.select("id", salts)
@@ -134,9 +167,7 @@ def graph_search_topk(
     q = nodes.filter(F.col("id") < n_query).select(
         F.col("id").alias("q_id"), F.col("e").alias("qe")
     )
-    ordinals = materialize(
-        nodes.select("id", (F.row_number().over(W.orderBy("id")) - 1).alias("ord"))
-    )
+    ordinals = materialize(_dense_ordinals(nodes))
     salts = F.explode(F.array(*[F.lit(1000 + i) for i in range(n_entries)])).alias(
         "salt"
     )
@@ -149,7 +180,10 @@ def graph_search_topk(
         .distinct()
     )
     best = _score_vs_queries(entries, q, nodes, beam)
-    seen = best.select("q_id", "n_id")
+    # the audit trail starts from the UNTRIMMED entry set: every entry pair
+    # was scored, so initializing from the beam-trimmed `best` would
+    # undercount whenever n_entries > beam (ADVICE r4)
+    seen = entries.select("q_id", "n_id")
     for _ in range(hops):
         frontier = best.select("q_id", "n_id")
         expanded = (

@@ -513,8 +513,10 @@ def c7_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 # source, preferring the longest — the standard corpus-balancing pass that
 # stops one crawl domain from dominating a training mix. Deterministic
 # ordering (n_chars DESC, doc_id) so the kept set is reproducible.
-# One shuffle on source for the window; at 100 TB source-hashed
-# partitioning makes this the same single-exchange shape.
+# Two-phase top-N (functions/topn.py): a per-batch partial top-quota prunes
+# BEFORE the source shuffle, so a hot source sends at most
+# quota x (batches that saw it) rows to its reducer instead of all of them —
+# the window exchange stays one shuffle but its payload is bounded.
 # ---------------------------------------------------------------------------
 SOURCE_QUOTA = 40
 
@@ -540,10 +542,15 @@ SOURCE_QUOTA = 40
 def c8_source_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
 
-    docs = table(spark, sf_dir, "documents")
+    from tts_etl_pipeline_spark.functions.topn import partial_topn_per_key
+
+    docs = table(spark, sf_dir, "documents").select("source", "n_chars", "doc_id")
+    pruned = partial_topn_per_key(
+        docs, ["source"], [("n_chars", False), ("doc_id", True)], SOURCE_QUOTA
+    )
     w = W.partitionBy("source").orderBy(F.desc("n_chars"), "doc_id")
     return (
-        docs.withColumn("rn", F.row_number().over(w))
+        pruned.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= SOURCE_QUOTA)
         .groupBy("source")
         .agg(
@@ -641,4 +648,98 @@ def dq4_embedding_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("embeddings_without_doc", F.lit(orphan_emb).cast("bigint"))
         .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# c9 — temperature-scaled mixture downsampling (the GPT-3/Pile source-
+# weighting pass): flatten the source mixture toward mass^ALPHA by keeping
+# each source at rate (mass_min/mass)^(1-ALPHA), where mass is the source's
+# total char count (the token-mass proxy a real mixture is weighted by) —
+# the lightest source keeps everything, dominant sources are downsampled,
+# and no source is upsampled. Deterministic md5-bucket sampling (c1's
+# idiom) so the kept set is reproducible and engine-checkable; the rate is
+# held as integer basis points via sqrt (IEEE-correctly-rounded in both
+# engines — pow() is not, which would risk one-ulp floor() disagreements
+# at bucket boundaries).
+# Scale shape: per-source masses are a tiny broadcast relation; the data
+# pass is one scan + broadcast join + hash filter, no shuffle of payloads;
+# the audit agg shuffles |sources| groups.
+# ---------------------------------------------------------------------------
+MIX_ALPHA = 0.5  # temperature: 1.0 = natural mixture, 0.0 = uniform
+
+
+@_register(
+    "c9_mixture_downsample",
+    """
+    WITH masses AS (
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS mass
+      FROM documents GROUP BY source
+    ),
+    rates AS (
+      SELECT source, n_docs, mass,
+             CAST(floor(sqrt(CAST((SELECT MIN(mass) FROM masses) AS DOUBLE)
+                             / mass) * 10000) AS BIGINT) AS rate_bp
+      FROM masses
+    ),
+    kept AS (
+      SELECT d.source, d.n_chars
+      FROM documents d JOIN rates r ON d.source = r.source
+      WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)) AS INTEGER)
+              % 10000 < r.rate_bp
+    )
+    SELECT r.source, r.n_docs, r.mass, r.rate_bp,
+           COALESCE(k.n_kept, 0) AS n_kept,
+           COALESCE(k.kept_chars, 0) AS kept_chars
+    FROM rates r
+    LEFT JOIN (
+      SELECT source, COUNT(*) AS n_kept, CAST(SUM(n_chars) AS BIGINT) AS kept_chars
+      FROM kept GROUP BY source
+    ) k ON r.source = k.source
+    ORDER BY r.source
+    """,
+)
+def c9_mixture_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    masses = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("mass"),
+    )
+    mass_min = masses.agg(F.min("mass").alias("mass_min"))
+    rates = masses.crossJoin(F.broadcast(mass_min)).select(
+        "source",
+        "n_docs",
+        "mass",
+        F.floor(
+            F.sqrt(F.col("mass_min").cast("double") / F.col("mass")) * 10000
+        )
+        .cast("bigint")
+        .alias("rate_bp"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % 10000
+    )
+    kept = (
+        docs.join(F.broadcast(rates.select("source", "rate_bp")), "source")
+        .filter(bucket < F.col("rate_bp"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").cast("bigint").alias("kept_chars"),
+        )
+    )
+    return (
+        rates.join(F.broadcast(kept), "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "mass",
+            "rate_bp",
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+            F.coalesce("kept_chars", F.lit(0)).cast("bigint").alias("kept_chars"),
+        )
+        .orderBy("source")
     )

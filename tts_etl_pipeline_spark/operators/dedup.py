@@ -358,10 +358,17 @@ def d10_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "n_chars", fp.alias("fp")
     )
 
+    # Size the filter FROM the corpus (one control-plane count, the d8/t12
+    # scalar pattern): a fixed m saturates at scale — FPR -> 1 and every row
+    # silently routes to the exact join. max() keeps the historical floor so
+    # small corpora don't get a degenerate tiny filter.
+    n_corpus = corpus_fps.count()
+    n_items = max(100_000, n_corpus)
+
     # distributed bloom build: one partial filter per partition, OR-merged —
     # fixed KBs per partition regardless of corpus size (cms.py pattern)
     def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        bf = BloomFilter()
+        bf = BloomFilter(n_items)
         seen = False
         for pdf in batches:
             seen = True
@@ -371,13 +378,32 @@ def d10_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         if seen:
             yield pd.DataFrame({"bloom": [bf.to_bytes()]})
 
-    merged = BloomFilter()
-    for row in corpus_fps.mapInPandas(partial, "bloom binary").collect():
-        merged = merged.merge(BloomFilter.from_bytes(bytes(row["bloom"])))
+    def or_merge(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc = None
+        for pdf in batches:
+            for raw in pdf["bloom"]:
+                bf = BloomFilter.from_bytes(bytes(raw), n_items)
+                acc = bf if acc is None else acc.merge(bf)
+        if acc is not None:
+            yield pd.DataFrame({"bloom": [acc.to_bytes()]})
+
+    # tree-merge: partials (one per corpus partition) reduce in an executor
+    # level first, so the driver's final collect sees O(FAN_IN-reduced) rows
+    # instead of one ~m/8-byte blob per corpus partition.
+    FAN_IN = 16
+    partials = corpus_fps.mapInPandas(partial, "bloom binary")
+    n_parts = corpus_fps.rdd.getNumPartitions()
+    if n_parts > FAN_IN:
+        partials = partials.repartition(
+            max(1, n_parts // FAN_IN)
+        ).mapInPandas(or_merge, "bloom binary")
+    merged = BloomFilter(n_items)
+    for row in partials.collect():
+        merged = merged.merge(BloomFilter.from_bytes(bytes(row["bloom"]), n_items))
     bc = spark.sparkContext.broadcast(merged.to_bytes())
 
     def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        bf = BloomFilter.from_bytes(bc.value)
+        bf = BloomFilter.from_bytes(bc.value, n_items)
         for pdf in batches:
             pdf = pdf.copy()
             # NULL fingerprint (NULL text): "maybe" — routed to the exact
@@ -433,20 +459,19 @@ def d4_char_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# d5 — DEMO ONLY, not a production entry point (see COVERAGE.md): the
+# d5 — DEMO ONLY, RETIRED from queries() (round-5 verdict item 6): the
 # production near-dup path is d11 (banded pairs) -> d9 (components) ->
-# d12 (end-to-end). MinHash-LSH near-dedup (approximate; rows-only check)
-# kept registered as the pyspark.ml API demonstration. Shingle ->
-# HashingTF sparse vector -> MinHashLSH approxSimilarityJoin at the
-# production near-dup threshold (jaccard distance <= 0.2, i.e. sim >= 0.8 —
-# the Lee-et-al dedup operating point). pyspark.ml's LSH is OR-amplified
-# (a pair is a candidate if ANY of the 8 tables collides), so on a highly
-# self-similar corpus the candidate set grows toward quadratic — the r3
-# sf0.1 sweep measured the old 0.4-distance setting at 6.9M output pairs /
-# 32 min. The 0.2 threshold matches practice and halves the work, but the
-# structural fix is AND-amplified banding — see d11, the scale path.
+# d12 (end-to-end). Kept as code + pytest coverage because it demonstrates
+# the pyspark.ml MinHashLSH API (Shingle -> HashingTF sparse vector ->
+# approxSimilarityJoin at jaccard distance <= 0.2, i.e. sim >= 0.8 — the
+# Lee-et-al dedup operating point), but deliberately NOT registered:
+# pyspark.ml's LSH is OR-amplified (a pair is a candidate if ANY of the 8
+# tables collides), so on a highly self-similar corpus the candidate set
+# grows toward quadratic — the r3 sf0.1 sweep measured the old 0.4-distance
+# setting at 6.9M output pairs / 32 min, and a driver rotation must never
+# be able to reach that path. The structural fix is AND-amplified banding —
+# see d11, the scale path.
 # ---------------------------------------------------------------------------
-@_register("d5_minhash_lsh_neardup", None)  # hash-family dependent => rows-only
 def d5_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.feature import HashingTF, MinHashLSH, RegexTokenizer
 

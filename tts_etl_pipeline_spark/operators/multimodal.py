@@ -6,11 +6,12 @@ resize, frame-sample) run as Arrow-batched mapInPandas stages.
 
 Codec coverage in this runtime (no PIL/opencv/ffmpeg available):
 - REAL: WAV audio (stdlib wave), uncompressed 24-bit BMP images (numpy
-  decode/encode/nearest-neighbor resize), YUV4MPEG2 (.y4m) video (header
-  probe + luma-plane frame sampling).
-- STUBBED: compressed codecs (PNG/JPEG, H.264/VP9) raise
-  NotImplementedError with the hash-seeded deterministic fake as the
-  documented fallback.
+  decode/encode/nearest-neighbor resize), 8-bit non-interlaced PNG
+  (stdlib zlib inflate + full scanline-filter reconstruction, r5),
+  YUV4MPEG2 (.y4m) video (header probe + luma-plane frame sampling).
+- STUBBED: the remaining compressed codecs (JPEG, H.264/VP9; also
+  palette/16-bit/Adam7 PNG variants) raise NotImplementedError with the
+  hash-seeded deterministic fake as the documented fallback.
 Everything Spark-side is real and tested either way: schemas, batch
 iteration, chunked processing, partition sizing, and the 2 GB-per-row
 ceiling guard.
@@ -139,6 +140,16 @@ def _probe_meta(modality: str, head: bytes | None) -> dict:
             meta["codec"] = "bmp"
         except Exception:
             pass
+    elif modality == "image" and head[:8] == _PNG_SIG:
+        try:
+            import struct
+
+            # IHDR is mandatory-first: sig(8) + len(4) + b"IHDR"(4) + data
+            if head[12:16] == b"IHDR":
+                meta["width"], meta["height"] = struct.unpack_from(">II", head, 16)
+                meta["codec"] = "png"
+        except Exception:
+            pass
     elif modality == "video" and head[:9] == b"YUV4MPEG2":
         try:
             v, off = _parse_y4m_header(head)
@@ -147,7 +158,16 @@ def _probe_meta(modality: str, head: bytes | None) -> dict:
             frame_rec = v["width"] * v["height"] + 2 * (
                 (v["width"] // 2) * (v["height"] // 2)
             )
-            n_frames = head.count(b"FRAME", off)
+            # walk frame records structurally (same stride as
+            # sample_video_frames) — a substring count would also match
+            # b"FRAME" occurring coincidentally inside raw YUV pixel bytes
+            n_frames, pos = 0, off
+            while pos < len(head) and head.startswith(b"FRAME", pos):
+                nl = head.find(b"\n", pos)
+                if nl < 0:
+                    break
+                n_frames += 1
+                pos = nl + 1 + frame_rec
             meta["duration_ms"] = int(
                 n_frames * 1000 * v["fps_den"] / v["fps_num"]
             ) if frame_rec else None
@@ -160,27 +180,109 @@ def _probe_meta(modality: str, head: bytes | None) -> dict:
 # --------------------------------------------------------------------------
 # decode / feature kernels.
 #
-# REAL, dependency-free codecs (pure numpy + struct):
+# REAL, dependency-free codecs (pure numpy + struct + stdlib zlib):
 #   - image: uncompressed 24-bit BI_RGB BMP (decode_image / encode_bmp /
-#     resize_image with nearest-neighbor sampling)
+#     resize_image with nearest-neighbor sampling) and 8-bit non-interlaced
+#     gray/RGB/RGBA PNG (decode_png: zlib inflate + scanline-filter
+#     reconstruction per RFC 2083)
 #   - video: YUV4MPEG2 (.y4m) with C420 subsampling — header probe +
 #     per-frame luma-plane extraction + every_ms frame sampling
 #   - audio: RIFF/WAV via the stdlib wave path shared with audio/decode.py
 #
-# Compressed codecs (PNG/JPEG, H.264/VP9) require PIL/opencv/ffmpeg, which
+# Remaining compressed codecs (JPEG, H.264/VP9) require PIL/opencv/ffmpeg, which
 # are not in this runtime — those paths stay explicit NotImplementedError
 # stubs with the hash-seeded fake as the documented fallback.
 # --------------------------------------------------------------------------
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_png(content: bytes) -> np.ndarray:
+    """Decode an 8-bit non-interlaced PNG to an HxWx3 uint8 RGB array.
+
+    Dependency-free: stdlib zlib inflate of the concatenated IDAT stream +
+    the five PNG scanline filters (None/Sub/Up/Average/Paeth) reconstructed
+    per spec (RFC 2083 §6). Supported: bit depth 8, color types 0 (gray —
+    replicated to RGB), 2 (RGB), 6 (RGBA — alpha dropped), interlace 0.
+    Palette/16-bit/Adam7 raise NotImplementedError like the other
+    compressed-codec gaps (JPEG/H.264)."""
+    import struct
+    import zlib
+
+    if content[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(content):
+        (length,), ctype = struct.unpack_from(">I", content, pos), content[pos + 4 : pos + 8]
+        data = content[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # len + type + data + crc
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color, _comp, _filt, interlace = ihdr
+    channels = {0: 1, 2: 3, 6: 4}.get(color)
+    if depth != 8 or channels is None or interlace != 0:
+        raise NotImplementedError(
+            f"PNG depth={depth} color_type={color} interlace={interlace}; "
+            "only 8-bit gray/RGB/RGBA non-interlaced decodes in this runtime"
+        )
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline data size mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    bpp = channels
+    for y in range(h):
+        f = raw[y * (stride + 1)]
+        cur = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).astype(np.int32)
+        if f == 0:
+            rec = cur
+        elif f == 2:  # Up — fully vectorized
+            rec = (cur + prev) & 0xFF
+        elif f in (1, 3, 4):  # Sub/Average/Paeth — sequential in x by spec
+            rec = cur.copy()
+            for i in range(stride):
+                a = int(rec[i - bpp]) if i >= bpp else 0
+                b = int(prev[i])
+                if f == 1:
+                    rec[i] = (rec[i] + a) & 0xFF
+                elif f == 3:
+                    rec[i] = (rec[i] + ((a + b) >> 1)) & 0xFF
+                else:
+                    c = int(prev[i - bpp]) if i >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                    rec[i] = (rec[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter {f} on row {y}")
+        out[y] = rec.astype(np.uint8)
+        prev = rec
+    px = out.reshape(h, w, channels)
+    if channels == 1:
+        return np.repeat(px, 3, axis=2)
+    return px[..., :3]  # RGBA -> drop alpha
+
+
 def decode_image(content: bytes) -> np.ndarray:
     """Decode an image payload to an HxWx3 uint8 RGB array.
 
-    Real path: uncompressed 24-bit BMP (the only image format decodable
-    without PIL/opencv). Anything else raises — callers fall back to
-    fake_image_features."""
+    Real paths: uncompressed 24-bit BMP, and 8-bit gray/RGB/RGBA
+    non-interlaced PNG (stdlib zlib — see decode_png). JPEG still raises —
+    callers fall back to fake_image_features."""
+    if content[:8] == _PNG_SIG:
+        return decode_png(content)
     if content[:2] != b"BM":
         raise NotImplementedError(
-            "only uncompressed 24-bit BMP decodes in this runtime; "
-            "PNG/JPEG need PIL/opencv"
+            "only BMP and 8-bit non-interlaced PNG decode in this runtime; "
+            "JPEG needs PIL/opencv"
         )
     import struct
 
@@ -300,10 +402,10 @@ def _fake_feature(content_hash: str, dim: int) -> np.ndarray:
 def extract_features(media_df: DataFrame, dim: int = 64) -> DataFrame:
     """Per-modality feature extraction over chunk-0 rows (payload head).
 
-    audio/WAV, image/BMP, video/y4m: REAL paths — decode (stdlib wave /
-    numpy BMP / y4m luma sampling), mean/std/energy stats prepended to the
-    hash-seeded embedding tail.
-    compressed codecs (PNG/JPEG/H.264): stubbed -> hash-seeded fake only.
+    audio/WAV, image/BMP+PNG, video/y4m: REAL paths — decode (stdlib wave /
+    numpy BMP / zlib PNG / y4m luma sampling), mean/std/energy stats
+    prepended to the hash-seeded embedding tail.
+    compressed codecs (JPEG/H.264): stubbed -> hash-seeded fake only.
     """
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -324,7 +426,10 @@ def extract_features(media_df: DataFrame, dim: int = 64) -> DataFrame:
                         vec[2] = float(np.sqrt(np.mean(np.square(x))))
                     except Exception:
                         pass
-                elif r.modality == "image" and bytes(r.content[:2]) == b"BM":
+                elif r.modality == "image" and (
+                    bytes(r.content[:2]) == b"BM"
+                    or bytes(r.content[:8]) == _PNG_SIG
+                ):
                     try:
                         img = decode_image(bytes(r.content))
                         luma = img.astype(np.float64).mean(axis=2) / 255.0

@@ -583,15 +583,23 @@ def t11_text_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # The interesting part is the GLOBAL RUNNING SUM at scale: a naive
 # Window.orderBy(doc_id) is unpartitioned — one task drags the whole corpus
-# (banned by this repo's plan discipline). Instead the classic distributed
-# prefix sum: deterministic doc_id buckets -> per-bucket token sums
-# (tiny; collected control-plane like d8/d10's convergence scalars) ->
-# driver cumsum -> broadcast offsets back -> per-row position = bucket
-# offset + within-bucket running sum (window PARTITIONED by bucket). Exact,
-# deterministic, and every window stays partitioned.
+# (banned by this repo's plan discipline). Instead a fully in-Spark two-level
+# distributed prefix sum: deterministic doc_id buckets -> per-bucket token
+# sums -> per-SUPERBUCKET sums (n/(PACK_BUCKET*PACK_SUPER) rows). The only
+# unpartitioned window runs over that superbucket relation — n/6400 rows of
+# (bigint, bigint); ~160k rows even at 1e9 docs, a few MB through one tiny
+# task. Bucket offsets = superbucket offset (broadcast-joined) + a window
+# PARTITIONED by superbucket over the bucket sums; row positions = bucket
+# offset + a window PARTITIONED by bucket. No .collect(), no driver-side
+# cumsum, no LocalTableScan in the lineage — nothing on the driver is
+# proportional to corpus size (pinned by test_plans.test_t12_no_driver_
+# roundtrip). The hierarchy generalizes: another level (or sqrt(n) widths
+# from a control-plane count) bounds every level at O(n^(1/3)) / O(sqrt n)
+# if 1e12+ docs ever make the top relation heavy.
 # ---------------------------------------------------------------------------
 SEQ_LEN = 512
-PACK_BUCKET = 100  # docs per prefix-sum bucket; offsets stay driver-tiny
+PACK_BUCKET = 100  # docs per prefix-sum bucket
+PACK_SUPER = 64  # buckets per superbucket; top window sees n/6400 rows
 
 
 @_register(
@@ -624,29 +632,61 @@ def t12_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     ntok = F.size(
         F.split(F.lower(F.trim(F.coalesce("text", F.lit("")))), " ")
     ).cast("bigint")
-    d = docs.select(
-        "doc_id",
-        ntok.alias("ntok"),
-        F.floor(F.col("doc_id") / PACK_BUCKET).alias("bucket"),
+    from tts_etl_pipeline_spark.functions.checkpoints import materialize
+
+    # Tokenize once: both the offset branch and the position branch read the
+    # materialized (doc_id, ntok, bucket) projection — no double scan, no
+    # double tokenization (test_plans pins documents scans == 0 downstream).
+    d = materialize(
+        docs.select(
+            "doc_id",
+            ntok.alias("ntok"),
+            F.floor(F.col("doc_id") / PACK_BUCKET).alias("bucket"),
+        )
     )
-    # control-plane: per-bucket sums are |corpus|/PACK_BUCKET rows — collect,
-    # cumsum on the driver, broadcast back (same pattern as the bloom/d8
-    # scalar probes; kilobytes at any corpus size with a sane bucket width)
-    sums = {
-        r["bucket"]: r["s"]
-        for r in d.groupBy("bucket").agg(F.sum("ntok").alias("s")).collect()
-    }
-    offsets, acc = [], 0
-    for b in sorted(sums):
-        offsets.append((b, acc))
-        acc += sums[b]
-    off = spark.createDataFrame(offsets, "bucket bigint, bucket_offset bigint")
+    # Level 1: per-bucket sums, tagged with their superbucket.
+    bsums = (
+        d.groupBy("bucket")
+        .agg(F.sum("ntok").alias("bsum"))
+        .withColumn("superbucket", F.floor(F.col("bucket") / PACK_SUPER))
+    )
+    # Level 2: per-superbucket sums; exclusive cumsum via the ONLY
+    # unpartitioned window — over n/(PACK_BUCKET*PACK_SUPER) tiny rows.
+    ssums = bsums.groupBy("superbucket").agg(F.sum("bsum").alias("ssum"))
+    w_super = (
+        W.orderBy("superbucket")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    soff = ssums.select(
+        "superbucket",
+        F.coalesce(F.sum("ssum").over(w_super), F.lit(0)).alias("super_off"),
+    )
+    # Bucket offsets: superbucket offset + exclusive within-superbucket
+    # cumsum of bucket sums (window PARTITIONED by superbucket).
+    w_bucket = (
+        W.partitionBy("superbucket")
+        .orderBy("bucket")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    off = (
+        bsums.join(F.broadcast(soff), "superbucket")
+        .select(
+            "bucket",
+            (
+                F.col("super_off")
+                + F.coalesce(F.sum("bsum").over(w_bucket), F.lit(0))
+            ).alias("bucket_offset"),
+        )
+    )
+    # Row positions: bucket offset + exclusive within-bucket running sum
+    # (window PARTITIONED by bucket — shares its hash partitioning with the
+    # off join key, so the exchange is reused).
     w = W.partitionBy("bucket").orderBy("doc_id")
     cum_start = (
         F.col("bucket_offset") + F.sum("ntok").over(w) - F.col("ntok")
     )
     return (
-        d.join(F.broadcast(off), "bucket")
+        d.join(off, "bucket")
         .withColumn("chunk_id", F.floor(cum_start / SEQ_LEN).cast("bigint"))
         .groupBy("chunk_id")
         .agg(

@@ -4,6 +4,7 @@ from tts_etl_pipeline_spark.plans.inspect import (
     physical_plan,
     pushed_filters,
     scan_columns,
+    unpartitioned_windows,
 )
 
 __all__ = [
@@ -12,4 +13,5 @@ __all__ = [
     "physical_plan",
     "pushed_filters",
     "scan_columns",
+    "unpartitioned_windows",
 ]

@@ -70,3 +70,27 @@ def scans_by_table(df: DataFrame) -> dict[str, int]:
         t = m.group(1).rsplit("/", 1)[-1].removesuffix(".parquet")
         out[t] = out.get(t, 0) + 1
     return out
+
+
+def unpartitioned_windows(df: DataFrame) -> int:
+    """Number of Window nodes with NO partition spec — each one funnels its
+    whole input through a single task (rule 4's worst offender). A formatted
+    Window detail block reads `Arguments: [fns], [partCols], [orderCols]`
+    when partitioned and `Arguments: [fns], [orderCols]` when not: count the
+    blocks with only two top-level bracket groups."""
+    plan = physical_plan(df)
+    n = 0
+    for m in re.finditer(
+        r"^\(\d+\) Window\n(?:.*\n)*?Arguments: (\[.*)$", plan, flags=re.MULTILINE
+    ):
+        args, depth, groups = m.group(1), 0, 0
+        for ch in args:
+            if ch == "[":
+                if depth == 0:
+                    groups += 1
+                depth += 1
+            elif ch == "]":
+                depth -= 1
+        if groups == 2:
+            n += 1
+    return n
