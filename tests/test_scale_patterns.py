@@ -279,3 +279,65 @@ def test_bucket_pruning_reads_one_bucket(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
         drop_bucketed(spark, "orders_bp")
+
+
+def test_partial_topn_per_key_hot_key_superset_and_exactness(spark):
+    """functions/topn.py: the per-batch partial top-N must (a) contain every
+    global top-N row (subset-monotonicity — a pruned global survivor would
+    silently corrupt c8), (b) actually prune a hot key spread across
+    partitions, and (c) leave the exact windowed top-N unchanged."""
+    from pyspark.sql.window import Window as W
+
+    from tts_etl_pipeline_spark.functions.topn import partial_topn_per_key
+
+    # hot key: 2000 rows of 'hot' spread over 16 partitions; 50 of 'cold'
+    rows = [(i, "hot" if i < 2000 else "cold", float(i % 977)) for i in range(2050)]
+    df = spark.createDataFrame(rows, "id bigint, k string, score double").repartition(16)
+    n = 5
+    pruned = partial_topn_per_key(df, ["k"], [("score", False), ("id", True)], n)
+
+    w = W.partitionBy("k").orderBy(F.desc("score"), "id")
+    exact = (
+        df.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= n)
+        .select("id", "k", "score")
+    )
+    via_pruned = (
+        pruned.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= n)
+        .select("id", "k", "score")
+    )
+    exact_rows = {tuple(r) for r in exact.collect()}
+    pruned_rows = {tuple(r) for r in pruned.collect()}
+    assert exact_rows <= pruned_rows  # (a) superset of global survivors
+    assert len(pruned_rows) < 2050  # (b) the hot key got pruned pre-shuffle
+    assert {tuple(r) for r in via_pruned.collect()} == exact_rows  # (c)
+
+
+def test_c9_mixture_downsample_flattens_skewed_corpus(spark, tmp_path):
+    """c9 on a deliberately skewed corpus (the fixture's sources are
+    balanced): the dominant source is downsampled toward sqrt-mass parity,
+    the lightest keeps rate 10000, and kept mass ordering compresses."""
+    import shutil
+
+    from tts_etl_pipeline_spark.operators.curation import c9_mixture_downsample
+
+    rows = []
+    did = 0
+    for src, n_docs, chars in [("big", 900, 200), ("mid", 90, 200), ("tiny", 10, 200)]:
+        for _ in range(n_docs):
+            rows.append((did, "x" * chars, "en", src, chars))
+            did += 1
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    sf_dir = str(tmp_path / "skew")
+    df.coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+    out = {r["source"]: r.asDict() for r in c9_mixture_downsample(spark, sf_dir).collect()}
+    shutil.rmtree(sf_dir, ignore_errors=True)
+    assert out["tiny"]["rate_bp"] == 10000 and out["tiny"]["n_kept"] == 10
+    # rate = sqrt(mass_min/mass): big 10x mid => rate ratio sqrt(1/10)
+    assert out["big"]["rate_bp"] == 1054 and out["mid"]["rate_bp"] == 3333
+    # realized kept counts land near rate * n_docs (hash-bucket noise)
+    assert 60 <= out["big"]["n_kept"] <= 130
+    assert 20 <= out["mid"]["n_kept"] <= 40
+    # the 90x raw spread compresses (toward ~9.5x at sqrt temperature)
+    assert out["big"]["n_kept"] < 0.2 * out["big"]["n_docs"]

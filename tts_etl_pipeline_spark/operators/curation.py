@@ -701,21 +701,28 @@ MIX_ALPHA = 0.5  # temperature: 1.0 = natural mixture, 0.0 = uniform
     """,
 )
 def c9_mixture_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tts_etl_pipeline_spark.functions.checkpoints import materialize
+
     docs = table(spark, sf_dir, "documents")
     masses = docs.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").cast("bigint").alias("mass"),
     )
     mass_min = masses.agg(F.min("mass").alias("mass_min"))
-    rates = masses.crossJoin(F.broadcast(mass_min)).select(
-        "source",
-        "n_docs",
-        "mass",
-        F.floor(
-            F.sqrt(F.col("mass_min").cast("double") / F.col("mass")) * 10000
+    # |sources| rows — materialized so the kept branch and the final report
+    # join read the tiny rate table instead of re-deriving it (and its
+    # documents scan) twice; the data pass below stays a single scan
+    rates = materialize(
+        masses.crossJoin(F.broadcast(mass_min)).select(
+            "source",
+            "n_docs",
+            "mass",
+            F.floor(
+                F.sqrt(F.col("mass_min").cast("double") / F.col("mass")) * 10000
+            )
+            .cast("bigint")
+            .alias("rate_bp"),
         )
-        .cast("bigint")
-        .alias("rate_bp"),
     )
     bucket = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
