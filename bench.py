@@ -61,6 +61,13 @@ HEADLINE = [
     "t12_sequence_packing",
     "c8_source_quota_cap",
     "c9_mixture_downsample",
+    # r5 additions, second batch — new shapes: rational bigram-lift ranking
+    # (TakeOrdered top-k over vocab-scale joins); explode-replicated mixture
+    # upsample; integer-exact drift audit; windowed OHLC picks
+    "t15_bigram_lift",
+    "c10_mixture_upsample",
+    "dq5_distribution_drift",
+    "h2_daily_value_bars",
 ]
 
 

@@ -750,3 +750,195 @@ def c9_mixture_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# c10 — temperature-scaled mixture UPSAMPLING, the complement of c9's
+# downsampling: instead of discarding mass from dominant sources, repeat
+# light sources so the delivered mixture flattens toward mass^ALPHA — the
+# "epochs per source" knob of LLM pre-training recipes (the Pile trains
+# rare high-quality sources for >1 epoch). Each source gets a real-valued
+# repeat factor r = min(sqrt(mass_max / mass), 4): full copies for
+# floor(r), plus one extra copy for the deterministic md5-bucket fraction
+# of docs matching frac(r) (held as integer basis points — the c9 idiom,
+# sqrt/floor are correctly-rounded IEEE so both engines agree at bucket
+# boundaries). No source is downsampled (r >= 1), the heaviest source
+# stays at exactly 1 epoch, and the cap bounds worst-case amplification.
+# Spark builds the REAL replicated relation (explode over a sequence —
+# the actual operator output a trainer would consume) and aggregates it
+# back to a per-source audit; the oracle computes the same audit in closed
+# form, which is exact because every aggregate is integer.
+# Scale shape: the rate table is |sources| rows (broadcast); the data pass
+# is one documents scan + broadcast join + explode — row amplification
+# <= 4x by the cap, no payload shuffle; the audit agg shuffles |sources|
+# groups.
+# ---------------------------------------------------------------------------
+UPSAMPLE_ALPHA = 0.5  # temperature; 0.5 = sqrt-flatten (matches c9)
+UPSAMPLE_MAX_EPOCHS = 4.0  # cap on the repeat factor
+
+
+@_register(
+    "c10_mixture_upsample",
+    f"""
+    WITH masses AS (
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS mass
+      FROM documents GROUP BY source
+    ),
+    rates AS (
+      SELECT source, n_docs, mass,
+             least(sqrt(CAST((SELECT MAX(mass) FROM masses) AS DOUBLE) / mass),
+                   {UPSAMPLE_MAX_EPOCHS}) AS r
+      FROM masses
+    ),
+    plan AS (
+      SELECT source, n_docs, mass,
+             CAST(floor(r) AS BIGINT) AS epochs,
+             CAST(floor((r - floor(r)) * 10000) AS BIGINT) AS frac_bp
+      FROM rates
+    ),
+    extra AS (
+      SELECT d.source, COUNT(*) AS extra_docs,
+             CAST(SUM(d.n_chars) AS BIGINT) AS extra_chars
+      FROM documents d JOIN plan p ON d.source = p.source
+      WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)) AS INTEGER)
+              % 10000 < p.frac_bp
+      GROUP BY d.source
+    )
+    SELECT p.source, p.n_docs, p.mass, p.epochs, p.frac_bp,
+           CAST(p.epochs * p.n_docs + COALESCE(e.extra_docs, 0) AS BIGINT)
+             AS rows_out,
+           CAST(p.epochs * p.mass + COALESCE(e.extra_chars, 0) AS BIGINT)
+             AS chars_out
+    FROM plan p LEFT JOIN extra e ON p.source = e.source
+    ORDER BY p.source
+    """,
+)
+def c10_mixture_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tts_etl_pipeline_spark.functions.checkpoints import materialize
+
+    docs = table(spark, sf_dir, "documents")
+    masses = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("mass"),
+    )
+    mass_max = masses.agg(F.max("mass").alias("mass_max"))
+    r = F.least(
+        F.sqrt(F.col("mass_max").cast("double") / F.col("mass")),
+        F.lit(UPSAMPLE_MAX_EPOCHS),
+    )
+    plan = materialize(
+        masses.crossJoin(F.broadcast(mass_max)).select(
+            "source",
+            "n_docs",
+            "mass",
+            F.floor(r).cast("bigint").alias("epochs"),
+            F.floor((r - F.floor(r)) * 10000).cast("bigint").alias("frac_bp"),
+        )
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % 10000
+    )
+    copies = F.col("epochs") + F.when(bucket < F.col("frac_bp"), 1).otherwise(0)
+    # the REAL replicated relation: one row per (doc, epoch) a trainer reads
+    replicated = (
+        docs.join(F.broadcast(plan.select("source", "epochs", "frac_bp")), "source")
+        .withColumn("epoch", F.explode(F.sequence(F.lit(1), copies)))
+    )
+    audit = replicated.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("rows_out"),
+        F.sum("n_chars").cast("bigint").alias("chars_out"),
+    )
+    return (
+        plan.join(F.broadcast(audit), "source", "left")
+        .select(
+            "source", "n_docs", "mass", "epochs", "frac_bp",
+            F.coalesce("rows_out", F.lit(0)).cast("bigint").alias("rows_out"),
+            F.coalesce("chars_out", F.lit(0)).cast("bigint").alias("chars_out"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# dq5 — distribution-drift audit between two time slices (the "did this
+# week's data change shape?" check every continuously-ingesting pipeline
+# runs): order-priority composition of early-period vs late-period orders,
+# with the drift statistic kept EXACT by integer cross-multiplication —
+# the per-category total-variation numerator |cnt_a*n_b - cnt_b*n_a| never
+# touches floats, and the reported shares/diff are single divisions of
+# exactly-represented integers (no float sums, no logs — a KL/PSI variant
+# would put ln() inside a float aggregation, which no cross-engine hash
+# can pin).
+# Scale shape: ONE orders scan with the [lo, hi) date predicate pushed to
+# parquet, conditional aggregation to |categories| rows, totals derived
+# from the same tiny materialized relation (broadcast cross join) — no
+# second scan, no payload shuffle beyond the one category agg.
+# ---------------------------------------------------------------------------
+DRIFT_SPLIT = "1998-04-01"  # midpoint of the fixture's 1995..2001 range
+
+
+@_register(
+    "dq5_distribution_drift",
+    f"""
+    WITH cat AS (
+      SELECT o_orderpriority AS priority,
+             CAST(SUM(CASE WHEN o_orderdate <  TIMESTAMP '{DRIFT_SPLIT}'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a,
+             CAST(SUM(CASE WHEN o_orderdate >= TIMESTAMP '{DRIFT_SPLIT}'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS cnt_b
+      FROM orders GROUP BY o_orderpriority
+    ),
+    tot AS (
+      SELECT CAST(SUM(cnt_a) AS BIGINT) AS n_a,
+             CAST(SUM(cnt_b) AS BIGINT) AS n_b
+      FROM cat
+    )
+    SELECT priority, cnt_a, cnt_b,
+           CAST(cnt_a AS DOUBLE) / n_a AS share_a,
+           CAST(cnt_b AS DOUBLE) / n_b AS share_b,
+           CAST(abs(cnt_a * n_b - cnt_b * n_a) AS BIGINT) AS drift_num,
+           CAST(abs(cnt_a * n_b - cnt_b * n_a) AS DOUBLE)
+             / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) AS share_drift
+    FROM cat, tot
+    ORDER BY priority
+    """,
+)
+def dq5_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tts_etl_pipeline_spark.functions.checkpoints import materialize
+
+    split = F.lit(DRIFT_SPLIT).cast("timestamp")
+    orders = table(spark, sf_dir, "orders").select("o_orderpriority", "o_orderdate")
+    cat = materialize(
+        orders.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+            F.sum(F.when(F.col("o_orderdate") < split, 1).otherwise(0))
+            .cast("bigint")
+            .alias("cnt_a"),
+            F.sum(F.when(F.col("o_orderdate") >= split, 1).otherwise(0))
+            .cast("bigint")
+            .alias("cnt_b"),
+        )
+    )
+    tot = cat.agg(
+        F.sum("cnt_a").cast("bigint").alias("n_a"),
+        F.sum("cnt_b").cast("bigint").alias("n_b"),
+    )
+    drift_i = F.abs(F.col("cnt_a") * F.col("n_b") - F.col("cnt_b") * F.col("n_a"))
+    return (
+        cat.crossJoin(F.broadcast(tot))
+        .select(
+            "priority",
+            "cnt_a",
+            "cnt_b",
+            (F.col("cnt_a").cast("double") / F.col("n_a")).alias("share_a"),
+            (F.col("cnt_b").cast("double") / F.col("n_b")).alias("share_b"),
+            drift_i.cast("bigint").alias("drift_num"),
+            (
+                drift_i.cast("double")
+                / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+            ).alias("share_drift"),
+        )
+        .orderBy("priority")
+    )

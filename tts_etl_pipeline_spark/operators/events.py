@@ -453,3 +453,78 @@ def e7_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("click_hour")
     )
+
+
+# ---------------------------------------------------------------------------
+# h2 — daily OHLC value bars per event type (the "minute bars" pattern of
+# every metrics/trading rollup, at day grain to complement e2's hourly
+# counts): open = value of the first event in the bar, close = the last,
+# high/low = extrema, plus the event count. First/last are made
+# deterministic with a composite total order (ts, event_id) — the fixture
+# occasionally repeats timestamps, and row_number over a total order is
+# the cross-engine-stable way to pick one row (DuckDB has no composite-key
+# arg_min). All outputs are PICKS or counts — no float sums — so every
+# cell is exact.
+# Scale shape: one events scan; ONE hash-partition Exchange on
+# (day, event_type) feeds both window sorts (asc + desc reuse the same
+# partitioning) and the final aggregation (child partitioning already
+# satisfies the groupBy — no second Exchange). Bars are bounded
+# (days x types), so the agg output is tiny everywhere.
+# ---------------------------------------------------------------------------
+@_register(
+    "h2_daily_value_bars",
+    """
+    WITH ranked AS (
+      SELECT date_trunc('day', ts) AS day, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY date_trunc('day', ts), event_type
+                                ORDER BY ts, event_id) AS rn,
+             ROW_NUMBER() OVER (PARTITION BY date_trunc('day', ts), event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn_rev
+      FROM events
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day, event_type,
+           COUNT(*) AS n_events,
+           MAX(CASE WHEN rn = 1 THEN value END) AS open,
+           MAX(CASE WHEN rn_rev = 1 THEN value END) AS close,
+           MAX(value) AS high,
+           MIN(value) AS low
+    FROM ranked
+    GROUP BY day, event_type
+    ORDER BY day, event_type
+    """,
+)
+def h2_daily_value_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    ev = table(spark, sf_dir, "events").select("ts", "event_type", "value", "event_id")
+    ev = ev.withColumn("day", F.date_trunc("day", "ts"))
+    part = W.partitionBy("day", "event_type")
+    ranked = ev.select(
+        "day",
+        "event_type",
+        "value",
+        F.row_number().over(part.orderBy("ts", "event_id")).alias("rn"),
+        F.row_number()
+        .over(part.orderBy(F.desc("ts"), F.desc("event_id")))
+        .alias("rn_rev"),
+    )
+    return (
+        ranked.groupBy("day", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max(F.when(F.col("rn") == 1, F.col("value"))).alias("open"),
+            F.max(F.when(F.col("rn_rev") == 1, F.col("value"))).alias("close"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+        )
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "event_type",
+            "n_events",
+            "open",
+            "close",
+            "high",
+            "low",
+        )
+        .orderBy("day", "event_type")
+    )

@@ -444,3 +444,96 @@ def topk_cosine_scalable(
         .filter(F.col("rn") <= k)
         .select("q_id", "n_id", "cosine", "rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# d14 — SEMANTIC dedup end-to-end (the SemDeDup pass, Abbas et al. 2023:
+# drop documents whose EMBEDDINGS nearly coincide, catching paraphrases
+# that text-hash dedup like d11/d12 cannot see). Pipeline: block pairs by
+# the label column (the stand-in for the k-means cluster id a production
+# SemDeDup computes — v3's IVF machinery IS that clusterer; blocking makes
+# the pair stage cluster-local instead of corpus-quadratic) -> exact
+# cosine over each block's pairs -> large-star/small-star connected
+# components (functions/graph.py, the O(log n)-round 100 TB variant) ->
+# keep only each component's min-id representative.
+# THRESHOLD NOTE: the fixture embeddings are uniform-random on the 64-d
+# sphere (top-1 neighbor cosine ~0.35 — see the v3 commentary), so the
+# 0.90+ a real model corpus would use selects nothing; 0.30 yields a real
+# component structure (~100 pairs, multi-node chains) and exercises every
+# stage. The cosine is the fold-order bit-exact kernel both engines agree
+# on, so the >= comparison at the threshold boundary cannot disagree.
+# Exactness: blocking + exact verification + exact components => the
+# keep/drop verdict is fully deterministic — oracle-checkable (recursive-
+# CTE transitive closure), unlike the hash-family ANN paths (v3/v4/v5).
+# Scale shape: ONE embeddings scan (projection materialized once, pair
+# sides and final rollup all derive from it); pair fanout is bounded by
+# block sizes (label-partitioned shuffle join, never a cross join);
+# components run on the pair relation, which is tiny relative to the
+# corpus at any scale.
+# ---------------------------------------------------------------------------
+SEMANTIC_DUP_THRESHOLD = 0.30
+
+
+@_register(
+    "d14_semantic_dedup",
+    f"""
+    WITH RECURSIVE pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE {_sql_dot('a.embedding', 'b.embedding')}
+              / (sqrt({_sql_sqnorm('a.embedding')}) * sqrt({_sql_sqnorm('b.embedding')}))
+            >= {SEMANTIC_DUP_THRESHOLD}
+    ),
+    sym AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    reach(node, lbl) AS (
+      SELECT DISTINCT src, src FROM sym
+      UNION
+      SELECT s.src, r.lbl FROM sym s JOIN reach r ON s.dst = r.node
+    ),
+    comp AS (SELECT node, MIN(lbl) AS component FROM reach GROUP BY node)
+    SELECT e.vec_id, e.label,
+           CAST(COALESCE(c.component, e.vec_id) AS BIGINT) AS component,
+           (COALESCE(c.component, e.vec_id) = e.vec_id) AS keep
+    FROM embeddings e LEFT JOIN comp c ON e.vec_id = c.node
+    ORDER BY e.vec_id
+    """,
+)
+def d14_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tts_etl_pipeline_spark.functions.checkpoints import materialize
+    from tts_etl_pipeline_spark.functions.graph import connected_components
+
+    base = materialize(
+        table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    )
+    a = base.select(
+        F.col("vec_id").alias("id_a"), "label", F.col("embedding").alias("emb_a")
+    )
+    b = base.select(
+        F.col("vec_id").alias("id_b"), "label", F.col("embedding").alias("emb_b")
+    )
+    cos = dot("emb_a", "emb_b") / (norm("emb_a") * norm("emb_b"))
+    edges = (
+        a.join(b, "label")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cos >= SEMANTIC_DUP_THRESHOLD)
+        .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    comp = connected_components(edges).select(
+        F.col("node").alias("vec_id"), F.col("label").alias("component")
+    )
+    return (
+        base.select("vec_id", "label")
+        .join(comp, "vec_id", "left")
+        .select(
+            "vec_id",
+            "label",
+            F.coalesce("component", F.col("vec_id")).cast("bigint").alias("component"),
+            (F.coalesce("component", F.col("vec_id")) == F.col("vec_id")).alias("keep"),
+        )
+        .orderBy("vec_id")
+    )

@@ -822,3 +822,178 @@ def t13_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# t14 — corpus-frequency rarity profile (the cheap stand-in for CCNet's
+# LM-perplexity quality signal): score every document by how much of its
+# token mass is globally RARE. "Rare" is relative, not absolute — a token
+# is rare iff its global count g satisfies g * 4 * |vocab| <= total_tokens,
+# i.e. its corpus share is below a quarter of the mean token share — so the
+# definition survives any corpus size without re-tuning a constant
+# (transcendental-free: the exact integer inequality avoids the float
+# log-probability a real LM filter would sum, which no cross-engine hash
+# could pin).
+# Scale shape: one documents scan -> (doc, token) grain materialized once;
+# global counts are one token-keyed shuffle; the counts rejoin the grain on
+# token (vocabulary-scale-safe shuffle join — at 100 TB the vocab of a raw
+# crawl is billions of distinct strings, so NO forced broadcast; AQE
+# promotes to broadcast when the vocab is actually small); the per-doc
+# re-aggregation is one doc-keyed shuffle. The corpus totals relation is
+# one row and rides a broadcast cross join.
+# ---------------------------------------------------------------------------
+@_register(
+    "t14_rare_token_profile",
+    """
+    WITH base AS (
+      SELECT doc_id, lang, unnest(string_split(lower(trim(text)), ' ')) AS token
+      FROM documents
+    ),
+    dt AS (
+      SELECT doc_id, lang, token, COUNT(*) AS c
+      FROM base GROUP BY doc_id, lang, token
+    ),
+    gc AS (SELECT token, CAST(SUM(c) AS BIGINT) AS g FROM dt GROUP BY token),
+    tot AS (SELECT CAST(SUM(g) AS BIGINT) AS n_total,
+                   CAST(COUNT(*) AS BIGINT) AS vocab
+            FROM gc)
+    SELECT dt.doc_id, dt.lang,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN g * 4 * vocab <= n_total THEN c ELSE 0 END)
+                AS BIGINT) AS rare_tokens,
+           CAST(MIN(g) AS BIGINT) AS min_token_count,
+           CAST(SUM(CASE WHEN g * 4 * vocab <= n_total THEN c ELSE 0 END)
+                AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS rare_frac
+    FROM dt JOIN gc USING (token), tot
+    GROUP BY dt.doc_id, dt.lang
+    ORDER BY doc_id
+    """,
+)
+def t14_rare_token_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    dt = materialize(
+        docs.select(
+            "doc_id",
+            "lang",
+            F.explode(F.split(F.lower(F.trim("text")), " ")).alias("token"),
+        )
+        .groupBy("doc_id", "lang", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    gc = dt.groupBy("token").agg(F.sum("c").cast("bigint").alias("g"))
+    tot = gc.agg(
+        F.sum("g").cast("bigint").alias("n_total"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab"),
+    )
+    rare_c = F.when(
+        F.col("g") * 4 * F.col("vocab") <= F.col("n_total"), F.col("c")
+    ).otherwise(F.lit(0))
+    return (
+        dt.join(gc, "token")  # vocabulary-scale: shuffle join, AQE may demote
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.sum(rare_c).cast("bigint").alias("rare_tokens"),
+            F.min("g").cast("bigint").alias("min_token_count"),
+            (
+                F.sum(rare_c).cast("double") / F.sum("c").cast("double")
+            ).alias("rare_frac"),
+        )
+        .select(
+            "doc_id", "lang", "n_tokens", "rare_tokens", "min_token_count",
+            "rare_frac",
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# t15 — collocation mining by LIFT (the log-free core of PMI: PMI = log2 of
+# the lift, so ranking by lift IS ranking by PMI while staying inside exact
+# integer arithmetic until one final division — the t9 rational-score
+# idiom). Adjacent-token bigrams per document, minimum support, top 20 by
+# lift = P(w1 w2) / (P(w1) P(w2)) = (c12 * N) / (c1 * c2).
+# Scale shape: the tokenized-array projection is materialized once and
+# feeds both the unigram and the bigram counts (single scan); unigram
+# counts rejoin bigram counts on each word (vocabulary-scale shuffle
+# joins); the final top-k is orderBy+limit = TakeOrdered (per-partition
+# heads, no global sort materialization). c12*N <= N^2 stays well inside
+# int64 and inside double's 2^53 exact-integer range for any corpus this
+# side of 10^8 tokens per shard; the oracle casts identically.
+# ---------------------------------------------------------------------------
+BIGRAM_MIN_SUPPORT = 5
+BIGRAM_TOP_K = 20
+
+
+@_register(
+    "t15_bigram_lift",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(trim(text)), ' ') AS ts FROM documents
+    ),
+    uni AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT unnest(ts) AS token FROM toks) u GROUP BY token
+    ),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total FROM uni),
+    bg AS (
+      SELECT ts[i] AS w1, ts[i + 1] AS w2
+      FROM toks, unnest(range(1, len(ts))) AS t(i)
+      WHERE len(ts) >= 2
+    ),
+    cb AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+      FROM bg GROUP BY w1, w2 HAVING COUNT(*) >= {BIGRAM_MIN_SUPPORT}
+    )
+    SELECT w1, w2, c12, u1.c AS c1, u2.c AS c2,
+           CAST(c12 * n_total AS DOUBLE) / CAST(u1.c * u2.c AS DOUBLE) AS lift
+    FROM cb
+    JOIN uni u1 ON cb.w1 = u1.token
+    JOIN uni u2 ON cb.w2 = u2.token, tot
+    ORDER BY lift DESC, w1, w2
+    LIMIT {BIGRAM_TOP_K}
+    """,
+)
+def t15_bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = materialize(
+        docs.select("doc_id", F.split(F.lower(F.trim("text")), " ").alias("ts"))
+    )
+    uni = toks.select(F.explode("ts").alias("token")).groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    tot = uni.agg(F.sum("c").cast("bigint").alias("n_total"))
+    bg = (
+        toks.filter(F.size("ts") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(ts) - 2),"
+                    " i -> struct(ts[i] AS w1, ts[i + 1] AS w2))"
+                )
+            ).alias("b")
+        )
+        .select("b.w1", "b.w2")
+    )
+    cb = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c12"))
+        .filter(F.col("c12") >= BIGRAM_MIN_SUPPORT)
+    )
+    u1 = uni.select(F.col("token").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("token").alias("w2"), F.col("c").alias("c2"))
+    return (
+        cb.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1", "w2", "c12", "c1", "c2",
+            (
+                (F.col("c12") * F.col("n_total")).cast("double")
+                / (F.col("c1") * F.col("c2")).cast("double")
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "w1", "w2")
+        .limit(BIGRAM_TOP_K)
+    )
