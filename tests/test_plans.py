@@ -6,6 +6,8 @@ scan still returns correct rows — only these tests catch it.
 
 from __future__ import annotations
 
+import re
+
 import pytest
 
 from tts_etl_pipeline_spark.operators.dedup import d3_jaccard_neardup_pairs
@@ -287,3 +289,89 @@ def test_c8_partial_topn_before_source_shuffle(spark, sf_dir):
         for m in re.finditer(r"\((\d+)\) Exchange", plan)
     ]
     assert any(map_id < e for e in ex_ids) and all(map_id < e for e in ex_ids), plan
+
+
+def test_t15_topk_is_takeordered_not_global_sort(spark, sf_dir):
+    """t15's final top-20 must compile to TakeOrderedAndProject (per-
+    partition heads merged on the driver) — a global Sort+Limit would
+    materialize a full sort of the bigram relation, which at crawl scale
+    is vocabulary^2-sized."""
+    from tts_etl_pipeline_spark.operators.textstats import t15_bigram_lift
+
+    df = t15_bigram_lift(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_t14_vocab_join_is_not_hint_forced_broadcast(spark, sf_dir):
+    """t14 rejoins global token counts on token WITHOUT a broadcast HINT:
+    at crawl scale the vocabulary is billions of distinct strings, so
+    broadcastability must be the OPTIMIZER's cost decision (fine on the
+    fixture's 31-token vocab), never hard-coded. Proof: with auto-broadcast
+    disabled, the token join degrades to a shuffle join — a F.broadcast()
+    hint would survive the conf and keep a BroadcastHashJoin on the token
+    key. The one-row totals relation stays an explicit broadcast."""
+    from tts_etl_pipeline_spark.operators.textstats import t14_rare_token_profile
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = t14_rare_token_profile(spark, sf_dir)
+        plan = physical_plan(df)
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_h2_single_hash_exchange_feeds_windows_and_agg(spark, sf_dir):
+    """h2's two window sorts (asc/desc picks) and the final aggregation all
+    consume ONE hash partitioning on (day, event_type); the only other
+    Exchange is the presentation orderBy's range partitioning."""
+    from tts_etl_pipeline_spark.operators.events import h2_daily_value_bars
+
+    df = h2_daily_value_bars(spark, sf_dir)
+    plan = physical_plan(df)
+    assert count_shuffles(df) == 2, plan
+    assert plan.count("hashpartitioning") >= 1
+    # both row_number sorts appear, but no second hash Exchange between them
+    assert len(re.findall(r"^\(\d+\) Window", plan, flags=re.MULTILINE)) == 2, plan
+
+
+def test_c10_broadcast_rates_and_real_explode(spark, sf_dir):
+    """c10's data pass is documents ⋈ broadcast(rate plan) + explode — no
+    shuffled join of the payload; the replicated relation really exists in
+    the plan (Generate/explode), it is not a closed-form shortcut."""
+    from tts_etl_pipeline_spark.operators.curation import c10_mixture_upsample
+
+    df = c10_mixture_upsample(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+    assert re.search(r"^\(\d+\) Generate", plan, flags=re.MULTILINE), plan
+
+
+def test_dq5_single_pass_no_rescan(spark, sf_dir):
+    """dq5 computes both period counts in ONE conditional aggregation over
+    one orders scan (materialized category relation; totals ride a
+    broadcast cross join) — no second scan, no per-period branch."""
+    from tts_etl_pipeline_spark.operators.curation import dq5_distribution_drift
+    from tts_etl_pipeline_spark.plans.inspect import scans_by_table
+
+    df = dq5_distribution_drift(spark, sf_dir)
+    # the category relation is checkpointed: the final plan re-reads the
+    # tiny materialized relation, never the orders parquet
+    assert scans_by_table(df).get("orders", 0) == 0, physical_plan(df)
+
+
+def test_d14_no_cartesian_pairs(spark, sf_dir):
+    """d14's pair stage is label-blocked: the physical plan must contain no
+    CartesianProduct anywhere (the blocked self-join shuffles on label),
+    and the final rollup reads the checkpointed projection, not a second
+    embeddings parquet scan."""
+    from tts_etl_pipeline_spark.operators.similarity import d14_semantic_dedup
+    from tts_etl_pipeline_spark.plans.inspect import scans_by_table
+
+    df = d14_semantic_dedup(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert scans_by_table(df).get("embeddings", 0) == 0, plan
