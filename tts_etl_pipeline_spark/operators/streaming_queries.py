@@ -379,3 +379,36 @@ def st8_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@_register(
+    "st9_stream_daily_bars",
+    """
+    WITH keyed AS (
+      SELECT date_trunc('day', ts) AS day, event_type, value,
+             lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || '-' ||
+             lpad(CAST(event_id AS VARCHAR), 20, '0') AS ord_key
+      FROM events
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day, event_type,
+           COUNT(*) AS n_events,
+           arg_min(value, ord_key) AS open,
+           arg_max(value, ord_key) AS close,
+           MAX(value) AS high,
+           MIN(value) AS low
+    FROM keyed
+    GROUP BY day, event_type
+    ORDER BY day, event_type
+    """,
+)
+def st9_stream_daily_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming OHLC: a REAL availableNow run whose result hash-matches
+    batch SQL — the first/last picks are declarative min_by/max_by over a
+    string-encoded composite total order, because streaming forbids window
+    functions and DuckDB's arg_min forbids composite keys; the encoding is
+    the bridge both sides agree on. Day grain intentionally mirrors the
+    batch h2 query so the pair documents the batch/stream twin pattern."""
+    from tts_etl_pipeline_spark.streaming.events_stream import daily_value_bars
+
+    out = run_to_memory(daily_value_bars(stream_events(spark, sf_dir)), "st9")
+    return out.orderBy("day", "event_type")

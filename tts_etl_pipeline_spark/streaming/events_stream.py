@@ -135,3 +135,41 @@ def stream_to_table(df: DataFrame, table_path: str, key: str, checkpoint: str) -
         .start()
     )
     q.awaitTermination()
+
+
+def daily_value_bars(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming twin of the batch h2 OHLC bars (operators/events.py):
+    open/close/high/low of `value` per (day window, event_type). Windowed
+    window-function picks (row_number) are illegal in streaming, so
+    open/close use the DECLARATIVE pick aggregates min_by/max_by over a
+    composite order key encoded as a zero-padded string
+    (micros || event_id) — a total order both engines can reproduce
+    (DuckDB's arg_min has no composite-key overload, but compares VARCHAR).
+    Pick aggregates carry O(1) state per group — the right shape for
+    unbounded streams, unlike any sort-based formulation."""
+    key = F.concat(
+        F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+        F.lit("-"),
+        F.lpad(F.col("event_id").cast("string"), 20, "0"),
+    )
+    return (
+        stream.withWatermark("ts", watermark)
+        .withColumn("ord_key", key)
+        .groupBy(F.window("ts", "1 day").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min_by("value", "ord_key").alias("open"),
+            F.max_by("value", "ord_key").alias("close"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+        )
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd").alias("day"),
+            "event_type",
+            "n_events",
+            "open",
+            "close",
+            "high",
+            "low",
+        )
+    )
