@@ -375,3 +375,14 @@ def test_d14_no_cartesian_pairs(spark, sf_dir):
     plan = physical_plan(df)
     assert "CartesianProduct" not in plan, plan
     assert scans_by_table(df).get("embeddings", 0) == 0, plan
+
+
+def test_x3_bottomk_is_takeordered(spark, sf_dir):
+    """x3's bottom-k must compile to TakeOrderedAndProject (per-partition
+    bottom-k heaps merged on the driver — the KMV merge itself); the only
+    windows in the plan run over the k-row result, never the corpus."""
+    from tts_etl_pipeline_spark.operators.sketches import x3_bottomk_sample
+
+    df = x3_bottomk_sample(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan

@@ -115,3 +115,81 @@ def x2_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("est_freq"), "token")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# x3 — KMV / bottom-k sketch: the k rows with the SMALLEST hash of the key
+# are simultaneously (a) a fixed-size uniform sample (every key equally
+# likely to land in the bottom k) and (b) a distinct-count estimator
+# (KMV/"k minimum values", Bar-Yossef et al. 2002: if the k-th smallest of
+# n uniform hashes in [0, M) sits at h_k, then n ≈ (k-1)·M/h_k). Unlike
+# the rows-only x1/x2, this sketch is ORACLE-EXACT: md5 is deterministic
+# and identical in both engines, so the bottom-k set, the ranks, and the
+# estimate (one division of exactly-represented integers) all hash-match.
+# Complements c1 (fixed-RATE hash sampling): bottom-k is fixed-SIZE — the
+# sample never outgrows memory no matter how the corpus grows — and
+# mergeable (bottom-k of a union = bottom-k of the bottom-ks), which is
+# exactly what the TakeOrderedAndProject physical operator exploits:
+# per-partition bottom-k heaps, kilobytes to the driver, NO global sort.
+# Hashes use the first 15 md5 hex digits (60 bits — inside int64 and
+# double's exact-integer range).
+# ---------------------------------------------------------------------------
+KMV_K = 32
+
+
+@_register(
+    "x3_bottomk_sample",
+    f"""
+    WITH hashed AS (
+      SELECT doc_id, lang,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+               AS h
+      FROM documents
+    ),
+    bottom AS (
+      SELECT doc_id, lang, h,
+             ROW_NUMBER() OVER (ORDER BY h) AS rank
+      FROM hashed ORDER BY h LIMIT {KMV_K}
+    )
+    SELECT rank, doc_id, lang, h,
+           CAST(({KMV_K} - 1) AS DOUBLE)
+             * CAST(1152921504606846976 AS DOUBLE)
+             / (SELECT CAST(MAX(h) AS DOUBLE) FROM bottom)
+             AS est_distinct
+    FROM bottom
+    ORDER BY rank
+    """,
+)
+def x3_bottomk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-k over doc_id. The limit compiles to TakeOrderedAndProject —
+    the distributed bottom-k merge itself. The estimate column is
+    (k-1) * 2^60 / h_k: numerator and denominator are exactly-represented
+    integers (< 2^60 < 2^53? no — 2^60 > 2^53, but both engines perform the
+    SAME nearest-even conversion of the same integers, so the doubles and
+    the division are still bit-identical)."""
+    from pyspark.sql.window import Window as W
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    bottom = (
+        docs.withColumn("h", h)
+        .orderBy("h")
+        .limit(KMV_K)
+    )
+    # rank over the k-row result — a window over KMV_K rows, not the corpus
+    bottom = bottom.withColumn(
+        "rank", F.row_number().over(W.orderBy("h")).cast("bigint")
+    )
+    hk = F.max("h").over(W.partitionBy())
+    return (
+        bottom.withColumn(
+            "est_distinct",
+            F.lit(float(KMV_K - 1))
+            * F.lit(float(1 << 60))
+            / hk.cast("double"),
+        )
+        .select("rank", "doc_id", "lang", "h", "est_distinct")
+        .orderBy("rank")
+    )
