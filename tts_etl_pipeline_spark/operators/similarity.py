@@ -537,3 +537,30 @@ def d14_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# v6 — product-quantization ANN (functions/pq.py): 16× compressed codes +
+# asymmetric distance tables + exact re-rank of a bounded candidate pool.
+# The MEMORY-bounded scale path: v3/v4/v5 reduce how many vectors a query
+# touches; PQ reduces the bytes per touched vector (16 B codes instead of
+# 256 B floats), which is what makes a 100 TB embedding corpus scannable
+# at all. Deterministic (hash-sampled training set, seeded fixed-iteration
+# Lloyd, argmin ties to lowest index) but codebook-dependent => rows-only
+# driver check; recall + compression floors in tests/test_ann_recall.py.
+# ---------------------------------------------------------------------------
+@_register("v6_pq_ann_topk", None)
+def v6_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tts_etl_pipeline_spark.functions.pq import adc_topk, encode, train_codebooks
+
+    emb = table(spark, sf_dir, "embeddings")
+    books = train_codebooks(emb)
+    codes = encode(emb, books)
+    return adc_topk(
+        emb,
+        codes,
+        books,
+        query_ids=list(range(N_QUERY_VECS)),
+        k_final=TOP_K,
+        pool_per_partition=8 * TOP_K,
+    )
