@@ -76,11 +76,13 @@ def test_feature_extraction_shapes_and_determinism(spark, media_df):
 
 
 def test_codec_stubs_raise(spark):
-    # compressed formats beyond PNG stay stubbed (no PIL/opencv/ffmpeg here)
-    with pytest.raises(NotImplementedError):
-        MM.decode_image(b"\xff\xd8\xff\xe0 jpeg not decodable")
-    with pytest.raises(NotImplementedError):
-        MM.resize_image(b"\xff\xd8\xff\xe0 jpeg not decodable", 224, 224)
+    # compressed formats beyond PNG/baseline-JPEG stay stubbed (no
+    # PIL/opencv/ffmpeg here): progressive JPEG is the honest boundary now
+    # (a SOF2 frame raises NotImplementedError — see
+    # test_jpeg_probe_and_progressive_raises); a truncated JPEG is a
+    # malformed payload, a ValueError, not a stub
+    with pytest.raises(ValueError):
+        MM.decode_image(b"\xff\xd8\xff\xe0 jpeg truncated garbage")
     with pytest.raises(NotImplementedError):
         MM.sample_video_frames(b"\x00\x00ftyp h264 not decodable")
     # PNG variants outside the real path stay explicit too: 16-bit depth
@@ -261,3 +263,285 @@ def test_real_codec_features(spark):
     assert feats["pic.bmp"][0] == pytest.approx(float(luma.mean()), rel=1e-5)
     assert feats["pic.bmp"][1] == pytest.approx(float(luma.std()), rel=1e-5)
     assert feats["mov.y4m"][2] == 3.0  # 3 sampled frames of the 3 s clip
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG: encoder written here in the tests, spec-forward (T.81
+# annex F encoding procedure: forward DCT, quantization, zigzag, DC
+# prediction, AC run-length, canonical Huffman, byte stuffing, optional
+# restart markers), so functions/jpeg.py::decode_jpeg must run the spec
+# BACKWARD to recover the pixels — the same adversarial-roundtrip pattern
+# as _encode_png above. Huffman tables are deliberately NOT Annex K's
+# (flat canonical codes, DC 4-bit / AC 9-bit): the decoder must read DHT
+# generically, which is exactly what real-world files require.
+# ---------------------------------------------------------------------------
+def _jpeg_tables():
+    from tts_etl_pipeline_spark.functions.jpeg import ZIGZAG
+
+    q_luma = np.full((8, 8), 8, dtype=np.int64)
+    q_chroma = np.full((8, 8), 12, dtype=np.int64)
+    return q_luma, q_chroma, ZIGZAG
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, value, nbits):
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.n = 0
+
+    def flush(self):
+        if self.n:
+            self.write((1 << (8 - self.n)) - 1, 8 - self.n)  # pad with 1s
+
+
+def _cat(v):
+    return int(v).bit_length() if v >= 0 else int(-v).bit_length()
+
+
+def _mag(v, size):
+    return v if v >= 0 else v + (1 << size) - 1
+
+
+def _encode_jpeg(img, restart_interval=0, subsample=False):
+    """Baseline JFIF encoder: 4:4:4 (or 4:2:0 luma-subsampled chroma when
+    subsample=True), flat canonical Huffman tables, edge-replicated padding
+    for odd dimensions."""
+    import struct
+
+    from tts_etl_pipeline_spark.functions.jpeg import dct8x8
+
+    q_luma, q_chroma, zz = _jpeg_tables()
+    h, w = img.shape[:2]
+    r, g, b = (img[..., i].astype(np.float64) for i in range(3))
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+
+    if subsample:
+        # 4:2:0 — average 2x2 chroma; pad odd dims first by edge replication
+        ph, pw = (h + 1) & ~1, (w + 1) & ~1
+        def pad(p, hh, ww):
+            return np.pad(p, ((0, hh - p.shape[0]), (0, ww - p.shape[1])), mode="edge")
+        cb = pad(cb, ph, pw).reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+        cr = pad(cr, ph, pw).reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+        samp = [(2, 2), (1, 1), (1, 1)]
+    else:
+        samp = [(1, 1), (1, 1), (1, 1)]
+    planes = [y, cb, cr]
+    quants = [q_luma, q_chroma, q_chroma]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+
+    # pad every plane to its MCU grid by edge replication
+    padded = []
+    for (hs, vs), p in zip(samp, planes):
+        hh, ww = mcuy * vs * 8, mcux * hs * 8
+        padded.append(
+            np.pad(p, ((0, hh - p.shape[0]), (0, ww - p.shape[1])), mode="edge")
+        )
+
+    # quantized coefficient blocks, MCU-interleaved order
+    recon = []  # reference reconstruction (decoder-identical arithmetic)
+    blocks = []  # (comp_idx, zigzagged int coeffs)
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, ((hs, vs), p, q) in enumerate(zip(samp, padded, quants)):
+                for by in range(vs):
+                    for bx in range(hs):
+                        y0, x0 = (my * vs + by) * 8, (mx * hs + bx) * 8
+                        blk = p[y0 : y0 + 8, x0 : x0 + 8] - 128.0
+                        coef = np.round(dct8x8(blk) / q).astype(np.int64)
+                        blocks.append((ci, coef.flatten()[zz]))
+                        recon.append((ci, my, mx, by, bx, coef * q))
+
+    # entropy-code with flat canonical tables
+    dc_bits = [0] * 16
+    dc_bits[3] = 12  # all 12 DC categories at 4 bits
+    # a DHT BITS entry is one byte, so 256 symbols cannot share one length:
+    # canonical split — RS 0..253 at 9 bits (codes 0..253), RS 254/255 at
+    # 10 bits (codes 508/509; the all-ones code stays unused)
+    ac_bits = [0] * 16
+    ac_bits[8] = 254
+    ac_bits[9] = 2
+    dc_huffval = bytes(range(12))
+    ac_huffval = bytes(range(256))
+
+    def dc_code(sz):
+        return sz, 4  # canonical: symbol k -> code k (4 bits)
+
+    def ac_code(rs):
+        return (rs, 9) if rs < 254 else (508 + (rs - 254), 10)
+
+    wtr = _BitWriter()
+    pred = [0, 0, 0]
+    out_segments = []
+    mcu_idx = 0
+    bpm = sum(hs * vs for hs, vs in samp)  # blocks per MCU
+    for i in range(0, len(blocks), bpm):
+        if restart_interval and mcu_idx and mcu_idx % restart_interval == 0:
+            wtr.flush()
+            out_segments.append(bytes(wtr.out))
+            wtr = _BitWriter()
+            pred = [0, 0, 0]
+        for ci, zzc in blocks[i : i + bpm]:
+            diff = int(zzc[0]) - pred[ci]
+            pred[ci] = int(zzc[0])
+            sz = _cat(diff)
+            c, n = dc_code(sz)
+            wtr.write(c, n)
+            if sz:
+                wtr.write(_mag(diff, sz), sz)
+            run = 0
+            last_nz = max([k for k in range(1, 64) if zzc[k]], default=0)
+            for k in range(1, last_nz + 1):
+                v = int(zzc[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run >= 16:
+                    c, n = ac_code(0xF0)
+                    wtr.write(c, n)
+                    run -= 16
+                sz = _cat(v)
+                c, n = ac_code((run << 4) | sz)
+                wtr.write(c, n)
+                wtr.write(_mag(v, sz), sz)
+                run = 0
+            if last_nz < 63:
+                c, n = ac_code(0x00)
+                wtr.write(c, n)
+        mcu_idx += 1
+    wtr.flush()
+    out_segments.append(bytes(wtr.out))
+
+    # assemble the file
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    def dqt(tid, q):
+        z = np.zeros(64, dtype=np.int64)
+        z[:] = q.flatten()[zz]
+        return seg(0xDB, bytes([tid]) + bytes(int(v) for v in z))
+
+    def dht(tc, th, bits, huffval):
+        return seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + huffval)
+
+    sof_comps = b"".join(
+        bytes([cid + 1, (hs << 4) | vs, 0 if cid == 0 else 1])
+        for cid, (hs, vs) in enumerate(samp)
+    )
+    sof = seg(0xC0, struct.pack(">BHHB", 8, h, w, 3) + sof_comps)
+    sos = seg(
+        0xDA,
+        bytes([3])
+        + b"".join(bytes([cid + 1, 0x00]) for cid in range(3))
+        + bytes([0, 63, 0]),
+    )
+    body = bytearray()
+    body += b"\xff\xd8"  # SOI
+    body += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")  # APP0
+    if restart_interval:
+        body += seg(0xDD, struct.pack(">H", restart_interval))
+    body += dqt(0, q_luma) + dqt(1, q_chroma)
+    body += dht(0, 0, dc_bits, dc_huffval) + dht(1, 0, ac_bits, ac_huffval)
+    body += sof + sos
+    for si, s in enumerate(out_segments):
+        body += s
+        if si < len(out_segments) - 1:
+            body += bytes([0xFF, 0xD0 + (si % 8)])  # RSTn
+    body += b"\xff\xd9"  # EOI
+    return bytes(body), recon, samp, (mcuy, mcux)
+
+
+def _jpeg_reference_pixels(recon, samp, grid, h, w):
+    """Reconstruct pixels from the encoder's dequantized coefficients via
+    the DECODER's own idct + color-convert arithmetic — the exact image
+    decode_jpeg must produce (JPEG is lossy vs the original, but decoding
+    the quantized coefficients is deterministic)."""
+    from tts_etl_pipeline_spark.functions.jpeg import idct8x8
+
+    mcuy, mcux = grid
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    planes = [
+        np.zeros((mcuy * vs * 8, mcux * hs * 8)) for hs, vs in samp
+    ]
+    for ci, my, mx, by, bx, coef in recon:
+        hs, vs = samp[ci]
+        y0, x0 = (my * vs + by) * 8, (mx * hs + bx) * 8
+        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = idct8x8(coef) + 128.0
+    full = []
+    for (hs, vs), p in zip(samp, planes):
+        if hs != hmax or vs != vmax:
+            p = np.repeat(np.repeat(p, vmax // vs, axis=0), hmax // hs, axis=1)
+        full.append(p[:h, :w])
+    y, cb, cr = full
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.round(np.stack([r, g, b], axis=2)), 0, 255).astype(np.uint8)
+
+
+def _jpeg_test_img(h=24, w=32, seed=3):
+    rng = np.random.RandomState(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.zeros((h, w, 3))
+    img[..., 0] = 128 + 90 * np.sin(xx / 5.0) + 20 * np.cos(yy / 7.0)
+    img[..., 1] = 100 + 70 * np.cos(xx / 9.0 + yy / 4.0)
+    img[..., 2] = 60 + 50 * np.sin(yy / 6.0) + 10 * rng.randn(h, w)
+    return np.clip(np.round(img), 0, 255).astype(np.uint8)
+
+
+def test_jpeg_decode_444_bit_exact_vs_reference():
+    img = _jpeg_test_img()
+    payload, recon, samp, grid = _encode_jpeg(img)
+    got = MM.decode_image(payload)
+    ref = _jpeg_reference_pixels(recon, samp, grid, *img.shape[:2])
+    assert got.shape == img.shape
+    assert (got == ref).all(), "decoded pixels differ from coefficient reference"
+    # lossy-but-close vs the original (q=8 flat table on smooth content)
+    assert np.abs(got.astype(int) - img.astype(int)).mean() < 6.0
+
+
+def test_jpeg_decode_odd_dims_and_restart_markers():
+    img = _jpeg_test_img(h=19, w=21, seed=5)  # non-multiple-of-8
+    payload, recon, samp, grid = _encode_jpeg(img, restart_interval=2)
+    got = MM.decode_image(payload)
+    ref = _jpeg_reference_pixels(recon, samp, grid, *img.shape[:2])
+    assert got.shape == img.shape and (got == ref).all()
+
+
+def test_jpeg_decode_420_subsampled():
+    img = _jpeg_test_img(h=24, w=32, seed=7)
+    payload, recon, samp, grid = _encode_jpeg(img, subsample=True)
+    assert samp[0] == (2, 2)
+    got = MM.decode_image(payload)
+    ref = _jpeg_reference_pixels(recon, samp, grid, *img.shape[:2])
+    assert got.shape == img.shape and (got == ref).all()
+
+
+def test_jpeg_probe_and_progressive_raises():
+    import struct as _s
+
+    img = _jpeg_test_img()
+    payload, *_ = _encode_jpeg(img)
+    meta = MM._probe_meta("image", payload)
+    assert (meta["width"], meta["height"], meta["codec"]) == (32, 24, "jpeg")
+    # flipping SOF0 -> SOF2 must raise the honest progressive boundary
+    idx = payload.index(b"\xff\xc0")
+    prog = payload[:idx] + b"\xff\xc2" + payload[idx + 2 :]
+    with pytest.raises(NotImplementedError):
+        MM.decode_image(prog)

@@ -8,10 +8,14 @@ Codec coverage in this runtime (no PIL/opencv/ffmpeg available):
 - REAL: WAV audio (stdlib wave), uncompressed 24-bit BMP images (numpy
   decode/encode/nearest-neighbor resize), 8-bit non-interlaced PNG
   (stdlib zlib inflate + full scanline-filter reconstruction, r5),
-  YUV4MPEG2 (.y4m) video (header probe + luma-plane frame sampling).
-- STUBBED: the remaining compressed codecs (JPEG, H.264/VP9; also
-  palette/16-bit/Adam7 PNG variants) raise NotImplementedError with the
-  hash-seeded deterministic fake as the documented fallback.
+  YUV4MPEG2 (.y4m) video (header probe + luma-plane frame sampling),
+  and baseline sequential JPEG (functions/jpeg.py — dependency-free
+  T.81 Huffman+DCT decoder, r5: generic DQT/DHT, restart markers,
+  4:4:4 and chroma-subsampled frames).
+- STUBBED: the remaining compressed codecs (progressive JPEG,
+  H.264/VP9; also palette/16-bit/Adam7 PNG variants) raise
+  NotImplementedError with the hash-seeded deterministic fake as the
+  documented fallback.
 Everything Spark-side is real and tested either way: schemas, batch
 iteration, chunked processing, partition sizing, and the 2 GB-per-row
 ceiling guard.
@@ -150,6 +154,27 @@ def _probe_meta(modality: str, head: bytes | None) -> dict:
                 meta["codec"] = "png"
         except Exception:
             pass
+    elif modality == "image" and head[:2] == b"\xff\xd8":
+        try:
+            import struct
+
+            # walk segments to SOF0/1 for dims (probe only — no decode)
+            p = 2
+            while p < len(head) - 4:
+                if head[p] != 0xFF:
+                    break
+                m = head[p + 1]
+                if m in (0xC0, 0xC1):
+                    meta["height"], meta["width"] = struct.unpack_from(
+                        ">HH", head, p + 5
+                    )
+                    meta["codec"] = "jpeg"
+                    break
+                if m == 0xD9 or m == 0xDA:
+                    break
+                p += 2 + struct.unpack_from(">H", head, p + 2)[0]
+        except Exception:
+            pass
     elif modality == "video" and head[:9] == b"YUV4MPEG2":
         try:
             v, off = _parse_y4m_header(head)
@@ -189,9 +214,12 @@ def _probe_meta(modality: str, head: bytes | None) -> dict:
 #     per-frame luma-plane extraction + every_ms frame sampling
 #   - audio: RIFF/WAV via the stdlib wave path shared with audio/decode.py
 #
-# Remaining compressed codecs (JPEG, H.264/VP9) require PIL/opencv/ffmpeg, which
-# are not in this runtime — those paths stay explicit NotImplementedError
-# stubs with the hash-seeded fake as the documented fallback.
+#   - image/JPEG: baseline sequential T.81 via functions/jpeg.py (r5)
+#
+# Remaining compressed codecs (progressive JPEG, H.264/VP9) require
+# PIL/opencv/ffmpeg, which are not in this runtime — those paths stay
+# explicit NotImplementedError stubs with the hash-seeded fake as the
+# documented fallback.
 # --------------------------------------------------------------------------
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
@@ -204,7 +232,7 @@ def decode_png(content: bytes) -> np.ndarray:
     per spec (RFC 2083 §6). Supported: bit depth 8, color types 0 (gray —
     replicated to RGB), 2 (RGB), 6 (RGBA — alpha dropped), interlace 0.
     Palette/16-bit/Adam7 raise NotImplementedError like the other
-    compressed-codec gaps (JPEG/H.264)."""
+    compressed-codec gaps (progressive JPEG / H.264)."""
     import struct
     import zlib
 
@@ -274,15 +302,22 @@ def decode_png(content: bytes) -> np.ndarray:
 def decode_image(content: bytes) -> np.ndarray:
     """Decode an image payload to an HxWx3 uint8 RGB array.
 
-    Real paths: uncompressed 24-bit BMP, and 8-bit gray/RGB/RGBA
-    non-interlaced PNG (stdlib zlib — see decode_png). JPEG still raises —
-    callers fall back to fake_image_features."""
+    Real paths: uncompressed 24-bit BMP, 8-bit gray/RGB/RGBA
+    non-interlaced PNG (stdlib zlib — see decode_png), and baseline
+    sequential JPEG (functions/jpeg.py — dependency-free T.81 decoder:
+    generic DQT/DHT parsing, restart markers, 4:4:4 and ≤2x2 subsampling).
+    Progressive JPEG still raises — callers fall back to
+    fake_image_features."""
     if content[:8] == _PNG_SIG:
         return decode_png(content)
+    if content[:2] == b"\xff\xd8":
+        from tts_etl_pipeline_spark.functions.jpeg import decode_jpeg
+
+        return decode_jpeg(content)
     if content[:2] != b"BM":
         raise NotImplementedError(
-            "only BMP and 8-bit non-interlaced PNG decode in this runtime; "
-            "JPEG needs PIL/opencv"
+            "only BMP, 8-bit non-interlaced PNG and baseline JPEG decode in "
+            "this runtime; progressive JPEG / H.264 need PIL/opencv/ffmpeg"
         )
     import struct
 
@@ -402,10 +437,12 @@ def _fake_feature(content_hash: str, dim: int) -> np.ndarray:
 def extract_features(media_df: DataFrame, dim: int = 64) -> DataFrame:
     """Per-modality feature extraction over chunk-0 rows (payload head).
 
-    audio/WAV, image/BMP+PNG, video/y4m: REAL paths — decode (stdlib wave /
-    numpy BMP / zlib PNG / y4m luma sampling), mean/std/energy stats
-    prepended to the hash-seeded embedding tail.
-    compressed codecs (JPEG/H.264): stubbed -> hash-seeded fake only.
+    audio/WAV, image/BMP+PNG+baseline-JPEG, video/y4m: REAL paths —
+    decode (stdlib wave / numpy BMP / zlib PNG / T.81 JPEG / y4m luma
+    sampling), mean/std/energy stats prepended to the hash-seeded
+    embedding tail.
+    compressed codecs (progressive JPEG/H.264): stubbed -> hash-seeded
+    fake only.
     """
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
