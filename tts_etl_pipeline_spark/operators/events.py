@@ -528,3 +528,66 @@ def h2_daily_value_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day", "event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# e8 — last-touch revenue attribution (the standard marketing-analytics
+# rollup on top of the a1 as-of machinery): every purchase's value is
+# credited to the campaign bucket (props.k quartile) of the SAME USER's
+# most recent prior click; purchases with no prior click are 'organic'.
+# The as-of step is the single-ordered-window form (one user_id shuffle —
+# an inequality join would be quadratic per user at 100 TB); the rollup
+# shuffles |buckets| groups. Revenue sums ride DECIMAL(12,2) so the
+# aggregation is order-independent and the final double is exact (the
+# g5/st1 idiom).
+# ---------------------------------------------------------------------------
+@_register(
+    "e8_last_touch_attribution",
+    """
+    WITH attributed AS (
+      SELECT event_id, user_id, value, event_type,
+             last_value(CASE WHEN event_type = 'click'
+                             THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+                        END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS click_k
+      FROM events
+    )
+    SELECT CASE WHEN click_k IS NULL THEN 'organic'
+                ELSE 'q' || CAST(click_k // 25 AS VARCHAR) END AS bucket,
+           COUNT(*) AS n_purchases,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+    FROM attributed
+    WHERE event_type = 'purchase'
+    GROUP BY 1
+    ORDER BY bucket
+    """,
+)
+def e8_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    ev = table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    click_k = F.when(
+        F.col("event_type") == "click",
+        F.get_json_object("props", "$.k").cast("bigint"),
+    )
+    bucket = F.when(F.col("click_k").isNull(), F.lit("organic")).otherwise(
+        F.concat(F.lit("q"), (F.col("click_k") / 25).cast("bigint").cast("string"))
+    )
+    return (
+        ev.withColumn("click_k", F.last(click_k, ignorenulls=True).over(w))
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("revenue"),
+        )
+        .orderBy("bucket")
+    )

@@ -997,3 +997,81 @@ def t15_bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift"), "w1", "w2")
         .limit(BIGRAM_TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# t16 — vocabulary-coverage / Zipf audit (the tokenizer-design question
+# "how much of the corpus do the top K types cover?"): top 20 tokens by
+# count with rank, the Zipf product rank*count (Zipf's law predicts it
+# near-constant — kept as an exact integer), each token's corpus share,
+# and the CUMULATIVE coverage of ranks 1..r. Shares are single divisions
+# of exact integers; the cumulative sum is an integer window sum over the
+# 20-row ranked relation — floats never aggregate.
+# Scale shape: token counts (one shuffle) -> TakeOrderedAndProject top-20
+# (per-partition heads — the vocabulary never sorts globally) -> rank and
+# cumsum windows run over the 20-ROW result, not the vocab; the corpus
+# total rides a one-row broadcast cross join.
+# ---------------------------------------------------------------------------
+ZIPF_TOP_K = 20
+
+
+@_register(
+    "t16_zipf_coverage",
+    f"""
+    WITH uni AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT unnest(string_split(lower(trim(text)), ' ')) AS token
+            FROM documents) t
+      GROUP BY token
+    ),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total FROM uni),
+    top AS (
+      SELECT token, c FROM uni ORDER BY c DESC, token LIMIT {ZIPF_TOP_K}
+    ),
+    ranked AS (
+      SELECT token, c,
+             ROW_NUMBER() OVER (ORDER BY c DESC, token) AS rank,
+             CAST(SUM(c) OVER (ORDER BY c DESC, token
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_c
+      FROM top
+    )
+    SELECT rank, token, c,
+           CAST(rank * c AS BIGINT) AS zipf_product,
+           CAST(c AS DOUBLE) / n_total AS share,
+           CAST(cum_c AS DOUBLE) / n_total AS cum_coverage
+    FROM ranked, tot
+    ORDER BY rank
+    """,
+)
+def t16_zipf_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    docs = table(spark, sf_dir, "documents")
+    uni = token_stream(docs).groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    uni = materialize(uni)  # one token shuffle feeds both top-k and total
+    tot = uni.agg(F.sum("c").cast("bigint").alias("n_total"))
+    top = uni.orderBy(F.desc("c"), "token").limit(ZIPF_TOP_K)
+    wrank = W.orderBy(F.desc("c"), "token")
+    ranked = top.select(
+        "token",
+        "c",
+        F.row_number().over(wrank).cast("bigint").alias("rank"),
+        F.sum("c").over(wrank.rowsBetween(W.unboundedPreceding, 0))
+        .cast("bigint")
+        .alias("cum_c"),
+    )
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .select(
+            "rank",
+            "token",
+            "c",
+            (F.col("rank") * F.col("c")).cast("bigint").alias("zipf_product"),
+            (F.col("c").cast("double") / F.col("n_total")).alias("share"),
+            (F.col("cum_c").cast("double") / F.col("n_total")).alias("cum_coverage"),
+        )
+        .orderBy("rank")
+    )
