@@ -386,3 +386,29 @@ def test_x3_bottomk_is_takeordered(spark, sf_dir):
     df = x3_bottomk_sample(spark, sf_dir)
     plan = physical_plan(df)
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_e8_one_user_shuffle_then_rollup(spark, sf_dir):
+    """e8's as-of attribution is the single-ordered-window form: exactly
+    one hashpartitioning Exchange on user_id feeds the window; the only
+    other Exchanges are the tiny bucket rollup and the presentation sort.
+    No join nodes anywhere — an inequality join would be quadratic per
+    user."""
+    from tts_etl_pipeline_spark.operators.events import e8_last_touch_attribution
+
+    df = e8_last_touch_attribution(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "Join" not in plan, plan
+    assert count_shuffles(df) <= 3, plan
+
+
+def test_t16_topk_is_takeordered_tiny_windows(spark, sf_dir):
+    """t16's vocabulary top-k must be TakeOrderedAndProject; its rank and
+    cumulative-coverage windows run over the 20-row result — acceptable
+    unpartitioned windows because their input is bounded by the constant
+    ZIPF_TOP_K, never the vocabulary."""
+    from tts_etl_pipeline_spark.operators.textstats import t16_zipf_coverage
+
+    df = t16_zipf_coverage(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
