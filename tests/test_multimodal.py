@@ -1,6 +1,7 @@
 """Multimodal column plumbing: chunking, hashing, metadata probe, feature
 extraction batch shape (B6). Real Spark paths throughout; codecs are real
-for WAV/BMP/y4m and stubbed for compressed formats (PNG/JPEG/H.264)."""
+for WAV/BMP/PNG/baseline-JPEG/y4m and stubbed for the remaining compressed
+formats (progressive JPEG, H.264)."""
 
 from __future__ import annotations
 
@@ -313,7 +314,7 @@ def _mag(v, size):
     return v if v >= 0 else v + (1 << size) - 1
 
 
-def _encode_jpeg(img, restart_interval=0, subsample=False):
+def _encode_jpeg(img, restart_interval=0, subsample=False, gray=False):
     """Baseline JFIF encoder: 4:4:4 (or 4:2:0 luma-subsampled chroma when
     subsample=True), flat canonical Huffman tables, edge-replicated padding
     for odd dimensions."""
@@ -338,8 +339,12 @@ def _encode_jpeg(img, restart_interval=0, subsample=False):
         samp = [(2, 2), (1, 1), (1, 1)]
     else:
         samp = [(1, 1), (1, 1), (1, 1)]
-    planes = [y, cb, cr]
-    quants = [q_luma, q_chroma, q_chroma]
+    assert not (gray and subsample)
+    if gray:
+        samp, planes, quants = [(1, 1)], [y], [q_luma]
+    else:
+        planes = [y, cb, cr]
+        quants = [q_luma, q_chroma, q_chroma]
     hmax = max(s[0] for s in samp)
     vmax = max(s[1] for s in samp)
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
@@ -439,15 +444,16 @@ def _encode_jpeg(img, restart_interval=0, subsample=False):
     def dht(tc, th, bits, huffval):
         return seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + huffval)
 
+    nc = len(samp)
     sof_comps = b"".join(
         bytes([cid + 1, (hs << 4) | vs, 0 if cid == 0 else 1])
         for cid, (hs, vs) in enumerate(samp)
     )
-    sof = seg(0xC0, struct.pack(">BHHB", 8, h, w, 3) + sof_comps)
+    sof = seg(0xC0, struct.pack(">BHHB", 8, h, w, nc) + sof_comps)
     sos = seg(
         0xDA,
-        bytes([3])
-        + b"".join(bytes([cid + 1, 0x00]) for cid in range(3))
+        bytes([nc])
+        + b"".join(bytes([cid + 1, 0x00]) for cid in range(nc))
         + bytes([0, 63, 0]),
     )
     body = bytearray()
@@ -545,3 +551,19 @@ def test_jpeg_probe_and_progressive_raises():
     prog = payload[:idx] + b"\xff\xc2" + payload[idx + 2 :]
     with pytest.raises(NotImplementedError):
         MM.decode_image(prog)
+
+
+def test_jpeg_decode_grayscale():
+    img = _jpeg_test_img(h=16, w=16, seed=11)
+    payload, recon, samp, grid = _encode_jpeg(img, gray=True)
+    got = MM.decode_image(payload)
+    assert got.shape == img.shape
+    # single-component: decoder replicates luma; reference = idct of the
+    # encoder's dequantized Y coefficients, clipped identically
+    from tts_etl_pipeline_spark.functions.jpeg import idct8x8
+    mcuy, mcux = grid
+    plane = np.zeros((mcuy * 8, mcux * 8))
+    for ci, my, mx, by, bx, coef in recon:
+        plane[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = idct8x8(coef) + 128.0
+    ref = np.clip(np.round(plane[:16, :16]), 0, 255).astype(np.uint8)
+    assert (got[..., 0] == ref).all() and (got[..., 1] == ref).all()
