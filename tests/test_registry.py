@@ -31,6 +31,7 @@ def test_registry_importable_and_consistent():
         "v5_graph_ann_topk",
         "v6_pq_ann_topk",
         "x1_approx_distinct_stats",
+        "t17_bpe_merge_training",
         "x2_cms_heavy_hitters",
         "p1_audio_pipeline_e2e",
     }

@@ -1075,3 +1075,81 @@ def t16_zipf_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# t17 — BPE tokenizer TRAINING (the missing piece between t7's BPE-ish
+# token counting and an actual trained vocabulary): learn the first
+# N_MERGES byte-pair merges from the corpus. The production shape
+# (HF tokenizers, SentencePiece) splits exactly this way:
+#   1. DISTRIBUTED: reduce the corpus to its word-count histogram — the
+#      only pass that touches corpus bytes. Collected BOUNDED: the top
+#      BPE_MAX_WORDS words by (count desc, word) via TakeOrdered, so
+#      driver memory is capped at any corpus size (pruning rare words is
+#      standard BPE practice — they cannot win a merge anyway unless
+#      their mass rivals the head, which contradicts them being rare).
+#   2. DRIVER: iterate merges over the histogram (vocab-sized, tiny
+#      relative to the corpus): count adjacent symbol pairs weighted by
+#      word count, merge the (count desc, pair lex) winner, repeat.
+# Deterministic (total-order tie-breaks) but iterative ⇒ no SQL oracle —
+# rows-only driver check; exactness vs an independent naive reference +
+# determinism pinned in tests/test_textstats_bpe.py.
+# ---------------------------------------------------------------------------
+BPE_N_MERGES = 12
+BPE_MAX_WORDS = 50_000
+
+
+def bpe_train_from_histogram(
+    word_counts: list[tuple[str, int]], n_merges: int
+) -> list[tuple[int, str, str, int]]:
+    """Classic BPE on a (word, count) histogram. Symbols start as single
+    characters; each round merges the highest-count adjacent pair
+    (ties: lexicographic pair) into one symbol. Returns
+    [(merge_idx, left, right, pair_count)]; stops early if no pair
+    occurs twice."""
+    seqs = [(tuple(w), c) for w, c in word_counts]
+    merges: list[tuple[int, str, str, int]] = []
+    for mi in range(n_merges):
+        pairs: dict[tuple[str, str], int] = {}
+        for seq, c in seqs:
+            for a, b in zip(seq, seq[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + c
+        if not pairs:
+            break
+        (left, right), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if cnt < 2:
+            break
+        merged = left + right
+        out = []
+        for seq, c in seqs:
+            ns, i = [], 0
+            while i < len(seq):
+                if i + 1 < len(seq) and seq[i] == left and seq[i + 1] == right:
+                    ns.append(merged)
+                    i += 2
+                else:
+                    ns.append(seq[i])
+                    i += 1
+            out.append((tuple(ns), c))
+        seqs = out
+        merges.append((mi + 1, left, right, cnt))
+    return merges
+
+
+@_register("t17_bpe_merge_training", None)
+def t17_bpe_merge_training(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    hist = (
+        token_stream(docs)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .orderBy(F.desc("c"), "token")  # TakeOrdered — bounded collect
+        .limit(BPE_MAX_WORDS)
+        .collect()
+    )
+    merges = bpe_train_from_histogram(
+        [(r["token"], r["c"]) for r in hist], BPE_N_MERGES
+    )
+    return spark.createDataFrame(
+        merges, "merge_idx bigint, left string, right string, pair_count bigint"
+    ).orderBy("merge_idx")
