@@ -567,3 +567,32 @@ def test_jpeg_decode_grayscale():
         plane[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = idct8x8(coef) + 128.0
     ref = np.clip(np.round(plane[:16, :16]), 0, 255).astype(np.uint8)
     assert (got[..., 0] == ref).all() and (got[..., 1] == ref).all()
+
+
+def test_jpeg_decode_randomized_sizes_and_content():
+    """Randomized sweep: assorted odd/even dimensions, noise and gradient
+    content, 4:4:4 and 4:2:0, with and without restarts — every decode
+    must match the coefficient reference bit-exactly."""
+    cases = [
+        (8, 8, 1, False, 0), (9, 7, 2, False, 0), (17, 33, 3, True, 0),
+        (40, 24, 4, True, 3), (16, 16, 5, False, 1), (25, 25, 6, False, 4),
+    ]
+    for h, w, seed, subsample, restart in cases:
+        rng = np.random.RandomState(seed)
+        kind = seed % 3
+        if kind == 0:
+            img = rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+        elif kind == 1:
+            img = _jpeg_test_img(h=h, w=w, seed=seed)
+        else:
+            yy, xx = np.mgrid[0:h, 0:w]
+            img = np.clip(
+                np.stack([xx * 255 // max(w - 1, 1)] * 3, axis=2), 0, 255
+            ).astype(np.uint8)
+        payload, recon, samp, grid = _encode_jpeg(
+            img, restart_interval=restart, subsample=subsample
+        )
+        got = MM.decode_image(payload)
+        ref = _jpeg_reference_pixels(recon, samp, grid, h, w)
+        assert got.shape == (h, w, 3), (h, w, seed)
+        assert (got == ref).all(), (h, w, seed, subsample, restart)
