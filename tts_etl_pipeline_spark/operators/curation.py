@@ -942,3 +942,86 @@ def dq5_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+# ---------------------------------------------------------------------------
+# dq6 — robust outlier audit (median/MAD, the outlier rule that doesn't
+# break when the data already contains outliers — unlike mean/stddev
+# rules, the breakdown point is 50%): per order priority, the median
+# order value, the median absolute deviation, and how many orders sit
+# beyond 3 MADs. Exactness discipline: prices move to integer CENTS
+# (one deterministic double->nearest-int round), medians ride the exact
+# interpolated percentile both engines share on integer inputs (the e7
+# idiom), and deviations double to stay integral when the median falls
+# on a .5 — floats only appear as final single divisions.
+# Scale shape: ONE orders scan (cents projection materialized once); the
+# per-priority median/MAD relations are |priorities| rows and rejoin via
+# broadcast; three hash aggregations on the same small key, no sorts of
+# the fact table (percentile is a hash aggregate, not a sort).
+# ---------------------------------------------------------------------------
+@_register(
+    "dq6_robust_outlier_audit",
+    """
+    WITH cents AS (
+      SELECT o_orderpriority AS priority,
+             CAST(round(o_totalprice * 100, 0) AS BIGINT) AS c
+      FROM orders
+    ),
+    med AS (
+      SELECT priority,
+             CAST(round(2 * quantile_cont(c, 0.5), 0) AS BIGINT) AS med2
+      FROM cents GROUP BY priority
+    ),
+    dev AS (
+      SELECT cents.priority, c, med2, abs(2 * c - med2) AS dev2
+      FROM cents JOIN med USING (priority)
+    ),
+    mad AS (
+      SELECT priority, quantile_cont(dev2, 0.5) AS mad2
+      FROM dev GROUP BY priority
+    )
+    SELECT dev.priority,
+           COUNT(*) AS n_orders,
+           CAST(MAX(med2) AS DOUBLE) / 200 AS median_price,
+           CAST(MAX(mad2) AS DOUBLE) / 200 AS mad_price,
+           CAST(SUM(CASE WHEN dev2 > 3 * mad2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers,
+           CAST(SUM(CASE WHEN dev2 > 3 * mad2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS outlier_frac
+    FROM dev JOIN mad USING (priority)
+    GROUP BY dev.priority
+    ORDER BY dev.priority
+    """,
+)
+def dq6_robust_outlier_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tts_etl_pipeline_spark.functions.checkpoints import materialize
+
+    orders = table(spark, sf_dir, "orders")
+    cents = materialize(
+        orders.select(
+            F.col("o_orderpriority").alias("priority"),
+            F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("c"),
+        )
+    )
+    med = cents.groupBy("priority").agg(
+        F.round(2 * F.percentile("c", F.lit(0.5)), 0).cast("bigint").alias("med2")
+    )
+    dev = cents.join(F.broadcast(med), "priority").withColumn(
+        "dev2", F.abs(2 * F.col("c") - F.col("med2"))
+    )
+    mad = dev.groupBy("priority").agg(
+        F.percentile("dev2", F.lit(0.5)).alias("mad2")
+    )
+    out_flag = F.when(F.col("dev2") > 3 * F.col("mad2"), 1).otherwise(0)
+    return (
+        dev.join(F.broadcast(mad), "priority")
+        .groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.max("med2").cast("double") / 200).alias("median_price"),
+            (F.max("mad2").cast("double") / 200).alias("mad_price"),
+            F.sum(out_flag).cast("bigint").alias("n_outliers"),
+            (F.sum(out_flag).cast("double") / F.count(F.lit(1))).alias("outlier_frac"),
+        )
+        .orderBy("priority")
+    )

@@ -551,9 +551,12 @@ def d14_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @_register("v6_pq_ann_topk", None)
 def v6_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tts_etl_pipeline_spark.functions.checkpoints import materialize
     from tts_etl_pipeline_spark.functions.pq import adc_topk, encode, train_codebooks
 
-    emb = table(spark, sf_dir, "embeddings")
+    # one parquet scan: the projection feeds codebook training, encoding,
+    # the query-vector collect AND the exact re-rank join (d3 discipline)
+    emb = materialize(table(spark, sf_dir, "embeddings").select("vec_id", "embedding"))
     books = train_codebooks(emb)
     codes = encode(emb, books)
     return adc_topk(
