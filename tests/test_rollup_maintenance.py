@@ -1,0 +1,76 @@
+"""Incremental rollup maintenance (sources/rollup.py): applying any split
+of the data as sequential deltas must be BIT-IDENTICAL to one batch
+recompute, only touched partitions rewrite, and the read view derives
+finished metrics correctly."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from tts_etl_pipeline_spark.sources.rollup import (
+    apply_delta,
+    delta_to_state,
+    read_rollup,
+)
+from tts_etl_pipeline_spark.sources.tables import table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _canon(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_sequential_deltas_equal_batch_recompute(spark, tmp_path):
+    ev = table(spark, SF, "events")
+    path = os.path.join(str(tmp_path), "rollup")
+    # split by event_id parity, apply as two deltas, then a third tiny one
+    apply_delta(spark, path, ev.filter(F.col("event_id") % 2 == 0))
+    apply_delta(spark, path, ev.filter((F.col("event_id") % 2 == 1) & (F.col("event_id") % 3 != 0)))
+    apply_delta(spark, path, ev.filter((F.col("event_id") % 2 == 1) & (F.col("event_id") % 3 == 0)))
+    batch = delta_to_state(ev)
+    from tts_etl_pipeline_spark.sources.rollup import _read_state
+    assert _canon(_read_state(spark, path).select(*batch.columns)) == _canon(batch)
+
+
+def test_untouched_partitions_not_rewritten(spark, tmp_path):
+    ev = table(spark, SF, "events")
+    path = os.path.join(str(tmp_path), "rollup")
+    apply_delta(spark, path, ev)
+    # find one day's partition files + mtimes
+    days = sorted(d for d in os.listdir(path) if d.startswith("day="))
+    assert len(days) > 1
+    probe = os.path.join(path, days[0])
+    before = {f: os.path.getmtime(os.path.join(probe, f)) for f in os.listdir(probe)}
+    # delta touching ONLY the last day
+    last_day = days[-1].split("=", 1)[1]
+    delta = ev.filter(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd") == last_day)
+    assert delta.count() > 0
+    apply_delta(spark, path, delta)
+    after = {f: os.path.getmtime(os.path.join(probe, f)) for f in os.listdir(probe)}
+    assert before == after  # day[0] untouched by a day[-1] delta
+
+
+def test_read_view_derives_avg(spark, tmp_path):
+    ev = table(spark, SF, "events")
+    path = os.path.join(str(tmp_path), "rollup")
+    apply_delta(spark, path, ev)
+    got = {
+        (r["day"], r["event_type"]): r for r in read_rollup(spark, path).collect()
+    }
+    ref = (
+        ev.withColumn("day", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd"))
+        .groupBy("day", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias("sc"),
+        )
+        .collect()
+    )
+    for r in ref:
+        g = got[(r["day"], r["event_type"])]
+        assert g["n_events"] == r["n"]
+        assert g["sum_value"] == r["sc"] / 100
+        assert g["avg_value"] == (r["sc"] / 100) / r["n"]

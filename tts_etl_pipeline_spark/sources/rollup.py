@@ -1,0 +1,109 @@
+"""Incremental rollup maintenance — the continuous-aggregate pattern
+(TimescaleDB continuous aggregates / Materialize-style view maintenance),
+composed from pieces this engine already has: MERGEABLE partial state and
+partition-targeted dynamic overwrite (sources/sink.py::overwrite_partitions).
+
+The rule that makes a rollup incrementally maintainable at 100 TB:
+
+  1. Store MERGEABLE state, never finished answers. An avg column cannot
+     absorb new rows; (sum, count) can. Same for min/max (mergeable),
+     distinct (store an HLL sketch or accept re-agg), and percentiles
+     (not mergeable — keep the t-digest/CMS family or recompute).
+     Finished metrics (avg) are derived in a READ view at query time.
+  2. Aggregate the DELTA alone to the rollup grain (a batch of one day
+     aggregates to that day's groups — O(delta), not O(table)).
+  3. Merge delta-grain state with the stored state FOR THE TOUCHED
+     PARTITIONS ONLY, and write back with dynamic partition overwrite —
+     untouched history is never read or rewritten.
+
+The sums ride integer cents (functions/exact.py discipline), so applying
+a stream of deltas in ANY batch split is bit-identical to one batch
+recompute — pinned by tests/test_rollup_maintenance.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tts_etl_pipeline_spark.sources.sink import overwrite_partitions
+
+# rollup grain: one row per (day, event_type); day is the partition column
+ROLLUP_KEYS = ["day", "event_type"]
+STATE_COLS = ["n_events", "sum_value_cents", "min_value", "max_value"]
+
+
+def delta_to_state(delta: DataFrame) -> DataFrame:
+    """Aggregate a raw-events delta to rollup-grain MERGEABLE state."""
+    return (
+        delta.withColumn("day", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd"))
+        .groupBy(*ROLLUP_KEYS)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("sum_value_cents"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+    )
+
+
+def merge_state(existing: DataFrame, delta_state: DataFrame) -> DataFrame:
+    """Merge two mergeable-state relations on the rollup keys: counts and
+    sums add, min/max fold. A full-outer union-then-reagg (associative and
+    commutative, so any delta-application order converges identically)."""
+    return (
+        existing.select(*ROLLUP_KEYS, *STATE_COLS)
+        .unionByName(delta_state.select(*ROLLUP_KEYS, *STATE_COLS))
+        .groupBy(*ROLLUP_KEYS)
+        .agg(
+            F.sum("n_events").cast("bigint").alias("n_events"),
+            F.sum("sum_value_cents").cast("bigint").alias("sum_value_cents"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+        )
+    )
+
+
+def apply_delta(spark: SparkSession, rollup_path: str, delta: DataFrame) -> None:
+    """Incrementally fold a raw-events delta into the stored rollup:
+    aggregate the delta, read back ONLY the touched day partitions, merge,
+    and dynamic-partition-overwrite those days. O(delta + touched days),
+    never O(table)."""
+    delta_state = delta_to_state(delta)
+    days = [r["day"] for r in delta_state.select("day").distinct().collect()]
+    if not days:
+        return
+    try:
+        existing = _read_state(spark, rollup_path).filter(F.col("day").isin(days))
+    except Exception:  # first write: no table yet
+        overwrite_partitions(delta_state, rollup_path, ["day"])
+        return
+    merged = merge_state(existing, delta_state)
+    overwrite_partitions(merged, rollup_path, ["day"])
+
+
+def _read_state(spark: SparkSession, rollup_path: str) -> DataFrame:
+    """Read stored state; pin `day` back to its yyyy-MM-dd string form
+    (partition-column type inference reads the directory value as DATE,
+    which would silently fork the key dtype between first and later
+    writes)."""
+    return spark.read.parquet(rollup_path).withColumn(
+        "day", F.date_format("day", "yyyy-MM-dd")
+    )
+
+
+def read_rollup(spark: SparkSession, rollup_path: str) -> DataFrame:
+    """The READ view: derive finished metrics from mergeable state."""
+    s = _read_state(spark, rollup_path)
+    return s.select(
+        *ROLLUP_KEYS,
+        "n_events",
+        (F.col("sum_value_cents").cast("double") / 100).alias("sum_value"),
+        (
+            F.col("sum_value_cents").cast("double") / 100 / F.col("n_events")
+        ).alias("avg_value"),
+        "min_value",
+        "max_value",
+    )
