@@ -89,7 +89,7 @@ def _read_state(spark: SparkSession, rollup_path: str) -> DataFrame:
     (partition-column type inference reads the directory value as DATE,
     which would silently fork the key dtype between first and later
     writes)."""
-    return spark.read.parquet(rollup_path).withColumn(
+    return spark.read.option("pathGlobFilter", "*.parquet").parquet(rollup_path).withColumn(
         "day", F.date_format("day", "yyyy-MM-dd")
     )
 
@@ -107,3 +107,35 @@ def read_rollup(spark: SparkSession, rollup_path: str) -> DataFrame:
         "min_value",
         "max_value",
     )
+
+
+def stream_to_rollup(
+    stream: DataFrame, rollup_path: str, checkpoint: str
+) -> None:
+    """Continuous-aggregate sink: fold each streaming micro-batch into the
+    stored rollup via foreachBatch(apply_delta), guarded for EXACTLY-ONCE
+    state: foreachBatch is at-least-once under failure replay, and
+    apply_delta is additive (NOT idempotent), so each applied batch id is
+    recorded as a marker file and replayed ids are skipped — the standard
+    idempotent-foreachBatch pattern for sinks without native transactions.
+    Runs with trigger(availableNow) and blocks until drained."""
+    import os
+
+    marker_dir = os.path.join(rollup_path, "_applied")
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        os.makedirs(marker_dir, exist_ok=True)
+        marker = os.path.join(marker_dir, f"batch-{batch_id}")
+        if os.path.exists(marker):  # replayed batch: already folded in
+            return
+        apply_delta(batch_df.sparkSession, rollup_path, batch_df)
+        with open(marker, "w") as f:
+            f.write("applied")
+
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
