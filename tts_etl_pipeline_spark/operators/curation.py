@@ -1025,3 +1025,60 @@ def dq6_robust_outlier_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+# ---------------------------------------------------------------------------
+# c11 — dataset manifest (the "dataset card" / daily-health catalog row a
+# data platform publishes for every table): for each of the ten fixture
+# tables, the row count and an order-independent CONTENT FINGERPRINT —
+# the bitwise XOR over rows of an md5-derived 60-bit integer of the
+# primary key — so two manifests disagree if a table gained/lost/changed
+# keys (XOR is the right fold here: associative+commutative like SUM but
+# can never overflow — a SUM of 60-bit values blows through int64 within
+# thousands of rows). Both engines derive the per-row value identically
+# from md5, so the whole manifest is oracle-exact. A manifest is O(every table) by definition — it IS the
+# checksum pass — but each table is scanned exactly once, key column
+# only.
+# ---------------------------------------------------------------------------
+_MANIFEST_KEYS = [
+    ("region", "r_regionkey"),
+    ("nation", "n_nationkey"),
+    ("customer", "c_custkey"),
+    ("supplier", "s_suppkey"),
+    ("part", "p_partkey"),
+    ("orders", "o_orderkey"),
+    ("lineitem", "l_orderkey * 10 + l_linenumber"),
+    ("events", "event_id"),
+    ("documents", "doc_id"),
+    ("embeddings", "vec_id"),
+]
+
+
+@_register(
+    "c11_dataset_manifest",
+    "\nUNION ALL\n".join(
+        f"""SELECT '{t}' AS table_name, COUNT(*) AS n_rows,
+             CAST(bit_xor(CAST(('0x' || substr(md5(CAST({k} AS VARCHAR)), 1, 15))
+                           AS BIGINT)) AS BIGINT) AS key_fingerprint
+            FROM {t}"""
+        for t, k in _MANIFEST_KEYS
+    )
+    + "\nORDER BY table_name",
+)
+def c11_dataset_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parts = []
+    for t, k in _MANIFEST_KEYS:
+        tbl = table(spark, sf_dir, t)
+        h = F.conv(
+            F.substring(F.md5(F.expr(k).cast("string")), 1, 15), 16, 10
+        ).cast("long")
+        parts.append(
+            tbl.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.bit_xor(h).cast("bigint").alias("key_fingerprint"),
+            ).select(F.lit(t).alias("table_name"), "n_rows", "key_fingerprint")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("table_name")
