@@ -27,7 +27,8 @@ Scale posture (SURVEY §7 hard-part 6):
 - oversized payloads are chunked into multiple rows (chunk_idx) far below
   Spark's 2 GB column-value hard limit;
 - WAV audio (the reference's modality) gets a REAL decode via the stdlib-
-  wave path shared with audio/decode.py — only non-WAV codecs are stubbed.
+  wave path shared with audio/decode.py; BMP/PNG/baseline-JPEG/y4m are
+  real too — only progressive-JPEG/H.264 remain stubbed.
 """
 
 from __future__ import annotations
