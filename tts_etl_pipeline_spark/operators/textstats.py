@@ -1153,3 +1153,83 @@ def t17_bpe_merge_training(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "merge_idx bigint, left string, right string, pair_count bigint"
     ).orderBy("merge_idx")
+
+
+# ---------------------------------------------------------------------------
+# t18 — language-ID confusion matrix (the model-evaluation rollup on top of
+# t5's heuristic classifier): one cell per (true lang, predicted) with the
+# count, the true-class total, and per-class recall — the standard
+# evaluation artifact of any classifier pass in a curation pipeline. The
+# class totals are integer window sums over the CELL relation
+# (|langs| × |classes| rows — bounded by label cardinality, never corpus
+# size), and recall is a single division of exact integers.
+# ---------------------------------------------------------------------------
+@_register(
+    "t18_langid_confusion",
+    """
+    WITH pred AS (
+      SELECT lang,
+             CASE WHEN n_en >= n_data AND n_en >= n_query THEN 'en'
+                  WHEN n_data >= n_query THEN 'data-ish'
+                  ELSE 'query-ish' END AS predicted
+      FROM (
+        SELECT lang,
+               len(list_filter(string_split(lower(trim(text)), ' '),
+                   t -> list_contains(['the','a','of'], t))) AS n_en,
+               len(list_filter(string_split(lower(trim(text)), ' '),
+                   t -> list_contains(['data','row','column','table'], t))) AS n_data,
+               len(list_filter(string_split(lower(trim(text)), ' '),
+                   t -> list_contains(['query','filter','join','sort'], t))) AS n_query
+        FROM documents
+      ) scores
+    ),
+    cells AS (
+      SELECT lang, predicted, CAST(COUNT(*) AS BIGINT) AS n
+      FROM pred GROUP BY lang, predicted
+    )
+    SELECT lang, predicted, n,
+           CAST(SUM(n) OVER (PARTITION BY lang) AS BIGINT) AS lang_total,
+           CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY lang) AS cell_recall
+    FROM cells
+    ORDER BY lang, predicted
+    """,
+)
+def t18_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim("text")), " ")
+
+    def marker_count(words: list[str]):
+        arr = F.array(*[F.lit(w) for w in words])
+        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+    pred = docs.select(
+        "lang",
+        F.when(
+            (marker_count(["the", "a", "of"]) >= marker_count(["data", "row", "column", "table"]))
+            & (marker_count(["the", "a", "of"]) >= marker_count(["query", "filter", "join", "sort"])),
+            "en",
+        )
+        .when(
+            marker_count(["data", "row", "column", "table"])
+            >= marker_count(["query", "filter", "join", "sort"]),
+            "data-ish",
+        )
+        .otherwise("query-ish")
+        .alias("predicted"),
+    )
+    cells = pred.groupBy("lang", "predicted").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    wl = W.partitionBy("lang")
+    return (
+        cells.select(
+            "lang",
+            "predicted",
+            "n",
+            F.sum("n").over(wl).cast("bigint").alias("lang_total"),
+            (F.col("n").cast("double") / F.sum("n").over(wl)).alias("cell_recall"),
+        )
+        .orderBy("lang", "predicted")
+    )
