@@ -596,3 +596,17 @@ def test_jpeg_decode_randomized_sizes_and_content():
         ref = _jpeg_reference_pixels(recon, samp, grid, h, w)
         assert got.shape == (h, w, 3), (h, w, seed)
         assert (got == ref).all(), (h, w, seed, subsample, restart)
+
+
+def test_jpeg_decode_tolerates_fill_bytes():
+    """T.81 B.1.1.2: any number of 0xFF FILL bytes may precede a marker —
+    insert fill before SOF and DHT and the decode must be unchanged."""
+    img = _jpeg_test_img(h=16, w=16, seed=13)
+    payload, recon, samp, grid = _encode_jpeg(img)
+    filled = payload.replace(b"\xff\xc0", b"\xff\xff\xff\xc0").replace(
+        b"\xff\xc4", b"\xff\xff\xc4"
+    )
+    assert len(filled) > len(payload)
+    got = MM.decode_image(filled)
+    ref = _jpeg_reference_pixels(recon, samp, grid, *img.shape[:2])
+    assert (got == ref).all()

@@ -16,15 +16,13 @@ from tts_etl_pipeline_spark.sources.rollup import (
 )
 from tts_etl_pipeline_spark.sources.tables import table
 
-SF = "/root/testdata/sf0.001"
-
 
 def _canon(df):
     return sorted(tuple(r) for r in df.collect())
 
 
-def test_sequential_deltas_equal_batch_recompute(spark, tmp_path):
-    ev = table(spark, SF, "events")
+def test_sequential_deltas_equal_batch_recompute(spark, sf_dir, tmp_path):
+    ev = table(spark, sf_dir, "events")
     path = os.path.join(str(tmp_path), "rollup")
     # split by event_id parity, apply as two deltas, then a third tiny one
     apply_delta(spark, path, ev.filter(F.col("event_id") % 2 == 0))
@@ -35,8 +33,8 @@ def test_sequential_deltas_equal_batch_recompute(spark, tmp_path):
     assert _canon(_read_state(spark, path).select(*batch.columns)) == _canon(batch)
 
 
-def test_untouched_partitions_not_rewritten(spark, tmp_path):
-    ev = table(spark, SF, "events")
+def test_untouched_partitions_not_rewritten(spark, sf_dir, tmp_path):
+    ev = table(spark, sf_dir, "events")
     path = os.path.join(str(tmp_path), "rollup")
     apply_delta(spark, path, ev)
     # find one day's partition files + mtimes
@@ -53,8 +51,8 @@ def test_untouched_partitions_not_rewritten(spark, tmp_path):
     assert before == after  # day[0] untouched by a day[-1] delta
 
 
-def test_read_view_derives_avg(spark, tmp_path):
-    ev = table(spark, SF, "events")
+def test_read_view_derives_avg(spark, sf_dir, tmp_path):
+    ev = table(spark, sf_dir, "events")
     path = os.path.join(str(tmp_path), "rollup")
     apply_delta(spark, path, ev)
     got = {
@@ -76,7 +74,7 @@ def test_read_view_derives_avg(spark, tmp_path):
         assert g["avg_value"] == (r["sc"] / 100) / r["n"]
 
 
-def test_streaming_rollup_matches_batch_and_survives_replay(spark, tmp_path):
+def test_streaming_rollup_matches_batch_and_survives_replay(spark, sf_dir, tmp_path):
     """The full continuous-aggregate loop: a real availableNow stream folds
     micro-batches into the rollup through the idempotent foreachBatch
     sink; the final state is bit-identical to one batch recompute, and
@@ -87,8 +85,8 @@ def test_streaming_rollup_matches_batch_and_survives_replay(spark, tmp_path):
 
     path = os.path.join(str(tmp_path), "rollup")
     ck = os.path.join(str(tmp_path), "ck")
-    stream_to_rollup(stream_events(spark, SF), path, ck)
-    batch = delta_to_state(table(spark, SF, "events"))
+    stream_to_rollup(stream_events(spark, sf_dir), path, ck)
+    batch = delta_to_state(table(spark, sf_dir, "events"))
     assert _canon(_read_state(spark, path).select(*batch.columns)) == _canon(batch)
     # replay simulation: re-invoke the fold with an already-applied id
     before = _canon(_read_state(spark, path).select(*batch.columns))
@@ -96,7 +94,7 @@ def test_streaming_rollup_matches_batch_and_survives_replay(spark, tmp_path):
 
     marker = sorted(os.listdir(os.path.join(path, "_applied")))[0]
     bid = int(marker.split("-", 1)[1])
-    ev = table(spark, SF, "events")
+    ev = table(spark, sf_dir, "events")
     assert os.path.exists(os.path.join(path, "_applied", f"batch-{bid}"))
     # a replayed fold sees the marker and skips
     def fold_like_sink(batch_df, batch_id):
@@ -109,3 +107,31 @@ def test_streaming_rollup_matches_batch_and_survives_replay(spark, tmp_path):
     assert fold_like_sink(ev, bid) is False
     after = _canon(_read_state(spark, path).select(*batch.columns))
     assert after == before
+
+
+def test_corrupt_state_raises_instead_of_first_write_overwrite(spark, sf_dir, tmp_path):
+    """A read failure that is NOT 'no state yet' must PROPAGATE: before the
+    round-5 review fix, a bare except treated any read error as first
+    write and replaced accumulated history with delta-only state."""
+    import pytest
+
+    from tts_etl_pipeline_spark.sources.rollup import apply_delta
+
+    ev = table(spark, sf_dir, "events")
+    path = os.path.join(str(tmp_path), "rollup")
+    apply_delta(spark, path, ev)
+    # corrupt every parquet footer in one day partition
+    day_dir = os.path.join(
+        path, sorted(d for d in os.listdir(path) if d.startswith("day="))[0]
+    )
+    for f in os.listdir(day_dir):
+        if f.endswith(".parquet"):
+            with open(os.path.join(day_dir, f), "r+b") as fh:
+                fh.truncate(8)
+    bad_day = day_dir.split("=", 1)[1]
+    delta = ev.filter(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd") == bad_day
+    )
+    assert delta.count() > 0
+    with pytest.raises(Exception):
+        apply_delta(spark, path, delta)

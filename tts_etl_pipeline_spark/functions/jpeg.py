@@ -141,6 +141,9 @@ def decode_jpeg(content: bytes) -> np.ndarray:
     while pos < len(content):
         if content[pos] != 0xFF:
             raise ValueError(f"marker expected at {pos}")
+        # T.81 B.1.1.2: any number of 0xFF FILL bytes may precede a marker
+        while pos + 1 < len(content) and content[pos + 1] == 0xFF:
+            pos += 1
         marker = content[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI

@@ -63,8 +63,8 @@ def _hash_sample_rows(emb: DataFrame, cap: int) -> np.ndarray:
 def train_codebooks(emb: DataFrame, m: int = PQ_M, k: int = PQ_K) -> np.ndarray:
     """Train m codebooks of k centroids each on a bounded hash-sample.
     Returns float64 array (m, k, dim//m). Deterministic: hash-ordered init
-    (first k distinct sample points per subspace), fixed Lloyd iterations,
-    empty clusters re-seeded from the farthest point (lowest index wins)."""
+    over the first k DISTINCT subvectors, fixed Lloyd iterations, empty
+    clusters re-seeded from distinct farthest points."""
     x = _hash_sample_rows(emb, PQ_TRAIN_MAX)
     n, dim = x.shape
     if dim % m:
@@ -73,18 +73,30 @@ def train_codebooks(emb: DataFrame, m: int = PQ_M, k: int = PQ_K) -> np.ndarray:
     books = np.empty((m, k, sub), dtype=np.float64)
     for mi in range(m):
         xs = x[:, mi * sub : (mi + 1) * sub]
-        cents = xs[:k].copy()  # hash-ordered deterministic init
+        # init from the first k DISTINCT subvectors in hash order —
+        # duplicate init points would start (and with a shared reseed,
+        # stay) coincident, wasting codebook capacity
+        _, first_idx = np.unique(xs, axis=0, return_index=True)
+        order = np.sort(first_idx)[:k]
+        cents = xs[order].copy()
+        if len(cents) < k:  # degenerate sample: pad by repeating (rare)
+            cents = np.concatenate([cents, xs[: k - len(cents)]])
         for _ in range(PQ_ITERS):
             # (n, k) squared L2 via expansion; argmin ties -> lowest index
             d2 = ((xs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
             assign = d2.argmin(axis=1)
+            empties = [ci for ci in range(k) if not (assign == ci).any()]
             for ci in range(k):
                 mask = assign == ci
                 if mask.any():
                     cents[ci] = xs[mask].mean(axis=0)
-                else:  # re-seed an empty cluster from the farthest point
-                    far = d2.min(axis=1).argmax()
-                    cents[ci] = xs[far]
+            # re-seed each empty cluster with a DISTINCT farthest point
+            # (i-th empty gets the i-th farthest), so simultaneous empties
+            # don't collapse onto one coordinate
+            if empties:
+                far_order = np.argsort(-d2.min(axis=1))
+                for i, ci in enumerate(empties):
+                    cents[ci] = xs[far_order[i % len(far_order)]]
         books[mi] = cents
     return books
 
@@ -164,25 +176,35 @@ def adc_topk(
     bt = spark.sparkContext.broadcast((q_ids, q_norms, tables))
 
     def score(batches: Iterator) -> Iterator:
+        # accumulate ONE top-pool per query across every Arrow batch of the
+        # partition, and yield once at the end — pooling per batch would
+        # make candidate volume scale with rows-per-partition/batch-size
+        # (corpus-proportional), breaking the documented
+        # O(n_queries x pool x n_partitions) shuffle bound
         qids, qnorms, tabs = bt.value
+        best_ids = [np.empty(0, dtype=np.int64) for _ in qids]
+        best_cos = [np.empty(0, dtype=np.float64) for _ in qids]
         for pdf in batches:
             if not len(pdf):
                 continue
             c = np.array(pdf["codes"].tolist(), dtype=np.int64)  # (n, m)
             n_ids = pdf["vec_id"].to_numpy()
             rnorm = np.sqrt(pdf["recon_sqnorm"].to_numpy())
-            out = []
             for qi in range(len(qids)):
                 # approx dot = sum over subspaces of table[m, code_m]
                 approx = tabs[qi][np.arange(m)[None, :], c].sum(axis=1)
                 approx_cos = approx / np.maximum(qnorms[qi] * rnorm, 1e-300)
-                take = min(pool_per_partition, len(n_ids))
-                idx = np.argpartition(-approx_cos, take - 1)[:take]
-                out.append(
-                    pd.DataFrame(
-                        {"q_id": qids[qi], "n_id": n_ids[idx], "approx": approx_cos[idx]}
-                    )
-                )
+                cand_ids = np.concatenate([best_ids[qi], n_ids])
+                cand_cos = np.concatenate([best_cos[qi], approx_cos])
+                take = min(pool_per_partition, len(cand_ids))
+                idx = np.argpartition(-cand_cos, take - 1)[:take]
+                best_ids[qi], best_cos[qi] = cand_ids[idx], cand_cos[idx]
+        out = [
+            pd.DataFrame({"q_id": qids[qi], "n_id": best_ids[qi], "approx": best_cos[qi]})
+            for qi in range(len(qids))
+            if len(best_ids[qi])
+        ]
+        if out:
             yield pd.concat(out)
 
     cands = codes.mapInPandas(score, "q_id long, n_id long, approx double")

@@ -567,18 +567,16 @@ def h2_daily_value_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
 def e8_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
 
-    ev = table(spark, sf_dir, "events")
+    ev = add_json_k(table(spark, sf_dir, "events"))  # shared props.k extraction
     w = (
         W.partitionBy("user_id")
         .orderBy("ts", "event_id")
         .rowsBetween(W.unboundedPreceding, -1)
     )
-    click_k = F.when(
-        F.col("event_type") == "click",
-        F.get_json_object("props", "$.k").cast("bigint"),
-    )
+    click_k = F.when(F.col("event_type") == "click", F.col("k"))
+    # floor division, matching the oracle's integer `//` even for negative k
     bucket = F.when(F.col("click_k").isNull(), F.lit("organic")).otherwise(
-        F.concat(F.lit("q"), (F.col("click_k") / 25).cast("bigint").cast("string"))
+        F.concat(F.lit("q"), F.floor(F.col("click_k") / 25).cast("bigint").cast("string"))
     )
     return (
         ev.withColumn("click_k", F.last(click_k, ignorenulls=True).over(w))

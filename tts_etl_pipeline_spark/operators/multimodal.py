@@ -467,6 +467,7 @@ def extract_features(media_df: DataFrame, dim: int = 64) -> DataFrame:
                 elif r.modality == "image" and (
                     bytes(r.content[:2]) == b"BM"
                     or bytes(r.content[:8]) == _PNG_SIG
+                    or bytes(r.content[:2]) == b"\xff\xd8"
                 ):
                     try:
                         img = decode_image(bytes(r.content))

@@ -75,9 +75,25 @@ def apply_delta(spark: SparkSession, rollup_path: str, delta: DataFrame) -> None
     days = [r["day"] for r in delta_state.select("day").distinct().collect()]
     if not days:
         return
+    from pyspark.errors import AnalysisException
+
     try:
         existing = _read_state(spark, rollup_path).filter(F.col("day").isin(days))
-    except Exception:  # first write: no table yet
+        existing.schema  # force analysis so a missing path surfaces HERE
+    except AnalysisException as ex:
+        # ONLY "no state yet" takes the first-write branch: a missing path,
+        # or a path holding no parquet at all (e.g. just the _applied
+        # marker dir — zero state rows, so overwriting loses nothing). Any
+        # OTHER read failure (corrupt footer, FS hiccup) must propagate —
+        # treating it as first-write would overwrite accumulated history
+        # with delta-only state (silent data loss)
+        first_write_signatures = (
+            "PATH_NOT_FOUND",
+            "Path does not exist",
+            "UNABLE_TO_INFER_SCHEMA",
+        )
+        if not any(sig in str(ex) for sig in first_write_signatures):
+            raise
         overwrite_partitions(delta_state, rollup_path, ["day"])
         return
     merged = merge_state(existing, delta_state)
@@ -113,22 +129,30 @@ def stream_to_rollup(
     stream: DataFrame, rollup_path: str, checkpoint: str
 ) -> None:
     """Continuous-aggregate sink: fold each streaming micro-batch into the
-    stored rollup via foreachBatch(apply_delta), guarded for EXACTLY-ONCE
-    state: foreachBatch is at-least-once under failure replay, and
-    apply_delta is additive (NOT idempotent), so each applied batch id is
-    recorded as a marker file and replayed ids are skipped — the standard
-    idempotent-foreachBatch pattern for sinks without native transactions.
-    Runs with trigger(availableNow) and blocks until drained."""
+    stored rollup via foreachBatch(apply_delta). foreachBatch is
+    at-least-once under failure replay and apply_delta is additive (NOT
+    idempotent), so each applied batch id is recorded as a marker file and
+    replayed ids are skipped.
+
+    HONEST LIMIT: this guards against Spark-level REPLAYS (query restart
+    re-delivering an already-committed batch — the common availableNow
+    case), but the apply→marker pair is not atomic: a crash after the
+    partition overwrite commits and before the marker lands leaves a
+    window where the replayed batch double-applies. Plain parquet has no
+    transaction to close that window — production deployments put a
+    transactional table format (Delta/Iceberg MERGE keyed on batch id)
+    under this exact same fold. Runs with trigger(availableNow) and
+    blocks until drained."""
     import os
 
     marker_dir = os.path.join(rollup_path, "_applied")
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
-        os.makedirs(marker_dir, exist_ok=True)
         marker = os.path.join(marker_dir, f"batch-{batch_id}")
         if os.path.exists(marker):  # replayed batch: already folded in
             return
         apply_delta(batch_df.sparkSession, rollup_path, batch_df)
+        os.makedirs(marker_dir, exist_ok=True)
         with open(marker, "w") as f:
             f.write("applied")
 
