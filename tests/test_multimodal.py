@@ -603,9 +603,13 @@ def test_jpeg_decode_tolerates_fill_bytes():
     insert fill before SOF and DHT and the decode must be unchanged."""
     img = _jpeg_test_img(h=16, w=16, seed=13)
     payload, recon, samp, grid = _encode_jpeg(img)
-    filled = payload.replace(b"\xff\xc0", b"\xff\xff\xff\xc0").replace(
-        b"\xff\xc4", b"\xff\xff\xc4"
-    )
+    # splice only at the real marker positions — a blind global replace
+    # could hit FF C0/FF C4 byte pairs inside raw segment bodies
+    assert payload.count(b"\xff\xc0") == 1 and payload.count(b"\xff\xc4") == 2
+    sof = payload.index(b"\xff\xc0")
+    filled = payload[:sof] + b"\xff\xff" + payload[sof:]
+    dht = filled.index(b"\xff\xc4")
+    filled = filled[:dht] + b"\xff" + filled[dht:]
     assert len(filled) > len(payload)
     got = MM.decode_image(filled)
     ref = _jpeg_reference_pixels(recon, samp, grid, *img.shape[:2])

@@ -115,8 +115,6 @@ def test_corrupt_state_raises_instead_of_first_write_overwrite(spark, sf_dir, tm
     write and replaced accumulated history with delta-only state."""
     import pytest
 
-    from tts_etl_pipeline_spark.sources.rollup import apply_delta
-
     ev = table(spark, sf_dir, "events")
     path = os.path.join(str(tmp_path), "rollup")
     apply_delta(spark, path, ev)

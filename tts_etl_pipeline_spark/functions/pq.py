@@ -79,8 +79,11 @@ def train_codebooks(emb: DataFrame, m: int = PQ_M, k: int = PQ_K) -> np.ndarray:
         _, first_idx = np.unique(xs, axis=0, return_index=True)
         order = np.sort(first_idx)[:k]
         cents = xs[order].copy()
-        if len(cents) < k:  # degenerate sample: pad by repeating (rare)
-            cents = np.concatenate([cents, xs[: k - len(cents)]])
+        if len(cents) < k:  # fewer distinct subvectors than centroids:
+            # cycle the sample so the codebook is exactly k rows (the
+            # duplicates are harmless — every distinct point is covered)
+            reps = np.arange(k - len(cents)) % len(xs)
+            cents = np.concatenate([cents, xs[reps]])
         for _ in range(PQ_ITERS):
             # (n, k) squared L2 via expansion; argmin ties -> lowest index
             d2 = ((xs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
@@ -90,13 +93,21 @@ def train_codebooks(emb: DataFrame, m: int = PQ_M, k: int = PQ_K) -> np.ndarray:
                 mask = assign == ci
                 if mask.any():
                     cents[ci] = xs[mask].mean(axis=0)
-            # re-seed each empty cluster with a DISTINCT farthest point
-            # (i-th empty gets the i-th farthest), so simultaneous empties
-            # don't collapse onto one coordinate
+            # re-seed each empty cluster with a farthest point DISTINCT BY
+            # VALUE (ranking indices alone could hand two empties the same
+            # duplicated outlier row), so simultaneous empties never
+            # collapse onto one coordinate
             if empties:
                 far_order = np.argsort(-d2.min(axis=1))
+                uniq_far = []
+                seen_rows = set()
+                for idx in far_order:
+                    key = xs[idx].tobytes()
+                    if key not in seen_rows:
+                        seen_rows.add(key)
+                        uniq_far.append(idx)
                 for i, ci in enumerate(empties):
-                    cents[ci] = xs[far_order[i % len(far_order)]]
+                    cents[ci] = xs[uniq_far[i % len(uniq_far)]]
         books[mi] = cents
     return books
 

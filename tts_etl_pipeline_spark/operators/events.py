@@ -576,7 +576,7 @@ def e8_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     click_k = F.when(F.col("event_type") == "click", F.col("k"))
     # floor division, matching the oracle's integer `//` even for negative k
     bucket = F.when(F.col("click_k").isNull(), F.lit("organic")).otherwise(
-        F.concat(F.lit("q"), F.floor(F.col("click_k") / 25).cast("bigint").cast("string"))
+        F.concat(F.lit("q"), F.floor(F.col("click_k") / 25).cast("string"))
     )
     return (
         ev.withColumn("click_k", F.last(click_k, ignorenulls=True).over(w))

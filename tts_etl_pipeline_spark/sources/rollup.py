@@ -79,20 +79,24 @@ def apply_delta(spark: SparkSession, rollup_path: str, delta: DataFrame) -> None
 
     try:
         existing = _read_state(spark, rollup_path).filter(F.col("day").isin(days))
-        existing.schema  # force analysis so a missing path surfaces HERE
     except AnalysisException as ex:
         # ONLY "no state yet" takes the first-write branch: a missing path,
         # or a path holding no parquet at all (e.g. just the _applied
         # marker dir — zero state rows, so overwriting loses nothing). Any
         # OTHER read failure (corrupt footer, FS hiccup) must propagate —
         # treating it as first-write would overwrite accumulated history
-        # with delta-only state (silent data loss)
-        first_write_signatures = (
-            "PATH_NOT_FOUND",
-            "Path does not exist",
-            "UNABLE_TO_INFER_SCHEMA",
-        )
-        if not any(sig in str(ex) for sig in first_write_signatures):
+        # with delta-only state (silent data loss). Match the structured
+        # error class (stable API), falling back to message substrings
+        # only when the class is unavailable.
+        first_write_classes = {"PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"}
+        klass = None
+        get_class = getattr(ex, "getErrorClass", None)
+        if callable(get_class):
+            klass = get_class()
+        if klass is not None:
+            if klass not in first_write_classes:
+                raise
+        elif not any(sig in str(ex) for sig in (*first_write_classes, "Path does not exist")):
             raise
         overwrite_partitions(delta_state, rollup_path, ["day"])
         return
