@@ -86,11 +86,12 @@ def test_codec_stubs_raise(spark):
         MM.decode_image(b"\xff\xd8\xff\xe0 jpeg truncated garbage")
     with pytest.raises(NotImplementedError):
         MM.sample_video_frames(b"\x00\x00ftyp h264 not decodable")
-    # PNG variants outside the real path stay explicit too: 16-bit depth
+    # PNG now decodes the full still-image spec surface; a MALFORMED
+    # payload (16-bit header over 8-bit data) is a ValueError, not a stub
     img = _test_img(w=4, h=3)
-    png16 = _encode_png(img, depth=16)
-    with pytest.raises(NotImplementedError):
-        MM.decode_png(png16)
+    png16_bad = _encode_png(img, depth=16)
+    with pytest.raises(ValueError):
+        MM.decode_png(png16_bad)
 
 
 # --------------------------------------------------------------------------
@@ -614,3 +615,148 @@ def test_jpeg_decode_tolerates_fill_bytes():
     got = MM.decode_image(filled)
     ref = _jpeg_reference_pixels(recon, samp, grid, *img.shape[:2])
     assert (got == ref).all()
+
+
+# --------------------------------------------------------------------------
+# full-spec PNG: palette / sub-byte / 16-bit / Adam7 — encoder written
+# spec-forward here (per-pass filtering, MSB-first bit packing, big-endian
+# 16-bit), decoder must invert all of it
+# --------------------------------------------------------------------------
+def _png_forward_filter(rows_bytes, bpp, filters, fi0=0):
+    """rows_bytes: list of np.uint8 arrays (the packed scanlines of ONE
+    pass). Applies the cycling forward filters; returns (bytes, next_fi)."""
+    out = bytearray()
+    prev = np.zeros(len(rows_bytes[0]) if rows_bytes else 0, dtype=np.int32)
+    fi = fi0
+    for rb in rows_bytes:
+        cur = rb.astype(np.int32)
+        f = filters[fi % len(filters)]
+        fi += 1
+        enc = np.zeros_like(cur)
+        for i in range(len(cur)):
+            a = int(cur[i - bpp]) if i >= bpp else 0
+            b = int(prev[i])
+            c = int(prev[i - bpp]) if i >= bpp else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            enc[i] = (cur[i] - pred) & 0xFF
+        out.append(f)
+        out.extend(enc.astype(np.uint8).tobytes())
+        prev = cur
+    return bytes(out), fi
+
+
+def _encode_png_full(samples, depth, color, palette=None, interlace=0,
+                     filters=(0, 1, 2, 3, 4)):
+    """General PNG writer: samples (h,w) ints for gray/palette, (h,w,ch)
+    for RGB(A); values already in [0, 2^depth). Packs sub-byte samples
+    MSB-first, 16-bit big-endian, filters each Adam7 pass independently."""
+    import struct
+    import zlib
+
+    from tts_etl_pipeline_spark.operators.multimodal import ADAM7
+
+    arr = np.asarray(samples)
+    if arr.ndim == 2:
+        arr = arr[..., None]
+    h, w, channels = arr.shape
+    bpp = max(1, channels * depth // 8)
+
+    def pack_row(row):  # (pw, channels) ints -> packed np.uint8 scanline
+        flat = row.reshape(-1).astype(np.int64)
+        if depth == 8:
+            return flat.astype(np.uint8)
+        if depth == 16:
+            b = np.zeros((flat.size, 2), np.uint8)
+            b[:, 0] = (flat >> 8) & 0xFF
+            b[:, 1] = flat & 0xFF
+            return b.reshape(-1)
+        bits = ((flat[:, None] >> np.arange(depth - 1, -1, -1)) & 1).astype(np.uint8)
+        bits = bits.reshape(-1)
+        pad = (-len(bits)) % 8
+        if pad:
+            bits = np.concatenate([bits, np.zeros(pad, np.uint8)])
+        return np.packbits(bits)
+
+    raw = bytearray()
+    passes = ADAM7 if interlace else [(0, 0, 1, 1)]
+    fi = 0
+    for x0, y0, dx, dy in passes:
+        sub = arr[y0::dy, x0::dx]
+        ph, pw = sub.shape[:2]
+        if ph == 0 or pw == 0:
+            continue
+        rows = [pack_row(sub[y]) for y in range(ph)]
+        chunk, fi = _png_forward_filter(rows, bpp, filters, fi)
+        raw.extend(chunk)
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    body = b"\x89PNG\r\n\x1a\n" + chunk(
+        b"IHDR", struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, interlace)
+    )
+    if palette is not None:
+        body += chunk(b"PLTE", np.asarray(palette, dtype=np.uint8).tobytes())
+    body += chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+    return body
+
+
+def test_png_palette_8_and_4bit():
+    rng = np.random.RandomState(17)
+    plte = rng.randint(0, 256, size=(13, 3)).astype(np.uint8)
+    idx = rng.randint(0, 13, size=(11, 9))
+    got = MM.decode_png(_encode_png_full(idx, 8, 3, palette=plte))
+    assert np.array_equal(got, plte[idx])
+    got4 = MM.decode_png(_encode_png_full(idx, 4, 3, palette=plte))  # odd width packs
+    assert np.array_equal(got4, plte[idx])
+
+
+def test_png_16bit_gray_and_rgb():
+    rng = np.random.RandomState(19)
+    g16 = rng.randint(0, 1 << 16, size=(7, 10))
+    got = MM.decode_png(_encode_png_full(g16, 16, 0))
+    assert np.array_equal(got, np.repeat((g16 >> 8).astype(np.uint8)[..., None], 3, axis=2))
+    rgb16 = rng.randint(0, 1 << 16, size=(6, 5, 3))
+    got = MM.decode_png(_encode_png_full(rgb16, 16, 2))
+    assert np.array_equal(got, (rgb16 >> 8).astype(np.uint8))
+
+
+def test_png_sub_byte_gray_depths():
+    rng = np.random.RandomState(23)
+    for d in (1, 2, 4):
+        g = rng.randint(0, 1 << d, size=(9, 13))  # odd width: row bit padding
+        got = MM.decode_png(_encode_png_full(g, d, 0))
+        exp = (g * 255 // ((1 << d) - 1)).astype(np.uint8)
+        assert np.array_equal(got, np.repeat(exp[..., None], 3, axis=2)), d
+
+
+def test_png_adam7_interlaced():
+    rng = np.random.RandomState(29)
+    img = rng.randint(0, 256, size=(13, 11, 3)).astype(np.uint8)  # odd dims
+    got = MM.decode_png(_encode_png_full(img, 8, 2, interlace=1))
+    assert np.array_equal(got, img)
+    # interlaced + palette + sub-byte together — the hardest combination
+    plte = rng.randint(0, 256, size=(16, 3)).astype(np.uint8)
+    idx = rng.randint(0, 16, size=(10, 7))
+    got = MM.decode_png(_encode_png_full(idx, 4, 3, palette=plte, interlace=1))
+    assert np.array_equal(got, plte[idx])
+    # interlaced gray+alpha 8-bit (alpha dropped)
+    ga = rng.randint(0, 256, size=(8, 9, 2)).astype(np.uint8)
+    got = MM.decode_png(_encode_png_full(ga, 8, 4, interlace=1))
+    assert np.array_equal(got, np.repeat(ga[..., :1], 3, axis=2))
