@@ -208,9 +208,9 @@ def _probe_meta(modality: str, head: bytes | None) -> dict:
 #
 # REAL, dependency-free codecs (pure numpy + struct + stdlib zlib):
 #   - image: uncompressed 24-bit BI_RGB BMP (decode_image / encode_bmp /
-#     resize_image with nearest-neighbor sampling) and 8-bit non-interlaced
-#     gray/RGB/RGBA PNG (decode_png: zlib inflate + scanline-filter
-#     reconstruction per RFC 2083)
+#     resize_image with nearest-neighbor sampling) and full-spec-surface
+#     PNG (decode_png: zlib inflate + scanline-filter reconstruction per
+#     RFC 2083; depths 1-16, palette, Adam7)
 #   - video: YUV4MPEG2 (.y4m) with C420 subsampling — header probe +
 #     per-frame luma-plane extraction + every_ms frame sampling
 #   - audio: RIFF/WAV via the stdlib wave path shared with audio/decode.py
@@ -360,12 +360,11 @@ def decode_png(content: bytes) -> np.ndarray:
 def decode_image(content: bytes) -> np.ndarray:
     """Decode an image payload to an HxWx3 uint8 RGB array.
 
-    Real paths: uncompressed 24-bit BMP, 8-bit gray/RGB/RGBA
-    non-interlaced PNG (stdlib zlib — see decode_png), and baseline
-    sequential JPEG (functions/jpeg.py — dependency-free T.81 decoder:
-    generic DQT/DHT parsing, restart markers, 4:4:4 and ≤2x2 subsampling).
-    Progressive JPEG still raises — callers fall back to
-    fake_image_features."""
+    Real paths: uncompressed 24-bit BMP, full-spec PNG (depths 1-16,
+    palette, Adam7 — see decode_png), and baseline sequential JPEG
+    (functions/jpeg.py — dependency-free T.81 decoder: generic DQT/DHT
+    parsing, restart markers, 4:4:4 and ≤2x2 subsampling). Progressive
+    JPEG still raises — callers fall back to fake_image_features."""
     if content[:8] == _PNG_SIG:
         return decode_png(content)
     if content[:2] == b"\xff\xd8":
@@ -374,8 +373,8 @@ def decode_image(content: bytes) -> np.ndarray:
         return decode_jpeg(content)
     if content[:2] != b"BM":
         raise NotImplementedError(
-            "only BMP, 8-bit non-interlaced PNG and baseline JPEG decode in "
-            "this runtime; progressive JPEG / H.264 need PIL/opencv/ffmpeg"
+            "only BMP, PNG and baseline JPEG decode in this runtime; "
+            "progressive JPEG / H.264 need PIL/opencv/ffmpeg"
         )
     import struct
 
