@@ -315,10 +315,12 @@ def _mag(v, size):
     return v if v >= 0 else v + (1 << size) - 1
 
 
-def _encode_jpeg(img, restart_interval=0, subsample=False, gray=False):
-    """Baseline JFIF encoder: 4:4:4 (or 4:2:0 luma-subsampled chroma when
-    subsample=True), flat canonical Huffman tables, edge-replicated padding
-    for odd dimensions."""
+def _encode_jpeg(img, restart_interval=0, subsample=False, gray=False,
+                 subsample_h_only=False):
+    """Baseline JFIF encoder: 4:4:4, 4:2:0 (subsample=True) or 4:2:2
+    (subsample_h_only=True — horizontal-only chroma subsampling, the
+    rectangular-MCU case), flat canonical Huffman tables, edge-replicated
+    padding for odd dimensions."""
     import struct
 
     from tts_etl_pipeline_spark.functions.jpeg import dct8x8
@@ -330,14 +332,21 @@ def _encode_jpeg(img, restart_interval=0, subsample=False, gray=False):
     cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
     cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
 
+    def pad(p, hh, ww):
+        return np.pad(p, ((0, hh - p.shape[0]), (0, ww - p.shape[1])), mode="edge")
+
     if subsample:
         # 4:2:0 — average 2x2 chroma; pad odd dims first by edge replication
         ph, pw = (h + 1) & ~1, (w + 1) & ~1
-        def pad(p, hh, ww):
-            return np.pad(p, ((0, hh - p.shape[0]), (0, ww - p.shape[1])), mode="edge")
         cb = pad(cb, ph, pw).reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
         cr = pad(cr, ph, pw).reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
         samp = [(2, 2), (1, 1), (1, 1)]
+    elif subsample_h_only:
+        # 4:2:2 — average horizontal pairs only; MCUs become 16x8
+        pw = (w + 1) & ~1
+        cb = pad(cb, h, pw).reshape(h, pw // 2, 2).mean(axis=2)
+        cr = pad(cr, h, pw).reshape(h, pw // 2, 2).mean(axis=2)
+        samp = [(2, 1), (1, 1), (1, 1)]
     else:
         samp = [(1, 1), (1, 1), (1, 1)]
     assert not (gray and subsample)
@@ -760,3 +769,16 @@ def test_png_adam7_interlaced():
     ga = rng.randint(0, 256, size=(8, 9, 2)).astype(np.uint8)
     got = MM.decode_png(_encode_png_full(ga, 8, 4, interlace=1))
     assert np.array_equal(got, np.repeat(ga[..., :1], 3, axis=2))
+
+
+def test_jpeg_decode_422_horizontal_subsampling():
+    """4:2:2 — horizontal-only chroma subsampling makes the MCU 16x8 (two
+    Y blocks beside each other, one Cb, one Cr): a different interleave
+    order and upsample axis than 4:2:0."""
+    for h, w, seed in [(16, 32, 31), (13, 21, 37)]:
+        img = _jpeg_test_img(h=h, w=w, seed=seed)
+        payload, recon, samp, grid = _encode_jpeg(img, subsample_h_only=True)
+        assert samp[0] == (2, 1)
+        got = MM.decode_image(payload)
+        ref = _jpeg_reference_pixels(recon, samp, grid, h, w)
+        assert got.shape == (h, w, 3) and (got == ref).all(), (h, w)

@@ -133,3 +133,27 @@ def test_corrupt_state_raises_instead_of_first_write_overwrite(spark, sf_dir, tm
     assert delta.count() > 0
     with pytest.raises(Exception):
         apply_delta(spark, path, delta)
+
+
+def test_rollup_merge_any_split_order_converges(spark, sf_dir, tmp_path):
+    """Property: for several random hash-splits of the events table, and
+    either application order, sequential deltas converge to the identical
+    batch-recompute state (associativity + commutativity of the mergeable
+    state, bit-exact thanks to the integer-cents discipline)."""
+    from tts_etl_pipeline_spark.sources.rollup import _read_state
+
+    ev = table(spark, sf_dir, "events")
+    batch = delta_to_state(ev)
+    for salt in (7, 11):
+        for order in (0, 1):
+            path = os.path.join(str(tmp_path), f"r{salt}_{order}")
+            parts = [
+                ev.filter(F.crc32(F.concat_ws(":", F.lit(salt), "event_id")) % 3 == i)
+                for i in range(3)
+            ]
+            if order:
+                parts = parts[::-1]
+            for p in parts:
+                apply_delta(spark, path, p)
+            got = _canon(_read_state(spark, path).select(*batch.columns))
+            assert got == _canon(batch), (salt, order)
