@@ -412,3 +412,52 @@ def test_t16_topk_is_takeordered_tiny_windows(spark, sf_dir):
     df = t16_zipf_coverage(spark, sf_dir)
     plan = physical_plan(df)
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_e9_one_user_shuffle_then_tiny_matrix(spark, sf_dir):
+    """e9's lead() window is fed by exactly one user_id hashpartitioning
+    Exchange over the fact rows; the (from,to) agg and its normalizing
+    window operate on the |types|^2 matrix (partial agg map-side), so the
+    remaining Exchanges are matrix-sized. No joins anywhere."""
+    from tts_etl_pipeline_spark.operators.events import e9_event_transitions
+
+    df = e9_event_transitions(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "Join" not in plan, plan
+    # user_id window shuffle + matrix agg + from_type window + sort
+    assert count_shuffles(df) <= 4, plan
+    assert plan.count("hashpartitioning(user_id") == 1, plan
+
+
+def test_h3_grid_is_calendar_bounded_no_fact_join(spark, sf_dir):
+    """h3's anti join runs between two calendar-bounded relations (grid vs
+    distinct active hours) — the events parquet is scanned once for the
+    distinct, with only the two needed columns; the grid comes from
+    sequence+explode (Generate), never from replaying the fact table."""
+    from tts_etl_pipeline_spark.operators.events import h3_hourly_gap_audit
+    from tts_etl_pipeline_spark.plans.inspect import scans_by_table
+
+    df = h3_hourly_gap_audit(spark, sf_dir)
+    plan = physical_plan(df)
+    assert re.search(r"^\(\d+\) Generate", plan, flags=re.MULTILINE), plan
+    for cols in scan_columns(df):
+        assert cols <= {"event_type", "ts"}, cols
+
+
+def test_c12_global_position_window_is_capped(spark, sf_dir):
+    """c12's unpartitioned position window must consume the rank-capped
+    relation (difficulty_rank <= 4 applied BEFORE the global window), so
+    the single-task stage sees at most cap x |sources| rows. The filter
+    must appear below the unpartitioned window in the plan."""
+    from tts_etl_pipeline_spark.operators.curation import c12_curriculum_interleave
+
+    df = c12_curriculum_interleave(spark, sf_dir)
+    plan = physical_plan(df)
+    # the rank cap must exist as a real Filter condition...
+    cap = re.search(r"Condition : \(difficulty_rank#\d+ <= 4\)", plan)
+    assert cap, plan
+    # ...and Catalyst further rewrites `position <= 50` into a
+    # TakeOrderedAndProject(50) BELOW the global window, so the
+    # unpartitioned sort consumes at most 50 rows — assert the limit
+    # node survives and precedes the position window's frame column.
+    assert "TakeOrderedAndProject" in plan, plan

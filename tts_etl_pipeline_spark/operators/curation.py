@@ -1082,3 +1082,58 @@ def c11_dataset_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("table_name")
+
+
+# ---------------------------------------------------------------------------
+# c12 — curriculum ordering with source interleaving: rank documents
+# easy-to-hard (ascending n_chars) WITHIN each source, then emit the global
+# training order by (difficulty rank, source) so consecutive batches cycle
+# through sources round-robin instead of draining one source at a time —
+# the standard curriculum + mixture-stability schedule for LLM pretraining.
+# The query returns the first 50 curriculum positions (the schedule head a
+# trainer would inspect).
+# Scale shape: the per-source rank is ONE hash Exchange on source (executor-
+# local sort within each); the global position is a window over an
+# ALREADY-LIMITED relation — we cap to the first ceil(50/|sources|)+1 ranks
+# per source BEFORE the unpartitioned ordering window, so the single-task
+# stage sees <= (cap x sources) rows (control-plane sized), never the
+# corpus. The same two-phase trick as c8's hot-key top-N.
+# ---------------------------------------------------------------------------
+@_register(
+    "c12_curriculum_interleave",
+    """
+    WITH ranked AS (
+      SELECT doc_id, source, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY n_chars, doc_id) AS difficulty_rank
+      FROM documents
+    ),
+    ordered AS (
+      SELECT doc_id, source, n_chars, difficulty_rank,
+             ROW_NUMBER() OVER (ORDER BY difficulty_rank, source) AS position
+      FROM ranked
+      WHERE difficulty_rank <= 4  -- ceil(50 / 20 sources) + 1: covers 50 rows
+    )
+    SELECT position, doc_id, source, n_chars, difficulty_rank
+    FROM ordered
+    WHERE position <= 50
+    ORDER BY position
+    """,
+)
+def c12_curriculum_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    w_src = W.partitionBy("source").orderBy("n_chars", "doc_id")
+    ranked = docs.withColumn("difficulty_rank", F.row_number().over(w_src))
+    # two-phase: cap per source before the global (unpartitioned) position
+    # window — 4 ranks x 20 sources = 80 rows enter the single-task sort.
+    head = ranked.filter(F.col("difficulty_rank") <= 4)
+    w_pos = W.orderBy("difficulty_rank", "source")
+    return (
+        head.withColumn("position", F.row_number().over(w_pos).cast("bigint"))
+        .filter(F.col("position") <= 50)
+        .select("position", "doc_id", "source", "n_chars", "difficulty_rank")
+        .withColumn("difficulty_rank", F.col("difficulty_rank").cast("bigint"))
+        .orderBy("position")
+    )

@@ -589,3 +589,150 @@ def e8_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# e9 — event-type transition matrix (first-order Markov over each user's
+# event stream): for every consecutive (event, next event) pair within a
+# user's (ts, event_id)-ordered history, count the transition and normalize
+# per source type. The product-analytics "what do users do next" query, and
+# the input to any Markov-chain attribution / next-action model.
+# Scale shape: ONE user_id hash Exchange feeds the lead() window (per-user
+# sort is executor-local), then the (from,to) agg over at most |types|^2
+# groups — partial map-side, tiny shuffle. The normalizing total rides a
+# second window over the |types|^2 matrix itself (control-plane sized), not
+# over the fact rows. Probabilities are ratios of exact integer counts,
+# rounded to 6 places so both engines emit the same literal.
+# ---------------------------------------------------------------------------
+@_register(
+    "e9_event_transitions",
+    """
+    WITH paired AS (
+      SELECT event_type AS from_type,
+             LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS to_type
+      FROM events
+    ),
+    matrix AS (
+      SELECT from_type, to_type, COUNT(*) AS n_transitions
+      FROM paired WHERE to_type IS NOT NULL
+      GROUP BY from_type, to_type
+    )
+    SELECT from_type, to_type, n_transitions,
+           ROUND(CAST(n_transitions AS DOUBLE)
+                 / SUM(n_transitions) OVER (PARTITION BY from_type), 6) AS p_transition
+    FROM matrix
+    ORDER BY from_type, to_type
+    """,
+)
+def e9_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    ev = table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    matrix = (
+        ev.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    w_tot = W.partitionBy("from_type")
+    return (
+        matrix.withColumn(
+            "p_transition",
+            F.round(
+                F.col("n_transitions").cast("double") / F.sum("n_transitions").over(w_tot),
+                6,
+            ),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# h3 — time-bucket gap audit: for each event type, materialize the full
+# hourly grid between its first and last active hour (sequence + explode)
+# and report how many grid hours have no events, plus the first and last
+# missing hour. The completeness check every ingestion pipeline runs before
+# trusting a time-series rollup (h1/h2) downstream.
+# Scale shape: the distinct (type, hour) relation is CALENDAR-bounded
+# (|types| x span-hours), not data-bounded — the only fact-sized step is
+# the scan-side date_trunc + partial-distinct before one Exchange. The grid
+# is generated from the per-type min/max (|types| rows exploded to the
+# calendar size) and the gap test is a left anti join between two
+# calendar-bounded relations; at 100 TB nothing here grows except the scan.
+# ---------------------------------------------------------------------------
+@_register(
+    "h3_hourly_gap_audit",
+    """
+    WITH present AS (
+      SELECT DISTINCT event_type, date_trunc('hour', ts) AS hour
+      FROM events
+    ),
+    bounds AS (
+      SELECT event_type, MIN(hour) AS lo, MAX(hour) AS hi
+      FROM present GROUP BY event_type
+    ),
+    grid AS (
+      SELECT b.event_type, g.h AS hour
+      FROM bounds b, LATERAL (
+        SELECT unnest(generate_series(b.lo, b.hi, INTERVAL 1 HOUR)) AS h
+      ) g
+    ),
+    missing AS (
+      SELECT g.event_type, g.hour
+      FROM grid g LEFT JOIN present p
+        ON p.event_type = g.event_type AND p.hour = g.hour
+      WHERE p.hour IS NULL
+    )
+    SELECT b.event_type,
+           date_diff('hour', b.lo, b.hi) + 1 AS n_grid_hours,
+           date_diff('hour', b.lo, b.hi) + 1
+             - (SELECT COUNT(*) FROM present p WHERE p.event_type = b.event_type)
+             AS n_missing,
+           strftime((SELECT MIN(hour) FROM missing m WHERE m.event_type = b.event_type),
+                    '%Y-%m-%d %H:%M:%S') AS first_missing,
+           strftime((SELECT MAX(hour) FROM missing m WHERE m.event_type = b.event_type),
+                    '%Y-%m-%d %H:%M:%S') AS last_missing
+    FROM bounds b
+    ORDER BY b.event_type
+    """,
+)
+def h3_hourly_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    )
+    present = ev.distinct()
+    bounds = present.groupBy("event_type").agg(
+        F.min("hour").alias("lo"), F.max("hour").alias("hi")
+    )
+    grid = bounds.select(
+        "event_type",
+        "lo",
+        "hi",
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hour"),
+    )
+    missing = grid.join(present, ["event_type", "hour"], "left_anti")
+    miss_stats = missing.groupBy("event_type").agg(
+        F.date_format(F.min("hour"), "yyyy-MM-dd HH:mm:ss").alias("first_missing"),
+        F.date_format(F.max("hour"), "yyyy-MM-dd HH:mm:ss").alias("last_missing"),
+    )
+    present_n = present.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_present"))
+    hours = lambda c: F.unix_micros(F.col(c).cast("timestamp")) / 3600000000  # noqa: E731
+    return (
+        bounds.join(present_n, "event_type")
+        .join(miss_stats, "event_type", "left")
+        .select(
+            "event_type",
+            (hours("hi").cast("long") - hours("lo").cast("long") + 1).alias("n_grid_hours"),
+            (
+                hours("hi").cast("long") - hours("lo").cast("long") + 1 - F.col("n_present")
+            ).alias("n_missing"),
+            "first_missing",
+            "last_missing",
+        )
+        .orderBy("event_type")
+    )
