@@ -33,6 +33,8 @@ def test_registry_importable_and_consistent():
         "x1_approx_distinct_stats",
         "t17_bpe_merge_training",
         "x2_cms_heavy_hitters",
+        "x4_tdigest_quantiles",
+        "pr1_copurchase_pagerank",
         "p1_audio_pipeline_e2e",
     }
 

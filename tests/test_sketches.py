@@ -166,3 +166,70 @@ def test_bloom_sized_from_count_keeps_fpr_at_10x_default_load():
     fpr_sized = sum(sized.might_contain(p) for p in probes) / len(probes)
     assert fpr_under > 0.20  # saturated: the silent failure mode d10 avoids
     assert fpr_sized < 0.05  # the verdict's bound for count-based sizing
+
+
+# --------------------------------------------------------------------------
+# t-digest (functions/tdigest.py, x4)
+# --------------------------------------------------------------------------
+def test_tdigest_quantiles_close_on_known_distribution():
+    from tts_etl_pipeline_spark.functions.tdigest import TDigest
+
+    rng = np.random.default_rng(11)
+    vals = rng.uniform(0.0, 1000.0, size=50_000)
+    d = TDigest(100.0)
+    for chunk in np.array_split(vals, 23):
+        d.add_batch(chunk)
+    for q in (0.01, 0.1, 0.5, 0.9, 0.99):
+        exact = float(np.quantile(vals, q))
+        assert abs(d.quantile(q) - exact) <= 0.01 * 1000.0, (q, d.quantile(q), exact)
+    # tails are the digest's strength: near-exact extremes
+    assert abs(d.quantile(0.999) - float(np.quantile(vals, 0.999))) <= 2.0
+
+
+def test_tdigest_merge_matches_single_build_and_is_fixed_size():
+    from tts_etl_pipeline_spark.functions.tdigest import TDigest
+
+    rng = np.random.default_rng(5)
+    vals = rng.lognormal(3.0, 1.0, size=40_000)
+    whole = TDigest(100.0)
+    whole.add_batch(vals)
+    parts = [TDigest(100.0) for _ in range(16)]
+    for i, chunk in enumerate(np.array_split(vals, 16)):
+        parts[i].add_batch(chunk)
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.merge(p)
+    assert abs(merged.n - 40_000) < 1e-6
+    # fixed size: centroid count bounded by ~2*compression however built
+    assert merged.means.size <= 220 and whole.means.size <= 220
+    for q in (0.1, 0.5, 0.9):
+        exact = float(np.quantile(vals, q))
+        tol = 0.02 * exact  # 2% relative on a heavy-tailed distribution
+        assert abs(merged.quantile(q) - exact) <= tol
+        assert abs(whole.quantile(q) - exact) <= tol
+    # serialization round-trip preserves the estimator exactly
+    back = TDigest.from_bytes(merged.to_bytes())
+    assert back.quantile(0.5) == merged.quantile(0.5)
+
+
+def test_x4_tdigest_matches_exact_percentiles(spark, sf_dir):
+    """t-digest's guarantee is in RANK space (|q_est − q| small), not value
+    space — on a sparse group a tiny rank slip can be a visible value gap,
+    so the assertion checks the rank of each estimate within its group."""
+    from tts_etl_pipeline_spark.operators.sketches import x4_tdigest_quantiles
+
+    got = {r["o_orderpriority"]: r for r in x4_tdigest_quantiles(spark, sf_dir).collect()}
+    groups: dict[str, np.ndarray] = {
+        r["o_orderpriority"]: np.array(r["vals"])
+        for r in table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.collect_list("o_totalprice").alias("vals"))
+        .collect()
+    }
+    assert set(got) == set(groups)
+    for prio, row in got.items():
+        vals = np.sort(groups[prio])
+        assert row["n"] == vals.size  # weights sum exactly — counts are exact
+        for est_col, q in (("est_p10", 0.10), ("est_p50", 0.50), ("est_p90", 0.90)):
+            q_est = np.searchsorted(vals, row[est_col]) / vals.size
+            assert abs(q_est - q) <= 0.03, (prio, est_col, q_est, q)

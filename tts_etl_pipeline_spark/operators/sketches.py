@@ -193,3 +193,66 @@ def x3_bottomk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("rank", "doc_id", "lang", "h", "est_distinct")
         .orderBy("rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# x4 — t-digest quantiles per group: the MERGEABLE quantile sketch
+# (functions/tdigest.py) built with the canonical two-level shape —
+# one partial digest per (group, partition) via mapInPandas, then a
+# per-group merge via applyInPandas. The sketch twin of q21's exact
+# percentiles, and the general pattern for ANY mergeable statistic at
+# 100 TB: each partition ships a fixed-size byte blob per group (≤ ~2·δ
+# centroids — kilobytes), so the shuffle volume is groups × partitions ×
+# O(δ), independent of row count, and no stage ever sorts the fact table.
+# percentile_approx (x1) is Spark's built-in flavor of the same idea;
+# x4 exercises the user-defined-sketch machinery the north-star "novel
+# sketch" slot asks for. Rows-only by design: centroid layout depends on
+# merge order (the accuracy bound does not — pinned in
+# tests/test_sketches.py against the exact percentiles).
+# ---------------------------------------------------------------------------
+@_register("x4_tdigest_quantiles", None)
+def x4_tdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tts_etl_pipeline_spark.functions.tdigest import TDigest
+
+    orders = table(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice")
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        digests: dict[str, TDigest] = {}
+        for pdf in batches:
+            for prio, grp in pdf.groupby("o_orderpriority", sort=False):
+                digests.setdefault(prio, TDigest(100.0)).add_batch(
+                    grp["o_totalprice"].to_numpy()
+                )
+        if digests:
+            yield pd.DataFrame(
+                {
+                    "o_orderpriority": list(digests),
+                    "sketch": [d.to_bytes() for d in digests.values()],
+                }
+            )
+
+    partials = orders.mapInPandas(partial, "o_orderpriority string, sketch binary")
+
+    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        acc = TDigest.from_bytes(pdf["sketch"].iloc[0])
+        for blob in pdf["sketch"].iloc[1:]:
+            acc = acc.merge(TDigest.from_bytes(blob))
+        return pd.DataFrame(
+            {
+                "o_orderpriority": [pdf["o_orderpriority"].iloc[0]],
+                "n": [int(round(acc.n))],
+                "est_p10": [acc.quantile(0.10)],
+                "est_p50": [acc.quantile(0.50)],
+                "est_p90": [acc.quantile(0.90)],
+            }
+        )
+
+    schema = (
+        "o_orderpriority string, n long, est_p10 double, est_p50 double, "
+        "est_p90 double"
+    )
+    return (
+        partials.groupBy("o_orderpriority")
+        .applyInPandas(merge_group, schema)
+        .orderBy("o_orderpriority")
+    )

@@ -27,6 +27,7 @@ _MODULES = [
     "tts_etl_pipeline_spark.operators.sketches",
     "tts_etl_pipeline_spark.operators.curation",
     "tts_etl_pipeline_spark.operators.audio_e2e",
+    "tts_etl_pipeline_spark.operators.graphs",
 ]
 
 # Enumeration order is driven by VERIFY_PRIORITY.txt at the repo root (one
