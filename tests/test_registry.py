@@ -32,6 +32,7 @@ def test_registry_importable_and_consistent():
         "v6_pq_ann_topk",
         "x1_approx_distinct_stats",
         "t17_bpe_merge_training",
+        "t19_bpe_encode",
         "x2_cms_heavy_hitters",
         "x4_tdigest_quantiles",
         "pr1_copurchase_pagerank",

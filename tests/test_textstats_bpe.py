@@ -85,3 +85,78 @@ def test_t17_query_runs_and_is_deterministic(spark, sf_dir):
     )
     ref = _naive_reference([(r["token"], r["c"]) for r in hist], BPE_N_MERGES)
     assert [tuple(r) for r in a] == ref
+
+
+# --------------------------------------------------------------------------
+# t19 encode
+# --------------------------------------------------------------------------
+def _naive_encode(word, merges):
+    """Independent re-implementation: tokenize by repeatedly applying each
+    merge via string join/split round-trips instead of index walking."""
+    SEP = "\x00"
+    s = SEP.join(list(word))
+    for l, r in merges:
+        s = s.replace(l + SEP + r, l + r)
+    return s.split(SEP) if s else []
+
+
+def test_bpe_encode_word_matches_independent_reference():
+    from tts_etl_pipeline_spark.operators.textstats import (
+        bpe_encode_word,
+        bpe_train_from_histogram,
+    )
+
+    words = [
+        ("the", 120), ("then", 40), ("there", 25), ("data", 80),
+        ("database", 30), ("quick", 12), ("query", 44), ("queue", 9),
+    ]
+    merges = [(l, r) for _, l, r, _ in bpe_train_from_histogram(words, 8)]
+    assert merges  # training found merges on this corpus
+    for w, _ in words + [("unseen", 0), ("x", 0), ("", 0)]:
+        got = bpe_encode_word(w, merges)
+        assert got == _naive_encode(w, merges), (w, got)
+        assert "".join(got) == w  # encoding is lossless
+
+def test_t19_counts_consistent_with_driver_side_encode(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from tts_etl_pipeline_spark.operators.textstats import (
+        BPE_N_MERGES,
+        bpe_encode_word,
+        bpe_train_from_histogram,
+        t19_bpe_encode,
+        token_stream,
+    )
+    from tts_etl_pipeline_spark.sources.tables import table
+
+    got = {r["lang"]: r for r in t19_bpe_encode(spark, sf_dir).collect()}
+    # driver-side recompute from the full token histogram (independent path:
+    # histogram counts, not per-document iteration)
+    docs = table(spark, sf_dir, "documents")
+    hist = (
+        token_stream(docs).groupBy("token").count().collect()
+    )
+    merges = [
+        (l, r)
+        for _, l, r, _ in bpe_train_from_histogram(
+            sorted(
+                ((r["token"], r["count"]) for r in hist),
+                key=lambda kv: (-kv[1], kv[0]),
+            ),
+            BPE_N_MERGES,
+        )
+    ]
+    per_tok = {t: len(bpe_encode_word(t, merges)) for t, _ in
+               ((r["token"], r["count"]) for r in hist)}
+    expect = {}
+    for r in (
+        docs.select("lang", F.explode(F.split(F.lower(F.trim("text")), " ")).alias("token"))
+        .groupBy("lang", "token").count().collect()
+    ):
+        e = expect.setdefault(r["lang"], [0, 0])
+        e[0] += r["count"]
+        e[1] += per_tok[r["token"]] * r["count"]
+    assert set(got) == set(expect)
+    for lang, (nw, nt) in expect.items():
+        assert got[lang]["n_words"] == nw, lang
+        assert got[lang]["n_bpe_tokens"] == nt, lang

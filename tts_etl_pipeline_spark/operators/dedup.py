@@ -807,3 +807,135 @@ def d13_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# d15 — duplicated-SPAN detection (the word-level form of substring-level
+# dedup, Lee et al. 2022 "Deduplicating Training Data Makes Language Models
+# Better"): a gram position is duplicated when its word-8-gram occurs in ≥2
+# distinct documents; overlapping/touching duplicated grams merge into
+# MAXIMAL spans (gaps-and-islands with gap ≤ NGRAM), and each document is
+# scored by its duplicated-word mass. Reports the 20 most duplicated docs —
+# the "which documents are mostly boilerplate" audit that doc-level dedup
+# (d1-d12) cannot see.
+# Scale shape: the gram relation (built once, materialized, same idiom as
+# d13) feeds (a) a distinct + count-per-gram agg and (b) a g-keyed
+# LEFT SEMI join back — both hash-shuffles on g (sort-merge at scale; the
+# duplicated-gram set is corpus-sized, so NO broadcast). Island merging is
+# one doc_id window; everything after is doc-sized. No pair joins anywhere,
+# so there is no quadratic blowup on self-similar corpora (the d5 lesson).
+# ---------------------------------------------------------------------------
+SPAN_NGRAM = 8
+
+
+@_register(
+    "d15_duplicated_spans",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             regexp_split_to_array(lower(trim(coalesce(text, ''))), '\\s+') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, i,
+             array_to_string(t[i : i + {SPAN_NGRAM - 1}], ' ') AS g
+      FROM (
+        SELECT doc_id, t, unnest(range(1, len(t) - {SPAN_NGRAM} + 2)) AS i
+        FROM toks WHERE len(t) >= {SPAN_NGRAM}
+      )
+    ),
+    dup_grams AS (
+      SELECT g FROM (SELECT DISTINCT doc_id, g FROM grams)
+      GROUP BY g HAVING COUNT(*) >= 2
+    ),
+    pos AS (
+      SELECT doc_id, i FROM grams WHERE g IN (SELECT g FROM dup_grams)
+    ),
+    flagged AS (
+      SELECT doc_id, i,
+             CASE WHEN LAG(i) OVER (PARTITION BY doc_id ORDER BY i) IS NULL
+                    OR i - LAG(i) OVER (PARTITION BY doc_id ORDER BY i)
+                       > {SPAN_NGRAM}
+                  THEN 1 ELSE 0 END AS new_span
+      FROM pos
+    ),
+    islands AS (
+      SELECT doc_id, i,
+             SUM(new_span) OVER (PARTITION BY doc_id ORDER BY i
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+      FROM flagged
+    ),
+    spans AS (
+      SELECT doc_id, grp, MIN(i) AS s, MAX(i) + {SPAN_NGRAM} - 1 AS e
+      FROM islands GROUP BY doc_id, grp
+    ),
+    per_doc AS (
+      SELECT doc_id, COUNT(*) AS n_spans,
+             SUM(e - s + 1) AS dup_words
+      FROM spans GROUP BY doc_id
+    )
+    SELECT p.doc_id, CAST(p.n_spans AS BIGINT) AS n_spans,
+           CAST(p.dup_words AS BIGINT) AS dup_words,
+           CAST(len(toks.t) AS BIGINT) AS total_words,
+           ROUND(CAST(p.dup_words AS DOUBLE) / len(toks.t), 6) AS dup_frac
+    FROM per_doc p JOIN toks ON p.doc_id = toks.doc_id
+    ORDER BY dup_words DESC, p.doc_id
+    LIMIT 20
+    """,
+)
+def d15_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.coalesce(F.col("text"), F.lit("")))), r"\s+")
+    lens = docs.select("doc_id", F.size(toks).alias("total_words"))
+    grams_col = F.expr(
+        f"transform(sequence(0, size(t) - {SPAN_NGRAM}), "
+        f"i -> struct(i + 1 AS i, concat_ws(' ', slice(t, i + 1, {SPAN_NGRAM})) AS g))"
+    )
+    grams = materialize(
+        docs.select("doc_id", toks.alias("t"))
+        .filter(F.size("t") >= SPAN_NGRAM)
+        .select("doc_id", F.explode(grams_col).alias("x"))
+        .select("doc_id", F.col("x.i").alias("i"), F.col("x.g").alias("g"))
+    )
+    dup_grams = (
+        grams.select("doc_id", "g")
+        .distinct()
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("g")
+    )
+    pos = grams.join(dup_grams, "g", "left_semi").select("doc_id", "i")
+    w = W.partitionBy("doc_id").orderBy("i")
+    wsum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    prev = F.lag("i").over(w)
+    flagged = pos.withColumn(
+        "new_span",
+        F.when(prev.isNull() | (F.col("i") - prev > SPAN_NGRAM), F.lit(1)).otherwise(
+            F.lit(0)
+        ),
+    )
+    islands = flagged.withColumn("grp", F.sum("new_span").over(wsum))
+    spans = islands.groupBy("doc_id", "grp").agg(
+        F.min("i").alias("s"), (F.max("i") + SPAN_NGRAM - 1).alias("e")
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).alias("dup_words"),
+    )
+    return (
+        per_doc.join(lens, "doc_id")
+        .select(
+            "doc_id",
+            "n_spans",
+            "dup_words",
+            F.col("total_words").cast("bigint"),
+            F.round(F.col("dup_words").cast("double") / F.col("total_words"), 6).alias(
+                "dup_frac"
+            ),
+        )
+        .orderBy(F.desc("dup_words"), "doc_id")
+        .limit(20)
+    )

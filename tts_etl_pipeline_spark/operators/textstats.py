@@ -1233,3 +1233,96 @@ def t18_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "predicted")
     )
+
+
+# ---------------------------------------------------------------------------
+# t19 — BPE ENCODE with the t17-trained merges: the apply half of the
+# tokenizer pair (t17 trains the artifact, t19 runs it over the corpus —
+# exactly how a real pipeline tokenizes pre-training data). Per language:
+# document count, whitespace-word count, post-BPE token count, and the
+# tokens-per-word expansion ratio (the number a data engineer watches to
+# budget sequence lengths).
+# Scale shape: training cost is t17's (one token shuffle + BOUNDED
+# TakeOrdered collect); the learned merge list (12 rows) is BROADCAST and
+# applied inside ONE Arrow-batched mapInPandas pass over documents with a
+# per-batch word→encoding memo (Zipf makes the memo hit rate ~1), then a
+# |langs|-group rollup. The corpus is touched exactly twice (train
+# histogram + encode), both embarrassingly parallel.
+# Rows-only by design (the merge artifact is iterative, no SQL twin);
+# tests/test_textstats_bpe.py pins the encode against an independent
+# character-level reference implementation.
+# ---------------------------------------------------------------------------
+def bpe_encode_word(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Apply merges in learned order (each merge replaces ALL its pair
+    occurrences left-to-right before the next merge applies) — the t17
+    training loop's own replacement rule, so train/encode are consistent."""
+    seq: list[str] = list(word)
+    for left, right in merges:
+        if len(seq) < 2:
+            break
+        out, i = [], 0
+        while i < len(seq):
+            if i + 1 < len(seq) and seq[i] == left and seq[i + 1] == right:
+                out.append(left + right)
+                i += 2
+            else:
+                out.append(seq[i])
+                i += 1
+        seq = out
+    return seq
+
+
+@_register("t19_bpe_encode", None)
+def t19_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    hist = (
+        token_stream(docs)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .orderBy(F.desc("c"), "token")
+        .limit(BPE_MAX_WORDS)
+        .collect()
+    )
+    merge_rows = bpe_train_from_histogram(
+        [(r["token"], r["c"]) for r in hist], BPE_N_MERGES
+    )
+    merges = [(left, right) for _, left, right, _ in merge_rows]
+    bc = spark.sparkContext.broadcast(merges)
+
+    def encode(batches):
+        memo: dict[str, int] = {}
+        ms = bc.value
+        for pdf in batches:
+            n_words, n_toks = [], []
+            for text in pdf["text"]:
+                words = str(text or "").strip().lower().split(" ")
+                nw = len(words)
+                nt = 0
+                for w in words:
+                    hit = memo.get(w)
+                    if hit is None:
+                        hit = memo[w] = len(bpe_encode_word(w, ms))
+                    nt += hit
+                n_words.append(nw)
+                n_toks.append(nt)
+            out = pdf[["lang"]].copy()
+            out["n_words"] = n_words
+            out["n_bpe_tokens"] = n_toks
+            yield out
+
+    encoded = docs.select("lang", "text").mapInPandas(
+        encode, "lang string, n_words long, n_bpe_tokens long"
+    )
+    return (
+        encoded.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("n_words"),
+            F.sum("n_bpe_tokens").alias("n_bpe_tokens"),
+        )
+        .withColumn(
+            "tokens_per_word",
+            F.round(F.col("n_bpe_tokens").cast("double") / F.col("n_words"), 6),
+        )
+        .orderBy("lang")
+    )
