@@ -705,7 +705,10 @@ def h3_hourly_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events").select(
         "event_type", F.date_trunc("hour", "ts").alias("hour")
     )
-    present = ev.distinct()
+    # the distinct active-hour relation is calendar-bounded — materialize it
+    # once so bounds/grid/anti-join/counts all reuse it instead of re-scanning
+    # the fact table four times (pinned by the default scan-count sweep)
+    present = materialize(ev.distinct())
     bounds = present.groupBy("event_type").agg(
         F.min("hour").alias("lo"), F.max("hour").alias("hi")
     )
