@@ -40,3 +40,52 @@ def test_running_totals_match_batch(spark, sf_dir):
     # users with zero purchases still get a state row with n=0; batch has none
     got_nonzero = {k: v for k, v in got.items() if v[0] > 0}
     assert got_nonzero == batch and len(batch) > 0
+
+
+# --------------------------------------------------------------------------
+# st10 — cross-batch transition deltas
+# --------------------------------------------------------------------------
+def test_st10_delta_semantics_across_simulated_batches():
+    """The st10 state function must produce the SAME total matrix whether a
+    user's history arrives in one batch or split across several: replay the
+    per-batch delta logic by hand over a random event stream and compare
+    against the full-order transition count."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    types = ["a", "b", "c", "d"]
+    stream = [(i, types[rng.integers(0, 4)]) for i in range(200)]
+
+    def run(batches):
+        last_type = None
+        total: dict[tuple[str, str], int] = {}
+        for batch in batches:
+            for _, et in sorted(batch):
+                if last_type is not None:
+                    total[(last_type, et)] = total.get((last_type, et), 0) + 1
+                last_type = et
+        return total
+
+    whole = run([stream])
+    for n_splits in (2, 3, 7):
+        split = [list(c) for c in np.array_split(np.arange(200), n_splits)]
+        batches = [[stream[i] for i in idx] for idx in split]
+        assert run(batches) == whole, n_splits
+
+
+def test_st10_stream_matches_batch_e9(spark, sf_dir):
+    """The genuine availableNow run must equal the batch e9 matrix."""
+    from tts_etl_pipeline_spark.operators.events import e9_event_transitions
+    from tts_etl_pipeline_spark.operators.streaming_queries import (
+        st10_stream_transitions,
+    )
+
+    got = {
+        (r["from_type"], r["to_type"]): (r["n_transitions"], r["p_transition"])
+        for r in st10_stream_transitions(spark, sf_dir).collect()
+    }
+    expect = {
+        (r["from_type"], r["to_type"]): (r["n_transitions"], r["p_transition"])
+        for r in e9_event_transitions(spark, sf_dir).collect()
+    }
+    assert got == expect

@@ -412,3 +412,102 @@ def st9_stream_daily_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = run_to_memory(daily_value_bars(stream_events(spark, sf_dir)), "st9")
     return out.orderBy("day", "event_type")
+
+
+@_register(
+    "st10_stream_transitions",
+    """
+    WITH paired AS (
+      SELECT event_type AS from_type,
+             LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS to_type
+      FROM events
+    ),
+    matrix AS (
+      SELECT from_type, to_type, COUNT(*) AS n_transitions
+      FROM paired WHERE to_type IS NOT NULL
+      GROUP BY from_type, to_type
+    )
+    SELECT from_type, to_type, n_transitions,
+           ROUND(CAST(n_transitions AS DOUBLE)
+                 / SUM(n_transitions) OVER (PARTITION BY from_type), 6) AS p_transition
+    FROM matrix
+    ORDER BY from_type, to_type
+    """,
+)
+def st10_stream_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of e9's Markov transition matrix: custom cross-batch
+    state (applyInPandasWithState) carries each user's LAST event
+    (ord_key, type) across micro-batches and emits per-batch DELTA counts,
+    so the batch-side sum of deltas equals the global transition matrix —
+    exact because deltas are integers and addition is order-independent
+    (the st8 discipline). Rows within a batch are ordered by the same
+    zero-padded (micros || event_id) composite key st9 uses; cross-batch
+    exactness assumes per-user arrival order across batches (true for the
+    file-replay source — one file, one batch — and for any
+    watermark-ordered ingestion; with out-of-order arrival the counts
+    degrade gracefully to 'transitions as observed'). State is O(1) per
+    user — the right shape for unbounded streams."""
+    from collections.abc import Iterable
+
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = stream_events(spark, sf_dir).select(
+        "user_id",
+        "event_type",
+        F.concat(
+            F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+            F.lit("-"),
+            F.lpad(F.col("event_id").cast("string"), 20, "0"),
+        ).alias("ord_key"),
+    )
+
+    def fn(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        (user_id,) = key
+        last_key, last_type = state.get if state.exists else (None, None)
+        deltas: dict[tuple[str, str], int] = {}
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ord_key")
+            for ok, et in zip(pdf["ord_key"], pdf["event_type"]):
+                if last_type is not None:
+                    pair = (last_type, et)
+                    deltas[pair] = deltas.get(pair, 0) + 1
+                last_key, last_type = ok, et
+        if last_key is not None:
+            state.update((last_key, last_type))
+        if deltas:
+            yield pd.DataFrame(
+                [
+                    {"user_id": user_id, "from_type": a, "to_type": b, "n": c}
+                    for (a, b), c in deltas.items()
+                ]
+            )
+
+    updates = ev.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType="user_id bigint, from_type string, to_type string, n bigint",
+        stateStructType="last_key string, last_type string",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    out = run_to_memory(updates, "st10")
+    from pyspark.sql.window import Window as W
+
+    matrix = out.groupBy("from_type", "to_type").agg(
+        F.sum("n").alias("n_transitions")
+    )
+    return (
+        matrix.withColumn(
+            "p_transition",
+            F.round(
+                F.col("n_transitions").cast("double")
+                / F.sum("n_transitions").over(W.partitionBy("from_type")),
+                6,
+            ),
+        )
+        .orderBy("from_type", "to_type")
+    )
