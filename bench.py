@@ -68,6 +68,12 @@ HEADLINE = [
     "c10_mixture_upsample",
     "dq5_distribution_drift",
     "h2_daily_value_bars",
+    # r5 additions, fourth batch — new shapes: one-shuffle lead() transition
+    # matrix; calendar-bounded sequence-explode gap grid; optimizer-assisted
+    # two-phase curriculum interleave (BASELINE.md "round 5" note)
+    "e9_event_transitions",
+    "h3_hourly_gap_audit",
+    "c12_curriculum_interleave",
 ]
 
 
