@@ -782,3 +782,72 @@ def test_jpeg_decode_422_horizontal_subsampling():
         got = MM.decode_image(payload)
         ref = _jpeg_reference_pixels(recon, samp, grid, h, w)
         assert got.shape == (h, w, 3) and (got == ref).all(), (h, w)
+
+
+# --------------------------------------------------------------------------
+# GIF (functions/gif.py)
+# --------------------------------------------------------------------------
+def test_gif_roundtrip_exact():
+    import numpy as np
+
+    from tts_etl_pipeline_spark.functions.gif import decode_gif, encode_gif, gif_meta
+
+    rng = np.random.default_rng(21)
+    # <=256 distinct colors by construction: sample from a 64-color palette
+    palette = rng.integers(0, 256, size=(64, 3), dtype=np.uint8)
+    img = palette[rng.integers(0, 64, size=(23, 31))]
+    blob = encode_gif(img)
+    assert blob[:6] == b"GIF89a"
+    out = decode_gif(blob)
+    assert out.shape == img.shape and (out == img).all()
+    meta = gif_meta(blob)
+    assert (meta["width"], meta["height"], meta["n_frames"]) == (31, 23, 1)
+
+
+def test_gif_interlaced_and_multiframe():
+    import numpy as np
+
+    from tts_etl_pipeline_spark.functions.gif import decode_gif, encode_gif, gif_meta
+
+    rng = np.random.default_rng(22)
+    palette = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+    img = palette[rng.integers(0, 16, size=(17, 9))]  # odd dims stress passes
+    inter = encode_gif(img, interlaced=True)
+    assert (decode_gif(inter) == img).all()  # de-interlace reassembles rows
+    multi = encode_gif(img, extra_frames=2)
+    assert gif_meta(multi)["n_frames"] == 3
+    assert (decode_gif(multi) == img).all()  # first frame decodes
+
+
+def test_gif_two_color_and_full_palette_edges():
+    import numpy as np
+
+    from tts_etl_pipeline_spark.functions.gif import decode_gif, encode_gif
+
+    # 2-color image exercises the minimum LZW code size floor (2)
+    img = np.zeros((5, 7, 3), dtype=np.uint8)
+    img[::2, 1::2] = 255
+    assert (decode_gif(encode_gif(img)) == img).all()
+    # exactly 256 colors exercises the 8-bit table + CLEAR-reset cadence,
+    # and a size > budget forces several CLEAR resets mid-stream
+    rng = np.random.default_rng(23)
+    palette = np.array(
+        [[i, (i * 7) % 256, (i * 13) % 256] for i in range(256)], dtype=np.uint8
+    )
+    img = palette[rng.integers(0, 256, size=(40, 40))]
+    assert (decode_gif(encode_gif(img)) == img).all()
+
+
+def test_gif_enters_decode_image_dispatch():
+    import numpy as np
+
+    from tts_etl_pipeline_spark.functions.gif import encode_gif
+    from tts_etl_pipeline_spark.operators.multimodal import _probe_meta, decode_image
+
+    rng = np.random.default_rng(24)
+    palette = rng.integers(0, 256, size=(8, 3), dtype=np.uint8)
+    img = palette[rng.integers(0, 8, size=(6, 11))]
+    blob = encode_gif(img)
+    assert (decode_image(blob) == img).all()
+    meta = _probe_meta("image", blob[:64])
+    assert (meta["width"], meta["height"], meta["codec"]) == (11, 6, "gif")

@@ -10,6 +10,8 @@ Codec coverage in this runtime (no PIL/opencv/ffmpeg available):
   (stdlib zlib + the five scanline filters; bit depths 1/2/4/8/16,
   gray/RGB/palette/gray-alpha/RGBA, non-interlaced AND Adam7 — r5),
   YUV4MPEG2 (.y4m) video (header probe + luma-plane frame sampling),
+  GIF87a/89a (functions/gif.py — LZW, interlace, local/global color
+  tables, multi-frame structural probe),
   and baseline sequential JPEG (functions/jpeg.py — dependency-free
   T.81 Huffman+DCT decoder, r5: generic DQT/DHT, restart markers,
   4:4:4 and chroma-subsampled frames).
@@ -27,7 +29,7 @@ Scale posture (SURVEY §7 hard-part 6):
 - oversized payloads are chunked into multiple rows (chunk_idx) far below
   Spark's 2 GB column-value hard limit;
 - WAV audio (the reference's modality) gets a REAL decode via the stdlib-
-  wave path shared with audio/decode.py; BMP/PNG/baseline-JPEG/y4m are
+  wave path shared with audio/decode.py; BMP/PNG/GIF/baseline-JPEG/y4m are
   real too — only progressive-JPEG/H.264 remain stubbed.
 """
 
@@ -155,6 +157,14 @@ def _probe_meta(modality: str, head: bytes | None) -> dict:
                 meta["codec"] = "png"
         except Exception:
             pass
+    elif modality == "image" and head[:6] in (b"GIF87a", b"GIF89a"):
+        try:
+            import struct
+
+            meta["width"], meta["height"] = struct.unpack_from("<HH", head, 6)
+            meta["codec"] = "gif"
+        except Exception:
+            pass
     elif modality == "image" and head[:2] == b"\xff\xd8":
         try:
             import struct
@@ -216,6 +226,7 @@ def _probe_meta(modality: str, head: bytes | None) -> dict:
 #   - audio: RIFF/WAV via the stdlib wave path shared with audio/decode.py
 #
 #   - image/JPEG: baseline sequential T.81 via functions/jpeg.py (r5)
+#   - image/GIF: LZW + interlace + color tables via functions/gif.py (r5)
 #
 # Remaining compressed codecs (progressive JPEG, H.264/VP9) require
 # PIL/opencv/ffmpeg, which are not in this runtime — those paths stay
@@ -371,9 +382,13 @@ def decode_image(content: bytes) -> np.ndarray:
         from tts_etl_pipeline_spark.functions.jpeg import decode_jpeg
 
         return decode_jpeg(content)
+    if content[:6] in (b"GIF87a", b"GIF89a"):
+        from tts_etl_pipeline_spark.functions.gif import decode_gif
+
+        return decode_gif(content)
     if content[:2] != b"BM":
         raise NotImplementedError(
-            "only BMP, PNG and baseline JPEG decode in this runtime; "
+            "only BMP, PNG, GIF and baseline JPEG decode in this runtime; "
             "progressive JPEG / H.264 need PIL/opencv/ffmpeg"
         )
     import struct
