@@ -461,3 +461,19 @@ def test_c12_global_position_window_is_capped(spark, sf_dir):
     # unpartitioned sort consumes at most 50 rows — assert the limit
     # node survives and precedes the position window's frame column.
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_r2_overlap_join_is_bucketed_equi_join(spark, sf_dir):
+    """r2's interval-overlap join must be the grid-bucketed EQUI join —
+    BroadcastHashJoin on the hour cell with the calendar-bounded incident
+    side broadcast; never a BroadcastNestedLoopJoin/CartesianProduct (the
+    naive non-equi formulation). Sessions still cost exactly one user_id
+    Exchange."""
+    from tts_etl_pipeline_spark.operators.scalars import r2_interval_overlap_join
+
+    df = r2_interval_overlap_join(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert plan.count("hashpartitioning(user_id") >= 1, plan

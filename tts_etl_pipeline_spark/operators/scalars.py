@@ -600,3 +600,178 @@ def f8_url_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("host")
     )
+
+
+# ---------------------------------------------------------------------------
+# r2 — INTERVAL OVERLAP join via grid bucketing (the general-interval
+# complement of r1's band join): which user sessions overlapped an error
+# incident? Sessions are e3's 30-min-gap intervals; incidents are islands
+# of consecutive hours whose error share is >= 25% (with >= 4 events).
+# A naive interval-overlap join is a non-equi join — BroadcastNestedLoop
+# at best, quadratic at worst. The scale path: explode BOTH interval sets
+# into the hour cells they cover, EQUI-join on the cell, then apply the
+# exact overlap predicate and dedup pairs. Any overlapping pair shares at
+# least one hour cell (both hour ranges intersect), so the equi-join loses
+# nothing; cells per interval are bounded by interval length, not corpus
+# size. Here the incident side is CALENDAR-bounded, so its cells
+# broadcast and the join adds ZERO exchanges (pinned: BroadcastHashJoin,
+# no BroadcastNestedLoopJoin).
+# The only unpartitioned window runs over the hourly rate relation —
+# calendar-bounded, the h3 discipline.
+# ---------------------------------------------------------------------------
+@_register(
+    "r2_interval_overlap_join",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    OR date_diff('second',
+                         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) > 1800
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id, session_id, MIN(ts) AS s_start, MAX(ts) AS s_end
+      FROM (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM flagged
+      )
+      GROUP BY user_id, session_id
+    ),
+    hourly AS (
+      SELECT date_trunc('hour', ts) AS hour, COUNT(*) AS n,
+             SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_err
+      FROM events GROUP BY 1
+    ),
+    hot AS (
+      SELECT hour,
+             CASE WHEN LAG(hour) OVER (ORDER BY hour) IS NULL
+                    OR hour > LAG(hour) OVER (ORDER BY hour) + INTERVAL 1 HOUR
+                  THEN 1 ELSE 0 END AS new_inc
+      FROM hourly WHERE n_err * 4 >= n AND n >= 4
+    ),
+    incidents AS (
+      SELECT MIN(hour) AS inc_start, MAX(hour) + INTERVAL 1 HOUR AS inc_end
+      FROM (
+        SELECT hour, SUM(new_inc) OVER (ORDER BY hour
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS inc
+        FROM hot
+      )
+      GROUP BY inc
+    )
+    SELECT strftime(i.inc_start, '%Y-%m-%d %H:%M:%S') AS incident_start,
+           strftime(i.inc_end, '%Y-%m-%d %H:%M:%S') AS incident_end,
+           CAST(date_diff('hour', i.inc_start, i.inc_end) AS BIGINT) AS n_hours,
+           CAST(COUNT(s.user_id) AS BIGINT) AS n_sessions,
+           CAST(COUNT(DISTINCT s.user_id) AS BIGINT) AS n_users
+    FROM incidents i
+    LEFT JOIN sessions s
+      ON s.s_start < i.inc_end AND i.inc_start <= s.s_end
+    GROUP BY i.inc_start, i.inc_end
+    ORDER BY incident_start
+    """,
+)
+def r2_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from tts_etl_pipeline_spark.functions.checkpoints import materialize
+
+    ev = table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+
+    # -- sessions (the e3 rule: epoch-second gap > 1800 opens a session) ----
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wsum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    epoch = lambda c: c.cast("timestamp").cast("long")  # noqa: E731
+    prev_ts = F.lag("ts").over(w)
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(prev_ts.isNull() | (epoch(F.col("ts")) - epoch(prev_ts) > 1800), 1)
+        .otherwise(0),
+    )
+    sessions = (
+        flagged.withColumn("session_id", F.sum("new_session").over(wsum))
+        .groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("s_start"), F.max("ts").alias("s_end"))
+    )
+
+    # -- incidents (islands of hot hours; hourly relation is calendar-bounded)
+    hourly = (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("event_type") == "error").cast("long")).alias("n_err"),
+        )
+    )
+    hot = hourly.filter((F.col("n_err") * 4 >= F.col("n")) & (F.col("n") >= 4))
+    w_h = W.orderBy("hour")  # calendar-bounded relation — acceptable single task
+    prev_h = F.lag("hour").over(w_h)
+    hot = hot.withColumn(
+        "new_inc",
+        F.when(prev_h.isNull() | (F.col("hour") > prev_h + F.expr("INTERVAL 1 HOUR")), 1)
+        .otherwise(0),
+    )
+    incidents = materialize(
+        hot.withColumn(
+            "inc", F.sum("new_inc").over(w_h.rowsBetween(W.unboundedPreceding, 0))
+        )
+        .groupBy("inc")
+        .agg(
+            F.min("hour").alias("inc_start"),
+            (F.max("hour") + F.expr("INTERVAL 1 HOUR")).alias("inc_end"),
+        )
+    )
+
+    # -- grid-bucketed equi-join: incident cells broadcast ------------------
+    inc_cells = incidents.select(
+        "inc",
+        "inc_start",
+        "inc_end",
+        F.explode(
+            F.sequence(
+                "inc_start",
+                F.col("inc_end") - F.expr("INTERVAL 1 HOUR"),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("cell"),
+    )
+    sess_cells = sessions.select(
+        "user_id",
+        "session_id",
+        "s_start",
+        "s_end",
+        F.explode(
+            F.sequence(
+                F.date_trunc("hour", "s_start"),
+                F.date_trunc("hour", "s_end"),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("cell"),
+    )
+    pairs = (
+        sess_cells.join(F.broadcast(inc_cells), "cell")
+        .filter((F.col("s_start") < F.col("inc_end")) & (F.col("inc_start") <= F.col("s_end")))
+        .select("inc", "inc_start", "inc_end", "user_id", "session_id")
+        .distinct()
+    )
+    hours = lambda a, b: (  # noqa: E731
+        (F.unix_micros(b.cast("timestamp")) - F.unix_micros(a.cast("timestamp")))
+        / 3600000000
+    ).cast("bigint")
+    return (
+        incidents.join(pairs, ["inc", "inc_start", "inc_end"], "left")
+        .groupBy("inc_start", "inc_end")
+        .agg(
+            F.count("user_id").alias("n_sessions"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.date_format("inc_start", "yyyy-MM-dd HH:mm:ss").alias("incident_start"),
+            F.date_format("inc_end", "yyyy-MM-dd HH:mm:ss").alias("incident_end"),
+            hours(F.col("inc_start"), F.col("inc_end")).alias("n_hours"),
+            "n_sessions",
+            "n_users",
+        )
+        .orderBy("incident_start")
+    )
