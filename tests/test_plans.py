@@ -477,3 +477,27 @@ def test_r2_overlap_join_is_bucketed_equi_join(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
     assert plan.count("hashpartitioning(user_id") >= 1, plan
+
+
+def test_t20_vocab_join_not_hint_forced_topk_takeordered(spark, sf_dir):
+    """t20's token-vector rejoin must not HINT-force a broadcast (the t14
+    rule: vocab-scale at 100 TB must stay the optimizer's cost decision —
+    proof: with auto-broadcast disabled the join degrades to a shuffle
+    join), its top-20 must be TakeOrderedAndProject, and both count passes
+    must read the one materialized token relation (documents scanned zero
+    times in the final plan)."""
+    from tts_etl_pipeline_spark.operators.textstats import t20_dsir_target_affinity
+    from tts_etl_pipeline_spark.plans.inspect import scans_by_table
+
+    df = t20_dsir_target_affinity(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert scans_by_table(df).get("documents", 0) == 0, plan
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = physical_plan(t20_dsir_target_affinity(spark, sf_dir))
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+        assert "BroadcastHashJoin" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

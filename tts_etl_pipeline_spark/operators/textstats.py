@@ -1326,3 +1326,97 @@ def t19_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# t20 — DSIR-style TARGET-AFFINITY scoring (Xie et al. 2023 "Data Selection
+# for Language Models via Importance Resampling", arXiv:2302.03169, the
+# n-gram-feature form): score every candidate document by how much its
+# token mass co-occurs with a TARGET slice (d13's benchmark slice,
+# doc_id % 97 == 3) versus the background corpus, then surface the top 20
+# most target-like candidates — the data-selection pass that picks
+# pretraining documents resembling a downstream task.
+# Deviation from the paper, for exactness: instead of log-probability
+# importance weights (transcendental — never hash-stable across engines,
+# the t14/t15 discipline), affinity is the RATIO of two exact integer dot
+# products S_t = Σ_tok c_doc·c_target and S_b = Σ_tok c_doc·c_background
+# (+1), ranked by one IEEE division of exactly-represented integers —
+# bit-identical in Spark and DuckDB. Monotone in the paper's weight under
+# unigram models, so the SELECTION (which is what ships) is faithful.
+# Scale shape: ONE materialized (doc, token, c) relation feeds both the
+# global count vectors and the rejoin; the token join shuffles on token
+# (vocab-scale, sort-merge at 100 TB — deliberately NO broadcast); the
+# per-doc sum is one doc_id shuffle; top-20 is TakeOrdered. The feature
+# HASHING of the paper becomes unnecessary because features stay
+# distributed — hashing exists to shrink a DRIVER-side model, and nothing
+# here ever collects one.
+# ---------------------------------------------------------------------------
+@_register(
+    "t20_dsir_target_affinity",
+    """
+    WITH toks AS (
+      SELECT doc_id, token, COUNT(*) AS c
+      FROM (
+        SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS token
+        FROM documents
+      )
+      GROUP BY doc_id, token
+    ),
+    vectors AS (
+      SELECT token,
+             SUM(CASE WHEN doc_id % 97 = 3 THEN c ELSE 0 END) AS c_t,
+             SUM(CASE WHEN doc_id % 97 <> 3 THEN c ELSE 0 END) AS c_b
+      FROM toks GROUP BY token
+    ),
+    scored AS (
+      SELECT t.doc_id,
+             CAST(SUM(t.c * v.c_t) AS BIGINT) AS s_target,
+             CAST(SUM(t.c * v.c_b) AS BIGINT) AS s_background
+      FROM toks t JOIN vectors v ON t.token = v.token
+      WHERE t.doc_id % 97 <> 3
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id, s_target, s_background,
+           ROUND(CAST(s_target AS DOUBLE) / (s_background + 1), 6) AS affinity
+    FROM scored
+    ORDER BY CAST(s_target AS DOUBLE) / (s_background + 1) DESC, doc_id
+    LIMIT 20
+    """,
+)
+def t20_dsir_target_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tts_etl_pipeline_spark.functions.checkpoints import materialize
+
+    docs = table(spark, sf_dir, "documents")
+    toks = materialize(
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.trim("text")), " ")).alias("token"),
+        )
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    is_target = F.col("doc_id") % 97 == 3
+    vectors = toks.groupBy("token").agg(
+        F.sum(F.when(is_target, F.col("c")).otherwise(F.lit(0))).alias("c_t"),
+        F.sum(F.when(~is_target, F.col("c")).otherwise(F.lit(0))).alias("c_b"),
+    )
+    scored = (
+        toks.filter(~is_target)
+        .join(vectors, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("c") * F.col("c_t")).alias("s_target"),
+            F.sum(F.col("c") * F.col("c_b")).alias("s_background"),
+        )
+    )
+    ratio = F.col("s_target").cast("double") / (F.col("s_background") + 1)
+    return (
+        scored.orderBy(ratio.desc(), "doc_id")
+        .limit(20)
+        .select(
+            "doc_id",
+            "s_target",
+            "s_background",
+            F.round(ratio, 6).alias("affinity"),
+        )
+    )
