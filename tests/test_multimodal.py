@@ -851,3 +851,29 @@ def test_gif_enters_decode_image_dispatch():
     assert (decode_image(blob) == img).all()
     meta = _probe_meta("image", blob[:64])
     assert (meta["width"], meta["height"], meta["codec"]) == (11, 6, "gif")
+
+
+def test_m2_codec_rollup_lossless_codecs_agree(spark, sf_dir):
+    """m2's three lossless encodings of the same pixels must produce
+    IDENTICAL per-codec stats (bmp == png == gif row-for-row except the
+    codec label), and the whole query must be deterministic across runs."""
+    from tts_etl_pipeline_spark.operators.multimodal import m2_image_codec_features
+
+    rows = m2_image_codec_features(spark, sf_dir).collect()
+    assert [r["codec"] for r in rows] == ["bmp", "gif", "png"]
+    stats = {(r["n_images"], r["avg_luma_mean"], r["avg_luma_std"]) for r in rows}
+    assert len(stats) == 1  # lossless: identical pixel stats per codec
+    n, lm, ls = next(iter(stats))
+    assert n == 8 and 0.0 < lm < 1.0 and 0.0 < ls < 0.6
+    again = m2_image_codec_features(spark, sf_dir).collect()
+    assert rows == again
+
+
+def test_encode_png_roundtrip():
+    import numpy as np
+
+    from tts_etl_pipeline_spark.operators.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(31)
+    img = rng.integers(0, 256, size=(13, 19, 3), dtype=np.uint8)
+    assert (decode_png(encode_png(img)) == img).all()

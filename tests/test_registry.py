@@ -37,6 +37,7 @@ def test_registry_importable_and_consistent():
         "x4_tdigest_quantiles",
         "pr1_copurchase_pagerank",
         "p1_audio_pipeline_e2e",
+        "m2_image_codec_features",
     }
 
 
