@@ -37,17 +37,36 @@ def read_wav_dir(spark: SparkSession, wav_dir: str) -> DataFrame:
 
 
 def decode_wav_bytes(content: bytes) -> tuple[np.ndarray, int, int]:
-    """PCM WAV bytes -> (float32 samples in [-1,1], frame_rate, channels).
+    """WAV bytes -> (float32 samples in [-1,1], frame_rate, channels).
 
-    stdlib-wave based (pydub/ffmpeg are not in the runtime); supports 16-bit
-    and 8/32-bit PCM. Normalization divides by the int type's max, exactly
-    like pa.py:186-188.
+    stdlib-wave based for PCM (pydub/ffmpeg are not in the runtime);
+    supports 16-bit and 8/32-bit PCM. Non-PCM tags the stdlib refuses —
+    G.711 mu-law/A-law and mono IMA ADPCM — fall back to the manual RIFF
+    path in audio/codecs.py (r5; the reference's scope was PCM-only).
+    Normalization divides by the int type's max, exactly like
+    pa.py:186-188.
     """
-    with wave.open(io.BytesIO(content), "rb") as w:
-        rate = w.getframerate()
-        channels = w.getnchannels()
-        width = w.getsampwidth()
-        raw = w.readframes(w.getnframes())
+    try:
+        with wave.open(io.BytesIO(content), "rb") as w:
+            rate = w.getframerate()
+            channels = w.getnchannels()
+            width = w.getsampwidth()
+            raw = w.readframes(w.getnframes())
+    except wave.Error:
+        from tts_etl_pipeline_spark.audio import codecs
+
+        fmt = codecs.parse_riff(content)
+        tag, raw = fmt["fmt_tag"], fmt["data"]
+        if tag == codecs.WAVE_FORMAT_MULAW:
+            pcm = codecs.decode_mulaw(raw)
+        elif tag == codecs.WAVE_FORMAT_ALAW:
+            pcm = codecs.decode_alaw(raw)
+        elif tag == codecs.WAVE_FORMAT_IMA_ADPCM and fmt["channels"] == 1:
+            pcm = codecs.decode_ima_adpcm(raw, fmt["block_align"])
+        else:
+            raise ValueError(f"unsupported WAV format tag 0x{tag:04x}")
+        x = pcm.astype(np.float32) / 32767.0
+        return x, fmt["rate"], fmt["channels"]
     if width == 2:
         x = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32767.0
     elif width == 4:
