@@ -1,7 +1,7 @@
 """Multimodal column plumbing: chunking, hashing, metadata probe, feature
 extraction batch shape (B6). Real Spark paths throughout; codecs are real
-for WAV/BMP/PNG/baseline-JPEG/y4m and stubbed for the remaining compressed
-formats (progressive JPEG, H.264)."""
+for WAV/BMP/PNG/GIF/JPEG (baseline AND progressive)/y4m; only H.264-class
+video remains stubbed."""
 
 from __future__ import annotations
 
@@ -77,10 +77,8 @@ def test_feature_extraction_shapes_and_determinism(spark, media_df):
 
 
 def test_codec_stubs_raise(spark):
-    # compressed formats beyond PNG/baseline-JPEG stay stubbed (no
-    # PIL/opencv/ffmpeg here): progressive JPEG is the honest boundary now
-    # (a SOF2 frame raises NotImplementedError — see
-    # test_jpeg_probe_and_progressive_raises); a truncated JPEG is a
+    # H.264-class video stays stubbed (no PIL/opencv/ffmpeg here);
+    # JPEG now decodes baseline AND progressive — a truncated JPEG is a
     # malformed payload, a ValueError, not a stub
     with pytest.raises(ValueError):
         MM.decode_image(b"\xff\xd8\xff\xe0 jpeg truncated garbage")
@@ -549,18 +547,18 @@ def test_jpeg_decode_420_subsampled():
     assert got.shape == img.shape and (got == ref).all()
 
 
-def test_jpeg_probe_and_progressive_raises():
-    import struct as _s
-
+def test_jpeg_probe_and_unsupported_processes_raise():
     img = _jpeg_test_img()
     payload, *_ = _encode_jpeg(img)
     meta = MM._probe_meta("image", payload)
     assert (meta["width"], meta["height"], meta["codec"]) == (32, 24, "jpeg")
-    # flipping SOF0 -> SOF2 must raise the honest progressive boundary
-    idx = payload.index(b"\xff\xc0")
-    prog = payload[:idx] + b"\xff\xc2" + payload[idx + 2 :]
-    with pytest.raises(NotImplementedError):
-        MM.decode_image(prog)
+    # progressive (SOF2) is now a REAL path (r5) — the honest boundary
+    # moved to arithmetic coding (SOF9) and lossless (SOF3)
+    for marker in (b"\xff\xc9", b"\xff\xc3"):
+        idx = payload.index(b"\xff\xc0")
+        bad = payload[:idx] + marker + payload[idx + 2 :]
+        with pytest.raises(NotImplementedError):
+            MM.decode_image(bad)
 
 
 def test_jpeg_decode_grayscale():
@@ -877,3 +875,257 @@ def test_encode_png_roundtrip():
     rng = np.random.default_rng(31)
     img = rng.integers(0, 256, size=(13, 19, 3), dtype=np.uint8)
     assert (decode_png(encode_png(img)) == img).all()
+
+
+# --------------------------------------------------------------------------
+# progressive JPEG (SOF2): encoder fixture + decode parity vs baseline
+# --------------------------------------------------------------------------
+def _encode_jpeg_progressive(img, gray=False, restart_interval=0):
+    """Progressive JFIF encoder (fixture half): 4:4:4, SOF2, six-scan
+    schedule exercising BOTH progressive mechanisms —
+      1. DC first (interleaved, Al=1)   2. DC refine (Ah=1)
+      3. AC 1..5 first (Al=1)           4. AC 6..63 first (Al=1)
+      5. AC 1..5 refine (Ah=1)          6. AC 6..63 refine (Ah=1)
+    per component for 3-6. Correction-bit buffering, ZRL-limited-to-EOB
+    and newly-significant coding follow T.81 G.1.2.2 (the jcphuff
+    discipline). Returns (payload, quantized-coefficient blocks)."""
+    import struct
+
+    from tts_etl_pipeline_spark.functions.jpeg import dct8x8
+
+    q_luma, q_chroma, zz = _jpeg_tables()
+    h, w = img.shape[:2]
+    r, g, b = (img[..., i].astype(np.float64) for i in range(3))
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    planes = [y] if gray else [y, cb, cr]
+    quants = [q_luma] if gray else [q_luma, q_chroma, q_chroma]
+    nc = len(planes)
+    bx_n, by_n = (w + 7) // 8, (h + 7) // 8
+
+    coefs = []  # per comp: (by, bx) -> zigzag int64[64]
+    for p, q in zip(planes, quants):
+        pp = np.pad(p, ((0, by_n * 8 - h), (0, bx_n * 8 - w)), mode="edge")
+        cz = np.zeros((by_n, bx_n, 64), dtype=np.int64)
+        for by in range(by_n):
+            for bx in range(bx_n):
+                blk = pp[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                coef = np.round(dct8x8(blk) / q).astype(np.int64)
+                cz[by, bx] = coef.flatten()[zz]
+        coefs.append(cz)
+
+    # flat canonical tables (shared by every scan)
+    dc_bits = [0] * 16
+    dc_bits[3] = 12
+    ac_bits = [0] * 16
+    ac_bits[8] = 254
+    ac_bits[9] = 2
+    dc_huffval = bytes(range(12))
+    ac_huffval = bytes(range(256))
+
+    def dc_code(wtr, sz):
+        wtr.write(sz, 4)
+
+    def ac_code(wtr, rs):
+        if rs < 254:
+            wtr.write(rs, 9)
+        else:
+            wtr.write(508 + (rs - 254), 10)
+
+    def tz(v, n):  # point transform: toward-zero shift for AC
+        return v // (1 << n) if v >= 0 else -((-v) // (1 << n))
+
+    scans = []  # (sos_payload_bytes, entropy_segments list)
+
+    # scan 1: DC first, interleaved, Al=1
+    wtr = _BitWriter()
+    segs = []
+    pred = [0] * nc
+    unit = 0
+    for by in range(by_n):
+        for bx in range(bx_n):
+            if restart_interval and unit and unit % restart_interval == 0:
+                wtr.flush()
+                segs.append(bytes(wtr.out))
+                wtr = _BitWriter()
+                pred = [0] * nc
+            for ci in range(nc):
+                v = int(coefs[ci][by, bx, 0]) >> 1  # DC: arithmetic shift
+                diff = v - pred[ci]
+                pred[ci] = v
+                sz = _cat(diff)
+                dc_code(wtr, sz)
+                if sz:
+                    wtr.write(_mag(diff, sz), sz)
+            unit += 1
+    wtr.flush()
+    segs.append(bytes(wtr.out))
+    sos1 = bytes([nc]) + b"".join(bytes([ci + 1, 0x00]) for ci in range(nc)) + bytes(
+        [0, 0, 0x01]
+    )
+    scans.append((sos1, segs))
+
+    # scan 2: DC refine, interleaved, Ah=1 Al=0
+    wtr = _BitWriter()
+    for by in range(by_n):
+        for bx in range(bx_n):
+            for ci in range(nc):
+                wtr.write(int(coefs[ci][by, bx, 0]) & 1, 1)
+    wtr.flush()
+    sos2 = bytes([nc]) + b"".join(bytes([ci + 1, 0x00]) for ci in range(nc)) + bytes(
+        [0, 0, 0x10]
+    )
+    scans.append((sos2, [bytes(wtr.out)]))
+
+    # scans 3-6: AC per component, two bands, first then refine
+    for band in ((1, 5), (6, 63)):
+        ss, se = band
+        for ci in range(nc):
+            wtr = _BitWriter()
+            for by in range(by_n):
+                for bx in range(bx_n):
+                    zzc = coefs[ci][by, bx]
+                    run = 0
+                    emitted = False
+                    for k in range(ss, se + 1):
+                        v = tz(int(zzc[k]), 1)
+                        if v == 0:
+                            run += 1
+                            continue
+                        while run >= 16:
+                            ac_code(wtr, 0xF0)
+                            run -= 16
+                        sz = _cat(v)
+                        ac_code(wtr, (run << 4) | sz)
+                        wtr.write(_mag(v, sz), sz)
+                        run = 0
+                        emitted = True
+                    if run > 0 or not emitted:
+                        ac_code(wtr, 0x00)  # EOB, run of exactly 1
+            wtr.flush()
+            sos = bytes([1, ci + 1, 0x00, ss, se, 0x01])
+            scans.append((sos, [bytes(wtr.out)]))
+    for band in ((1, 5), (6, 63)):
+        ss, se = band
+        for ci in range(nc):
+            wtr = _BitWriter()
+            for by in range(by_n):
+                for bx in range(bx_n):
+                    zzc = coefs[ci][by, bx]
+                    absv = [abs(int(zzc[k])) for k in range(64)]
+                    eob = 0
+                    for k in range(ss, se + 1):
+                        if absv[k] == 1:
+                            eob = k
+                    run = 0
+                    pending: list[int] = []  # buffered correction bits
+                    for k in range(ss, se + 1):
+                        t = absv[k]
+                        if t == 0:
+                            run += 1
+                            continue
+                        while run > 15 and k <= eob:
+                            ac_code(wtr, 0xF0)
+                            for bit in pending:
+                                wtr.write(bit, 1)
+                            pending = []
+                            run -= 16
+                        if t > 1:
+                            pending.append(t & 1)
+                            continue
+                        # newly significant (|v| == 1 at this precision)
+                        ac_code(wtr, (run << 4) | 1)
+                        wtr.write(1 if int(zzc[k]) > 0 else 0, 1)
+                        for bit in pending:
+                            wtr.write(bit, 1)
+                        pending = []
+                        run = 0
+                    if run > 0 or pending:
+                        ac_code(wtr, 0x00)  # EOB (run length 1)
+                        for bit in pending:
+                            wtr.write(bit, 1)
+            wtr.flush()
+            sos = bytes([1, ci + 1, 0x00, ss, se, 0x10])
+            scans.append((sos, [bytes(wtr.out)]))
+
+    # assemble
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    def dqt(tid, q):
+        z = np.zeros(64, dtype=np.int64)
+        z[:] = q.flatten()[zz]
+        return seg(0xDB, bytes([tid]) + bytes(int(v) for v in z))
+
+    def dht(tc, th, bits, huffval):
+        return seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + huffval)
+
+    sof_comps = b"".join(
+        bytes([ci + 1, 0x11, 0 if ci == 0 else 1]) for ci in range(nc)
+    )
+    body = bytearray()
+    body += b"\xff\xd8"
+    body += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    body += dqt(0, q_luma)
+    if nc > 1:
+        body += dqt(1, q_chroma)
+    body += dht(0, 0, dc_bits, dc_huffval) + dht(1, 0, ac_bits, ac_huffval)
+    body += seg(0xC2, struct.pack(">BHHB", 8, h, w, nc) + sof_comps)
+    for si, (sos_payload, entropy_segs) in enumerate(scans):
+        if si == 0 and restart_interval:
+            body += seg(0xDD, struct.pack(">H", restart_interval))
+        if si == 1 and restart_interval:
+            body += seg(0xDD, struct.pack(">H", 0))  # later scans: no restarts
+        body += seg(0xDA, sos_payload)
+        for j, s in enumerate(entropy_segs):
+            body += s
+            if j < len(entropy_segs) - 1:
+                body += bytes([0xFF, 0xD0 + (j % 8)])
+    body += b"\xff\xd9"
+    return bytes(body), coefs
+
+
+def test_jpeg_progressive_coefficients_exact():
+    """The six-scan progressive stream must reconstruct EXACTLY the
+    quantized coefficients the encoder produced — the strongest possible
+    check on DC/AC first+refine and correction-bit bookkeeping."""
+    from tts_etl_pipeline_spark.functions.jpeg import decode_jpeg_coefficients
+
+    img = _jpeg_test_img()
+    payload, coefs = _encode_jpeg_progressive(img)
+    frame, qt, got = decode_jpeg_coefficients(payload)
+    assert len(got) == 3
+    for ci in range(3):
+        assert got[ci].shape == coefs[ci].shape
+        assert (got[ci] == coefs[ci]).all(), ci
+
+
+def test_jpeg_progressive_equals_baseline_pixels():
+    """Progressive and baseline encodings of the SAME quantized
+    coefficients must decode to IDENTICAL pixels."""
+    from tts_etl_pipeline_spark.functions.jpeg import decode_jpeg
+
+    img = _jpeg_test_img(h=17, w=23, seed=9)  # odd dims stress the crop
+    base_payload, *_ = _encode_jpeg(img)
+    prog_payload, _ = _encode_jpeg_progressive(img)
+    assert (decode_jpeg(base_payload) == decode_jpeg(prog_payload)).all()
+
+
+def test_jpeg_progressive_grayscale_and_dc_restarts():
+    from tts_etl_pipeline_spark.functions.jpeg import (
+        decode_jpeg,
+        decode_jpeg_coefficients,
+    )
+
+    img = _jpeg_test_img(h=16, w=16, seed=5)
+    payload, coefs = _encode_jpeg_progressive(img, gray=True)
+    _, _, got = decode_jpeg_coefficients(payload)
+    assert (got[0] == coefs[0]).all()
+    out = decode_jpeg(payload)
+    assert out.shape == (16, 16, 3)
+    # restart markers inside the progressive DC scan
+    payload, coefs = _encode_jpeg_progressive(img, restart_interval=2)
+    _, _, got = decode_jpeg_coefficients(payload)
+    for ci in range(3):
+        assert (got[ci] == coefs[ci]).all(), ci

@@ -12,12 +12,13 @@ Codec coverage in this runtime (no PIL/opencv/ffmpeg available):
   YUV4MPEG2 (.y4m) video (header probe + luma-plane frame sampling),
   GIF87a/89a (functions/gif.py — LZW, interlace, local/global color
   tables, multi-frame structural probe),
-  and baseline sequential JPEG (functions/jpeg.py — dependency-free
-  T.81 Huffman+DCT decoder, r5: generic DQT/DHT, restart markers,
-  4:4:4 and chroma-subsampled frames).
-- STUBBED: the remaining compressed codecs (progressive JPEG,
-  H.264/VP9) raise NotImplementedError with the hash-seeded
-  deterministic fake as the documented fallback.
+  and JPEG — baseline AND progressive (functions/jpeg.py —
+  dependency-free T.81 Huffman+DCT decoder, r5: generic DQT/DHT,
+  restart markers, 4:4:4 and chroma-subsampled frames, SOF2
+  spectral-selection + successive-approximation multi-scan decode).
+- STUBBED: video codecs beyond y4m (H.264/VP9) raise
+  NotImplementedError with the hash-seeded deterministic fake as the
+  documented fallback.
 Everything Spark-side is real and tested either way: schemas, batch
 iteration, chunked processing, partition sizing, and the 2 GB-per-row
 ceiling guard.
@@ -29,8 +30,8 @@ Scale posture (SURVEY §7 hard-part 6):
 - oversized payloads are chunked into multiple rows (chunk_idx) far below
   Spark's 2 GB column-value hard limit;
 - WAV audio (the reference's modality) gets a REAL decode via the stdlib-
-  wave path shared with audio/decode.py; BMP/PNG/GIF/baseline-JPEG/y4m are
-  real too — only progressive-JPEG/H.264 remain stubbed.
+  wave path shared with audio/decode.py; BMP/PNG/GIF/JPEG (baseline +
+  progressive)/y4m are real too — only H.264-class video remains stubbed.
 """
 
 from __future__ import annotations
@@ -372,10 +373,11 @@ def decode_image(content: bytes) -> np.ndarray:
     """Decode an image payload to an HxWx3 uint8 RGB array.
 
     Real paths: uncompressed 24-bit BMP, full-spec PNG (depths 1-16,
-    palette, Adam7 — see decode_png), and baseline sequential JPEG
-    (functions/jpeg.py — dependency-free T.81 decoder: generic DQT/DHT
-    parsing, restart markers, 4:4:4 and ≤2x2 subsampling). Progressive
-    JPEG still raises — callers fall back to fake_image_features."""
+    palette, Adam7 — see decode_png), GIF87a/89a (functions/gif.py), and
+    JPEG — baseline AND progressive SOF2 (functions/jpeg.py: generic
+    DQT/DHT parsing, restart markers, 4:4:4 and ≤2x2 subsampling,
+    multi-scan spectral-selection/successive-approximation decode).
+    Arithmetic-coded/lossless JPEG still raises."""
     if content[:8] == _PNG_SIG:
         return decode_png(content)
     if content[:2] == b"\xff\xd8":
@@ -388,8 +390,8 @@ def decode_image(content: bytes) -> np.ndarray:
         return decode_gif(content)
     if content[:2] != b"BM":
         raise NotImplementedError(
-            "only BMP, PNG, GIF and baseline JPEG decode in this runtime; "
-            "progressive JPEG / H.264 need PIL/opencv/ffmpeg"
+            "only BMP, PNG, GIF and JPEG decode in this runtime; "
+            "H.264-class video needs ffmpeg"
         )
     import struct
 
