@@ -1137,3 +1137,134 @@ def c12_curriculum_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("difficulty_rank", F.col("difficulty_rank").cast("bigint"))
         .orderBy("position")
     )
+
+
+# ---------------------------------------------------------------------------
+# c13 — the PRETRAINING RECIPE end to end, in one lineage: quality gate →
+# exact dedup (keep the lowest doc_id per normalized-text fingerprint) →
+# temperature mixture downsample (the c9 sqrt-rate, recomputed over the
+# DEDUPED corpus — rates must reflect what survived, not raw masses) →
+# train/val/test split → per-(split, source) document/token budgets. This
+# is the composed artifact a training run actually consumes; c6/c9/c7
+# verify the stages in isolation, c13 verifies the composition (stage
+# coupling is where real pipelines break — e.g. rates computed pre-dedup
+# would over-keep duplicate-heavy sources).
+# Determinism: both keep-rate and split ride md5(doc_id) buckets, but from
+# DISJOINT hex windows (chars 1-4 vs 5-8) — sharing one window would
+# correlate the keep filter with the split assignment and skew train/val
+# ratios of the kept set.
+# Scale shape: ONE documents scan; dedup is the single fact-scale shuffle
+# (fingerprint hash-agg with min_by picks); masses/rates are |sources|
+# broadcast relations; split+report aggregates 3×|sources| groups. The
+# oracle replays the same lineage in SQL (every stage integer/md5-exact).
+# ---------------------------------------------------------------------------
+RECIPE_MIN_TOKENS = 10
+
+
+@_register(
+    "c13_pretraining_recipe",
+    f"""
+    WITH gated AS (
+      SELECT doc_id, source, n_chars,
+             md5(lower(trim(coalesce(text, '')))) AS fp,
+             len(string_split(lower(trim(coalesce(text, ''))), ' ')) AS n_tokens
+      FROM documents
+      WHERE len(string_split(lower(trim(coalesce(text, ''))), ' '))
+              >= {RECIPE_MIN_TOKENS}
+    ),
+    deduped AS (
+      SELECT arg_min(doc_id, doc_id) AS doc_id,
+             arg_min(source, doc_id) AS source,
+             arg_min(n_chars, doc_id) AS n_chars,
+             arg_min(n_tokens, doc_id) AS n_tokens
+      FROM gated GROUP BY fp
+    ),
+    masses AS (
+      SELECT source, CAST(SUM(n_chars) AS BIGINT) AS mass
+      FROM deduped GROUP BY source
+    ),
+    rates AS (
+      SELECT source, mass,
+             CAST(floor(sqrt(CAST((SELECT MIN(mass) FROM masses) AS DOUBLE)
+                             / mass) * 10000) AS BIGINT) AS rate_bp
+      FROM masses
+    ),
+    kept AS (
+      SELECT d.doc_id, d.source, d.n_tokens
+      FROM deduped d JOIN rates r ON d.source = r.source
+      WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)) AS INTEGER)
+              % 10000 < r.rate_bp
+    ),
+    split_assigned AS (
+      SELECT source, n_tokens,
+             CASE WHEN bucket < 80 THEN 'train'
+                  WHEN bucket < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (
+        SELECT source, n_tokens,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 5, 4)) AS INTEGER)
+                 % 100 AS bucket
+        FROM kept
+      )
+    )
+    SELECT split, source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+    FROM split_assigned
+    GROUP BY split, source
+    ORDER BY split, source
+    """,
+)
+def c13_pretraining_recipe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tts_etl_pipeline_spark.functions.checkpoints import materialize
+
+    docs = table(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.coalesce("text", F.lit(""))))
+    n_tokens = F.size(F.split(norm, " "))
+    gated = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.md5(norm).alias("fp"),
+        n_tokens.alias("n_tokens"),
+    ).filter(F.col("n_tokens") >= RECIPE_MIN_TOKENS)
+    deduped = materialize(
+        gated.groupBy("fp").agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min_by("source", "doc_id").alias("source"),
+            F.min_by("n_chars", "doc_id").alias("n_chars"),
+            F.min_by("n_tokens", "doc_id").alias("n_tokens"),
+        )
+    )
+    masses = deduped.groupBy("source").agg(F.sum("n_chars").cast("bigint").alias("mass"))
+    mass_min = masses.agg(F.min("mass").alias("mass_min"))
+    rates = masses.crossJoin(F.broadcast(mass_min)).select(
+        "source",
+        F.floor(F.sqrt(F.col("mass_min").cast("double") / F.col("mass")) * 10000)
+        .cast("bigint")
+        .alias("rate_bp"),
+    )
+    keep_bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % 10000
+    )
+    split_bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 5, 4), 16, 10)
+        .cast("long")
+        % 100
+    )
+    split = (
+        F.when(split_bucket < 80, "train").when(split_bucket < 90, "val").otherwise("test")
+    )
+    return (
+        deduped.join(F.broadcast(rates), "source")
+        .filter(keep_bucket < F.col("rate_bp"))
+        .select(split.alias("split"), "source", "n_tokens")
+        .groupBy("split", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        )
+        .orderBy("split", "source")
+    )

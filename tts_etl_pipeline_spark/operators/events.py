@@ -739,3 +739,53 @@ def h3_hourly_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# h4 — LTTB series downsampling (functions/lttb.py; Steinarsson 2013):
+# each event type's hourly mean-value series is decimated to H4_POINTS
+# shape-preserving points — the operator every time-series dashboard runs
+# between the rollup (h1/h2) and the chart. Per-series kernel via
+# applyInPandas: ONE shuffle on the series key; each series sorts and
+# decimates executor-side (a series is calendar-bounded — the same
+# fits-one-task contract as any per-key window). Rows-only by design
+# (bucket argmax selection is iterative); tests/test_lttb.py pins the
+# kernel against an independent loop reference, and
+# tests/test_events_h4.py pins the query against a driver-side replay of
+# the same series.
+# ---------------------------------------------------------------------------
+H4_POINTS = 24
+
+
+@_register("h4_lttb_downsample", None)
+def h4_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from tts_etl_pipeline_spark.functions.lttb import lttb
+
+    ev = table(spark, sf_dir, "events").select("ts", "event_type", "value")
+    hourly = (
+        ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("hour"))
+        .agg(F.round(F.avg("value"), 6).alias("avg_value"))
+    )
+
+    def downsample(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("hour").reset_index(drop=True)
+        x = pdf["hour"].astype("int64").to_numpy(dtype="float64")
+        idx = lttb(x, pdf["avg_value"].to_numpy(), H4_POINTS)
+        out = pdf.iloc[idx][["event_type", "hour", "avg_value"]].copy()
+        out["point_idx"] = range(len(idx))
+        return out
+
+    schema = "event_type string, hour timestamp, avg_value double, point_idx long"
+    return (
+        hourly.groupBy("event_type")
+        .applyInPandas(downsample, schema)
+        .select(
+            "event_type",
+            "point_idx",
+            F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "avg_value",
+        )
+        .orderBy("event_type", "point_idx")
+    )
