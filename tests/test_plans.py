@@ -501,3 +501,15 @@ def test_t20_vocab_join_not_hint_forced_topk_takeordered(spark, sf_dir):
         assert "BroadcastHashJoin" not in plan, plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_e10_one_user_shuffle_no_joins(spark, sf_dir):
+    """e10's chained pattern windows must all consume ONE user_id
+    hashpartitioning Exchange (the e8 as-of idiom, stacked); no Join node
+    anywhere — a per-hop inequality join would be quadratic per user."""
+    from tts_etl_pipeline_spark.operators.events import e10_funnel_pattern_match
+
+    df = e10_funnel_pattern_match(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "Join" not in plan, plan
+    assert plan.count("hashpartitioning(user_id") == 1, plan

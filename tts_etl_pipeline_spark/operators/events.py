@@ -789,3 +789,139 @@ def h4_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "point_idx")
     )
+
+# ---------------------------------------------------------------------------
+# e10 — sequence PATTERN matching (the CEP / MATCH_RECOGNIZE shape Spark
+# lacks natively, the Flink-style "A then B then C with conditions"
+# query): count purchases completing the strict funnel
+#     view → click → purchase
+# where each hop happens within 24 hours of the next and NO error event
+# occurs between the VIEW and the purchase. Expressed declaratively as
+# stacked per-user ordered carry windows (the e8 as-of idiom, chained):
+#   pass 1: at every row, carry the last view's ts AND the error count
+#           seen strictly before that view;
+#   pass 2: at every row, carry the last click's ts plus the view state
+#           it saw (ts + error count) — chaining the pattern;
+#   match:  at a purchase, check both hop deadlines and that the running
+#           error count equals the one captured before the view.
+# ONE user_id hash Exchange feeds every window; the rollup is day-sized.
+# A row-matching NFA (applyInPandasWithState) is the general-regex
+# fallback; for fixed patterns this window form stays JVM-side — the
+# scale path.
+# ---------------------------------------------------------------------------
+@_register(
+    "e10_funnel_pattern_match",
+    """
+    WITH base AS (
+      SELECT user_id, ts, event_id, event_type,
+             SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS err_before,
+             last_value(CASE WHEN event_type = 'view' THEN ts END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS view_ts
+      FROM events
+    ),
+    v AS (
+      SELECT *,
+             last_value(CASE WHEN event_type = 'view' THEN err_before END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS view_err
+      FROM base
+    ),
+    c AS (
+      SELECT user_id, ts, event_type, err_before,
+             last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+               OVER w AS click_ts,
+             last_value(CASE WHEN event_type = 'click' THEN view_ts END IGNORE NULLS)
+               OVER w AS click_view_ts,
+             last_value(CASE WHEN event_type = 'click' THEN view_err END IGNORE NULLS)
+               OVER w AS click_view_err
+      FROM v
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_funnel_purchases,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM c
+    WHERE event_type = 'purchase'
+      AND click_ts IS NOT NULL
+      AND date_diff('second', click_ts, ts) BETWEEN 0 AND 86400
+      AND click_view_ts IS NOT NULL
+      AND date_diff('second', click_view_ts, click_ts) BETWEEN 0 AND 86400
+      AND err_before - click_view_err = 0
+    GROUP BY day
+    ORDER BY day
+    """,
+)
+def e10_funnel_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    ev = table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w_prev = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    w_cur = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    is_err = (F.col("event_type") == "error").cast("long")
+    base = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        (F.sum(is_err).over(w_cur) - is_err).alias("err_before"),
+        F.last(F.when(F.col("event_type") == "view", F.col("ts")), ignorenulls=True)
+        .over(w_prev)
+        .alias("view_ts"),
+    )
+    v = base.withColumn(
+        "view_err",
+        F.last(
+            F.when(F.col("event_type") == "view", F.col("err_before")),
+            ignorenulls=True,
+        ).over(w_prev),
+    )
+    click = F.col("event_type") == "click"
+    c = v.select(
+        "user_id",
+        "ts",
+        "event_type",
+        "err_before",
+        F.last(F.when(click, F.col("ts")), ignorenulls=True).over(w_prev).alias("click_ts"),
+        F.last(F.when(click, F.col("view_ts")), ignorenulls=True)
+        .over(w_prev)
+        .alias("click_view_ts"),
+        F.last(F.when(click, F.col("view_err")), ignorenulls=True)
+        .over(w_prev)
+        .alias("click_view_err"),
+    )
+    epoch = lambda col: F.unix_micros(col.cast("timestamp"))  # noqa: E731
+    sec = lambda a, b: (epoch(b) - epoch(a)) / 1000000  # noqa: E731
+    matched = c.filter(
+        (F.col("event_type") == "purchase")
+        & F.col("click_ts").isNotNull()
+        & sec(F.col("click_ts"), F.col("ts")).between(0, 86400)
+        & F.col("click_view_ts").isNotNull()
+        & sec(F.col("click_view_ts"), F.col("click_ts")).between(0, 86400)
+        & ((F.col("err_before") - F.col("click_view_err")) == 0)
+    )
+    return (
+        matched.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_funnel_purchases"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n_funnel_purchases",
+            "n_users",
+        )
+        .orderBy("day")
+    )
