@@ -74,6 +74,12 @@ HEADLINE = [
     "e9_event_transitions",
     "h3_hourly_gap_audit",
     "c12_curriculum_interleave",
+    # r5 additions, fifth batch — new shapes: chained CEP carry windows;
+    # integer dot-product data selection; grid-bucketed interval join
+    # (BASELINE.md "round 5" notes)
+    "e10_funnel_pattern_match",
+    "t20_dsir_target_affinity",
+    "r2_interval_overlap_join",
 ]
 
 
