@@ -1268,3 +1268,101 @@ def c13_pretraining_recipe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split", "source")
     )
+
+
+# ---------------------------------------------------------------------------
+# dq7 — declarative CONSTRAINT SUITE (the Deequ/Great-Expectations shape):
+# a battery of data-contract checks over orders compiled into ONE
+# conditional aggregation pass — completeness (no NULL keys), domain
+# membership (priority/status in their enums), range (positive totals,
+# dates inside the fixture window), and referential shape (custkey > 0) —
+# plus the one check that genuinely needs a second aggregate, key
+# uniqueness (distinct orderkey count). Output: one row per constraint
+# with its violation count and verdict, the artifact a data-contract
+# gate consumes.
+# Scale shape: one orders scan feeds a single partial/final agg (every
+# violation counter is a SUM(CASE)); uniqueness rides the same scan via
+# countDistinct in the same agg (Spark plans distinct-agg expansion, one
+# extra Exchange); the per-constraint report is a constant-width unpivot
+# of the 1-row aggregate — no second scan (pinned by the scan sweep).
+# ---------------------------------------------------------------------------
+@_register(
+    "dq7_constraint_suite",
+    """
+    WITH agg AS (
+      SELECT
+        COUNT(*) AS n_rows,
+        SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS v_key_null,
+        SUM(CASE WHEN o_custkey IS NULL OR o_custkey <= 0 THEN 1 ELSE 0 END)
+          AS v_custkey,
+        SUM(CASE WHEN CAST(o_totalprice AS DOUBLE) <= 0 THEN 1 ELSE 0 END)
+          AS v_price,
+        SUM(CASE WHEN o_orderpriority NOT IN
+              ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW')
+            THEN 1 ELSE 0 END) AS v_priority,
+        SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END)
+          AS v_status,
+        SUM(CASE WHEN o_orderdate < DATE '1992-01-01'
+                   OR o_orderdate > DATE '1998-12-31' THEN 1 ELSE 0 END)
+          AS v_date,
+        COUNT(*) - COUNT(DISTINCT o_orderkey) AS v_unique
+      FROM orders
+    )
+    SELECT c.constraint_name, CAST(c.n_violations AS BIGINT) AS n_violations,
+           CAST(a.n_rows AS BIGINT) AS n_rows,
+           c.n_violations = 0 AS passed
+    FROM agg a, LATERAL (VALUES
+      ('orderkey_not_null', a.v_key_null),
+      ('orderkey_unique', a.v_unique),
+      ('custkey_positive', a.v_custkey),
+      ('totalprice_positive', a.v_price),
+      ('priority_in_domain', a.v_priority),
+      ('status_in_domain', a.v_status),
+      ('orderdate_in_window', a.v_date)
+    ) AS c(constraint_name, n_violations)
+    ORDER BY c.constraint_name
+    """,
+)
+def dq7_constraint_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    viol = lambda cond: F.sum(F.when(cond, 1).otherwise(0))  # noqa: E731
+    agg = orders.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        viol(F.col("o_orderkey").isNull()).alias("orderkey_not_null"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("orderkey_unique"),
+        viol(F.col("o_custkey").isNull() | (F.col("o_custkey") <= 0)).alias(
+            "custkey_positive"
+        ),
+        viol(F.col("o_totalprice").cast("double") <= 0).alias("totalprice_positive"),
+        viol(
+            ~F.col("o_orderpriority").isin(
+                "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"
+            )
+        ).alias("priority_in_domain"),
+        viol(~F.col("o_orderstatus").isin("O", "F", "P")).alias("status_in_domain"),
+        viol(
+            (F.col("o_orderdate") < F.lit("1992-01-01").cast("date"))
+            | (F.col("o_orderdate") > F.lit("1998-12-31").cast("date"))
+        ).alias("orderdate_in_window"),
+    )
+    names = [
+        "orderkey_not_null",
+        "orderkey_unique",
+        "custkey_positive",
+        "totalprice_positive",
+        "priority_in_domain",
+        "status_in_domain",
+        "orderdate_in_window",
+    ]
+    long = agg.unpivot(
+        ["n_rows"], names, "constraint_name", "n_violations"
+    )
+    return (
+        long.select(
+            "constraint_name",
+            F.col("n_violations").cast("bigint"),
+            F.col("n_rows").cast("bigint"),
+            (F.col("n_violations") == 0).alias("passed"),
+        )
+        .orderBy("constraint_name")
+    )
