@@ -1,0 +1,189 @@
+"""Custom Python DataSources (the Spark 4 `pyspark.sql.datasource` API) —
+the "new source format" slot of the sources family (next to parquet
+loaders, binaryFile media ingest and the streaming file source).
+
+Two sources, both register()-able per session:
+
+- ``jsonl_docs`` — a partition-parallel JSONL reader with REAL filter
+  pushdown: one InputPartition per file (scales out with the file count),
+  and EqualTo filters on declared string/int columns are accepted in
+  pushFilters() and applied inside the source, so Spark's post-scan
+  Filter disappears for them (the PushedFilters contract, reproduced in
+  the Python source API).
+
+- ``synthetic_events`` — a deterministic seeded event generator (batch
+  AND micro-batch stream): the load/scale-testing source every engine
+  needs. Partitions generate disjoint id ranges from a hash-seeded RNG,
+  so output is reproducible at any parallelism; the stream reader pages
+  through the same id space via integer offsets (initialOffset /
+  latestOffset / read), giving an exactly-replayable stream.
+
+Rows are yielded as tuples in schema order — the Arrow-batched path the
+API documents; payload never touches the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    EqualTo,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+JSONL_SCHEMA = "doc_id bigint, lang string, source string, text string"
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class JsonlReader(DataSourceReader):
+    def __init__(self, schema: StructType, options: dict):
+        self.schema = schema
+        self.dir = options["path"]
+        self.pushed: list = []
+
+    def pushFilters(self, filters):
+        # accept EqualTo on declared columns; everything else stays with
+        # Spark (must return the SAME filter objects by reference)
+        names = {f.name for f in self.schema.fields}
+        rest = []
+        for f in filters:
+            if isinstance(f, EqualTo) and len(f.attribute) == 1 and f.attribute[0] in names:
+                self.pushed.append((f.attribute[0], f.value))
+            else:
+                rest.append(f)
+        return rest
+
+    def partitions(self):
+        files = sorted(
+            fn for fn in os.listdir(self.dir) if fn.endswith(".jsonl")
+        )
+        return [_FilePartition(os.path.join(self.dir, fn)) for fn in files]
+
+    def read(self, partition: _FilePartition) -> Iterator[tuple]:
+        cols = [f.name for f in self.schema.fields]
+        with open(partition.path, encoding="utf-8") as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                rec = json.loads(line)
+                if any(rec.get(k) != v for k, v in self.pushed):
+                    continue  # filter applied INSIDE the source
+                yield tuple(rec.get(c) for c in cols)
+
+
+class JsonlDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_docs"
+
+    def schema(self) -> str:
+        return JSONL_SCHEMA
+
+    def reader(self, schema: StructType) -> JsonlReader:
+        return JsonlReader(schema, self.options)
+
+
+# ---------------------------------------------------------------------------
+# synthetic events
+# ---------------------------------------------------------------------------
+SYNTH_SCHEMA = "event_id bigint, user_id bigint, event_type string, value double"
+_TYPES = ["view", "click", "purchase", "signup", "error"]
+
+
+def _synth_row(i: int, seed: int) -> tuple:
+    # splitmix64-style integer hash: deterministic, partition-independent
+    z = (i + seed * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+    z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+    z ^= z >> 31
+    return (
+        i,
+        z % 1000,
+        _TYPES[(z >> 10) % len(_TYPES)],
+        round(((z >> 16) % 100000) / 100.0, 2),
+    )
+
+
+class _RangePartition(InputPartition):
+    def __init__(self, start: int, end: int, seed: int):
+        self.start, self.end, self.seed = start, end, seed
+
+
+class SyntheticReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.n_rows = int(options.get("n_rows", 1000))
+        self.n_parts = int(options.get("n_parts", 4))
+        self.seed = int(options.get("seed", 42))
+
+    def partitions(self):
+        step = (self.n_rows + self.n_parts - 1) // self.n_parts
+        return [
+            _RangePartition(i, min(i + step, self.n_rows), self.seed)
+            for i in range(0, self.n_rows, step)
+        ]
+
+    def read(self, partition: _RangePartition) -> Iterator[tuple]:
+        for i in range(partition.start, partition.end):
+            yield _synth_row(i, partition.seed)
+
+
+class SyntheticStreamReader(DataSourceStreamReader):
+    """Integer-offset micro-batch reader over the same deterministic id
+    space: each batch is [start, start + rows_per_batch), replayable
+    because rows are pure functions of (id, seed)."""
+
+    def __init__(self, options: dict):
+        self.rows_per_batch = int(options.get("rows_per_batch", 100))
+        self.max_rows = int(options.get("n_rows", 1000))
+        self.seed = int(options.get("seed", 42))
+
+    def initialOffset(self) -> dict:
+        return {"offset": 0}
+
+    def latestOffset(self) -> dict:
+        return {"offset": self.max_rows}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = start["offset"], min(end["offset"], self.max_rows)
+        hi = min(hi, lo + self.rows_per_batch * 4)  # bound batch size
+        return [_RangePartition(lo, hi, self.seed)]
+
+    def read(self, partition: _RangePartition) -> Iterator[tuple]:
+        for i in range(partition.start, partition.end):
+            yield _synth_row(i, partition.seed)
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+class SyntheticEventsDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_events"
+
+    def schema(self) -> str:
+        return SYNTH_SCHEMA
+
+    def reader(self, schema: StructType) -> SyntheticReader:
+        return SyntheticReader(self.options)
+
+    def streamReader(self, schema: StructType) -> SyntheticStreamReader:
+        return SyntheticStreamReader(self.options)
+
+
+def register_sources(spark) -> None:
+    # pushFilters() requires the opt-in conf (runtime-settable); a reader
+    # implementing it with the conf off is a hard AnalysisException
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(JsonlDataSource)
+    spark.dataSource.register(SyntheticEventsDataSource)
