@@ -511,3 +511,62 @@ def st10_stream_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("from_type", "to_type")
     )
+
+
+@_register("st11_pyds_stream_counts", None)
+def st11_pyds_stream_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming aggregation over the CUSTOM Python DataSource
+    (sources/pyds.py `synthetic_events` — the Spark 4 datasource API):
+    a real micro-batch run pages through the deterministic id space via
+    integer offsets (multiple batches, availableNow), and the complete-
+    mode per-type rollup must equal the closed-form recount of the same
+    generator — proving the custom source's offsets/partitions/read
+    contract end to end, not just its batch path. Rows-only by design
+    (generator-based input, the p1/m2 precedent; exactness is pinned in
+    tests/test_pyds_stream_query.py against the pure generator).
+    `sf_dir` is unused (the uniform query signature). Value sums ride
+    integer cents so the fold is order-independent (the st8 discipline)."""
+    import tempfile
+
+    from tts_etl_pipeline_spark.sources.pyds import register_sources
+
+    register_sources(spark)
+    n_rows = 2000
+    stream = (
+        spark.readStream.format("synthetic_events")
+        .option("n_rows", n_rows)
+        .option("rows_per_batch", 250)
+        .option("seed", 11)
+        .load()
+    )
+    # countDistinct is illegal in streaming aggs (the st1 note) — the
+    # distinct-user figure lives in the batch twin; min/max ids are the
+    # order-independent picks that still prove full-id-space coverage
+    agg = stream.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+        F.sum((F.col("value") * 100).cast("long")).alias("value_cents"),
+    )
+    with tempfile.TemporaryDirectory(prefix="st11_ckpt_") as ckpt:
+        name = "st11_pyds"
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = spark.table(name).localCheckpoint(eager=True)
+    return (
+        out.select(
+            "event_type",
+            "n_events",
+            "min_id",
+            "max_id",
+            (F.col("value_cents").cast("double") / 100).alias("total_value"),
+        )
+        .orderBy("event_type")
+    )

@@ -154,9 +154,17 @@ class SyntheticStreamReader(DataSourceStreamReader):
         return {"offset": self.max_rows}
 
     def partitions(self, start: dict, end: dict):
+        # the [start, end) range is a COMMITTED contract — truncating it
+        # here would silently drop rows (the engine advances to `end`
+        # regardless); batch-size control belongs in latestOffset. Large
+        # ranges split into rows_per_batch-sized partitions for
+        # parallelism instead.
         lo, hi = start["offset"], min(end["offset"], self.max_rows)
-        hi = min(hi, lo + self.rows_per_batch * 4)  # bound batch size
-        return [_RangePartition(lo, hi, self.seed)]
+        step = max(1, self.rows_per_batch)
+        return [
+            _RangePartition(i, min(i + step, hi), self.seed)
+            for i in range(lo, hi, step)
+        ] or [_RangePartition(lo, lo, self.seed)]
 
     def read(self, partition: _RangePartition) -> Iterator[tuple]:
         for i in range(partition.start, partition.end):
