@@ -1129,3 +1129,155 @@ def test_jpeg_progressive_grayscale_and_dc_restarts():
     _, _, got = decode_jpeg_coefficients(payload)
     for ci in range(3):
         assert (got[ci] == coefs[ci]).all(), ci
+
+
+def test_gif_gce_transparency_shows_background():
+    import numpy as np
+
+    from tts_etl_pipeline_spark.functions.gif import decode_gif, encode_gif, gif_meta
+
+    rng = np.random.default_rng(41)
+    palette = rng.integers(1, 255, size=(8, 3), dtype=np.uint8)
+    img = palette[rng.integers(0, 8, size=(6, 9))]
+    blob = bytearray(encode_gif(img))
+    # image descriptor offset, computed STRUCTURALLY (a palette byte can
+    # coincidentally be 0x2C): header(13) + global color table size
+    n_gct = 2 << (blob[10] & 0x07)
+    idx_img = 13 + n_gct * 3
+    assert blob[idx_img] == 0x2C
+    # palette index used at pixel (0, 0): mark it transparent via a GCE.
+    # The index must come from the FILE's color table (encode_gif builds
+    # its own np.unique-ordered palette), so read it out of the blob.
+    base = decode_gif(bytes(blob))
+    gct = np.frombuffer(bytes(blob[13:idx_img]), np.uint8).reshape(-1, 3)
+    t_idx = next(i for i, c in enumerate(gct) if (c == base[0, 0]).all())
+    gce = bytes([0x21, 0xF9, 0x04, 0x01, 0x00, 0x00, t_idx, 0x00])
+    blob2 = bytes(blob[:idx_img]) + gce + bytes(blob[idx_img:])
+    out = decode_gif(blob2)
+    assert gif_meta(blob2)["n_frames"] == 1
+    # transparent pixels show the background (index 0 of the GCT = the
+    # encoder's background fill = palette entry of the canvas), not the
+    # palette color; opaque pixels unchanged
+    t_color = gct[t_idx]
+    trans_mask = (base == t_color).all(axis=2)
+    assert trans_mask.any()
+    # transparent pixels show the canvas background (GCT entry of the
+    # screen descriptor's bg index = gct[0] here), not the palette color
+    assert (out[trans_mask] == gct[0]).all()
+    assert (out[~trans_mask] == base[~trans_mask]).all()
+
+
+def test_jpeg_sequential_noninterleaved_scans():
+    """Spec-legal baseline variant (T.81 A.2.2): three ns=1 sequential
+    scans over a 4:2:0 frame whose luma TRUE block grid (3x3 for 24x24)
+    is smaller than its MCU-padded grid (4x4) — decoding the padded grid
+    would desync the stream. Pixels must equal the interleaved encoding
+    of the same quantized coefficients."""
+    import struct
+
+    from tts_etl_pipeline_spark.functions.jpeg import (
+        ZIGZAG,
+        dct8x8,
+        decode_jpeg,
+        decode_jpeg_coefficients,
+    )
+
+    img = _jpeg_test_img(h=24, w=24, seed=12)
+    q_luma, q_chroma, zz = _jpeg_tables()
+    h, w = 24, 24
+    r, g, b = (img[..., i].astype(np.float64) for i in range(3))
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    cb = cb.reshape(12, 2, 12, 2).mean(axis=(1, 3))
+    cr = cr.reshape(12, 2, 12, 2).mean(axis=(1, 3))
+    planes = [y, cb, cr]
+    quants = [q_luma, q_chroma, q_chroma]
+    samp = [(2, 2), (1, 1), (1, 1)]
+
+    # per-component TRUE grids + quantized coefficients
+    comp_coefs = []
+    for p, q in zip(planes, quants):
+        ph, pw = p.shape
+        by_n, bx_n = (ph + 7) // 8, (pw + 7) // 8
+        pp = np.pad(p, ((0, by_n * 8 - ph), (0, bx_n * 8 - pw)), mode="edge")
+        cz = np.zeros((by_n, bx_n, 64), dtype=np.int64)
+        for by in range(by_n):
+            for bx in range(bx_n):
+                blk = pp[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                cz[by, bx] = np.round(dct8x8(blk) / q).astype(np.int64).flatten()[zz]
+        comp_coefs.append(cz)
+    assert comp_coefs[0].shape[:2] == (3, 3)  # true luma grid, not 4x4
+
+    dc_bits = [0] * 16
+    dc_bits[3] = 12
+    ac_bits = [0] * 16
+    ac_bits[8] = 254
+    ac_bits[9] = 2
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    def dqt(tid, q):
+        z = np.zeros(64, dtype=np.int64)
+        z[:] = q.flatten()[zz]
+        return seg(0xDB, bytes([tid]) + bytes(int(v) for v in z))
+
+    body = bytearray(b"\xff\xd8")
+    body += dqt(0, q_luma) + dqt(1, q_chroma)
+    body += seg(0xC4, bytes([0x00]) + bytes(dc_bits) + bytes(range(12)))
+    body += seg(0xC4, bytes([0x10]) + bytes(ac_bits) + bytes(range(256)))
+    sof_comps = b"".join(
+        bytes([ci + 1, (hs << 4) | vs, 0 if ci == 0 else 1])
+        for ci, (hs, vs) in enumerate(samp)
+    )
+    body += seg(0xC0, struct.pack(">BHHB", 8, h, w, 3) + sof_comps)
+    for ci, cz in enumerate(comp_coefs):
+        wtr = _BitWriter()
+        pred = 0
+        for by in range(cz.shape[0]):
+            for bx in range(cz.shape[1]):
+                zzc = cz[by, bx]
+                diff = int(zzc[0]) - pred
+                pred = int(zzc[0])
+                sz = _cat(diff)
+                wtr.write(sz, 4)
+                if sz:
+                    wtr.write(_mag(diff, sz), sz)
+                run = 0
+                last_nz = max([k for k in range(1, 64) if zzc[k]], default=0)
+                for k in range(1, last_nz + 1):
+                    v = int(zzc[k])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run >= 16:
+                        wtr.write(0xF0, 9)
+                        run -= 16
+                    sz = _cat(v)
+                    rs = (run << 4) | sz
+                    if rs < 254:
+                        wtr.write(rs, 9)
+                    else:
+                        wtr.write(508 + (rs - 254), 10)
+                    wtr.write(_mag(v, sz), sz)
+                    run = 0
+                if last_nz < 63:
+                    wtr.write(0x00, 9)
+        wtr.flush()
+        body += seg(0xDA, bytes([1, ci + 1, 0x00, 0, 63, 0]))
+        body += bytes(wtr.out)
+    body += b"\xff\xd9"
+
+    _, _, got = decode_jpeg_coefficients(bytes(body))
+    for ci in range(3):
+        # decoder stores into the MCU-padded array; the true-grid corner
+        # must match, padding blocks stay zero
+        tg = comp_coefs[ci]
+        assert (got[ci][: tg.shape[0], : tg.shape[1]] == tg).all(), ci
+    out = decode_jpeg(bytes(body))
+    assert out.shape == (24, 24, 3)
+    # cross-check pixels vs the standard interleaved encoder of the SAME image
+    base_payload, *_ = _encode_jpeg(img, subsample=True)
+    base = MM.decode_image(base_payload)
+    assert (out == base).all()

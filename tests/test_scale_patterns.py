@@ -376,17 +376,14 @@ def test_zorder_prunes_on_both_columns(spark, sf_dir, tmp_path):
     import datetime
 
     # footer stats surface DATE columns as datetimes — compare like for like
-    probe = next(r["o_orderdate"] for r in file_column_ranges(lin, cols) if r.get("o_orderdate"))
+    probe = next(r["o_orderdate"] for r in lin_ranges if r.get("o_orderdate"))
     mk = (
         datetime.datetime
         if isinstance(probe[0], datetime.datetime)
         else datetime.date
     )
     date_lo, date_hi = mk(1994, 1, 1), mk(1994, 10, 1)
-    ck = [r["o_custkey"] for r in orders.agg(
-        F.min("o_custkey").alias("o_custkey")).collect()]
-    ck_min = orders.agg(F.min("o_custkey")).collect()[0][0]
-    ck_max = orders.agg(F.max("o_custkey")).collect()[0][0]
+    ck_min, ck_max = orders.agg(F.min("o_custkey"), F.max("o_custkey")).collect()[0]
     span = (ck_max - ck_min) // 8
     ck_lo, ck_hi = ck_min + 3 * span, ck_min + 4 * span
 

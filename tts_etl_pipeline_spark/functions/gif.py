@@ -163,8 +163,12 @@ def _walk(content: bytes):
             return
         if b == 0x21:  # extension: label + sub-blocks
             label = content[p]
-            p = _skip_subblocks(content, p + 1)
-            yield "ext", label
+            if label == 0xF9:  # Graphic Control Extension: keep the payload
+                gce, p = _read_subblocks(content, p + 1)
+                yield "gce", gce
+            else:
+                p = _skip_subblocks(content, p + 1)
+                yield "ext", label
         elif b == 0x2C:  # image descriptor
             left, top, w, h, ipacked = struct.unpack_from("<HHHHB", content, p)
             p += 9
@@ -200,13 +204,20 @@ def decode_gif(content: bytes) -> np.ndarray:
     """Decode the FIRST frame onto the logical-screen canvas as HxWx3 RGB.
 
     The canvas initializes to the background color (or black without a
-    GCT); the frame rectangle (left/top offsets) pastes over it —
-    animation composition beyond frame 1 is out of scope (the metadata
+    GCT); the frame rectangle (left/top offsets) pastes over it, and a
+    preceding Graphic Control Extension's transparent index (GIF89a) is
+    honored — transparent pixels leave the canvas showing through.
+    Animation composition beyond frame 1 is out of scope (the metadata
     probe still counts all frames)."""
     screen = None
+    transparent = None
     for kind, payload in _walk(content):
         if kind == "screen":
             screen = payload
+        elif kind == "gce":
+            # packed byte bit 0 = transparent-color flag; byte 3 = index
+            if len(payload) >= 4 and payload[0] & 0x01:
+                transparent = payload[3]
         elif kind == "image":
             gct = screen["gct"]
             palette = payload["lct"] if payload["lct"] is not None else gct
@@ -231,7 +242,12 @@ def decode_gif(content: bytes) -> np.ndarray:
             if gct is not None and screen["bg"] < len(gct):
                 canvas[:, :] = gct[screen["bg"]]
             top, left = payload["top"], payload["left"]
-            canvas[top : top + h, left : left + w] = frame
+            if transparent is not None:
+                opaque = rows != transparent
+                region = canvas[top : top + h, left : left + w]
+                region[opaque] = frame[opaque]
+            else:
+                canvas[top : top + h, left : left + w] = frame
             return canvas
     raise ValueError("GIF contains no image block")
 

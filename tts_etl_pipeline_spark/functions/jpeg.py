@@ -410,8 +410,9 @@ def decode_jpeg_coefficients(content: bytes):
             pred = {cid: 0 for cid, _, _ in sel}
             eobrun = 0
 
-        if len(sel) > 1 or not progressive:
-            # interleaved MCU order (baseline always; progressive DC scans)
+        if len(sel) > 1:
+            # interleaved MCU order (multi-component sequential scans;
+            # progressive DC scans)
             unit = 0
             for my in range(mcuy):
                 for mx in range(mcux):
@@ -441,7 +442,12 @@ def decode_jpeg_coefficients(content: bytes):
                                     )
                     unit += 1
         else:
-            # single-component scan over the component's own block grid
+            # single-component scan over the component's OWN block grid —
+            # T.81 A.2.2: a non-interleaved scan covers ceil(cw/8) ×
+            # ceil(ch/8) blocks of that component, NOT the MCU-padded
+            # grid (sequential ns=1 scans are spec-legal too, and a
+            # subsampled component's true grid is smaller than its padded
+            # one — decoding the padded grid would desync the stream)
             cid, dt, at = sel[0]
             ci = cindex[cid]
             by_n, bx_n = nblocks[ci]
@@ -451,7 +457,11 @@ def decode_jpeg_coefficients(content: bytes):
                     if ri and unit and unit % ri == 0:
                         restart()
                     zz = coefs[ci][by, bx]
-                    if ss == 0 and ah == 0:  # DC first (non-interleaved)
+                    if not progressive:  # sequential full-band block
+                        pred[cid] = _decode_block_baseline(
+                            reader, dc_tabs[dt], ac_tabs[at], pred[cid], zz
+                        )
+                    elif ss == 0 and ah == 0:  # DC first (non-interleaved)
                         size = dc_tabs[dt].decode(reader)
                         diff = _extend(reader.bits(size), size)
                         pred[cid] += diff

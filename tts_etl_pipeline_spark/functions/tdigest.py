@@ -50,13 +50,17 @@ class TDigest:
     # -- building ----------------------------------------------------------
     def add_batch(self, values: np.ndarray, weights: np.ndarray | None = None):
         values = np.asarray(values, dtype=np.float64)
-        values = values[~np.isnan(values)]
+        mask = ~np.isnan(values)
+        if weights is not None:
+            # drop the SAME positions from weights, or the buffers misalign
+            weights = np.asarray(weights, dtype=np.float64)[mask]
+        values = values[mask]
         if values.size == 0:
             return
         if weights is None:
             weights = np.ones_like(values)
         self._buf_means.append(values)
-        self._buf_weights.append(np.asarray(weights, dtype=np.float64))
+        self._buf_weights.append(weights)
         # keep the buffer bounded so memory stays O(compression)
         if sum(a.size for a in self._buf_means) > 32 * int(self.compression):
             self.compress()

@@ -1112,7 +1112,11 @@ def c11_dataset_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, source, n_chars, difficulty_rank,
              ROW_NUMBER() OVER (ORDER BY difficulty_rank, source) AS position
       FROM ranked
-      WHERE difficulty_rank <= 4  -- ceil(50 / 20 sources) + 1: covers 50 rows
+      -- cap derived from the REAL source count: ceil(50/|sources|) + 1
+      -- always covers 50 positions whatever the fixture's source fanout
+      WHERE difficulty_rank <=
+        CAST(ceil(50.0 / (SELECT COUNT(DISTINCT source) FROM documents))
+             AS BIGINT) + 1
     )
     SELECT position, doc_id, source, n_chars, difficulty_rank
     FROM ordered
@@ -1124,11 +1128,15 @@ def c12_curriculum_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
 
     docs = table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    # control-plane scalar: the cap must track the real source fanout, or
+    # a low-fanout fixture silently yields fewer than 50 positions
+    n_sources = docs.select("source").distinct().count()
+    cap = -(-50 // n_sources) + 1  # ceil(50/n) + 1
     w_src = W.partitionBy("source").orderBy("n_chars", "doc_id")
     ranked = docs.withColumn("difficulty_rank", F.row_number().over(w_src))
     # two-phase: cap per source before the global (unpartitioned) position
-    # window — 4 ranks x 20 sources = 80 rows enter the single-task sort.
-    head = ranked.filter(F.col("difficulty_rank") <= 4)
+    # window — cap × |sources| (< ~2×50 + |sources|) rows enter that sort.
+    head = ranked.filter(F.col("difficulty_rank") <= cap)
     w_pos = W.orderBy("difficulty_rank", "source")
     return (
         head.withColumn("position", F.row_number().over(w_pos).cast("bigint"))

@@ -539,12 +539,10 @@ def _fake_feature(content_hash: str, dim: int) -> np.ndarray:
 def extract_features(media_df: DataFrame, dim: int = 64) -> DataFrame:
     """Per-modality feature extraction over chunk-0 rows (payload head).
 
-    audio/WAV, image/BMP+PNG+baseline-JPEG, video/y4m: REAL paths —
-    decode (stdlib wave / numpy BMP / zlib PNG / T.81 JPEG / y4m luma
-    sampling), mean/std/energy stats prepended to the hash-seeded
-    embedding tail.
-    compressed codecs (progressive JPEG/H.264): stubbed -> hash-seeded
-    fake only.
+    audio/WAV (incl. G.711/ADPCM), image/BMP+PNG+GIF+JPEG (baseline AND
+    progressive), video/y4m: REAL paths — decode, then mean/std/energy
+    stats prepended to the hash-seeded embedding tail.
+    H.264-class video: stubbed -> hash-seeded fake only.
     """
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -470,9 +470,12 @@ def st10_stream_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         (user_id,) = key
         last_key, last_type = state.get if state.exists else (None, None)
         deltas: dict[tuple[str, str], int] = {}
-        for pdf in pdfs:
-            pdf = pdf.sort_values("ord_key")
-            for ok, et in zip(pdf["ord_key"], pdf["event_type"]):
+        # a group's rows may arrive as SEVERAL Arrow chunks (maxRecordsPerBatch)
+        # with no global order — concatenate first, sort ONCE, then walk
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            whole = pd.concat(chunks, ignore_index=True).sort_values("ord_key")
+            for ok, et in zip(whole["ord_key"], whole["event_type"]):
                 if last_type is not None:
                     pair = (last_type, et)
                     deltas[pair] = deltas.get(pair, 0) + 1

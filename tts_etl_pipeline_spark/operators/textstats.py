@@ -1136,8 +1136,12 @@ def bpe_train_from_histogram(
     return merges
 
 
-@_register("t17_bpe_merge_training", None)
-def t17_bpe_merge_training(spark: SparkSession, sf_dir: str) -> DataFrame:
+def train_corpus_merges(
+    spark: SparkSession, sf_dir: str
+) -> list[tuple[int, str, str, int]]:
+    """Shared t17/t19 training path: distributed word histogram (one token
+    shuffle, TakeOrdered-bounded collect) + driver merge iteration — ONE
+    definition so the train/encode pair can never drift apart."""
     docs = table(spark, sf_dir, "documents")
     hist = (
         token_stream(docs)
@@ -1147,9 +1151,12 @@ def t17_bpe_merge_training(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(BPE_MAX_WORDS)
         .collect()
     )
-    merges = bpe_train_from_histogram(
-        [(r["token"], r["c"]) for r in hist], BPE_N_MERGES
-    )
+    return bpe_train_from_histogram([(r["token"], r["c"]) for r in hist], BPE_N_MERGES)
+
+
+@_register("t17_bpe_merge_training", None)
+def t17_bpe_merge_training(spark: SparkSession, sf_dir: str) -> DataFrame:
+    merges = train_corpus_merges(spark, sf_dir)
     return spark.createDataFrame(
         merges, "merge_idx bigint, left string, right string, pair_count bigint"
     ).orderBy("merge_idx")
@@ -1275,18 +1282,7 @@ def bpe_encode_word(word: str, merges: list[tuple[str, str]]) -> list[str]:
 @_register("t19_bpe_encode", None)
 def t19_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    hist = (
-        token_stream(docs)
-        .groupBy("token")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-        .orderBy(F.desc("c"), "token")
-        .limit(BPE_MAX_WORDS)
-        .collect()
-    )
-    merge_rows = bpe_train_from_histogram(
-        [(r["token"], r["c"]) for r in hist], BPE_N_MERGES
-    )
-    merges = [(left, right) for _, left, right, _ in merge_rows]
+    merges = [(left, right) for _, left, right, _ in train_corpus_merges(spark, sf_dir)]
     bc = spark.sparkContext.broadcast(merges)
 
     def encode(batches):
@@ -1295,7 +1291,15 @@ def t19_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             n_words, n_toks = [], []
             for text in pdf["text"]:
-                words = str(text or "").strip().lower().split(" ")
+                if text is None:
+                    # token_stream drops NULL texts (explode of NULL) —
+                    # count them as zero words, not one empty token
+                    n_words.append(0)
+                    n_toks.append(0)
+                    continue
+                # the CANONICAL tokenization (token_stream): trim strips
+                # SPACES only (not \t), then lower, then split on ' '
+                words = str(text).strip(" ").lower().split(" ")
                 nw = len(words)
                 nt = 0
                 for w in words:
