@@ -538,7 +538,7 @@ def st11_pyds_stream_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = (
         spark.readStream.format("synthetic_events")
         .option("n_rows", n_rows)
-        .option("rows_per_batch", 250)
+        .option("rows_per_batch", 500)
         .option("seed", 11)
         .load()
     )
