@@ -1130,7 +1130,9 @@ def c12_curriculum_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
     # control-plane scalar: the cap must track the real source fanout, or
     # a low-fanout fixture silently yields fewer than 50 positions
-    n_sources = docs.select("source").distinct().count()
+    # max(1, …): an empty documents table must yield an empty schedule,
+    # not a division-by-zero (pinned by tests/test_empty_tables.py)
+    n_sources = max(1, docs.select("source").distinct().count())
     cap = -(-50 // n_sources) + 1  # ceil(50/n) + 1
     w_src = W.partitionBy("source").orderBy("n_chars", "doc_id")
     ranked = docs.withColumn("difficulty_rank", F.row_number().over(w_src))
