@@ -1,0 +1,81 @@
+"""Versioned parquet tables (sources/versioned.py): snapshot isolation,
+time travel, rollback, vacuum safety."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from tts_etl_pipeline_spark.sources.versioned import (
+    current_version,
+    history,
+    read_version,
+    rollback,
+    vacuum,
+    write_version,
+)
+
+
+def _counts(df):
+    return sorted(map(tuple, df.groupBy("k").count().collect()))
+
+
+def test_append_overwrite_time_travel_and_rollback(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    v1 = write_version(spark.range(5).select(F.lit("a").alias("k"), "id"), path)
+    v2 = write_version(spark.range(3).select(F.lit("b").alias("k"), "id"), path)
+    assert (v1, v2) == (1, 2)
+    assert read_version(spark, path, 1).count() == 5
+    assert read_version(spark, path, 2).count() == 8  # append folds v1 + v2
+    v3 = write_version(
+        spark.range(2).select(F.lit("c").alias("k"), "id"), path, mode="overwrite"
+    )
+    assert read_version(spark, path).count() == 2  # latest = overwritten
+    assert read_version(spark, path, 2).count() == 8  # time travel intact
+    v4 = rollback(path, 2)
+    assert v4 == 4 and current_version(path) == 4
+    assert read_version(spark, path).count() == 8  # restored content
+    assert [h["version"] for h in history(path)] == [1, 2, 3, 4]
+    assert history(path)[3]["mode"] == "rollback"
+
+
+def test_reader_snapshot_isolated_from_later_commits(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    write_version(spark.range(10).select(F.lit("x").alias("k"), "id"), path)
+    snapshot = read_version(spark, path, 1)  # plan pinned to v1's files
+    write_version(spark.range(90).select(F.lit("y").alias("k"), "id"), path)
+    assert snapshot.count() == 10  # unaffected by the later commit
+    assert read_version(spark, path).count() == 100
+
+
+def test_vacuum_removes_only_unreferenced_files(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    write_version(spark.range(4).select(F.lit("a").alias("k"), "id"), path)
+    write_version(
+        spark.range(6).select(F.lit("b").alias("k"), "id"), path, mode="overwrite"
+    )
+    before = set(os.listdir(os.path.join(path, "data")))
+    deleted = vacuum(path, keep_versions=1)
+    after = set(os.listdir(os.path.join(path, "data")))
+    assert {os.path.join("data", f) for f in before - after} == set(deleted)
+    assert deleted  # v1's files were unreferenced by the latest version
+    # the retained version still reads fine; the vacuumed one is gone
+    assert read_version(spark, path).count() == 6
+    with pytest.raises(Exception):
+        read_version(spark, path, 1).count()
+
+
+def test_errors_on_missing_versions_and_bad_mode(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    with pytest.raises(ValueError):
+        read_version(spark, path)
+    write_version(spark.range(1).select(F.lit("a").alias("k"), "id"), path)
+    with pytest.raises(ValueError):
+        read_version(spark, path, 7)
+    with pytest.raises(ValueError):
+        rollback(path, 9)
+    with pytest.raises(ValueError):
+        write_version(spark.range(1), path, mode="merge")

@@ -1,0 +1,158 @@
+"""Versioned parquet tables: snapshot isolation, time travel and rollback
+on plain parquet — the table-format primitives (B11) a lakehouse format
+(Delta/Iceberg/Hudi) provides, rebuilt from first principles on what this
+runtime has: immutable data files + an atomically-renamed JSON manifest
+per version (the Iceberg "metadata file per snapshot" idea, arXiv has the
+Delta Lake VLDB'20 paper describing the same commit protocol).
+
+Layout under a table root:
+
+    data/<uuid>.parquet ...          immutable data files (never rewritten)
+    _versions/v00000001.json ...     one manifest per committed version:
+                                     {"version", "files", "parent"}
+    _versions/_latest.json           pointer to the current version
+
+Commit protocol (single-writer per table, crash-safe):
+1. write new data files into data/ (invisible — no manifest references them)
+2. write the next manifest to a temp name, fsync, atomic os.replace into
+   place, then atomically update _latest.json.
+A torn crash leaves either the old latest (fully consistent) or orphaned
+data files / manifest (invisible or unreferenced — vacuum() removes them).
+
+Readers NEVER list data/: they read the manifest's file list, so a reader
+holding version N is isolated from any concurrent commit of N+1
+(snapshot isolation) and `read_version(path, n)` is time travel for free.
+`rollback(path, n)` commits a NEW version whose file list equals version
+n's — history is append-only, like Delta's RESTORE.
+
+At 100 TB the manifest holds file paths only (thousands of entries — KBs),
+so planning stays driver-light; data files are immutable, which is what
+makes compaction/vacuum safe to run online.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _vdir(path: str) -> str:
+    return os.path.join(path, "_versions")
+
+
+def _manifest_path(path: str, version: int) -> str:
+    return os.path.join(_vdir(path), f"v{version:08d}.json")
+
+
+def _write_atomic(target: str, payload: dict) -> None:
+    tmp = target + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump(payload, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, target)
+
+
+def current_version(path: str) -> int:
+    latest = os.path.join(_vdir(path), "_latest.json")
+    if not os.path.exists(latest):
+        return 0
+    with open(latest, encoding="utf-8") as fh:
+        return json.load(fh)["version"]
+
+
+def _read_manifest(path: str, version: int) -> dict:
+    with open(_manifest_path(path, version), encoding="utf-8") as fh:
+        return json.load(fh)
+
+
+def _commit(path: str, files: list[str], mode: str) -> int:
+    os.makedirs(_vdir(path), exist_ok=True)
+    parent = current_version(path)
+    version = parent + 1
+    _write_atomic(
+        _manifest_path(path, version),
+        {"version": version, "files": sorted(files), "parent": parent, "mode": mode},
+    )
+    _write_atomic(os.path.join(_vdir(path), "_latest.json"), {"version": version})
+    return version
+
+
+def write_version(df: DataFrame, path: str, mode: str = "append") -> int:
+    """Commit `df` as the next version. mode='append' adds to the current
+    file list; mode='overwrite' replaces it (old files stay on disk for
+    time travel until vacuum)."""
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    data_dir = os.path.join(path, "data")
+    staging = os.path.join(path, f"_staging-{uuid.uuid4().hex[:8]}")
+    df.write.mode("overwrite").parquet(staging)
+    os.makedirs(data_dir, exist_ok=True)
+    new_files = []
+    for fn in sorted(os.listdir(staging)):
+        if fn.endswith(".parquet"):
+            dst = f"{uuid.uuid4().hex}.parquet"
+            os.replace(os.path.join(staging, fn), os.path.join(data_dir, dst))
+            new_files.append(os.path.join("data", dst))
+    # remove staging leftovers (_SUCCESS etc.)
+    for fn in os.listdir(staging):
+        os.remove(os.path.join(staging, fn))
+    os.rmdir(staging)
+    base: list[str] = []
+    if mode == "append" and current_version(path) > 0:
+        base = _read_manifest(path, current_version(path))["files"]
+    return _commit(path, base + new_files, mode)
+
+
+def read_version(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Read the table at `version` (default: latest). Empty table (v0) is
+    an error — there is no schema to serve."""
+    v = current_version(path) if version is None else version
+    if v <= 0 or not os.path.exists(_manifest_path(path, v)):
+        raise ValueError(f"version {v} does not exist at {path}")
+    files = _read_manifest(path, v)["files"]
+    if not files:
+        raise ValueError(f"version {v} is empty")
+    return spark.read.parquet(*[os.path.join(path, f) for f in files])
+
+
+def rollback(path: str, to_version: int) -> int:
+    """Append-only restore: commit a NEW version with `to_version`'s files."""
+    if not os.path.exists(_manifest_path(path, to_version)):
+        raise ValueError(f"version {to_version} does not exist at {path}")
+    return _commit(path, _read_manifest(path, to_version)["files"], "rollback")
+
+
+def history(path: str) -> list[dict]:
+    out = []
+    for v in range(1, current_version(path) + 1):
+        m = _read_manifest(path, v)
+        out.append(
+            {"version": v, "n_files": len(m["files"]), "mode": m.get("mode", "?")}
+        )
+    return out
+
+
+def vacuum(path: str, keep_versions: int = 1) -> list[str]:
+    """Delete data files referenced by NO retained version (the newest
+    `keep_versions` manifests plus everything they reference stay). Returns
+    the deleted file names. Safe because data files are immutable and
+    readers resolve through manifests only — but like every vacuum, it
+    shortens the time-travel horizon it deletes from."""
+    cur = current_version(path)
+    keep = set()
+    for v in range(max(1, cur - keep_versions + 1), cur + 1):
+        keep.update(_read_manifest(path, v)["files"])
+    data_dir = os.path.join(path, "data")
+    deleted = []
+    for fn in sorted(os.listdir(data_dir)):
+        rel = os.path.join("data", fn)
+        if rel not in keep:
+            os.remove(os.path.join(data_dir, fn))
+            deleted.append(rel)
+    return deleted
