@@ -79,3 +79,39 @@ def test_errors_on_missing_versions_and_bad_mode(spark, tmp_path):
         rollback(path, 9)
     with pytest.raises(ValueError):
         write_version(spark.range(1), path, mode="merge")
+
+
+def test_merge_upsert_update_insert_delete(spark, tmp_path):
+    from tts_etl_pipeline_spark.sources.versioned import merge_upsert
+
+    path = str(tmp_path / "tbl")
+    write_version(
+        spark.createDataFrame(
+            [(1, "one", 10), (2, "two", 20), (3, "three", 30)], "k long, name string, v long"
+        ),
+        path,
+    )
+    source = spark.createDataFrame(
+        [(2, "TWO", 200), (4, "four", 40), (3, "three", -1)], "k long, name string, v long"
+    )
+    v = merge_upsert(spark, path, source, key="k", delete_on="v < 0")
+    assert v == 2
+    got = {r["k"]: (r["name"], r["v"]) for r in read_version(spark, path).collect()}
+    assert got == {
+        1: ("one", 10),     # untouched target row passes through
+        2: ("TWO", 200),    # matched -> update (source wins)
+        4: ("four", 40),    # not matched -> insert
+    }                        # 3 deleted by the delete_on clause
+    # time travel still shows the pre-merge state
+    pre = {r["k"] for r in read_version(spark, path, 1).collect()}
+    assert pre == {1, 2, 3}
+
+
+def test_merge_upsert_schema_mismatch_raises(spark, tmp_path):
+    from tts_etl_pipeline_spark.sources.versioned import merge_upsert
+
+    path = str(tmp_path / "tbl")
+    write_version(spark.createDataFrame([(1, "a")], "k long, name string"), path)
+    bad = spark.createDataFrame([(1, 2.0)], "k long, score double")
+    with pytest.raises(ValueError, match="schema mismatch"):
+        merge_upsert(spark, path, bad, key="k")

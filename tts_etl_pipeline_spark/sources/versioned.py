@@ -156,3 +156,56 @@ def vacuum(path: str, keep_versions: int = 1) -> list[str]:
             os.remove(os.path.join(data_dir, fn))
             deleted.append(rel)
     return deleted
+
+
+def merge_upsert(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    key: str,
+    delete_on: str | None = None,
+) -> int:
+    """Delta-style MERGE INTO on a versioned table, committed as one new
+    version (atomic at the manifest level — readers see either the old or
+    the new snapshot, never a mix):
+
+      WHEN MATCHED AND <delete_on>  THEN DELETE
+      WHEN MATCHED                  THEN UPDATE SET * (source row wins)
+      WHEN NOT MATCHED              THEN INSERT *
+
+    Expressed as ONE full-outer join on `key` + row picks — the join is
+    the unavoidable cost of any merge; everything else is column logic.
+    Unmatched target rows pass through untouched. `delete_on` is a SQL
+    boolean over the SOURCE row's columns."""
+    from pyspark.sql import functions as F
+
+    target = read_version(spark, path)
+    if set(target.columns) != set(source.columns):
+        raise ValueError(
+            f"merge schema mismatch: target {sorted(target.columns)} "
+            f"vs source {sorted(source.columns)}"
+        )
+    cols = target.columns
+    t = target.select([F.col(c).alias(f"__t_{c}") for c in cols])
+    s = source.select([F.col(c).alias(f"__s_{c}") for c in cols])
+    joined = t.join(s, t[f"__t_{key}"] == s[f"__s_{key}"], "full_outer")
+    matched = joined[f"__t_{key}"].isNotNull() & joined[f"__s_{key}"].isNotNull()
+    from_source = joined[f"__s_{key}"].isNotNull()  # matched-update or insert
+    if delete_on is not None:
+        renames = {c: f"__s_{c}" for c in cols}
+        import re as _re
+
+        expr = _re.sub(
+            r"\b(" + "|".join(map(_re.escape, cols)) + r")\b",
+            lambda m: renames[m.group(1)],
+            delete_on,
+        )
+        keep = ~(matched & F.expr(expr))
+        joined = joined.filter(keep)
+    merged = joined.select(
+        *[
+            F.when(from_source, F.col(f"__s_{c}")).otherwise(F.col(f"__t_{c}")).alias(c)
+            for c in cols
+        ]
+    )
+    return write_version(merged, path, mode="overwrite")
