@@ -1113,7 +1113,9 @@ def c11_dataset_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
              ROW_NUMBER() OVER (ORDER BY difficulty_rank, source) AS position
       FROM ranked
       -- cap derived from the REAL source count: ceil(50/|sources|) + 1
-      -- always covers 50 positions whatever the fixture's source fanout
+      -- covers 50 positions whenever every source holds >= cap docs (true
+      -- for the driver fixtures); under heavy skew the head may hold fewer
+      -- rows and the schedule is honestly min(50, head) positions
       WHERE difficulty_rank <=
         CAST(ceil(50.0 / (SELECT COUNT(DISTINCT source) FROM documents))
              AS BIGINT) + 1
@@ -1130,9 +1132,13 @@ def c12_curriculum_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
     # control-plane scalar: the cap must track the real source fanout, or
     # a low-fanout fixture silently yields fewer than 50 positions
-    # max(1, …): an empty documents table must yield an empty schedule,
-    # not a division-by-zero (pinned by tests/test_empty_tables.py)
-    n_sources = max(1, docs.select("source").distinct().count())
+    # countDistinct EXCLUDES NULLs — matching the oracle's COUNT(DISTINCT)
+    # exactly (a NULL-including count would derive a different cap on
+    # fixtures with NULL sources). max(1, …): an empty table must yield an
+    # empty schedule, not a division-by-zero (tests/test_empty_tables.py).
+    n_sources = max(
+        1, docs.agg(F.countDistinct("source").alias("n")).collect()[0]["n"]
+    )
     cap = -(-50 // n_sources) + 1  # ceil(50/n) + 1
     w_src = W.partitionBy("source").orderBy("n_chars", "doc_id")
     ranked = docs.withColumn("difficulty_rank", F.row_number().over(w_src))

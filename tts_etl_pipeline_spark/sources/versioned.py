@@ -112,8 +112,11 @@ def read_version(
 ) -> DataFrame:
     """Read the table at `version` (default: latest). Empty table (v0) is
     an error — there is no schema to serve."""
-    v = current_version(path) if version is None else version
-    if v <= 0 or not os.path.exists(_manifest_path(path, v)):
+    cur = current_version(path)
+    v = cur if version is None else version
+    # v > cur guards the torn-crash window: a manifest written but never
+    # pointed to by _latest is UNCOMMITTED and must stay invisible
+    if v <= 0 or v > cur or not os.path.exists(_manifest_path(path, v)):
         raise ValueError(f"version {v} does not exist at {path}")
     files = _read_manifest(path, v)["files"]
     if not files:
@@ -122,10 +125,20 @@ def read_version(
 
 
 def rollback(path: str, to_version: int) -> int:
-    """Append-only restore: commit a NEW version with `to_version`'s files."""
-    if not os.path.exists(_manifest_path(path, to_version)):
+    """Append-only restore: commit a NEW version with `to_version`'s files.
+    Refuses if vacuum already deleted any of them — committing a head that
+    references missing files would brick every subsequent read."""
+    if to_version <= 0 or to_version > current_version(path) or not os.path.exists(
+        _manifest_path(path, to_version)
+    ):
         raise ValueError(f"version {to_version} does not exist at {path}")
-    return _commit(path, _read_manifest(path, to_version)["files"], "rollback")
+    files = _read_manifest(path, to_version)["files"]
+    missing = [f for f in files if not os.path.exists(os.path.join(path, f))]
+    if missing:
+        raise ValueError(
+            f"version {to_version} was vacuumed; missing files: {missing[:3]}"
+        )
+    return _commit(path, files, "rollback")
 
 
 def history(path: str) -> list[dict]:
@@ -145,10 +158,18 @@ def vacuum(path: str, keep_versions: int = 1) -> list[str]:
     readers resolve through manifests only — but like every vacuum, it
     shortens the time-travel horizon it deletes from."""
     cur = current_version(path)
+    data_dir = os.path.join(path, "data")
+    if cur == 0 or not os.path.isdir(data_dir):
+        return []  # nothing committed -> maintenance no-op
+    # drop uncommitted (torn-crash) manifests beyond the latest pointer so
+    # a later commit never silently overwrites one
+    for fn in sorted(os.listdir(_vdir(path))):
+        if fn.startswith("v") and fn.endswith(".json"):
+            if int(fn[1:9]) > cur:
+                os.remove(os.path.join(_vdir(path), fn))
     keep = set()
     for v in range(max(1, cur - keep_versions + 1), cur + 1):
         keep.update(_read_manifest(path, v)["files"])
-    data_dir = os.path.join(path, "data")
     deleted = []
     for fn in sorted(os.listdir(data_dir)):
         rel = os.path.join("data", fn)
@@ -175,33 +196,58 @@ def merge_upsert(
 
     Expressed as ONE full-outer join on `key` + row picks — the join is
     the unavoidable cost of any merge; everything else is column logic.
-    Unmatched target rows pass through untouched. `delete_on` is a SQL
-    boolean over the SOURCE row's columns."""
+    Unmatched target rows pass through untouched. Semantics guards (the
+    Delta contract): `delete_on` evaluates on the SOURCE row BEFORE the
+    join (string literals are never rewritten) and a NULL condition falls
+    through to UPDATE; duplicate source keys raise (two updates for one
+    target row would multiply it); schema comparison checks names AND
+    types; a NULL-keyed source row never matches — it inserts."""
     from pyspark.sql import functions as F
 
     target = read_version(spark, path)
-    if set(target.columns) != set(source.columns):
+    t_schema = {f.name: f.dataType for f in target.schema.fields}
+    s_schema = {f.name: f.dataType for f in source.schema.fields}
+    if t_schema != s_schema:
         raise ValueError(
-            f"merge schema mismatch: target {sorted(target.columns)} "
-            f"vs source {sorted(source.columns)}"
+            f"merge schema mismatch: target {sorted(t_schema.items(), key=str)} "
+            f"vs source {sorted(s_schema.items(), key=str)}"
         )
-    cols = target.columns
-    t = target.select([F.col(c).alias(f"__t_{c}") for c in cols])
-    s = source.select([F.col(c).alias(f"__s_{c}") for c in cols])
-    joined = t.join(s, t[f"__t_{key}"] == s[f"__s_{key}"], "full_outer")
-    matched = joined[f"__t_{key}"].isNotNull() & joined[f"__s_{key}"].isNotNull()
-    from_source = joined[f"__s_{key}"].isNotNull()  # matched-update or insert
-    if delete_on is not None:
-        renames = {c: f"__s_{c}" for c in cols}
-        import re as _re
+    if key not in t_schema:
+        raise ValueError(f"merge key {key!r} is not a column")
+    dup = (
+        source.filter(F.col(key).isNotNull())
+        .groupBy(key)
+        .count()
+        .filter(F.col("count") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        raise ValueError(f"multiple source rows share merge key {dup[0][key]!r}")
 
-        expr = _re.sub(
-            r"\b(" + "|".join(map(_re.escape, cols)) + r")\b",
-            lambda m: renames[m.group(1)],
-            delete_on,
+    cols = target.columns
+    # evaluate the delete predicate on the RAW source row (no identifier
+    # rewriting — a regex rename would also corrupt string literals), and
+    # carry existence markers so NULL keys never masquerade as 'no row'
+    s_prep = source.withColumn("__s_exists", F.lit(True))
+    if delete_on is not None:
+        s_prep = s_prep.withColumn(
+            "__s_del", F.coalesce(F.expr(delete_on), F.lit(False))
         )
-        keep = ~(matched & F.expr(expr))
-        joined = joined.filter(keep)
+    else:
+        s_prep = s_prep.withColumn("__s_del", F.lit(False))
+    t = target.select(
+        [F.col(c).alias(f"__t_{c}") for c in cols] + [F.lit(True).alias("__t_exists")]
+    )
+    s = s_prep.select(
+        [F.col(c).alias(f"__s_{c}") for c in cols] + ["__s_exists", "__s_del"]
+    )
+    joined = t.join(s, t[f"__t_{key}"] == s[f"__s_{key}"], "full_outer")
+    matched = F.col("__t_exists").isNotNull() & F.col("__s_exists").isNotNull()
+    from_source = F.col("__s_exists").isNotNull()
+    # NULL delete predicate already coalesced to False => falls through to
+    # UPDATE, per Delta semantics
+    joined = joined.filter(~(matched & F.coalesce("__s_del", F.lit(False))))
     merged = joined.select(
         *[
             F.when(from_source, F.col(f"__s_{c}")).otherwise(F.col(f"__t_{c}")).alias(c)
