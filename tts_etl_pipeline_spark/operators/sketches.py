@@ -256,3 +256,49 @@ def x4_tdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(merge_group, schema)
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# x5 — EXACT order statistics without sorting (functions/exact_median.py):
+# the p25/p50/p75 of order totals in integer cents, each found by domain
+# binary search — ≤ log2(domain) scalar-aggregation probes, each a
+# whole-stage-codegen scan with no Exchange beyond the scalar fold. The
+# exact complement of the x1/x4 sketches, and the 100 TB replacement for
+# sort- or buffer-based percentiles when exactness is non-negotiable:
+# probe count is a control-plane loop (the t12/d10 discipline), shuffle
+# volume is zero, and per-group memory is O(1). Lower-order-statistic
+# convention (k = ceil(q·n)), reproduced verbatim in the oracle via
+# ORDER BY ... LIMIT 1 OFFSET k-1.
+# ---------------------------------------------------------------------------
+@_register(
+    "x5_exact_percentiles_by_counting",
+    """
+    WITH cents AS (
+      SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS c
+      FROM orders
+    ),
+    ranked AS (
+      SELECT c, ROW_NUMBER() OVER (ORDER BY c) AS rn FROM cents
+    ),
+    n AS (SELECT COUNT(*) AS n FROM cents)
+    SELECT t.q, r.c AS cents_value
+    FROM (VALUES (25), (50), (75)) AS t(q)
+    JOIN ranked r
+      ON r.rn = CAST(ceil(t.q * (SELECT n FROM n) / 100.0) AS BIGINT)
+    ORDER BY t.q
+    """,
+)
+def x5_exact_percentiles_by_counting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from tts_etl_pipeline_spark.functions.exact_median import exact_kth_by_counting
+
+    cents = table(spark, sf_dir, "orders").select(
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("long").alias("c")
+    )
+    n = cents.count()  # control-plane scalar
+    rows = []
+    for q in (25, 50, 75):
+        k = -(-q * n // 100)  # ceil(q*n/100)
+        rows.append((q, exact_kth_by_counting(cents, "c", k)))
+    return spark.createDataFrame(rows, "q int, cents_value bigint").orderBy("q")
