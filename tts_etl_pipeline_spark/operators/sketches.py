@@ -298,7 +298,8 @@ def x5_exact_percentiles_by_counting(spark: SparkSession, sf_dir: str) -> DataFr
     )
     n = cents.count()  # control-plane scalar
     rows = []
-    for q in (25, 50, 75):
-        k = -(-q * n // 100)  # ceil(q*n/100)
-        rows.append((q, exact_kth_by_counting(cents, "c", k)))
+    if n:  # empty relation -> empty result, stable schema (no k to select)
+        for q in (25, 50, 75):
+            k = -(-q * n // 100)  # ceil(q*n/100)
+            rows.append((q, exact_kth_by_counting(cents, "c", k)))
     return spark.createDataFrame(rows, "q int, cents_value bigint").orderBy("q")
