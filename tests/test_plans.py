@@ -514,3 +514,38 @@ def test_e10_one_user_shuffle_no_joins(spark, sf_dir):
     plan = physical_plan(df)
     assert "Join" not in plan, plan
     assert plan.count("hashpartitioning(user_id") == 1, plan
+
+
+# ---------------------------------------------------------------------------
+# Unpartitioned-window lint: the WindowExec "No Partition Defined" warning is
+# demoted to ERROR in session.py (every current site is provably bounded and
+# the noise would let a REAL fact-scale regression hide), so the guard lives
+# HERE instead — a failing test is visible where a drowned warning is not.
+# ---------------------------------------------------------------------------
+def test_unpartitioned_windows_annotated():
+    """Every unpartitioned WindowSpec in the package must carry an adjacent
+    annotation: `bounded:` (the relation's row count is bounded by
+    construction — state the bound) or `global-sort:` (a documented
+    write-path/maintenance global, never on a query hot path). A bare
+    Window.orderBy(...) without one fails this lint — which is exactly how
+    a new unpartitioned window over a fact-scale relation gets caught."""
+    import pathlib
+
+    import tts_etl_pipeline_spark
+
+    pkg = pathlib.Path(tts_etl_pipeline_spark.__file__).parent
+    pat = re.compile(r"(?:\bW\.orderBy\(|\bWindow\.orderBy\(|\.partitionBy\(\s*\))")
+    offenders = []
+    for py in sorted(pkg.rglob("*.py")):
+        lines = py.read_text().splitlines()
+        for i, line in enumerate(lines):
+            if line.lstrip().startswith("#") or not pat.search(line):
+                continue
+            ctx = "\n".join(lines[max(0, i - 6) : i + 1])
+            if "bounded:" not in ctx and "global-sort:" not in ctx:
+                offenders.append(f"{py.relative_to(pkg)}:{i + 1}: {line.strip()}")
+    assert not offenders, (
+        "unannotated unpartitioned window(s) — add a `bounded:` (with the "
+        "size bound) or `global-sort:` comment within 6 lines above, or "
+        "partition the window:\n" + "\n".join(offenders)
+    )

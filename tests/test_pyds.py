@@ -88,20 +88,51 @@ def test_synthetic_batch_deterministic_and_partitioned(spark):
     assert {tuple(r) for r in a} == expect
 
 
-def test_synthetic_stream_replays_id_space(spark, tmp_path):
+def test_synthetic_stream_replays_id_space_multibatch(spark, tmp_path):
+    """latestOffset advances one rows_per_batch page per trigger, so a
+    continuously-triggered drain of 300 rows at 100/page is >= 3 real
+    micro-batches (offset log entries), and the union of all pages is
+    exactly the generator's id space."""
+    import os
+    import time
+
     register_sources(spark)
     stream = (
         spark.readStream.format("synthetic_events")
         .option("n_rows", 300).option("rows_per_batch", 100).option("seed", 3)
         .load()
     )
+    ckpt = str(tmp_path / "ckpt")
     q = (
         stream.writeStream.format("memory")
         .queryName("pyds_synth")
-        .option("checkpointLocation", str(tmp_path / "ckpt"))
-        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="0 seconds")
         .start()
     )
-    q.awaitTermination(120)
+    deadline = time.monotonic() + 120
+    while time.monotonic() < deadline:
+        try:
+            if spark.table("pyds_synth").count() == 300:
+                break
+        except Exception:
+            pass
+        time.sleep(0.2)
+    q.stop()
+    q.awaitTermination()
     got = {tuple(r) for r in spark.table("pyds_synth").collect()}
     assert got == {_synth_row(i, 3) for i in range(300)}
+    # genuine multi-batch paging: one offset-log entry per micro-batch
+    n_batches = len(os.listdir(os.path.join(ckpt, "offsets")))
+    assert n_batches >= 3, n_batches
+
+
+def test_synthetic_batch_empty_source(spark):
+    """n_rows=0 must yield an empty scan, not a range() step error."""
+    register_sources(spark)
+    rows = (
+        spark.read.format("synthetic_events")
+        .option("n_rows", 0).option("n_parts", 4).option("seed", 7)
+        .load().collect()
+    )
+    assert rows == []

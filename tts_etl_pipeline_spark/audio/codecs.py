@@ -6,9 +6,12 @@ pa.py:79-92, whose reference scope was PCM-only via pydub/ffmpeg).
 stdlib `wave` refuses any wFormatTag != 1, so `parse_riff` walks the RIFF
 chunks directly; decoders are numpy table lookups (G.711) or the spec
 state machine (ADPCM). Encoders exist as the fixture/round-trip halves —
-G.711 codeword round-trip is EXACT (encode(decode(byte)) == byte for all
-256 codewords, pinned), ADPCM round-trip is pinned by SNR (the codec is
-lossy by design).
+G.711 codeword round-trip is VALUE-exact (decode(encode(decode(b))) ==
+decode(b) for all 256 codewords, pinned by
+test_g711_codeword_roundtrip_exact) — byte-exactness cannot hold for all
+codewords because mu-law 0x7F and 0xFF both decode to 0 (plus/minus zero
+collapse); ADPCM round-trip is pinned by SNR (the codec is lossy by
+design).
 
 All decoders emit int16 PCM; audio/decode.py normalizes to [-1, 1] float
 exactly like the PCM path.

@@ -69,6 +69,8 @@ def _dense_ordinals(nodes: DataFrame) -> DataFrame:
     unpartitioned window runs over a bounded-constant relation."""
     d = nodes.select("id", (F.abs(F.xxhash64("id")) % _ORD_BUCKETS).alias("b"))
     counts = d.groupBy("b").agg(F.count(F.lit(1)).alias("c"))
+    # bounded: the bucket-count relation has <= _ORD_BUCKETS = 1024 rows
+    # regardless of corpus size
     w_off = W.orderBy("b").rowsBetween(W.unboundedPreceding, -1)
     offsets = counts.select(
         "b", F.coalesce(F.sum("c").over(w_off), F.lit(0)).alias("off")

@@ -1110,7 +1110,8 @@ def c11_dataset_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     ordered AS (
       SELECT doc_id, source, n_chars, difficulty_rank,
-             ROW_NUMBER() OVER (ORDER BY difficulty_rank, source) AS position
+             ROW_NUMBER() OVER (ORDER BY difficulty_rank, source NULLS LAST)
+               AS position
       FROM ranked
       -- cap derived from the REAL source count: ceil(50/|sources|) + 1
       -- covers 50 positions whenever every source holds >= cap docs (true
@@ -1145,7 +1146,12 @@ def c12_curriculum_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     # two-phase: cap per source before the global (unpartitioned) position
     # window — cap × |sources| (< ~2×50 + |sources|) rows enter that sort.
     head = ranked.filter(F.col("difficulty_rank") <= cap)
-    w_pos = W.orderBy("difficulty_rank", "source")
+    # bounded: the capped head holds <= cap * |sources| ~ 2*50 + |sources|
+    # rows, never the corpus. NULLS LAST pins NULL-source placement: Spark
+    # defaults ASC NULLS FIRST while DuckDB defaults NULLS LAST, so a
+    # fixture with NULL sources reaching the head would otherwise diverge
+    # from the oracle (which says ORDER BY ... NULLS LAST explicitly).
+    w_pos = W.orderBy(F.col("difficulty_rank"), F.col("source").asc_nulls_last())
     return (
         head.withColumn("position", F.row_number().over(w_pos).cast("bigint"))
         .filter(F.col("position") <= 50)

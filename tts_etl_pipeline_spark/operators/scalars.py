@@ -705,7 +705,9 @@ def r2_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     hot = hourly.filter((F.col("n_err") * 4 >= F.col("n")) & (F.col("n") >= 4))
-    w_h = W.orderBy("hour")  # calendar-bounded relation — acceptable single task
+    # bounded: the hourly rollup is calendar-grain (<= 24*365*years rows),
+    # never event-scale — acceptable single task
+    w_h = W.orderBy("hour")
     prev_h = F.lag("hour").over(w_h)
     hot = hot.withColumn(
         "new_inc",

@@ -521,12 +521,20 @@ def st11_pyds_stream_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming aggregation over the CUSTOM Python DataSource
     (sources/pyds.py `synthetic_events` — the Spark 4 datasource API):
     a real micro-batch run pages through the deterministic id space via
-    integer offsets (multiple batches, availableNow), and the complete-
-    mode per-type rollup must equal the closed-form recount of the same
-    generator — proving the custom source's offsets/partitions/read
-    contract end to end, not just its batch path. Rows-only by design
-    (generator-based input, the p1/m2 precedent; exactness is pinned in
-    tests/test_pyds_stream_query.py against the pure generator).
+    integer offsets — latestOffset advances ONE rows_per_batch page per
+    trigger, so this is a genuine multi-micro-batch run (4 data batches
+    for 2000 rows at 500/page), not one batch split into partitions — and
+    the complete-mode per-type rollup must equal the closed-form recount
+    of the same generator, proving the custom source's offsets/
+    partitions/read contract end to end, not just its batch path.
+    Trigger discipline: availableNow snapshots latestOffset once (one
+    page only — verified empirically), so the drain runs a processingTime
+    trigger and stops deterministically when the sink holds all n_rows
+    (bounded-input poll, not a sleep race: the generator is finite and
+    every page is committed before the next trigger). Rows-only by design
+    (generator-based input, the p1/m2 precedent; exactness AND the
+    multi-batch page count are pinned in tests/test_pyds_stream_query.py
+    against the pure generator).
     `sf_dir` is unused (the uniform query signature). Value sums ride
     integer cents so the fold is order-independent (the st8 discipline)."""
     import tempfile
@@ -558,9 +566,29 @@ def st11_pyds_stream_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .queryName(name)
             .outputMode("complete")
             .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
+            .trigger(processingTime="0 seconds")
             .start()
         )
+        # drain-poll: the source is finite, so the complete-mode sink
+        # reaches exactly n_rows total events and then stays there; stop
+        # the continuous trigger once it does (deadline only as a safety
+        # net against an environment hang, not a timing assumption)
+        import time
+
+        deadline = time.monotonic() + 300
+        total = None
+        while time.monotonic() < deadline:
+            try:  # the memory table appears with the first completed batch
+                total = spark.table(name).agg(F.sum("n_events")).collect()[0][0]
+            except Exception:
+                total = None
+            if total == n_rows:
+                break
+            time.sleep(0.2)
+        else:
+            q.stop()
+            raise TimeoutError(f"st11 drain incomplete: {total}/{n_rows} rows")
+        q.stop()
         q.awaitTermination()
         out = spark.table(name).localCheckpoint(eager=True)
     return (

@@ -653,6 +653,8 @@ def t12_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Level 2: per-superbucket sums; exclusive cumsum via the ONLY
     # unpartitioned window — over n/(PACK_BUCKET*PACK_SUPER) tiny rows.
     ssums = bsums.groupBy("superbucket").agg(F.sum("bsum").alias("ssum"))
+    # bounded: the superbucket relation holds n/(PACK_BUCKET*PACK_SUPER)
+    # = n/6400 tiny rows (~160k even at 1e9 docs) — the ONLY global window
     w_super = (
         W.orderBy("superbucket")
         .rowsBetween(W.unboundedPreceding, -1)
@@ -1054,6 +1056,8 @@ def t16_zipf_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     uni = materialize(uni)  # one token shuffle feeds both top-k and total
     tot = uni.agg(F.sum("c").cast("bigint").alias("n_total"))
     top = uni.orderBy(F.desc("c"), "token").limit(ZIPF_TOP_K)
+    # bounded: ranks run over the top-k sample (<= ZIPF_TOP_K rows by the
+    # limit above), never the vocabulary
     wrank = W.orderBy(F.desc("c"), "token")
     ranked = top.select(
         "token",

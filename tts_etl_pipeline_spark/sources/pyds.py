@@ -126,11 +126,14 @@ class SyntheticReader(DataSourceReader):
         self.seed = int(options.get("seed", 42))
 
     def partitions(self):
-        step = (self.n_rows + self.n_parts - 1) // self.n_parts
+        # n_rows=0 -> step would be 0 and range(0, 0, 0) raises; mirror the
+        # stream reader's max(1, ...) guard and return one empty partition
+        # so an empty source yields an empty (not erroring) scan
+        step = max(1, (self.n_rows + self.n_parts - 1) // self.n_parts)
         return [
             _RangePartition(i, min(i + step, self.n_rows), self.seed)
             for i in range(0, self.n_rows, step)
-        ]
+        ] or [_RangePartition(0, 0, self.seed)]
 
     def read(self, partition: _RangePartition) -> Iterator[tuple]:
         for i in range(partition.start, partition.end):
@@ -139,27 +142,42 @@ class SyntheticReader(DataSourceReader):
 
 class SyntheticStreamReader(DataSourceStreamReader):
     """Integer-offset micro-batch reader over the same deterministic id
-    space: each batch is [start, start + rows_per_batch), replayable
-    because rows are pure functions of (id, seed)."""
+    space: each TRIGGER advances the offset by one rows_per_batch page
+    (latestOffset returns min(cursor + rows_per_batch, n_rows)), so a
+    continuously-triggered run genuinely pages through the id space in
+    multiple micro-batches; replayable because rows are pure functions of
+    (id, seed).
+
+    Trigger-mode note (verified empirically): availableNow SNAPSHOTS
+    latestOffset once at query start, so under availableNow an incremental
+    cursor yields exactly one rows_per_batch page per run. Callers wanting
+    a full multi-batch drain run a processingTime trigger and stop when
+    the committed offset reaches n_rows (operators/streaming_queries.st11
+    does exactly that); callers wanting one-shot availableNow semantics
+    set rows_per_batch >= n_rows."""
 
     def __init__(self, options: dict):
         self.rows_per_batch = int(options.get("rows_per_batch", 100))
         self.max_rows = int(options.get("n_rows", 1000))
         self.seed = int(options.get("seed", 42))
+        self._cursor = 0  # driver-side paging cursor (one page per trigger)
 
     def initialOffset(self) -> dict:
         return {"offset": 0}
 
     def latestOffset(self) -> dict:
-        return {"offset": self.max_rows}
+        self._cursor = min(self._cursor + max(1, self.rows_per_batch), self.max_rows)
+        return {"offset": self._cursor}
 
     def partitions(self, start: dict, end: dict):
         # the [start, end) range is a COMMITTED contract — truncating it
         # here would silently drop rows (the engine advances to `end`
         # regardless); batch-size control belongs in latestOffset. Large
-        # ranges split into rows_per_batch-sized partitions for
-        # parallelism instead.
+        # ranges (e.g. a restart from an old checkpoint whose committed
+        # offset is ahead of this fresh reader's cursor) still split into
+        # rows_per_batch-sized partitions for parallelism.
         lo, hi = start["offset"], min(end["offset"], self.max_rows)
+        self._cursor = max(self._cursor, hi)  # resync after checkpoint restart
         step = max(1, self.rows_per_batch)
         return [
             _RangePartition(i, min(i + step, hi), self.seed)

@@ -12,19 +12,25 @@ cover a small HYPER-RECTANGLE of the key space, so min/max pruning works
 on ALL clustered columns at once, at the price of each being slightly
 coarser than a dedicated sort.
 
-Implementation is pure DataFrame ops, JVM-side end-to-end:
-1. per column, compute `Z_BITS`-bit quantile ranks via ntile() — rank, not
-   raw value, so skew and arbitrary types (dates, strings) flatten into a
-   uniform grid. ntile's window is unpartitioned BUT consumes only the
-   (row-key, column) projection at write time — this is a WRITE-path
-   maintenance job (like compaction), amortized over every later read; a
-   production variant samples quantile cuts instead (approxQuantile) to
-   avoid even that sort, at no change to the read-side contract;
+Implementation is pure DataFrame ops, JVM-side end-to-end, and the default
+write path needs NO global sort or window at any step:
+1. per column, derive `Z_BITS`-bit quantile RANKS — rank, not raw value,
+   so skew and arbitrary orderable types (dates, strings) flatten into a
+   uniform grid. Default path: 2^bits - 1 cut points from a bounded sorted
+   SAMPLE (control-plane, `sample_rows` values regardless of table size —
+   the same sampling contract repartitionByRange itself relies on), then a
+   scan-side `F.aggregate` over the broadcast cut array counts cuts <=
+   value (255 comparisons/row at 8 bits, whole-stage codegen, no
+   Exchange). The exact-ntile variant remains available (`cuts=None` on
+   `morton_key`) for rank-exactness tests, but `zorder_write` never uses
+   it: an unpartitioned ntile drags the whole table through one task —
+   precisely the anti-pattern the lint in tests/test_plans.py bans;
 2. interleave the rank bits into one Morton key with shift/or expressions
    (F.shiftleft — no UDF);
 3. repartitionByRange(n_files, zkey) + sortWithinPartitions(zkey) and
    write one file per range partition: each file then owns a contiguous
-   Morton range = a small hyper-rectangle per clustered column.
+   Morton range = a small hyper-rectangle per clustered column. The range
+   exchange + local sort are the only shuffles and both scale out.
 
 `file_column_ranges` reads the parquet FOOTERS (pyarrow) and returns
 per-file min/max per column; `pruning_ratio` evaluates what fraction of
@@ -40,18 +46,77 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 Z_BITS = 8  # 256 rank cells per column; 2 cols -> 16-bit Morton key
+SAMPLE_ROWS = 65_536  # bounded cut-point sample per column (control-plane)
 
 
-def morton_key(df: DataFrame, cols: Sequence[str], bits: int = Z_BITS) -> DataFrame:
-    """Add a `zkey` column interleaving per-column ntile ranks bitwise."""
-    from pyspark.sql.window import Window as W
+def quantile_cuts(
+    df: DataFrame,
+    col: str,
+    bits: int = Z_BITS,
+    sample_rows: int = SAMPLE_ROWS,
+    seed: int = 42,
+) -> list:
+    """2^bits - 1 approximate quantile cut points for `col` from a bounded
+    random sample (works for any orderable type: numbers, dates, strings).
 
+    Control-plane cost: one count + one sample-collect of <= ~sample_rows
+    values — independent of table size, the d10/t17 bounded-collect
+    discipline. Duplicate cuts (heavy-hitter values) are fine: the rank
+    expression counts cuts <= value, so a value spanning several cells
+    just occupies the highest, exactly like ntile tie behavior up to cell
+    granularity."""
+    vals = df.select(col).where(F.col(col).isNotNull())
+    n = vals.count()
+    if n == 0:
+        return []
+    fraction = min(1.0, sample_rows / n)
+    sample = sorted(
+        r[0] for r in vals.sample(withReplacement=False, fraction=fraction, seed=seed).collect()
+    )
+    if not sample:  # tiny-fraction edge: fall back to whole-column sample
+        sample = sorted(r[0] for r in vals.collect())
+    n_cells = 1 << bits
+    return [sample[(i * len(sample)) // n_cells] for i in range(1, n_cells)]
+
+
+def _rank_expr(col: str, cuts: list) -> F.Column:
+    """Scan-side quantile rank: count of cut points <= value (0..2^bits-1).
+
+    A fold over a broadcast literal array — pure JVM expression, no window,
+    no Exchange, no UDF."""
+    arr = F.array(*[F.lit(v) for v in cuts])
+    return F.aggregate(
+        arr,
+        F.lit(0),
+        lambda acc, cut: acc + F.when(cut <= F.col(col), 1).otherwise(0),
+    )
+
+
+def morton_key(
+    df: DataFrame,
+    cols: Sequence[str],
+    bits: int = Z_BITS,
+    cuts: dict[str, list] | None = None,
+) -> DataFrame:
+    """Add a `zkey` column interleaving per-column quantile ranks bitwise.
+
+    With `cuts` (the production path `zorder_write` uses): ranks come from
+    the scan-side cut-array fold — no window anywhere. Without `cuts`:
+    exact equal-count ranks via unpartitioned ntile — retained ONLY for
+    rank-exactness library tests; never reached from zorder_write."""
     out = df
-    for c in cols:
-        # rank 0 .. 2^bits-1; ntile handles ties/skew by equal-count cells
-        out = out.withColumn(
-            f"__rank_{c}", F.ntile(1 << bits).over(W.orderBy(c)) - 1
-        )
+    if cuts is not None:
+        for c in cols:
+            out = out.withColumn(f"__rank_{c}", _rank_expr(c, cuts[c]))
+    else:
+        from pyspark.sql.window import Window as W
+
+        for c in cols:
+            # global-sort: exact-ntile rank variant for library tests only —
+            # the write path passes `cuts` and never takes this branch
+            out = out.withColumn(
+                f"__rank_{c}", F.ntile(1 << bits).over(W.orderBy(c)) - 1
+            )
     # interleave: bit b of column i lands at position b*len(cols)+i
     zkey = F.lit(0)
     for b in range(bits):
@@ -64,8 +129,12 @@ def morton_key(df: DataFrame, cols: Sequence[str], bits: int = Z_BITS) -> DataFr
 def zorder_write(
     df: DataFrame, cols: Sequence[str], path: str, n_files: int, bits: int = Z_BITS
 ) -> None:
-    """Write `df` Z-ordered on `cols` into ~`n_files` parquet files."""
-    keyed = morton_key(df, cols, bits)
+    """Write `df` Z-ordered on `cols` into ~`n_files` parquet files.
+
+    Window-free: sampled quantile cuts -> scan-side Morton key -> one
+    range exchange. Scales to any table size."""
+    cuts = {c: quantile_cuts(df, c, bits) for c in cols}
+    keyed = morton_key(df, cols, bits, cuts=cuts)
     (
         keyed.repartitionByRange(n_files, "zkey")
         .sortWithinPartitions("zkey")
