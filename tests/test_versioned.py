@@ -187,3 +187,120 @@ def test_vacuum_noop_and_orphan_manifest_invisible(spark, tmp_path):
     # collide with it
     vacuum(path)
     assert not _os.path.exists(orphan)
+
+
+# ---------------------------------------------------------------------------
+# Optimistic concurrency: the manifest-name CAS (round-5 verdict task 5)
+# ---------------------------------------------------------------------------
+def test_racing_commits_one_winner_one_detected_conflict(spark, tmp_path):
+    """Two writers committing from the same base version: exactly one wins,
+    the other gets a clean CommitConflictError — never a silent overwrite.
+    The loser's staged data stays invisible and a retry from the new head
+    lands both appends."""
+    from tts_etl_pipeline_spark.sources.versioned import CommitConflictError
+
+    path = str(tmp_path / "tbl")
+    write_version(spark.range(5).select(F.lit("a").alias("k"), "id"), path)
+    base = current_version(path)
+    assert base == 1
+
+    # writer 1 commits from base -> wins v2
+    a = spark.range(3).select(F.lit("w1").alias("k"), "id")
+    b = spark.range(4).select(F.lit("w2").alias("k"), "id")
+    assert write_version(a, path, "append", expected_version=base) == 2
+    # writer 2 still believes base=1 -> CAS on v2 must fail, detectably
+    with pytest.raises(CommitConflictError):
+        write_version(b, path, "append", expected_version=base)
+    # the loser changed NOTHING visible: head is v2 with writer 1's rows
+    assert current_version(path) == 2
+    assert _counts(read_version(spark, path)) == [("a", 5), ("w1", 3)]
+    # retry from the fresh head succeeds
+    assert write_version(b, path, "append") == 3
+    assert _counts(read_version(spark, path)) == [("a", 5), ("w1", 3), ("w2", 4)]
+    # the losing attempt's orphaned files are vacuumable, and vacuuming
+    # them does not disturb any retained version
+    vacuum(path, keep_versions=3)
+    assert _counts(read_version(spark, path)) == [("a", 5), ("w1", 3), ("w2", 4)]
+
+
+def test_racing_commits_threaded_exactly_one_winner(spark, tmp_path):
+    """A real interleaving: N threads commit from the same base behind a
+    barrier; exactly one wins the CAS, the rest raise, and the table ends
+    at base+1 with the winner's rows only."""
+    import threading
+
+    from tts_etl_pipeline_spark.sources.versioned import CommitConflictError
+
+    path = str(tmp_path / "tbl")
+    write_version(spark.range(2).select(F.lit("base").alias("k"), "id"), path)
+    base = current_version(path)
+
+    n = 4
+    barrier = threading.Barrier(n)
+    results: list = [None] * n
+
+    def attempt(i):
+        df = spark.range(i + 1).select(F.lit(f"t{i}").alias("k"), "id")
+        barrier.wait()
+        try:
+            results[i] = ("ok", write_version(df, path, "append", expected_version=base))
+        except CommitConflictError:
+            results[i] = ("conflict", None)
+
+    threads = [threading.Thread(target=attempt, args=(i,)) for i in range(n)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    winners = [r for r in results if r[0] == "ok"]
+    conflicts = [r for r in results if r[0] == "conflict"]
+    assert len(winners) == 1 and winners[0][1] == base + 1, results
+    assert len(conflicts) == n - 1, results
+    assert current_version(path) == base + 1
+    # exactly base rows + the single winner's rows are visible
+    kinds = {k for (k, _) in _counts(read_version(spark, path))}
+    assert "base" in kinds and len(kinds) == 2, kinds
+
+
+def test_merge_upsert_conflict_when_head_moves(spark, tmp_path, monkeypatch):
+    """MERGE computed against snapshot N must NOT silently clobber a commit
+    that lands between its read and its write — the write's CAS raises."""
+    import tts_etl_pipeline_spark.sources.versioned as V
+
+    path = str(tmp_path / "tbl")
+    write_version(
+        spark.createDataFrame([("k1", 1), ("k2", 2)], "k string, v int"), path
+    )
+    src = spark.createDataFrame([("k2", 20), ("k3", 30)], "k string, v int")
+
+    # interleave: a concurrent append lands AFTER merge captured its base
+    real_write = V.write_version
+    state = {"raced": False}
+
+    def racing_write(df, p, mode="append", expected_version=None):
+        if not state["raced"]:
+            state["raced"] = True
+            real_write(
+                spark.createDataFrame([("k9", 99)], "k string, v int"), p, "append"
+            )
+        return real_write(df, p, mode=mode, expected_version=expected_version)
+
+    monkeypatch.setattr(V, "write_version", racing_write)
+    with pytest.raises(V.CommitConflictError):
+        V.merge_upsert(spark, path, src, key="k")
+    # the concurrent append survived untouched; merge changed nothing
+    assert sorted(map(tuple, read_version(spark, path).collect())) == [
+        ("k1", 1),
+        ("k2", 2),
+        ("k9", 99),
+    ]
+    # retried merge on the fresh head applies cleanly over it
+    monkeypatch.setattr(V, "write_version", real_write)
+    V.merge_upsert(spark, path, src, key="k")
+    assert sorted(map(tuple, read_version(spark, path).collect())) == [
+        ("k1", 1),
+        ("k2", 20),
+        ("k3", 30),
+        ("k9", 99),
+    ]

@@ -12,12 +12,25 @@ Layout under a table root:
                                      {"version", "files", "parent"}
     _versions/_latest.json           pointer to the current version
 
-Commit protocol (single-writer per table, crash-safe):
+Commit protocol (multi-writer OPTIMISTIC CONCURRENCY, crash-safe):
 1. write new data files into data/ (invisible — no manifest references them)
-2. write the next manifest to a temp name, fsync, atomic os.replace into
-   place, then atomically update _latest.json.
+2. CAS step: create the next manifest v(N+1) with an ATOMIC
+   create-if-absent (hard-link from a temp file — os.link fails with
+   EEXIST if the name is taken). The manifest NAME is the compare-and-swap
+   token, exactly Iceberg's rename-if-absent / Delta's put-if-absent on
+   the _delta_log entry: of two writers racing from base N, exactly one
+   creates v(N+1); the loser gets CommitConflictError, its staged files
+   stay invisible (vacuum removes them), and it retries from the new head.
+3. advance _latest.json, forward-only, under a short flock — so a slow
+   winner of v(N+1) can never regress the pointer after v(N+2) landed.
 A torn crash leaves either the old latest (fully consistent) or orphaned
-data files / manifest (invisible or unreferenced — vacuum() removes them).
+data files / an unreferenced manifest (invisible — vacuum() removes them;
+until vacuumed, a torn v(N+1) manifest makes later commits at N+1 raise
+CommitConflictError, which is the safe side of the race: resolve with
+vacuum() once no writer is active).
+On a shared filesystem this is a complete multi-writer protocol; on an
+object store without atomic create-if-absent you'd swap step 2 for a
+catalog/DynamoDB-style CAS, as Delta and Iceberg do.
 
 Readers NEVER list data/: they read the manifest's file list, so a reader
 holding version N is isolated from any concurrent commit of N+1
@@ -32,11 +45,18 @@ makes compaction/vacuum safe to run online.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+class CommitConflictError(RuntimeError):
+    """Another writer committed this version first (optimistic-concurrency
+    CAS lost). The losing write left only invisible staged files; re-read
+    the table head and retry the operation."""
 
 
 def _vdir(path: str) -> str:
@@ -69,24 +89,75 @@ def _read_manifest(path: str, version: int) -> dict:
         return json.load(fh)
 
 
-def _commit(path: str, files: list[str], mode: str) -> int:
+@contextlib.contextmanager
+def _latest_lock(path: str):
+    """Short flock guarding the forward-only _latest.json advance (NOT the
+    commit itself — that is the lock-free manifest CAS)."""
+    import fcntl
+
+    lock_path = os.path.join(_vdir(path), "_latest.lock")
+    fd = os.open(lock_path, os.O_CREAT | os.O_RDWR, 0o644)
+    try:
+        fcntl.flock(fd, fcntl.LOCK_EX)
+        yield
+    finally:
+        fcntl.flock(fd, fcntl.LOCK_UN)
+        os.close(fd)
+
+
+def _commit(path: str, files: list[str], mode: str, expected_parent: int | None = None) -> int:
+    """Commit `files` as version expected_parent+1 via the manifest-name
+    CAS. `expected_parent=None` reads the head at commit time (sequential
+    callers); writers that computed their file list from a snapshot pass
+    the snapshot's version so a concurrent commit is DETECTED, not
+    silently overwritten."""
     os.makedirs(_vdir(path), exist_ok=True)
-    parent = current_version(path)
+    parent = current_version(path) if expected_parent is None else expected_parent
     version = parent + 1
-    _write_atomic(
-        _manifest_path(path, version),
-        {"version": version, "files": sorted(files), "parent": parent, "mode": mode},
-    )
-    _write_atomic(os.path.join(_vdir(path), "_latest.json"), {"version": version})
+    target = _manifest_path(path, version)
+    tmp = target + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump(
+            {"version": version, "files": sorted(files), "parent": parent, "mode": mode},
+            fh,
+        )
+        fh.flush()
+        os.fsync(fh.fileno())
+    try:
+        # the CAS: hard-link is atomic create-if-absent on POSIX — exactly
+        # one racing writer can create v{version}; everyone else loses
+        os.link(tmp, target)
+    except FileExistsError:
+        raise CommitConflictError(
+            f"version {version} at {path} was committed by another writer "
+            f"(or is a torn commit — run vacuum() if no writer is active); "
+            f"re-read the head and retry"
+        ) from None
+    finally:
+        os.remove(tmp)
+    # forward-only pointer advance: a slow v(N+1) winner must never
+    # regress _latest after v(N+2) already landed
+    with _latest_lock(path):
+        if current_version(path) < version:
+            _write_atomic(os.path.join(_vdir(path), "_latest.json"), {"version": version})
     return version
 
 
-def write_version(df: DataFrame, path: str, mode: str = "append") -> int:
+def write_version(
+    df: DataFrame, path: str, mode: str = "append", expected_version: int | None = None
+) -> int:
     """Commit `df` as the next version. mode='append' adds to the current
     file list; mode='overwrite' replaces it (old files stay on disk for
-    time travel until vacuum)."""
+    time travel until vacuum).
+
+    Optimistic concurrency: the base version is captured ONCE, up front
+    (or taken from `expected_version` when the caller computed `df` from
+    an earlier snapshot — merge_upsert does); if another writer commits
+    base+1 first, the manifest CAS raises CommitConflictError and this
+    writer's staged files stay invisible until vacuum."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    base_version = current_version(path) if expected_version is None else expected_version
     data_dir = os.path.join(path, "data")
     staging = os.path.join(path, f"_staging-{uuid.uuid4().hex[:8]}")
     df.write.mode("overwrite").parquet(staging)
@@ -102,9 +173,9 @@ def write_version(df: DataFrame, path: str, mode: str = "append") -> int:
         os.remove(os.path.join(staging, fn))
     os.rmdir(staging)
     base: list[str] = []
-    if mode == "append" and current_version(path) > 0:
-        base = _read_manifest(path, current_version(path))["files"]
-    return _commit(path, base + new_files, mode)
+    if mode == "append" and base_version > 0:
+        base = _read_manifest(path, base_version)["files"]
+    return _commit(path, base + new_files, mode, expected_parent=base_version)
 
 
 def read_version(
@@ -204,7 +275,11 @@ def merge_upsert(
     types; a NULL-keyed source row never matches — it inserts."""
     from pyspark.sql import functions as F
 
-    target = read_version(spark, path)
+    # snapshot-isolation conflict detection: the merge is computed against
+    # THIS version; if another writer commits before our CAS, the commit
+    # raises CommitConflictError instead of silently dropping their rows
+    base_version = current_version(path)
+    target = read_version(spark, path, base_version if base_version else None)
     t_schema = {f.name: f.dataType for f in target.schema.fields}
     s_schema = {f.name: f.dataType for f in source.schema.fields}
     if t_schema != s_schema:
@@ -254,4 +329,4 @@ def merge_upsert(
             for c in cols
         ]
     )
-    return write_version(merged, path, mode="overwrite")
+    return write_version(merged, path, mode="overwrite", expected_version=base_version)
