@@ -1,0 +1,152 @@
+#!/usr/bin/env python
+"""Build a 10x-scaled copy of a testdata sf directory (the sf0.1 -> sf1
+scale-proof fixture, round-6 verdict task 7).
+
+Usage: python scripts/make_scaled_sf.py [SRC_SF_DIR] [DST_DIR] [FACTOR]
+       (defaults: /root/testdata/sf0.1 -> /tmp/sfscale/sf1, factor 10)
+
+Each table is replicated FACTOR times with per-copy key offsets so the
+scaled data keeps the source's per-key densities and join fanouts (the
+thing that makes runtime scaling measurements honest):
+
+- every foreign-key family shares one offset base (orders.o_orderkey and
+  lineitem.l_orderkey shift together, etc.), so joins match exactly as
+  often per row as at the source scale;
+- nation/region stay fixed (they are fixed-size dimensions in TPC-H);
+- events shift user_id by the CUSTOMER base (events join customers on
+  user_id = c_custkey in st6/e-family);
+- documents get per-copy token suffixes (word w -> w_<copy>) and a
+  recomputed n_chars: copy 0 is the original corpus, later copies are
+  vocabulary-disjoint clones. This keeps WITHIN-copy duplicate/near-dup
+  structure identical to the source (dedup work scales linearly) while
+  making copies mutually dissimilar — naive replication would turn every
+  doc into a 10-clone near-dup cluster and inflate pair outputs
+  quadratically, measuring an artifact instead of the engine;
+- embeddings replicate with offset ids (identical vectors across copies —
+  ANN cost is corpus-size-driven, not value-driven).
+
+All transforms are JVM-side expressions; one pass per table.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from tts_etl_pipeline_spark.session import get_spark  # noqa: E402
+
+
+def _copies(df, factor: int):
+    return df.withColumn(
+        "copy", F.explode(F.array(*[F.lit(i) for i in range(factor)]))
+    )
+
+
+def _base(df, col: str) -> int:
+    return int(df.agg(F.max(col)).collect()[0][0]) + 1
+
+
+def main() -> None:
+    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    dst = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sfscale/sf1"
+    factor = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    spark = get_spark("make_scaled_sf")
+    os.makedirs(dst, exist_ok=True)
+
+    def rd(t):
+        return spark.read.parquet(os.path.join(src, f"{t}.parquet"))
+
+    def wr(df, t):
+        df.coalesce(max(1, factor // 2)).write.mode("overwrite").parquet(
+            os.path.join(dst, f"{t}.parquet")
+        )
+        print("wrote", t, df.count())
+
+    # fixed-size dimensions: copy through
+    for t in ("region", "nation"):
+        wr(rd(t), t)
+
+    cust, supp, part = rd("customer"), rd("supplier"), rd("part")
+    orders, lineitem = rd("orders"), rd("lineitem")
+    events, docs, emb = rd("events"), rd("documents"), rd("embeddings")
+
+    C, S, P, O = _base(cust, "c_custkey"), _base(supp, "s_suppkey"), _base(part, "p_partkey"), _base(orders, "o_orderkey")
+    E = _base(events, "event_id")
+    D = max(_base(docs, "doc_id"), _base(emb, "vec_id"))
+
+    off = lambda b: F.col("copy").cast("bigint") * b  # noqa: E731
+
+    wr(
+        _copies(cust, factor)
+        .withColumn("c_custkey", F.col("c_custkey") + off(C))
+        .drop("copy"),
+        "customer",
+    )
+    wr(
+        _copies(supp, factor)
+        .withColumn("s_suppkey", F.col("s_suppkey") + off(S))
+        .drop("copy"),
+        "supplier",
+    )
+    wr(
+        _copies(part, factor)
+        .withColumn("p_partkey", F.col("p_partkey") + off(P))
+        .drop("copy"),
+        "part",
+    )
+    wr(
+        _copies(orders, factor)
+        .withColumn("o_orderkey", F.col("o_orderkey") + off(O))
+        .withColumn("o_custkey", F.col("o_custkey") + off(C))
+        .drop("copy"),
+        "orders",
+    )
+    wr(
+        _copies(lineitem, factor)
+        .withColumn("l_orderkey", F.col("l_orderkey") + off(O))
+        .withColumn("l_partkey", F.col("l_partkey") + off(P))
+        .withColumn("l_suppkey", F.col("l_suppkey") + off(S))
+        .drop("copy"),
+        "lineitem",
+    )
+    wr(
+        _copies(events, factor)
+        .withColumn("event_id", F.col("event_id") + off(E))
+        .withColumn("user_id", F.col("user_id") + off(C))
+        .drop("copy"),
+        "events",
+    )
+    perturbed = F.when(F.col("copy") == 0, F.col("text")).otherwise(
+        F.array_join(
+            F.transform(
+                F.split(F.col("text"), " "),
+                lambda w: F.concat(w, F.lit("_"), F.col("copy").cast("string")),
+            ),
+            " ",
+        )
+    )
+    wr(
+        _copies(docs, factor)
+        .withColumn("doc_id", F.col("doc_id") + off(D))
+        .withColumn("text", perturbed)
+        .withColumn("n_chars", F.length(F.coalesce("text", F.lit(""))).cast(
+            docs.schema["n_chars"].dataType.simpleString()
+        ))
+        .drop("copy"),
+        "documents",
+    )
+    wr(
+        _copies(emb, factor)
+        .withColumn("vec_id", F.col("vec_id") + off(D))
+        .drop("copy"),
+        "embeddings",
+    )
+    print("done ->", dst)
+
+
+if __name__ == "__main__":
+    main()

@@ -1281,3 +1281,118 @@ def test_jpeg_sequential_noninterleaved_scans():
     base_payload, *_ = _encode_jpeg(img, subsample=True)
     base = MM.decode_image(base_payload)
     assert (out == base).all()
+
+
+# ---------------------------------------------------------------------------
+# RIFF/AVI container: MJPEG + uncompressed-DIB frames (r6 — shrinks the
+# video stub to true inter-frame codecs)
+# ---------------------------------------------------------------------------
+def _avi_mjpeg_fixture(n_frames=6, fps=2, w=24, h=16):
+    payloads = [
+        _encode_jpeg(_test_img(w=w, h=h, seed=100 + i))[0] for i in range(n_frames)
+    ]
+    return MM.encode_avi_mjpeg(payloads, w, h, fps), payloads
+
+
+def _bt601_luma(rgb):
+    y = (
+        0.299 * rgb[..., 0].astype(np.float64)
+        + 0.587 * rgb[..., 1].astype(np.float64)
+        + 0.114 * rgb[..., 2].astype(np.float64)
+    )
+    return np.clip(np.rint(y), 0, 255).astype(np.uint8)
+
+
+def test_avi_mjpeg_frame_sampling():
+    from tts_etl_pipeline_spark.functions.jpeg import decode_jpeg
+
+    content, payloads = _avi_mjpeg_fixture(n_frames=6, fps=2)  # 3 s clip
+    frames = MM.sample_video_frames(content, every_ms=1000)
+    assert [ts for ts, _ in frames] == [0, 1000, 2000]
+    assert all(f.shape == (16, 24) for _, f in frames)
+    # sampled lumas equal BT.601 of the independently-decoded 00dc JPEGs
+    for (ts, luma), idx in zip(frames, (0, 2, 4)):
+        expect = _bt601_luma(decode_jpeg(payloads[idx]))
+        assert np.array_equal(luma, expect), ts
+    # every_ms below the frame interval -> every frame decodes
+    assert len(MM.sample_video_frames(content, every_ms=1)) == 6
+
+
+def test_avi_dib_frame_sampling():
+    imgs = [_test_img(w=21, h=10, seed=7 + i) for i in range(4)]  # odd width pads
+    content = MM.encode_avi_dib(imgs, fps=2)
+    frames = MM.sample_video_frames(content, every_ms=1)
+    assert len(frames) == 4
+    for (_, luma), img in zip(frames, imgs):
+        assert np.array_equal(luma, _bt601_luma(img))  # DIB is lossless
+
+
+def test_avi_probe_meta(spark):
+    content, _ = _avi_mjpeg_fixture(n_frames=6, fps=2, w=24, h=16)
+    df = spark.createDataFrame(
+        [("clip.avi", "video", bytes(content))],
+        "media_id string, modality string, content binary",
+    )
+    meta = MM.chunk_media(df).collect()[0]["meta"]
+    assert meta["width"] == 24 and meta["height"] == 16
+    assert meta["frame_rate"] == 2
+    assert meta["duration_ms"] == 3000
+    assert meta["codec"] == "mjpeg"
+
+
+def test_avi_features_real_path(spark):
+    content, payloads = _avi_mjpeg_fixture(n_frames=6, fps=2)
+    df = spark.createDataFrame(
+        [("clip.avi", "video", bytes(content))],
+        "media_id string, modality string, content binary",
+    )
+    feat = np.array(
+        MM.extract_features(MM.chunk_media(df), dim=16).collect()[0]["feature"]
+    )
+    assert feat[2] == 3.0  # 3 sampled frames of the 3 s clip
+    from tts_etl_pipeline_spark.functions.jpeg import decode_jpeg
+
+    lumas = np.stack(
+        [_bt601_luma(decode_jpeg(payloads[i])) for i in (0, 2, 4)]
+    ).astype(np.float64) / 255.0
+    assert feat[0] == pytest.approx(float(lumas.mean()), rel=1e-5)
+    assert feat[1] == pytest.approx(float(lumas.std()), rel=1e-5)
+
+
+def test_avi_h264_still_stubbed():
+    content, _ = _avi_mjpeg_fixture(n_frames=2, fps=2)
+    h264 = content.replace(b"MJPG", b"H264")  # strh handler + strf fourcc
+    with pytest.raises(NotImplementedError):
+        MM.sample_video_frames(h264, every_ms=1000)
+
+
+def test_m3_video_codec_cross_container_equality(spark):
+    """m3's two lossless containers of the same luma planes must produce
+    bit-identical rollup rows; MJPEG of the same frames rides the same
+    pipeline and lands close (lossy), pinned approximately."""
+    from tts_etl_pipeline_spark.operators.multimodal import (
+        QUERIES as MMQ,
+        _encode_y4m,
+        _m3_clips,
+    )
+
+    rows = {r["container"]: r for r in MMQ["m3_video_codec_features"](spark, "").collect()}
+    assert set(rows) == {"avi", "y4m"}
+    a, y = rows["avi"], rows["y4m"]
+    assert (a["avg_luma_mean"], a["avg_luma_std"], a["n_sampled_frames"]) == (
+        y["avg_luma_mean"], y["avg_luma_std"], y["n_sampled_frames"]
+    )
+    assert a["n_clips"] == y["n_clips"] == 4
+
+    # MJPEG third container: same gray frames JPEG-encoded, sampled through
+    # the same path — lossy-close to the lossless luma stats
+    i, w, h, fps, frames = _m3_clips()[0]
+    payloads = [
+        _encode_jpeg(np.repeat(f[..., None], 3, axis=2))[0] for f in frames
+    ]
+    avi = MM.encode_avi_mjpeg(payloads, w, h, fps)
+    got = MM.sample_video_frames(avi, every_ms=1000)
+    ref = MM.sample_video_frames(_encode_y4m(frames, fps), every_ms=1000)
+    assert [t for t, _ in got] == [t for t, _ in ref]
+    for (_, lj), (_, ly) in zip(got, ref):
+        assert float(np.abs(lj.astype(np.int32) - ly.astype(np.int32)).mean()) < 12.0

@@ -10,15 +10,19 @@ Codec coverage in this runtime (no PIL/opencv/ffmpeg available):
   (stdlib zlib + the five scanline filters; bit depths 1/2/4/8/16,
   gray/RGB/palette/gray-alpha/RGBA, non-interlaced AND Adam7 — r5),
   YUV4MPEG2 (.y4m) video (header probe + luma-plane frame sampling),
+  RIFF/AVI video containers with MJPEG or uncompressed-DIB frames
+  (recursive chunk walk; each sampled frame decoded independently via
+  functions/jpeg.py — r6),
   GIF87a/89a (functions/gif.py — LZW, interlace, local/global color
   tables, multi-frame structural probe),
   and JPEG — baseline AND progressive (functions/jpeg.py —
   dependency-free T.81 Huffman+DCT decoder, r5: generic DQT/DHT,
   restart markers, 4:4:4 and chroma-subsampled frames, SOF2
   spectral-selection + successive-approximation multi-scan decode).
-- STUBBED: video codecs beyond y4m (H.264/VP9) raise
+- STUBBED: true inter-frame video codecs (H.264/VP9/HEVC) raise
   NotImplementedError with the hash-seeded deterministic fake as the
-  documented fallback.
+  documented fallback — intra-frame containers (y4m, MJPEG-AVI) are
+  real.
 Everything Spark-side is real and tested either way: schemas, batch
 iteration, chunked processing, partition sizing, and the 2 GB-per-row
 ceiling guard.
@@ -31,7 +35,8 @@ Scale posture (SURVEY §7 hard-part 6):
   Spark's 2 GB column-value hard limit;
 - WAV audio (the reference's modality) gets a REAL decode via the stdlib-
   wave path shared with audio/decode.py; BMP/PNG/GIF/JPEG (baseline +
-  progressive)/y4m are real too — only H.264-class video remains stubbed.
+  progressive)/y4m/MJPEG-AVI are real too — only H.264-class
+  inter-frame video remains stubbed.
 """
 
 from __future__ import annotations
@@ -187,6 +192,22 @@ def _probe_meta(modality: str, head: bytes | None) -> dict:
                 p += 2 + struct.unpack_from(">H", head, p + 2)[0]
         except Exception:
             pass
+    elif modality == "video" and head[:4] == b"RIFF" and head[8:12] == b"AVI ":
+        try:
+            v, _ = _parse_avi(head, need_frames=False)  # head may truncate movi
+            meta["width"], meta["height"] = v["width"], v["height"]
+            meta["frame_rate"] = int(round(v["fps_num"] / v["fps_den"]))
+            if v["total_frames"]:
+                meta["duration_ms"] = int(
+                    v["total_frames"] * 1000 * v["fps_den"] / v["fps_num"]
+                )
+            comp = v["compression"] or v["handler"] or b""
+            meta["codec"] = (
+                "mjpeg" if comp in _MJPG_CLASS
+                else comp.decode("ascii", "replace").strip().lower() or "dib"
+            )
+        except Exception:
+            pass
     elif modality == "video" and head[:9] == b"YUV4MPEG2":
         try:
             v, off = _parse_y4m_header(head)
@@ -223,16 +244,18 @@ def _probe_meta(modality: str, head: bytes | None) -> dict:
 #     PNG (decode_png: zlib inflate + scanline-filter reconstruction per
 #     RFC 2083; depths 1-16, palette, Adam7)
 #   - video: YUV4MPEG2 (.y4m) with C420 subsampling — header probe +
-#     per-frame luma-plane extraction + every_ms frame sampling
+#     per-frame luma-plane extraction + every_ms frame sampling; and
+#     RIFF/AVI containers with MJPEG (per-frame JPEG via
+#     functions/jpeg.py) or uncompressed-DIB frames (r6)
 #   - audio: RIFF/WAV via the stdlib wave path shared with audio/decode.py
 #
 #   - image/JPEG: baseline sequential T.81 via functions/jpeg.py (r5)
 #   - image/GIF: LZW + interlace + color tables via functions/gif.py (r5)
 #
-# Remaining compressed codecs (progressive JPEG, H.264/VP9) require
-# PIL/opencv/ffmpeg, which are not in this runtime — those paths stay
-# explicit NotImplementedError stubs with the hash-seeded fake as the
-# documented fallback.
+# Remaining compressed codecs (H.264/VP9/HEVC inter-frame video) require
+# ffmpeg, which is not in this runtime — those paths stay explicit
+# NotImplementedError stubs with the hash-seeded fake as the documented
+# fallback.
 # --------------------------------------------------------------------------
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
@@ -475,7 +498,8 @@ def _parse_y4m_header(content: bytes) -> tuple[dict, int]:
     """Parse a YUV4MPEG2 stream header -> (meta dict, body offset)."""
     if not content.startswith(b"YUV4MPEG2"):
         raise NotImplementedError(
-            "only .y4m video parses in this runtime; H.264/VP9 need ffmpeg"
+            "only .y4m and MJPEG/DIB-AVI video parse in this runtime; "
+            "H.264-class codecs need ffmpeg"
         )
     nl = content.index(b"\n")
     meta = {"width": None, "height": None, "fps_num": None, "fps_den": 1}
@@ -498,11 +522,26 @@ def _parse_y4m_header(content: bytes) -> tuple[dict, int]:
 def sample_video_frames(
     content: bytes, every_ms: int = 1000
 ) -> list[tuple[int, np.ndarray]]:
-    """Sample luma frames from a .y4m payload every `every_ms`.
+    """Sample luma frames from a video payload every `every_ms`.
 
     Returns [(ts_ms, HxW uint8 luma plane), ...] — the input shape a
-    frame-level feature extractor consumes. C420: each FRAME record is
-    w*h luma bytes + 2*(w/2*h/2) chroma bytes (chroma skipped here)."""
+    frame-level feature extractor consumes. Containers: raw YUV4MPEG2
+    (C420 luma plane read directly) and RIFF/AVI with MJPEG or
+    uncompressed-DIB frames (each sampled 00dc/00db chunk decoded
+    independently — only SELECTED frames are decoded, so sampling a long
+    clip costs O(sampled), not O(frames)). H.264-class codecs raise
+    NotImplementedError (inter-frame prediction needs ffmpeg)."""
+    if content[:4] == b"RIFF" and content[8:12] == b"AVI ":
+        meta, frames = _parse_avi(content)
+        ms_per_frame = 1000.0 * meta["fps_den"] / meta["fps_num"]
+        out: list[tuple[int, np.ndarray]] = []
+        next_ts = 0.0
+        for idx, (off, size) in enumerate(frames):
+            ts = idx * ms_per_frame
+            if ts + 1e-9 >= next_ts:
+                out.append((int(round(ts)), _avi_frame_luma(content, off, size, meta)))
+                next_ts += every_ms
+        return out
     meta, off = _parse_y4m_header(content)
     w, h = meta["width"], meta["height"]
     frame_bytes = w * h + 2 * ((w // 2) * (h // 2))
@@ -527,6 +566,170 @@ def sample_video_frames(
     return out
 
 
+def _parse_avi(content: bytes, *, need_frames: bool = True) -> tuple[dict, list]:
+    """Parse a RIFF/AVI container -> (meta, [(frame_offset, frame_size)]).
+
+    Generic recursive RIFF chunk walk (LIST hdrl -> avih/strh/strf, LIST
+    movi -> 00dc/00db frame chunks, 'rec ' groups transparently): the same
+    probe-and-offsets shape as _parse_y4m_header, extended to the indexed
+    container the MJPEG family uses. Frame PAYLOADS are not touched here —
+    sampling decodes only the frames it selects. `need_frames=False`
+    tolerates a truncated payload (the metadata head probe), collecting
+    only frame chunks that fit."""
+    import struct
+
+    if content[:4] != b"RIFF" or content[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    meta: dict = {
+        "width": None,
+        "height": None,
+        "fps_num": None,
+        "fps_den": 1,
+        "total_frames": None,
+        "handler": None,
+        "compression": None,
+        "stream_type": None,
+    }
+    frames: list[tuple[int, int]] = []
+
+    def walk(pos: int, end: int) -> None:
+        while pos + 8 <= end:
+            cc = content[pos : pos + 4]
+            size = struct.unpack_from("<I", content, pos + 4)[0]
+            body = pos + 8
+            nxt = body + size + (size & 1)  # chunks pad to even offsets
+            if cc == b"LIST" and body + 4 <= len(content):
+                walk(body + 4, min(body + size, len(content)))
+            elif cc == b"avih" and body + 40 <= len(content):
+                us_pf, _, _, _, total = struct.unpack_from("<5I", content, body)
+                meta["total_frames"] = total
+                if meta["fps_num"] is None and us_pf:
+                    meta["fps_num"], meta["fps_den"] = 1_000_000, us_pf
+                w, h = struct.unpack_from("<II", content, body + 32)
+                meta["width"], meta["height"] = w or None, h or None
+            elif cc == b"strh" and body + 32 <= len(content):
+                if content[body : body + 4] == b"vids":
+                    meta["stream_type"] = "vids"
+                    meta["handler"] = content[body + 4 : body + 8]
+                    scale, rate = struct.unpack_from("<II", content, body + 20)
+                    if scale and rate:  # rate/scale beats avih's rounded us/frame
+                        meta["fps_num"], meta["fps_den"] = rate, scale
+            elif cc == b"strf" and meta["stream_type"] == "vids" and body + 20 <= len(content):
+                if meta["compression"] is None:  # first vids strf wins
+                    bw, bh = struct.unpack_from("<ii", content, body + 4)
+                    meta["width"] = meta["width"] or abs(bw) or None
+                    meta["height"] = meta["height"] or abs(bh) or None
+                    meta["compression"] = content[body + 16 : body + 20]
+            elif cc[2:4] in (b"dc", b"db") and cc[:2] == b"00":
+                if body + size <= len(content):
+                    frames.append((body, size))
+                elif need_frames:
+                    raise ValueError(f"truncated AVI frame chunk at {pos}")
+            pos = nxt
+
+    walk(12, len(content))
+    if not (meta["width"] and meta["height"] and meta["fps_num"]):
+        raise ValueError("AVI header missing dimensions or frame rate")
+    return meta, frames
+
+
+# fourccs that mean "a real inter-frame video codec" — the honest stub
+_H264_CLASS = {b"H264", b"h264", b"X264", b"x264", b"avc1", b"AVC1", b"VP80", b"VP90", b"HEVC", b"hev1"}
+_MJPG_CLASS = {b"MJPG", b"mjpg", b"dmb1"}
+
+
+def _avi_frame_luma(content: bytes, off: int, size: int, meta: dict) -> np.ndarray:
+    """Decode ONE AVI frame chunk to an HxW uint8 luma plane.
+
+    MJPG frames are standalone JPEGs (functions/jpeg.py); uncompressed DIB
+    frames are bottom-up BGR24 rows like the BMP pixel array. H.264-class
+    fourccs raise — inter-frame prediction needs ffmpeg."""
+    comp = meta["compression"] or meta["handler"] or b""
+    if comp in _MJPG_CLASS:
+        from tts_etl_pipeline_spark.functions.jpeg import decode_jpeg
+
+        rgb = decode_jpeg(content[off : off + size]).astype(np.float64)
+        # ITU-R BT.601 luma — the y4m path's Y plane, derived from RGB
+        y = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+        return np.clip(np.rint(y), 0, 255).astype(np.uint8)
+    if comp in (b"\x00\x00\x00\x00", b"DIB "):  # BI_RGB uncompressed
+        w, h = meta["width"], meta["height"]
+        row_bytes = (w * 3 + 3) & ~3
+        rows = np.frombuffer(
+            content, dtype=np.uint8, count=row_bytes * h, offset=off
+        ).reshape(h, row_bytes)[:, : w * 3]
+        bgr = rows.reshape(h, w, 3)[::-1].astype(np.float64)  # bottom-up
+        y = 0.299 * bgr[..., 2] + 0.587 * bgr[..., 1] + 0.114 * bgr[..., 0]
+        return np.clip(np.rint(y), 0, 255).astype(np.uint8)
+    if comp in _H264_CLASS:
+        raise NotImplementedError(
+            f"AVI codec {comp!r}: H.264-class inter-frame video needs ffmpeg"
+        )
+    raise NotImplementedError(f"AVI codec {comp!r} not supported")
+
+
+def _encode_avi(
+    frames: list[bytes], width: int, height: int, fps: int,
+    fourcc: bytes, compression: bytes, frame_cc: bytes,
+) -> bytes:
+    """Minimal RIFF/AVI writer shared by the MJPEG and DIB fixture halves
+    (like encode_bmp/encode_png for their codecs): each frame chunk IS one
+    of the input payloads, byte-equal."""
+    import struct
+
+    def chunk(cc: bytes, payload: bytes) -> bytes:
+        return cc + struct.pack("<I", len(payload)) + payload + (b"\x00" if len(payload) & 1 else b"")
+
+    def lst(subtype: bytes, payload: bytes) -> bytes:
+        return chunk(b"LIST", subtype + payload)
+
+    n = len(frames)
+    max_bytes = max((len(f) for f in frames), default=0)
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // fps,  # dwMicroSecPerFrame
+        max_bytes * fps,  # dwMaxBytesPerSec
+        0,  # dwPaddingGranularity
+        0x10,  # AVIF_HASINDEX off; 0x10 = AVIF_WASCAPTUREFILE (benign)
+        n, 0, 1, max_bytes,
+        width, height, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + fourcc
+        + struct.pack("<IHHIIIIIIIi", 0, 0, 0, 0, 1, fps, 0, n, max_bytes, 0, -1)
+        + struct.pack("<4H", 0, 0, width, height)
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, width, height, 1, 24, compression,
+        width * height * 3, 0, 0, 0, 0,
+    )
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(frame_cc, f) for f in frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def encode_avi_mjpeg(
+    jpeg_frames: list[bytes], width: int, height: int, fps: int
+) -> bytes:
+    """RIFF/AVI (MJPEG) from standalone JPEG payloads (00dc chunks)."""
+    return _encode_avi(jpeg_frames, width, height, fps, b"MJPG", b"MJPG", b"00dc")
+
+
+def encode_avi_dib(frames_rgb: list[np.ndarray], fps: int) -> bytes:
+    """RIFF/AVI with uncompressed BI_RGB frames (00db chunks): each HxWx3
+    RGB array becomes bottom-up padded BGR rows, the BMP pixel-array
+    layout."""
+    h, w, _ = frames_rgb[0].shape
+    row_bytes = (w * 3 + 3) & ~3
+    payloads = []
+    for img in frames_rgb:
+        body = np.zeros((h, row_bytes), dtype=np.uint8)
+        body[:, : w * 3] = img[::-1, :, ::-1].reshape(h, w * 3)
+        payloads.append(body.tobytes())
+    return _encode_avi(payloads, w, h, fps, b"DIB ", b"\x00\x00\x00\x00", b"00db")
+
+
 def _fake_feature(content_hash: str, dim: int) -> np.ndarray:
     """Deterministic stand-in feature: seeded by content hash, unit-norm —
     the exact shape/dtype a CLIP/wav2vec extractor would emit."""
@@ -540,9 +743,9 @@ def extract_features(media_df: DataFrame, dim: int = 64) -> DataFrame:
     """Per-modality feature extraction over chunk-0 rows (payload head).
 
     audio/WAV (incl. G.711/ADPCM), image/BMP+PNG+GIF+JPEG (baseline AND
-    progressive), video/y4m: REAL paths — decode, then mean/std/energy
-    stats prepended to the hash-seeded embedding tail.
-    H.264-class video: stubbed -> hash-seeded fake only.
+    progressive), video/y4m + MJPEG/DIB-AVI: REAL paths — decode, then
+    mean/std/energy stats prepended to the hash-seeded embedding tail.
+    H.264-class inter-frame video: stubbed -> hash-seeded fake only.
     """
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -578,7 +781,13 @@ def extract_features(media_df: DataFrame, dim: int = 64) -> DataFrame:
                         vec[2] = float(np.sqrt(np.mean(np.square(luma))))
                     except Exception:
                         pass
-                elif r.modality == "video" and bytes(r.content[:9]) == b"YUV4MPEG2":
+                elif r.modality == "video" and (
+                    bytes(r.content[:9]) == b"YUV4MPEG2"
+                    or (
+                        bytes(r.content[:4]) == b"RIFF"
+                        and bytes(r.content[8:12]) == b"AVI "
+                    )
+                ):
                     try:
                         frames = sample_video_frames(bytes(r.content), every_ms=1000)
                         luma = np.stack([f for _, f in frames]).astype(np.float64) / 255.0
@@ -762,4 +971,72 @@ def m2_image_codec_features(spark, sf_dir: str) -> DataFrame:
             F.round(F.avg("ls"), 9).alias("avg_luma_std"),
         )
         .orderBy("codec")
+    )
+
+
+# ---------------------------------------------------------------------------
+# m3 — video codec E2E over the REAL frame-sampling stack (the m2 pattern
+# for video, r6): synthesize deterministic seeded GRAY clips, container
+# each clip as (a) raw YUV4MPEG2 (luma plane = the gray values, chroma
+# flat 128) and (b) RIFF/AVI with uncompressed DIB frames (R=G=B=value,
+# whose BT.601 luma is the value again) — two LOSSLESS containers of the
+# SAME luma planes — then push both through the production chunk_media ->
+# extract_features pipeline and roll up per container. The two container
+# rows must agree bit-for-bit (readable straight off the output, the m2
+# self-check). MJPEG-AVI rides the same decode path but is lossy, so its
+# cross-codec parity is pinned approximately in tests/test_multimodal.py
+# rather than asserted here. Rows-only by design (synthesized media, the
+# p1/m2 precedent).
+# Scale shape: |clips|-bounded synthesis; the sampling/feature pass is the
+# Arrow-batched payload-stays-on-executor pipeline; rollup is 2 groups.
+# ---------------------------------------------------------------------------
+M3_N_CLIPS = 4
+
+
+def _m3_clips() -> list:
+    """Deterministic gray clips: [(clip_id, w, h, fps, [HxW uint8]), ...]."""
+    out = []
+    for i in range(M3_N_CLIPS):
+        rng = np.random.default_rng(2000 + i)
+        w, h, fps, n = 32 + 2 * i, 16 + 2 * i, 5, 10 + i
+        out.append((i, w, h, fps, [
+            rng.integers(0, 256, size=(h, w), dtype=np.uint8) for _ in range(n)
+        ]))
+    return out
+
+
+def _encode_y4m(frames: list, fps: int) -> bytes:
+    """Minimal YUV4MPEG2 (C420, flat chroma) writer — fixture half."""
+    h, w = frames[0].shape
+    head = f"YUV4MPEG2 W{w} H{h} F{fps}:1 Ip A1:1 C420jpeg\n".encode()
+    chroma = np.full(2 * (w // 2) * (h // 2), 128, dtype=np.uint8).tobytes()
+    return head + b"".join(b"FRAME\n" + f.tobytes() + chroma for f in frames)
+
+
+@_register("m3_video_codec_features", None)
+def m3_video_codec_features(spark, sf_dir: str) -> DataFrame:
+    """`sf_dir` unused (synthesized media, the uniform query signature)."""
+    rows = []
+    for i, w, h, fps, frames in _m3_clips():
+        rgb = [np.repeat(f[..., None], 3, axis=2) for f in frames]  # gray RGB
+        rows.append((f"clip{i:02d}.y4m", "video", _encode_y4m(frames, fps)))
+        rows.append((f"clip{i:02d}.avi", "video", encode_avi_dib(rgb, fps)))
+    raw = spark.createDataFrame(rows, "media_id string, modality string, content binary")
+    feats = extract_features(chunk_media(raw))
+    container = F.element_at(F.split("media_id", r"\."), -1).alias("container")
+    return (
+        feats.select(
+            container,
+            F.round(F.element_at("feature", 1).cast("double"), 9).alias("lm"),
+            F.round(F.element_at("feature", 2).cast("double"), 9).alias("ls"),
+            F.element_at("feature", 3).cast("double").alias("nf"),
+        )
+        .groupBy("container")
+        .agg(
+            F.count(F.lit(1)).alias("n_clips"),
+            F.round(F.avg("lm"), 9).alias("avg_luma_mean"),
+            F.round(F.avg("ls"), 9).alias("avg_luma_std"),
+            F.sum("nf").cast("bigint").alias("n_sampled_frames"),
+        )
+        .orderBy("container")
     )

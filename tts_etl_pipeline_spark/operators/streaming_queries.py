@@ -601,3 +601,105 @@ def st11_pyds_stream_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@_register(
+    "st12_stream_left_outer_complete",
+    """
+    SELECT c.user_id AS user_id, c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           epoch_us(c.ts) AS click_us, epoch_us(p.ts) AS purchase_us
+    FROM events c
+    LEFT JOIN events p
+      ON c.user_id = p.user_id
+     AND p.event_type = 'purchase'
+     AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    WHERE c.event_type = 'click'
+    ORDER BY user_id, click_id, purchase_id
+    """,
+)
+def st12_stream_left_outer_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER join via the COMPLETION-PASS
+    pattern — the shape SURVEY §2.3 excludes natively, made exact.
+
+    Spark's native left-outer emission withholds the final unmatched
+    row(s) under availableNow (two recorded negative experiments: 204/205
+    null rows, still short after a checkpoint-restart second trigger —
+    the no-data batch never advances the watermark past the last buffered
+    row). So the non-deterministic half is REMOVED from streaming: run the
+    deterministic INNER interval join streaming (st5's exact discipline,
+    bounded state via both-side watermarks + the time-bound condition),
+    then complete at end-of-stream with ONE batch left_anti join that
+    emits the never-matched clicks with null purchase columns. The union
+    is batch-left-outer-EXACT — matched rows from the stream, unmatched
+    membership from the anti-join — restoring the oracle the native form
+    cannot honor. At scale the anti-join is matched-click-ids (bounded by
+    the stream's own output) against the left relation, one hash join.
+
+    On a truly unbounded pipeline the same completion runs per epoch in
+    foreachBatch (anti-join the epoch's left rows against its matched
+    set once the watermark passes the epoch end); availableNow IS one
+    epoch, so the post-stream batch step here is exactly that."""
+    from tts_etl_pipeline_spark.sources.tables import table as _table
+
+    clicks = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .withWatermark("ts", "2 hours")
+        .select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    purchases = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+    )
+    matched = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    ).select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        F.unix_micros("click_ts").alias("click_us"),
+        F.unix_micros("purchase_ts").alias("purchase_us"),
+    )
+    inner = run_to_memory(matched, "st12")
+    # completion pass: clicks that never matched get their null row —
+    # membership is exact because the inner join is exact
+    all_clicks = (
+        _table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            # batch loader serves TIMESTAMP_NTZ; session tz is UTC so the
+            # cast is value-preserving and matches the stream's epoch micros
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("click_us"),
+        )
+    )
+    unmatched = all_clicks.join(
+        inner.select("click_id"), "click_id", "left_anti"
+    ).select(
+        "user_id",
+        "click_id",
+        F.lit(None).cast("bigint").alias("purchase_id"),
+        "click_us",
+        F.lit(None).cast("bigint").alias("purchase_us"),
+    )
+    return (
+        inner.select("user_id", "click_id", "purchase_id", "click_us", "purchase_us")
+        .unionByName(unmatched)
+        .orderBy("user_id", "click_id", "purchase_id")
+    )
