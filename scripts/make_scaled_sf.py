@@ -21,7 +21,12 @@ thing that makes runtime scaling measurements honest):
   structure identical to the source (dedup work scales linearly) while
   making copies mutually dissimilar — naive replication would turn every
   doc into a 10-clone near-dup cluster and inflate pair outputs
-  quadratically, measuring an artifact instead of the engine;
+  quadratically, measuring an artifact instead of the engine. The
+  vocabulary-disjoint growth is deliberately ADVERSARIAL to
+  relative-frequency thresholds (per-copy dfs stay flat while n_docs
+  grows): it exposed d3's relative-df-cap quadratic blowup in round 6,
+  now fixed with an absolute posting-list bound (operators/dedup.py
+  MAX_DF_ABSOLUTE, BASELINE.md round-6 notes);
 - embeddings replicate with offset ids (identical vectors across copies —
   ANN cost is corpus-size-driven, not value-driven).
 

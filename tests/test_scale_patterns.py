@@ -429,3 +429,33 @@ def test_morton_key_interleaves_bits():
     out = {(r["a"], r["b"]): r["zkey"] for r in morton_key(df, ["a", "b"]).collect()}
     for (a, b), z in out.items():
         assert z == morton2(int(a), int(b), 8), (a, b, z)
+
+
+def test_d3_absolute_df_cap_bounds_posting_lists(spark, tmp_path, monkeypatch):
+    """The r6 posting-list hard bound: the effective df cap is
+    LEAST(frac * n_docs, MAX_DF_ABSOLUTE), so a token whose df satisfies
+    the relative cap but exceeds the absolute one is still pruned —
+    exactly the disjoint-domain-growth case where the relative cap alone
+    goes quadratic (BASELINE.md round-6 sf1 measurement)."""
+    import tts_etl_pipeline_spark.operators.dedup as dd
+
+    docs = [(i, "w x y z", "en", "s", 7) for i in range(1, 5)]  # df(w..z)=4
+    docs += [(i, f"junk{i} alone{i}", "en", "s", 10) for i in range(5, 11)]
+    spark.createDataFrame(
+        docs, "doc_id bigint, text string, lang string, source string, n_chars int"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    sf = str(tmp_path)
+
+    # default absolute cap (2500) never binds here: relative cap = 5 keeps
+    # the df=4 tokens and docs 1-4 are mutual exact near-dups
+    pairs = sorted(
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in dd.d3_jaccard_neardup_pairs(spark, sf).collect()
+    )
+    assert pairs == [
+        (a, b, 1.0) for a in range(1, 5) for b in range(a + 1, 5)
+    ]
+    # absolute cap below df=4: the hot tokens are pruned even though the
+    # relative cap (5) would keep them -> no posting lists, no pairs
+    monkeypatch.setattr(dd, "MAX_DF_ABSOLUTE", 2)
+    assert dd.d3_jaccard_neardup_pairs(spark, sf).count() == 0

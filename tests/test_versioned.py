@@ -304,3 +304,62 @@ def test_merge_upsert_conflict_when_head_moves(spark, tmp_path, monkeypatch):
         ("k3", 30),
         ("k9", 99),
     ]
+
+
+# ---------------------------------------------------------------------------
+# Schema evolution (r6): add-column appends, schema-correct time travel
+# ---------------------------------------------------------------------------
+def test_schema_evolution_add_column(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    write_version(
+        spark.createDataFrame([("a", 1), ("b", 2)], "k string, v int"), path
+    )
+    with_extra = spark.createDataFrame(
+        [("c", 3, 9.5)], "k string, v int, score double"
+    )
+    # undeclared drift is refused...
+    with pytest.raises(ValueError, match="merge_schema"):
+        write_version(with_extra, path, "append")
+    # ...declared evolution commits; old rows serve null for the new column
+    v2 = write_version(with_extra, path, "append", merge_schema=True)
+    assert v2 == 2
+    head = read_version(spark, path)
+    assert head.columns == ["k", "v", "score"]
+    got = {r["k"]: (r["v"], r["score"]) for r in head.collect()}
+    assert got == {"a": (1, None), "b": (2, None), "c": (3, 9.5)}
+    # time travel serves the PRE-evolution schema
+    assert read_version(spark, path, 1).columns == ["k", "v"]
+    # a later append may OMIT the evolved column (its rows read as null)
+    write_version(
+        spark.createDataFrame([("d", 4)], "k string, v int"), path, "append",
+        merge_schema=True,
+    )
+    got = {r["k"]: r["score"] for r in read_version(spark, path).collect()}
+    assert got["d"] is None and got["c"] == 9.5
+    assert read_version(spark, path).columns == ["k", "v", "score"]
+
+
+def test_schema_evolution_type_change_refused(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    write_version(spark.createDataFrame([("a", 1)], "k string, v int"), path)
+    retyped = spark.createDataFrame([("b", "wat")], "k string, v string")
+    for flag in (False, True):  # a type change is never an evolution
+        with pytest.raises(ValueError, match="cannot change column"):
+            write_version(retyped, path, "append", merge_schema=flag)
+
+
+def test_schema_evolution_rollback_restores_old_schema(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    write_version(spark.createDataFrame([("a", 1)], "k string, v int"), path)
+    write_version(
+        spark.createDataFrame([("b", 2, 1.5)], "k string, v int, score double"),
+        path, "append", merge_schema=True,
+    )
+    assert read_version(spark, path).columns == ["k", "v", "score"]
+    rollback(path, 1)
+    # the restored head serves v1's files AND v1's schema
+    head = read_version(spark, path)
+    assert head.columns == ["k", "v"]
+    assert [tuple(r) for r in head.collect()] == [("a", 1)]
+    # history is append-only: the evolved v2 snapshot is still intact
+    assert read_version(spark, path, 2).columns == ["k", "v", "score"]

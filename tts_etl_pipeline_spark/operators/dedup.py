@@ -109,6 +109,17 @@ def d2_distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 JACCARD_THRESHOLD = 0.6
 MAX_DF_FRACTION = 0.5  # drop tokens present in more than half the corpus
+# Posting-list HARD bound (r6): the relative cap alone assumes stopword
+# document frequencies grow in proportion to the corpus — true under
+# homogeneous growth, FALSE when a corpus grows by ingesting disjoint
+# domains (each domain's dfs stay flat while n_docs climbs, so the
+# relative cap un-prunes every domain's hot tokens and the token
+# self-join goes quadratic — observed and measured on the round-6 scaled
+# fixture, BASELINE.md). The effective cap is LEAST(frac * n_docs, 2500):
+# candidate pairs per token are bounded at ~3M no matter the corpus
+# size. 2500 equals the relative cap at the largest driver fixture
+# (5000 docs x 0.5), so driver outputs are unchanged at every sf.
+MAX_DF_ABSOLUTE = 2500
 
 # Shared CTE chain: inverted-index Jaccard pairs above threshold. Reused by
 # the d3 oracle (pair listing) and the d8 oracle (connected components).
@@ -122,7 +133,8 @@ _PAIRS_CTES = f"""
     total AS (SELECT COUNT(*) AS n_docs FROM documents),
     tok_f AS (
       SELECT t.doc_id, t.token FROM tok t, df, total
-      WHERE df.token = t.token AND df.n <= {MAX_DF_FRACTION} * total.n_docs
+      WHERE df.token = t.token
+        AND df.n <= LEAST({MAX_DF_FRACTION} * total.n_docs, {MAX_DF_ABSOLUTE})
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tok_f GROUP BY doc_id),
     ipairs AS (
@@ -181,7 +193,12 @@ def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     df_tok = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
     keep_tokens = (
         df_tok.join(F.broadcast(n_docs))
-        .filter(F.col("n") <= MAX_DF_FRACTION * F.col("n_docs"))
+        .filter(
+            F.col("n")
+            <= F.least(
+                MAX_DF_FRACTION * F.col("n_docs"), F.lit(float(MAX_DF_ABSOLUTE))
+            )
+        )
         .select("token")
     )
     tok_f = materialize(tok.join(F.broadcast(keep_tokens), "token"))

@@ -9,7 +9,10 @@ Layout under a table root:
 
     data/<uuid>.parquet ...          immutable data files (never rewritten)
     _versions/v00000001.json ...     one manifest per committed version:
-                                     {"version", "files", "parent"}
+                                     {"version", "files", "parent", "mode",
+                                      "schema" (the version's logical
+                                      schema — add-column evolution +
+                                      schema-correct time travel)}
     _versions/_latest.json           pointer to the current version
 
 Commit protocol (multi-writer OPTIMISTIC CONCURRENCY, crash-safe):
@@ -105,22 +108,30 @@ def _latest_lock(path: str):
         os.close(fd)
 
 
-def _commit(path: str, files: list[str], mode: str, expected_parent: int | None = None) -> int:
+def _commit(
+    path: str,
+    files: list[str],
+    mode: str,
+    expected_parent: int | None = None,
+    schema_json: str | None = None,
+) -> int:
     """Commit `files` as version expected_parent+1 via the manifest-name
     CAS. `expected_parent=None` reads the head at commit time (sequential
     callers); writers that computed their file list from a snapshot pass
     the snapshot's version so a concurrent commit is DETECTED, not
-    silently overwritten."""
+    silently overwritten. `schema_json` records the version's logical
+    schema (Iceberg/Delta's schema-per-snapshot — what makes add-column
+    evolution and time travel to the OLD schema both work)."""
     os.makedirs(_vdir(path), exist_ok=True)
     parent = current_version(path) if expected_parent is None else expected_parent
     version = parent + 1
     target = _manifest_path(path, version)
     tmp = target + f".tmp-{uuid.uuid4().hex[:8]}"
+    manifest = {"version": version, "files": sorted(files), "parent": parent, "mode": mode}
+    if schema_json is not None:
+        manifest["schema"] = schema_json
     with open(tmp, "w", encoding="utf-8") as fh:
-        json.dump(
-            {"version": version, "files": sorted(files), "parent": parent, "mode": mode},
-            fh,
-        )
+        json.dump(manifest, fh)
         fh.flush()
         os.fsync(fh.fileno())
     try:
@@ -143,8 +154,58 @@ def _commit(path: str, files: list[str], mode: str, expected_parent: int | None 
     return version
 
 
+def _schema_from_json(schema_json: str):
+    from pyspark.sql.types import StructType
+
+    return StructType.fromJson(json.loads(schema_json))
+
+
+def _evolved_schema(base_schema, new_schema, merge_schema: bool):
+    """Validate an append's schema against the version it extends and
+    return the committed (possibly evolved) schema.
+
+    Rules (the Delta mergeSchema contract):
+    - identical schemas: fine, no flag needed;
+    - common columns must keep their exact type — a type CHANGE is never
+      an evolution, it is a different table (raise);
+    - with merge_schema=True, the commit schema is base columns + any NEW
+      df columns appended as nullable (old files serve null for them);
+      df may also omit base columns (its rows serve null there);
+    - without the flag, any difference raises — silent schema drift is
+      how lakehouse tables rot."""
+    base_fields = {f.name: f for f in base_schema.fields}
+    new_fields = {f.name: f for f in new_schema.fields}
+    for name in base_fields.keys() & new_fields.keys():
+        if base_fields[name].dataType != new_fields[name].dataType:
+            raise ValueError(
+                f"schema evolution cannot change column {name!r}: "
+                f"{base_fields[name].dataType} -> {new_fields[name].dataType}"
+            )
+    added = [f.name for f in new_schema.fields if f.name not in base_fields]
+    missing = [f.name for f in base_schema.fields if f.name not in new_fields]
+    if not added and not missing:
+        return base_schema
+    if not merge_schema:
+        raise ValueError(
+            f"append schema differs from table schema (added {added}, "
+            f"missing {missing}); pass merge_schema=True to evolve"
+        )
+    from pyspark.sql.types import StructField, StructType
+
+    evolved = list(base_schema.fields) + [
+        StructField(f.name, f.dataType, nullable=True)
+        for f in new_schema.fields
+        if f.name not in base_fields
+    ]
+    return StructType(evolved)
+
+
 def write_version(
-    df: DataFrame, path: str, mode: str = "append", expected_version: int | None = None
+    df: DataFrame,
+    path: str,
+    mode: str = "append",
+    expected_version: int | None = None,
+    merge_schema: bool = False,
 ) -> int:
     """Commit `df` as the next version. mode='append' adds to the current
     file list; mode='overwrite' replaces it (old files stay on disk for
@@ -154,10 +215,22 @@ def write_version(
     (or taken from `expected_version` when the caller computed `df` from
     an earlier snapshot — merge_upsert does); if another writer commits
     base+1 first, the manifest CAS raises CommitConflictError and this
-    writer's staged files stay invisible until vacuum."""
+    writer's staged files stay invisible until vacuum.
+
+    Schema evolution (merge_schema=True, append mode): new nullable
+    columns may be ADDED — old files serve null for them on read; the
+    manifest records each version's schema, so time travel to an older
+    version serves the OLDER schema. Type changes always raise."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     base_version = current_version(path) if expected_version is None else expected_version
+    commit_schema = df.schema
+    if mode == "append" and base_version > 0:
+        base_schema_json = _read_manifest(path, base_version).get("schema")
+        if base_schema_json is not None:  # legacy manifests have no schema
+            commit_schema = _evolved_schema(
+                _schema_from_json(base_schema_json), df.schema, merge_schema
+            )
     data_dir = os.path.join(path, "data")
     staging = os.path.join(path, f"_staging-{uuid.uuid4().hex[:8]}")
     df.write.mode("overwrite").parquet(staging)
@@ -175,24 +248,51 @@ def write_version(
     base: list[str] = []
     if mode == "append" and base_version > 0:
         base = _read_manifest(path, base_version)["files"]
-    return _commit(path, base + new_files, mode, expected_parent=base_version)
+    return _commit(
+        path,
+        base + new_files,
+        mode,
+        expected_parent=base_version,
+        schema_json=commit_schema.json(),
+    )
 
 
 def read_version(
     spark: SparkSession, path: str, version: int | None = None
 ) -> DataFrame:
     """Read the table at `version` (default: latest). Empty table (v0) is
-    an error — there is no schema to serve."""
+    an error — there is no schema to serve.
+
+    Schema-evolved tables: the read is pinned to THIS version's recorded
+    schema — files written before a column existed serve null for it
+    (mergeSchema fills the gap), files from other schema lineages never
+    leak columns into this snapshot, and time travel to a pre-evolution
+    version serves the pre-evolution schema."""
+    from pyspark.sql import functions as F
+
     cur = current_version(path)
     v = cur if version is None else version
     # v > cur guards the torn-crash window: a manifest written but never
     # pointed to by _latest is UNCOMMITTED and must stay invisible
     if v <= 0 or v > cur or not os.path.exists(_manifest_path(path, v)):
         raise ValueError(f"version {v} does not exist at {path}")
-    files = _read_manifest(path, v)["files"]
+    m = _read_manifest(path, v)
+    files = m["files"]
     if not files:
         raise ValueError(f"version {v} is empty")
-    return spark.read.parquet(*[os.path.join(path, f) for f in files])
+    reader = spark.read.option("mergeSchema", "true")
+    df = reader.parquet(*[os.path.join(path, f) for f in files])
+    schema_json = m.get("schema")
+    if schema_json is None:  # legacy manifest: serve the merged file schema
+        return df
+    schema = _schema_from_json(schema_json)
+    have = set(df.columns)
+    return df.select(
+        *[
+            F.col(f.name) if f.name in have else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in schema.fields
+        ]
+    )
 
 
 def rollback(path: str, to_version: int) -> int:
@@ -203,13 +303,16 @@ def rollback(path: str, to_version: int) -> int:
         _manifest_path(path, to_version)
     ):
         raise ValueError(f"version {to_version} does not exist at {path}")
-    files = _read_manifest(path, to_version)["files"]
+    m = _read_manifest(path, to_version)
+    files = m["files"]
     missing = [f for f in files if not os.path.exists(os.path.join(path, f))]
     if missing:
         raise ValueError(
             f"version {to_version} was vacuumed; missing files: {missing[:3]}"
         )
-    return _commit(path, files, "rollback")
+    # restore carries the restored version's SCHEMA too (a rollback across
+    # a schema evolution must serve the pre-evolution columns)
+    return _commit(path, files, "rollback", schema_json=m.get("schema"))
 
 
 def history(path: str) -> list[dict]:
