@@ -112,3 +112,18 @@ def test_kths_fused_probe_scan_count(spark):
     jobs = spark.sparkContext.statusTracker().getJobIdsForGroup("fused_kths")
     max_rounds = math.ceil(math.log2(1024)) + 1
     assert 2 <= len(jobs) <= 2 * (1 + max_rounds), len(jobs)
+
+
+def test_percentiles_out_of_range_raise(spark):
+    """Review-pass pin: q outside (0,100] must raise, not silently return
+    a domain extremum; an empty ks list returns [] even on an empty df."""
+    from tts_etl_pipeline_spark.functions.exact_median import (
+        exact_kths_by_counting,
+        exact_percentiles_by_counting,
+    )
+
+    df = spark.createDataFrame([(1,), (2,), (3,)], "x long")
+    for q in (0, -5, 101, 150):
+        with pytest.raises(ValueError, match="percentile"):
+            exact_percentiles_by_counting(df, "x", [q])
+    assert exact_kths_by_counting(spark.createDataFrame([], "x long"), "x", []) == []

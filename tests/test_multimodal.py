@@ -1396,3 +1396,68 @@ def test_m3_video_codec_cross_container_equality(spark):
     assert [t for t, _ in got] == [t for t, _ in ref]
     for (_, lj), (_, ly) in zip(got, ref):
         assert float(np.abs(lj.astype(np.int32) - ly.astype(np.int32)).mean()) < 12.0
+
+
+def test_avi_dib_probe_codec_and_audio_first_stream(spark):
+    """Review-pass pins: (a) BI_RGB's four-NUL fourcc probes as codec
+    'dib', not a NUL string; (b) frames follow the VIDEO stream's strl
+    index — an audio-first mux stores them as 01dc/01db, not 00dc."""
+    import struct
+
+    imgs = [_test_img(w=8, h=6, seed=40 + i) for i in range(3)]
+    dib = MM.encode_avi_dib(imgs, fps=2)
+    df = spark.createDataFrame(
+        [("d.avi", "video", bytes(dib))],
+        "media_id string, modality string, content binary",
+    )
+    meta = MM.chunk_media(df).collect()[0]["meta"]
+    assert meta["codec"] == "dib", meta["codec"]
+
+    # audio-first variant: inject a dummy 'auds' strl BEFORE the video strl
+    # and renumber the frame chunks to stream 01
+    def chunk(cc, payload):
+        return cc + struct.pack("<I", len(payload)) + payload + (b"\x00" if len(payload) & 1 else b"")
+
+    def lst(subtype, payload):
+        return chunk(b"LIST", subtype + payload)
+
+    auds_strl = lst(b"strl", chunk(b"strh", b"auds" + b"\x00" * 52) + chunk(b"strf", b"\x00" * 18))
+    marker = lst(b"strl", b"")[:0]  # noqa: F841  (clarity only)
+    # splice: hdrl currently holds [avih][video strl]; rebuild with audio first
+    mj, payloads = _avi_mjpeg_fixture(n_frames=3, fps=2, w=16, h=8)
+    # decompose the original to find avih + strl + movi via the public parser
+    # (simpler: rebuild from scratch with the same writer primitives)
+    n = len(payloads)
+    avih = struct.pack("<14I", 500000, 1, 0, 0, n, 0, 2, 1, 16, 8, 0, 0, 0, 0)
+    vstrh = (
+        b"vids" + b"MJPG"
+        + struct.pack("<IHHIIIIIIIi", 0, 0, 0, 0, 1, 2, 0, n, 1, 0, -1)
+        + struct.pack("<4H", 0, 0, 16, 8)
+    )
+    vstrf = struct.pack("<IiiHH4sIiiII", 40, 16, 8, 1, 24, b"MJPG", 16 * 8 * 3, 0, 0, 0, 0)
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + auds_strl
+        + lst(b"strl", chunk(b"strh", vstrh) + chunk(b"strf", vstrf)),
+    )
+    movi = lst(b"movi", b"".join(chunk(b"01dc", f) for f in payloads))
+    body = b"AVI " + hdrl + movi
+    audio_first = b"RIFF" + struct.pack("<I", len(body)) + body
+    frames = MM.sample_video_frames(audio_first, every_ms=1)
+    assert len(frames) == 3  # 01dc frames found via the vids stream index
+
+
+def test_avi_short_dib_chunk_raises():
+    imgs = [_test_img(w=8, h=6, seed=50)]
+    content = bytearray(MM.encode_avi_dib(imgs, fps=2))
+    # shrink the declared size of the single 00db chunk below a full frame
+    pos = bytes(content).index(b"00db")
+    import struct
+
+    struct.pack_into("<I", content, pos + 4, 10)
+    meta, frames = MM._parse_avi(bytes(content))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="short DIB"):
+        MM._avi_frame_luma(bytes(content), frames[0][0], frames[0][1], meta)

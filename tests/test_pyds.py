@@ -112,6 +112,9 @@ def test_synthetic_stream_replays_id_space_multibatch(spark, tmp_path):
     )
     deadline = time.monotonic() + 120
     while time.monotonic() < deadline:
+        if not q.isActive:  # died -> surface the real error, don't spin
+            q.awaitTermination()
+            raise RuntimeError("stream terminated before draining")
         try:
             if spark.table("pyds_synth").count() == 300:
                 break

@@ -73,6 +73,8 @@ def exact_kths_by_counting(
     for k in ks:
         if k < 1:
             raise ValueError(f"k must be >= 1, got {k}")
+    if not ks:
+        return []
     vals = df.select(c.alias("__v")).persist(StorageLevel.MEMORY_AND_DISK)
     try:
         bounds = vals.agg(
@@ -93,7 +95,12 @@ def exact_percentiles_by_counting(
     lower-order-statistic convention). The n needed to derive each k comes
     from the SAME bounds/count aggregation the searches use — one persisted
     projection, one metadata pass, fused probes; an empty relation yields
-    []."""
+    []. Percentiles outside (0, 100] raise (k = ceil(q*n/100) would fall
+    outside [1, n] and the search would silently return a domain
+    extremum)."""
+    for q in qs:
+        if not 0 < q <= 100:
+            raise ValueError(f"percentile must be in (0, 100], got {q}")
     c = F.col(col) if isinstance(col, str) else col
     vals = df.select(c.alias("__v")).persist(StorageLevel.MEMORY_AND_DISK)
     try:

@@ -202,9 +202,11 @@ def _probe_meta(modality: str, head: bytes | None) -> dict:
                     v["total_frames"] * 1000 * v["fps_den"] / v["fps_num"]
                 )
             comp = v["compression"] or v["handler"] or b""
+            # str.strip() does NOT strip NULs, and BI_RGB's fourcc is four
+            # NUL bytes — strip them explicitly or 'dib' is unreachable
             meta["codec"] = (
                 "mjpeg" if comp in _MJPG_CLASS
-                else comp.decode("ascii", "replace").strip().lower() or "dib"
+                else comp.decode("ascii", "replace").strip(" \x00").lower() or "dib"
             )
         except Exception:
             pass
@@ -588,9 +590,10 @@ def _parse_avi(content: bytes, *, need_frames: bool = True) -> tuple[dict, list]
         "total_frames": None,
         "handler": None,
         "compression": None,
-        "stream_type": None,
+        "vids_stream": None,  # index of the video stream (strl order)
     }
     frames: list[tuple[int, int]] = []
+    state = {"n_streams": 0, "cur_is_vids": False}
 
     def walk(pos: int, end: int) -> None:
         while pos + 8 <= end:
@@ -608,19 +611,31 @@ def _parse_avi(content: bytes, *, need_frames: bool = True) -> tuple[dict, list]
                 w, h = struct.unpack_from("<II", content, body + 32)
                 meta["width"], meta["height"] = w or None, h or None
             elif cc == b"strh" and body + 32 <= len(content):
-                if content[body : body + 4] == b"vids":
-                    meta["stream_type"] = "vids"
+                # streams are numbered by strl order; frame chunk ids carry
+                # that number (NNdc/NNdb) — audio-first muxing puts video
+                # frames in 01dc, so the number must come from the header,
+                # not be assumed 00
+                idx = state["n_streams"]
+                state["n_streams"] = idx + 1
+                state["cur_is_vids"] = content[body : body + 4] == b"vids"
+                if state["cur_is_vids"] and meta["vids_stream"] is None:
+                    meta["vids_stream"] = idx
                     meta["handler"] = content[body + 4 : body + 8]
                     scale, rate = struct.unpack_from("<II", content, body + 20)
                     if scale and rate:  # rate/scale beats avih's rounded us/frame
                         meta["fps_num"], meta["fps_den"] = rate, scale
-            elif cc == b"strf" and meta["stream_type"] == "vids" and body + 20 <= len(content):
+            elif cc == b"strf" and state["cur_is_vids"] and body + 20 <= len(content):
                 if meta["compression"] is None:  # first vids strf wins
                     bw, bh = struct.unpack_from("<ii", content, body + 4)
                     meta["width"] = meta["width"] or abs(bw) or None
                     meta["height"] = meta["height"] or abs(bh) or None
                     meta["compression"] = content[body + 16 : body + 20]
-            elif cc[2:4] in (b"dc", b"db") and cc[:2] == b"00":
+            elif (
+                cc[2:4] in (b"dc", b"db")
+                and cc[:2].isdigit()
+                and meta["vids_stream"] is not None
+                and int(cc[:2]) == meta["vids_stream"]
+            ):
                 if body + size <= len(content):
                     frames.append((body, size))
                 elif need_frames:
@@ -630,6 +645,8 @@ def _parse_avi(content: bytes, *, need_frames: bool = True) -> tuple[dict, list]
     walk(12, len(content))
     if not (meta["width"] and meta["height"] and meta["fps_num"]):
         raise ValueError("AVI header missing dimensions or frame rate")
+    if meta["vids_stream"] is None:
+        raise ValueError("AVI has no video (vids) stream")
     return meta, frames
 
 
@@ -655,8 +672,14 @@ def _avi_frame_luma(content: bytes, off: int, size: int, meta: dict) -> np.ndarr
     if comp in (b"\x00\x00\x00\x00", b"DIB "):  # BI_RGB uncompressed
         w, h = meta["width"], meta["height"]
         row_bytes = (w * 3 + 3) & ~3
+        if size < row_bytes * h:
+            # bound the read by the CHUNK, not the file — a short 00db
+            # chunk must error, not silently decode the next chunk's bytes
+            raise ValueError(
+                f"short DIB frame chunk: {size} bytes < {row_bytes * h} expected"
+            )
         rows = np.frombuffer(
-            content, dtype=np.uint8, count=row_bytes * h, offset=off
+            content[off : off + size], dtype=np.uint8, count=row_bytes * h
         ).reshape(h, row_bytes)[:, : w * 3]
         bgr = rows.reshape(h, w, 3)[::-1].astype(np.float64)  # bottom-up
         y = 0.299 * bgr[..., 2] + 0.587 * bgr[..., 1] + 0.114 * bgr[..., 0]
@@ -690,7 +713,8 @@ def _encode_avi(
         1_000_000 // fps,  # dwMicroSecPerFrame
         max_bytes * fps,  # dwMaxBytesPerSec
         0,  # dwPaddingGranularity
-        0x10,  # AVIF_HASINDEX off; 0x10 = AVIF_WASCAPTUREFILE (benign)
+        0,  # dwFlags — no AVIF_HASINDEX: we write no idx1 chunk, and
+        #    advertising an absent index misleads index-seeking readers
         n, 0, 1, max_bytes,
         width, height, 0, 0, 0, 0,
     )

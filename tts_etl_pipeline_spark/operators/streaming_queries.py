@@ -578,6 +578,9 @@ def st11_pyds_stream_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         deadline = time.monotonic() + 300
         total = None
         while time.monotonic() < deadline:
+            if not q.isActive:  # died -> surface the REAL error, don't spin
+                q.awaitTermination()  # re-raises the StreamingQueryException
+                raise RuntimeError("st11 stream terminated before draining")
             try:  # the memory table appears with the first completed batch
                 total = spark.table(name).agg(F.sum("n_events")).collect()[0][0]
             except Exception:

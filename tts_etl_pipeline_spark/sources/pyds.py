@@ -154,7 +154,17 @@ class SyntheticStreamReader(DataSourceStreamReader):
     a full multi-batch drain run a processingTime trigger and stop when
     the committed offset reaches n_rows (operators/streaming_queries.st11
     does exactly that); callers wanting one-shot availableNow semantics
-    set rows_per_batch >= n_rows."""
+    set rows_per_batch >= n_rows.
+
+    Restart contract: the paging cursor is IN-MEMORY, so a query restarted
+    from a mid-stream checkpoint gets a fresh reader whose latestOffset
+    would regress behind the committed offset — and a regressed offset
+    log means re-emitted rows (silent duplicates). partitions() therefore
+    RAISES when the committed start is ahead of the cursor: this synthetic
+    source supports replay within a run and restart from a FRESH
+    checkpoint (or the rows_per_batch >= n_rows one-shot mode, where the
+    first latestOffset equals the committed offset and the restarted
+    query terminates cleanly with no new batch)."""
 
     def __init__(self, options: dict):
         self.rows_per_batch = int(options.get("rows_per_batch", 100))
@@ -173,11 +183,19 @@ class SyntheticStreamReader(DataSourceStreamReader):
         # the [start, end) range is a COMMITTED contract — truncating it
         # here would silently drop rows (the engine advances to `end`
         # regardless); batch-size control belongs in latestOffset. Large
-        # ranges (e.g. a restart from an old checkpoint whose committed
-        # offset is ahead of this fresh reader's cursor) still split into
-        # rows_per_batch-sized partitions for parallelism.
+        # ranges still split into rows_per_batch-sized partitions for
+        # parallelism.
         lo, hi = start["offset"], min(end["offset"], self.max_rows)
-        self._cursor = max(self._cursor, hi)  # resync after checkpoint restart
+        if lo > self._cursor:
+            # mid-stream checkpoint restart: a fresh cursor would regress
+            # latestOffset behind the committed offset and re-emit rows as
+            # silent duplicates — fail loudly instead (see class docstring)
+            raise ValueError(
+                f"synthetic_events restarted from committed offset {lo} ahead "
+                f"of its in-memory paging cursor ({self._cursor}); this source "
+                f"supports fresh checkpoints or rows_per_batch >= n_rows only"
+            )
+        self._cursor = max(self._cursor, hi)
         step = max(1, self.rows_per_batch)
         return [
             _RangePartition(i, min(i + step, hi), self.seed)

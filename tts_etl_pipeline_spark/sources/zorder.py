@@ -49,6 +49,47 @@ Z_BITS = 8  # 256 rank cells per column; 2 cols -> 16-bit Morton key
 SAMPLE_ROWS = 65_536  # bounded cut-point sample per column (control-plane)
 
 
+def quantile_cuts_multi(
+    df: DataFrame,
+    cols: Sequence[str],
+    bits: int = Z_BITS,
+    sample_rows: int = SAMPLE_ROWS,
+    seed: int = 42,
+) -> dict[str, list]:
+    """2^bits - 1 approximate quantile cut points PER COLUMN from one
+    bounded random sample (works for any orderable type: numbers, dates,
+    strings).
+
+    Control-plane cost for k columns: ONE row-count + ONE sample-collect
+    of the k-column projection — not 2k scans (per-column count + sample
+    would double the write-path read cost per added column; the same
+    scan-economics discipline as the fused x5 probes). Collected volume is
+    <= ~sample_rows rows regardless of table size, the d10/t17
+    bounded-collect discipline. Duplicate cuts (heavy-hitter values) are
+    fine: the rank expression counts cuts <= value, so a value spanning
+    several cells just occupies the highest, like ntile tie behavior up
+    to cell granularity. NULLs sort into cell 0 (no cut compares <= a
+    NULL)."""
+    proj = df.select(*cols)
+    n = proj.count()
+    if n == 0:
+        return {c: [] for c in cols}
+    fraction = min(1.0, sample_rows / n)
+    rows = proj.sample(withReplacement=False, fraction=fraction, seed=seed).collect()
+    if not rows:  # tiny-fraction edge: fall back to the whole projection
+        rows = proj.collect()
+    n_cells = 1 << bits
+    out: dict[str, list] = {}
+    for c in cols:
+        sample = sorted(r[c] for r in rows if r[c] is not None)
+        out[c] = (
+            [sample[(i * len(sample)) // n_cells] for i in range(1, n_cells)]
+            if sample
+            else []
+        )
+    return out
+
+
 def quantile_cuts(
     df: DataFrame,
     col: str,
@@ -56,27 +97,8 @@ def quantile_cuts(
     sample_rows: int = SAMPLE_ROWS,
     seed: int = 42,
 ) -> list:
-    """2^bits - 1 approximate quantile cut points for `col` from a bounded
-    random sample (works for any orderable type: numbers, dates, strings).
-
-    Control-plane cost: one count + one sample-collect of <= ~sample_rows
-    values — independent of table size, the d10/t17 bounded-collect
-    discipline. Duplicate cuts (heavy-hitter values) are fine: the rank
-    expression counts cuts <= value, so a value spanning several cells
-    just occupies the highest, exactly like ntile tie behavior up to cell
-    granularity."""
-    vals = df.select(col).where(F.col(col).isNotNull())
-    n = vals.count()
-    if n == 0:
-        return []
-    fraction = min(1.0, sample_rows / n)
-    sample = sorted(
-        r[0] for r in vals.sample(withReplacement=False, fraction=fraction, seed=seed).collect()
-    )
-    if not sample:  # tiny-fraction edge: fall back to whole-column sample
-        sample = sorted(r[0] for r in vals.collect())
-    n_cells = 1 << bits
-    return [sample[(i * len(sample)) // n_cells] for i in range(1, n_cells)]
+    """Single-column convenience wrapper over quantile_cuts_multi."""
+    return quantile_cuts_multi(df, [col], bits, sample_rows, seed)[col]
 
 
 def _rank_expr(col: str, cuts: list) -> F.Column:
@@ -84,6 +106,8 @@ def _rank_expr(col: str, cuts: list) -> F.Column:
 
     A fold over a broadcast literal array — pure JVM expression, no window,
     no Exchange, no UDF."""
+    if not cuts:  # all-NULL/empty column: every row lands in cell 0
+        return F.lit(0)
     arr = F.array(*[F.lit(v) for v in cuts])
     return F.aggregate(
         arr,
@@ -131,9 +155,10 @@ def zorder_write(
 ) -> None:
     """Write `df` Z-ordered on `cols` into ~`n_files` parquet files.
 
-    Window-free: sampled quantile cuts -> scan-side Morton key -> one
-    range exchange. Scales to any table size."""
-    cuts = {c: quantile_cuts(df, c, bits) for c in cols}
+    Window-free: sampled quantile cuts (one count + one sample pass for
+    ALL columns) -> scan-side Morton key -> one range exchange. Scales to
+    any table size."""
+    cuts = quantile_cuts_multi(df, cols, bits)
     keyed = morton_key(df, cols, bits, cuts=cuts)
     (
         keyed.repartitionByRange(n_files, "zkey")
