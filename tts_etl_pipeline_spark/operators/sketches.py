@@ -307,3 +307,117 @@ def x5_exact_percentiles_by_counting(spark: SparkSession, sf_dir: str) -> DataFr
     # -> empty result, stable schema.
     rows = exact_percentiles_by_counting(cents, "c", [25, 50, 75])
     return spark.createDataFrame(rows, "q int, cents_value bigint").orderBy("q")
+
+
+# ---------------------------------------------------------------------------
+# x6 — GROUPED exact percentiles without sorting (r6): x5's domain binary
+# search lifted to per-group order statistics. q21 computes per-group
+# percentiles the sort-based way (window over each group); x6 is the
+# scan-side alternative for when exactness is non-negotiable but a
+# per-group sort (or a per-group percentile buffer) is not affordable:
+# every probe round answers EVERY still-active (group, percentile) search
+# in ONE pass — a broadcast join of the tiny (group, mids...) table onto
+# the cached fact projection, then one partial+final aggregation of
+# |groups| rows. Rounds <= log2(domain span); shuffle volume per round is
+# |groups| x |percentiles| conditional sums, independent of row count.
+# Driver-side state is O(|groups| x |percentiles|) — the documented
+# contract: this is the LOW-CARDINALITY-group shape (priorities, langs,
+# sources); high-cardinality groups belong to q21's shuffle-sort or x4's
+# mergeable digests. Lower-order-statistic convention (k = ceil(q*n/100)),
+# reproduced in the oracle via per-group ROW_NUMBER.
+# ---------------------------------------------------------------------------
+@_register(
+    "x6_grouped_exact_percentiles",
+    """
+    WITH cents AS (
+      SELECT o_orderpriority AS grp,
+             CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS c
+      FROM orders
+    ),
+    n AS (SELECT grp, COUNT(*) AS n FROM cents GROUP BY grp),
+    ranked AS (
+      SELECT grp, c, ROW_NUMBER() OVER (PARTITION BY grp ORDER BY c) AS rn
+      FROM cents
+    )
+    SELECT n.grp AS grp, t.q AS q, r.c AS cents_value
+    FROM n
+    CROSS JOIN (VALUES (25), (50), (75)) AS t(q)
+    JOIN ranked r
+      ON r.grp = n.grp
+     AND r.rn = CAST(ceil(t.q * n.n / 100.0) AS BIGINT)
+    ORDER BY grp, q
+    """,
+)
+def x6_grouped_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.storagelevel import StorageLevel
+
+    QS = (25, 50, 75)
+    vals = (
+        table(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderpriority").alias("grp"),
+            (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+            .cast("long")
+            .alias("c"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    try:
+        # one bounds/count pass; |groups| rows to the driver (bounded by
+        # group cardinality — the documented low-cardinality contract)
+        bounds = vals.groupBy("grp").agg(
+            F.min("c").alias("lo"), F.max("c").alias("hi"), F.count("c").alias("n")
+        ).collect()
+        # state per (grp, q): remaining [lo, hi] and the target k
+        state = {
+            (b["grp"], q): [int(b["lo"]), int(b["hi"]), -(-q * b["n"] // 100)]
+            for b in bounds
+            for q in QS
+        }
+        while True:
+            active = {key: s for key, s in state.items() if s[0] < s[1]}
+            if not active:
+                break
+            # fused probe: one broadcast mid-table join + one |groups|-row
+            # aggregation answers every active (grp, q) search
+            mids = {}
+            for (grp, q), (lo, hi, _k) in active.items():
+                mids.setdefault(grp, {})[q] = (lo + hi) // 2
+            mdf = spark.createDataFrame(
+                [
+                    tuple([grp] + [qmids.get(q) for q in QS])
+                    for grp, qmids in mids.items()
+                ],
+                "grp string, " + ", ".join(f"m{q} long" for q in QS),
+            )
+            counts = (
+                vals.join(F.broadcast(mdf), "grp")
+                .groupBy("grp")
+                .agg(
+                    *[
+                        F.sum((F.col("c") <= F.col(f"m{q}")).cast("long")).alias(
+                            f"n{q}"
+                        )
+                        for q in QS
+                    ]
+                )
+                .collect()
+            )
+            by_grp = {r["grp"]: r for r in counts}
+            for (grp, q), s in active.items():
+                mid = mids[grp][q]
+                if mid is None:
+                    continue
+                if by_grp[grp][f"n{q}"] >= s[2]:
+                    s[1] = mid
+                else:
+                    s[0] = mid + 1
+        rows = [
+            (grp, q, state[(grp, q)][0])
+            for grp, q in sorted(state)
+        ]
+        return spark.createDataFrame(
+            rows, "grp string, q int, cents_value bigint"
+        ).orderBy("grp", "q")
+    finally:
+        vals.unpersist()
