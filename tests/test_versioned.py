@@ -363,3 +363,57 @@ def test_schema_evolution_rollback_restores_old_schema(spark, tmp_path):
     assert [tuple(r) for r in head.collect()] == [("a", 1)]
     # history is append-only: the evolved v2 snapshot is still intact
     assert read_version(spark, path, 2).columns == ["k", "v", "score"]
+
+
+# ---------------------------------------------------------------------------
+# Change data feed (r6): row-level diffs between versions, file-diff-bounded
+# ---------------------------------------------------------------------------
+def test_table_changes_append_and_merge(spark, tmp_path):
+    from tts_etl_pipeline_spark.sources.versioned import merge_upsert, table_changes
+
+    path = str(tmp_path / "tbl")
+    write_version(
+        spark.createDataFrame([("k1", 1), ("k2", 2)], "k string, v int"), path
+    )
+    write_version(spark.createDataFrame([("k3", 3)], "k string, v int"), path)
+    # append feed: inserts only, exactly the appended rows
+    feed = table_changes(spark, path, 1, 2)
+    assert sorted(map(tuple, feed.collect())) == [("k3", 3, "insert")]
+    # merge (update k2 + insert k4): update surfaces as delete+insert
+    merge_upsert(
+        spark, path,
+        spark.createDataFrame([("k2", 20), ("k4", 40)], "k string, v int"),
+        key="k",
+    )
+    feed = {(r["k"], r["v"], r["_change_type"]) for r in table_changes(spark, path, 2, 3).collect()}
+    assert ("k2", 2, "delete") in feed and ("k2", 20, "insert") in feed
+    assert ("k4", 40, "insert") in feed
+    # unchanged rows never appear, even though the overwrite rewrote them
+    # into new files — exceptAll's bag semantics cancels identical rows
+    assert ("k1", 1, "insert") not in feed and ("k1", 1, "delete") not in feed
+    # same-version feed is empty with a stable schema
+    same = table_changes(spark, path, 2, 2)
+    assert same.count() == 0 and same.columns == ["k", "v", "_change_type"]
+    # rollback feed: restoring v2 deletes the merge's effects
+    rollback(path, 2)
+    feed = {(r["k"], r["v"], r["_change_type"]) for r in table_changes(spark, path, 3, 4).collect()}
+    assert ("k2", 20, "delete") in feed and ("k2", 2, "insert") in feed
+    assert ("k4", 40, "delete") in feed
+    with pytest.raises(ValueError):
+        table_changes(spark, path, 3, 1)  # from > to
+    with pytest.raises(ValueError):
+        table_changes(spark, path, 1, 99)  # nonexistent
+
+
+def test_table_changes_across_schema_evolution(spark, tmp_path):
+    from tts_etl_pipeline_spark.sources.versioned import table_changes
+
+    path = str(tmp_path / "tbl")
+    write_version(spark.createDataFrame([("a", 1)], "k string, v int"), path)
+    write_version(
+        spark.createDataFrame([("b", 2, 9.5)], "k string, v int, score double"),
+        path, "append", merge_schema=True,
+    )
+    feed = table_changes(spark, path, 1, 2)
+    assert set(feed.columns) == {"k", "v", "score", "_change_type"}
+    assert sorted(map(tuple, feed.collect())) == [("b", 2, 9.5, "insert")]
