@@ -127,3 +127,38 @@ def test_percentiles_out_of_range_raise(spark):
         with pytest.raises(ValueError, match="percentile"):
             exact_percentiles_by_counting(df, "x", [q])
     assert exact_kths_by_counting(spark.createDataFrame([], "x long"), "x", []) == []
+
+
+def test_grouped_percentiles_matches_numpy_and_handles_nulls(spark):
+    """Grouped fused search (the x6 engine, refactored into
+    exact_median.py): per-group values match numpy's lower-order
+    statistic; NULL group keys are real groups; all-NULL-value groups are
+    omitted; bad percentiles raise."""
+    from tts_etl_pipeline_spark.functions.exact_median import (
+        exact_grouped_percentiles_by_counting,
+    )
+
+    rng = np.random.default_rng(31)
+    rows = []
+    data: dict = {"a": [], "b": [], None: []}
+    for g in ("a", "b", None):
+        for _ in range(997):
+            v = int(rng.integers(-1000, 1000))
+            data[g].append(v)
+            rows.append((g, v))
+    rows.append(("empty", None))  # all-NULL group: omitted from output
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = exact_grouped_percentiles_by_counting(df, "g", "v", [25, 50, 75])
+    expect = []
+    for g in (None, "a", "b"):  # None sorts last in the helper's key order
+        arr = np.sort(data[g])
+        for q in (25, 50, 75):
+            k = -(-q * len(arr) // 100)
+            expect.append((g, q, int(arr[k - 1])))
+    # helper returns non-None groups sorted first, then None
+    expect_sorted = sorted(expect, key=lambda r: ((r[0] is None, r[0]), r[1]))
+    assert got == expect_sorted
+    assert all(g != "empty" for g, _, _ in got)
+    with pytest.raises(ValueError, match="percentile"):
+        exact_grouped_percentiles_by_counting(df, "g", "v", [0])
+    assert exact_grouped_percentiles_by_counting(df, "g", "v", []) == []

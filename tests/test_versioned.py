@@ -417,3 +417,37 @@ def test_table_changes_across_schema_evolution(spark, tmp_path):
     feed = table_changes(spark, path, 1, 2)
     assert set(feed.columns) == {"k", "v", "score", "_change_type"}
     assert sorted(map(tuple, feed.collect())) == [("b", 2, 9.5, "insert")]
+
+
+def test_table_changes_guards(spark, tmp_path):
+    """Review-pass pins: vacuumed feed raises cleanly; a retyped column
+    raises instead of a positional-mismatch diff; _change_type is a
+    reserved name."""
+    from tts_etl_pipeline_spark.sources.versioned import table_changes
+
+    path = str(tmp_path / "tbl")
+    write_version(spark.createDataFrame([("a", 1)], "k string, v int"), path)
+    write_version(
+        spark.createDataFrame([("b", 2)], "k string, v int"), path, "overwrite"
+    )
+    write_version(spark.createDataFrame([("c", 3)], "k string, v int"), path)
+    vacuum(path, keep_versions=1)  # v1's files are gone
+    with pytest.raises(ValueError, match="vacuumed"):
+        table_changes(spark, path, 1, 3)
+    # retype via unchecked overwrite -> feed across it refuses
+    write_version(
+        spark.createDataFrame([("d", "wat")], "k string, v string"),
+        path, "overwrite",
+    )
+    with pytest.raises(ValueError, match="retyped"):
+        table_changes(spark, path, 3, 4)
+    # reserved column name
+    p2 = str(tmp_path / "tbl2")
+    write_version(
+        spark.createDataFrame([("a", "x")], "k string, _change_type string"), p2
+    )
+    write_version(
+        spark.createDataFrame([("b", "y")], "k string, _change_type string"), p2
+    )
+    with pytest.raises(ValueError, match="reserved"):
+        table_changes(spark, p2, 1, 2)

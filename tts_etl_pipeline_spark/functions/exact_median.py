@@ -130,3 +130,97 @@ def exact_median_by_counting(df: DataFrame, col: str | Column) -> int:
     if not n:
         raise ValueError("median of an empty relation")
     return exact_kth_by_counting(df, col, (n + 1) // 2)
+
+
+def exact_grouped_percentiles_by_counting(
+    df: DataFrame, group_col: str, value_col: str, qs: list[int]
+) -> list[tuple]:
+    """[(group, q, value)] per group — the GROUPED form of the fused domain
+    binary search: every probe round answers ALL still-active
+    (group, percentile) searches in one pass, via a broadcast join of the
+    tiny per-group mid table onto the persisted projection plus one
+    |groups|-row aggregation. Rounds <= log2(domain span); per-round
+    shuffle volume is |groups| x |qs| conditional sums, independent of row
+    count. Driver state is O(|groups| x |qs|) — the documented
+    LOW-cardinality-group contract (high-cardinality groups belong to a
+    shuffle-sort or a mergeable digest).
+
+    Semantics: lower-order-statistic convention (k = ceil(q*n/100)) over
+    NON-NULL values per group; groups whose values are all NULL have no
+    defined percentile and are omitted (SQL's per-group ROW_NUMBER oracle
+    does the same — NULL rows sort past every k <= count(c)). NULL group
+    keys are real groups (null-safe join). Percentiles outside (0, 100]
+    raise."""
+    for q in qs:
+        if not 0 < q <= 100:
+            raise ValueError(f"percentile must be in (0, 100], got {q}")
+    if not qs:
+        return []
+    vals = df.select(
+        F.col(group_col).alias("__g"), F.col(value_col).alias("__v")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        bounds = (
+            vals.groupBy("__g")
+            .agg(
+                F.min("__v").alias("lo"),
+                F.max("__v").alias("hi"),
+                F.count("__v").alias("n"),  # count() skips NULL values
+            )
+            .collect()
+        )
+        # state per (grp, q): remaining [lo, hi] and the target k
+        state = {
+            (b["__g"], q): [int(b["lo"]), int(b["hi"]), -(-q * b["n"] // 100)]
+            for b in bounds
+            if b["n"] > 0  # all-NULL group: no percentile to define
+            for q in qs
+        }
+        g_field = vals.schema["__g"]
+        from pyspark.sql import types as T
+
+        mdf_schema = T.StructType(
+            [T.StructField("__gm", g_field.dataType, True)]
+            + [T.StructField(f"m{q}", T.LongType(), True) for q in qs]
+        )
+        spark = df.sparkSession
+        while True:
+            active = {key: s for key, s in state.items() if s[0] < s[1]}
+            if not active:
+                break
+            mids: dict = {}
+            for (grp, q), (lo, hi, _k) in active.items():
+                mids.setdefault(grp, {})[q] = (lo + hi) // 2
+            mdf = spark.createDataFrame(
+                [
+                    tuple([grp] + [qmids.get(q) for q in qs])
+                    for grp, qmids in mids.items()
+                ],
+                mdf_schema,
+            )
+            # null-safe join: a NULL group key is a real group
+            counts = (
+                vals.join(F.broadcast(mdf), vals["__g"].eqNullSafe(mdf["__gm"]))
+                .groupBy("__g")
+                .agg(
+                    *[
+                        F.sum((F.col("__v") <= F.col(f"m{q}")).cast("long")).alias(
+                            f"n{q}"
+                        )
+                        for q in qs
+                    ]
+                )
+                .collect()
+            )
+            by_grp = {r["__g"]: r for r in counts}
+            for (grp, q), s in active.items():
+                if by_grp[grp][f"n{q}"] >= s[2]:
+                    s[1] = mids[grp][q]
+                else:
+                    s[0] = mids[grp][q] + 1
+        return [
+            (grp, q, state[(grp, q)][0])
+            for grp, q in sorted(state, key=lambda k: ((k[0] is None, k[0]), k[1]))
+        ]
+    finally:
+        vals.unpersist()

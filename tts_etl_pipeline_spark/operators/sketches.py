@@ -349,75 +349,18 @@ def x5_exact_percentiles_by_counting(spark: SparkSession, sf_dir: str) -> DataFr
     """,
 )
 def x6_grouped_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.storagelevel import StorageLevel
-
-    QS = (25, 50, 75)
-    vals = (
-        table(spark, sf_dir, "orders")
-        .select(
-            F.col("o_orderpriority").alias("grp"),
-            (F.col("o_totalprice").cast("decimal(12,2)") * 100)
-            .cast("long")
-            .alias("c"),
-        )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    from tts_etl_pipeline_spark.functions.exact_median import (
+        exact_grouped_percentiles_by_counting,
     )
-    try:
-        # one bounds/count pass; |groups| rows to the driver (bounded by
-        # group cardinality — the documented low-cardinality contract)
-        bounds = vals.groupBy("grp").agg(
-            F.min("c").alias("lo"), F.max("c").alias("hi"), F.count("c").alias("n")
-        ).collect()
-        # state per (grp, q): remaining [lo, hi] and the target k
-        state = {
-            (b["grp"], q): [int(b["lo"]), int(b["hi"]), -(-q * b["n"] // 100)]
-            for b in bounds
-            for q in QS
-        }
-        while True:
-            active = {key: s for key, s in state.items() if s[0] < s[1]}
-            if not active:
-                break
-            # fused probe: one broadcast mid-table join + one |groups|-row
-            # aggregation answers every active (grp, q) search
-            mids = {}
-            for (grp, q), (lo, hi, _k) in active.items():
-                mids.setdefault(grp, {})[q] = (lo + hi) // 2
-            mdf = spark.createDataFrame(
-                [
-                    tuple([grp] + [qmids.get(q) for q in QS])
-                    for grp, qmids in mids.items()
-                ],
-                "grp string, " + ", ".join(f"m{q} long" for q in QS),
-            )
-            counts = (
-                vals.join(F.broadcast(mdf), "grp")
-                .groupBy("grp")
-                .agg(
-                    *[
-                        F.sum((F.col("c") <= F.col(f"m{q}")).cast("long")).alias(
-                            f"n{q}"
-                        )
-                        for q in QS
-                    ]
-                )
-                .collect()
-            )
-            by_grp = {r["grp"]: r for r in counts}
-            for (grp, q), s in active.items():
-                mid = mids[grp][q]
-                if mid is None:
-                    continue
-                if by_grp[grp][f"n{q}"] >= s[2]:
-                    s[1] = mid
-                else:
-                    s[0] = mid + 1
-        rows = [
-            (grp, q, state[(grp, q)][0])
-            for grp, q in sorted(state)
-        ]
-        return spark.createDataFrame(
-            rows, "grp string, q int, cents_value bigint"
-        ).orderBy("grp", "q")
-    finally:
-        vals.unpersist()
+
+    cents = table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("grp"),
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("long").alias("c"),
+    )
+    # the fused grouped search lives with its siblings in
+    # functions/exact_median.py (one home for the selection-by-counting
+    # family); this query is the driver-surface binding
+    rows = exact_grouped_percentiles_by_counting(cents, "grp", "c", [25, 50, 75])
+    return spark.createDataFrame(
+        rows, "grp string, q int, cents_value bigint"
+    ).orderBy("grp", "q")

@@ -257,6 +257,17 @@ def write_version(
     )
 
 
+def _check_version(path: str, v: int) -> int:
+    """Validate that `v` is a COMMITTED version and return the head.
+
+    v > head guards the torn-crash window: a manifest written but never
+    pointed to by _latest is UNCOMMITTED and must stay invisible."""
+    cur = current_version(path)
+    if v <= 0 or v > cur or not os.path.exists(_manifest_path(path, v)):
+        raise ValueError(f"version {v} does not exist at {path}")
+    return cur
+
+
 def read_version(
     spark: SparkSession, path: str, version: int | None = None
 ) -> DataFrame:
@@ -270,12 +281,8 @@ def read_version(
     version serves the pre-evolution schema."""
     from pyspark.sql import functions as F
 
-    cur = current_version(path)
-    v = cur if version is None else version
-    # v > cur guards the torn-crash window: a manifest written but never
-    # pointed to by _latest is UNCOMMITTED and must stay invisible
-    if v <= 0 or v > cur or not os.path.exists(_manifest_path(path, v)):
-        raise ValueError(f"version {v} does not exist at {path}")
+    v = current_version(path) if version is None else version
+    _check_version(path, v)
     m = _read_manifest(path, v)
     files = m["files"]
     if not files:
@@ -299,10 +306,7 @@ def rollback(path: str, to_version: int) -> int:
     """Append-only restore: commit a NEW version with `to_version`'s files.
     Refuses if vacuum already deleted any of them — committing a head that
     references missing files would brick every subsequent read."""
-    if to_version <= 0 or to_version > current_version(path) or not os.path.exists(
-        _manifest_path(path, to_version)
-    ):
-        raise ValueError(f"version {to_version} does not exist at {path}")
+    _check_version(path, to_version)
     m = _read_manifest(path, to_version)
     files = m["files"]
     missing = [f for f in files if not os.path.exists(os.path.join(path, f))]
@@ -452,14 +456,16 @@ def table_changes(
     semantics (multiplicity-correct, duplicate rows preserved).
 
     Schema evolution: both sides align to the UNION of the two versions'
-    recorded schemas (missing columns read as null), so a feed across an
-    add-column commit is well-typed; `_change_type` is appended last."""
+    recorded schemas, every selected column CAST to the union type
+    (missing columns read as null), so a feed across an add-column commit
+    is well-typed; a column RETYPED between the versions (possible via an
+    unchecked overwrite) raises cleanly rather than producing a
+    positional-mismatch diff. `_change_type` is reserved (appended last);
+    a feed over a vacuumed version raises like rollback does."""
     from pyspark.sql import functions as F
 
-    cur = current_version(path)
     for v in (from_version, to_version):
-        if v <= 0 or v > cur or not os.path.exists(_manifest_path(path, v)):
-            raise ValueError(f"version {v} does not exist at {path}")
+        _check_version(path, v)
     if from_version > to_version:
         raise ValueError(
             f"from_version {from_version} must be <= to_version {to_version}"
@@ -469,15 +475,46 @@ def table_changes(
     old_files, new_files = set(old_m["files"]), set(new_m["files"])
     old_only = sorted(old_files - new_files)
     new_only = sorted(new_files - old_files)
+    missing = [
+        f for f in old_only + new_only if not os.path.exists(os.path.join(path, f))
+    ]
+    if missing:
+        raise ValueError(
+            f"change feed {from_version}->{to_version} references vacuumed "
+            f"files: {missing[:3]}"
+        )
+    if not old_only and not new_only:  # identical file lists -> empty feed
+        base = read_version(spark, path, to_version).limit(0)
+        return base.withColumn("_change_type", F.lit("insert"))
 
-    # union schema of the two snapshots (falls back to file inference for
-    # legacy manifests without a recorded schema)
+    # union schema of the two snapshots; a retype between versions has no
+    # sound row-diff semantics — refuse instead of coercing silently
     fields: dict = {}
     for m in (old_m, new_m):
         sj = m.get("schema")
         if sj is not None:
             for f in _schema_from_json(sj).fields:
-                fields.setdefault(f.name, f.dataType)
+                prev = fields.setdefault(f.name, f.dataType)
+                if prev != f.dataType:
+                    raise ValueError(
+                        f"column {f.name!r} was retyped between versions "
+                        f"({prev} vs {f.dataType}); change feed across a "
+                        f"retype is not supported"
+                    )
+    if not fields:
+        # legacy manifests (no recorded schema): pin ONE union schema for
+        # BOTH sides by probing all involved files together — per-side
+        # inference could disagree on column order/set and turn exceptAll
+        # positional comparison into garbage diffs
+        probe = spark.read.option("mergeSchema", "true").parquet(
+            *[os.path.join(path, f) for f in old_only + new_only]
+        )
+        fields = {f.name: f.dataType for f in probe.schema.fields}
+    if "_change_type" in fields:
+        raise ValueError(
+            "table has a _change_type column — the name is reserved by the "
+            "change feed (the Delta CDF contract)"
+        )
 
     def _read(files: list[str]) -> DataFrame | None:
         if not files:
@@ -485,19 +522,17 @@ def table_changes(
         df = spark.read.option("mergeSchema", "true").parquet(
             *[os.path.join(path, f) for f in files]
         )
-        cols = fields or {c: df.schema[c].dataType for c in df.columns}
         have = set(df.columns)
         return df.select(
             *[
-                F.col(n) if n in have else F.lit(None).cast(t).alias(n)
-                for n, t in cols.items()
+                F.col(n).cast(t).alias(n)
+                if n in have
+                else F.lit(None).cast(t).alias(n)
+                for n, t in fields.items()
             ]
         )
 
     olds, news = _read(old_only), _read(new_only)
-    if news is None and olds is None:  # identical file lists -> empty feed
-        base = read_version(spark, path, to_version).limit(0)
-        return base.withColumn("_change_type", F.lit("insert"))
     if news is None:
         news = spark.createDataFrame([], olds.schema)
     if olds is None:
