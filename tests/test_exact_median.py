@@ -162,3 +162,18 @@ def test_grouped_percentiles_matches_numpy_and_handles_nulls(spark):
     with pytest.raises(ValueError, match="percentile"):
         exact_grouped_percentiles_by_counting(df, "g", "v", [0])
     assert exact_grouped_percentiles_by_counting(df, "g", "v", []) == []
+
+
+def test_grouped_percentiles_duplicate_qs_deduplicated(spark):
+    """Duplicate percentiles in qs would collide in the m{q}/n{q} probe
+    columns and the (group, q) state keys (round-7 ADVICE): they are
+    deduplicated up front — [50, 50, 75, 50] answers like [50, 75]."""
+    from tts_etl_pipeline_spark.functions.exact_median import (
+        exact_grouped_percentiles_by_counting,
+    )
+
+    rows = [("a", v) for v in range(1, 101)] + [("b", v) for v in range(10, 20)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = exact_grouped_percentiles_by_counting(df, "g", "v", [50, 50, 75, 50])
+    assert got == exact_grouped_percentiles_by_counting(df, "g", "v", [50, 75])
+    assert got == [("a", 50, 50), ("a", 75, 75), ("b", 50, 14), ("b", 75, 17)]

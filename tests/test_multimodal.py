@@ -1327,6 +1327,27 @@ def test_avi_dib_frame_sampling():
         assert np.array_equal(luma, _bt601_luma(img))  # DIB is lossless
 
 
+def test_avi_dib_top_down_orientation():
+    """Negative biHeight = top-down DIB (valid per BITMAPINFOHEADER, same
+    convention the BMP decoder honors): the sign must survive _parse_avi
+    into meta and suppress the bottom-up row flip — a vertically-
+    asymmetric frame must decode IDENTICALLY from both encodings
+    (round-7 ADVICE)."""
+    img = _test_img(w=21, h=10, seed=11)
+    img[0, :, :] = 255  # make the frame vertically asymmetric for sure
+    img[-1, :, :] = 0
+    bottom_up = MM.sample_video_frames(MM.encode_avi_dib([img], fps=2), every_ms=1)
+    top_down = MM.sample_video_frames(
+        MM.encode_avi_dib([img], fps=2, top_down=True), every_ms=1
+    )
+    expect = _bt601_luma(img)
+    assert np.array_equal(bottom_up[0][1], expect)
+    assert np.array_equal(top_down[0][1], expect)  # was: flipped
+    # the sign is recorded in parse meta, and abs() height still reported
+    meta, _ = MM._parse_avi(MM.encode_avi_dib([img], fps=2, top_down=True))
+    assert meta["top_down"] is True and meta["height"] == 10
+
+
 def test_avi_probe_meta(spark):
     content, _ = _avi_mjpeg_fixture(n_frames=6, fps=2, w=24, h=16)
     df = spark.createDataFrame(

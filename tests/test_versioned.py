@@ -58,7 +58,7 @@ def test_vacuum_removes_only_unreferenced_files(spark, tmp_path):
         spark.range(6).select(F.lit("b").alias("k"), "id"), path, mode="overwrite"
     )
     before = set(os.listdir(os.path.join(path, "data")))
-    deleted = vacuum(path, keep_versions=1)
+    deleted = vacuum(path, keep_versions=1, grace_seconds=0.0)
     after = set(os.listdir(os.path.join(path, "data")))
     assert {os.path.join("data", f) for f in before - after} == set(deleted)
     assert deleted  # v1's files were unreferenced by the latest version
@@ -161,7 +161,7 @@ def test_rollback_to_vacuumed_version_refuses(spark, tmp_path):
     path = str(tmp_path / "tbl")
     write_version(spark.range(4).select(F.lit("a").alias("k"), "id"), path)
     write_version(spark.range(6).select(F.lit("b").alias("k"), "id"), path, mode="overwrite")
-    assert vacuum(path, keep_versions=1)
+    assert vacuum(path, keep_versions=1, grace_seconds=0.0)
     with pytest.raises(ValueError, match="vacuumed"):
         rollback(path, 1)
     # head still healthy
@@ -183,10 +183,61 @@ def test_vacuum_noop_and_orphan_manifest_invisible(spark, tmp_path):
     with pytest.raises(ValueError):
         read_version(spark, path, 2)
     assert read_version(spark, path).count() == 3
-    # ...and vacuum removes the orphan manifest so no later commit can
-    # collide with it
+    # ...a YOUNG damaged manifest survives a graced vacuum (it could be a
+    # writer mid-commit; its ghost files are not adoptable)...
     vacuum(path)
+    assert _os.path.exists(orphan)
+    assert current_version(path) == 1  # ghost files -> NOT adopted
+    # ...and is reclaimed once past the grace period, so no later commit
+    # can collide with it
+    vacuum(path, grace_seconds=0.0)
     assert not _os.path.exists(orphan)
+
+
+def test_vacuum_adopts_committed_but_unpointed_manifest(spark, tmp_path):
+    """A writer that crashed (or paused) between the manifest CAS — the
+    true commit point; content is fsync'd before the link — and the
+    _latest advance leaves a fully-valid v2 manifest with a stale pointer.
+    vacuum must ADOPT it (advance the pointer under the commit flock),
+    never delete it: deleting would let a later commit reuse the version
+    number and fork history (round-7 ADVICE)."""
+    import json
+    import os as _os
+
+    path = str(tmp_path / "tbl")
+    write_version(spark.range(3).select(F.lit("a").alias("k"), "id"), path)
+    with open(_os.path.join(path, "_versions", "v00000001.json")) as fh:
+        m1 = json.load(fh)
+    v2 = dict(m1, version=2, parent=1, mode="append")
+    with open(_os.path.join(path, "_versions", "v00000002.json"), "w") as fh:
+        json.dump(v2, fh)
+    assert current_version(path) == 1  # pointer is stale...
+    vacuum(path)  # ...until vacuum heals it (default grace: nothing deleted)
+    assert current_version(path) == 2
+    assert read_version(spark, path).count() == 3
+    # subsequent commits continue from the adopted head
+    write_version(spark.range(2).select(F.lit("b").alias("k"), "id"), path)
+    assert current_version(path) == 3
+
+
+def test_vacuum_grace_period_protects_young_files(spark, tmp_path):
+    """Freshly-staged unreferenced data files — an in-flight writer's
+    output already moved into data/ but not yet referenced by a manifest —
+    survive a graced vacuum; grace_seconds=0 (quiesced maintenance)
+    reclaims them."""
+    import os as _os
+
+    path = str(tmp_path / "tbl")
+    write_version(spark.range(4).select(F.lit("a").alias("k"), "id"), path)
+    staged = _os.path.join(path, "data", "inflight.parquet")
+    with open(staged, "wb") as fh:
+        fh.write(b"staged, not yet committed")
+    assert vacuum(path, keep_versions=1) == []  # young: grace protects it
+    assert _os.path.exists(staged)
+    assert vacuum(path, keep_versions=1, grace_seconds=0.0) == [
+        _os.path.join("data", "inflight.parquet")
+    ]
+    assert not _os.path.exists(staged)
 
 
 # ---------------------------------------------------------------------------
@@ -219,7 +270,7 @@ def test_racing_commits_one_winner_one_detected_conflict(spark, tmp_path):
     assert _counts(read_version(spark, path)) == [("a", 5), ("w1", 3), ("w2", 4)]
     # the losing attempt's orphaned files are vacuumable, and vacuuming
     # them does not disturb any retained version
-    vacuum(path, keep_versions=3)
+    vacuum(path, keep_versions=3, grace_seconds=0.0)
     assert _counts(read_version(spark, path)) == [("a", 5), ("w1", 3), ("w2", 4)]
 
 
@@ -431,7 +482,7 @@ def test_table_changes_guards(spark, tmp_path):
         spark.createDataFrame([("b", 2)], "k string, v int"), path, "overwrite"
     )
     write_version(spark.createDataFrame([("c", 3)], "k string, v int"), path)
-    vacuum(path, keep_versions=1)  # v1's files are gone
+    vacuum(path, keep_versions=1, grace_seconds=0.0)  # v1's files are gone
     with pytest.raises(ValueError, match="vacuumed"):
         table_changes(spark, path, 1, 3)
     # retype via unchecked overwrite -> feed across it refuses
@@ -451,3 +502,40 @@ def test_table_changes_guards(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="reserved"):
         table_changes(spark, p2, 1, 2)
+
+
+def test_table_changes_mixed_legacy_manifest_unions_file_schema(spark, tmp_path):
+    """One side legacy (manifest without a recorded schema), the other
+    schema-bearing: the union column set must include legacy-only columns
+    probed from the legacy side's FILES — otherwise rows differing only in
+    a legacy-only column cancel out of the exceptAll diff and the change
+    is silently missed (round-7 ADVICE)."""
+    import json
+    import os as _os
+
+    from tts_etl_pipeline_spark.sources.versioned import table_changes
+
+    path = str(tmp_path / "tbl")
+    write_version(
+        spark.createDataFrame([("a", 1), ("b", 2)], "k string, extra int"), path
+    )
+    # strip the recorded schema -> a legacy (pre-schema-tracking) manifest
+    mp = _os.path.join(path, "_versions", "v00000001.json")
+    with open(mp) as fh:
+        m = json.load(fh)
+    del m["schema"]
+    with open(mp, "w") as fh:
+        json.dump(m, fh)
+    # v2 overwrite drops the 'extra' column entirely (schema-bearing side)
+    write_version(
+        spark.createDataFrame([("a",), ("b",)], "k string"), path, "overwrite"
+    )
+    feed = table_changes(spark, path, 1, 2)
+    assert set(feed.columns) == {"k", "extra", "_change_type"}
+    got = {(r["k"], r["extra"], r["_change_type"]) for r in feed.collect()}
+    assert got == {
+        ("a", None, "insert"),
+        ("a", 1, "delete"),
+        ("b", None, "insert"),
+        ("b", 2, "delete"),
+    }

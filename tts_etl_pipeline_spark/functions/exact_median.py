@@ -150,10 +150,13 @@ def exact_grouped_percentiles_by_counting(
     defined percentile and are omitted (SQL's per-group ROW_NUMBER oracle
     does the same — NULL rows sort past every k <= count(c)). NULL group
     keys are real groups (null-safe join). Percentiles outside (0, 100]
-    raise."""
+    raise. Duplicate entries in `qs` are deduplicated up front (one output
+    tuple per distinct (group, q)) — repeated q values would otherwise
+    collide in the m{q}/n{q} probe columns and the (group, q) state keys."""
     for q in qs:
         if not 0 < q <= 100:
             raise ValueError(f"percentile must be in (0, 100], got {q}")
+    qs = list(dict.fromkeys(qs))
     if not qs:
         return []
     vals = df.select(

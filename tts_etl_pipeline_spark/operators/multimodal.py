@@ -591,6 +591,7 @@ def _parse_avi(content: bytes, *, need_frames: bool = True) -> tuple[dict, list]
         "handler": None,
         "compression": None,
         "vids_stream": None,  # index of the video stream (strl order)
+        "top_down": False,  # DIB orientation: biHeight < 0 = rows top-first
     }
     frames: list[tuple[int, int]] = []
     state = {"n_streams": 0, "cur_is_vids": False}
@@ -629,6 +630,10 @@ def _parse_avi(content: bytes, *, need_frames: bool = True) -> tuple[dict, list]
                     bw, bh = struct.unpack_from("<ii", content, body + 4)
                     meta["width"] = meta["width"] or abs(bw) or None
                     meta["height"] = meta["height"] or abs(bh) or None
+                    # negative biHeight = top-down DIB (BITMAPINFOHEADER
+                    # spec, same convention the BMP decoder honors) — the
+                    # sign must survive into meta or frames decode flipped
+                    meta["top_down"] = bh < 0
                     meta["compression"] = content[body + 16 : body + 20]
             elif (
                 cc[2:4] in (b"dc", b"db")
@@ -681,7 +686,10 @@ def _avi_frame_luma(content: bytes, off: int, size: int, meta: dict) -> np.ndarr
         rows = np.frombuffer(
             content[off : off + size], dtype=np.uint8, count=row_bytes * h
         ).reshape(h, row_bytes)[:, : w * 3]
-        bgr = rows.reshape(h, w, 3)[::-1].astype(np.float64)  # bottom-up
+        px = rows.reshape(h, w, 3)
+        if not meta.get("top_down", False):
+            px = px[::-1]  # bottom-up DIB (positive biHeight): rows last-first
+        bgr = px.astype(np.float64)
         y = 0.299 * bgr[..., 2] + 0.587 * bgr[..., 1] + 0.114 * bgr[..., 0]
         return np.clip(np.rint(y), 0, 255).astype(np.uint8)
     if comp in _H264_CLASS:
@@ -694,6 +702,7 @@ def _avi_frame_luma(content: bytes, off: int, size: int, meta: dict) -> np.ndarr
 def _encode_avi(
     frames: list[bytes], width: int, height: int, fps: int,
     fourcc: bytes, compression: bytes, frame_cc: bytes,
+    strf_height: int | None = None,
 ) -> bytes:
     """Minimal RIFF/AVI writer shared by the MJPEG and DIB fixture halves
     (like encode_bmp/encode_png for their codecs): each frame chunk IS one
@@ -724,7 +733,9 @@ def _encode_avi(
         + struct.pack("<4H", 0, 0, width, height)
     )
     strf = struct.pack(
-        "<IiiHH4sIiiII", 40, width, height, 1, 24, compression,
+        "<IiiHH4sIiiII", 40, width,
+        height if strf_height is None else strf_height,  # signed: <0 = top-down
+        1, 24, compression,
         width * height * 3, 0, 0, 0, 0,
     )
     hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
@@ -740,18 +751,25 @@ def encode_avi_mjpeg(
     return _encode_avi(jpeg_frames, width, height, fps, b"MJPG", b"MJPG", b"00dc")
 
 
-def encode_avi_dib(frames_rgb: list[np.ndarray], fps: int) -> bytes:
+def encode_avi_dib(
+    frames_rgb: list[np.ndarray], fps: int, top_down: bool = False
+) -> bytes:
     """RIFF/AVI with uncompressed BI_RGB frames (00db chunks): each HxWx3
-    RGB array becomes bottom-up padded BGR rows, the BMP pixel-array
-    layout."""
+    RGB array becomes padded BGR rows — bottom-up (positive biHeight, the
+    BMP pixel-array layout) by default, or top-down (negative biHeight)
+    with rows stored first-first."""
     h, w, _ = frames_rgb[0].shape
     row_bytes = (w * 3 + 3) & ~3
     payloads = []
     for img in frames_rgb:
         body = np.zeros((h, row_bytes), dtype=np.uint8)
-        body[:, : w * 3] = img[::-1, :, ::-1].reshape(h, w * 3)
+        ordered = img if top_down else img[::-1]
+        body[:, : w * 3] = ordered[:, :, ::-1].reshape(h, w * 3)
         payloads.append(body.tobytes())
-    return _encode_avi(payloads, w, h, fps, b"DIB ", b"\x00\x00\x00\x00", b"00db")
+    return _encode_avi(
+        payloads, w, h, fps, b"DIB ", b"\x00\x00\x00\x00", b"00db",
+        strf_height=-h if top_down else None,
+    )
 
 
 def _fake_feature(content_hash: str, dim: int) -> np.ndarray:

@@ -9,6 +9,8 @@ pushdown that the plain `spark.read.parquet` path already gets us.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 TABLE_NAMES = [
@@ -28,6 +30,62 @@ TABLE_NAMES = [
 # nation: 25, supplier/part/customer grow slowly with sf but stay far below
 # any reasonable broadcast threshold at bench scale).
 BROADCAST_DIMS = {"region", "nation", "supplier", "part", "customer"}
+
+# On-disk parquet bytes above which a side gets NO broadcast hint. Parquet
+# decompresses ~2-5x into the broadcast hash relation, so 32 MiB on disk
+# keeps the in-memory relation comfortably inside executor/driver budgets;
+# above the bound AQE's runtime size check chooses the join strategy.
+BROADCAST_LIMIT_BYTES = 32 << 20
+
+
+def table_disk_bytes(sf_dir: str, name: str) -> int | None:
+    """On-disk size of a test table's parquet (single file or directory):
+    the cheap, always-available stand-in for catalog statistics that sizes
+    the maybe_broadcast guard. None when the path cannot be statted."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        if os.path.isfile(path):
+            return os.path.getsize(path)
+        if os.path.isdir(path):
+            return sum(
+                os.path.getsize(os.path.join(root, f))
+                for root, _, fs in os.walk(path)
+                for f in fs
+            )
+    except OSError:
+        pass
+    return None
+
+
+def maybe_broadcast(
+    df: DataFrame,
+    size_bytes: int | None,
+    limit_bytes: int = BROADCAST_LIMIT_BYTES,
+) -> DataFrame:
+    """SIZE-GUARDED broadcast hint (round-6 verdict finding 1): hint only
+    when the side is measured under `limit_bytes`; otherwise return it
+    unhinted so AQE's runtime size check picks the strategy. A hard
+    F.broadcast on an SF-scaling side (customer/supplier/part/embeddings
+    all grow linearly with scale factor) BYPASSES AQE's size check, so the
+    plan that is optimal at sf0.1 becomes a driver/executor OOM at 100x.
+    Unconditional hints stay reserved for genuinely bounded sides:
+    nation/region, 1-row totals, calendar-grain rollups, per-group mid
+    tables, query vectors.
+
+    `size_bytes` is the caller's evidence — normally table_disk_bytes() of
+    the side's BASE table, a conservative upper bound for any filtered /
+    projected / joined derivation of it. None (unknown size) = no hint."""
+    from pyspark.sql import functions as F
+
+    if size_bytes is not None and size_bytes <= limit_bytes:
+        return F.broadcast(df)
+    return df
+
+
+def scaled_broadcast(df: DataFrame, sf_dir: str, base_table: str) -> DataFrame:
+    """maybe_broadcast sized by `base_table`'s on-disk bytes — the one-line
+    guard for join sides derived from a single SF-scaling base table."""
+    return maybe_broadcast(df, table_disk_bytes(sf_dir, base_table))
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

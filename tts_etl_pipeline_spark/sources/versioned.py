@@ -26,11 +26,13 @@ Commit protocol (multi-writer OPTIMISTIC CONCURRENCY, crash-safe):
    stay invisible (vacuum removes them), and it retries from the new head.
 3. advance _latest.json, forward-only, under a short flock — so a slow
    winner of v(N+1) can never regress the pointer after v(N+2) landed.
-A torn crash leaves either the old latest (fully consistent) or orphaned
-data files / an unreferenced manifest (invisible — vacuum() removes them;
-until vacuumed, a torn v(N+1) manifest makes later commits at N+1 raise
-CommitConflictError, which is the safe side of the race: resolve with
-vacuum() once no writer is active).
+A torn crash leaves either the old latest (fully consistent), orphaned
+data files (invisible; vacuum reclaims them after a grace period), or a
+committed-but-unpointed manifest — the crash hit between the CAS link
+(the true commit point) and the pointer advance. Until repaired, such a
+manifest makes later commits at N+1 raise CommitConflictError (the safe
+side of the race); vacuum() repairs it by ADOPTING the manifest —
+advancing _latest to it under the pointer flock — never by deleting it.
 On a shared filesystem this is a complete multi-writer protocol; on an
 object store without atomic create-if-absent you'd swap step 2 for a
 catalog/DynamoDB-style CAS, as Delta and Iceberg do.
@@ -42,8 +44,10 @@ holding version N is isolated from any concurrent commit of N+1
 n's — history is append-only, like Delta's RESTORE.
 
 At 100 TB the manifest holds file paths only (thousands of entries — KBs),
-so planning stays driver-light; data files are immutable, which is what
-makes compaction/vacuum safe to run online.
+so planning stays driver-light; data files are immutable, and vacuum only
+reclaims unreferenced files older than a grace period, which is what makes
+compaction/vacuum safe to run online (with grace_seconds sized above the
+longest write+commit; grace_seconds=0 requires quiesced writers).
 """
 
 from __future__ import annotations
@@ -329,31 +333,80 @@ def history(path: str) -> list[dict]:
     return out
 
 
-def vacuum(path: str, keep_versions: int = 1) -> list[str]:
+def vacuum(
+    path: str, keep_versions: int = 1, grace_seconds: float = 3600.0
+) -> list[str]:
     """Delete data files referenced by NO retained version (the newest
     `keep_versions` manifests plus everything they reference stay). Returns
-    the deleted file names. Safe because data files are immutable and
-    readers resolve through manifests only — but like every vacuum, it
-    shortens the time-travel horizon it deletes from."""
-    cur = current_version(path)
-    data_dir = os.path.join(path, "data")
-    if cur == 0 or not os.path.isdir(data_dir):
+    the deleted file names. Like every vacuum, it shortens the time-travel
+    horizon it deletes from.
+
+    Concurrency contract: safe alongside live writers PROVIDED
+    `grace_seconds` exceeds the longest plausible write+commit duration
+    (the Delta VACUUM retention-period idea):
+    - a committed-but-unpointed manifest — a writer crashed or paused
+      between the CAS hard-link (the true commit point) and the _latest
+      advance — is ADOPTED: the pointer is advanced to it under the same
+      flock _commit uses, never deleted;
+    - a manifest beyond the head whose data files are missing (torn
+      beyond repair) is removed only once older than `grace_seconds`;
+    - unreferenced data files (an in-flight writer's staged output moved
+      into data/ but not yet committed, or a lost CAS) are removed only
+      once older than `grace_seconds`, so a racing commit never ends up
+      referencing deleted files.
+    `grace_seconds=0` reclaims everything immediately — use it only with
+    no active writers (quiesced maintenance)."""
+    import time
+
+    if not os.path.isdir(_vdir(path)):
         return []  # nothing committed -> maintenance no-op
-    # drop uncommitted (torn-crash) manifests beyond the latest pointer so
-    # a later commit never silently overwrites one
-    for fn in sorted(os.listdir(_vdir(path))):
-        if fn.startswith("v") and fn.endswith(".json"):
-            if int(fn[1:9]) > cur:
-                os.remove(os.path.join(_vdir(path), fn))
-    keep = set()
-    for v in range(max(1, cur - keep_versions + 1), cur + 1):
-        keep.update(_read_manifest(path, v)["files"])
-    deleted = []
-    for fn in sorted(os.listdir(data_dir)):
-        rel = os.path.join("data", fn)
-        if rel not in keep:
-            os.remove(os.path.join(data_dir, fn))
-            deleted.append(rel)
+    data_dir = os.path.join(path, "data")
+    now = time.time()
+    deleted: list[str] = []
+    with _latest_lock(path):
+        cur = current_version(path)
+        # adopt committed-but-unpointed manifests: the CAS link IS the
+        # commit (manifest content is fsync'd before the link), _latest is
+        # only a forward-only cache of it — deleting such a manifest would
+        # let a later commit reuse its version number and fork history
+        adopted = cur
+        while os.path.exists(_manifest_path(path, adopted + 1)):
+            try:
+                m = _read_manifest(path, adopted + 1)
+                intact = all(
+                    os.path.exists(os.path.join(path, f)) for f in m["files"]
+                )
+            except (ValueError, KeyError, json.JSONDecodeError):
+                intact = False
+            if not intact:
+                break  # damaged: leave it to the age-gated sweep below
+            adopted += 1
+        if adopted > cur:
+            _write_atomic(
+                os.path.join(_vdir(path), "_latest.json"), {"version": adopted}
+            )
+            cur = adopted
+        # age-gated removal of manifests still beyond the head (damaged /
+        # gapped): a YOUNG one may be a writer mid-commit — leave it
+        for fn in sorted(os.listdir(_vdir(path))):
+            if fn.startswith("v") and fn.endswith(".json") and fn[1:9].isdigit():
+                full = os.path.join(_vdir(path), fn)
+                if (
+                    int(fn[1:9]) > cur
+                    and now - os.path.getmtime(full) >= grace_seconds
+                ):
+                    os.remove(full)
+        if cur == 0 or not os.path.isdir(data_dir):
+            return []
+        keep = set()
+        for v in range(max(1, cur - keep_versions + 1), cur + 1):
+            keep.update(_read_manifest(path, v)["files"])
+        for fn in sorted(os.listdir(data_dir)):
+            rel = os.path.join("data", fn)
+            full = os.path.join(data_dir, fn)
+            if rel not in keep and now - os.path.getmtime(full) >= grace_seconds:
+                os.remove(full)
+                deleted.append(rel)
     return deleted
 
 
@@ -490,26 +543,36 @@ def table_changes(
     # union schema of the two snapshots; a retype between versions has no
     # sound row-diff semantics — refuse instead of coercing silently
     fields: dict = {}
-    for m in (old_m, new_m):
+
+    def _merge_fields(schema_fields) -> None:
+        for f in schema_fields:
+            prev = fields.setdefault(f.name, f.dataType)
+            if prev != f.dataType:
+                raise ValueError(
+                    f"column {f.name!r} was retyped between versions "
+                    f"({prev} vs {f.dataType}); change feed across a "
+                    f"retype is not supported"
+                )
+
+    legacy_probe: list[str] = []
+    for m, side in ((old_m, old_only), (new_m, new_only)):
         sj = m.get("schema")
         if sj is not None:
-            for f in _schema_from_json(sj).fields:
-                prev = fields.setdefault(f.name, f.dataType)
-                if prev != f.dataType:
-                    raise ValueError(
-                        f"column {f.name!r} was retyped between versions "
-                        f"({prev} vs {f.dataType}); change feed across a "
-                        f"retype is not supported"
-                    )
-    if not fields:
-        # legacy manifests (no recorded schema): pin ONE union schema for
-        # BOTH sides by probing all involved files together — per-side
-        # inference could disagree on column order/set and turn exceptAll
-        # positional comparison into garbage diffs
+            _merge_fields(_schema_from_json(sj).fields)
+        else:
+            # legacy manifest (no recorded schema): its side's columns must
+            # come from the FILES — building the union from the
+            # schema-bearing side alone would silently drop legacy-only
+            # columns from BOTH sides of the diff, cancelling real changes
+            legacy_probe += side
+    if legacy_probe:
+        # probe all legacy-side files together so ONE union schema pins
+        # both sides — per-side inference could disagree on column
+        # order/set and turn exceptAll positional comparison into garbage
         probe = spark.read.option("mergeSchema", "true").parquet(
-            *[os.path.join(path, f) for f in old_only + new_only]
+            *[os.path.join(path, f) for f in legacy_probe]
         )
-        fields = {f.name: f.dataType for f in probe.schema.fields}
+        _merge_fields(probe.schema.fields)
     if "_change_type" in fields:
         raise ValueError(
             "table has a _change_type column — the name is reserved by the "
