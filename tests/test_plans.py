@@ -323,6 +323,58 @@ def test_t14_vocab_join_is_not_hint_forced_broadcast(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
+def test_maybe_broadcast_declines_over_bound_side(spark, sf_dir):
+    """The round-6-verdict size guard: scaled_broadcast/maybe_broadcast
+    hints a join side only while its measured bytes fit the bound. Proof
+    with auto-broadcast disabled (so only a HINT can produce a broadcast
+    join): under the bound the hint forces BroadcastHashJoin; over the
+    bound (or size unknown) NO hint survives and the join degrades to a
+    shuffle join — exactly the AQE-decides posture a 100 TB customer table
+    needs."""
+    from tts_etl_pipeline_spark.sources.tables import (
+        maybe_broadcast,
+        table,
+        table_disk_bytes,
+    )
+
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    measured = table_disk_bytes(sf_dir, "customer")
+    assert measured is not None and measured > 0  # stats exist for fixtures
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        under = orders.join(
+            maybe_broadcast(cust, measured), orders.o_custkey == cust.c_custkey
+        )
+        assert "BroadcastHashJoin" in physical_plan(under)  # sf0.1: hinted
+        for evidence in (100 << 30, None):  # over-bound / unknown size
+            plain = orders.join(
+                maybe_broadcast(cust, evidence), orders.o_custkey == cust.c_custkey
+            )
+            plan = physical_plan(plain)
+            assert "BroadcastHashJoin" not in plan, plan
+            assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_guarded_queries_still_broadcast_at_bench_scale(spark, sf_dir):
+    """After the scaled_broadcast conversion, the guarded queries must keep
+    their BroadcastHashJoin shape at sf0.1 (the guard passes: these tables
+    are KBs on disk here) — the guard changes 100x behavior, not bench
+    plans."""
+    from tts_etl_pipeline_spark.operators.relational import (
+        q11_important_parts,
+        q17_small_quantity_revenue,
+    )
+    from tts_etl_pipeline_spark.operators.windows import w1_topk_suppliers_per_nation
+
+    for fn in (q5_local_supplier, q11_important_parts, w1_topk_suppliers_per_nation,
+               q17_small_quantity_revenue):
+        assert "BroadcastHashJoin" in physical_plan(fn(spark, sf_dir)), fn.__name__
+
+
 def test_h2_single_hash_exchange_feeds_windows_and_agg(spark, sf_dir):
     """h2's two window sorts (asc/desc picks) and the final aggregation all
     consume ONE hash partitioning on (day, event_type); the only other

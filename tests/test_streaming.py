@@ -66,6 +66,43 @@ def test_stream_dedup_drops_injected_duplicates(spark, sf_dir, tmp_path):
     assert got.select("event_id").distinct().count() == 200
 
 
+def test_stream_join_results_use_parquet_sink_not_driver_memory(spark, sf_dir):
+    """st5/st12 emit FACT-SCALE rows (linear in the events): their
+    streaming results must come back from the executor-written parquet
+    file sink — never format('memory'), whose table is a LocalTableScan of
+    rows materialized in DRIVER memory (round-6 verdict finding 2). The
+    memory sink stays legitimate only for group-bounded aggregates."""
+    from tts_etl_pipeline_spark.operators.streaming_queries import (
+        st5_stream_stream_join,
+        st12_stream_left_outer_complete,
+    )
+
+    for fn in (st5_stream_stream_join, st12_stream_left_outer_complete):
+        df = fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "LocalTableScan" not in plan, (fn.__name__, plan)
+        assert "parquet" in plan.lower(), (fn.__name__, plan)
+        assert df.count() > 0, fn.__name__
+
+
+def test_run_to_parquet_zero_output_stream_serves_typed_empty(spark, sf_dir):
+    """A stream whose filter matches nothing commits no data files: the
+    read-back must still serve a correctly-typed EMPTY relation (explicit
+    schema), not raise schema-inference errors."""
+    from tts_etl_pipeline_spark.streaming.events_stream import (
+        run_to_parquet,
+        stream_events,
+    )
+    from pyspark.sql import functions as F
+
+    ev = stream_events(spark, sf_dir).filter(
+        F.col("event_type") == "no_such_type"
+    ).select("event_id", "user_id", "ts")
+    out = run_to_parquet(ev, "st_empty")
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["event_id", "user_id", "ts"]
+
+
 def test_stream_sessions_match_batch_sessionization(spark, sf_dir):
     from tts_etl_pipeline_spark.operators.events import e3_user_sessions
 

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tts_etl_pipeline_spark.functions.exact import money
-from tts_etl_pipeline_spark.sources.tables import table
+from tts_etl_pipeline_spark.sources.tables import scaled_broadcast, table
 
 QUERIES: dict = {}
 ORACLES: dict = {}
@@ -638,7 +638,7 @@ def dq4_embedding_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id"), emb.vec_id == F.col("doc_id"), "left_anti"
     ).count()  # scalar: one number reused on every output row
     return (
-        docs.join(F.broadcast(emb), docs.doc_id == emb.vec_id, "left")
+        docs.join(scaled_broadcast(emb, sf_dir, "embeddings"), docs.doc_id == emb.vec_id, "left")
         .groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),

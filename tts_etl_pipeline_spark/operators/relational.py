@@ -3,9 +3,14 @@ aggregations, windows, sorts/limits, set ops over the TPC-H-ish star schema.
 
 The reference implements none of these (SURVEY.md §2.3) — their semantics are
 ANSI SQL, verified per-query against DuckDB oracles. Every builder returns a
-lazy DataFrame; Catalyst handles pushdown/pruning/join strategy. Small
-dimensions are explicitly broadcast so the plan at 100 TB keeps the fact-table
-scan shuffle-free wherever possible.
+lazy DataFrame; Catalyst handles pushdown/pruning/join strategy. Join sides
+are broadcast-hinted so the plan keeps the fact-table scan shuffle-free
+wherever possible — but only nation/region and 1-row/bounded aggregates get
+an UNCONDITIONAL hint; customer/supplier/part scale linearly with SF, so
+their hints go through tables.scaled_broadcast, which hints only while the
+base table's measured bytes stay under BROADCAST_LIMIT_BYTES and otherwise
+leaves the strategy to AQE's runtime size check (a hard hint would bypass it
+and OOM at 100x).
 
 Each query has a matching entry in ORACLES with identical column aliases —
 the driver sorts columns by name and value-hashes, so aliases and numeric
@@ -27,7 +32,7 @@ from tts_etl_pipeline_spark.functions.exact import (
     frac,
     money,
 )
-from tts_etl_pipeline_spark.sources.tables import table
+from tts_etl_pipeline_spark.sources.tables import scaled_broadcast, table
 
 QUERIES: dict = {}
 ORACLES: dict = {}
@@ -124,7 +129,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = li.groupBy("l_orderkey").agg(F.sum(disc_price()).alias("rev_dec"))
     return (
         rev.join(orders, rev.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(scaled_broadcast(cust, sf_dir, "customer"), orders.o_custkey == cust.c_custkey)
         .select(
             "l_orderkey",
             F.col("rev_dec").cast("double").alias("revenue"),
@@ -199,8 +204,8 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(scaled_broadcast(cust, sf_dir, "customer"), orders.o_custkey == cust.c_custkey)
+        .join(scaled_broadcast(supp, sf_dir, "supplier"), li.l_suppkey == supp.s_suppkey)
         .filter(F.col("c_nationkey") == F.col("s_nationkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
@@ -290,8 +295,8 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust_n = cust.join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key")).filter(
         F.col("cust_nation").isin("NATION_1", "NATION_2")
     )
-    li_f = li.join(F.broadcast(supp_n), li.l_suppkey == F.col("s_suppkey"))
-    ord_f = orders.join(F.broadcast(cust_n), orders.o_custkey == F.col("c_custkey"))
+    li_f = li.join(scaled_broadcast(supp_n, sf_dir, "supplier"), li.l_suppkey == F.col("s_suppkey"))
+    ord_f = orders.join(scaled_broadcast(cust_n, sf_dir, "customer"), orders.o_custkey == F.col("c_custkey"))
     return (
         li_f.join(ord_f, li_f.l_orderkey == F.col("o_orderkey"))
         .filter(
@@ -338,9 +343,9 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders")
     li = table(spark, sf_dir, "lineitem")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(scaled_broadcast(part, sf_dir, "part"), li.l_partkey == part.p_partkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(scaled_broadcast(supp, sf_dir, "supplier"), li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
         .select(
             F.col("n_name").alias("nation"),
@@ -388,7 +393,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = li.groupBy("l_orderkey").agg(F.sum(disc_price()).alias("rev_dec"))
     return (
         rev.join(orders, rev.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(scaled_broadcast(cust, sf_dir, "customer"), orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(F.sum("rev_dec").cast("double").alias("revenue"))
@@ -469,7 +474,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     dp = disc_price()
     promo = F.when(F.col("p_type") == "PROMO", dp).otherwise(F.lit(0).cast("decimal(12,2)"))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(scaled_broadcast(part, sf_dir, "part"), li.l_partkey == part.p_partkey)
         .agg(
             (
                 (F.lit(100.0) * F.sum(promo).cast("double")) / F.sum(dp).cast("double")
@@ -517,7 +522,7 @@ def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         big.join(orders, big.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(scaled_broadcast(cust, sf_dir, "customer"), orders.o_custkey == cust.c_custkey)
         .withColumn("sum_qty", F.col("q").cast("double"))
         .select(
             "c_name",
@@ -552,7 +557,7 @@ def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = table(spark, sf_dir, "part")
     li = table(spark, sf_dir, "lineitem")
-    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    joined = li.join(scaled_broadcast(part, sf_dir, "part"), li.l_partkey == part.p_partkey)
     brackets = (
         ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 11))
         | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 25) & F.col("l_quantity").between(10, 20))
@@ -638,7 +643,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1)
     ).over(w)
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(scaled_broadcast(part, sf_dir, "part"), li.l_partkey == part.p_partkey)
         .withColumn("avg_q", avg_q)
         .filter(F.col("l_quantity") < 0.2 * F.col("avg_q"))
         .agg(
@@ -723,7 +728,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     mx = revenue.agg(F.max("total_revenue").alias("mx"))
     return (
         revenue.join(F.broadcast(mx), F.col("total_revenue") == F.col("mx"))
-        .join(F.broadcast(supp), F.col("supplier_no") == supp.s_suppkey)
+        .join(scaled_broadcast(supp, sf_dir, "supplier"), F.col("supplier_no") == supp.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
@@ -810,10 +815,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), F.col("n1_region") == region.r_regionkey)
         .select("c_custkey")
     )
-    ord_f = orders.join(F.broadcast(cust_asia), orders.o_custkey == F.col("c_custkey"))
+    ord_f = orders.join(scaled_broadcast(cust_asia, sf_dir, "customer"), orders.o_custkey == F.col("c_custkey"))
     vol = (
         li.join(ord_f, li.l_orderkey == F.col("o_orderkey"))
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(scaled_broadcast(supp, sf_dir, "supplier"), li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
         .select(
             F.year("o_orderdate").cast("bigint").alias("o_year"),
@@ -918,8 +923,8 @@ def q16_parts_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFra
         .select(F.col("s_suppkey").alias("bad_key"))
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(bad_supp), li.l_suppkey == F.col("bad_key"), "left_anti")
+        li.join(scaled_broadcast(part, sf_dir, "part"), li.l_partkey == part.p_partkey)
+        .join(scaled_broadcast(bad_supp, sf_dir, "supplier"), li.l_suppkey == F.col("bad_key"), "left_anti")
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
@@ -979,7 +984,7 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.broadcast(totals),
             F.col("part_revenue") > F.lit(1.2) * (total_dbl / F.col("nparts")),
         )
-        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .join(scaled_broadcast(part, sf_dir, "part"), F.col("l_partkey") == part.p_partkey)
         .select(
             "p_name",
             "part_revenue",
@@ -1039,8 +1044,8 @@ def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ps.withColumn("share", F.col("supp_qty") / F.col("part_qty"))
         .filter(F.col("share") > 0.25)
-        .join(F.broadcast(supp), ps.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(part), ps.l_partkey == part.p_partkey)
+        .join(scaled_broadcast(supp, sf_dir, "supplier"), ps.l_suppkey == supp.s_suppkey)
+        .join(scaled_broadcast(part, sf_dir, "part"), ps.l_partkey == part.p_partkey)
         .select("s_name", "p_name", "share")
         .orderBy("s_name", "p_name")
     )

@@ -14,6 +14,7 @@ from tts_etl_pipeline_spark.streaming.events_stream import (
     deduped_stream,
     hourly_counts,
     run_to_memory,
+    run_to_parquet,
     stream_events,
     user_sessions,
 )
@@ -213,7 +214,9 @@ def st5_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("click_ts").alias("click_us"),
         F.unix_micros("purchase_ts").alias("purchase_us"),
     )
-    return run_to_memory(joined, "st5").orderBy("user_id", "click_id", "purchase_id")
+    # fact-scale output (linear in the events): executor-written parquet
+    # sink, never driver-memory (round-6 verdict finding 2)
+    return run_to_parquet(joined, "st5").orderBy("user_id", "click_id", "purchase_id")
 
 
 @_register(
@@ -235,11 +238,11 @@ def st6_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the streaming twin of the batch broadcast-dimension rule: at any
     rate the dimension is broadcast per microbatch, the stream never
     shuffles for the join. Aggregation state is bounded by |segments|."""
-    from tts_etl_pipeline_spark.sources.tables import table as _table
+    from tts_etl_pipeline_spark.sources.tables import scaled_broadcast, table as _table
 
     ev = stream_events(spark, sf_dir).filter(F.col("event_type") == "purchase")
     cust = _table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
-    joined = ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey)
+    joined = ev.join(scaled_broadcast(cust, sf_dir, "customer"), ev.user_id == cust.c_custkey)
     agg = joined.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"),
@@ -678,7 +681,7 @@ def st12_stream_left_outer_complete(spark: SparkSession, sf_dir: str) -> DataFra
         F.unix_micros("click_ts").alias("click_us"),
         F.unix_micros("purchase_ts").alias("purchase_us"),
     )
-    inner = run_to_memory(matched, "st12")
+    inner = run_to_parquet(matched, "st12")  # fact-scale rows stay off-driver
     # completion pass: clicks that never matched get their null row —
     # membership is exact because the inner join is exact
     all_clicks = (

@@ -14,7 +14,7 @@ from pyspark.sql.window import Window as W
 
 from tts_etl_pipeline_spark.functions.checkpoints import materialize
 from tts_etl_pipeline_spark.functions.exact import SQL_DISC_PRICE, disc_price
-from tts_etl_pipeline_spark.sources.tables import table
+from tts_etl_pipeline_spark.sources.tables import scaled_broadcast, table
 
 QUERIES: dict = {}
 ORACLES: dict = {}
@@ -64,7 +64,7 @@ def w1_topk_suppliers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = (
         li.groupBy("l_suppkey")
         .agg(F.sum(disc_price()).cast("double").alias("revenue"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .join(scaled_broadcast(supp, sf_dir, "supplier"), F.col("l_suppkey") == supp.s_suppkey)
         .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
         .select("n_name", "s_name", "revenue")
     )
