@@ -504,6 +504,71 @@ def test_table_changes_guards(spark, tmp_path):
         table_changes(spark, p2, 1, 2)
 
 
+def test_stream_changes_equals_batch_cdf_per_commit(spark, tmp_path):
+    """Round-7 task: the streaming CDF (per-commit micro-batches with a
+    checkpointed cursor) agrees with the batch change feed on EVERY
+    commit — across an append, a compaction (same rows, new files: empty
+    batch), and an add-column schema evolution — and a restarted stream
+    resumes after the checkpointed version with no re-delivery."""
+    from tts_etl_pipeline_spark.sources.versioned import (
+        stream_changes,
+        table_changes,
+    )
+
+    path = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    write_version(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, name string"), path
+    )  # v1
+    write_version(spark.createDataFrame([(3, "c")], "k long, name string"), path)  # v2
+    # v3: compaction — identical rows rewritten into fresh files
+    write_version(read_version(spark, path), path, mode="overwrite")  # v3
+
+    batches: dict = {}
+    last = stream_changes(
+        spark, path, ckpt, lambda df, v: batches.__setitem__(v, df.collect())
+    )
+    assert last == 3 and set(batches) == {1, 2, 3}
+    assert {(r["k"], r["name"], r["_change_type"]) for r in batches[1]} == {
+        (1, "a", "insert"),
+        (2, "b", "insert"),
+    }
+    for v in (2, 3):
+        got = {(r["k"], r["name"], r["_change_type"]) for r in batches[v]}
+        expect = {
+            (r["k"], r["name"], r["_change_type"])
+            for r in table_changes(spark, path, v - 1, v).collect()
+        }
+        assert got == expect, v
+    assert batches[3] == []  # compaction cancels to an empty feed
+    assert all(
+        r["_commit_version"] == v for v, rows in batches.items() for r in rows
+    )
+
+    # v4: add-column schema evolution; the restarted stream must resume at
+    # exactly v4 (checkpoint cursor), in the evolved union schema
+    write_version(
+        spark.createDataFrame([(4, "d", 1.5)], "k long, name string, score double"),
+        path,
+        merge_schema=True,
+    )
+    more: dict = {}
+    last = stream_changes(
+        spark, path, ckpt, lambda df, v: more.__setitem__(v, df.collect())
+    )
+    assert last == 4 and set(more) == {4}  # no re-delivery of v1-v3
+    got = {
+        (r["k"], r["name"], r["score"], r["_change_type"]) for r in more[4]
+    }
+    expect = {
+        (r["k"], r["name"], r["score"], r["_change_type"])
+        for r in table_changes(spark, path, 3, 4).collect()
+    }
+    assert got == expect == {(4, "d", 1.5, "insert")}
+    # fully drained: a third run delivers nothing
+    assert stream_changes(spark, path, ckpt, lambda df, v: 1 / 0) == 4
+
+
 def test_table_changes_mixed_legacy_manifest_unions_file_schema(spark, tmp_path):
     """One side legacy (manifest without a recorded schema), the other
     schema-bearing: the union column set must include legacy-only columns
