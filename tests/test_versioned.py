@@ -504,6 +504,24 @@ def test_table_changes_guards(spark, tmp_path):
         table_changes(spark, p2, 1, 2)
 
 
+def test_compact_rewrites_files_same_rows_empty_feed(spark, tmp_path):
+    """compact() commits the head's rows coalesced into target_files new
+    files: row-identical (empty change feed), old version still
+    time-travelable, and the commit is conflict-checked against the
+    snapshot it compacted."""
+    from tts_etl_pipeline_spark.sources.versioned import compact, table_changes
+
+    path = str(tmp_path / "tbl")
+    write_version(spark.range(10).select(F.lit("a").alias("k"), "id"), path)
+    write_version(spark.range(5).select(F.lit("b").alias("k"), "id"), path)
+    assert history(path)[-1]["n_files"] > 1  # append accumulated files
+    v = compact(spark, path)
+    assert v == 3 and history(path)[-1]["n_files"] == 1
+    assert read_version(spark, path).count() == 15
+    assert table_changes(spark, path, 2, 3).count() == 0  # bit-identical rows
+    assert read_version(spark, path, 2).count() == 15  # time travel intact
+
+
 def test_stream_changes_equals_batch_cdf_per_commit(spark, tmp_path):
     """Round-7 task: the streaming CDF (per-commit micro-batches with a
     checkpointed cursor) agrees with the batch change feed on EVERY

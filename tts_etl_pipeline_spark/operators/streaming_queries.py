@@ -709,3 +709,87 @@ def st12_stream_left_outer_complete(spark: SparkSession, sf_dir: str) -> DataFra
         .unionByName(unmatched)
         .orderBy("user_id", "click_id", "purchase_id")
     )
+
+
+@_register(
+    "st13_versioned_cdf_stream",
+    """
+    WITH v1 AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+      WHERE o_orderkey % 10 = 0
+    ),
+    v2new AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+      WHERE o_orderkey % 10 = 1
+    )
+    SELECT * FROM (
+      SELECT 1 AS commit_version, 'insert' AS change_type,
+             o_orderkey, o_custkey, o_orderstatus FROM v1
+      UNION ALL
+      SELECT 2, 'insert', o_orderkey, o_custkey, o_orderstatus FROM v2new
+      UNION ALL
+      SELECT 4, 'delete', o_orderkey, o_custkey, o_orderstatus
+      FROM v1 WHERE o_orderkey % 100 = 0
+      UNION ALL
+      SELECT 4, 'insert', o_orderkey, o_custkey, 'X'
+      FROM v1 WHERE o_orderkey % 100 = 0
+    )
+    ORDER BY commit_version, change_type, o_orderkey
+    """,
+)
+def st13_versioned_cdf_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CHANGE DATA FEED over a versioned table (B11 ⋈ B8,
+    round-7 increment): build a 4-commit table from `orders`, drain
+    sources.versioned.stream_changes (one micro-batch per commit, Delta
+    CDF shape, checkpointed cursor), and return the concatenated feed.
+
+    Commits: v1 = keys %10==0 (snapshot-as-inserts batch), v2 = append
+    keys %10==1 (insert batch reading ONLY the appended files), v3 =
+    compact() (same rows, new files — the feed proves itself EMPTY via
+    exceptAll bag semantics), v4 = overwrite flipping o_orderstatus to 'X'
+    on keys %100==0 (delete+insert pairs). Every batch is deterministic
+    from `orders`, so the whole stream is EXACT against a pure-SQL oracle
+    — the driver checks a genuinely streamed CDF, not a stand-in. Scale:
+    each batch scans one commit's file-list symmetric difference; the
+    compaction batch costs one rewritten-file scan and emits nothing."""
+    import os as _os
+    import tempfile
+
+    from tts_etl_pipeline_spark.sources.tables import table as _table
+    from tts_etl_pipeline_spark.sources.versioned import (
+        compact,
+        stream_changes,
+        write_version,
+    )
+
+    base = tempfile.mkdtemp(prefix="st13_cdf_")
+    tbl, ckpt = _os.path.join(base, "tbl"), _os.path.join(base, "ckpt")
+    orders = _table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+    write_version(orders.filter(F.col("o_orderkey") % 10 == 0), tbl)  # v1
+    write_version(orders.filter(F.col("o_orderkey") % 10 == 1), tbl)  # v2
+    compact(spark, tbl)  # v3: rows identical -> empty feed batch
+    both = orders.filter((F.col("o_orderkey") % 10).isin(0, 1))
+    write_version(  # v4: point "updates" surface as delete+insert
+        both.withColumn(
+            "o_orderstatus",
+            F.when(F.col("o_orderkey") % 100 == 0, F.lit("X")).otherwise(
+                F.col("o_orderstatus")
+            ),
+        ),
+        tbl,
+        mode="overwrite",
+    )
+    batches: list[DataFrame] = []
+    stream_changes(spark, tbl, ckpt, lambda df, v: batches.append(df))
+    feed = batches[0]
+    for b in batches[1:]:
+        feed = feed.unionByName(b)
+    return feed.select(
+        F.col("_commit_version").alias("commit_version"),
+        F.col("_change_type").alias("change_type"),
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+    ).orderBy("commit_version", "change_type", "o_orderkey")

@@ -492,6 +492,25 @@ def merge_upsert(
     return write_version(merged, path, mode="overwrite", expected_version=base_version)
 
 
+def compact(spark: SparkSession, path: str, target_files: int = 1) -> int:
+    """OPTIMIZE-style compaction: rewrite the head snapshot's rows into
+    `target_files` files and commit as a new overwrite version. Rows are
+    bit-identical (the change feed across a compaction is EMPTY — pinned
+    by the CDF tests), old files stay for time travel until vacuum, and
+    the commit carries the snapshot's expected_version so a concurrent
+    writer's commit surfaces as CommitConflictError instead of being
+    silently clobbered (retry by re-running: compaction is idempotent
+    work, not state)."""
+    base_version = current_version(path)
+    snap = read_version(spark, path, base_version if base_version else None)
+    return write_version(
+        snap.coalesce(max(1, target_files)),
+        path,
+        mode="overwrite",
+        expected_version=base_version,
+    )
+
+
 def table_changes(
     spark: SparkSession, path: str, from_version: int, to_version: int
 ) -> DataFrame:
