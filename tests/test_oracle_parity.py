@@ -37,6 +37,11 @@ SCAN_ALLOWANCE = {
     ("dq1_referential_integrity", "orders"): 2,   # child AND parent role
     ("dq1_referential_integrity", "customer"): 2,
     ("dq2_column_profile", "orders"): 2,          # exact-distinct second pass
+    ("v7_filtered_ann_topk", "embeddings"): 2,    # 5-row query side vs corpus
+    # ("name", "*") is a wildcard over table names, for queries whose scanned
+    # relations are per-run temp artifacts with uuid file names. Currently
+    # empty: st13 materializes each CDF batch on delivery (the foreachBatch
+    # shape), so its final plan scans no parquet at all.
 }
 
 
@@ -51,7 +56,9 @@ def duck(sf_dir):
 def test_query_matches_oracle(name, spark, sf_dir, duck):
     df = QUERIES[name](spark, sf_dir)
     for tbl, n in scans_by_table(df).items():
-        allowed = SCAN_ALLOWANCE.get((name, tbl), 1)
+        allowed = SCAN_ALLOWANCE.get(
+            (name, tbl), SCAN_ALLOWANCE.get((name, "*"), 1)
+        )
         assert n <= allowed, (
             f"{name} scans {tbl} {n}x (allowed {allowed}): either materialize "
             "the shared intermediate or document the exception in PLANS.md "

@@ -567,3 +567,83 @@ def v6_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         k_final=TOP_K,
         pool_per_partition=8 * TOP_K,
     )
+
+
+# ---------------------------------------------------------------------------
+# v7 — metadata-FILTERED exact top-k ANN (round-7 increment): "nearest
+# English documents to each query vector" — the filtered-vector-search
+# shape every production vector store needs (predicate + similarity).
+# Semantics are PRE-FILTERING: restrict the corpus by the metadata
+# predicate FIRST, then rank — top-k is exact over the qualifying set
+# (post-filtering an unfiltered ANN's top-k would UNDER-fill k whenever
+# neighbors fail the predicate; at selectivity s an honest post-filter
+# needs ~k/s candidates, which is why pre-filter is the exactness-
+# preserving default). Scale shape: the lang predicate and the doc_id
+# equi-join prune the corpus BEFORE any vector math (predicate pushdown
+# to the documents scan; broadcast query set; the join is vec_id=doc_id
+# key-to-key); per-query ranking is one |filtered-corpus| window, the
+# same partitioned top-k as v1. At 100 TB with a selective predicate the
+# bounded-probe paths (v3 IVF per-cell, v4 LSH buckets) compose with the
+# same pre-filter — this query pins the exact contract they approximate.
+# ---------------------------------------------------------------------------
+FILTER_LANG = "en"
+
+
+@_register(
+    "v7_filtered_ann_topk",
+    f"""
+    WITH corp AS (
+      SELECT e.vec_id AS n_id, e.embedding AS n_emb
+      FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+      WHERE d.lang = '{FILTER_LANG}'
+    ),
+    q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+          WHERE vec_id < {N_QUERY_VECS}),
+    scored AS (
+      SELECT q.q_id, corp.n_id,
+             {_sql_dot('q.q_emb', 'corp.n_emb')}
+               / (sqrt({_sql_sqnorm('q.q_emb')}) * sqrt({_sql_sqnorm('corp.n_emb')}))
+               AS cosine
+      FROM q, corp
+      WHERE corp.n_id <> q.q_id
+    ),
+    ranked AS (
+      SELECT q_id, n_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rn
+      FROM scored
+    )
+    SELECT q_id, n_id, ROUND(cosine, 9) AS cosine, rn
+    FROM ranked WHERE rn <= {TOP_K}
+    ORDER BY q_id, rn
+    """,
+)
+def v7_filtered_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    emb = table(spark, sf_dir, "embeddings")
+    docs = table(spark, sf_dir, "documents").filter(
+        F.col("lang") == FILTER_LANG
+    ).select("doc_id")
+    # pre-filter: metadata predicate prunes the corpus BEFORE vector math
+    corpus = emb.join(docs, emb.vec_id == docs.doc_id, "left_semi").select(
+        F.col("vec_id").alias("n_id"), F.col("embedding").alias("n_emb")
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    scored = (
+        corpus.join(F.broadcast(q))  # queries: bounded side, hint stays hard
+        .filter(F.col("n_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "n_id",
+            (dot("q_emb", "n_emb") / (norm("q_emb") * norm("n_emb"))).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("cosine"), "n_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= TOP_K)
+        .select("q_id", "n_id", F.round("cosine", 9).alias("cosine"), "rn")
+        .orderBy("q_id", "rn")
+    )

@@ -781,8 +781,15 @@ def st13_versioned_cdf_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         tbl,
         mode="overwrite",
     )
+    from tts_etl_pipeline_spark.functions.checkpoints import materialize
+
+    # materialize each batch ON DELIVERY (a foreachBatch consumer would do
+    # exactly this — process the micro-batch when it arrives, not hold a
+    # lazy plan while later commits land); it also keeps the drained
+    # union's plan from re-scanning a commit file that sits on the new
+    # side of one diff and the old side of the next
     batches: list[DataFrame] = []
-    stream_changes(spark, tbl, ckpt, lambda df, v: batches.append(df))
+    stream_changes(spark, tbl, ckpt, lambda df, v: batches.append(materialize(df)))
     feed = batches[0]
     for b in batches[1:]:
         feed = feed.unionByName(b)
