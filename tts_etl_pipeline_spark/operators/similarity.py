@@ -470,6 +470,22 @@ def topk_cosine_scalable(
 # block sizes (label-partitioned shuffle join, never a cross join);
 # components run on the pair relation, which is tiny relative to the
 # corpus at any scale.
+# EXACT-DUPLICATE COLLAPSE (round-7, after the sf1 sweep measured 85x
+# wall at 10x data): corpora dominated by bit-identical embeddings (the
+# scaled fixture replicates vectors verbatim; production corpora mirror /
+# repost at high rates) blow up the within-block pair stage unless
+# identical vectors are collapsed first. The collapse is LOSSLESS for the
+# threshold graph — cosine depends only on the vector values, so members
+# of an identical-(label, embedding) group have exactly the edges their
+# canonical has, and the group itself is internally connected at cos = 1
+# >= tau. Pairwise work therefore runs over DISTINCT vectors per block;
+# members rejoin their canonical's component through membership edges
+# before connected components, which preserves the full graph's
+# components and min-id representatives EXACTLY (zero-norm vectors are
+# exempt from collapse: cosine against them is undefined/NaN and never
+# crosses the threshold, so they stay singletons — as in the full graph).
+# This is also faithful SemDeDup: the paper dedups exact copies before
+# the semantic pass. Measured: sf0.1->sf1 wall 85x -> ~linear (BASELINE).
 # ---------------------------------------------------------------------------
 SEMANTIC_DUP_THRESHOLD = 0.30
 
@@ -510,20 +526,45 @@ def d14_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = materialize(
         table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
     )
-    a = base.select(
-        F.col("vec_id").alias("id_a"), "label", F.col("embedding").alias("emb_a")
+    # exact-duplicate collapse (lossless, see header): canonical = min id
+    # per identical (label, embedding) group; zero-norm vectors stay their
+    # own canonical (cosine against them is NaN — never an edge)
+    sqn = F.aggregate(
+        F.col("embedding"),
+        F.lit(0.0),
+        lambda acc, v: acc + v.cast("double") * v.cast("double"),
     )
-    b = base.select(
-        F.col("vec_id").alias("id_b"), "label", F.col("embedding").alias("emb_b")
+    grouped = base.groupBy("label", "embedding").agg(
+        F.min("vec_id").alias("group_min")
+    )
+    members = materialize(
+        base.join(grouped, ["label", "embedding"]).select(
+            "vec_id",
+            "label",
+            "embedding",
+            F.when(sqn == 0.0, F.col("vec_id"))
+            .otherwise(F.col("group_min"))
+            .alias("canon_id"),
+        )
+    )
+    canon = members.filter(F.col("vec_id") == F.col("canon_id"))
+    a = canon.select(
+        F.col("canon_id").alias("id_a"), "label", F.col("embedding").alias("emb_a")
+    )
+    b = canon.select(
+        F.col("canon_id").alias("id_b"), "label", F.col("embedding").alias("emb_b")
     )
     cos = dot("emb_a", "emb_b") / (norm("emb_a") * norm("emb_b"))
-    edges = (
+    canon_edges = (
         a.join(b, "label")
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(cos >= SEMANTIC_DUP_THRESHOLD)
         .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     )
-    comp = connected_components(edges).select(
+    member_edges = members.filter(F.col("vec_id") != F.col("canon_id")).select(
+        F.col("vec_id").alias("src"), F.col("canon_id").alias("dst")
+    )
+    comp = connected_components(canon_edges.unionByName(member_edges)).select(
         F.col("node").alias("vec_id"), F.col("label").alias("component")
     )
     return (
