@@ -1482,3 +1482,41 @@ def test_avi_short_dib_chunk_raises():
 
     with _pytest.raises(ValueError, match="short DIB"):
         MM._avi_frame_luma(bytes(content), frames[0][0], frames[0][1], meta)
+
+
+def test_m4_audio_codec_cross_codec_rollup(spark):
+    """m4 (r7): PCM16's rollup row must equal numpy stats of the decoded
+    fixture signals (lossless reference, float32-storage precision); the G.711 mu-law and IMA
+    ADPCM rows ride the same production decode path and must land CLOSE to
+    it (lossy codecs — the m3 MJPEG precedent)."""
+    import numpy as np
+
+    from tts_etl_pipeline_spark.operators.multimodal import (
+        _m4_signals,
+        m4_audio_codec_features,
+    )
+
+    got = {r["codec"]: r for r in m4_audio_codec_features(spark, "unused").collect()}
+    assert set(got) == {"pcm16", "mulaw", "adpcm"}
+    assert all(r["n_clips"] == 4 for r in got.values())
+    # exact reference: the decode path normalizes int16 by /32768
+    ms, ss, rs = [], [], []
+    for _, _, x in _m4_signals():
+        f = x.astype(np.float64) / 32768.0
+        ms.append(round(float(f.mean()), 9))
+        ss.append(round(float(f.std()), 9))
+        rs.append(round(float(np.sqrt(np.mean(np.square(f)))), 9))
+    # feature vectors are float32 (FEATURE_SCHEMA) — the reference is
+    # close up to float32 accumulation inside the extractor (~1e-5)
+    assert got["pcm16"]["avg_mean"] == pytest.approx(np.mean(ms), abs=5e-5)
+    assert got["pcm16"]["avg_std"] == pytest.approx(np.mean(ss), abs=5e-5)
+    assert got["pcm16"]["avg_rms"] == pytest.approx(np.mean(rs), abs=5e-5)
+    # lossy proximity: mu-law quantization is fine-grained (~0.5% here);
+    # ADPCM's 4-bit residuals drift more but stay within a few percent
+    ref = got["pcm16"]
+    assert got["mulaw"]["avg_rms"] == pytest.approx(ref["avg_rms"], rel=0.01)
+    assert got["mulaw"]["avg_std"] == pytest.approx(ref["avg_std"], rel=0.01)
+    assert abs(got["mulaw"]["avg_mean"] - ref["avg_mean"]) < 0.005
+    assert got["adpcm"]["avg_rms"] == pytest.approx(ref["avg_rms"], rel=0.05)
+    assert got["adpcm"]["avg_std"] == pytest.approx(ref["avg_std"], rel=0.05)
+    assert abs(got["adpcm"]["avg_mean"] - ref["avg_mean"]) < 0.02

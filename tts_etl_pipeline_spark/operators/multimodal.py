@@ -1082,3 +1082,83 @@ def m3_video_codec_features(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy("container")
     )
+
+
+# ---------------------------------------------------------------------------
+# m4 — AUDIO codec E2E (round-7: the m2/m3 pattern completes the modality
+# triangle): synthesize deterministic seeded int16 mono signals, container
+# each as (a) WAV PCM16 (lossless reference), (b) G.711 mu-law and
+# (c) IMA ADPCM — the reference pipeline's real telephony codecs
+# (audio/codecs.py, pa.py's WAV ingest surface) — then push all three
+# through the production chunk_media -> extract_features pipeline (the
+# decode_wav_bytes format-branching path) and roll up mean/std/RMS per
+# codec. PCM16's row is exact against numpy on the same signals; the
+# lossy codecs' rows are pinned CLOSE to it in tests/test_multimodal.py
+# (mu-law ~1% RMS, ADPCM similar — the m3 MJPEG precedent). Rows-only by
+# design (synthesized media, the p1/m2/m3 precedent).
+# Scale shape: |clips|-bounded synthesis; decode + stats run inside the
+# Arrow-batched mapInPandas (payloads never touch the driver); rollup is
+# 3 groups.
+# ---------------------------------------------------------------------------
+M4_N_CLIPS = 4
+
+
+def _m4_signals() -> list:
+    """Deterministic mono int16 signals: [(clip_id, rate, int16 array)]."""
+    out = []
+    for i in range(M4_N_CLIPS):
+        rng = np.random.default_rng(3000 + i)
+        rate, n = 16000, 8000 + 500 * i
+        t = np.arange(n) / rate
+        tone = 0.5 * np.sin(2 * np.pi * (220 + 110 * i) * t)
+        noise = 0.05 * rng.standard_normal(n)
+        x = np.clip(tone + noise, -0.999, 0.999)
+        out.append((i, rate, np.round(x * 32767.0).astype(np.int16)))
+    return out
+
+
+@_register("m4_audio_codec_features", None)
+def m4_audio_codec_features(spark, sf_dir: str) -> DataFrame:
+    """`sf_dir` unused (synthesized media, the uniform query signature)."""
+    from tts_etl_pipeline_spark.audio.codecs import (
+        WAVE_FORMAT_IMA_ADPCM,
+        WAVE_FORMAT_MULAW,
+        WAVE_FORMAT_PCM,
+        encode_ima_adpcm,
+        encode_mulaw,
+        wrap_wav,
+    )
+
+    rows = []
+    for i, rate, x in _m4_signals():
+        rows.append((
+            f"sig{i:02d}.pcm16", "audio",
+            wrap_wav(WAVE_FORMAT_PCM, rate, x.tobytes(), 2, 16),
+        ))
+        rows.append((
+            f"sig{i:02d}.mulaw", "audio",
+            wrap_wav(WAVE_FORMAT_MULAW, rate, encode_mulaw(x), 1, 8),
+        ))
+        rows.append((
+            f"sig{i:02d}.adpcm", "audio",
+            wrap_wav(WAVE_FORMAT_IMA_ADPCM, rate, encode_ima_adpcm(x, 256), 256, 4),
+        ))
+    raw = spark.createDataFrame(rows, "media_id string, modality string, content binary")
+    feats = extract_features(chunk_media(raw))
+    codec = F.element_at(F.split("media_id", r"\."), -1).alias("codec")
+    return (
+        feats.select(
+            codec,
+            F.round(F.element_at("feature", 1).cast("double"), 9).alias("m"),
+            F.round(F.element_at("feature", 2).cast("double"), 9).alias("s"),
+            F.round(F.element_at("feature", 3).cast("double"), 9).alias("r"),
+        )
+        .groupBy("codec")
+        .agg(
+            F.count(F.lit(1)).alias("n_clips"),
+            F.round(F.avg("m"), 9).alias("avg_mean"),
+            F.round(F.avg("s"), 9).alias("avg_std"),
+            F.round(F.avg("r"), 9).alias("avg_rms"),
+        )
+        .orderBy("codec")
+    )
