@@ -39,6 +39,7 @@ def test_registry_importable_and_consistent():
         "p1_audio_pipeline_e2e",
         "m2_image_codec_features",
         "m3_video_codec_features",
+        "m4_audio_codec_features",
         "h4_lttb_downsample",
         "st11_pyds_stream_counts",
     }
