@@ -364,3 +364,100 @@ def x6_grouped_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "grp string, q int, cents_value bigint"
     ).orderBy("grp", "q")
+
+
+# ---------------------------------------------------------------------------
+# x7 — EXACT heavy hitters via Misra-Gries candidate generation + recount
+# (round-7: the exact complement of x2's CMS estimates). Two passes:
+#
+#   1. CANDIDATES — each partition runs a Misra-Gries(k) summary over its
+#      tokens inside ONE mapInPandas generator (the iterator spans the
+#      whole partition, so the summary is per-partition, not per-Arrow-
+#      batch). MG's guarantee: any key with local count > n_p/k survives;
+#      a key with global count > n/k exceeds n_p/k in at least one
+#      partition (pigeonhole), so the UNION of partition summaries is a
+#      SUPERSET of every true heavy hitter. State is k counters per
+#      partition — bounded, mergeable, no shuffle.
+#   2. VERIFY — exact recount of candidates only: broadcast the candidate
+#      set (<= k x partitions keys), left-semi filter the token stream,
+#      one groupBy over candidate keys, keep count*k > n (integer-exact
+#      threshold, no float division).
+#
+# The shuffle carries CANDIDATE keys only — at crawl scale the full-vocab
+# groupBy that t2 uses moves billions of distinct strings; x7 moves
+# k x partitions. False candidates cost only their recount row; the final
+# filter makes the OUTPUT exact and partitioning-independent, hence the
+# EXACT oracle (unlike x2's estimate-valued CMS rows). Threshold chosen
+# so the driver fixtures yield a stable 30-token stopword set at every sf.
+# ---------------------------------------------------------------------------
+HH_K = 200  # support threshold 1/k of the token stream
+
+
+@_register(
+    "x7_heavy_hitter_tokens",
+    f"""
+    WITH toks AS (
+      SELECT unnest(string_split(lower(trim(COALESCE(text, ''))), ' ')) AS tok
+      FROM documents
+    ),
+    nz AS (SELECT tok FROM toks WHERE tok <> ''),
+    tot AS (SELECT COUNT(*) AS n FROM nz)
+    SELECT tok, COUNT(*) AS n_tok
+    FROM nz, tot
+    GROUP BY tok, tot.n
+    HAVING COUNT(*) * {HH_K} > tot.n
+    ORDER BY n_tok DESC, tok
+    """,
+)
+def x7_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = (
+        table(spark, sf_dir, "documents")
+        .select(
+            F.explode(
+                F.split(F.lower(F.trim(F.coalesce("text", F.lit("")))), " ")
+            ).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+    )
+
+    def mg_summaries(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict = {}
+        n_part = 0
+        for pdf in batches:  # the iterator spans the whole PARTITION
+            for tok in pdf["tok"]:
+                n_part += 1
+                if tok in counters:
+                    counters[tok] += 1
+                elif len(counters) < HH_K:
+                    counters[tok] = 1
+                else:  # decrement step: every counter pays for the newcomer
+                    dead = []
+                    for key in counters:
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            dead.append(key)
+                    for key in dead:
+                        del counters[key]
+        out = [{"tok": t, "kind": "cand", "val": c} for t, c in counters.items()]
+        out.append({"tok": None, "kind": "rows", "val": n_part})
+        yield pd.DataFrame(out, columns=["tok", "kind", "val"])
+
+    from tts_etl_pipeline_spark.functions.checkpoints import materialize
+
+    # the summary is k x partitions rows — materialize it once so the
+    # candidate branch and the total-count branch don't each re-run the
+    # MG pass (and re-scan documents)
+    summary = materialize(
+        toks.mapInPandas(mg_summaries, "tok string, kind string, val long")
+    )
+    candidates = summary.filter(F.col("kind") == "cand").select("tok").distinct()
+    total = summary.filter(F.col("kind") == "rows").agg(F.sum("val").alias("n"))
+    return (
+        toks.join(F.broadcast(candidates), "tok", "left_semi")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n_tok"))
+        .join(F.broadcast(total))
+        .filter(F.col("n_tok") * HH_K > F.col("n"))
+        .select("tok", "n_tok")
+        .orderBy(F.desc("n_tok"), "tok")
+    )
