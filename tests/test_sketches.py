@@ -233,3 +233,46 @@ def test_x4_tdigest_matches_exact_percentiles(spark, sf_dir):
         for est_col, q in (("est_p10", 0.10), ("est_p50", 0.50), ("est_p90", 0.90)):
             q_est = np.searchsorted(vals, row[est_col]) / vals.size
             assert abs(q_est - q) <= 0.03, (prio, est_col, q_est, q)
+
+
+def test_x7_mg_candidates_survive_adversarial_churn(spark, tmp_path):
+    """x7's guarantee, stress-tested: a filler vocabulary far larger than
+    the MG counter budget churns the summaries (constant decrements), yet
+    the true heavy hitter must survive candidate generation and the exact
+    recount must equal a plain groupBy — on a corpus engineered so any
+    'keep the current top-k' heuristic without decrements would evict it."""
+    import __spark_entry__ as e
+    from pyspark.sql import functions as F
+
+    # 600 x 'hot' interleaved through 3000 distinct fillers: n=3600,
+    # threshold n/200 = 18 -> only 'hot' qualifies
+    words = []
+    for i in range(3000):
+        words.append(f"filler{i:04d}")
+        if i % 5 == 0:
+            words.append("hot")
+    # pack into documents rows (24 tokens per doc) with the fixture schema
+    docs = [
+        (i, " ".join(words[i * 24 : (i + 1) * 24]))
+        for i in range((len(words) + 23) // 24)
+    ]
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
+        f"{sf_dir}/documents.parquet"
+    )
+    got = {
+        r["tok"]: r["n_tok"]
+        for r in e.queries()["x7_heavy_hitter_tokens"](spark, sf_dir).collect()
+    }
+    # exact reference
+    toks = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.explode(F.split(F.lower(F.trim(F.coalesce("text", F.lit("")))), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    n = toks.count()
+    exact = {
+        r["tok"]: r["cnt"]
+        for r in toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt")).collect()
+        if r["cnt"] * 200 > n
+    }
+    assert exact  # the fixture really has a heavy hitter
+    assert got == exact
