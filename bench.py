@@ -80,6 +80,12 @@ HEADLINE = [
     "e10_funnel_pattern_match",
     "t20_dsir_target_affinity",
     "r2_interval_overlap_join",
+    # r7 additions — new shapes: Misra-Gries candidates + broadcast recount
+    # (exact heavy hitters, bounded-state candidate generation); metadata-
+    # pre-filtered exact top-k vector search (semi-join prune before
+    # ranking). Cross-round totals compare on the pre-r7 41-query set.
+    "x7_heavy_hitter_tokens",
+    "v7_filtered_ann_topk",
 ]
 
 
