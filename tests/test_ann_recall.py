@@ -364,3 +364,47 @@ def test_pq_recall_compression_and_determinism(spark, sf_dir):
     assert all(0 <= c < PQ_K for r in codes for c in r["codes"])  # uint8-packable
     books2 = train_codebooks(emb)
     assert (books == books2).all()
+
+
+def test_d14_zero_norm_vectors_are_singletons_matching_oracle(spark, tmp_path):
+    """r7 review finding: a zero-norm embedding's cosine is 0/0 — ANSI
+    Spark RAISES on the division while the DuckDB oracle yields NULL
+    (never >= tau), making zero vectors SINGLETONS (no edges, not even to
+    an identical zero twin). d14 must (a) not crash, (b) not connect the
+    identical zero twins via collapse membership edges, and (c) match the
+    recursive-CTE oracle exactly on a corpus containing such vectors."""
+    import duckdb
+    import numpy as np
+
+    import __spark_entry__ as e
+
+    rng = np.random.default_rng(77)
+    rows = []
+    # two identical ZERO vectors + near-identical normal pair + an outlier,
+    # all in one label block
+    zero = [0.0] * 8
+    v = rng.standard_normal(8)
+    rows.append((0, zero, 1))
+    rows.append((1, zero, 1))
+    rows.append((2, [float(x) for x in v], 1))
+    rows.append((3, [float(x) for x in v * 2.0], 1))  # cos = 1 with vec 2
+    rows.append((4, [float(x) for x in rng.standard_normal(8)], 1))
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(f"{sf_dir}/embeddings.parquet")
+
+    got = e.queries()["d14_semantic_dedup"](spark, sf_dir).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet/*.parquet')"
+    )
+    expect = con.execute(e.oracle_sql()["d14_semantic_dedup"]).fetchdf()
+    cols = sorted(got.columns)
+    a = got[cols].sort_values(by=cols).reset_index(drop=True)
+    b = expect[cols].sort_values(by=cols).reset_index(drop=True)
+    assert a.equals(b), (a, b)
+    comp = {r.vec_id: r.component for r in got.itertuples()}
+    assert comp[0] == 0 and comp[1] == 1  # zero twins NOT connected
+    assert comp[3] == 2  # scaled copy joins its direction-mate's component

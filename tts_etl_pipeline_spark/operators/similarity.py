@@ -481,9 +481,13 @@ def topk_cosine_scalable(
 # >= tau. Pairwise work therefore runs over DISTINCT vectors per block;
 # members rejoin their canonical's component through membership edges
 # before connected components, which preserves the full graph's
-# components and min-id representatives EXACTLY (zero-norm vectors are
-# exempt from collapse: cosine against them is undefined/NaN and never
-# crosses the threshold, so they stay singletons — as in the full graph).
+# components and min-id representatives EXACTLY. Zero-NORM vectors are
+# exempt from collapse AND excluded from the pair stage: their cosine is
+# 0/0, which ANSI-mode Spark RAISES on (DIVIDE_BY_ZERO) while the DuckDB
+# oracle's division yields NULL — never crossing >= tau — so by the
+# oracle's semantics they are SINGLETONS (no edges, not even to an
+# identical twin), and the Spark side must keep them out of the division
+# entirely (r7 review finding; pinned by the zero-norm parity test).
 # This is also faithful SemDeDup: the paper dedups exact copies before
 # the semantic pass. Measured: sf0.1->sf1 wall 85x -> ~linear (BASELINE).
 # ---------------------------------------------------------------------------
@@ -528,7 +532,10 @@ def d14_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # exact-duplicate collapse (lossless, see header): canonical = min id
     # per identical (label, embedding) group; zero-norm vectors stay their
-    # own canonical (cosine against them is NaN — never an edge)
+    # own canonical (they are singletons per the oracle's NULL-cosine
+    # semantics, so a membership edge to an identical twin would be WRONG)
+    # and are filtered out of the pair sides below (ANSI Spark would raise
+    # DIVIDE_BY_ZERO on their 0/0 cosine where the oracle serves NULL)
     sqn = F.aggregate(
         F.col("embedding"),
         F.lit(0.0),
@@ -545,9 +552,12 @@ def d14_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(sqn == 0.0, F.col("vec_id"))
             .otherwise(F.col("group_min"))
             .alias("canon_id"),
+            (sqn > 0.0).alias("__nonzero"),
         )
     )
-    canon = members.filter(F.col("vec_id") == F.col("canon_id"))
+    canon = members.filter(
+        (F.col("vec_id") == F.col("canon_id")) & F.col("__nonzero")
+    )
     a = canon.select(
         F.col("canon_id").alias("id_a"), "label", F.col("embedding").alias("emb_a")
     )

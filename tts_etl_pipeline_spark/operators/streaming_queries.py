@@ -790,6 +790,11 @@ def st13_versioned_cdf_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # side of one diff and the old side of the next
     batches: list[DataFrame] = []
     stream_changes(spark, tbl, ckpt, lambda df, v: batches.append(materialize(df)))
+    # every batch is materialized (executor-checkpointed) — the temp table
+    # and checkpoint are no longer referenced by any plan; reclaim them now
+    import shutil
+
+    shutil.rmtree(base, ignore_errors=True)
     feed = batches[0]
     for b in batches[1:]:
         feed = feed.unionByName(b)

@@ -26,10 +26,10 @@ TABLE_NAMES = [
     "embeddings",
 ]
 
-# Small dimensions that should always be broadcast in joins (region: 5 rows,
-# nation: 25, supplier/part/customer grow slowly with sf but stay far below
-# any reasonable broadcast threshold at bench scale).
-BROADCAST_DIMS = {"region", "nation", "supplier", "part", "customer"}
+# Broadcast policy: only region (5 rows) and nation (25) are ALWAYS
+# broadcastable; supplier/part/customer/embeddings grow linearly with SF
+# and must go through the size guard below (a hard hint on them is the
+# round-6 verdict's 100x-OOM finding).
 
 # On-disk parquet bytes above which a side gets NO broadcast hint. Parquet
 # decompresses ~2-5x into the broadcast hash relation, so 32 MiB on disk
@@ -74,7 +74,10 @@ def maybe_broadcast(
 
     `size_bytes` is the caller's evidence — normally table_disk_bytes() of
     the side's BASE table, a conservative upper bound for any filtered /
-    projected / joined derivation of it. None (unknown size) = no hint."""
+    projected / joined derivation of it. NOT conservative for EXPLODED
+    derivations (gram/shingle/epoch-replicated relations can exceed their
+    source bytes many times over): scale the evidence by the expansion
+    factor there, as d13's gram side does. None (unknown size) = no hint."""
     from pyspark.sql import functions as F
 
     if size_bytes is not None and size_bytes <= limit_bytes:

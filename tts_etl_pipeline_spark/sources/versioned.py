@@ -376,7 +376,9 @@ def vacuum(
                 intact = all(
                     os.path.exists(os.path.join(path, f)) for f in m["files"]
                 )
-            except (ValueError, KeyError, json.JSONDecodeError):
+            except (ValueError, KeyError, TypeError, json.JSONDecodeError):
+                # TypeError: valid JSON of the wrong shape (non-dict, or a
+                # non-list "files") is damage too — age-gate it below
                 intact = False
             if not intact:
                 break  # damaged: leave it to the age-gated sweep below
@@ -665,6 +667,17 @@ def stream_changes(
         with open(state_file, encoding="utf-8") as fh:
             last = json.load(fh)["version"]
     head = current_version(path)
+    if last > head:
+        # a cursor ahead of the head means the checkpoint belongs to a
+        # DIFFERENT table (deleted-and-rebuilt path, or a reused checkpoint
+        # dir) — continuing would silently skip the new table's early
+        # versions once it catches up. Refuse, like Delta's reservoir-id
+        # check on a mismatched checkpoint.
+        raise ValueError(
+            f"checkpoint cursor at version {last} is ahead of table head "
+            f"{head} at {path}: the checkpoint belongs to a different "
+            f"(or rebuilt) table — use a fresh checkpoint directory"
+        )
     while last < head:
         v = last + 1
         if v == 1:  # no version 0 to diff against: the snapshot is the feed

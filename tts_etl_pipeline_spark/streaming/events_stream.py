@@ -21,13 +21,28 @@ S4's INSERT OR IGNORE, pa.py:377-383).
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+# run_to_parquet result dirs: the returned DataFrame reads them lazily, so
+# they cannot be deleted inline — reclaim them at interpreter exit instead
+# of leaking one fact-scale result per invocation into /tmp
+_RESULT_DIRS: list[str] = []
+
+
+def _cleanup_result_dirs() -> None:
+    for d in _RESULT_DIRS:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+atexit.register(_cleanup_result_dirs)
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events parquet with the same schema-adaptive ts
@@ -143,8 +158,10 @@ def run_to_parquet(df: DataFrame, prefix: str = "stream_result") -> DataFrame:
     writers like sink.insert_or_ignore / rollup.stream_to_rollup — the
     right tool when the target is a keyed table rather than a result
     relation). The explicit read schema serves the zero-output stream
-    (no data files yet) as a typed empty relation."""
+    (no data files yet) as a typed empty relation. The result dir is
+    registered for atexit reclamation (it must outlive the lazy read)."""
     base = tempfile.mkdtemp(prefix=f"spark_graft_{prefix}_")
+    _RESULT_DIRS.append(base)
     out, ckpt = os.path.join(base, "out"), os.path.join(base, "ckpt")
     q = (
         df.writeStream.format("parquet")
