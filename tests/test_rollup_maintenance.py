@@ -157,3 +157,83 @@ def test_rollup_merge_any_split_order_converges(spark, sf_dir, tmp_path):
                 apply_delta(spark, path, p)
             got = _canon(_read_state(spark, path).select(*batch.columns))
             assert got == _canon(batch), (salt, order)
+
+
+def test_cdf_maintained_counts_equal_recompute_across_commit_kinds(spark, tmp_path):
+    """r7 IVM: maintain_counts_from_cdf folds the streaming change feed
+    into a versioned count aggregate. After draining a history that
+    includes an initial snapshot, an append, a MERGE (update+delete+
+    insert as delete/insert pairs) and a compaction (empty batch), the
+    state must equal a full groupBy recompute of the head — and a
+    re-delivered batch (crash-before-cursor simulation) must be a no-op
+    thanks to the in-commit watermark."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from tts_etl_pipeline_spark.sources.rollup import (
+        maintain_counts_from_cdf,
+        read_maintained_counts,
+    )
+    from tts_etl_pipeline_spark.sources.versioned import (
+        compact,
+        merge_upsert,
+        read_version,
+        write_version,
+    )
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    write_version(
+        spark.createDataFrame(
+            [(1, "a"), (2, "a"), (3, "b"), (4, None)], "k long, grp string"
+        ),
+        src,
+    )  # v1
+    write_version(
+        spark.createDataFrame([(5, "b"), (6, "c")], "k long, grp string"), src
+    )  # v2 append
+    merge_upsert(  # v3: update k=2 -> grp c; delete k=3; insert k=7 grp a
+        spark,
+        src,
+        spark.createDataFrame(
+            [(2, "c"), (3, "DEL"), (7, "a")], "k long, grp string"
+        ),
+        key="k",
+        delete_on="grp = 'DEL'",
+    )
+    compact(spark, src)  # v4: empty feed batch
+
+    def expect():
+        return {
+            r["grp"]: r["n"]
+            for r in read_version(spark, src)
+            .groupBy("grp")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+
+    last = maintain_counts_from_cdf(spark, src, state, ckpt, keys=["grp"])
+    assert last == 4
+    got = {
+        r["grp"]: r["cnt"] for r in read_maintained_counts(spark, state).collect()
+    }
+    assert got == expect()  # incl. the NULL group
+    # crash-before-cursor simulation: wipe the cursor, re-drain everything;
+    # the watermark inside the state commits makes every batch a no-op
+    os.remove(os.path.join(ckpt, "last_version.json"))
+    assert maintain_counts_from_cdf(spark, src, state, ckpt, keys=["grp"]) == 4
+    got2 = {
+        r["grp"]: r["cnt"] for r in read_maintained_counts(spark, state).collect()
+    }
+    assert got2 == got
+    # further source commits fold incrementally
+    write_version(
+        spark.createDataFrame([(8, None), (9, "c")], "k long, grp string"), src
+    )  # v5
+    assert maintain_counts_from_cdf(spark, src, state, ckpt, keys=["grp"]) == 5
+    got3 = {
+        r["grp"]: r["cnt"] for r in read_maintained_counts(spark, state).collect()
+    }
+    assert got3 == expect()

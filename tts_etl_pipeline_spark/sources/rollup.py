@@ -167,3 +167,107 @@ def stream_to_rollup(
         .start()
     )
     q.awaitTermination()
+
+
+def maintain_counts_from_cdf(
+    spark: SparkSession,
+    src_path: str,
+    state_path: str,
+    checkpoint: str,
+    keys: list[str],
+) -> int:
+    """Incremental VIEW MAINTENANCE from the change data feed (round-7):
+    keep a per-`keys` row-count aggregate of the versioned table at
+    `src_path` in sync by folding stream_changes micro-batches as +1/-1
+    deltas — O(changed rows) per commit, never a recompute of the source.
+    Updates arrive as delete+insert pairs and net out; a compaction's
+    empty batch nets to nothing.
+
+    Exactly-once WITHOUT stream_to_rollup's documented apply->marker
+    atomicity caveat: the state is ITSELF a versioned table, and every
+    state commit carries BOTH the merged counts and the applied source
+    version — a `__meta` watermark row in the same relation — inside ONE
+    manifest CAS. A crash between applying a batch and advancing the
+    stream cursor re-delivers that batch, and the watermark makes the
+    replay a detectable no-op (batch version <= watermark -> skip), so
+    after ANY drain/crash interleaving the state equals a full groupBy
+    recompute of the source head. Returns the last applied version.
+
+    Scale shape: per commit, one O(delta) aggregation + one union-groupBy
+    merge keyed on `keys` (state-sized, not source-sized); the state
+    commit is an atomic overwrite. NULL keys are real groups (groupBy
+    semantics on both the delta and the merge)."""
+    from pyspark.sql import types as T
+
+    from tts_etl_pipeline_spark.sources.versioned import (
+        current_version,
+        read_version,
+        stream_changes,
+        write_version,
+    )
+
+    def _watermark() -> int:
+        if current_version(state_path) == 0:
+            return 0
+        st = read_version(spark, state_path)
+        row = st.filter(F.col("__meta")).select("__applied_version").head()
+        return int(row[0]) if row else 0
+
+    def fold(batch: DataFrame, version: int) -> None:
+        if version <= _watermark():
+            return  # re-delivered batch (crash before cursor advance)
+        key_cols = [F.col(k) for k in keys]
+        delta = batch.groupBy(*key_cols).agg(
+            F.sum(
+                F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
+                    F.lit(-1)
+                )
+            ).alias("cnt")
+        )
+        if current_version(state_path) > 0:
+            prev = read_version(spark, state_path).filter(~F.col("__meta"))
+            merged = (
+                prev.select(*keys, "cnt")
+                .unionByName(delta)
+                .groupBy(*key_cols)
+                .agg(F.sum("cnt").alias("cnt"))
+            )
+        else:
+            merged = delta
+        merged = merged.filter(F.col("cnt") != 0)
+        data = merged.select(
+            F.lit(False).alias("__meta"),
+            F.lit(version).cast("long").alias("__applied_version"),
+            *keys,
+            "cnt",
+        )
+        meta_schema = T.StructType(
+            [
+                T.StructField("__meta", T.BooleanType(), False),
+                T.StructField("__applied_version", T.LongType(), False),
+            ]
+            # nullable regardless of source nullability: the meta row
+            # serves NULL for every key column
+            + [T.StructField(k, data.schema[k].dataType, True) for k in keys]
+            + [T.StructField("cnt", T.LongType(), True)]
+        )
+        meta_row = spark.createDataFrame(
+            [tuple([True, version] + [None] * (len(keys) + 1))], meta_schema
+        )
+        # ONE atomic commit carries counts + watermark together
+        write_version(
+            data.unionByName(meta_row), state_path, mode="overwrite"
+        )
+
+    return stream_changes(spark, src_path, checkpoint, fold)
+
+
+def read_maintained_counts(spark: SparkSession, state_path: str) -> DataFrame:
+    """The maintained aggregate, watermark row stripped."""
+    from pyspark.sql import functions as _F
+
+    from tts_etl_pipeline_spark.sources.versioned import read_version
+
+    return read_version(spark, state_path).filter(~_F.col("__meta")).drop(
+        "__meta", "__applied_version"
+    )
