@@ -804,18 +804,13 @@ def d13_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench_grams = grams.filter(is_bench).select("g").distinct()
     # the gram relation EXPLODES its source (one 8-word gram per token
     # position), so the base documents bytes are NOT a conservative bound
-    # for it — scale the size evidence by a 16x expansion factor before
-    # the guard (review finding r7); the 1/97 benchmark slice keeps the
-    # product small at bench scale, and past the bound AQE decides
-    from tts_etl_pipeline_spark.sources.tables import maybe_broadcast, table_disk_bytes
-
-    _doc_bytes = table_disk_bytes(sf_dir, "documents")
+    # for it — scale the size evidence by a 16x expansion factor (review
+    # finding r7); the 1/97 benchmark slice keeps the product small at
+    # bench scale, and past the bound AQE decides
     contaminated = (
         grams.filter(~is_bench)
         .join(
-            maybe_broadcast(
-                bench_grams, None if _doc_bytes is None else _doc_bytes * 16
-            ),
+            scaled_broadcast(bench_grams, sf_dir, "documents", expansion=16),
             "g",
             "left_semi",
         )

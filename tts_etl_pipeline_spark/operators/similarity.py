@@ -536,11 +536,7 @@ def d14_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # semantics, so a membership edge to an identical twin would be WRONG)
     # and are filtered out of the pair sides below (ANSI Spark would raise
     # DIVIDE_BY_ZERO on their 0/0 cosine where the oracle serves NULL)
-    sqn = F.aggregate(
-        F.col("embedding"),
-        F.lit(0.0),
-        lambda acc, v: acc + v.cast("double") * v.cast("double"),
-    )
+    nonzero = norm("embedding") > 0.0
     grouped = base.groupBy("label", "embedding").agg(
         F.min("vec_id").alias("group_min")
     )
@@ -549,10 +545,10 @@ def d14_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             "label",
             "embedding",
-            F.when(sqn == 0.0, F.col("vec_id"))
+            F.when(~nonzero, F.col("vec_id"))
             .otherwise(F.col("group_min"))
             .alias("canon_id"),
-            (sqn > 0.0).alias("__nonzero"),
+            nonzero.alias("__nonzero"),
         )
     )
     canon = members.filter(

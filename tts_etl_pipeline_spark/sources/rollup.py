@@ -206,16 +206,17 @@ def maintain_counts_from_cdf(
         write_version,
     )
 
-    def _watermark() -> int:
-        if current_version(state_path) == 0:
-            return 0
-        st = read_version(spark, state_path)
-        row = st.filter(F.col("__meta")).select("__applied_version").head()
-        return int(row[0]) if row else 0
-
     def fold(batch: DataFrame, version: int) -> None:
-        if version <= _watermark():
-            return  # re-delivered batch (crash before cursor advance)
+        # one state read serves both the watermark check and the merge
+        state = (
+            read_version(spark, state_path)
+            if current_version(state_path) > 0
+            else None
+        )
+        if state is not None:
+            row = state.filter(F.col("__meta")).select("__applied_version").head()
+            if row and version <= int(row[0]):
+                return  # re-delivered batch (crash before cursor advance)
         key_cols = [F.col(k) for k in keys]
         delta = batch.groupBy(*key_cols).agg(
             F.sum(
@@ -224,10 +225,10 @@ def maintain_counts_from_cdf(
                 )
             ).alias("cnt")
         )
-        if current_version(state_path) > 0:
-            prev = read_version(spark, state_path).filter(~F.col("__meta"))
+        if state is not None:
             merged = (
-                prev.select(*keys, "cnt")
+                state.filter(~F.col("__meta"))
+                .select(*keys, "cnt")
                 .unionByName(delta)
                 .groupBy(*key_cols)
                 .agg(F.sum("cnt").alias("cnt"))

@@ -85,10 +85,16 @@ def maybe_broadcast(
     return df
 
 
-def scaled_broadcast(df: DataFrame, sf_dir: str, base_table: str) -> DataFrame:
+def scaled_broadcast(
+    df: DataFrame, sf_dir: str, base_table: str, expansion: float = 1.0
+) -> DataFrame:
     """maybe_broadcast sized by `base_table`'s on-disk bytes — the one-line
-    guard for join sides derived from a single SF-scaling base table."""
-    return maybe_broadcast(df, table_disk_bytes(sf_dir, base_table))
+    guard for join sides derived from a single SF-scaling base table.
+    `expansion` scales the evidence for derivations LARGER than their
+    source (gram/shingle explosions, epoch replication), where base bytes
+    alone are not conservative — see d13's 16x gram side."""
+    size = table_disk_bytes(sf_dir, base_table)
+    return maybe_broadcast(df, None if size is None else int(size * expansion))
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
