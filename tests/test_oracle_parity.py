@@ -38,6 +38,8 @@ SCAN_ALLOWANCE = {
     ("dq1_referential_integrity", "customer"): 2,
     ("dq2_column_profile", "orders"): 2,          # exact-distinct second pass
     ("v7_filtered_ann_topk", "embeddings"): 2,    # 5-row query side vs corpus
+    ("v8_knn_graph_exact", "embeddings"): 2,      # label-blocked self-join sides
+    ("h5_seasonal_backtest", "events"): 2,        # disjoint train/test slices
     # ("name", "*") is a wildcard over table names, for queries whose scanned
     # relations are per-run temp artifacts with uuid file names. Currently
     # empty: st13 materializes each CDF batch on delivery (the foreachBatch

@@ -925,3 +925,123 @@ def e10_funnel_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# h5 — seasonal-profile BACKTEST (round-7): forecast each (event_type,
+# weekday, hour) slot's value as the mean of the 3 training weeks
+# (Jan 1-21; the fixture starts on a Monday), score week 4 (Jan 22-28)
+# with per-type mean absolute error over the full 7x24 weekly grid — the
+# capacity-planning / anomaly-baseline artifact every event pipeline
+# carries. EXACT: value folds to integer cents, the forecast's /3 is
+# deferred via cross-multiplication (|3*actual - train_sum| stays
+# integral, the dq5 idiom), slots absent on one side coalesce to 0, and
+# only the final grid-mean division is a double. The weekday convention
+# never crosses engines (slots only need to align train-vs-test WITHIN an
+# engine; the output is per event_type).
+# Scale shape: two disjoint date slices of one events scan pattern
+# (filters pushed; the s4 two-sources shape), each pre-aggregated to the
+# |types|x168 slot grain before a slot-grain full-outer join — the join
+# touches thousands of rows regardless of event volume; the final rollup
+# is |types| rows.
+# ---------------------------------------------------------------------------
+H5_TRAIN_WEEKS = 3
+
+
+@_register(
+    "h5_seasonal_backtest",
+    f"""
+    WITH cents AS (
+      SELECT event_type,
+             dayofweek(ts) AS dow, EXTRACT(hour FROM ts) AS hr,
+             CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS c, ts
+      FROM events
+    ),
+    train AS (
+      SELECT event_type, dow, hr, SUM(c) AS train_cents
+      FROM cents
+      WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+        AND ts <  TIMESTAMP '2024-01-22 00:00:00'
+      GROUP BY 1, 2, 3
+    ),
+    test AS (
+      SELECT event_type, dow, hr, SUM(c) AS actual_cents
+      FROM cents
+      WHERE ts >= TIMESTAMP '2024-01-22 00:00:00'
+        AND ts <  TIMESTAMP '2024-01-29 00:00:00'
+      GROUP BY 1, 2, 3
+    ),
+    grid AS (
+      SELECT COALESCE(tr.event_type, te.event_type) AS event_type,
+             COALESCE(tr.train_cents, 0) AS train_cents,
+             COALESCE(te.actual_cents, 0) AS actual_cents
+      FROM train tr FULL OUTER JOIN test te
+        ON tr.event_type = te.event_type AND tr.dow = te.dow AND tr.hr = te.hr
+    )
+    SELECT event_type,
+           COUNT(*) AS n_slots,
+           CAST(SUM(ABS({H5_TRAIN_WEEKS} * actual_cents - train_cents)) AS BIGINT)
+             AS abs_err_cents_x{H5_TRAIN_WEEKS},
+           CAST(SUM(ABS({H5_TRAIN_WEEKS} * actual_cents - train_cents)) AS DOUBLE)
+             / ({H5_TRAIN_WEEKS} * 168 * 100) AS mae_grid
+    FROM grid
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def h5_seasonal_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        "event_type",
+        F.dayofweek("ts").alias("dow"),
+        F.hour("ts").alias("hr"),
+        (F.col("value").cast("decimal(12,2)") * 100).cast("long").alias("c"),
+        "ts",
+    )
+
+    def window(lo: str, hi: str, out: str):
+        return (
+            ev.filter(
+                (F.col("ts") >= F.lit(lo).cast("timestamp_ntz"))
+                & (F.col("ts") < F.lit(hi).cast("timestamp_ntz"))
+            )
+            .groupBy("event_type", "dow", "hr")
+            .agg(F.sum("c").alias(out))
+        )
+
+    # both windows derive from one ev lineage: alias every key column per
+    # side so the full-outer self-join is unambiguous
+    train = window(
+        "2024-01-01 00:00:00", "2024-01-22 00:00:00", "train_cents"
+    ).select(
+        F.col("event_type").alias("tr_type"), F.col("dow").alias("tr_dow"),
+        F.col("hr").alias("tr_hr"), "train_cents",
+    )
+    test = window(
+        "2024-01-22 00:00:00", "2024-01-29 00:00:00", "actual_cents"
+    ).select(
+        F.col("event_type").alias("te_type"), F.col("dow").alias("te_dow"),
+        F.col("hr").alias("te_hr"), "actual_cents",
+    )
+    grid = train.join(
+        test,
+        (F.col("tr_type") == F.col("te_type"))
+        & (F.col("tr_dow") == F.col("te_dow"))
+        & (F.col("tr_hr") == F.col("te_hr")),
+        "full_outer",
+    ).select(
+        F.coalesce("tr_type", "te_type").alias("event_type"),
+        F.coalesce("train_cents", F.lit(0)).alias("train_cents"),
+        F.coalesce("actual_cents", F.lit(0)).alias("actual_cents"),
+    )
+    err = F.abs(H5_TRAIN_WEEKS * F.col("actual_cents") - F.col("train_cents"))
+    return (
+        grid.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_slots"),
+            F.sum(err).cast("bigint").alias(f"abs_err_cents_x{H5_TRAIN_WEEKS}"),
+            (
+                F.sum(err).cast("double") / (H5_TRAIN_WEEKS * 168 * 100)
+            ).alias("mae_grid"),
+        )
+        .orderBy("event_type")
+    )

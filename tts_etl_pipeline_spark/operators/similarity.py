@@ -694,3 +694,71 @@ def v7_filtered_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "n_id", F.round("cosine", 9).alias("cosine"), "rn")
         .orderBy("q_id", "rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# v8 — exact kNN GRAPH (round-7): every vector's top-3 cosine neighbors
+# within its label block — the exact contract that v5's NN-Descent
+# approximates (v5 builds this same graph heuristically; v8 pins the true
+# one where blocks make it affordable). Unlike v1/v7 (5 fixed query
+# vectors), the "query set" here is the whole corpus, so nothing is
+# broadcast: the pair stage is a label-partitioned self-join (the
+# v2/d14 blocking discipline — the block size is the upstream
+# clusterer's bound, never corpus-quadratic) and the per-vector top-k is
+# one window over the pair relation partitioned by the source vector.
+# Scale: shuffle keys are label then vec_id; output is k x |corpus| rows
+# (write-to-sink scale, not driver scale — the driver fixtures keep it
+# collectable). EXACT oracle via the same ROW_NUMBER ranking.
+# ---------------------------------------------------------------------------
+KNN_K = 3
+
+
+@_register(
+    "v8_knn_graph_exact",
+    f"""
+    WITH pairs AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst,
+             {_sql_dot('a.embedding', 'b.embedding')}
+               / (sqrt({_sql_sqnorm('a.embedding')}) * sqrt({_sql_sqnorm('b.embedding')}))
+               AS cosine
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id <> b.vec_id
+    ),
+    ranked AS (
+      SELECT src, dst, cosine,
+             ROW_NUMBER() OVER (PARTITION BY src ORDER BY cosine DESC, dst) AS rn
+      FROM pairs
+    )
+    SELECT src, dst, ROUND(cosine, 9) AS cosine, rn
+    FROM ranked WHERE rn <= {KNN_K}
+    ORDER BY src, rn
+    """,
+)
+def v8_knn_graph_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    emb = table(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("src"), "label", F.col("embedding").alias("emb_a")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("dst"), "label", F.col("embedding").alias("emb_b")
+    )
+    pairs = (
+        a.join(b, "label")
+        .filter(F.col("src") != F.col("dst"))
+        .select(
+            "src",
+            "dst",
+            (dot("emb_a", "emb_b") / (norm("emb_a") * norm("emb_b"))).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = W.partitionBy("src").orderBy(F.desc("cosine"), "dst")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= KNN_K)
+        .select("src", "dst", F.round("cosine", 9).alias("cosine"), "rn")
+        .orderBy("src", "rn")
+    )
