@@ -472,6 +472,87 @@ def a2_asof_next_purchase_tolerance(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 # ---------------------------------------------------------------------------
+# a3 — NEAREST as-of join (round-7: completes the family — a1 backward,
+# a2 forward-with-tolerance, a3 nearest-either-direction): for each click,
+# the user's temporally closest purchase in EITHER direction within the
+# shared tolerance; equal gaps break toward the EARLIER (backward) match,
+# the convention pandas merge_asof(direction='nearest') uses. Same
+# engine as a1/a2 — BOTH direction candidates come from two frames of ONE
+# user_id-partitioned ordered window (no inequality join, one shuffle);
+# choosing between them is row-local column logic.
+# ---------------------------------------------------------------------------
+@_register(
+    "a3_asof_nearest_purchase",
+    f"""
+    WITH marked AS (
+      SELECT event_id, user_id, ts, event_type,
+             last_value(CASE WHEN event_type = 'purchase' THEN ts END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_p,
+             first_value(CASE WHEN event_type = 'purchase' THEN ts END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_p
+      FROM events
+    ),
+    gaps AS (
+      SELECT event_id, user_id, ts,
+             CAST(date_diff('second', prev_p, ts) AS BIGINT) AS gp,
+             CAST(date_diff('second', ts, next_p) AS BIGINT) AS gn
+      FROM marked WHERE event_type = 'click'
+    )
+    SELECT event_id, user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS click_s,
+           CASE WHEN best IS NULL OR best > {ASOF_TOLERANCE_S} THEN 'none'
+                WHEN gp IS NOT NULL AND (gn IS NULL OR gp <= gn) THEN 'prev'
+                ELSE 'next' END AS direction,
+           CASE WHEN best IS NOT NULL AND best <= {ASOF_TOLERANCE_S}
+                THEN best ELSE -1 END AS gap_s
+    FROM (
+      SELECT *, CASE WHEN gp IS NOT NULL AND (gn IS NULL OR gp <= gn)
+                     THEN gp ELSE gn END AS best
+      FROM gaps
+    )
+    ORDER BY event_id
+    """,
+)
+def a3_asof_nearest_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    ev = table(spark, sf_dir, "events")
+    base = W.partitionBy("user_id").orderBy("ts", "event_id")
+    purchase_ts = F.when(F.col("event_type") == "purchase", F.col("ts"))
+    prev_p = F.last(purchase_ts, ignorenulls=True).over(
+        base.rowsBetween(W.unboundedPreceding, -1)
+    )
+    next_p = F.first(purchase_ts, ignorenulls=True).over(
+        base.rowsBetween(1, W.unboundedFollowing)
+    )
+    epoch = lambda c: c.cast("timestamp").cast("long")  # noqa: E731
+    marked = ev.select(
+        "event_id", "user_id", "ts", "event_type",
+        (epoch(F.col("ts")) - epoch(prev_p)).alias("gp"),
+        (epoch(next_p) - epoch(F.col("ts"))).alias("gn"),
+    ).filter(F.col("event_type") == "click")
+    prefer_prev = F.col("gp").isNotNull() & (
+        F.col("gn").isNull() | (F.col("gp") <= F.col("gn"))
+    )
+    best = F.when(prefer_prev, F.col("gp")).otherwise(F.col("gn"))
+    return marked.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("click_s"),
+        F.when(best.isNull() | (best > ASOF_TOLERANCE_S), F.lit("none"))
+        .when(prefer_prev, F.lit("prev"))
+        .otherwise(F.lit("next"))
+        .alias("direction"),
+        F.when(best.isNotNull() & (best <= ASOF_TOLERANCE_S), best)
+        .otherwise(F.lit(-1))
+        .cast("long")
+        .alias("gap_s"),
+    ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
 # f7 — bitwise function family: per-row AND/OR/XOR/shifts/popcount on
 # bigint keys plus the bit_and/bit_or/bit_xor aggregates per group. All
 # operands are non-negative bounded bigints so two's-complement semantics
