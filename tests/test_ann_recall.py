@@ -408,3 +408,54 @@ def test_d14_zero_norm_vectors_are_singletons_matching_oracle(spark, tmp_path):
     comp = {r.vec_id: r.component for r in got.itertuples()}
     assert comp[0] == 0 and comp[1] == 1  # zero twins NOT connected
     assert comp[3] == 2  # scaled copy joins its direction-mate's component
+
+
+def test_cosine_family_zero_norm_vectors_match_oracle(spark, tmp_path):
+    """r7 hardening: v1/v2/v7/v8 divide by vector norms — under ANSI Spark
+    a zero-norm embedding's 0/0 cosine would RAISE where the DuckDB oracle
+    yields NULL. All four now filter zero-norm vectors on BOTH sides (a
+    zero vector has no direction — neither query nor neighbor), with the
+    same guard in the oracle WHERE. Drive a corpus containing zero vectors
+    through every one of them against its oracle."""
+    import duckdb
+    import numpy as np
+
+    import __spark_entry__ as e
+
+    rng = np.random.default_rng(99)
+    emb_rows = [(0, [0.0] * 8, 1), (1, [0.0] * 8, 1)]  # zero twins
+    for i in range(2, 30):
+        emb_rows.append((i, [float(x) for x in rng.standard_normal(8)], i % 3))
+    doc_rows = [(i, f"doc {i}", "en" if i % 2 == 0 else "fr", "s", 5)
+                for i in range(30)]
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        emb_rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(f"{sf_dir}/embeddings.parquet")
+    spark.createDataFrame(
+        doc_rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{sf_dir}/documents.parquet")
+
+    con = duckdb.connect()
+    for t in ("embeddings", "documents"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet/*.parquet')"
+        )
+    qs, osql = e.queries(), e.oracle_sql()
+    for name in (
+        "v1_topk_cosine_exact",
+        "v2_embedding_neardup_pairs",
+        "v7_filtered_ann_topk",
+        "v8_knn_graph_exact",
+    ):
+        got = qs[name](spark, sf_dir).toPandas()
+        expect = con.execute(osql[name]).fetchdf()
+        cols = sorted(got.columns)
+        a = got[cols].sort_values(by=cols).reset_index(drop=True)
+        b = expect[cols].sort_values(by=cols).reset_index(drop=True)
+        assert a.equals(b), (name, a.head(), b.head())
+        # the zero twins appear in no pair/neighbor output
+        for c in ("q_id", "n_id", "src", "dst", "id_a", "id_b"):
+            if c in got.columns:
+                assert not got[c].isin([0, 1]).any(), (name, c)

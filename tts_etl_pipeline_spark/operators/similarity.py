@@ -84,7 +84,8 @@ TOP_K = 10
     "v1_topk_cosine_exact",
     f"""
     WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
-               WHERE vec_id < {N_QUERY_VECS}),
+               WHERE vec_id < {N_QUERY_VECS}
+                 AND {_sql_sqnorm('embedding')} > 0),
     scored AS (
       SELECT q.q_id, e.vec_id AS n_id,
              {_sql_dot('q.q_emb', 'e.embedding')}
@@ -92,6 +93,7 @@ TOP_K = 10
                AS cosine
       FROM q, embeddings e
       WHERE e.vec_id <> q.q_id
+        AND {_sql_sqnorm('e.embedding')} > 0
     ),
     ranked AS (
       SELECT q_id, n_id, cosine,
@@ -106,7 +108,11 @@ TOP_K = 10
 def v1_topk_cosine_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
 
-    emb = table(spark, sf_dir, "embeddings")
+    # zero-norm guard on BOTH sides: ANSI Spark raises DIVIDE_BY_ZERO on a
+    # 0/0 cosine where the oracle's division yields NULL — a zero vector
+    # has no defined direction, so it is neither query nor neighbor (the
+    # d14 convention; mirrored in the oracle's WHERE)
+    emb = table(spark, sf_dir, "embeddings").filter(norm("embedding") > 0.0)
     q = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
@@ -146,14 +152,16 @@ COSINE_DUP_THRESHOLD = 0.95
              AS cosine
     FROM embeddings a JOIN embeddings b
       ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE {_sql_dot('a.embedding', 'b.embedding')}
+    WHERE {_sql_sqnorm('a.embedding')} > 0 AND {_sql_sqnorm('b.embedding')} > 0
+      AND {_sql_dot('a.embedding', 'b.embedding')}
             / (sqrt({_sql_sqnorm('a.embedding')}) * sqrt({_sql_sqnorm('b.embedding')}))
           >= {COSINE_DUP_THRESHOLD}
     ORDER BY id_a, id_b
     """,
 )
 def v2_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = table(spark, sf_dir, "embeddings")
+    # zero-norm guard: see v1 (ANSI DIVIDE_BY_ZERO vs oracle NULL)
+    emb = table(spark, sf_dir, "embeddings").filter(norm("embedding") > 0.0)
     a = emb.select(
         F.col("vec_id").alias("id_a"), F.col("label").alias("label"), F.col("embedding").alias("emb_a")
     )
@@ -643,9 +651,11 @@ FILTER_LANG = "en"
       SELECT e.vec_id AS n_id, e.embedding AS n_emb
       FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
       WHERE d.lang = '{FILTER_LANG}'
+        AND {_sql_sqnorm('e.embedding')} > 0
     ),
     q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
-          WHERE vec_id < {N_QUERY_VECS}),
+          WHERE vec_id < {N_QUERY_VECS}
+            AND {_sql_sqnorm('embedding')} > 0),
     scored AS (
       SELECT q.q_id, corp.n_id,
              {_sql_dot('q.q_emb', 'corp.n_emb')}
@@ -667,7 +677,8 @@ FILTER_LANG = "en"
 def v7_filtered_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
 
-    emb = table(spark, sf_dir, "embeddings")
+    # zero-norm guard: see v1 (ANSI DIVIDE_BY_ZERO vs oracle NULL)
+    emb = table(spark, sf_dir, "embeddings").filter(norm("embedding") > 0.0)
     docs = table(spark, sf_dir, "documents").filter(
         F.col("lang") == FILTER_LANG
     ).select("doc_id")
@@ -723,6 +734,7 @@ KNN_K = 3
                AS cosine
       FROM embeddings a JOIN embeddings b
         ON a.label = b.label AND a.vec_id <> b.vec_id
+      WHERE {_sql_sqnorm('a.embedding')} > 0 AND {_sql_sqnorm('b.embedding')} > 0
     ),
     ranked AS (
       SELECT src, dst, cosine,
@@ -737,7 +749,8 @@ KNN_K = 3
 def v8_knn_graph_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
 
-    emb = table(spark, sf_dir, "embeddings")
+    # zero-norm guard: see v1 (ANSI DIVIDE_BY_ZERO vs oracle NULL)
+    emb = table(spark, sf_dir, "embeddings").filter(norm("embedding") > 0.0)
     a = emb.select(
         F.col("vec_id").alias("src"), "label", F.col("embedding").alias("emb_a")
     )
