@@ -708,18 +708,24 @@ def v7_filtered_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# v8 — exact kNN GRAPH (round-7): every vector's top-3 cosine neighbors
-# within its label block — the exact contract that v5's NN-Descent
-# approximates (v5 builds this same graph heuristically; v8 pins the true
-# one where blocks make it affordable). Unlike v1/v7 (5 fixed query
-# vectors), the "query set" here is the whole corpus, so nothing is
-# broadcast: the pair stage is a label-partitioned self-join (the
-# v2/d14 blocking discipline — the block size is the upstream
-# clusterer's bound, never corpus-quadratic) and the per-vector top-k is
-# one window over the pair relation partitioned by the source vector.
-# Scale: shuffle keys are label then vec_id; output is k x |corpus| rows
-# (write-to-sink scale, not driver scale — the driver fixtures keep it
-# collectable). EXACT oracle via the same ROW_NUMBER ranking.
+# v8 — exact kNN GRAPH over the DEDUPLICATED corpus (round-7): every
+# DISTINCT (label, embedding) vector's top-3 cosine neighbors within its
+# label block — the exact contract that v5's NN-Descent approximates (v5
+# builds this same graph heuristically; v8 pins the true one where blocks
+# make it affordable). Dedup-first is semantic, not just economic: a
+# corpus with replicated vectors would fill every neighbor list with
+# cos=1 copies of the node itself, crowding out all informative edges —
+# kNN-graph consumers (v5's build, SemDeDup, graph clustering) dedup
+# before graphing. It is also what keeps the pair stage scale-stable: the
+# measured sf1 fixture (10x data as identical replicas) blows the naive
+# per-member pair stage up ~100x (the d14 lesson), while the distinct
+# count — and this plan — stays flat. Unlike v1/v7 (5 fixed query
+# vectors), the "query set" is the whole deduplicated corpus, so nothing
+# is broadcast: the pair stage is a label-partitioned self-join (the
+# v2/d14 blocking discipline — block size is the upstream clusterer's
+# bound, never corpus-quadratic) and the per-node top-k is one window
+# partitioned by the source node. Node id = min vec_id of the duplicate
+# group. EXACT oracle via the same GROUP BY + ROW_NUMBER.
 # ---------------------------------------------------------------------------
 KNN_K = 3
 
@@ -727,14 +733,19 @@ KNN_K = 3
 @_register(
     "v8_knn_graph_exact",
     f"""
-    WITH pairs AS (
+    WITH nodes AS (
+      SELECT label, embedding, MIN(vec_id) AS vec_id
+      FROM embeddings
+      WHERE {_sql_sqnorm('embedding')} > 0
+      GROUP BY label, embedding
+    ),
+    pairs AS (
       SELECT a.vec_id AS src, b.vec_id AS dst,
              {_sql_dot('a.embedding', 'b.embedding')}
                / (sqrt({_sql_sqnorm('a.embedding')}) * sqrt({_sql_sqnorm('b.embedding')}))
                AS cosine
-      FROM embeddings a JOIN embeddings b
+      FROM nodes a JOIN nodes b
         ON a.label = b.label AND a.vec_id <> b.vec_id
-      WHERE {_sql_sqnorm('a.embedding')} > 0 AND {_sql_sqnorm('b.embedding')} > 0
     ),
     ranked AS (
       SELECT src, dst, cosine,
@@ -751,11 +762,13 @@ def v8_knn_graph_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # zero-norm guard: see v1 (ANSI DIVIDE_BY_ZERO vs oracle NULL)
     emb = table(spark, sf_dir, "embeddings").filter(norm("embedding") > 0.0)
-    a = emb.select(
-        F.col("vec_id").alias("src"), "label", F.col("embedding").alias("emb_a")
+    # dedup-first (see header): one node per distinct (label, embedding)
+    nodes = emb.groupBy("label", "embedding").agg(F.min("vec_id").alias("vid"))
+    a = nodes.select(
+        F.col("vid").alias("src"), "label", F.col("embedding").alias("emb_a")
     )
-    b = emb.select(
-        F.col("vec_id").alias("dst"), "label", F.col("embedding").alias("emb_b")
+    b = nodes.select(
+        F.col("vid").alias("dst"), "label", F.col("embedding").alias("emb_b")
     )
     pairs = (
         a.join(b, "label")
