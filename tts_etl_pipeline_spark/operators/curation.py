@@ -1388,3 +1388,75 @@ def dq7_constraint_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("constraint_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# dq8 — financial RECONCILIATION audit (round-7): does the stored order
+# total equal the recomputed lineitem total sum(ext*(1-disc)*(1+tax))?
+# The classic cross-table consistency check a warehouse runs nightly
+# (dq1 checks the KEYS reconcile; dq8 checks the MONEY does). Exactness:
+# the per-line product is DECIMAL arithmetic throughout — (12,2)x(4,2)x
+# (4,2) widens losslessly to 6 decimal places — and the reported
+# difference is surfaced as an INTEGER micro-unit (1e-6 currency) after
+# an exact decimal subtraction, so both engines agree bit-for-bit. The
+# driver fixture does not enforce the TPC-H total formula, so every
+# order "mismatches" — the audit's value is the deterministic magnitude
+# profile, not a zero count. Orders without lineitems are dq1's orphan
+# audit, not re-counted here (inner join).
+# Scale shape: lineitem pre-aggregates to order grain BEFORE the join
+# (the q3 discipline), orders joins 1:1 on its key, and the final rollup
+# is |priorities| rows with map-side partials.
+# ---------------------------------------------------------------------------
+@_register(
+    "dq8_order_total_reconciliation",
+    """
+    WITH li AS (
+      SELECT l_orderkey,
+             SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                      * (1 + CAST(l_tax AS DECIMAL(4,2))) AS DECIMAL(24,6)))
+               AS computed
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    diffs AS (
+      SELECT o.o_orderpriority,
+             CAST(ABS(CAST(o.o_totalprice AS DECIMAL(12,2)) - li.computed)
+                  * 1000000 AS BIGINT) AS adiff_u
+      FROM orders o JOIN li ON o.o_orderkey = li.l_orderkey
+    )
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CASE WHEN adiff_u > 10000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_mismatched,
+           MAX(adiff_u) AS max_abs_diff_u,
+           CAST(SUM(adiff_u) AS BIGINT) AS total_abs_diff_u
+    FROM diffs
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def dq8_order_total_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    computed = (
+        F.col("l_extendedprice").cast("decimal(12,2)")
+        * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
+        * (F.lit(1) + F.col("l_tax").cast("decimal(4,2)"))
+    ).cast("decimal(24,6)")
+    per_order = li.groupBy("l_orderkey").agg(F.sum(computed).alias("computed"))
+    adiff_u = (
+        F.abs(F.col("o_totalprice").cast("decimal(12,2)") - F.col("computed"))
+        * 1000000
+    ).cast("bigint")
+    return (
+        orders.join(per_order, orders.o_orderkey == per_order.l_orderkey)
+        .select("o_orderpriority", adiff_u.alias("adiff_u"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum((F.col("adiff_u") > 10000).cast("long")).alias("n_mismatched"),
+            F.max("adiff_u").alias("max_abs_diff_u"),
+            F.sum("adiff_u").alias("total_abs_diff_u"),
+        )
+        .orderBy("o_orderpriority")
+    )
