@@ -86,6 +86,13 @@ HEADLINE = [
     # ranking). Cross-round totals compare on the pre-r7 41-query set.
     "x7_heavy_hitter_tokens",
     "v7_filtered_ann_topk",
+    # r7 additions, second batch — new shapes: degree-oriented wedge join
+    # (exact triangles, the m^1.5-bounded graph shuffle); native
+    # session_window aggregation (single-shuffle sessionization, no Window
+    # pass). Cross-round totals compare on the pre-r7 41-query set.
+    "pr2_triangle_clustering",
+    "e11_native_session_window",
+    "pr3_bfs_hop_distances",
 ]
 
 

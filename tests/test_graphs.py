@@ -57,3 +57,109 @@ def test_pr1_top20_runs_and_is_ranked(spark, sf_dir):
     ranks = [r["rank"] for r in out]
     assert ranks == sorted(ranks, reverse=True)
     assert all(r["degree"] >= 1 for r in out)
+
+
+def test_pr2_triangles_on_known_graph(spark, tmp_path):
+    """Analytic fixture: one 4-part order makes K4 (every node: degree 3,
+    3 triangles, clustering 1.0 = 10000 bp); a 2-part order makes a lone
+    edge (degree 1, 0 triangles). A part repeated across orders must not
+    duplicate edges (DISTINCT) or inflate counts."""
+    from tts_etl_pipeline_spark.operators.graphs import pr2_triangle_clustering
+
+    rows = [(1, p) for p in (101, 102, 103, 104)] + [(2, 201), (2, 202)]
+    # order 3 repeats an existing K4 edge — must be deduplicated
+    rows += [(3, 101), (3, 102)]
+    spark.createDataFrame(rows, "l_orderkey long, l_partkey long").write.parquet(
+        str(tmp_path / "lineitem.parquet")
+    )
+    out = {
+        r["partkey"]: (r["degree"], r["triangles"], r["cc_bp"])
+        for r in pr2_triangle_clustering(spark, str(tmp_path)).collect()
+    }
+    for p in (101, 102, 103, 104):
+        assert out[p] == (3, 3, 10000), (p, out[p])
+    for p in (201, 202):
+        assert out[p] == (1, 0, 0), (p, out[p])
+
+
+def test_pr2_triangle_total_matches_bruteforce(spark, sf_dir):
+    """Sum of per-node counts = 3x the number of triangles found by a
+    brute-force itertools check over the collected distinct edge set."""
+    from itertools import combinations
+
+    from tts_etl_pipeline_spark.operators.graphs import pr2_triangle_clustering
+
+    edges = {
+        (r["src"], r["dst"])
+        for r in copurchase_edges(spark, sf_dir).select("src", "dst").collect()
+    }
+    adj: dict = {}
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+    tri_at = {n: 0 for n in adj}
+    n_tri = 0
+    for n, nbrs in adj.items():
+        for a, b in combinations(sorted(nbrs), 2):
+            if a > n and b in adj.get(a, ()):  # count each triangle at its min node
+                n_tri += 1
+                for v in (n, a, b):
+                    tri_at[v] += 1
+    top = pr2_triangle_clustering(spark, sf_dir).collect()
+    for r in top:
+        assert r["triangles"] == tri_at[r["partkey"]], r
+        d = r["degree"]
+        assert d == len(adj[r["partkey"]])
+        expect_cc = (20000 * r["triangles"]) // (d * (d - 1)) if d >= 2 else 0
+        assert r["cc_bp"] == expect_cc
+
+
+def test_pr3_bfs_on_path_graph(spark, tmp_path):
+    """Analytic fixture: orders {1,2},{2,3},{3,4} make the path 1-2-3-4.
+    Highest degree is tied between 2 and 3 -> root is 2 (smallest id).
+    A disconnected edge {10,11} must not appear in the histogram."""
+    from tts_etl_pipeline_spark.operators.graphs import pr3_bfs_hop_distances
+
+    rows = [(1, 1), (1, 2), (2, 2), (2, 3), (3, 3), (3, 4), (4, 10), (4, 11)]
+    spark.createDataFrame(rows, "l_orderkey long, l_partkey long").write.parquet(
+        str(tmp_path / "lineitem.parquet")
+    )
+    out = {
+        r["dist"]: (r["n_nodes"], r["min_part"], r["max_part"])
+        for r in pr3_bfs_hop_distances(spark, str(tmp_path)).collect()
+    }
+    assert out == {0: (1, 2, 2), 1: (2, 1, 3), 2: (1, 4, 4)}
+
+
+def test_pr3_matches_driver_side_bfs(spark, sf_dir):
+    """Histogram vs an independent deque BFS over the collected edge set."""
+    from collections import deque
+
+    from tts_etl_pipeline_spark.operators.graphs import pr3_bfs_hop_distances
+
+    edges = {
+        (r["src"], r["dst"])
+        for r in copurchase_edges(spark, sf_dir).select("src", "dst").collect()
+    }
+    adj: dict = {}
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+    root = max(adj, key=lambda n: (len(adj[n]), -n))
+    dist = {root: 0}
+    q = deque([root])
+    while q:
+        n = q.popleft()
+        if dist[n] >= 20:
+            continue
+        for m in adj[n]:
+            if m not in dist:
+                dist[m] = dist[n] + 1
+                q.append(m)
+    expect: dict = {}
+    for n, d in dist.items():
+        c, lo, hi = expect.get(d, (0, n, n))
+        expect[d] = (c + 1, min(lo, n), max(hi, n))
+    out = {
+        r["dist"]: (r["n_nodes"], r["min_part"], r["max_part"])
+        for r in pr3_bfs_hop_distances(spark, sf_dir).collect()
+    }
+    assert out == expect

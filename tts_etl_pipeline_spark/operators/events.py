@@ -1045,3 +1045,68 @@ def h5_seasonal_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# e11 — NATIVE batch session windows: the same 30-minute-gap sessionization
+# as e3, but through Spark's built-in F.session_window aggregation instead of
+# the lag/cumulative-sum window pair. The native operator is the one a
+# 100 TB job wants: it is a single hash-shuffle on user_id followed by a
+# per-key sort-merge of candidate sessions inside the aggregate (no
+# full-partition Window pass, no two-stage flag+sum), and the identical
+# expression runs unchanged under Structured Streaming (st3). Timestamps are
+# truncated to whole seconds first — the e3 convention — so the oracle's
+# second-granularity gaps-and-islands is exactly the native gap rule
+# (empirically: an exact 1800 s gap MERGES; a new session needs gap > 1800).
+# Emits one row per session, not per user, so the island assignment itself
+# is what the oracle hash-checks.
+# ---------------------------------------------------------------------------
+@_register(
+    "e11_native_session_window",
+    """
+    WITH flagged AS (
+      SELECT user_id, event_id,
+             date_trunc('second', ts) AS tss,
+             CASE WHEN LAG(date_trunc('second', ts)) OVER
+                         (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    OR date_diff('second',
+                         LAG(date_trunc('second', ts)) OVER
+                           (PARTITION BY user_id ORDER BY ts, event_id),
+                         date_trunc('second', ts)) > 1800
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sessioned AS (
+      SELECT user_id, tss,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY tss, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           strftime(MIN(tss), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(MAX(tss), '%Y-%m-%d %H:%M:%S') AS last_ts,
+           COUNT(*) AS n_events
+    FROM sessioned
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_start
+    """,
+)
+def e11_native_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").withColumn(
+        "tss", F.date_trunc("second", F.col("ts").cast("timestamp"))
+    )
+    return (
+        ev.groupBy("user_id", F.session_window("tss", "30 minutes"))
+        .agg(
+            F.max("tss").alias("max_tss"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "user_id",
+            F.date_format(F.col("session_window.start"), "yyyy-MM-dd HH:mm:ss")
+            .alias("session_start"),
+            F.date_format("max_tss", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )

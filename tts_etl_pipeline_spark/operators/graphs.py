@@ -15,9 +15,13 @@ AQE reuses co-partitioning, and lineage is truncated every few iterations
 (materialize) so the plan does not grow with the iteration count — the
 standard Pregel-on-DataFrames shape.
 
-Rows-only by design: the rank vector is float-iteration output with no SQL
-twin; tests/test_graphs.py re-runs the same power iteration in numpy on the
-collected edge list and matches ranks to 1e-9 (same math, independent code).
+pr1 (PageRank) is rows-only by design: the rank vector is float-iteration
+output with no SQL twin; tests/test_graphs.py re-runs the same power
+iteration in numpy on the collected edge list and matches ranks to 1e-9
+(same math, independent code). pr2 (triangles / clustering coefficient) and
+pr3 (single-source BFS distances) are oracle-EXACT: triangle counts,
+basis-point coefficients and hop distances are integers, so the SQL twins
+hash-match bit-for-bit.
 """
 
 from __future__ import annotations
@@ -132,4 +136,257 @@ def pr1_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("rank"), "partkey")
         .limit(PR_TOP_K)
+    )
+
+
+TRI_TOP_K = 25
+
+
+# ---------------------------------------------------------------------------
+# pr2 — exact per-node triangle count + local clustering coefficient over the
+# distinct co-purchase graph. Scale shape: each undirected edge is ORIENTED
+# from its (degree, id)-smaller endpoint to the larger one, which bounds every
+# node's out-degree by O(sqrt(m)) (Suri & Vassilvitskii, "Counting Triangles
+# and the Curse of the Last Reducer", WWW'11) — so the wedge self-join is
+# ~m^1.5 total work spread evenly across reducers, never quadratic in a hub's
+# degree. Each triangle materializes exactly once (as the oriented path
+# x->y->z closed by x->z), then credits its three corners via one explode +
+# count. All joins are hash-shuffles on node keys; nothing is broadcast
+# (every relation here scales with the fact table). The clustering
+# coefficient 2*tri/(deg*(deg-1)) is emitted in integer basis points via
+# integral division — both engines compute it in exact integer arithmetic,
+# so the oracle comparison is hash-exact, the dq5/h5 idiom.
+# ---------------------------------------------------------------------------
+@_register(
+    "pr2_triangle_clustering",
+    """
+    WITH pairs AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a
+      JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    deg AS (
+      SELECT node, COUNT(*) AS degree FROM (
+        SELECT u AS node FROM pairs UNION ALL SELECT v FROM pairs
+      ) GROUP BY node
+    ),
+    tri AS (
+      -- u < v everywhere, so each triangle x<y<z appears exactly once as the
+      -- path (x,y),(y,z) closed by (x,z) — same once-per-triangle invariant
+      -- as the Spark side's degree orientation.
+      SELECT e1.u AS x, e1.v AS y, e2.v AS z
+      FROM pairs e1
+      JOIN pairs e2 ON e1.v = e2.u
+      JOIN pairs e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    node_tri AS (
+      SELECT node, COUNT(*) AS triangles FROM (
+        SELECT x AS node FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri
+      ) GROUP BY node
+    )
+    SELECT d.node AS partkey,
+           d.degree,
+           COALESCE(t.triangles, 0) AS triangles,
+           CASE WHEN d.degree >= 2
+                THEN (20000 * COALESCE(t.triangles, 0))
+                     // (d.degree * (d.degree - 1))
+                ELSE 0 END AS cc_bp
+    FROM deg d LEFT JOIN node_tri t ON t.node = d.node
+    ORDER BY triangles DESC, partkey
+    LIMIT 25
+    """,
+)
+def pr2_triangle_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    pairs = materialize(
+        a.join(
+            b,
+            on=[
+                F.col("a.l_orderkey") == F.col("b.l_orderkey"),
+                F.col("a.l_partkey") < F.col("b.l_partkey"),
+            ],
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+    )
+    deg = materialize(
+        pairs.selectExpr("u AS node")
+        .unionByName(pairs.selectExpr("v AS node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    # Orient lo -> hi in the total order (degree, node id). The tie-break by
+    # id makes the orientation a DAG even among equal-degree nodes.
+    lo_first = (F.col("deg_u") < F.col("deg_v")) | (
+        (F.col("deg_u") == F.col("deg_v")) & (F.col("u") < F.col("v"))
+    )
+    oriented = materialize(
+        pairs.join(deg.selectExpr("node AS u", "degree AS deg_u"), "u")
+        .join(deg.selectExpr("node AS v", "degree AS deg_v"), "v")
+        .select(
+            F.when(lo_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(lo_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        )
+    )
+    e1, e2 = oriented.alias("e1"), oriented.alias("e2")
+    wedges = e1.join(e2, F.col("e1.dst") == F.col("e2.src")).select(
+        F.col("e1.src").alias("x"),
+        F.col("e1.dst").alias("y"),
+        F.col("e2.dst").alias("z"),
+    )
+    tri = wedges.join(
+        oriented.selectExpr("src AS x", "dst AS z"), ["x", "z"], "left_semi"
+    )
+    node_tri = (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    return (
+        deg.join(node_tri, "node", "left")
+        .select(
+            F.col("node").alias("partkey"),
+            "degree",
+            F.coalesce("triangles", F.lit(0)).cast("bigint").alias("triangles"),
+            F.when(
+                F.col("degree") >= 2,
+                F.expr(
+                    "(20000 * coalesce(triangles, 0))"
+                    " div (degree * (degree - 1))"
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("cc_bp"),
+        )
+        .orderBy(F.desc("triangles"), "partkey")
+        .limit(TRI_TOP_K)
+    )
+
+
+BFS_MAX_HOPS = 20
+
+
+# ---------------------------------------------------------------------------
+# pr3 — exact single-source BFS hop distances over the co-purchase graph,
+# rooted at the highest-degree part (ties -> smallest id): "how many hops
+# from the catalog's anchor item is everything else" — the reachability /
+# influence-radius query, and the repo's one driver-visible ITERATIVE graph
+# traversal with an exact oracle (pr1's PageRank iterates on floats; BFS
+# iterates on integers, so DuckDB's recursive CTE is a bit-exact twin).
+# Scale shape: classic frontier BFS — per level ONE hash join of the
+# frontier against the node-keyed edge list plus ONE anti join against the
+# visited set, both shuffling only on the node key; the frontier is
+# materialized each level (it is consumed twice) and the visited union every
+# third level, so lineage stays depth-bounded exactly like pagerank()'s
+# sweep truncation. Rounds = graph eccentricity, capped at BFS_MAX_HOPS=20
+# in BOTH engines (co-purchase graphs are small-world; the cap is the
+# recursion bound that keeps the oracle's cyclic recursive CTE finite, and
+# any node deeper than the cap is excluded by both sides identically).
+# Output is the per-distance histogram — bounded at 21 rows regardless of
+# scale, the driver-friendly projection of the full distance vector.
+# ---------------------------------------------------------------------------
+@_register(
+    "pr3_bfs_hop_distances",
+    """
+    WITH RECURSIVE pairs AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a
+      JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    sym AS (
+      SELECT u AS src, v AS dst FROM pairs
+      UNION ALL
+      SELECT v AS src, u AS dst FROM pairs
+    ),
+    root AS (
+      SELECT src AS node FROM sym
+      GROUP BY src ORDER BY COUNT(*) DESC, src LIMIT 1
+    ),
+    reach(node, dist) AS (
+      SELECT node, 0 FROM root
+      UNION
+      -- cycles keep producing (node, dist+2k) rows; the dist bound is what
+      -- makes the recursion finite. MIN(dist) below recovers true BFS depth.
+      SELECT s.dst, r.dist + 1
+      FROM sym s JOIN reach r ON s.src = r.node
+      WHERE r.dist < 20
+    ),
+    best AS (
+      SELECT node, MIN(dist) AS dist FROM reach GROUP BY node
+    )
+    SELECT CAST(dist AS BIGINT) AS dist,
+           COUNT(*) AS n_nodes,
+           CAST(MIN(node) AS BIGINT) AS min_part,
+           CAST(MAX(node) AS BIGINT) AS max_part
+    FROM best GROUP BY dist ORDER BY dist
+    """,
+)
+def pr3_bfs_hop_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            on=[
+                F.col("a.l_orderkey") == F.col("b.l_orderkey"),
+                F.col("a.l_partkey") < F.col("b.l_partkey"),
+            ],
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    sym = materialize(
+        pairs.selectExpr("u AS src", "v AS dst").unionByName(
+            pairs.selectExpr("v AS src", "u AS dst")
+        )
+    )
+    out_schema = "dist bigint, n_nodes bigint, min_part bigint, max_part bigint"
+    root_row = (
+        sym.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .orderBy(F.desc("degree"), "src")
+        .limit(1)
+        .collect()  # control-plane scalar: the BFS seed
+    )
+    if not root_row:
+        return spark.createDataFrame([], out_schema)
+    visited = materialize(
+        spark.createDataFrame(
+            [(int(root_row[0]["src"]), 0)], "node bigint, dist int"
+        )
+    )
+    frontier = visited
+    for depth in range(1, BFS_MAX_HOPS + 1):
+        nxt = materialize(
+            sym.join(frontier.select(F.col("node").alias("src")), "src")
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .withColumn("dist", F.lit(depth))
+        )
+        if nxt.count() == 0:
+            break
+        visited = visited.unionByName(nxt)
+        # truncate lineage every 3 levels, the pagerank() sweep discipline
+        if depth % 3 == 0:
+            visited = materialize(visited)
+        frontier = nxt
+    return (
+        visited.groupBy("dist")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.min("node").cast("bigint").alias("min_part"),
+            F.max("node").cast("bigint").alias("max_part"),
+        )
+        .select(F.col("dist").cast("bigint").alias("dist"), "n_nodes",
+                "min_part", "max_part")
+        .orderBy("dist")
     )

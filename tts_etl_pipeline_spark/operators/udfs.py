@@ -216,3 +216,62 @@ def u4_grouped_agg_udf_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@_register(
+    "u5_mapinarrow_charclasses",
+    """
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(length(text)) AS BIGINT) AS chars,
+           CAST(SUM(strlen(text)) AS BIGINT) AS bytes,
+           CAST(SUM(length(regexp_replace(text, '[^aeiou]', '', 'g')))
+                AS BIGINT) AS vowels
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def u5_mapinarrow_charclasses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow — the fifth Python extension surface, and the cheapest: the
+    batch is handed to Python as a pyarrow RecordBatch with ZERO
+    pandas/numpy conversion on either side, so the only per-row cost is the
+    Arrow compute kernels themselves (C++, SIMD). The right tool when the
+    transform is expressible in pyarrow.compute and the pandas object model
+    would be pure overhead — here per-document codepoint/byte/vowel counts,
+    which Spark then aggregates JVM-side per language. Counts are integers,
+    so the SQL oracle (length / strlen / regexp_replace) is hash-exact."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    out_schema = (
+        "lang string, n_chars long, n_bytes long, n_vowels long"
+    )
+
+    def classify(batches):
+        for batch in batches:
+            text = batch.column(batch.schema.get_field_index("text"))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(batch.schema.get_field_index("lang")),
+                    pc.cast(pc.utf8_length(text), pa.int64()),
+                    pc.cast(pc.binary_length(text), pa.int64()),
+                    pc.cast(
+                        pc.count_substring_regex(text, "[aeiou]"), pa.int64()
+                    ),
+                ],
+                names=["lang", "n_chars", "n_bytes", "n_vowels"],
+            )
+
+    docs = table(spark, sf_dir, "documents").select("lang", "text")
+    return (
+        docs.mapInArrow(classify, out_schema)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("chars"),
+            F.sum("n_bytes").alias("bytes"),
+            F.sum("n_vowels").alias("vowels"),
+        )
+        .orderBy("lang")
+    )
