@@ -93,6 +93,7 @@ HEADLINE = [
     "pr2_triangle_clustering",
     "e11_native_session_window",
     "pr3_bfs_hop_distances",
+    "x8_kmv_set_ops",
 ]
 
 

@@ -601,3 +601,49 @@ def test_unpartitioned_windows_annotated():
         "size bound) or `global-sort:` comment within 6 lines above, or "
         "partition the window:\n" + "\n".join(offenders)
     )
+
+
+def test_r3_salted_join_widens_key_and_keeps_sum_exact(spark, sf_dir):
+    """r3 must genuinely join on the WIDENED (user_id, salt) key — the
+    whole point of salting — and must not broadcast the replicated dim by
+    hint (AQE may still choose to at bench scale, which is fine; a hard
+    hint would defeat the rehearsal). The explode that replicates the dim
+    must be present."""
+    from tts_etl_pipeline_spark.operators.scalars import r3_salted_skew_join
+
+    df = r3_salted_skew_join(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "__salt" in plan, plan
+    assert "explode" in plan.lower(), plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_pr2_no_broadcast_no_cartesian(spark, sf_dir):
+    """Every pr2 relation scales with lineitem: nothing may be broadcast
+    by hint, and the triangle close must never degrade to a nested loop.
+    The final plan reads only materialized artifacts (pairs/deg/oriented/
+    adj) — the heavy stages ran eagerly at construction."""
+    from tts_etl_pipeline_spark.operators.graphs import pr2_triangle_clustering
+
+    df = pr2_triangle_clustering(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "array_intersect" in plan, plan  # compact-forward, not wedge join
+    assert "Scan parquet" not in plan, (
+        "pr2's final plan must scan only materialized artifacts, "
+        "never a base table: " + plan
+    )
+
+
+def test_e11_single_user_shuffle_no_window_pass(spark, sf_dir):
+    """Native session windows: ONE user_id Exchange, no Window operator
+    (the lag/cumsum formulation e11 exists to replace) — the final sort
+    Exchange (rangepartitioning) is the only other shuffle."""
+    from tts_etl_pipeline_spark.operators.events import e11_native_session_window
+
+    df = e11_native_session_window(spark, sf_dir)
+    plan = physical_plan(df)
+    assert plan.count("hashpartitioning(user_id") == 1, plan
+    assert "Window" not in plan, plan
+    assert "session_window" in plan.lower(), plan

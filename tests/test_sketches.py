@@ -276,3 +276,70 @@ def test_x7_mg_candidates_survive_adversarial_churn(spark, tmp_path):
     }
     assert exact  # the fixture really has a heavy hitter
     assert got == exact
+
+
+def test_x8_exact_branch_on_small_cohorts(spark, tmp_path):
+    """Under-filled sketches (< k distinct users per cohort) must collapse to
+    EXACT set algebra: est_* equal true distinct counts and est_jaccard the
+    true Jaccard. Users 1-10 click, 6-15 purchase -> |A|=10, |B|=10,
+    |A∪B|=15, |A∩B|=5."""
+    from tts_etl_pipeline_spark.operators.sketches import x8_kmv_set_ops
+
+    rows = []
+    eid = 0
+    for u in range(1, 11):
+        for _ in range(3):  # repeated events must not inflate DISTINCT users
+            rows.append((eid, "2024-01-01 10:00:00", u, "click", 1.0, "{}"))
+            eid += 1
+    for u in range(6, 16):
+        rows.append((eid, "2024-01-02 10:00:00", u, "purchase", 1.0, "{}"))
+        eid += 1
+    rows.append((eid, "2024-01-03 10:00:00", 99, "view", 1.0, "{}"))  # ignored
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).selectExpr(
+        "event_id", "CAST(ts AS TIMESTAMP) AS ts", "user_id", "event_type",
+        "value", "props"
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    r = x8_kmv_set_ops(spark, str(tmp_path)).collect()[0]
+    assert (r["ka_filled"], r["kb_filled"], r["ku_filled"]) == (10, 10, 15)
+    assert r["n_common"] == 5
+    assert (r["est_click_users"], r["est_purchase_users"]) == (10.0, 10.0)
+    assert r["est_union_users"] == 15.0
+    assert r["est_jaccard"] == 5.0 / 15.0
+    assert r["est_common_users"] == (5.0 / 15.0) * 15.0
+
+
+def test_x8_merge_equals_bruteforce_union_sketch(spark, sf_dir):
+    """The query's union sketch is built by merging the two k-row cohort
+    sketches; rebuild it brute-force from the full hashed union and compare
+    — the KMV merge property, checked at the fixture where sketches
+    actually saturate (k_filled == k) or not, whichever the SF gives."""
+    from tts_etl_pipeline_spark.operators.sketches import KMV_K, x8_kmv_set_ops
+    from tts_etl_pipeline_spark.sources.tables import table
+    from pyspark.sql import functions as F
+
+    r = x8_kmv_set_ops(spark, sf_dir).collect()[0]
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    brute = [
+        row["h"]
+        for row in ev.select(h.alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(KMV_K)
+        .collect()
+    ]
+    assert r["ku_filled"] == len(brute)
+    expect_est = (
+        float(len(brute))
+        if len(brute) < KMV_K
+        else float(KMV_K - 1) * float(1 << 60) / float(max(brute))
+    )
+    assert r["est_union_users"] == expect_est

@@ -115,3 +115,42 @@ def test_stream_sessions_match_batch_sessionization(spark, sf_dir):
         r["user_id"]: r["n_sessions"] for r in e3_user_sessions(spark, sf_dir).collect()
     }
     assert stream_counts == batch_counts
+
+
+def test_st14_streaming_kmv_exact_on_small_types(spark, tmp_path):
+    """Under-filled sketches (< 32 distinct users per type) collapse to the
+    exact distinct count — and the query's OWN double-run (a full
+    at-least-once replay plus per-batch re-folds) must leave the sketch
+    unchanged: 3 distinct clickers stay exactly 3.0 however often rows are
+    re-offered."""
+    from tts_etl_pipeline_spark.operators.streaming_queries import (
+        st14_streaming_kmv_distinct,
+    )
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = []
+    eid = 0
+    for u in (1, 2, 3):
+        for _ in range(4):
+            rows.append((eid, "2024-01-01 10:00:00", u, "click", 1.0, "{}"))
+            eid += 1
+    for u in (7, 8):
+        rows.append((eid, "2024-01-01 11:00:00", u, "purchase", 2.0, "{}"))
+        eid += 1
+    pdf = pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+    # single FILE named events.parquet — the driver fixture layout the
+    # readStream pathGlobFilter expects (a Spark .write.parquet directory
+    # would hide the part files from the glob)
+    pq.write_table(pa.Table.from_pandas(pdf), str(tmp_path / "events.parquet"))
+    out = {
+        r["event_type"]: (r["k_filled"], r["est_users"])
+        for r in st14_streaming_kmv_distinct(spark, str(tmp_path)).collect()
+    }
+    assert out == {"click": (3, 3.0), "purchase": (2, 2.0)}

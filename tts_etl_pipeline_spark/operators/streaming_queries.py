@@ -805,3 +805,111 @@ def st13_versioned_cdf_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "o_orderstatus",
     ).orderBy("commit_version", "change_type", "o_orderkey")
+
+
+@_register(
+    "st14_streaming_kmv_distinct",
+    """
+    WITH hashed AS (
+      SELECT DISTINCT event_type,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS h
+      FROM events
+    ),
+    ranked AS (
+      SELECT event_type, h,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rnk
+      FROM hashed
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS k_filled,
+           CAST(MAX(h) AS BIGINT) AS h_k,
+           CASE WHEN COUNT(*) < 32 THEN CAST(COUNT(*) AS DOUBLE)
+                ELSE CAST(31 AS DOUBLE)
+                     * CAST(1152921504606846976 AS DOUBLE)
+                     / CAST(MAX(h) AS DOUBLE) END AS est_users
+    FROM ranked WHERE rnk <= 32
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def st14_streaming_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-event-type distinct-user KMV sketch — the MERGEABLE
+    sketch as a stream consumer (the x3/x8 estimator; k=32). Each micro
+    batch folds to at most k (type, hash) rows via foreachBatch (bottom-k of
+    the batch's distinct user hashes), appended to a parquet summary table;
+    the final answer is the bottom-k OF the appended bottom-ks, which by the
+    KMV merge property equals the bottom-k of the whole stream — what the
+    batch-SQL oracle computes directly. The stream runs TWICE with fresh
+    checkpoints (a full at-least-once replay, the st7 protocol): KMV is
+    REPLAY-IMMUNE — re-offered rows rehash to hashes already in (or above)
+    the sketch and the distinct bottom-k is unchanged — so unlike st7 it
+    needs no keyed OR-IGNORE sink to survive duplicate delivery. 100 TB
+    shape: per batch the sink gains <= k rows per event type (kilobytes),
+    the summary table stays bounded by batches x types x k, and the final
+    merge is a group-bounded window over that summary, never the stream."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql.window import Window as W
+
+    from tts_etl_pipeline_spark.streaming.events_stream import stream_events
+
+    k = 32
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    tmp = tempfile.mkdtemp(prefix="st14_")
+    sink = f"{tmp}/kmv_summaries"
+
+    def fold_batch(batch: DataFrame, _bid: int) -> None:
+        w = W.partitionBy("event_type").orderBy("h")
+        (
+            batch.select("event_type", h.alias("h"))
+            .distinct()
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select("event_type", "h")
+            .write.mode("append")
+            .parquet(sink)
+        )
+
+    try:
+        for run in range(2):  # second run = full at-least-once replay
+            (
+                stream_events(spark, sf_dir)
+                .writeStream.foreachBatch(fold_batch)
+                .option("checkpointLocation", f"{tmp}/ckpt{run}")
+                .trigger(availableNow=True)
+                .start()
+                .awaitTermination()
+            )
+        if os.path.exists(sink):
+            summaries = spark.read.parquet(sink)
+        else:  # an empty stream never created the sink
+            summaries = spark.createDataFrame([], "event_type string, h long")
+        w = W.partitionBy("event_type").orderBy("h")
+        return (
+            summaries.distinct()  # replay + cross-batch overlap collapse
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("k_filled"),
+                F.max("h").cast("bigint").alias("h_k"),
+            )
+            .withColumn(
+                "est_users",
+                F.when(
+                    F.col("k_filled") < k, F.col("k_filled").cast("double")
+                ).otherwise(
+                    F.lit(float(k - 1))
+                    * F.lit(float(1 << 60))
+                    / F.col("h_k").cast("double")
+                ),
+            )
+            .orderBy("event_type")
+            .localCheckpoint(eager=True)  # materialize before tmp vanishes
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

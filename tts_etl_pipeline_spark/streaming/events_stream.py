@@ -51,14 +51,24 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     TIMESTAMP(MICROS), so take the readStream schema from a batch footer
     probe instead of hard-coding one — a stale hard-coded LongType over a
     micros column silently reads raw micros and shrinks every ts 1000×."""
+    import os
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # footer-only probe; readStream needs an explicit schema up front
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    raw = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    if os.path.isdir(f"{sf_dir}/events.parquet"):
+        # Spark-written layout (e.g. the scaled 10x fixture): events.parquet
+        # is a DIRECTORY of part files. pathGlobFilter matches LEAF file
+        # names, so globbing for "events.parquet" under sf_dir would match
+        # nothing and silently stream zero rows — point the reader at the
+        # directory instead.
+        raw = spark.readStream.schema(schema).parquet(f"{sf_dir}/events.parquet")
+    else:  # driver-fixture layout: a single file named events.parquet
+        raw = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
     # watermarks require session-tz TIMESTAMP (not NTZ); the session runs in
     # UTC so wall times match the batch NTZ path exactly
     if isinstance(schema["ts"].dataType, T.LongType):  # TIMESTAMP(NANOS)
