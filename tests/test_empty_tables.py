@@ -32,8 +32,11 @@ def empty_sf(sf_dir, tmp_path_factory):
 
 @pytest.mark.parametrize("name", sorted(all_oracles()))
 def test_query_survives_empty_tables(spark, empty_sf, name):
-    n = all_queries()[name](spark, empty_sf).count()
-    assert n >= 0
+    # collect(), not count(): count() prunes the projection, which once hid
+    # an ANSI DIVIDE_BY_ZERO inside an unevaluated column (x8's jaccard).
+    # The driver's hash comparison evaluates every column — so must this.
+    rows = all_queries()[name](spark, empty_sf).collect()
+    assert len(rows) >= 0
 
 
 def test_queries_survive_all_null_text_columns(spark, sf_dir, tmp_path):
@@ -58,4 +61,6 @@ def test_queries_survive_all_null_text_columns(spark, sf_dir, tmp_path):
         pq.write_table(tbl, str(root / f"{t}.parquet"))
     qs = all_queries()
     for name in sorted(all_oracles()):
-        assert qs[name](spark, str(root)).count() >= 0, name
+        # collect() for the same reason as the empty sweep: every column
+        # must actually evaluate under the all-NULL vintage.
+        assert len(qs[name](spark, str(root)).collect()) >= 0, name

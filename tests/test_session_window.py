@@ -66,6 +66,57 @@ def test_e11_session_rows_are_consistent(spark, sf_dir):
         assert r["n_events"] >= 1
 
 
+def test_e11_oracle_parity_subsecond_order_inversion(spark, tmp_path):
+    """Adversarial ordering pin: two events share one truncated second at a
+    session boundary, with event_id order OPPOSITE sub-second ts order. The
+    oracle's flag and cumsum windows must sort identically (tss, event_id) —
+    ordering the flag window by raw ts made the oracle split the sessions
+    (2,1) where Spark's session_window on tss yields (1,2). Driver fixtures
+    dodge this only because their event_ids happen to be monotone in ts."""
+    import duckdb
+
+    import __spark_entry__ as entry
+
+    rows = [
+        (1, "2024-01-01 09:00:00.000"),
+        (10, "2024-01-01 10:00:00.900"),  # later ts, SMALLER truncated peer
+        (11, "2024-01-01 10:00:00.100"),  # earlier ts, larger event_id
+    ]
+    df = spark.createDataFrame(
+        [(eid, ts, 7, "click", 1.0, "{}") for eid, ts in rows],
+        "event_id long, ts_s string, user_id long, event_type string,"
+        " value double, props string",
+    ).select(
+        "event_id",
+        F.col("ts_s").cast("timestamp_ntz").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    df.write.parquet(str(tmp_path / "events.parquet"))
+
+    got = [
+        tuple(str(v) for v in r)
+        for r in entry.queries()["e11_native_session_window"](
+            spark, str(tmp_path)
+        ).collect()
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM read_parquet("
+        f"'{tmp_path}/events.parquet/*.parquet')"
+    )
+    want = [
+        tuple(str(v) for v in r)
+        for r in con.execute(
+            entry.oracle_sql()["e11_native_session_window"]
+        ).fetchall()
+    ]
+    assert got == want
+    assert [int(r[3]) for r in got] == [1, 2]  # 09:00 alone; both 10:00 rows
+
+
 def test_u5_mapinarrow_counts_match_python(spark, tmp_path):
     """Unicode, empty and NULL text through the Arrow kernels vs a plain
     Python recount (codepoints vs utf-8 bytes diverge on non-ASCII)."""

@@ -1068,10 +1068,12 @@ def h5_seasonal_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, event_id,
              date_trunc('second', ts) AS tss,
              CASE WHEN LAG(date_trunc('second', ts)) OVER
-                         (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                         (PARTITION BY user_id
+                          ORDER BY date_trunc('second', ts), event_id) IS NULL
                     OR date_diff('second',
                          LAG(date_trunc('second', ts)) OVER
-                           (PARTITION BY user_id ORDER BY ts, event_id),
+                           (PARTITION BY user_id
+                            ORDER BY date_trunc('second', ts), event_id),
                          date_trunc('second', ts)) > 1800
                   THEN 1 ELSE 0 END AS new_session
       FROM events

@@ -72,6 +72,28 @@ def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct unordered co-purchase part pairs (u < v), one row per pair.
+
+    The unweighted twin of copurchase_edges: same l_orderkey self-join with
+    the partkey< orientation, deduplicated instead of counted. pr2 and pr3
+    both consume this relation — one definition keeps the operators and
+    their tests (which use it as the reference edge set) in lock-step."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.l_orderkey") == F.col("b.l_orderkey"),
+                F.col("a.l_partkey") < F.col("b.l_partkey"),
+            ],
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+
+
 def pagerank(edges: DataFrame, damping: float = PR_DAMPING,
              iterations: int = PR_ITERATIONS) -> DataFrame:
     """Weighted PageRank over a symmetrized edge list.
@@ -209,21 +231,7 @@ TRI_TOP_K = 25
     """,
 )
 def pr2_triangle_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
-    pairs = materialize(
-        a.join(
-            b,
-            on=[
-                F.col("a.l_orderkey") == F.col("b.l_orderkey"),
-                F.col("a.l_partkey") < F.col("b.l_partkey"),
-            ],
-        )
-        .select(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
-        .distinct()
-    )
+    pairs = materialize(copurchase_pairs(spark, sf_dir))
     deg = materialize(
         pairs.selectExpr("u AS node")
         .unionByName(pairs.selectExpr("v AS node"))
@@ -357,19 +365,10 @@ BFS_MAX_HOPS = 20
     """,
 )
 def pr3_bfs_hop_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
-    pairs = (
-        a.join(
-            b,
-            on=[
-                F.col("a.l_orderkey") == F.col("b.l_orderkey"),
-                F.col("a.l_partkey") < F.col("b.l_partkey"),
-            ],
-        )
-        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .distinct()
-    )
+    # Materialize the pairs BEFORE symmetrizing: the lineitem self-join +
+    # distinct is the dominant stage, and an un-materialized union would
+    # re-derive it in both branches (ReuseExchange is best-effort only).
+    pairs = materialize(copurchase_pairs(spark, sf_dir))
     sym = materialize(
         pairs.selectExpr("u AS src", "v AS dst").unionByName(
             pairs.selectExpr("v AS src", "u AS dst")

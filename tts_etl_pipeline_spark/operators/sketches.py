@@ -137,12 +137,28 @@ def x2_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 KMV_K = 32
 
 
+def kmv_hash(col: str):
+    """The KMV family's 60-bit hash as a Column: first 15 md5 hex digits of
+    the value's string form. One definition feeds x3/x8/st14 — the merge
+    property only holds if every sketch in the family hashes identically."""
+    return F.conv(
+        F.substring(F.md5(F.col(col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+
+
+def kmv_hash_sql(col: str) -> str:
+    """DuckDB twin of kmv_hash for oracle SQL strings."""
+    return (
+        f"CAST(('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 15)) AS BIGINT)"
+    )
+
+
 @_register(
     "x3_bottomk_sample",
     f"""
     WITH hashed AS (
       SELECT doc_id, lang,
-             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+             {kmv_hash_sql("doc_id")}
                AS h
       FROM documents
     ),
@@ -170,9 +186,7 @@ def x3_bottomk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
 
     docs = table(spark, sf_dir, "documents").select("doc_id", "lang")
-    h = F.conv(
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
-    ).cast("long")
+    h = kmv_hash("doc_id")
     bottom = (
         docs.withColumn("h", h)
         .orderBy("h")
@@ -492,7 +506,7 @@ def x7_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 # holds the whole set) — both engines branch on the same integer, so
 # under-filled fixtures (sf0.001) stay bit-identical too.
 # ---------------------------------------------------------------------------
-_X8H = "CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+_X8H = kmv_hash_sql("user_id")
 
 
 @_register(
@@ -534,8 +548,11 @@ _X8H = "CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)"
                 ELSE CAST({KMV_K - 1} AS DOUBLE)
                      * CAST(1152921504606846976 AS DOUBLE)
                      / CAST(hk_u AS DOUBLE) END AS est_union_users,
-           CAST(n_common AS DOUBLE) / CAST(ku_filled AS DOUBLE) AS est_jaccard,
-           (CAST(n_common AS DOUBLE) / CAST(ku_filled AS DOUBLE))
+           CASE WHEN ku_filled > 0 THEN
+                CAST(n_common AS DOUBLE) / CAST(ku_filled AS DOUBLE)
+           END AS est_jaccard,
+           (CASE WHEN ku_filled > 0 THEN
+                 CAST(n_common AS DOUBLE) / CAST(ku_filled AS DOUBLE) END)
              * (CASE WHEN ku_filled < {KMV_K} THEN CAST(ku_filled AS DOUBLE)
                      ELSE CAST({KMV_K - 1} AS DOUBLE)
                           * CAST(1152921504606846976 AS DOUBLE)
@@ -549,9 +566,7 @@ def x8_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events").filter(
         F.col("event_type").isin("click", "purchase")
     )
-    h = F.conv(
-        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
-    ).cast("long")
+    h = kmv_hash("user_id")
     # ONE events scan -> both cohorts' distinct hash sets (the dq5 shape)
     hashed = materialize(
         ev.select("event_type", h.alias("h")).distinct()
@@ -597,7 +612,13 @@ def x8_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(sketch_stats(ku, "ku_filled", "hk_u"))
         .crossJoin(common)
     )
-    jac = F.col("n_common").cast("double") / F.col("ku_filled").cast("double")
+    # ku_filled == 0 only when both cohorts are empty; ANSI Spark raises on
+    # 0/0 where DuckDB serves NULL, so the division must be gated (the
+    # cosine-family lesson) — NULL matches the oracle's semantics.
+    jac = F.when(
+        F.col("ku_filled") > 0,
+        F.col("n_common").cast("double") / F.col("ku_filled").cast("double"),
+    )
     return row.select(
         "ka_filled", "kb_filled", "ku_filled", "n_common",
         est("ka_filled", "hk_a").alias("est_click_users"),

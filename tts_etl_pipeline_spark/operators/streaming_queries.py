@@ -10,6 +10,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from tts_etl_pipeline_spark.operators.sketches import (
+    KMV_K,
+    kmv_hash,
+    kmv_hash_sql,
+)
 from tts_etl_pipeline_spark.streaming.events_stream import (
     deduped_stream,
     hourly_counts,
@@ -809,11 +814,10 @@ def st13_versioned_cdf_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "st14_streaming_kmv_distinct",
-    """
+    f"""
     WITH hashed AS (
       SELECT DISTINCT event_type,
-             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
-                  AS BIGINT) AS h
+             {kmv_hash_sql("user_id")} AS h
       FROM events
     ),
     ranked AS (
@@ -824,11 +828,11 @@ def st13_versioned_cdf_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            CAST(COUNT(*) AS BIGINT) AS k_filled,
            CAST(MAX(h) AS BIGINT) AS h_k,
-           CASE WHEN COUNT(*) < 32 THEN CAST(COUNT(*) AS DOUBLE)
-                ELSE CAST(31 AS DOUBLE)
+           CASE WHEN COUNT(*) < {KMV_K} THEN CAST(COUNT(*) AS DOUBLE)
+                ELSE CAST({KMV_K - 1} AS DOUBLE)
                      * CAST(1152921504606846976 AS DOUBLE)
                      / CAST(MAX(h) AS DOUBLE) END AS est_users
-    FROM ranked WHERE rnk <= 32
+    FROM ranked WHERE rnk <= {KMV_K}
     GROUP BY event_type ORDER BY event_type
     """,
 )
@@ -855,10 +859,8 @@ def st14_streaming_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from tts_etl_pipeline_spark.streaming.events_stream import stream_events
 
-    k = 32
-    h = F.conv(
-        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
-    ).cast("long")
+    k = KMV_K
+    h = kmv_hash("user_id")
     tmp = tempfile.mkdtemp(prefix="st14_")
     sink = f"{tmp}/kmv_summaries"
 
