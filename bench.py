@@ -94,6 +94,13 @@ HEADLINE = [
     "e11_native_session_window",
     "pr3_bfs_hop_distances",
     "x8_kmv_set_ops",
+    # r7 additions, fourth batch — new shapes: LATERAL decorrelated to
+    # WindowGroupLimit partial top-k; VARIANT parse-once extraction
+    # (vs e1's per-path string re-parse). f9/u6 are deliberately NOT
+    # headline: their plans are subsets of shapes already measured
+    # (broadcast join + bounded agg; single-scan partial agg).
+    "s6_lateral_topk_per_nation",
+    "e12_variant_extract",
 ]
 
 

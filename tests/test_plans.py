@@ -647,3 +647,68 @@ def test_e11_single_user_shuffle_no_window_pass(spark, sf_dir):
     assert plan.count("hashpartitioning(user_id") == 1, plan
     assert "Window" not in plan, plan
     assert "session_window" in plan.lower(), plan
+
+
+def test_s6_lateral_decorrelates_to_window_group_limit(spark, sf_dir):
+    """The correlated LATERAL (ORDER BY .. LIMIT 2) must decorrelate into
+    the rank-window shape with WindowGroupLimit partial top-k pruning
+    BEFORE the shuffle — never a per-nation nested-loop re-execution."""
+    from tts_etl_pipeline_spark.operators.grouping import (
+        s6_lateral_topk_per_nation,
+    )
+
+    df = s6_lateral_topk_per_nation(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "WindowGroupLimit" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_u6_sql_udf_is_inlined(spark, sf_dir):
+    """A SQL UDF must cost nothing: Catalyst inlines the CASE into the
+    scan-side Project — no Python evaluation operator, a single lineitem
+    scan, and map-side partial aggregation."""
+    from tts_etl_pipeline_spark.operators.udfs import u6_sql_udf_bands
+
+    import re
+
+    df = u6_sql_udf_bands(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CASE WHEN" in plan, plan  # the body, inlined
+    assert "BatchEvalPython" not in plan, plan
+    assert "ArrowEvalPython" not in plan, plan
+    # formatted explain repeats each node (tree + detail) — count headers
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1, plan
+    assert "partial_count" in plan, plan
+
+
+def test_e12_variant_single_scan_single_shuffle(spark, sf_dir):
+    """VARIANT extraction stays scan-side: one events scan, one
+    event_type Exchange (plus the final sort), no Python operators."""
+    from tts_etl_pipeline_spark.operators.events import e12_variant_extract
+
+    import re
+
+    df = e12_variant_extract(spark, sf_dir)
+    plan = physical_plan(df)
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "parseJson" in plan, plan  # VARIANT path, not string re-parse
+    # textual plan shows parse_json under both v and variant_get; codegen
+    # subexpression elimination evaluates it once per row at runtime
+    assert plan.count("hashpartitioning(event_type") == 1, plan
+
+
+def test_f9_listagg_partial_aggregates_distinct_before_shuffle(spark, sf_dir):
+    """listagg(DISTINCT) must not ship raw customer rows: the plan first
+    collapses (nation, segment) duplicates map-side (HashAggregate on the
+    composite key), then runs partial_listagg through ObjectHashAggregate —
+    so the string state crossing the wire is bounded by the segment domain,
+    not the customer count."""
+    from tts_etl_pipeline_spark.operators.scalars import f9_listagg_segments
+
+    df = f9_listagg_segments(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "ObjectHashAggregate" in plan, plan
+    assert "partial_listagg" in plan, plan
+    assert "SortAggregate" not in plan, plan

@@ -1112,3 +1112,58 @@ def e11_native_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_start")
     )
+
+
+# ---------------------------------------------------------------------------
+# e12 — VARIANT semi-structured extraction (Spark 4's open-format answer to
+# per-path string re-parsing): props is parsed ONCE per row into a binary
+# VARIANT value, then every path/type extraction (variant_get) reads the
+# parsed representation. e1's get_json_object-style path re-tokenizes the
+# JSON text for each extraction — at 100 TB with many extracted paths the
+# parse cost multiplies by the path count, while VARIANT amortizes it to
+# one parse (and Parquet VARIANT shredding pushes extraction into the
+# scan). try_parse_json (not parse_json) keeps malformed rows as NULL
+# instead of failing the job under ANSI mode — accounted in n_json, the
+# ingest-quality audit column. All outputs are integer counts/sums, so the
+# DuckDB json_extract_string twin is hash-exact.
+# ---------------------------------------------------------------------------
+@_register(
+    "e12_variant_extract",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(COUNT(CASE WHEN json_valid(props) THEN 1 END) AS BIGINT)
+             AS n_json,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+             AS BIGINT) AS sum_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+           CAST(SUM(CASE WHEN json_valid(props)
+                          AND json_extract_string(props, '$.k') IS NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_missing_k
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def e12_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    v = F.try_parse_json(F.col("props"))
+    rows = ev.select(
+        "event_type",
+        v.alias("v"),
+        F.variant_get(v, "$.k", "bigint").alias("k"),
+    )
+    return (
+        rows.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("v").alias("n_json"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+            F.sum(
+                F.when(F.col("v").isNotNull() & F.col("k").isNull(), 1)
+                .otherwise(0)
+            ).cast("bigint").alias("n_missing_k"),
+        )
+        .orderBy("event_type")
+    )

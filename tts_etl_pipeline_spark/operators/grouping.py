@@ -478,3 +478,42 @@ def s5_bag_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(fold(a.intersectAll(b), "a_intersect_b"))
         .orderBy("op", "q")
     )
+
+
+# ---------------------------------------------------------------------------
+# s6 — correlated LATERAL subquery with ORDER BY ... LIMIT: top-2 customers
+# by balance per nation, written as the declarative SQL:2016 lateral join
+# rather than a hand-built rank window. The point is WHAT Catalyst compiles
+# it to: the correlated limit is decorrelated into WindowGroupLimit —
+# per-partition PARTIAL top-k pruning BEFORE the c_nationkey shuffle, then a
+# final top-k and one row_number filter — with the nation side broadcast.
+# That is exactly w1's hand-optimized plan, derived automatically, and it is
+# the 100 TB shape: the shuffle carries at most k rows per (partition,
+# nation), never the customer table. Plan-pinned in test_plans.py (no
+# BroadcastNestedLoopJoin, WindowGroupLimit present). DuckDB runs the same
+# LATERAL text natively.
+# ---------------------------------------------------------------------------
+@_register(
+    "s6_lateral_topk_per_nation",
+    """
+    SELECT n.n_name, l.c_name, l.c_acctbal
+    FROM nation n,
+    LATERAL (SELECT c_name, c_acctbal FROM customer c
+             WHERE c.c_nationkey = n.n_nationkey
+             ORDER BY c_acctbal DESC, c_name LIMIT 2) l
+    ORDER BY n.n_name, l.c_acctbal DESC, l.c_name
+    """,
+)
+def s6_lateral_topk_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "nation").createOrReplaceTempView("__s6_nation")
+    table(spark, sf_dir, "customer").createOrReplaceTempView("__s6_customer")
+    return spark.sql(
+        """
+        SELECT n.n_name, l.c_name, l.c_acctbal
+        FROM __s6_nation n,
+        LATERAL (SELECT c_name, c_acctbal FROM __s6_customer c
+                 WHERE c.c_nationkey = n.n_nationkey
+                 ORDER BY c_acctbal DESC, c_name LIMIT 2) l
+        ORDER BY n.n_name, l.c_acctbal DESC, l.c_name
+        """
+    )

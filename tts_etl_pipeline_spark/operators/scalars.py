@@ -684,6 +684,57 @@ def f8_url_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# f9 — LISTAGG (SQL:2016 ordered string aggregation, native in Spark 4):
+# per nation, the DISTINCT market segments a nation's customers span,
+# deterministically ordered WITHIN GROUP. listagg is NOT partial-aggregable
+# in general (it concatenates), so the scale discipline is to apply it only
+# where the per-group state is provably bounded — here the segment domain
+# (5 values) bounds every group's string at a few dozen bytes regardless of
+# customer count, and the grouping key (25 nations) bounds the result. The
+# DuckDB twin is string_agg(DISTINCT ... ORDER BY ...): hash-exact because
+# both engines sort the same distinct set with the same byte order.
+# ---------------------------------------------------------------------------
+@_register(
+    "f9_listagg_segments",
+    """
+    SELECT n_name,
+           string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment)
+             AS segments,
+           CAST(len(string_split(
+             string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment),
+             ',')) AS BIGINT) AS n_segments,
+           COUNT(*) AS n_customers
+    FROM nation JOIN customer ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+)
+def f9_listagg_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "nation").createOrReplaceTempView("__f9_nation")
+    table(spark, sf_dir, "customer").createOrReplaceTempView("__f9_customer")
+    # n_segments derives from the aggregated string: combining
+    # listagg(DISTINCT) with COUNT(DISTINCT) in one Aggregate trips
+    # RewriteDistinctAggregates in Spark 4.1 (two distinct-groups where one
+    # is order-sensitive) — and the derived form needs no second
+    # distinct-aggregate pass anyway.
+    return spark.sql(
+        """
+        SELECT n_name,
+               listagg(DISTINCT c_mktsegment, ',')
+                 WITHIN GROUP (ORDER BY c_mktsegment) AS segments,
+               CAST(size(split(
+                 listagg(DISTINCT c_mktsegment, ',')
+                   WITHIN GROUP (ORDER BY c_mktsegment), ','))
+                 AS BIGINT) AS n_segments,
+               COUNT(*) AS n_customers
+        FROM __f9_nation JOIN __f9_customer ON c_nationkey = n_nationkey
+        GROUP BY n_name
+        ORDER BY n_name
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
 # r2 — INTERVAL OVERLAP join via grid bucketing (the general-interval
 # complement of r1's band join): which user sessions overlapped an error
 # incident? Sessions are e3's 30-min-gap intervals; incidents are islands

@@ -275,3 +275,52 @@ def u5_mapinarrow_charclasses(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# u6 — SQL-defined scalar UDF (CREATE FUNCTION ... RETURN, Spark 4): the
+# sixth and CHEAPEST extension surface. Unlike every Python path (u1-u5),
+# a SQL UDF is inlined by Catalyst into the calling plan — the physical
+# plan shows the CASE expression directly inside the scan-side Project
+# (verified: single lineitem scan, partial aggregation, whole-stage
+# codegen, zero function-call overhead or serialization boundary). At
+# 100 TB this is the only UDF kind that costs literally nothing over
+# writing the expression inline, while still giving the catalog a named,
+# reusable, SQL-visible abstraction. Quantity sum rides DECIMAL so the
+# float total is order-independent (functions/exact.py discipline).
+# ---------------------------------------------------------------------------
+@_register(
+    "u6_sql_udf_bands",
+    """
+    SELECT CASE WHEN l_quantity < 10 THEN 'small'
+                WHEN l_quantity < 30 THEN 'mid'
+                ELSE 'large' END AS band,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+    FROM lineitem
+    GROUP BY 1
+    ORDER BY band
+    """,
+)
+def u6_sql_udf_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION __u6_qty_band(q DOUBLE)
+        RETURNS STRING
+        RETURN CASE WHEN q < 10 THEN 'small'
+                    WHEN q < 30 THEN 'mid'
+                    ELSE 'large' END
+        """
+    )
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("__u6_lineitem")
+    return spark.sql(
+        """
+        SELECT __u6_qty_band(l_quantity) AS band,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                 AS total_qty
+        FROM __u6_lineitem
+        GROUP BY __u6_qty_band(l_quantity)
+        ORDER BY band
+        """
+    )
