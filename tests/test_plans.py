@@ -712,3 +712,38 @@ def test_f9_listagg_partial_aggregates_distinct_before_shuffle(spark, sf_dir):
     assert "ObjectHashAggregate" in plan, plan
     assert "partial_listagg" in plan, plan
     assert "SortAggregate" not in plan, plan
+
+
+def test_j2_bucketed_join_no_exchange_below_join(spark, sf_dir):
+    """The bucketed fact-fact join must be shuffle-free at query time: with
+    broadcast disabled, the SortMergeJoin consumes the bucket layout
+    directly — zero Exchange below the join."""
+    from tts_etl_pipeline_spark.operators.relational import _j2_joined_bucketed
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    joined, drop = _j2_joined_bucketed(spark, sf_dir)
+    try:
+        n = joined.groupBy().count()
+        plan = physical_plan(n)
+        assert "SortMergeJoin" in plan, plan
+        assert count_shuffles(n) <= 1, plan  # only the final scalar agg
+    finally:
+        drop()
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_j3_partition_filter_prunes_at_metadata_level(spark, sf_dir):
+    """The one-day predicate must be consumed ENTIRELY by partition
+    pruning: PartitionFilters carries the event_date equality and the
+    data-level PushedFilters stays empty (no row-group skipping needed —
+    unmatched partition directories are never even listed)."""
+    from tts_etl_pipeline_spark.operators.relational import _j3_pruned_scan
+
+    one_day, cleanup = _j3_pruned_scan(spark, sf_dir)
+    try:
+        plan = physical_plan(one_day.groupBy("event_type").count())
+        m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+        assert m and "event_date" in m.group(1), plan
+        assert not pushed_filters(one_day), plan
+    finally:
+        cleanup()

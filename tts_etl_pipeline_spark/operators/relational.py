@@ -1049,3 +1049,141 @@ def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_name", "p_name", "share")
         .orderBy("s_name", "p_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# j2 — BUCKETED co-located fact-fact join, promoted from the pytest-only
+# pattern (tests/test_scale_patterns.py) to the driver-checked surface:
+# orders and lineitem are bucket-hashed on the order key at WRITE time
+# (sources/bucketing.py — equal bucket counts, pre-sorted buckets, catalog
+# write because the bucket spec lives in the catalog, not parquet), then the
+# revenue-per-priority join reads matching buckets pairwise. At 100 TB this
+# is the at-rest layout for the hottest join: the shuffle of both fact
+# sides is paid ONCE at ingest, and every subsequent join/aggregation on
+# the key runs with zero Exchange below the join
+# (test_plans.py::test_j2 pins it with broadcast disabled). The plain-SQL
+# oracle proves bucketing is semantically invisible. Table names are
+# per-run uuids so concurrent sessions never collide in the shared
+# catalog; the result is materialized before the tables are dropped.
+# ---------------------------------------------------------------------------
+def _j2_joined_bucketed(spark: SparkSession, sf_dir: str):
+    """Build the bucketed tables and return (joined_df, drop_fn)."""
+    import uuid
+
+    from tts_etl_pipeline_spark.sources.bucketing import (
+        drop_bucketed,
+        read_bucketed,
+        write_bucketed,
+    )
+
+    run = uuid.uuid4().hex[:12]
+    li_name, o_name = f"__j2_li_{run}", f"__j2_orders_{run}"
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    write_bucketed(li, li_name, ["l_orderkey"], 8)
+    write_bucketed(orders, o_name, ["o_orderkey"], 8)
+    joined = read_bucketed(spark, li_name).join(
+        read_bucketed(spark, o_name),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+
+    def drop() -> None:
+        drop_bucketed(spark, li_name)
+        drop_bucketed(spark, o_name)
+
+    return joined, drop
+
+
+@_register(
+    "j2_bucketed_colocated_join",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def j2_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    joined, drop = _j2_joined_bucketed(spark, sf_dir)
+    try:
+        return (
+            joined.groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_items"),
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("total_price"),
+            )
+            .orderBy("o_orderpriority")
+            .localCheckpoint(eager=True)  # materialize before the drop
+        )
+    finally:
+        drop()
+
+
+# ---------------------------------------------------------------------------
+# j3 — PARTITION-PRUNED scan over a date-partitioned layout: events are
+# written partitionBy(event_date) — the at-rest layout every 100 TB event
+# store uses — and the one-day query then touches exactly ONE partition
+# directory: the plan's PartitionFilters prune at the METADATA level, so
+# the other 29 days contribute zero I/O (data-level PushedFilters can only
+# skip row groups after opening files; partition pruning never lists them).
+# test_plans.py pins a populated PartitionFilters entry and an empty
+# data-filter pushdown (the predicate is fully consumed by pruning). The
+# write is the once-at-ingest cost; the oracle proves the layout is
+# semantically invisible. Schema is passed explicitly on read-back so the
+# empty-corpus vintage (no partition dirs at all) still returns a typed
+# empty result.
+# ---------------------------------------------------------------------------
+J3_DAY = "2024-01-15"
+
+
+def _j3_pruned_scan(spark: SparkSession, sf_dir: str):
+    """Write the partitioned layout and return (one_day_df, cleanup_fn)."""
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="j3_")
+    path = f"{tmp}/events_by_day"
+    ev = table(spark, sf_dir, "events").withColumn(
+        "event_date", F.col("ts").cast("date")
+    )
+    ev.write.partitionBy("event_date").mode("overwrite").parquet(path)
+    back = spark.read.schema(ev.schema).parquet(path)
+    one_day = back.filter(F.col("event_date") == F.lit(J3_DAY).cast("date"))
+    return one_day, (lambda: shutil.rmtree(tmp, ignore_errors=True))
+
+
+@_register(
+    "j3_partition_pruned_scan",
+    f"""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+    FROM events
+    WHERE CAST(ts AS DATE) = DATE '{J3_DAY}'
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def j3_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    one_day, cleanup = _j3_pruned_scan(spark, sf_dir)
+    try:
+        return (
+            one_day.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.countDistinct("user_id").alias("n_users"),
+                F.sum(F.col("value").cast("decimal(12,2)"))
+                .cast("double")
+                .alias("sum_value"),
+            )
+            .orderBy("event_type")
+            .localCheckpoint(eager=True)  # materialize before tmp vanishes
+        )
+    finally:
+        cleanup()

@@ -313,6 +313,47 @@ def st7_stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFram
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _purchase_totals_updates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared stateful per-user purchase-totals stream (st8's update
+    emission AND st15's state-store contents): applyInPandasWithState over
+    integer-cents state (exact int64 fold — a float running sum would be
+    order-dependent)."""
+    from collections.abc import Iterable
+
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from tts_etl_pipeline_spark.streaming.events_stream import stream_events
+
+    ev = stream_events(spark, sf_dir).select(
+        "user_id",
+        "event_type",
+        (F.col("value").cast("decimal(12,2)") * 100).cast("long").alias("cents"),
+    )
+
+    def fn(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        (user_id,) = key
+        n, cents = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            purchases = pdf[pdf["event_type"] == "purchase"]
+            n += len(purchases)
+            cents += int(purchases["cents"].sum())
+        state.update((n, cents))
+        yield pd.DataFrame(
+            [{"user_id": user_id, "n_purchases": n, "total_cents": cents}]
+        )
+
+    return ev.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType="user_id bigint, n_purchases bigint, total_cents bigint",
+        stateStructType="n bigint, cents bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 @_register(
     "st8_stateful_running_totals",
     """
@@ -339,44 +380,9 @@ def st8_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch aggregation, proving custom cross-batch state — not just built-in
     windows — can stay bit-exact. Library variant (float state, optional
     inactivity-timeout flush): streaming/stateful.py."""
-    from collections.abc import Iterable
+    from tts_etl_pipeline_spark.streaming.events_stream import run_to_memory
 
-    import pandas as pd
-
-    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-    from tts_etl_pipeline_spark.streaming.events_stream import (
-        run_to_memory,
-        stream_events,
-    )
-
-    ev = stream_events(spark, sf_dir).select(
-        "user_id",
-        "event_type",
-        (F.col("value").cast("decimal(12,2)") * 100).cast("long").alias("cents"),
-    )
-
-    def fn(
-        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
-    ) -> Iterable[pd.DataFrame]:
-        (user_id,) = key
-        n, cents = state.get if state.exists else (0, 0)
-        for pdf in pdfs:
-            purchases = pdf[pdf["event_type"] == "purchase"]
-            n += len(purchases)
-            cents += int(purchases["cents"].sum())
-        state.update((n, cents))
-        yield pd.DataFrame(
-            [{"user_id": user_id, "n_purchases": n, "total_cents": cents}]
-        )
-
-    updates = ev.groupBy("user_id").applyInPandasWithState(
-        fn,
-        outputStructType="user_id bigint, n_purchases bigint, total_cents bigint",
-        stateStructType="n bigint, cents bigint",
-        outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
-    )
-    out = run_to_memory(updates, "st8")
+    out = run_to_memory(_purchase_totals_updates(spark, sf_dir), "st8")
     return (
         out.groupBy("user_id")
         .agg(F.max("n_purchases").alias("n_purchases"), F.max("total_cents").alias("mc"))
@@ -911,6 +917,70 @@ def st14_streaming_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             )
             .orderBy("event_type")
+            .localCheckpoint(eager=True)  # materialize before tmp vanishes
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@_register(
+    "st15_statestore_read",
+    """
+    SELECT user_id,
+           CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT)
+             AS n_purchases,
+           CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                  THEN CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) END), 0)
+                AS DOUBLE) / 100.0 AS total_value
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def st15_statestore_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State Store batch READER (Spark 4's offline state-inspection
+    surface): run st8's stateful per-user purchase-totals stream into a
+    checkpoint via a noop sink — discarding every emitted row — then read
+    the checkpoint's STATE STORE itself with spark.read.format("statestore")
+    and hash-check the recovered state against batch SQL. st8 proves the
+    stream's OUTPUT is exact; this proves the persisted cross-batch STATE is
+    — the two can diverge (a state-update bug that still emits correct rows
+    this run corrupts every later restart), and at 100 TB the offline reader
+    is how you audit or repair a live job's state without replaying the
+    stream. The read is partition-parallel (one task per state-store
+    partition) and the state grain is per-user — group-bounded, the st1-st4
+    memory-sink contract. The state-metadata format is exercised as the
+    guard: the operator path asserted before the expensive state read."""
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="st15_")
+    ckpt = f"{tmp}/ckpt"
+    try:
+        (
+            _purchase_totals_updates(spark, sf_dir)
+            .writeStream.format("noop")
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .queryName("st15_state")
+            .start()
+            .awaitTermination()
+        )
+        meta = spark.read.format("state-metadata").load(ckpt).collect()
+        assert meta and meta[0]["operatorName"] == (
+            "applyInPandasWithState"
+        ), meta
+        state = spark.read.format("statestore").load(ckpt)
+        return (
+            state.select(
+                F.col("key.user_id").alias("user_id"),
+                F.col("value.groupState.n").alias("n_purchases"),
+                (
+                    F.col("value.groupState.cents").cast("double") / F.lit(100.0)
+                ).alias("total_value"),
+            )
+            .orderBy("user_id")
             .localCheckpoint(eager=True)  # materialize before tmp vanishes
         )
     finally:
