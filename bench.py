@@ -98,7 +98,10 @@ HEADLINE = [
     # WindowGroupLimit partial top-k; VARIANT parse-once extraction
     # (vs e1's per-path string re-parse). f9/u6 are deliberately NOT
     # headline: their plans are subsets of shapes already measured
-    # (broadcast join + bounded agg; single-scan partial agg).
+    # (broadcast join + bounded agg; single-scan partial agg). st15/j2/j3
+    # are also excluded: the streaming family has never been headline
+    # (bench measures batch query shapes), and j2/j3 are write-dominated
+    # layout rehearsals — their scale rows live in BASELINE.md instead.
     "s6_lateral_topk_per_nation",
     "e12_variant_extract",
 ]
