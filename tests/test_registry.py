@@ -35,6 +35,10 @@ def test_registry_importable_and_consistent():
         "t19_bpe_encode",
         "x2_cms_heavy_hitters",
         "x4_tdigest_quantiles",
+        # x9: native DataSketches HLL — the HIP estimator's value depends
+        # on stream order, so no engine-independent oracle exists; error
+        # bound + union-row consistency pinned in test_sketches.py
+        "x9_hll_native_sketch",
         "pr1_copurchase_pagerank",
         "p1_audio_pipeline_e2e",
         "m2_image_codec_features",

@@ -343,3 +343,27 @@ def test_x8_merge_equals_bruteforce_union_sketch(spark, sf_dir):
         else float(KMV_K - 1) * float(1 << 60) / float(max(brute))
     )
     assert r["est_union_users"] == expect_est
+
+
+def test_x9_hll_estimates_within_bound_and_union_consistent(spark, sf_dir):
+    """Native HLL estimates: each per-type estimate within 5% of the exact
+    distinct-user count (default lgK=12 -> RSE ~1.6%, 3 sigma < 5%), and
+    the ALL row (hll_union_agg of the per-type sketches) within 5% of the
+    exact global distinct — the union-mergeability check."""
+    from tts_etl_pipeline_spark.operators.sketches import x9_hll_native_sketch
+
+    est = {
+        r["event_type"]: r["est_users"]
+        for r in x9_hll_native_sketch(spark, sf_dir).collect()
+    }
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    exact["ALL"] = ev.select("user_id").distinct().count()
+    assert set(est) == set(exact)
+    for k, e in exact.items():
+        assert abs(est[k] - e) <= max(1, 0.05 * e), (k, est[k], e)

@@ -154,3 +154,50 @@ def test_st14_streaming_kmv_exact_on_small_types(spark, tmp_path):
         for r in st14_streaming_kmv_distinct(spark, str(tmp_path)).collect()
     }
     assert out == {"click": (3, 3.0), "purchase": (2, 2.0)}
+
+
+def test_st16_replay_commits_no_extra_versions(spark, sf_dir, tmp_path):
+    """Exactly-once into the versioned table: a full fresh-checkpoint
+    replay of the stream must add ZERO versions (every batch id probes as
+    already-committed), and the final snapshot must equal the source."""
+    from pyspark.sql import functions as F
+
+    from tts_etl_pipeline_spark.sources.versioned import (
+        current_version,
+        read_version,
+        write_version,
+    )
+    from tts_etl_pipeline_spark.streaming.events_stream import stream_events
+
+    tbl = str(tmp_path / "tbl")
+
+    def commit_batch(batch, bid):
+        if current_version(tbl) > 0:
+            if (
+                read_version(spark, tbl)
+                .filter(F.col("__batch_id") == bid)
+                .limit(1)
+                .count()
+            ):
+                return
+        write_version(batch.withColumn("__batch_id", F.lit(bid)), tbl, "append")
+
+    def run(ckpt):
+        (
+            stream_events(spark, sf_dir)
+            .writeStream.foreachBatch(commit_batch)
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    run("ckpt0")
+    v_after_first = current_version(tbl)
+    assert v_after_first >= 1
+    run("ckpt1")  # full replay with a fresh checkpoint
+    assert current_version(tbl) == v_after_first  # zero new versions
+    got = read_version(spark, tbl).drop("__batch_id")
+    src = spark.read.parquet(f"{sf_dir}/events.parquet")
+    assert got.count() == src.count()
+    assert got.exceptAll(src.select(*got.columns)).isEmpty()

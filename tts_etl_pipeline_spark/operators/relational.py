@@ -1187,3 +1187,78 @@ def j3_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         cleanup()
+
+
+# ---------------------------------------------------------------------------
+# r4 — RECURSIVE CTE linear recurrence (WITH RECURSIVE, new in Spark 4):
+# quarterly carried-over revenue where each quarter keeps half the previous
+# quarter's carry — carried(q) = carried(q-1) DIV 2 + inflow(q). A linear
+# RECURRENCE is the shape window functions provably cannot express (a
+# running SUM is associative; x_t = f(x_{t-1}) + a_t is not), so before
+# recursive CTEs this required a driver-side loop or a sequential
+# mapPartitions. Discipline: Spark's recursion only supports UNION ALL, so
+# cyclic-graph traversals (pr3's BFS, where UNION's dedup keeps walk
+# enumeration finite) stay on the iterative frontier loop; the sound
+# recursive-CTE shapes are acyclic/calendar-bounded ladders like this one.
+# The quarter pre-aggregate is materialized FIRST — recursing over the raw
+# view would re-derive the orders aggregate on every loop iteration — so
+# each of the ~28 UnionLoop steps joins a 28-row checkpointed relation
+# (per-step cost is engine overhead, independent of data scale; depth is
+# calendar-bounded, so 100 TB changes only the one pre-agg shuffle).
+# Integer-cents state with DIV keeps the recurrence bit-exact in both
+# engines (DuckDB's // is the integer-division twin).
+# ---------------------------------------------------------------------------
+@_register(
+    "r4_recursive_carryover",
+    """
+    WITH RECURSIVE monthly AS (
+      SELECT date_trunc('quarter', o_orderdate) AS q,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+               AS BIGINT) AS inflow_cents
+      FROM orders GROUP BY date_trunc('quarter', o_orderdate)
+    ),
+    idx AS (
+      SELECT q, inflow_cents, ROW_NUMBER() OVER (ORDER BY q) AS i FROM monthly
+    ),
+    carry(i, q, inflow_cents, carried_cents) AS (
+      SELECT i, q, inflow_cents, inflow_cents FROM idx WHERE i = 1
+      UNION ALL
+      SELECT x.i, x.q, x.inflow_cents, c.carried_cents // 2 + x.inflow_cents
+      FROM idx x JOIN carry c ON x.i = c.i + 1
+    )
+    SELECT strftime(q, '%Y-%m') AS quarter, inflow_cents, carried_cents
+    FROM carry ORDER BY quarter
+    """,
+)
+def r4_recursive_carryover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    orders = table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_trunc("quarter", "o_orderdate").alias("q")
+    ).agg(
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("inflow_cents")
+    )
+    # bounded: the window ranks ~28 quarter rows, never the fact table
+    idx = materialize(
+        monthly.withColumn("i", F.row_number().over(W.orderBy("q")))
+    )
+    idx.createOrReplaceTempView("__r4_idx")
+    return spark.sql(
+        """
+        WITH RECURSIVE carry(i, q, inflow_cents, carried_cents) AS (
+          SELECT i, q, inflow_cents, inflow_cents FROM __r4_idx WHERE i = 1
+          UNION ALL
+          SELECT x.i, x.q, x.inflow_cents,
+                 c.carried_cents DIV 2 + x.inflow_cents
+          FROM __r4_idx x JOIN carry c ON x.i = c.i + 1
+        )
+        SELECT date_format(q, 'yyyy-MM') AS quarter, inflow_cents,
+               carried_cents
+        FROM carry ORDER BY quarter
+        """
+    )

@@ -963,3 +963,65 @@ def r3_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("n_name").alias("nation"), "n_events", "sum_value")
         .orderBy("nation")
     )
+
+
+# ---------------------------------------------------------------------------
+# f10 — XML functions (from_xml + xpath_*): the third semi-structured
+# surface next to JSON (e1/f5) and VARIANT (e12). The f8 URL pattern:
+# documents are synthesized deterministically from part columns (both
+# engines build the identical string), then parsed BACK two independent
+# ways — from_xml into a typed struct (schema-driven, the scan-side bulk
+# path) and xpath_long (expression-driven, the ad-hoc probe path) — and
+# the query only succeeds if both re-extract exactly what was embedded
+# (the struct/xpath equality is part of the aggregate: mismatches would
+# change n_xpath_agree and break the oracle hash). DuckDB has no XML
+# functions, so its twin recomputes from the base columns directly —
+# which is exactly the round-trip claim being checked. Money rides
+# integer cents inside the XML so no float-to-string formatting is on
+# the comparison path.
+# ---------------------------------------------------------------------------
+@_register(
+    "f10_xml_functions",
+    """
+    SELECT p_brand,
+           COUNT(*) AS n_parts,
+           COUNT(*) AS n_xpath_agree,
+           MIN(p_partkey) AS min_key,
+           CAST(SUM(CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+             AS BIGINT) AS total_cents
+    FROM part
+    GROUP BY p_brand
+    ORDER BY p_brand
+    """,
+)
+def f10_xml_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = table(spark, sf_dir, "part")
+    cents = (
+        (F.col("p_retailprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+    )
+    xml = F.concat(
+        F.lit('<part key="'),
+        F.col("p_partkey").cast("string"),
+        F.lit('"><brand>'),
+        F.col("p_brand"),
+        F.lit("</brand><cents>"),
+        cents.cast("string"),
+        F.lit("</cents></part>"),
+    )
+    parsed = part.select(
+        F.from_xml(xml, "_key BIGINT, brand STRING, cents BIGINT").alias("x"),
+        F.xpath_long(xml, F.lit("/part/cents")).alias("xp_cents"),
+    )
+    return (
+        parsed.groupBy(F.col("x.brand").alias("p_brand"))
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum(
+                F.when(F.col("x.cents") == F.col("xp_cents"), 1).otherwise(0)
+            ).cast("bigint").alias("n_xpath_agree"),
+            F.min("x._key").alias("min_key"),
+            F.sum("x.cents").cast("bigint").alias("total_cents"),
+        )
+        .orderBy("p_brand")
+    )

@@ -627,3 +627,39 @@ def x8_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         jac.alias("est_jaccard"),
         (jac * est("ku_filled", "hk_u")).alias("est_common_users"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x9 — NATIVE Apache DataSketches HLL (hll_sketch_agg / hll_union_agg /
+# hll_sketch_estimate, new in Spark's function library): per-event-type
+# distinct-user sketches materialized as BINARY columns, then merged
+# across groups with hll_union_agg for the ALL row. This is the JVM-native
+# twin of the repo's hand-built KMV family (x3/x8/st14): same mergeable-
+# sketch algebra — partial sketches map-side, kilobytes over the shuffle,
+# register-max union — but with the engine's own HLL_8 implementation,
+# the one a 100 TB deployment reaches for first. Rows-only at the driver
+# (the HIP estimator's value depends on stream order, so no engine-
+# independent oracle exists); tests/test_sketches.py pins the estimates
+# within the configured-lgK error bound of exact counts and the union row
+# against the exact global distinct.
+# ---------------------------------------------------------------------------
+@_register("x9_hll_native_sketch", None)  # rows-only: order-dependent HIP
+def x9_hll_native_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tts_etl_pipeline_spark.functions.checkpoints import materialize
+
+    ev = table(spark, sf_dir, "events").select("event_type", "user_id")
+    # one events scan: the |types|-row sketch relation feeds BOTH the
+    # per-type rows and the union ALL row
+    per_type = materialize(
+        ev.groupBy("event_type").agg(F.hll_sketch_agg("user_id").alias("sk"))
+    )
+    rows = per_type.select(
+        "event_type",
+        F.hll_sketch_estimate("sk").cast("bigint").alias("est_users"),
+    )
+    all_row = per_type.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk"))
+        .cast("bigint")
+        .alias("est_users")
+    ).select(F.lit("ALL").alias("event_type"), "est_users")
+    return rows.unionByName(all_row).orderBy("event_type")

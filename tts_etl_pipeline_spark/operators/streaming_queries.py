@@ -985,3 +985,93 @@ def st15_statestore_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@_register(
+    "st16_stream_versioned_sink",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_rows,
+           COUNT(DISTINCT event_id) AS n_ids,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def st16_stream_versioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming EXACTLY-ONCE into the repo's own versioned (ACID) table:
+    foreachBatch commits each micro-batch as one snapshot version via
+    write_version — the B8->B11 ingestion direction (st13/stream_changes is
+    the read direction). Idempotence is BATCH-ID KEYED: every committed row
+    carries its micro-batch id, and a re-delivered batch (same-checkpoint
+    crash replay OR the full fresh-checkpoint second run below, the st7
+    protocol) is detected by probing the committed table for that id and
+    skipped — so at-least-once delivery composes with the atomic manifest
+    CAS into exactly-once table contents, with NO keyed merge needed
+    (contrast st7's OR-IGNORE upsert, which dedups row-by-row). The probe
+    reads only committed manifests, so the check-then-commit pair cannot
+    tear: a crash between them re-delivers the batch and the probe answers
+    then. foreachBatch is sequential per query, so the pair needs no
+    cross-writer lock (concurrent WRITERS are the CAS's job). Driver-scale
+    probe scans the table; the 100 TB shape records the batch id in the
+    manifest instead — the in-commit watermark maintain_counts_from_cdf
+    (sources/versioned.py) already demonstrates. Final result reads the
+    LATEST snapshot and must hash-match batch SQL over the whole stream."""
+    import shutil
+    import tempfile
+
+    from tts_etl_pipeline_spark.sources.versioned import (
+        current_version,
+        read_version,
+        write_version,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="st16_")
+    tbl = f"{tmp}/events_versioned"
+
+    def commit_batch(batch: DataFrame, bid: int) -> None:
+        if current_version(tbl) > 0:
+            seen = (
+                read_version(spark, tbl)
+                .filter(F.col("__batch_id") == bid)
+                .limit(1)
+                .count()
+            )
+            if seen:
+                return  # replayed delivery: version already committed
+        write_version(
+            batch.withColumn("__batch_id", F.lit(bid)), tbl, mode="append"
+        )
+
+    try:
+        for run in range(2):  # second run = full at-least-once replay
+            (
+                stream_events(spark, sf_dir)
+                .writeStream.foreachBatch(commit_batch)
+                .option("checkpointLocation", f"{tmp}/ckpt{run}")
+                .trigger(availableNow=True)
+                .start()
+                .awaitTermination()
+            )
+        if current_version(tbl) == 0:  # empty stream: nothing committed
+            return spark.createDataFrame(
+                [],
+                "event_type string, n_rows bigint, n_ids bigint,"
+                " sum_value double",
+            )
+        return (
+            read_version(spark, tbl)
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.countDistinct("event_id").alias("n_ids"),
+                F.sum(F.col("value").cast("decimal(12,2)"))
+                .cast("double")
+                .alias("sum_value"),
+            )
+            .orderBy("event_type")
+            .localCheckpoint(eager=True)  # materialize before tmp vanishes
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
