@@ -104,6 +104,17 @@ HEADLINE = [
     # layout rehearsals — their scale rows live in BASELINE.md instead.
     "s6_lateral_topk_per_nation",
     "e12_variant_extract",
+    # r7 additions, sixth batch — new shapes: capped-wedge candidate join +
+    # pair anti-join (link prediction); distributive local-skyline ->
+    # single-merge Pareto pass (mapInPandas reduce); engine-side SQL-
+    # scripting bisection (log-many filtered-aggregate probes, no sort).
+    # d16/dq10/m5 are deliberately NOT headline: d16 is d3's inverted-index
+    # shape with a different final ratio, dq10 is a write-dominated
+    # versioned-table rehearsal (j2/j3 precedent), m5 is synthesized-media
+    # (m2/m3 precedent) — their scale rows live in BASELINE.md instead.
+    "pr4_link_prediction",
+    "c14_pareto_skyline",
+    "u7_sql_script_bisection",
 ]
 
 

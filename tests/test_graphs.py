@@ -163,3 +163,57 @@ def test_pr3_matches_driver_side_bfs(spark, sf_dir):
         for r in pr3_bfs_hop_distances(spark, sf_dir).collect()
     }
     assert out == expect
+
+
+def test_pr4_link_prediction_matches_bruteforce(spark, sf_dir):
+    """pr4's capped-wedge candidate generation must equal a driver-side
+    brute force of the same definition: strong edges (co-purchase weight
+    >= PR4_MIN_WEIGHT), wedges only through centers with degree <=
+    PR4_CENTER_CAP, candidates must be NON-edges, ranked by
+    (common_neighbors, pref_attach) desc."""
+    from collections import Counter, defaultdict
+
+    from tts_etl_pipeline_spark.operators.graphs import (
+        PR4_CENTER_CAP,
+        PR4_MIN_WEIGHT,
+        PR4_TOP_K,
+        pr4_link_prediction,
+    )
+    from tts_etl_pipeline_spark.sources.tables import table
+
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").collect()
+    by_order = defaultdict(set)
+    for r in li:
+        by_order[r[0]].add(r[1])
+    wcount = Counter()
+    for parts in by_order.values():
+        for u in parts:
+            for v in parts:
+                if u < v:
+                    wcount[(u, v)] += 1
+    edges = {p for p, w in wcount.items() if w >= PR4_MIN_WEIGHT}
+    adj = defaultdict(set)
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    cn = Counter()
+    for center, nbrs in adj.items():
+        if len(nbrs) <= PR4_CENTER_CAP:
+            snb = sorted(nbrs)
+            for i, a in enumerate(snb):
+                for b in snb[i + 1 :]:
+                    cn[(a, b)] += 1
+    scored = [
+        (c, len(adj[a]) * len(adj[b]), a, b)
+        for (a, b), c in cn.items()
+        if (a, b) not in edges
+    ]
+    scored.sort(key=lambda t: (-t[0], -t[1], t[2], t[3]))
+    expected = [
+        (a, b, c, pa) for c, pa, a, b in scored[:PR4_TOP_K]
+    ]
+    got = [
+        (r["part_a"], r["part_b"], r["common_neighbors"], r["pref_attach"])
+        for r in pr4_link_prediction(spark, sf_dir).collect()
+    ]
+    assert got == expected

@@ -1520,3 +1520,40 @@ def test_m4_audio_codec_cross_codec_rollup(spark):
     assert got["adpcm"]["avg_rms"] == pytest.approx(ref["avg_rms"], rel=0.05)
     assert got["adpcm"]["avg_std"] == pytest.approx(ref["avg_std"], rel=0.05)
     assert abs(got["adpcm"]["avg_mean"] - ref["avg_mean"]) < 0.02
+
+
+def test_m5_dhash_neardup_matches_bruteforce(spark):
+    """m5's distributed LSH-band + popcount pipeline must equal the exact
+    driver-side evaluation of the SAME semantics (candidates share >= 1
+    16-bit band AND hamming <= M5_HAMMING_MAX), and the three designed
+    cross-codec near-dup pairs must surface with their known distances."""
+    import itertools
+
+    from tts_etl_pipeline_spark.operators.multimodal import (
+        M5_HAMMING_MAX,
+        _m5_media,
+        decode_image,
+        dhash64,
+        m5_image_dhash_neardup,
+    )
+
+    hs = {m: dhash64(decode_image(bytes(p))) for m, p in _m5_media()}
+    expected = {}
+    for a, b in itertools.combinations(sorted(hs), 2):
+        ham = bin((hs[a] ^ hs[b]) & ((1 << 64) - 1)).count("1")
+        bands = any(
+            ((hs[a] >> (16 * i)) & 0xFFFF) == ((hs[b] >> (16 * i)) & 0xFFFF)
+            for i in range(4)
+        )
+        if bands and ham <= M5_HAMMING_MAX:
+            expected[(a, b)] = ham
+    got = {
+        (r["media_a"], r["media_b"]): r["hamming"]
+        for r in m5_image_dhash_neardup(spark, "unused").collect()
+    }
+    assert got == expected
+    # fixture geometry: brightness lift is hash-invariant (ham 0), the two
+    # localized block edits flip a handful of gradient bits
+    assert got[("base00.png", "copy00.bmp")] == 0
+    assert 0 < got[("base01.png", "copy01.bmp")] <= M5_HAMMING_MAX
+    assert 0 < got[("base02.png", "copy02.bmp")] <= M5_HAMMING_MAX

@@ -228,3 +228,91 @@ def test_y4m_sampling_cadence(n_frames, fps, every_ms):
             next_ts += every_ms
     assert len(frames) == expect
     assert all(f.shape == (h, w) for _, f in frames)
+
+
+def test_c14_skyline_is_exact_antichain(spark, sf_dir):
+    """The skyline must be an antichain (no member dominates another) AND
+    complete (every non-member is dominated by some member) — checked by
+    brute force against the feature relation itself."""
+    from tts_etl_pipeline_spark.operators.curation import c14_pareto_skyline
+    from tts_etl_pipeline_spark.sources.tables import table
+    from pyspark.sql import functions as F
+
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.coalesce("text", F.lit("")))), " ")
+    feats = [
+        (r[0], r[1], r[2], r[3])
+        for r in docs.select(
+            "doc_id",
+            F.col("n_chars").cast("bigint"),
+            F.size(F.array_distinct(toks)).cast("bigint"),
+            F.array_max(F.transform(toks, F.length)).cast("bigint"),
+        ).collect()
+    ]
+
+    def dominates(g, f):
+        # maximize n_unique/max_word, minimize n_chars; strict on >= one axis
+        ge = g[2] >= f[2] and g[3] >= f[3] and g[1] <= f[1]
+        gt = g[2] > f[2] or g[3] > f[3] or g[1] < f[1]
+        return ge and gt
+
+    got = {
+        r["doc_id"]: (r["doc_id"], r["n_chars"], r["n_unique"], r["max_word"])
+        for r in c14_pareto_skyline(spark, sf_dir).collect()
+    }
+    sky = list(got.values())
+    for f in sky:
+        assert not any(dominates(g, f) for g in feats), f
+    for f in feats:
+        if f[0] not in got:
+            assert any(dominates(g, f) for g in sky), f
+
+
+def test_d16_containment_detects_exact_duplicates(spark, tmp_path):
+    """A verbatim duplicate pair must score containment 1.0 in BOTH
+    directions; a doc too short for MIN_SHINGLES must never appear as the
+    contained side; a prefix excerpt must be contained in its source."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tts_etl_pipeline_spark.operators.dedup import d16_containment_pairs
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi")
+    docs = [
+        (0, base, "en", "s", len(base)),
+        (1, base, "en", "s", len(base)),                     # verbatim dup
+        (2, "alpha beta gamma delta epsilon zeta eta theta iota", "en", "s", 50),  # prefix
+        (3, "one two", "en", "s", 7),                        # < MIN_SHINGLES
+        (4, "totally unrelated words entirely different here now", "en", "s", 51),
+        # filler corpus so the MAX_DF_FRACTION stop-shingle cap (0.5·n_docs)
+        # does not swallow the duplicated trio's shared bigrams
+        (5, "red orange yellow green blue indigo violet colors", "en", "s", 49),
+        (6, "north south east west compass points directions map", "en", "s", 52),
+        (7, "spring summer autumn winter seasons cycle year round", "en", "s", 53),
+        (8, "piano violin cello flute oboe clarinet orchestra music", "en", "s", 55),
+        (9, "copper silver gold platinum metals table chemistry lab", "en", "s", 55),
+    ]
+    root = tmp_path / "sf"
+    root.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+                "text": [d[1] for d in docs],
+                "lang": [d[2] for d in docs],
+                "source": [d[3] for d in docs],
+                "n_chars": pa.array([d[4] for d in docs], pa.int64()),
+            }
+        ),
+        str(root / "documents.parquet"),
+    )
+    rows = {
+        (r["contained_id"], r["container_id"]): r["containment"]
+        for r in d16_containment_pairs(spark, str(root)).collect()
+    }
+    assert rows[(0, 1)] == 1.0 and rows[(1, 0)] == 1.0
+    assert rows[(2, 0)] == 1.0 and rows[(2, 1)] == 1.0
+    assert all(c != 3 for c, _ in rows)  # too short to be "contained"
+    assert (0, 2) not in rows  # asymmetry: the big doc is NOT in the excerpt
+    assert not any(3 in p or 4 in p for p in rows)

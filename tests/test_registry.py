@@ -44,6 +44,10 @@ def test_registry_importable_and_consistent():
         "m2_image_codec_features",
         "m3_video_codec_features",
         "m4_audio_codec_features",
+        # m5: perceptual-hash near-dup over synthesized media payloads (the
+        # m2/m3 precedent); band-candidate semantics pinned exactly in
+        # tests/test_multimodal.py against a driver-side brute force
+        "m5_image_dhash_neardup",
         "h4_lttb_downsample",
         "st11_pyds_stream_counts",
     }

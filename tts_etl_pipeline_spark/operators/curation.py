@@ -1540,3 +1540,234 @@ def dq9_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows bigint, n_urgent bigint, n_nonpositive bigint, "
         "sum_total double, min_date string, max_date string",
     )
+
+
+# ---------------------------------------------------------------------------
+# c14 — PARETO SKYLINE curation shortlist (the classic skyline operator,
+# Börzsönyi et al. ICDE'01, absent from Spark's builtin surface): documents
+# that are not dominated on (n_unique_tokens MAX, max_word_len MAX, n_chars
+# MIN) — "maximally vocabulary-rich for their length", a multi-criteria
+# shortlist no single score captures. A doc is dominated iff another doc is
+# >= on every axis (<= for the MIN axis) and strictly better on at least
+# one; ties on ALL axes survive together (NOT EXISTS semantics, mirrored in
+# the oracle).
+# Scale shape: the distributive skyline identity skyline(S) =
+# skyline(skyline(P1) ∪ ... ∪ skyline(Pk)) — a per-partition Arrow-batched
+# local skyline prunes ~everything map-side (no shuffle), then one merge
+# task re-filters the surviving candidates (exact, because the identity
+# holds for ANY partitioning; the numpy pass is O(|batch|·|part|) with
+# blocked broadcasting). The merge task is sized by the candidate count —
+# tiny on correlated axes like these; a deliberately anti-correlated axis
+# set can inflate it, the known skyline-cardinality caveat (documented, not
+# hidden: at 100 TB you'd grid-partition by one axis first).
+# ---------------------------------------------------------------------------
+_C14_SCHEMA = "doc_id bigint, n_chars bigint, n_unique bigint, max_word bigint"
+
+
+def _c14_skyline_pdf(pdf):
+    """Exact skyline of one pandas frame (maximize n_unique/max_word,
+    minimize n_chars). Keeps all-axes ties, like the oracle's NOT EXISTS."""
+    import numpy as np
+
+    X = np.stack(
+        [
+            pdf["n_unique"].to_numpy(np.int64),
+            pdf["max_word"].to_numpy(np.int64),
+            -pdf["n_chars"].to_numpy(np.int64),
+        ],
+        axis=1,
+    )
+    n = len(X)
+    keep = np.ones(n, dtype=bool)
+    for i in range(0, n, 512):
+        blk = X[i : i + 512]
+        ge = (X[:, None, :] >= blk[None, :, :]).all(-1)
+        gt = (X[:, None, :] > blk[None, :, :]).any(-1)
+        keep[i : i + 512] &= ~(ge & gt).any(axis=0)
+    return pdf[keep]
+
+
+@_register(
+    "c14_pareto_skyline",
+    """
+    WITH feat AS (
+      SELECT doc_id, n_chars,
+             CAST(len(list_distinct(toks)) AS BIGINT) AS n_unique,
+             CAST(list_max(list_transform(toks, t -> len(t))) AS BIGINT)
+               AS max_word
+      FROM (SELECT doc_id, n_chars,
+                   string_split(lower(trim(coalesce(text, ''))), ' ') AS toks
+            FROM documents)
+    )
+    SELECT f.doc_id, f.n_chars, f.n_unique, f.max_word
+    FROM feat f
+    WHERE NOT EXISTS (
+      SELECT 1 FROM feat g
+      WHERE g.n_unique >= f.n_unique AND g.max_word >= f.max_word
+        AND g.n_chars <= f.n_chars
+        AND (g.n_unique > f.n_unique OR g.max_word > f.max_word
+             OR g.n_chars < f.n_chars)
+    )
+    ORDER BY doc_id
+    """,
+)
+def c14_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.coalesce("text", F.lit("")))), " ")
+    feat = docs.select(
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_unique"),
+        F.array_max(F.transform(toks, F.length)).cast("bigint").alias("max_word"),
+    )
+
+    def local_pass(batches):
+        # per-Arrow-batch pruning: a batch's skyline is a SUPERSET-safe
+        # filter (anything dominated within a batch is dominated globally)
+        for pdf in batches:
+            if len(pdf):
+                yield _c14_skyline_pdf(pdf)
+
+    def merge_pass(batches):
+        import pandas as pd
+
+        parts = list(batches)
+        if parts:  # empty corpus -> an empty partition with zero batches
+            all_rows = pd.concat(parts, ignore_index=True)
+            if len(all_rows):
+                yield _c14_skyline_pdf(all_rows)
+
+    # the feature relation is 4 ints/row — repartitioning it is ~free and
+    # decouples the O(|batch|·|partition|) local pass from FILE parallelism
+    # (one 10x-scale fixture arrives as a single parquet split; without
+    # this the local pass runs one task, measured 13.7x at 10x data)
+    candidates = feat.repartition(
+        spark.sparkContext.defaultParallelism
+    ).mapInPandas(local_pass, _C14_SCHEMA)
+    return (
+        candidates.repartition(1)
+        .mapInPandas(merge_pass, _C14_SCHEMA)
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# dq10 — VERSION-DRIFT audit across two snapshots of a versioned table (the
+# B11 time-travel surface feeding the B12 quality family): commit an early
+# vintage of the corpus (doc_id % 3 != 0), append the rest, then TIME-TRAVEL
+# both versions back and diff their per-language profiles — doc counts, char
+# mass, and corpus-share in integer basis points. This is the "did the last
+# ingest shift the language mix" check a training-data pipeline runs after
+# every batch load; reading v1 AND v2 from the SAME table exercises
+# manifest-pinned time travel, not two ad-hoc parquet dirs.
+# Scale shape: each snapshot read is manifest-file-pruned parquet; profiles
+# are one hash-agg per snapshot over |langs| groups; the diff joins two
+# |langs|-row relations. Shares use integer division (10000·n DIV total) so
+# the oracle — which recomputes both vintages straight from the source
+# table with the same modular split — is hash-exact. The result is
+# localCheckpoint'ed before the temp table is deleted (the j3 discipline).
+# ---------------------------------------------------------------------------
+@_register(
+    "dq10_version_drift",
+    """
+    WITH old_p AS (
+      SELECT lang, COUNT(*) AS n_old,
+             CAST(SUM(n_chars) AS BIGINT) AS chars_old
+      FROM documents WHERE doc_id % 3 != 0 GROUP BY lang
+    ),
+    new_p AS (
+      SELECT lang, COUNT(*) AS n_new,
+             CAST(SUM(n_chars) AS BIGINT) AS chars_new
+      FROM documents GROUP BY lang
+    ),
+    tot AS (
+      SELECT (SELECT COUNT(*) FROM documents WHERE doc_id % 3 != 0) AS t_old,
+             (SELECT COUNT(*) FROM documents) AS t_new
+    )
+    SELECT COALESCE(o.lang, n.lang) AS lang,
+           COALESCE(o.n_old, 0) AS n_old,
+           COALESCE(n.n_new, 0) AS n_new,
+           COALESCE(n.n_new, 0) - COALESCE(o.n_old, 0) AS delta_docs,
+           COALESCE(o.chars_old, 0) AS chars_old,
+           COALESCE(n.chars_new, 0) AS chars_new,
+           CASE WHEN t.t_old > 0
+                THEN (10000 * COALESCE(o.n_old, 0)) // t.t_old ELSE 0 END
+             AS share_bp_old,
+           CASE WHEN t.t_new > 0
+                THEN (10000 * COALESCE(n.n_new, 0)) // t.t_new ELSE 0 END
+             AS share_bp_new,
+           CASE WHEN t.t_new > 0
+                THEN (10000 * COALESCE(n.n_new, 0)) // t.t_new ELSE 0 END
+           - CASE WHEN t.t_old > 0
+                  THEN (10000 * COALESCE(o.n_old, 0)) // t.t_old ELSE 0 END
+             AS delta_share_bp
+    FROM old_p o FULL OUTER JOIN new_p n ON o.lang = n.lang, tot t
+    ORDER BY lang
+    """,
+)
+def dq10_version_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from tts_etl_pipeline_spark.sources.versioned import read_version, write_version
+
+    tmp = tempfile.mkdtemp(prefix="dq10_")
+    try:
+        path = f"{tmp}/docs_versioned"
+        docs = table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "n_chars"
+        )
+        v_old = write_version(
+            docs.filter(F.col("doc_id") % 3 != 0), path, mode="overwrite"
+        )
+        v_new = write_version(
+            docs.filter(F.col("doc_id") % 3 == 0), path, mode="append"
+        )
+
+        def profile(df, n_col: str, c_col: str):
+            return df.groupBy("lang").agg(
+                F.count(F.lit(1)).alias(n_col),
+                F.sum("n_chars").cast("bigint").alias(c_col),
+            )
+
+        old_p = profile(read_version(spark, path, v_old), "n_old", "chars_old")
+        new_p = profile(read_version(spark, path, v_new), "n_new", "chars_new")
+        tot = old_p.agg(F.sum("n_old").alias("t_old")).crossJoin(
+            new_p.agg(F.sum("n_new").alias("t_new"))
+        )
+
+        def share_bp(n_col: str, t_col: str):
+            # floor(a/b) == a DIV b here: a,b are non-negative ints far below
+            # 2^53, so IEEE division is either exactly integral or >= 1/b
+            # away from one — floor can't be off by the rounding ulp
+            return F.when(
+                F.col(t_col) > 0,
+                F.floor(
+                    (10000 * F.coalesce(F.col(n_col), F.lit(0)))
+                    / F.col(t_col)
+                ),
+            ).otherwise(F.lit(0)).cast("bigint")
+
+        out = (
+            old_p.join(new_p, "lang", "full_outer")
+            .crossJoin(F.broadcast(tot))
+            .select(
+                "lang",
+                F.coalesce("n_old", F.lit(0)).alias("n_old"),
+                F.coalesce("n_new", F.lit(0)).alias("n_new"),
+                (
+                    F.coalesce("n_new", F.lit(0)) - F.coalesce("n_old", F.lit(0))
+                ).alias("delta_docs"),
+                F.coalesce("chars_old", F.lit(0)).alias("chars_old"),
+                F.coalesce("chars_new", F.lit(0)).alias("chars_new"),
+                share_bp("n_old", "t_old").alias("share_bp_old"),
+                share_bp("n_new", "t_new").alias("share_bp_new"),
+                (share_bp("n_new", "t_new") - share_bp("n_old", "t_old")).alias(
+                    "delta_share_bp"
+                ),
+            )
+            .orderBy("lang")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -995,3 +995,168 @@ def d15_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("dup_words"), "doc_id")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# d16 — ASYMMETRIC containment near-dup pairs (the decontamination score):
+# containment(A in B) = |S_A ∩ S_B| / |S_A| over word-5-GRAM shingle sets
+# (the GPT-3/PaLM decontamination n-gram range; bigrams measured first and
+# rejected — on this tiny-vocabulary corpus their document frequencies sit
+# in the hundreds, inflating the inverted-index pair mass 2700× for the
+# SAME matches: 36.5M vs 13.5k candidate pairs at sf0.1, identical yield).
+# Jaccard (d3) misses subset-style copying — a paragraph quoted inside a
+# 100× larger document scores near-zero Jaccard but containment 1.0; this
+# directed score is what test-set decontamination and quote detection
+# actually compute (reference has no analog; the operator belongs to the
+# north-star text-dedup family next to d3/d13).
+# Scale shape: identical to d3's inverted index — distinct (doc, shingle)
+# rows, the LEAST(frac·n_docs, abs) stop-shingle cap bounds every posting
+# list, the self-join shuffles on shingle, and each UNDIRECTED intersection
+# row fans out into at most two directed candidates (no second join pass).
+# Containment is an exact integer ratio (inter/|S_A|), identically computed
+# in both engines — oracle is hash-exact. Documents with fewer than
+# MIN_SHINGLES capped shingles are excluded as the contained side (a 2-gram
+# "document" being 100% contained is noise, the standard decontamination
+# floor).
+# ---------------------------------------------------------------------------
+CONTAINMENT_THRESHOLD = 0.8
+MIN_SHINGLES = 5
+CONTAIN_NGRAM = 5
+
+
+@_register(
+    "d16_containment_pairs",
+    f"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, sh FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(toks) - 3),
+                      i -> toks[i] || ' ' || toks[i + 1] || ' ' ||
+                           toks[i + 2] || ' ' || toks[i + 3] || ' ' ||
+                           toks[i + 4])) AS sh
+        FROM (SELECT doc_id,
+                     string_split(lower(trim(coalesce(text, ''))), ' ') AS toks
+              FROM documents)
+      )
+    ),
+    dfc AS (SELECT sh, COUNT(*) AS n FROM tok GROUP BY sh),
+    total AS (SELECT COUNT(*) AS n_docs FROM documents),
+    tok_f AS (
+      SELECT t.doc_id, t.sh FROM tok t, dfc, total
+      WHERE dfc.sh = t.sh
+        AND dfc.n <= LEAST({MAX_DF_FRACTION} * total.n_docs, {MAX_DF_ABSOLUTE})
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tok_f GROUP BY doc_id),
+    ipairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      FROM tok_f a JOIN tok_f b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    directed AS (
+      SELECT id_a AS contained_id, id_b AS container_id,
+             CAST(inter AS DOUBLE) / sa.sz AS containment
+      FROM ipairs, sizes sa
+      WHERE sa.doc_id = id_a AND sa.sz >= {MIN_SHINGLES}
+      UNION ALL
+      SELECT id_b, id_a, CAST(inter AS DOUBLE) / sb.sz
+      FROM ipairs, sizes sb
+      WHERE sb.doc_id = id_b AND sb.sz >= {MIN_SHINGLES}
+    )
+    SELECT contained_id, container_id, containment
+    FROM directed
+    WHERE containment >= {CONTAINMENT_THRESHOLD}
+    ORDER BY contained_id, container_id
+    """,
+)
+def d16_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    # split ONCE into a projected column: referencing the split EXPRESSION
+    # from inside the transform lambda would re-run the regex split for
+    # every element_at — 5 x (len-4) re-splits per row, measured 17 s of
+    # the original 23 s wall at sf0.1; as a column it's one split per row
+    split_docs = docs.select(
+        "doc_id",
+        F.split(F.lower(F.trim(F.coalesce("text", F.lit("")))), " ").alias(
+            "toks"
+        ),
+    )
+    toks = F.col("toks")
+    # word 5-grams; docs shorter than the gram get an EMPTY array
+    # (F.sequence(1, k) with k < 1 would count DOWN in Spark where DuckDB's
+    # range is empty). explode_outer keeps every document represented with
+    # >= 1 row, so the corpus count below folds from the checkpointed
+    # index — one scan, the d3 discipline.
+    grams = F.when(
+        F.size(toks) >= CONTAIN_NGRAM,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (CONTAIN_NGRAM - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + k) for k in range(CONTAIN_NGRAM)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    tok = materialize(
+        split_docs.select("doc_id", F.explode_outer(grams).alias("sh")).distinct()
+    )
+    n_docs = tok.agg(F.countDistinct("doc_id").alias("n_docs"))
+    keep = (
+        tok.filter(F.col("sh").isNotNull())
+        .groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .join(F.broadcast(n_docs))
+        .filter(
+            F.col("n")
+            <= F.least(
+                MAX_DF_FRACTION * F.col("n_docs"), F.lit(float(MAX_DF_ABSOLUTE))
+            )
+        )
+        .select("sh")
+    )
+    tok_f = materialize(tok.join(scaled_broadcast(keep, sf_dir, "documents"), "sh"))
+    sizes = tok_f.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = tok_f.select(F.col("doc_id").alias("id_a"), "sh")
+    b = tok_f.select(F.col("doc_id").alias("id_b"), "sh")
+    ipairs = (
+        a.join(b, "sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b"))
+    both = ipairs.join(scaled_broadcast(sa, sf_dir, "documents"), "id_a").join(
+        scaled_broadcast(sb, sf_dir, "documents"), "id_b"
+    )
+    # each undirected intersection row fans into its <= 2 directed
+    # candidates with ONE explode — a unionByName of two selects over
+    # `both` would re-derive the shingle self-join for each branch
+    directed = both.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a").alias("contained_id"),
+                    F.col("id_b").alias("container_id"),
+                    (F.col("inter").cast("double") / F.col("sz_a")).alias(
+                        "containment"
+                    ),
+                    F.col("sz_a").alias("sz"),
+                ),
+                F.struct(
+                    F.col("id_b").alias("contained_id"),
+                    F.col("id_a").alias("container_id"),
+                    (F.col("inter").cast("double") / F.col("sz_b")).alias(
+                        "containment"
+                    ),
+                    F.col("sz_b").alias("sz"),
+                ),
+            )
+        ).alias("d")
+    ).select("d.*")
+    return (
+        directed.filter(
+            (F.col("sz") >= MIN_SHINGLES)
+            & (F.col("containment") >= CONTAINMENT_THRESHOLD)
+        )
+        .select("contained_id", "container_id", "containment")
+        .orderBy("contained_id", "container_id")
+    )

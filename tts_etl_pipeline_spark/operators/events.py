@@ -1167,3 +1167,84 @@ def e12_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# h6 — TIME-WEIGHTED average (TWAP) per day: the step-function integral a
+# metrics/finance pipeline computes over irregular observations — each
+# event's value holds until the NEXT event, weighted by that interval, so
+# bursts of readings don't dominate the way a plain AVG lets them.
+# EXACT: the integral is computed entirely in integers — value in cents
+# (bigint) × interval micros (bigint) summed per day; cents·micros per day
+# tops out ~2·10^16 ≪ 2^63, so no decimal needed. The closing event of a
+# day contributes no interval (lead is NULL — the standard right-open
+# convention), and the final cents ratio is ONE double division of two
+# identical bigints in both engines — bit-exact.
+# Scale shape: one day-partitioned window pass (lead) + one hash agg; at
+# 100 TB the partition key (day) bounds every window's state, and the
+# whole query is a single events scan.
+# ---------------------------------------------------------------------------
+@_register(
+    "h6_time_weighted_average",
+    """
+    WITH seq AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             epoch_us(LEAD(ts) OVER (PARTITION BY CAST(ts AS DATE)
+                                     ORDER BY ts, event_id))
+               - epoch_us(ts) AS dt_us
+      FROM events
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           COUNT(*) AS n_events,
+           CAST(SUM(CASE WHEN dt_us IS NOT NULL THEN cents * dt_us END)
+                AS BIGINT) AS weighted_sum,
+           CAST(SUM(dt_us) AS BIGINT) AS total_us,
+           CAST(SUM(CASE WHEN dt_us IS NOT NULL THEN cents * dt_us END)
+                AS DOUBLE) / SUM(dt_us) AS twap_cents
+    FROM seq
+    GROUP BY day
+    HAVING SUM(dt_us) > 0
+    ORDER BY day
+    """,
+)
+def h6_time_weighted_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    ev = table(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").alias("day"),
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    w = W.partitionBy("day").orderBy("ts", "event_id")
+    seq = ev.withColumn(
+        "dt_us",
+        F.unix_micros(F.lead("ts").over(w).cast("timestamp"))
+        - F.unix_micros(F.col("ts").cast("timestamp")),
+    )
+    return (
+        seq.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.when(
+                    F.col("dt_us").isNotNull(), F.col("cents") * F.col("dt_us")
+                )
+            )
+            .cast("bigint")
+            .alias("weighted_sum"),
+            F.sum("dt_us").cast("bigint").alias("total_us"),
+        )
+        .filter(F.col("total_us") > 0)
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n_events",
+            "weighted_sum",
+            "total_us",
+            (F.col("weighted_sum").cast("double") / F.col("total_us")).alias(
+                "twap_cents"
+            ),
+        )
+        .orderBy("day")
+    )

@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tts_etl_pipeline_spark.functions.checkpoints import materialize
-from tts_etl_pipeline_spark.sources.tables import table
+from tts_etl_pipeline_spark.sources.tables import scaled_broadcast, table
 
 QUERIES: dict = {}
 ORACLES: dict = {}
@@ -415,4 +415,124 @@ def pr3_bfs_hop_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("dist").cast("bigint").alias("dist"), "n_nodes",
                 "min_part", "max_part")
         .orderBy("dist")
+    )
+
+
+# ---------------------------------------------------------------------------
+# pr4 — LINK PREDICTION over the strong co-purchase graph: for every pair of
+# parts NOT yet co-purchased together, score how likely the link is by
+# (a) common-neighbor count (the Liben-Nowell/Kleinberg baseline) and
+# (b) preferential attachment deg(a)·deg(b) as the tiebreak — the
+# "customers who bought these also bought..." candidate generator, and the
+# graph-side twin of the dedup family's candidate generation.
+# Graph: STRONG edges only (parts co-purchased in >= PR4_MIN_WEIGHT
+# DISTINCT orders — order-multiplicity of a part must not inflate tie
+# strength) — the raw co-purchase graph is near-complete on popular
+# parts (median degree 115 at sf0.01) and carries no link signal; the
+# weight floor is the graph analog of d3's stop-token drop.
+# Scale shape: wedges are enumerated through CENTER nodes with degree <=
+# PR4_CENTER_CAP (hub centers contribute deg² candidate pairs but rank
+# every pair identically-weakly, the classic reason link prediction drops
+# hubs) — so per-center fanout is bounded at CAP², the self-join shuffles
+# on the center key, the existing-edge anti-join shuffles on the candidate
+# pair, and the final top-k is a TakeOrdered (no global sort). All scores
+# are exact integers; the oracle replicates the formulation verbatim.
+# ---------------------------------------------------------------------------
+PR4_MIN_WEIGHT = 2
+PR4_CENTER_CAP = 60
+PR4_TOP_K = 30
+
+
+@_register(
+    "pr4_link_prediction",
+    f"""
+    WITH pairs AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a
+      JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey
+      HAVING COUNT(DISTINCT a.l_orderkey) >= {PR4_MIN_WEIGHT}
+    ),
+    adj AS (
+      SELECT u AS node, v AS nbr FROM pairs
+      UNION ALL SELECT v, u FROM pairs
+    ),
+    deg AS (SELECT node, COUNT(*) AS degree FROM adj GROUP BY node),
+    centers AS (
+      SELECT a.node, a.nbr FROM adj a JOIN deg d ON d.node = a.node
+      WHERE d.degree <= {PR4_CENTER_CAP}
+    ),
+    cand AS (
+      SELECT x.nbr AS a, y.nbr AS b, COUNT(*) AS cn
+      FROM centers x JOIN centers y
+        ON x.node = y.node AND x.nbr < y.nbr
+      GROUP BY x.nbr, y.nbr
+    ),
+    novel AS (
+      SELECT c.a, c.b, c.cn FROM cand c
+      WHERE NOT EXISTS (SELECT 1 FROM pairs p WHERE p.u = c.a AND p.v = c.b)
+    )
+    SELECT n.a AS part_a, n.b AS part_b, n.cn AS common_neighbors,
+           da.degree * db.degree AS pref_attach
+    FROM novel n
+    JOIN deg da ON da.node = n.a
+    JOIN deg db ON db.node = n.b
+    ORDER BY common_neighbors DESC, pref_attach DESC, part_a, part_b
+    LIMIT {PR4_TOP_K}
+    """,
+)
+def pr4_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    la, lb = li.alias("a"), li.alias("b")
+    pairs = materialize(
+        la.join(
+            lb,
+            on=[
+                F.col("a.l_orderkey") == F.col("b.l_orderkey"),
+                F.col("a.l_partkey") < F.col("b.l_partkey"),
+            ],
+        )
+        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .agg(F.countDistinct(F.col("a.l_orderkey")).alias("w"))
+        .filter(F.col("w") >= PR4_MIN_WEIGHT)
+        .select("u", "v")
+    )
+    adj = materialize(
+        pairs.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionByName(
+            pairs.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+        )
+    )
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+    centers = adj.join(
+        deg.filter(F.col("degree") <= PR4_CENTER_CAP).select("node"), "node"
+    )
+    x = centers.select("node", F.col("nbr").alias("a"))
+    y = centers.select("node", F.col("nbr").alias("b"))
+    cand = (
+        x.join(y, "node")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("cn"))
+    )
+    novel = cand.join(
+        pairs.select(F.col("u").alias("a"), F.col("v").alias("b")),
+        ["a", "b"],
+        "left_anti",
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("degree").alias("deg_a"))
+    db = deg.select(F.col("node").alias("b"), F.col("degree").alias("deg_b"))
+    return (
+        novel.join(scaled_broadcast(da, sf_dir, "part"), "a")
+        .join(scaled_broadcast(db, sf_dir, "part"), "b")
+        .select(
+            F.col("a").alias("part_a"),
+            F.col("b").alias("part_b"),
+            F.col("cn").alias("common_neighbors"),
+            (F.col("deg_a") * F.col("deg_b")).alias("pref_attach"),
+        )
+        .orderBy(
+            F.desc("common_neighbors"), F.desc("pref_attach"), "part_a", "part_b"
+        )
+        .limit(PR4_TOP_K)
     )

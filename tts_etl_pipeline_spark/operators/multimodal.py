@@ -1162,3 +1162,132 @@ def m4_audio_codec_features(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy("codec")
     )
+
+
+# ---------------------------------------------------------------------------
+# m5 — PERCEPTUAL-HASH image near-dedup: the multimodal twin of the text
+# near-dup family (B6 meets B2). Each image is decoded through the REAL
+# codec stack (decode_image: PNG/BMP here), reduced to a 64-bit dHash
+# (block-mean 8x9 luma grid, horizontal gradient signs — Krawetz's
+# difference hash), and near-duplicates are found WITHOUT an all-pairs
+# scan: the hash is cut into four 16-bit LSH bands, candidates must share
+# at least one exact band (a pair differing in <= 3 bits always does, by
+# pigeonhole; the banding is the Hamming-space analog of d11's MinHash
+# bands), and candidates are confirmed with JVM-side bit_count(XOR) <=
+# M5_HAMMING_MAX. Rows-only by design (synthesized media payloads, the
+# m2/m3/p1 precedent); determinism + band-candidate semantics are pinned
+# exactly in tests/test_multimodal.py against a driver-side brute force.
+# Scale shape: the Python boundary is ONE Arrow-batched decode+hash pass
+# (payload never leaves the executor); everything after is 8-byte hashes —
+# band explode (4 rows/image), an equi-join shuffle on (band, value),
+# distinct candidate pairs, and a hash-join back for the XOR popcount. At
+# 100 TB the band join is the only super-linear risk and saturated bands
+# are bounded exactly like d3's stop tokens would be.
+# ---------------------------------------------------------------------------
+M5_HAMMING_MAX = 10
+M5_N_BASE = 6
+
+
+def dhash64(img: np.ndarray) -> int:
+    """64-bit difference hash of an HxWx3 uint8 RGB image (int64 range).
+
+    Deterministic: BT.601 luma in float64, block-mean resize to an 8x9
+    grid with linspace bin edges, bit r*8+c set iff grid[r,c+1] > grid[r,c],
+    MSB-first packing, two's-complement into int64."""
+    g = img.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    h, w = g.shape
+    re = np.linspace(0, h, 9).astype(int)
+    ce = np.linspace(0, w, 10).astype(int)
+    m = np.empty((8, 9))
+    for r in range(8):
+        for c in range(9):
+            m[r, c] = g[re[r] : re[r + 1], ce[c] : ce[c + 1]].mean()
+    bits = (m[:, 1:] > m[:, :-1]).flatten()
+    val = 0
+    for b in bits:
+        val = (val << 1) | int(b)
+    return val - (1 << 64) if val >= (1 << 63) else val
+
+
+def _m5_media() -> list:
+    """Seeded fixture: 6 block-textured base images (PNG) + a perturbed BMP
+    re-encode of the first three — three designed near-dup pairs across
+    codecs, every other pair unrelated. The perturbations cover the three
+    interesting Hamming regimes: copy00 is a global brightness lift (dHash
+    is gradient-based, so hamming 0 — the invariance that makes perceptual
+    hashing work), copy01/copy02 are localized block edits (a watermark /
+    logo overwrite), flipping a handful of gradient bits each."""
+    rows = []
+    for i in range(M5_N_BASE):
+        rng = np.random.default_rng(3000 + i)
+        small = rng.integers(0, 256, size=(8, 9, 3), dtype=np.uint8)
+        img = np.repeat(np.repeat(small, 8, axis=0), 8, axis=1)  # 64x72
+        rows.append((f"base{i:02d}.png", encode_png(img)))
+        if i < 3:
+            edited = small.copy()
+            if i == 0:
+                edited = np.clip(edited.astype(np.int16) + 10, 0, 255).astype(
+                    np.uint8
+                )
+            else:
+                for _ in range(3 * i):  # 3i localized cell overwrites
+                    r, c = rng.integers(0, 8), rng.integers(0, 9)
+                    edited[r, c] = rng.integers(0, 256, size=3)
+            noisy = np.repeat(np.repeat(edited, 8, axis=0), 8, axis=1)
+            rows.append((f"copy{i:02d}.bmp", encode_bmp(noisy)))
+    return rows
+
+
+@_register("m5_image_dhash_neardup", None)
+def m5_image_dhash_neardup(spark, sf_dir: str) -> DataFrame:
+    """`sf_dir` unused (synthesized media, the uniform query signature)."""
+    from tts_etl_pipeline_spark.functions.checkpoints import materialize
+
+    raw = spark.createDataFrame(
+        [(mid, "image", payload) for mid, payload in _m5_media()],
+        "media_id string, modality string, content binary",
+    )
+
+    def hash_pass(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "dhash": [
+                        dhash64(decode_image(bytes(c))) for c in pdf["content"]
+                    ],
+                }
+            )
+
+    hashes = materialize(raw.mapInPandas(hash_pass, "media_id string, dhash long"))
+    band_id = F.explode(F.array([F.lit(i) for i in range(4)])).alias("band_id")
+    bands = hashes.select("media_id", "dhash", band_id).select(
+        "media_id",
+        "dhash",
+        "band_id",
+        F.expr("shiftrightunsigned(dhash, band_id * 16) & 65535").alias(
+            "band_val"
+        ),
+    )
+    a = bands.select(
+        F.col("media_id").alias("media_a"), "band_id", "band_val"
+    )
+    b = bands.select(
+        F.col("media_id").alias("media_b"), "band_id", "band_val"
+    )
+    cand = (
+        a.join(b, ["band_id", "band_val"])
+        .filter(F.col("media_a") < F.col("media_b"))
+        .select("media_a", "media_b")
+        .distinct()
+    )
+    ha = hashes.select(F.col("media_id").alias("media_a"), F.col("dhash").alias("h_a"))
+    hb = hashes.select(F.col("media_id").alias("media_b"), F.col("dhash").alias("h_b"))
+    return (
+        cand.join(ha, "media_a")
+        .join(hb, "media_b")
+        .withColumn("hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))))
+        .filter(F.col("hamming") <= M5_HAMMING_MAX)
+        .select("media_a", "media_b", F.col("hamming").cast("int").alias("hamming"))
+        .orderBy("media_a", "media_b")
+    )

@@ -1025,3 +1025,154 @@ def f10_xml_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+# ---------------------------------------------------------------------------
+# f11 — SQL PIPE syntax (|>, Spark 4 / GoogleSQL "pipe query" surface): the
+# linear query notation where each operator consumes the previous result —
+# FROM |> WHERE |> EXTEND |> AGGREGATE..GROUP BY |> WHERE(post-agg) |>
+# ORDER BY — compiled by Catalyst to the IDENTICAL plan as the nested-SQL
+# twin (scan-pushed filter, partial+final hash agg), which is exactly what
+# the oracle cross-check proves: pipe syntax is notation, not semantics.
+# The decimal money discipline (functions/exact.py) rides through EXTEND
+# unchanged. A post-aggregation |> WHERE is the pipe spelling of HAVING.
+# ---------------------------------------------------------------------------
+@_register(
+    "f11_pipe_syntax",
+    """
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+                AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-06-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    HAVING COUNT(*) > 10
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def f11_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("__f11_lineitem")
+    return spark.sql(
+        """
+        FROM __f11_lineitem
+        |> WHERE l_shipdate <= TIMESTAMP '1998-06-01 00:00:00'
+        |> EXTEND CAST(l_extendedprice AS DECIMAL(12,2))
+                  * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+                  AS disc_price
+        |> AGGREGATE COUNT(*) AS n_items,
+                     CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                       AS sum_qty,
+                     CAST(SUM(disc_price) AS DOUBLE) AS revenue
+           GROUP BY l_returnflag, l_linestatus
+        |> WHERE n_items > 10
+        |> ORDER BY l_returnflag, l_linestatus
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# f12 — the try_* error-safe expression family under ANSI mode. This
+# engine runs ANSI SQL (the round-6 lesson: 0.0/0.0 RAISES where legacy
+# Spark served NaN and DuckDB serves NULL) — try_divide / try_multiply /
+# try_element_at / try_to_number are the per-expression escape hatches
+# that turn a poisoned ROW into a NULL instead of killing a 100 TB job at
+# task 9999/10000. Each column manufactures its own failure class from
+# lineitem values: division by zero, bigint overflow, out-of-bounds array
+# index (including the index-0 error case), unparseable number. The
+# oracle reproduces every NULL with explicit guards (NULLIF / CASE
+# bounds / TRY_CAST), so the driver checks the exact failure boundary —
+# e.g. cents·10^12 overflows int64 exactly above 9 223 372 cents.
+# Aggregates stay order-independent (counts, min/max, integer sums).
+# ---------------------------------------------------------------------------
+@_register(
+    "f12_try_functions",
+    """
+    WITH src AS (
+      SELECT l_returnflag AS rf,
+             CAST(l_quantity AS BIGINT) AS qty,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+             l_linenumber AS ln
+      FROM lineitem
+    ),
+    vals AS (
+      SELECT rf,
+             100.0 / NULLIF(qty - 25, 0) AS qd,
+             CASE WHEN cents > 9223372 THEN NULL
+                  ELSE cents * 1000000000000 END AS ov,
+             CASE WHEN (qty % 5) BETWEEN 1 AND 3
+                  THEN (qty % 5) * 10 ELSE NULL END AS ea,
+             TRY_CAST(CASE WHEN ln % 3 = 0 THEN '123'
+                           WHEN ln % 3 = 1 THEN '12'
+                           ELSE 'x9' END AS INTEGER) AS tn
+      FROM src
+    )
+    SELECT rf,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN qd IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_div_null,
+           MIN(qd) AS min_qd, MAX(qd) AS max_qd,
+           CAST(SUM(CASE WHEN ov IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_ov_null,
+           CAST(SUM(CASE WHEN ea IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_ea_null,
+           CAST(SUM(ea) AS BIGINT) AS sum_ea,
+           CAST(SUM(CASE WHEN tn IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_tn_null,
+           CAST(SUM(tn) AS BIGINT) AS sum_tn
+    FROM vals
+    GROUP BY rf
+    ORDER BY rf
+    """,
+)
+def f12_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("rf"),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+        F.col("l_linenumber").alias("ln"),
+    )
+    arr = F.array(F.lit(10).cast("bigint"), F.lit(20), F.lit(30))
+    vals = li.select(
+        "rf",
+        F.try_divide(F.lit(100.0), (F.col("qty") - 25).cast("double")).alias("qd"),
+        F.try_multiply(F.col("cents"), F.lit(1000000000000).cast("bigint")).alias(
+            "ov"
+        ),
+        # qty % 5 in {0..4}: 4 is out-of-bounds (try_element_at -> NULL), but
+        # index 0 RAISES even under try_element_at — INVALID_INDEX_OF_ZERO is
+        # an invalid-argument error, not a data error, so the try_ wrapper
+        # does not absorb it. NULLIF routes 0 to a NULL index (-> NULL value).
+        F.try_element_at(
+            arr, F.nullif((F.col("qty") % 5).cast("int"), F.lit(0))
+        ).alias("ea"),
+        F.try_to_number(
+            F.when(F.col("ln") % 3 == 0, F.lit("123"))
+            .when(F.col("ln") % 3 == 1, F.lit("12"))
+            .otherwise(F.lit("x9")),
+            F.lit("999"),
+        )
+        .cast("bigint")
+        .alias("tn"),
+    )
+    return (
+        vals.groupBy("rf")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(F.col("qd").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_div_null"),
+            F.min("qd").alias("min_qd"),
+            F.max("qd").alias("max_qd"),
+            F.sum(F.when(F.col("ov").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_ov_null"),
+            F.sum(F.when(F.col("ea").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_ea_null"),
+            F.sum("ea").cast("bigint").alias("sum_ea"),
+            F.sum(F.when(F.col("tn").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_tn_null"),
+            F.sum("tn").cast("bigint").alias("sum_tn"),
+        )
+        .orderBy("rf")
+    )

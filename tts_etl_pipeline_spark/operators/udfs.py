@@ -324,3 +324,78 @@ def u6_sql_udf_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY band
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# u7 — SQL SCRIPTING (BEGIN/DECLARE/WHILE, Spark 4): procedural control flow
+# executed ENGINE-SIDE, the surface that replaces driver-side Python loops
+# for iterative analytics. The script runs a bisection: the smallest whole-
+# dollar price cutoff P such that >= 90% of parts retail at <= P — an
+# exact order statistic computed WITHOUT a sort or a window, via
+# O(log(price_range)) ~ 11 filtered-aggregate probes. Scale shape: each
+# probe is one distributed 1-column aggregate with the predicate pushed to
+# the scan; the loop state (lo/hi/counts) is pure control plane — at 100 TB
+# this trades one full global sort for ~11 cheap scans, the classic
+# distributed-selection trade. The oracle computes the same statistic
+# directly (cutoff = ceil of the target-rank order statistic — equal by
+# minimality of the bisection's fixpoint), so the driver cross-checks the
+# iterative path against the closed form. Integer-exact end to end.
+# ---------------------------------------------------------------------------
+@_register(
+    "u7_sql_script_bisection",
+    """
+    WITH t AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST((9 * COUNT(*) + 9) // 10 AS BIGINT) AS target
+      FROM part
+    ),
+    ranked AS (
+      SELECT p_retailprice,
+             ROW_NUMBER() OVER (ORDER BY p_retailprice) AS rk
+      FROM part
+    ),
+    k AS (
+      SELECT CAST(ceil(r.p_retailprice) AS BIGINT) AS cutoff
+      FROM ranked r, t WHERE r.rk = t.target
+    )
+    SELECT k.cutoff AS cutoff_dollars,
+           t.n AS n_parts,
+           t.target AS target_rank,
+           (SELECT COUNT(*) FROM part WHERE p_retailprice <= k.cutoff)
+             AS n_within
+    FROM t, k
+    """,
+)
+def u7_sql_script_bisection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    table(spark, sf_dir, "part").createOrReplaceTempView("__u7_part")
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE n BIGINT;
+          DECLARE target BIGINT;
+          DECLARE lo BIGINT DEFAULT 0;
+          DECLARE hi BIGINT;
+          DECLARE mid BIGINT;
+          DECLARE cnt BIGINT;
+          DECLARE nw BIGINT;
+          SET n = (SELECT COUNT(*) FROM __u7_part);
+          SET target = (9 * n + 9) DIV 10;
+          SET hi = (SELECT CAST(ceil(MAX(p_retailprice)) AS BIGINT)
+                    FROM __u7_part);
+          WHILE lo < hi DO
+            SET mid = (lo + hi) DIV 2;
+            SET cnt = (SELECT COUNT(*) FROM __u7_part
+                       WHERE p_retailprice <= mid);
+            IF cnt >= target THEN
+              SET hi = mid;
+            ELSE
+              SET lo = mid + 1;
+            END IF;
+          END WHILE;
+          SET nw = (SELECT COUNT(*) FROM __u7_part WHERE p_retailprice <= lo);
+          SELECT lo AS cutoff_dollars, n AS n_parts, target AS target_rank,
+                 nw AS n_within;
+        END
+        """
+    )
