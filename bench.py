@@ -115,6 +115,23 @@ HEADLINE = [
     "pr4_link_prediction",
     "c14_pareto_skyline",
     "u7_sql_script_bisection",
+    # r7 additions, seventh batch — new shapes: fact-fact interval-typed
+    # latency join (no broadcast hint, AQE-chosen); 9-row histogram +
+    # broadcast scalar share pass (Benford). j4/st17/u8/f13/pr5 are
+    # deliberately NOT headline: j4 is a write-dominated layout rehearsal
+    # (j2/j3 precedent), st17 is streaming (never headline), u8's
+    # grouped-map and f13's collated agg are plan subsets of measured
+    # shapes, and pr5's strong-graph 3-core is EMPTY at sf>=0.1 (the
+    # fixture's weight-floored backbone thins to a forest as the catalog
+    # grows — a correct but 0-row answer is no throughput signal). Their
+    # scale rows live in BASELINE.md instead.
+    "f14_interval_arithmetic",
+    "dq11_benford_audit",
+    # r7 additions, eighth batch — new shape: native space-saving sketch
+    # sized to exactness + bounded re-rank of the exploded sketch rows.
+    # u9 (python UDTF pass) and st18 (streaming) follow their families'
+    # not-headline precedents; scale rows in BASELINE.md.
+    "x10_native_approx_topk",
 ]
 
 

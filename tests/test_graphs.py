@@ -217,3 +217,54 @@ def test_pr4_link_prediction_matches_bruteforce(spark, sf_dir):
         for r in pr4_link_prediction(spark, sf_dir).collect()
     ]
     assert got == expected
+
+
+def test_pr5_kcore_matches_bruteforce(spark, sf_dir):
+    """pr5's bounded synchronous peel must land on the TRUE k-core (unique
+    maximal subgraph with min degree >= K — independent of peeling order),
+    verified against a driver-side peel-to-fixpoint over the same strong
+    edge set. Also pins the output shape: exact degree histogram of the
+    surviving core."""
+    from collections import Counter, defaultdict
+
+    from tts_etl_pipeline_spark.operators.graphs import (
+        PR4_MIN_WEIGHT,
+        PR5_K,
+        pr5_kcore_decomposition,
+    )
+    from tts_etl_pipeline_spark.sources.tables import table
+
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").collect()
+    by_order = defaultdict(set)
+    for r in li:
+        by_order[r[0]].add(r[1])
+    wcount = Counter()
+    for parts in by_order.values():
+        for u in parts:
+            for v in parts:
+                if u < v:
+                    wcount[(u, v)] += 1
+    adj = defaultdict(set)
+    for (u, v), w in wcount.items():
+        if w >= PR4_MIN_WEIGHT:
+            adj[u].add(v)
+            adj[v].add(u)
+    alive = set(adj)
+    while True:
+        drop = {n for n in alive if len(adj[n] & alive) < PR5_K}
+        if not drop:
+            break
+        alive -= drop
+    hist = defaultdict(lambda: [0, None, None])
+    for n in alive:
+        d = len(adj[n] & alive)
+        h = hist[d]
+        h[0] += 1
+        h[1] = n if h[1] is None else min(h[1], n)
+        h[2] = n if h[2] is None else max(h[2], n)
+    expected = {d: tuple(v) for d, v in hist.items()}
+    got = {
+        r["degree"]: (r["n_nodes"], r["min_part"], r["max_part"])
+        for r in pr5_kcore_decomposition(spark, sf_dir).collect()
+    }
+    assert got == expected

@@ -747,3 +747,20 @@ def test_j3_partition_filter_prunes_at_metadata_level(spark, sf_dir):
         assert not pushed_filters(one_day), plan
     finally:
         cleanup()
+
+def test_j4_dynamic_partition_pruning_subquery_in_fact_scan(spark, sf_dir):
+    """The weekend predicate lives on the DIM side, so the fact scan cannot
+    be pruned statically — the plan must instead carry a DPP subquery
+    (`dynamicpruning#N`) inside PartitionFilters, evaluated from the
+    broadcast dim at runtime. The join itself must be a BroadcastHashJoin
+    (DPP's reuse-broadcast mode — the subquery costs nothing extra)."""
+    from tts_etl_pipeline_spark.operators.relational import _j4_dpp_join
+
+    joined, cleanup = _j4_dpp_join(spark, sf_dir)
+    try:
+        plan = physical_plan(joined.groupBy("event_type").count())
+        m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+        assert m and "dynamicpruning" in m.group(1), plan
+        assert "BroadcastHashJoin" in plan, plan
+    finally:
+        cleanup()

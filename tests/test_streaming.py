@@ -201,3 +201,73 @@ def test_st16_replay_commits_no_extra_versions(spark, sf_dir, tmp_path):
     src = spark.read.parquet(f"{sf_dir}/events.parquet")
     assert got.count() == src.count()
     assert got.exceptAll(src.select(*got.columns)).isEmpty()
+
+
+def test_st18_join_delays_downstream_watermark_by_interval(spark, tmp_path):
+    """The emission contract st18's oracle encodes, pinned at minute grain:
+    a purchase-hour window closes at maxts - 2h(watermark) - 1h(join
+    interval), NOT at maxts - 2h. Dense synthetic pairs (click every 10
+    minutes, purchase 5 minutes later, 24h span) make every hour a group,
+    so an off-by-one-hour boundary shifts the emitted row count."""
+    import datetime
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    base = datetime.datetime(2024, 3, 1)
+    rows, eid = [], 0
+    for m in range(0, 24 * 60, 10):
+        rows.append((eid, 1, "click", base + datetime.timedelta(minutes=m)))
+        eid += 1
+        rows.append(
+            (eid, 1, "purchase", base + datetime.timedelta(minutes=m + 5))
+        )
+        eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    src_dir = str(tmp_path / "ev")
+    df.write.parquet(src_dir)
+    src = spark.readStream.schema(df.schema).parquet(src_dir)
+    clicks = (
+        src.filter(F.col("event_type") == "click")
+        .withWatermark("ts", "2 hours")
+        .select("user_id", F.col("ts").alias("click_ts"))
+    )
+    purchases = (
+        src.filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("user_id").alias("p_user_id"), F.col("ts").alias("purchase_ts")
+        )
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    )
+    hourly = joined.groupBy(F.window("purchase_ts", "1 hour").alias("win")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    name = f"st18_pin_{uuid.uuid4().hex[:8]}"
+    q = (
+        hourly.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r["win"].start.hour: r["n"]
+        for r in spark.table(name).collect()
+    }
+    # maxts = 23:55; boundary maxts - 3h = 20:55 -> hours 00..19 emit
+    # (ends <= 20:00 <= 20:55), hours 20/21 are withheld even though a
+    # -2h-only boundary (21:55) would have emitted hour 20.
+    assert set(got) == set(range(20)), sorted(got)
+    # each purchase matches the ~6 clicks in its trailing hour: 6 purchases
+    # x 6 clicks = 36 pairs per steady-state hour (hour 0 ramps up)
+    assert all(n == 36 for h, n in got.items() if h > 0), got

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from tts_etl_pipeline_spark.functions.checkpoints import materialize
 from tts_etl_pipeline_spark.functions.exact import money
 from tts_etl_pipeline_spark.sources.tables import scaled_broadcast, table
 
@@ -1771,3 +1772,72 @@ def dq10_version_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# dq11 — BENFORD first-digit audit: fabricated or truncated monetary data
+# betrays itself in the leading-digit distribution; natural multi-magnitude
+# amounts follow log10(1 + 1/d) (Benford 1938, Nigrini's fraud-audit
+# standard). The audit compares the observed first-digit shares of the
+# lineitem price mass against the Benford expectation, in integer basis
+# points (the dq10 floor-div idiom — exact in both engines). The first
+# digit is taken from exact integer CENTS (scaling by 100 never changes
+# the leading significant digit), so no float formatting is involved.
+# expected_bp rounds nine CONSTANT log10 values whose fractional parts
+# (.29/.91/.44/.13/.85/.70/.92/.53/.57) all sit far from the rounding
+# boundary — the one place a libm transcendental is hash-safe
+# cross-engine (the scalars.py header rule, with its measured exception).
+# Scale shape: one lineitem scan -> 9-row digit histogram; the total for
+# shares is a 1-row aggregate of the materialized 9-row relation (no
+# second fact scan, no unpartitioned window over data).
+# ---------------------------------------------------------------------------
+@_register(
+    "dq11_benford_audit",
+    """
+    WITH c AS (
+      SELECT CAST(substr(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS INT) AS digit,
+             COUNT(*) AS n
+      FROM lineitem GROUP BY 1
+    ),
+    t AS (SELECT SUM(n) AS total FROM c)
+    SELECT digit,
+           n,
+           CAST((10000 * n) // total AS BIGINT) AS share_bp,
+           CAST(round(log10(1 + 1.0 / digit) * 10000) AS BIGINT)
+             AS expected_bp,
+           CAST((10000 * n) // total AS BIGINT)
+           - CAST(round(log10(1 + 1.0 / digit) * 10000) AS BIGINT)
+             AS dev_bp
+    FROM c, t
+    ORDER BY digit
+    """,
+)
+def dq11_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select("l_extendedprice")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    counts = materialize(
+        li.select(F.substring(cents.cast("string"), 1, 1).cast("int").alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = counts.agg(F.sum("n").alias("total"))
+    expected_bp = (
+        F.round(F.log10(1 + 1.0 / F.col("digit")) * 10000).cast("bigint")
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))  # 1-row side: hard hint is sound
+        .select(
+            "digit",
+            "n",
+            F.floor((10000 * F.col("n")) / F.col("total"))
+            .cast("bigint")
+            .alias("share_bp"),
+            expected_bp.alias("expected_bp"),
+            (
+                F.floor((10000 * F.col("n")) / F.col("total")).cast("bigint")
+                - expected_bp
+            ).alias("dev_bp"),
+        )
+        .orderBy("digit")
+    )

@@ -1262,3 +1262,79 @@ def r4_recursive_carryover(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM carry ORDER BY quarter
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# j4 — DYNAMIC partition pruning (DPP): j3 proved static pruning, where the
+# pruning predicate is a literal in the query text. The 100 TB norm is the
+# OTHER case: the partition filter is only known at RUNTIME because it
+# comes from a dimension join — "scan only the partitions whose key
+# survives the dim filter". Spark plants a DPP subquery inside the fact
+# scan's PartitionFilters (`dynamicpruning#...`): the filtered day-dim is
+# evaluated first (reusing the join's broadcast exchange, so the subquery
+# is free), and only the surviving partition directories are ever listed.
+# Without DPP this join reads all ~30 day partitions and throws 5/7 of the
+# rows away post-join; with it, weekend partitions are the only I/O — at
+# 100 TB that is the difference between a 30-day scan and a 9-day scan
+# decided by data, not by query text. test_plans.py pins the
+# `dynamicpruning` entry in the fact scan's PartitionFilters. The write
+# phase is the once-at-ingest cost (j3 discipline); the day-dim is derived
+# from the same frame before the fact write so the layout build scans the
+# source once. Oracle proves layout + DPP are semantically invisible.
+# ---------------------------------------------------------------------------
+def _j4_dpp_join(spark: SparkSession, sf_dir: str):
+    """Write the partitioned fact + day dim; return (joined_df, cleanup)."""
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="j4_")
+    ev = table(spark, sf_dir, "events").withColumn(
+        "event_date", F.col("ts").cast("date")
+    )
+    ev.write.partitionBy("event_date").mode("overwrite").parquet(
+        f"{tmp}/j4_events_fact"
+    )
+    # day dim: one row per calendar day present, with its day-of-week
+    # (Spark dayofweek: 1=Sunday..7=Saturday)
+    ev.select("event_date").distinct().withColumn(
+        "dow", F.dayofweek("event_date")
+    ).write.mode("overwrite").parquet(f"{tmp}/j4_day_dim")
+
+    fact = spark.read.schema(ev.schema).parquet(f"{tmp}/j4_events_fact")
+    dim = spark.read.parquet(f"{tmp}/j4_day_dim").filter(
+        F.col("dow").isin(1, 7)  # weekend
+    )
+    joined = fact.join(dim, "event_date")
+    return joined, (lambda: shutil.rmtree(tmp, ignore_errors=True))
+
+
+@_register(
+    "j4_dynamic_partition_pruning",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+    FROM events
+    WHERE dayofweek(CAST(ts AS DATE)) IN (0, 6)  -- DuckDB dow: Sun=0, Sat=6
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def j4_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    joined, cleanup = _j4_dpp_join(spark, sf_dir)
+    try:
+        return (
+            joined.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.countDistinct("user_id").alias("n_users"),
+                F.sum(F.col("value").cast("decimal(12,2)"))
+                .cast("double")
+                .alias("sum_value"),
+            )
+            .orderBy("event_type")
+            .localCheckpoint(eager=True)  # materialize before tmp vanishes
+        )
+    finally:
+        cleanup()

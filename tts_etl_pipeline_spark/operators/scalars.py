@@ -1176,3 +1176,156 @@ def f12_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rf")
     )
+
+
+# ---------------------------------------------------------------------------
+# f13 — COLLATIONS (Spark 4): case-insensitive semantics pushed into the
+# ENGINE instead of sprayed lower() calls. `collate(col, 'UTF8_LCASE')`
+# changes the column's comparison semantics — grouping, equality, DISTINCT,
+# joins and predicates all honor it, and Catalyst keeps the expression
+# JVM-side (no UDF, full codegen). The query manufactures three
+# deterministic case variants of each market segment (custkey mod 3:
+# lowered / manually title-cased / untouched), groups on the COLLATED
+# column — the three variants merge into one group — while
+# COUNT(DISTINCT raw) inside each group still sees the binary-collation
+# variants, pinning exactly where the collation does and does not apply.
+# At 100 TB the win is shuffle hygiene: collation-aware grouping hashes
+# the collation key directly, one pass, no derived lower() column to
+# carry. The oracle is the classic lower()-everywhere rewrite — proving
+# the collated plan is its hash-exact equivalent. Title-casing is spelled
+# upper(first)||lower(rest) in BOTH engines (initcap is not portable).
+# ---------------------------------------------------------------------------
+@_register(
+    "f13_collated_grouping",
+    """
+    WITH m AS (
+      SELECT c_custkey, c_acctbal,
+             CASE WHEN c_custkey % 3 = 0 THEN lower(c_mktsegment)
+                  WHEN c_custkey % 3 = 1 THEN
+                    upper(substr(c_mktsegment, 1, 1)) ||
+                    lower(substr(c_mktsegment, 2))
+                  ELSE c_mktsegment END AS seg_mixed
+      FROM customer
+    )
+    SELECT lower(seg_mixed) AS segment,
+           COUNT(*) AS n_customers,
+           COUNT(DISTINCT seg_mixed) AS n_case_variants,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+    FROM m
+    GROUP BY lower(seg_mixed)
+    ORDER BY segment
+    """,
+)
+def f13_collated_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    title = F.concat(
+        F.upper(F.substring("c_mktsegment", 1, 1)),
+        F.lower(F.expr("substring(c_mktsegment, 2)")),
+    )
+    mixed = cust.withColumn(
+        "seg_mixed",
+        F.when(F.col("c_custkey") % 3 == 0, F.lower("c_mktsegment"))
+        .when(F.col("c_custkey") % 3 == 1, title)
+        .otherwise(F.col("c_mktsegment")),
+    )
+    return (
+        mixed.groupBy(F.collate("seg_mixed", "UTF8_LCASE").alias("seg_ci"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.countDistinct("seg_mixed").alias("n_case_variants"),
+            F.sum(F.col("c_acctbal").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("total_bal"),
+        )
+        .select(
+            F.lower("seg_ci").cast("string").alias("segment"),
+            "n_customers",
+            "n_case_variants",
+            "total_bal",
+        )
+        .orderBy("segment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# f14 — ANSI INTERVAL arithmetic: under ANSI mode DATE - DATE is a typed
+# INTERVAL DAY (not a bare int), date + INTERVAL literals shift calendar
+# points, and intervals order/compare/aggregate natively. The query works
+# the day-time surface on order->ship latency per order priority (the
+# fixture's lineitem carries l_shipdate only, so the second date comes
+# from the orders join — a fact-fact shuffle join, no broadcast hint, AQE
+# picks the strategy): interval literals in predicates
+# (ship > order + INTERVAL '90' DAY), interval CASE bucketing with typed
+# comparisons (fast/mid/slow), MAX over intervals, and
+# extract(DAY FROM iv) back to integers. The total latency SUMs the
+# per-row extract (bigint arithmetic) rather than
+# extract(DAY FROM sum(iv)) — the day field of a summed interval is an
+# INT-sized extract, which a 100 TB fact table can overflow; per-row
+# extract + bigint SUM is the scale-safe spelling of the same number.
+# DuckDB's DATE - DATE is already integer days, so the oracle is the
+# plain-integer twin — proving the typed-interval plan computes exactly
+# the arithmetic the untyped one does.
+# ---------------------------------------------------------------------------
+@_register(
+    "f14_interval_arithmetic",
+    """
+    WITH s AS (
+      SELECT o_orderpriority,
+             CAST(date_diff('day', o_orderdate, l_shipdate) AS BIGINT) AS lat,
+             (l_shipdate > o_orderdate + INTERVAL 90 DAY) AS is_slow
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    )
+    SELECT o_orderpriority,
+           COUNT(*) AS n_items,
+           CAST(SUM(CASE WHEN lat < 30 THEN 1 ELSE 0 END) AS BIGINT) AS n_fast,
+           CAST(SUM(CASE WHEN lat >= 30 AND lat <= 90 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_mid,
+           CAST(SUM(CASE WHEN is_slow THEN 1 ELSE 0 END) AS BIGINT) AS n_slow,
+           CAST(SUM(lat) AS BIGINT) AS total_latency_days,
+           CAST(MAX(lat) AS BIGINT) AS max_latency_days
+    FROM s
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def f14_interval_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    s = j.select(
+        "o_orderpriority",
+        F.expr("extract(DAY FROM (l_shipdate - o_orderdate))")
+        .cast("bigint")
+        .alias("lat"),
+        (F.col("l_shipdate") - F.col("o_orderdate")).alias("iv"),
+        F.expr("l_shipdate > o_orderdate + INTERVAL '90' DAY").alias("is_slow"),
+    )
+    month = F.expr("INTERVAL '30' DAY")
+    quarter = F.expr("INTERVAL '90' DAY")
+    return (
+        s.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.when(F.col("iv") < month, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_fast"),
+            F.sum(
+                F.when((F.col("iv") >= month) & (F.col("iv") <= quarter), 1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_mid"),
+            F.sum(F.when(F.col("is_slow"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_slow"),
+            F.sum("lat").cast("bigint").alias("total_latency_days"),
+            F.expr("extract(DAY FROM max(iv))").cast("bigint").alias(
+                "max_latency_days"
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -663,3 +663,69 @@ def x9_hll_native_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("est_users")
     ).select(F.lit("ALL").alias("event_type"), "est_users")
     return rows.unionByName(all_row).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# x10 — native approx_top_k (Spark 4.1): the engine's own space-saving
+# top-k sketch, the JVM twin of x7's hand-built Misra-Gries. The sizing
+# theorem the 100 TB deployment relies on: a space-saving summary with
+# maxItemsTracked >= |distinct| is EXACT (no evictions ever happen), so
+# capacity is the dial between x2-style approximation and exactness —
+# here 10000 slots over a ~31-token vocabulary makes the counts exact and
+# the query oracle-checkable, precisely how a bounded-vocab field (status
+# codes, langs, event types) gets exact top-k in one pass at any row
+# count. Sketch output ORDER on count ties is engine-internal, so the
+# query re-ranks the exploded (token, count) rows itself with the total
+# order (count DESC, token ASC) — determinism never rests on sketch
+# internals. The re-rank window runs over |langs| x |vocab| sketch rows,
+# never the token stream.
+# ---------------------------------------------------------------------------
+X10_TOP_K = 5
+
+
+@_register(
+    "x10_native_approx_topk",
+    f"""
+    WITH toks AS (
+      SELECT lang, unnest(string_split(lower(trim(text)), ' ')) AS token
+      FROM documents
+    ),
+    c AS (
+      SELECT lang, token, COUNT(*) AS cnt FROM toks
+      WHERE token <> '' GROUP BY lang, token
+    ),
+    r AS (
+      SELECT lang, token, cnt,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY cnt DESC, token) AS rn
+      FROM c
+    )
+    SELECT lang, CAST(rn AS INT) AS rnk, token, cnt
+    FROM r WHERE rn <= {X10_TOP_K}
+    ORDER BY lang, rnk
+    """,
+)
+def x10_native_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    docs = table(spark, sf_dir, "documents").select("lang", "text")
+    toks = docs.select(
+        "lang",
+        F.explode(F.split(F.lower(F.trim("text")), " ")).alias("token"),
+    ).filter(F.col("token") != "")
+    sk = toks.groupBy("lang").agg(
+        F.expr("approx_top_k(token, 100, 10000)").alias("top")
+    )
+    flat = sk.select(
+        "lang",
+        F.explode("top").alias("e"),
+    ).select("lang", F.col("e.item").alias("token"), F.col("e.count").alias("cnt"))
+    rn = F.row_number().over(
+        W.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("token"))
+    )
+    return (
+        flat.withColumn("rnk", rn)
+        .filter(F.col("rnk") <= X10_TOP_K)
+        .select("lang", "rnk", "token", "cnt")
+        .orderBy("lang", "rnk")
+    )

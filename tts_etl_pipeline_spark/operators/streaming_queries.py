@@ -1075,3 +1075,128 @@ def st16_stream_versioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# st17 — CHAINED stateful operators: hour window agg -> day window-on-window
+# agg inside ONE streaming query (streaming/events_stream.py::
+# hourly_then_daily). st1–st16 each run a single stateful operator; real
+# pipelines stack them, and before Spark 3.4 that required two queries
+# glued by an intermediate sink. Append mode gates emission on the
+# watermark, so the oracle reproduces the exact boundary: a day emits iff
+# day_end <= max(ts) - 2h (the tail day legitimately stays in state — the
+# emission CONTRACT is part of what the oracle checks, not noise to strip).
+# ---------------------------------------------------------------------------
+@_register(
+    "st17_chained_window_aggs",
+    """
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS h, event_type,
+             COUNT(*) AS n_events,
+             SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS cents
+      FROM events GROUP BY 1, 2
+    )
+    SELECT strftime(date_trunc('day', h), '%Y-%m-%d') AS day,
+           event_type,
+           COUNT(*) AS n_hours,
+           MAX(n_events) AS max_hourly_events,
+           CAST(SUM(cents) AS BIGINT) AS day_cents
+    FROM hourly
+    WHERE date_trunc('day', h) + INTERVAL 1 DAY
+          <= (SELECT max(ts) - INTERVAL 2 HOUR FROM events)
+    GROUP BY 1, 2
+    ORDER BY day, event_type
+    """,
+)
+def st17_chained_window_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tts_etl_pipeline_spark.streaming.events_stream import hourly_then_daily
+
+    out = run_to_memory(
+        hourly_then_daily(stream_events(spark, sf_dir)),
+        "st17",
+        output_mode="append",
+    )
+    return out.orderBy("day", "event_type")
+
+
+# ---------------------------------------------------------------------------
+# st18 — stream-stream JOIN chained into a windowed AGGREGATION in one
+# streaming query: st5's watermarked click x purchase interval join feeds
+# an hourly match-count aggregation directly — the second multi-stateful
+# combination (st17 chained two aggs; this chains the join+agg pair that
+# real attribution pipelines run). Watermark propagation is the whole
+# story: the join DELAYS the downstream watermark by its interval bound —
+# a purchase-hour window can only close once no click could still match,
+# i.e. at max(ts) - 2h(watermark) - 1h(join interval). Measured, not
+# assumed: a dense minute-grain probe emitted exactly the hours ending
+# <= maxts - 3h and withheld the rest (the -2h-only boundary would
+# over-emit). The oracle encodes that contract. Output is |hours|-bounded
+# (memory sink is fine); the matched ROWS themselves stay executor-side —
+# only window aggregates cross to the driver.
+# ---------------------------------------------------------------------------
+@_register(
+    "st18_join_then_window_agg",
+    """
+    WITH m AS (
+      SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+             date_trunc('hour', p.ts) AS h
+      FROM events c JOIN events p
+        ON c.user_id = p.user_id
+       AND c.event_type = 'click' AND p.event_type = 'purchase'
+       AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    )
+    SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hour,
+           COUNT(*) AS n_matches,
+           CAST(MIN(click_id) AS BIGINT) AS min_click,
+           CAST(MAX(purchase_id) AS BIGINT) AS max_purchase
+    FROM m
+    WHERE h + INTERVAL 1 HOUR
+          <= (SELECT max(ts) - INTERVAL 3 HOUR FROM events)
+    GROUP BY h
+    ORDER BY hour
+    """,
+)
+def st18_join_then_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    clicks = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .withWatermark("ts", "2 hours")
+        .select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    purchases = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    )
+    hourly = (
+        joined.groupBy(F.window("purchase_ts", "1 hour").alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            F.min("click_id").alias("min_click"),
+            F.max("purchase_id").alias("max_purchase"),
+        )
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "n_matches",
+            "min_click",
+            "max_purchase",
+        )
+    )
+    out = run_to_memory(hourly, "st18", output_mode="append")
+    return out.orderBy("hour")

@@ -399,3 +399,168 @@ def u7_sql_script_bisection(spark: SparkSession, sf_dir: str) -> DataFrame:
         END
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# u8 — applyInArrow: the GROUPED twin of u5's mapInArrow, completing the
+# Arrow-native pair (map-side stream vs shuffle-then-per-group Table). The
+# whole language partition arrives as ONE pyarrow.Table and the function
+# may emit any number of rows — here the per-language top-3 longest
+# documents via pc.sort_indices + take, all C++ kernels, zero pandas
+# objects on either side. Scale note: grouped-map parallelism is |groups|
+# (6 languages -> 6 tasks), so this surface is for group-bounded state the
+# built-ins can't express; a plain per-group top-k should ship as the
+# declarative WindowGroupLimit plan instead (s6/w1) — u8 exists to pin the
+# API surface and its exact semantics, like u1–u6 before it. The sort key
+# (n_chars DESC, doc_id ASC) is a total order, so the SQL oracle's
+# ROW_NUMBER twin is hash-exact.
+# ---------------------------------------------------------------------------
+@_register(
+    "u8_applyinarrow_toplen",
+    """
+    WITH ranked AS (
+      SELECT lang, doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY length(text) DESC, doc_id) AS rn
+      FROM documents
+    )
+    SELECT lang, CAST(rn AS INT) AS rnk, doc_id, n_chars
+    FROM ranked WHERE rn <= 3
+    ORDER BY lang, rnk
+    """,
+)
+def u8_applyinarrow_toplen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def top3(tbl: "pa.Table") -> "pa.Table":
+        narrowed = pa.table(
+            {
+                "lang": tbl.column("lang"),
+                "doc_id": tbl.column("doc_id"),
+                "n_chars": pc.cast(pc.utf8_length(tbl.column("text")), pa.int64()),
+            }
+        )
+        idx = pc.sort_indices(
+            narrowed,
+            sort_keys=[("n_chars", "descending"), ("doc_id", "ascending")],
+        )[:3]
+        top = narrowed.take(idx)
+        return top.add_column(
+            1, "rnk", pa.array(range(1, top.num_rows + 1), pa.int32())
+        )
+
+    docs = table(spark, sf_dir, "documents").select("lang", "doc_id", "text")
+    return (
+        docs.groupBy("lang")
+        .applyInArrow(top3, "lang string, rnk int, doc_id long, n_chars long")
+        .orderBy("lang", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# u9 — POLYMORPHIC UDTF with a TABLE argument (Spark 4): the function
+# itself — not the caller — declares how its input must be distributed,
+# via analyze(): AnalyzeResult(partitionBy=[lang], orderBy=[doc_id]), so
+# `run_stats(TABLE(...))` needs no PARTITION BY clause and can never be
+# mis-called with the wrong clustering; analyze() also validates the
+# input schema at PLAN time (a missing column fails analysis, not a task
+# 4 hours into a 100 TB run). The body computes a genuinely ORDER-
+# dependent per-group statistic — the longest strictly-increasing run of
+# doc lengths by doc_id — which is why the ordered-table form exists:
+# plain aggregates can't see order, and the SQL twin needs the full
+# lag+cumsum island machinery. One shuffle on lang; per-group state is
+# O(1) (prev value, run counters). u2 pins the LATERAL row-UDTF surface;
+# u9 pins the table-argument surface.
+# ---------------------------------------------------------------------------
+@_register(
+    "u9_udtf_table_partition",
+    """
+    WITH s AS (
+      SELECT lang, doc_id, n_chars,
+             CASE WHEN lag(n_chars) OVER w IS NULL
+                       OR n_chars <= lag(n_chars) OVER w
+                  THEN 1 ELSE 0 END AS brk
+      FROM documents
+      WINDOW w AS (PARTITION BY lang ORDER BY doc_id)
+    ),
+    g AS (
+      SELECT lang, n_chars,
+             SUM(brk) OVER (PARTITION BY lang ORDER BY doc_id) AS grp
+      FROM s
+    ),
+    runs AS (SELECT lang, grp, COUNT(*) AS run_len FROM g GROUP BY lang, grp)
+    SELECT lang,
+           (SELECT COUNT(*) FROM documents d WHERE d.lang = runs.lang)
+             AS n_docs,
+           CAST(MAX(run_len) AS BIGINT) AS longest_run,
+           (SELECT MAX(n_chars) FROM documents d WHERE d.lang = runs.lang)
+             AS peak_len
+    FROM runs GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def u9_udtf_table_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructType,
+    )
+    from pyspark.sql.udtf import (
+        AnalyzeArgument,
+        AnalyzeResult,
+        OrderingColumn,
+        PartitioningColumn,
+    )
+
+    @udtf
+    class RunStats:
+        @staticmethod
+        def analyze(tbl: AnalyzeArgument) -> AnalyzeResult:
+            cols = {f.name for f in tbl.dataType.fields}
+            for need in ("lang", "doc_id", "n_chars"):
+                if need not in cols:
+                    raise Exception(f"run_stats: input table lacks '{need}'")
+            schema = (
+                StructType()
+                .add("lang", StringType())
+                .add("n_docs", LongType())
+                .add("longest_run", LongType())
+                .add("peak_len", LongType())
+            )
+            return AnalyzeResult(
+                schema=schema,
+                partitionBy=[PartitioningColumn("lang")],
+                orderBy=[OrderingColumn("doc_id")],
+            )
+
+        def __init__(self):
+            self.lang = None
+            self.n = 0
+            self.prev = None
+            self.run = 0
+            self.best = 0
+            self.peak = None
+
+        def eval(self, row):
+            self.lang = row["lang"]
+            self.n += 1
+            nc = row["n_chars"]
+            self.run = self.run + 1 if (
+                self.prev is not None and nc > self.prev
+            ) else 1
+            self.best = max(self.best, self.run)
+            self.peak = nc if self.peak is None else max(self.peak, nc)
+            self.prev = nc
+
+        def terminate(self):
+            if self.lang is not None:
+                yield self.lang, self.n, self.best, self.peak
+
+    spark.udtf.register("run_stats", RunStats)
+    docs = table(spark, sf_dir, "documents").select("lang", "doc_id", "n_chars")
+    docs.createOrReplaceTempView("__u9_docs")
+    return spark.sql(
+        "SELECT * FROM run_stats(TABLE(__u9_docs)) ORDER BY lang"
+    )

@@ -238,3 +238,46 @@ def daily_value_bars(stream: DataFrame, watermark: str = "2 hours") -> DataFrame
             "low",
         )
     )
+
+
+def hourly_then_daily(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """CHAINED stateful operators in one streaming query (Spark >= 3.4):
+    a tumbling 1-hour aggregation feeds a 1-day window-on-window
+    aggregation — `F.window(hwin, '1 day')` groups the FIRST agg's window
+    column, so both stateful operators live in the same micro-batch DAG
+    with watermark propagation between them. This is the streaming form of
+    the h1 rollup hierarchy: the day grain is folded from the hour grain
+    (|hours| rows into the second operator, never raw events), which is
+    exactly how a 100 TB stream keeps its coarse-grain state small.
+
+    Chains require APPEND output mode, so emission is watermark-gated: a
+    day window emits once the watermark (max event time - delay) passes
+    its end. An availableNow run therefore returns every CLOSED day and
+    holds the tail day in state — the oracle twin reproduces that boundary
+    with an explicit max(ts) - delay filter (the batch-equivalence
+    discipline of SURVEY §5.2, applied to the emission contract too).
+
+    State: |hours x types| rows in op 1, |days x types| in op 2, both
+    watermark-evicted. Integer-cent sums keep cross-operator totals exact.
+    """
+    cents = (F.col("value").cast("decimal(12,2)") * 100).cast("bigint")
+    hourly = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("hwin"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum(cents).alias("cents"))
+    )
+    daily = (
+        hourly.groupBy(F.window(F.col("hwin"), "1 day").alias("dwin"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_hours"),
+            F.max("n_events").alias("max_hourly_events"),
+            F.sum("cents").alias("day_cents"),
+        )
+    )
+    return daily.select(
+        F.date_format(F.col("dwin.start"), "yyyy-MM-dd").alias("day"),
+        "event_type",
+        "n_hours",
+        "max_hourly_events",
+        "day_cents",
+    )
