@@ -1557,3 +1557,44 @@ def test_m5_dhash_neardup_matches_bruteforce(spark):
     assert got[("base00.png", "copy00.bmp")] == 0
     assert 0 < got[("base01.png", "copy01.bmp")] <= M5_HAMMING_MAX
     assert 0 < got[("base02.png", "copy02.bmp")] <= M5_HAMMING_MAX
+
+
+def test_m6_audio_fingerprint_neardup_matches_bruteforce(spark):
+    """m6's banded audio pipeline must equal the exact driver-side
+    evaluation of the SAME semantics (candidates share >= 1 16-bit band
+    AND hamming <= M6_HAMMING_MAX); the amplitude-invariance law must
+    hold exactly (scaled copy at hamming 0) and the extra-tone variant
+    at exactly hamming 1."""
+    import itertools
+
+    from tts_etl_pipeline_spark.audio.decode import decode_wav_bytes
+    from tts_etl_pipeline_spark.operators.multimodal import (
+        M6_HAMMING_MAX,
+        M6_N_BASES,
+        _m6_clips,
+        audio_fingerprint64,
+        m6_audio_fingerprint_neardup,
+    )
+
+    hs = {m: audio_fingerprint64(decode_wav_bytes(bytes(p))[0]) for m, p in _m6_clips()}
+    expected = {}
+    for a, b in itertools.combinations(sorted(hs), 2):
+        ham = bin((hs[a] ^ hs[b]) & ((1 << 64) - 1)).count("1")
+        bands = any(
+            ((hs[a] >> (16 * i)) & 0xFFFF) == ((hs[b] >> (16 * i)) & 0xFFFF)
+            for i in range(4)
+        )
+        if bands and ham <= M6_HAMMING_MAX:
+            expected[(a, b)] = ham
+    got = {
+        (r["media_a"], r["media_b"]): r["hamming"]
+        for r in m6_audio_fingerprint_neardup(spark, "unused").collect()
+    }
+    assert got == expected
+    for i in range(M6_N_BASES):
+        # energy-share bits are amplitude-ratio bits: scaling is invisible
+        assert got[(f"clip{i:02d}.orig", f"clip{i:02d}.scaled")] == 0
+        # the designed extra weak tone adds exactly one band bit
+        assert got[(f"clip{i:02d}.noisy", f"clip{i:02d}.orig")] == 1
+    # every surfaced pair is within one base; cross-base tone sets are far
+    assert all(a.split(".")[0] == b.split(".")[0] for a, b in got)

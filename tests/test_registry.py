@@ -48,6 +48,10 @@ def test_registry_importable_and_consistent():
         # m2/m3 precedent); band-candidate semantics pinned exactly in
         # tests/test_multimodal.py against a driver-side brute force
         "m5_image_dhash_neardup",
+        # m6: the audio twin of m5 (spectral energy-share fingerprint);
+        # brute-force parity + the amplitude-invariance law pinned in
+        # tests/test_multimodal.py
+        "m6_audio_fingerprint_neardup",
         "h4_lttb_downsample",
         "st11_pyds_stream_counts",
     }

@@ -1291,3 +1291,131 @@ def m5_image_dhash_neardup(spark, sf_dir: str) -> DataFrame:
         .select("media_a", "media_b", F.col("hamming").cast("int").alias("hamming"))
         .orderBy("media_a", "media_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# m6 — AUDIO spectral-fingerprint near-dedup: m5's perceptual-hash pipeline
+# pointed at the audio modality (the remaining B6<->B2 bridge). Each clip
+# decodes through the real WAV path (audio/decode.py), reduces to a
+# 64-bit SPECTRAL fingerprint — 65 equal rFFT magnitude bands, bit i =
+# band_i > band_{i+1}, the dHash gradient-sign trick in frequency space —
+# and near-duplicates are found by the identical 4x16-bit band LSH +
+# JVM-side bit_count(XOR) confirm. Bit i = "band i carries >= 1/64 of the
+# TOTAL spectral energy" — a ratio, so the fingerprint is provably
+# invariant to amplitude scaling (a re-mastered louder copy hashes
+# IDENTICALLY — pinned in tests), robust to small additive noise (active
+# bands sit orders of magnitude above the 1/64 line, empty bands orders
+# below — no bit lives near the threshold), and distinct tone sets light
+# distinct bands. A first cut used dHash-style gradient signs between
+# ADJACENT bands; on sparse synthetic spectra adjacent EMPTY bands differ
+# only by quantization noise, so those bits were coin flips (measured:
+# the amplitude-scaled copy landed 20+ bits away) — the absolute
+# energy-share bit is the version whose margins survive quantization.
+# Rows-only by design (synthesized media, the m5 precedent); band
+# semantics + brute-force parity + the invariance law pinned in
+# tests/test_multimodal.py. Scale shape: one Arrow-batched decode+hash
+# pass, then 8-byte hashes only — the payload never crosses the Python
+# boundary twice and never reaches the driver.
+# ---------------------------------------------------------------------------
+M6_HAMMING_MAX = 3  # pigeonhole-exact for the 4x16 banding
+M6_N_BASES = 6
+
+
+def audio_fingerprint64(x: np.ndarray) -> int:
+    """64-bit spectral energy-share fingerprint of a mono float signal:
+    bit i set iff rFFT band i holds at least 1/64 of total energy."""
+    mag = np.abs(np.fft.rfft(x))
+    mag = mag[1:]  # drop DC: amplitude offset is not timbre
+    e = np.array([float((b * b).sum()) for b in np.array_split(mag, 64)])
+    total = float(e.sum())
+    if total <= 0.0:
+        return 0
+    bits = e > total / 64.0
+    h = 0
+    for i, bit in enumerate(bits):
+        if bit:
+            h |= 1 << i
+    return h - (1 << 64) if h >= (1 << 63) else h  # int64 two's complement
+
+
+def _m6_clips() -> list:
+    """Deterministic WAV payloads: per base an 8-tone mix, an
+    amplitude-scaled exact near-dup (hamming 0 by the invariance law),
+    and a lightly-noised near-dup; different bases use disjoint
+    pseudo-random tone sets (far apart in Hamming space)."""
+    from tts_etl_pipeline_spark.audio.codecs import WAVE_FORMAT_PCM, wrap_wav
+
+    out = []
+    for i in range(M6_N_BASES):
+        rng = np.random.default_rng(6000 + i)
+        rate, n = 16000, 16000
+        t = np.arange(n) / rate
+        # 8 tones, each centered in a distinct 125 Hz band of [0, 8 kHz)
+        bands = rng.choice(np.arange(4, 60), size=9, replace=False)
+        base = np.zeros(n)
+        for bidx in bands[:8]:
+            base += 0.1 * np.sin(2 * np.pi * (bidx * 125.0 + 62.5) * t)
+        # the "noisy" variant gains ONE weak extra tone (energy share just
+        # over the 1/64 line -> exactly one extra bit) plus a noise floor:
+        # hamming(orig, noisy) = 1 exercises the confirm threshold, not
+        # just the hamming-0 fast path
+        noised = (
+            base
+            + 0.05 * np.sin(2 * np.pi * (bands[8] * 125.0 + 62.5) * t)
+            + 0.003 * rng.standard_normal(n)
+        )
+        for tag, x in (("orig", base), ("scaled", 0.45 * base), ("noisy", noised)):
+            pcm = np.round(np.clip(x, -0.999, 0.999) * 32767.0).astype(np.int16)
+            out.append(
+                (
+                    f"clip{i:02d}.{tag}",
+                    wrap_wav(WAVE_FORMAT_PCM, rate, pcm.tobytes(), 2, 16),
+                )
+            )
+    return out
+
+
+@_register("m6_audio_fingerprint_neardup", None)
+def m6_audio_fingerprint_neardup(spark, sf_dir: str) -> DataFrame:
+    """`sf_dir` unused (synthesized media, the uniform query signature)."""
+    from tts_etl_pipeline_spark.audio.decode import decode_wav_bytes
+    from tts_etl_pipeline_spark.functions.checkpoints import materialize
+
+    raw = spark.createDataFrame(
+        [(mid, "audio", payload) for mid, payload in _m6_clips()],
+        "media_id string, modality string, content binary",
+    )
+
+    def hash_pass(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = []
+            for c in pdf["content"]:
+                x, _rate, _ch = decode_wav_bytes(bytes(c))
+                hashes.append(audio_fingerprint64(x))
+            yield pd.DataFrame({"media_id": pdf["media_id"], "fp": hashes})
+
+    hashes = materialize(raw.mapInPandas(hash_pass, "media_id string, fp long"))
+    band_id = F.explode(F.array([F.lit(i) for i in range(4)])).alias("band_id")
+    bands = hashes.select("media_id", "fp", band_id).select(
+        "media_id",
+        "band_id",
+        F.expr("shiftrightunsigned(fp, band_id * 16) & 65535").alias("band_val"),
+    )
+    a = bands.select(F.col("media_id").alias("media_a"), "band_id", "band_val")
+    b = bands.select(F.col("media_id").alias("media_b"), "band_id", "band_val")
+    cand = (
+        a.join(b, ["band_id", "band_val"])
+        .filter(F.col("media_a") < F.col("media_b"))
+        .select("media_a", "media_b")
+        .distinct()
+    )
+    ha = hashes.select(F.col("media_id").alias("media_a"), F.col("fp").alias("h_a"))
+    hb = hashes.select(F.col("media_id").alias("media_b"), F.col("fp").alias("h_b"))
+    return (
+        cand.join(ha, "media_a")
+        .join(hb, "media_b")
+        .withColumn("hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))))
+        .filter(F.col("hamming") <= M6_HAMMING_MAX)
+        .select("media_a", "media_b", F.col("hamming").cast("int").alias("hamming"))
+        .orderBy("media_a", "media_b")
+    )

@@ -1200,3 +1200,63 @@ def st18_join_then_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = run_to_memory(hourly, "st18", output_mode="append")
     return out.orderBy("hour")
+
+
+# ---------------------------------------------------------------------------
+# st19 — stream-stream LEFT SEMI join: "clicks that converted within the
+# hour", emitting each matched CLICK exactly once regardless of how many
+# purchases landed in its window — the streaming EXISTS, and the third
+# stream-stream join mode after inner (st5) and left-outer-via-completion
+# (st12). Semantics worth the driver check: semi join emits on FIRST
+# match and never duplicates the left row on later matches (the inner
+# join would fan out; DISTINCT over st5's output costs a second stateful
+# dedup pass — semi state is one bit per buffered click). Same watermark
+# + interval state-expiry bounds as st5. Output is a click subset
+# (fact-scale, linear in the stream) -> parquet FILE sink, never driver
+# memory. Oracle: EXISTS with the identical interval.
+# ---------------------------------------------------------------------------
+@_register(
+    "st19_stream_semi_join",
+    """
+    SELECT c.user_id AS user_id, c.event_id AS click_id, epoch_us(c.ts) AS click_us
+    FROM events c
+    WHERE c.event_type = 'click' AND EXISTS (
+      SELECT 1 FROM events p
+      WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
+        AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    )
+    ORDER BY user_id, click_id
+    """,
+)
+def st19_stream_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    clicks = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .withWatermark("ts", "2 hours")
+        .select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    purchases = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+    )
+    matched = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+        "left_semi",
+    ).select(
+        "user_id",
+        "click_id",
+        F.unix_micros("click_ts").alias("click_us"),
+    )
+    return run_to_parquet(matched, "st19").orderBy("user_id", "click_id")

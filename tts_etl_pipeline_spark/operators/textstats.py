@@ -1428,3 +1428,82 @@ def t20_dsir_target_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(ratio, 6).alias("affinity"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# t21 — cross-language VOCABULARY-OVERLAP matrix: pairwise Jaccard of the
+# distinct-token sets of every language pair — the corpus diagnostic that
+# catches mislabeled languages (two "different" languages sharing most of
+# their vocabulary) and contamination between splits, and the set-level
+# complement of t18's per-document lang-ID confusion. Scale shape: ONE
+# documents scan builds the distinct (lang, token) relation, materialized
+# and reused as BOTH join sides (un-materialized self-union would
+# re-derive the explode+distinct twice); the token-keyed self-join is
+# bounded by vocabulary x |langs|², never the token stream; per-lang
+# vocabulary sizes rejoin from the same materialized relation. All
+# outputs are exact integers + the dq10 floor-div basis points.
+# ---------------------------------------------------------------------------
+@_register(
+    "t21_lang_vocab_overlap",
+    """
+    WITH lt AS (
+      SELECT DISTINCT lang, token FROM (
+        SELECT lang, unnest(string_split(lower(trim(text)), ' ')) AS token
+        FROM documents
+      ) WHERE token <> ''
+    ),
+    sizes AS (SELECT lang, COUNT(*) AS n FROM lt GROUP BY lang),
+    inter AS (
+      SELECT a.lang AS lang_a, b.lang AS lang_b, COUNT(*) AS n_common
+      FROM lt a JOIN lt b ON a.token = b.token AND a.lang < b.lang
+      GROUP BY a.lang, b.lang
+    )
+    SELECT lang_a, lang_b, n_common,
+           sa.n AS n_a, sb.n AS n_b,
+           CAST((10000 * n_common) // (sa.n + sb.n - n_common) AS BIGINT)
+             AS jaccard_bp
+    FROM inter
+    JOIN sizes sa ON sa.lang = inter.lang_a
+    JOIN sizes sb ON sb.lang = inter.lang_b
+    ORDER BY lang_a, lang_b
+    """,
+)
+def t21_lang_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("lang", "text")
+    lt = materialize(
+        docs.select(
+            "lang",
+            F.explode(F.split(F.lower(F.trim("text")), " ")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .distinct()
+    )
+    sizes = lt.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    a = lt.select(F.col("lang").alias("lang_a"), "token")
+    b = lt.select(F.col("lang").alias("lang_b"), "token")
+    inter = (
+        a.join(b, "token")
+        .filter(F.col("lang_a") < F.col("lang_b"))
+        .groupBy("lang_a", "lang_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("lang").alias("lang_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("lang").alias("lang_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "lang_a")  # |langs|-row side: bounded
+        .join(F.broadcast(sb), "lang_b")
+        .select(
+            "lang_a",
+            "lang_b",
+            "n_common",
+            "n_a",
+            "n_b",
+            F.floor(
+                (10000 * F.col("n_common"))
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+            )
+            .cast("bigint")
+            .alias("jaccard_bp"),
+        )
+        .orderBy("lang_a", "lang_b")
+    )
