@@ -1731,8 +1731,17 @@ def dq10_version_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum("n_chars").cast("bigint").alias(c_col),
             )
 
-        old_p = profile(read_version(spark, path, v_old), "n_old", "chars_old")
-        new_p = profile(read_version(spark, path, v_new), "n_new", "chars_new")
+        # materialize the |langs|-row profiles: each feeds BOTH the drift
+        # join and its totals aggregate, and without truncation the two
+        # consumers would scan each snapshot's files twice (invisible to
+        # the scan sweep behind the final localCheckpoint — review
+        # finding r7)
+        old_p = materialize(
+            profile(read_version(spark, path, v_old), "n_old", "chars_old")
+        )
+        new_p = materialize(
+            profile(read_version(spark, path, v_new), "n_new", "chars_new")
+        )
         tot = old_p.agg(F.sum("n_old").alias("t_old")).crossJoin(
             new_p.agg(F.sum("n_new").alias("t_new"))
         )

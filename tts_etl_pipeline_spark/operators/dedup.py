@@ -1112,7 +1112,13 @@ def d16_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("sh")
     )
-    tok_f = materialize(tok.join(scaled_broadcast(keep, sf_dir, "documents"), "sh"))
+    # the keep-list is an EXPLODED derivation (one distinct 5-gram per token
+    # position, mostly unique) — documents base bytes are not a conservative
+    # bound for it; scale the size evidence like d13's gram side (review
+    # finding r7, second occurrence)
+    tok_f = materialize(
+        tok.join(scaled_broadcast(keep, sf_dir, "documents", expansion=16), "sh")
+    )
     sizes = tok_f.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = tok_f.select(F.col("doc_id").alias("id_a"), "sh")
     b = tok_f.select(F.col("doc_id").alias("id_b"), "sh")

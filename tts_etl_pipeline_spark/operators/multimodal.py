@@ -1164,6 +1164,48 @@ def m4_audio_codec_features(spark, sf_dir: str) -> DataFrame:
     )
 
 
+def band_lsh_pairs(hashes, hash_col: str, hamming_max: int):
+    """4x16-bit band LSH over 64-bit perceptual hashes: candidate pairs
+    must share >= 1 exact band (pigeonhole-complete for pairs <= 3 bits
+    apart), then are confirmed JVM-side with bit_count(XOR) <= hamming_max.
+    ONE definition shared by m5 (images) and m6 (audio) so the banding
+    semantics cannot drift between modalities (review finding r7).
+    `hashes` carries (media_id, <hash_col> long); returns exact
+    (media_a, media_b, hamming) rows ordered by the pair."""
+    band_id = F.explode(F.array([F.lit(i) for i in range(4)])).alias("band_id")
+    bands = hashes.select("media_id", F.col(hash_col), band_id).select(
+        "media_id",
+        "band_id",
+        F.expr(f"shiftrightunsigned({hash_col}, band_id * 16) & 65535").alias(
+            "band_val"
+        ),
+    )
+    a = bands.select(F.col("media_id").alias("media_a"), "band_id", "band_val")
+    b = bands.select(F.col("media_id").alias("media_b"), "band_id", "band_val")
+    cand = (
+        a.join(b, ["band_id", "band_val"])
+        .filter(F.col("media_a") < F.col("media_b"))
+        .select("media_a", "media_b")
+        .distinct()
+    )
+    ha = hashes.select(
+        F.col("media_id").alias("media_a"), F.col(hash_col).alias("h_a")
+    )
+    hb = hashes.select(
+        F.col("media_id").alias("media_b"), F.col(hash_col).alias("h_b")
+    )
+    return (
+        cand.join(ha, "media_a")
+        .join(hb, "media_b")
+        .withColumn("hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))))
+        .filter(F.col("hamming") <= hamming_max)
+        .select(
+            "media_a", "media_b", F.col("hamming").cast("int").alias("hamming")
+        )
+        .orderBy("media_a", "media_b")
+    )
+
+
 # ---------------------------------------------------------------------------
 # m5 — PERCEPTUAL-HASH image near-dedup: the multimodal twin of the text
 # near-dup family (B6 meets B2). Each image is decoded through the REAL
@@ -1260,45 +1302,14 @@ def m5_image_dhash_neardup(spark, sf_dir: str) -> DataFrame:
             )
 
     hashes = materialize(raw.mapInPandas(hash_pass, "media_id string, dhash long"))
-    band_id = F.explode(F.array([F.lit(i) for i in range(4)])).alias("band_id")
-    bands = hashes.select("media_id", "dhash", band_id).select(
-        "media_id",
-        "dhash",
-        "band_id",
-        F.expr("shiftrightunsigned(dhash, band_id * 16) & 65535").alias(
-            "band_val"
-        ),
-    )
-    a = bands.select(
-        F.col("media_id").alias("media_a"), "band_id", "band_val"
-    )
-    b = bands.select(
-        F.col("media_id").alias("media_b"), "band_id", "band_val"
-    )
-    cand = (
-        a.join(b, ["band_id", "band_val"])
-        .filter(F.col("media_a") < F.col("media_b"))
-        .select("media_a", "media_b")
-        .distinct()
-    )
-    ha = hashes.select(F.col("media_id").alias("media_a"), F.col("dhash").alias("h_a"))
-    hb = hashes.select(F.col("media_id").alias("media_b"), F.col("dhash").alias("h_b"))
-    return (
-        cand.join(ha, "media_a")
-        .join(hb, "media_b")
-        .withColumn("hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))))
-        .filter(F.col("hamming") <= M5_HAMMING_MAX)
-        .select("media_a", "media_b", F.col("hamming").cast("int").alias("hamming"))
-        .orderBy("media_a", "media_b")
-    )
+    return band_lsh_pairs(hashes, "dhash", M5_HAMMING_MAX)
 
 
 # ---------------------------------------------------------------------------
 # m6 — AUDIO spectral-fingerprint near-dedup: m5's perceptual-hash pipeline
 # pointed at the audio modality (the remaining B6<->B2 bridge). Each clip
 # decodes through the real WAV path (audio/decode.py), reduces to a
-# 64-bit SPECTRAL fingerprint — 65 equal rFFT magnitude bands, bit i =
-# band_i > band_{i+1}, the dHash gradient-sign trick in frequency space —
+# 64-bit SPECTRAL fingerprint over 64 equal rFFT magnitude bands,
 # and near-duplicates are found by the identical 4x16-bit band LSH +
 # JVM-side bit_count(XOR) confirm. Bit i = "band i carries >= 1/64 of the
 # TOTAL spectral energy" — a ratio, so the fingerprint is provably
@@ -1395,27 +1406,4 @@ def m6_audio_fingerprint_neardup(spark, sf_dir: str) -> DataFrame:
             yield pd.DataFrame({"media_id": pdf["media_id"], "fp": hashes})
 
     hashes = materialize(raw.mapInPandas(hash_pass, "media_id string, fp long"))
-    band_id = F.explode(F.array([F.lit(i) for i in range(4)])).alias("band_id")
-    bands = hashes.select("media_id", "fp", band_id).select(
-        "media_id",
-        "band_id",
-        F.expr("shiftrightunsigned(fp, band_id * 16) & 65535").alias("band_val"),
-    )
-    a = bands.select(F.col("media_id").alias("media_a"), "band_id", "band_val")
-    b = bands.select(F.col("media_id").alias("media_b"), "band_id", "band_val")
-    cand = (
-        a.join(b, ["band_id", "band_val"])
-        .filter(F.col("media_a") < F.col("media_b"))
-        .select("media_a", "media_b")
-        .distinct()
-    )
-    ha = hashes.select(F.col("media_id").alias("media_a"), F.col("fp").alias("h_a"))
-    hb = hashes.select(F.col("media_id").alias("media_b"), F.col("fp").alias("h_b"))
-    return (
-        cand.join(ha, "media_a")
-        .join(hb, "media_b")
-        .withColumn("hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))))
-        .filter(F.col("hamming") <= M6_HAMMING_MAX)
-        .select("media_a", "media_b", F.col("hamming").cast("int").alias("hamming"))
-        .orderBy("media_a", "media_b")
-    )
+    return band_lsh_pairs(hashes, "fp", M6_HAMMING_MAX)

@@ -1294,13 +1294,15 @@ def _j4_dpp_join(spark: SparkSession, sf_dir: str):
     ev.write.partitionBy("event_date").mode("overwrite").parquet(
         f"{tmp}/j4_events_fact"
     )
+    fact = spark.read.schema(ev.schema).parquet(f"{tmp}/j4_events_fact")
     # day dim: one row per calendar day present, with its day-of-week
-    # (Spark dayofweek: 1=Sunday..7=Saturday)
-    ev.select("event_date").distinct().withColumn(
+    # (Spark dayofweek: 1=Sunday..7=Saturday). Derived from the WRITTEN
+    # layout's partition column — a partition-column-only projection is a
+    # directory listing, no data pages — so the source is scanned exactly
+    # once (the fact write), not twice (review finding r7).
+    fact.select("event_date").distinct().withColumn(
         "dow", F.dayofweek("event_date")
     ).write.mode("overwrite").parquet(f"{tmp}/j4_day_dim")
-
-    fact = spark.read.schema(ev.schema).parquet(f"{tmp}/j4_events_fact")
     dim = spark.read.parquet(f"{tmp}/j4_day_dim").filter(
         F.col("dow").isin(1, 7)  # weekend
     )

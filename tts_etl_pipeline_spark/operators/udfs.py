@@ -367,10 +367,17 @@ def u6_sql_udf_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def u7_sql_script_bisection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # parser feature flag: scope it to this call instead of leaking it into
+    # every later query in the shared session (review finding r7) — the
+    # script is parsed and its procedural body executed inside spark.sql(),
+    # so restoring afterwards cannot affect the returned (literal-backed)
+    # final SELECT
+    prior = spark.conf.get("spark.sql.scripting.enabled", None)
     spark.conf.set("spark.sql.scripting.enabled", "true")
     table(spark, sf_dir, "part").createOrReplaceTempView("__u7_part")
-    return spark.sql(
-        """
+    try:
+        return spark.sql(
+            """
         BEGIN
           DECLARE n BIGINT;
           DECLARE target BIGINT;
@@ -398,7 +405,12 @@ def u7_sql_script_bisection(spark: SparkSession, sf_dir: str) -> DataFrame:
                  nw AS n_within;
         END
         """
-    )
+        )
+    finally:
+        if prior is None:
+            spark.conf.unset("spark.sql.scripting.enabled")
+        else:
+            spark.conf.set("spark.sql.scripting.enabled", prior)
 
 
 # ---------------------------------------------------------------------------
