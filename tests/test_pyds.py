@@ -139,3 +139,58 @@ def test_synthetic_batch_empty_source(spark):
         .load().collect()
     )
     assert rows == []
+
+
+def test_jsonl_writer_two_phase_commit_roundtrip(spark, tmp_path):
+    """Happy path of the write protocol: staged files are published as
+    part-NNNNN.jsonl by the driver's commit(), the staging dir is swept,
+    and the same source reads back exactly what was written."""
+    from tts_etl_pipeline_spark.sources.pyds import register_sources
+
+    register_sources(spark)
+    target = str(tmp_path / "out")
+    import os
+
+    os.makedirs(target)
+    df = spark.createDataFrame(
+        [(1, "en", "web", "hello world"), (2, "de", "book", "hallo welt")],
+        "doc_id bigint, lang string, source string, text string",
+    )
+    df.write.format("jsonl_docs").mode("append").option("path", target).save()
+    names = sorted(os.listdir(target))
+    assert all(n.startswith("part-") and n.endswith(".jsonl") for n in names), names
+    assert "_staging" not in names
+    back = spark.read.format("jsonl_docs").option("path", target).load()
+    assert sorted(tuple(r) for r in back.collect()) == sorted(
+        tuple(r) for r in df.collect()
+    )
+
+
+def test_jsonl_writer_abort_leaves_no_visible_files(spark, tmp_path):
+    """Failure path: a task that dies mid-write must never publish — after
+    the job aborts, the target dir holds NO visible part files and no
+    staging leftovers (retries staged under fresh names; abort swept)."""
+    import os
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from tts_etl_pipeline_spark.sources.pyds import register_sources
+
+    register_sources(spark)
+    target = str(tmp_path / "out")
+    os.makedirs(target)
+
+    @F.udf("string")
+    def poison(s):
+        raise ValueError("boom")
+
+    df = spark.createDataFrame(
+        [(1, "en", "web", "hello")],
+        "doc_id bigint, lang string, source string, text string",
+    ).withColumn("text", poison("text"))
+    with _pytest.raises(Exception):
+        df.write.format("jsonl_docs").mode("append").option(
+            "path", target
+        ).save()
+    assert [n for n in os.listdir(target) if n.endswith(".jsonl")] == []

@@ -1340,3 +1340,60 @@ def j4_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         cleanup()
+
+
+# ---------------------------------------------------------------------------
+# j5 — custom Python DataSource WRITE path round-trip: documents stream
+# out through `format("jsonl_docs")` — whose writer implements the REAL
+# two-phase commit protocol (tasks stage uniquely-named files, only the
+# driver's commit() renames them visible, abort() sweeps the staging
+# dir; sources/pyds.py::JsonlWriter) — and come back through the same
+# source's reader. The oracle aggregates the ORIGINAL table, so the
+# driver-checked hash equality is the round-trip proof: the custom
+# format's write+read pair is semantically invisible, the same
+# layout-invisibility contract j2 (bucketing) and j3/j4 (partitioning)
+# pin for the built-in formats. Executors write their partitions
+# directly (payload never crosses the driver); the aggregate is
+# localCheckpoint'ed before the temp dir is removed (the j3 discipline).
+# Completes B14: read (batch + pushdown), stream (st11), and now write.
+# ---------------------------------------------------------------------------
+@_register(
+    "j5_pyds_writer_roundtrip",
+    """
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(length(text)) AS BIGINT) AS chars,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def j5_pyds_writer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from tts_etl_pipeline_spark.sources.pyds import register_sources
+
+    register_sources(spark)
+    tmp = tempfile.mkdtemp(prefix="j5_")
+    try:
+        docs = table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "source", "text"
+        )
+        docs.write.format("jsonl_docs").mode("append").option("path", tmp).save()
+        back = spark.read.format("jsonl_docs").option("path", tmp).load()
+        return (
+            back.groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum(F.length("text")).cast("bigint").alias("chars"),
+                F.min("doc_id").cast("bigint").alias("min_doc"),
+                F.max("doc_id").cast("bigint").alias("max_doc"),
+            )
+            .orderBy("lang")
+            .localCheckpoint(eager=True)  # materialize before tmp vanishes
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -32,8 +32,10 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceWriter,
     EqualTo,
     InputPartition,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -81,6 +83,59 @@ class JsonlReader(DataSourceReader):
                 yield tuple(rec.get(c) for c in cols)
 
 
+class _JsonlCommit(WriterCommitMessage):
+    def __init__(self, staged: str, rows: int):
+        self.staged = staged
+        self.rows = rows
+
+
+class JsonlWriter(DataSourceWriter):
+    """The WRITE half of the custom-source API, implementing the real
+    two-phase commit protocol: each task streams its partition to a
+    UNIQUELY-NAMED file under `<path>/_staging/` and returns the staged
+    name in its WriterCommitMessage; only the DRIVER's commit() publishes
+    (renames) staged files to visible `part-NNNNN.jsonl` names, and
+    abort() deletes whatever was staged. A reader can therefore never
+    observe a torn write: task retries stage under fresh names, losers
+    are swept by abort/commit, and visibility is a batch of renames —
+    the same staged-swap discipline as sources/sink.py::compact_parquet,
+    reproduced through the Python DataSource API surface."""
+
+    def __init__(self, options: dict, overwrite: bool):
+        self.dir = options["path"]
+        self.overwrite = overwrite
+
+    def write(self, iterator) -> _JsonlCommit:
+        import uuid
+
+        staging = os.path.join(self.dir, "_staging")
+        os.makedirs(staging, exist_ok=True)
+        staged = os.path.join(staging, f"{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(staged, "w", encoding="utf-8") as fh:
+            for row in iterator:
+                fh.write(json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _JsonlCommit(staged, n)
+
+    def commit(self, messages) -> None:
+        import shutil
+
+        if self.overwrite:
+            for f in os.listdir(self.dir):
+                if f.endswith(".jsonl"):
+                    os.remove(os.path.join(self.dir, f))
+        for i, m in enumerate(messages):
+            if m is not None:
+                os.replace(m.staged, os.path.join(self.dir, f"part-{i:05d}.jsonl"))
+        shutil.rmtree(os.path.join(self.dir, "_staging"), ignore_errors=True)
+
+    def abort(self, messages) -> None:
+        import shutil
+
+        shutil.rmtree(os.path.join(self.dir, "_staging"), ignore_errors=True)
+
+
 class JsonlDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -91,6 +146,9 @@ class JsonlDataSource(DataSource):
 
     def reader(self, schema: StructType) -> JsonlReader:
         return JsonlReader(schema, self.options)
+
+    def writer(self, schema: StructType, overwrite: bool) -> JsonlWriter:
+        return JsonlWriter(self.options, overwrite)
 
 
 # ---------------------------------------------------------------------------
