@@ -1260,3 +1260,90 @@ def st19_stream_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("click_ts").alias("click_us"),
     )
     return run_to_parquet(matched, "st19").orderBy("user_id", "click_id")
+
+
+# ---------------------------------------------------------------------------
+# st20 — custom Python DataSource STREAMING sink (DataSourceStreamWriter),
+# completing B14's four directions (batch read + pushdown, stream read
+# st11, batch write j5, stream write here). Events stream availableNow
+# into format("jsonl_docs")'s stream writer — the j5 staged-rename
+# protocol per micro-batch, made EXACTLY-ONCE by batch-id-keyed
+# idempotence (published names embed the batchId; commit() probes before
+# publishing, so a replayed batch discards its staged copies). The query
+# PROVES it: after the first run completes, a second full run with a
+# FRESH checkpoint replays every batch into the same directory and must
+# add nothing (the st14/st16 replay-inside-the-query discipline). The
+# result is read back with the built-in JSON reader (format interop) and
+# aggregated; doubles survive the JSON hop because json.dumps writes the
+# shortest round-trip repr. Oracle aggregates the source directly.
+# ---------------------------------------------------------------------------
+@_register(
+    "st20_pyds_stream_writer",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def st20_pyds_stream_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from tts_etl_pipeline_spark.sources.pyds import register_sources
+
+    register_sources(spark)
+    tmp = tempfile.mkdtemp(prefix="st20_")
+    out = os.path.join(tmp, "out")
+    os.makedirs(out)
+    try:
+        def run(ckpt: str) -> None:
+            stream = stream_events(spark, sf_dir).select(
+                "event_id",
+                "user_id",
+                "event_type",
+                "value",
+                F.unix_micros("ts").alias("ts_us"),
+            )
+            q = (
+                stream.writeStream.format("jsonl_docs")
+                .option("path", out)
+                .option("checkpointLocation", os.path.join(tmp, ckpt))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        run("ckpt1")
+        n_files = len([f for f in os.listdir(out) if f.endswith(".jsonl")])
+        run("ckpt2")  # FULL replay, fresh checkpoint: must publish nothing
+        n_files_after = len(
+            [f for f in os.listdir(out) if f.endswith(".jsonl")]
+        )
+        if n_files_after != n_files:
+            raise AssertionError(
+                f"stream-writer replay published {n_files_after - n_files} "
+                "extra files — batch-id idempotence broken"
+            )
+        back = spark.read.schema(
+            "event_id bigint, user_id bigint, event_type string, "
+            "value double, ts_us bigint"
+        ).json(out)
+        return (
+            back.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.countDistinct("user_id").alias("n_users"),
+                F.sum(F.col("value").cast("decimal(12,2)"))
+                .cast("double")
+                .alias("sum_value"),
+            )
+            .orderBy("event_type")
+            .localCheckpoint(eager=True)  # materialize before tmp vanishes
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -32,6 +32,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     EqualTo,
     InputPartition,
@@ -136,6 +137,61 @@ class JsonlWriter(DataSourceWriter):
         shutil.rmtree(os.path.join(self.dir, "_staging"), ignore_errors=True)
 
 
+class JsonlStreamWriter(DataSourceStreamWriter):
+    """STREAMING write half: the same staged-rename protocol per
+    micro-batch, made EXACTLY-ONCE by batch-id-keyed idempotence — the
+    published names embed the batchId, and commit() first probes for
+    them: a replayed batch (foreachBatch/stream sinks are at-least-once)
+    finds its files already published, discards its freshly staged
+    copies and returns, so duplicate delivery cannot duplicate data.
+    This is the st16 manifest-probe discipline expressed through the
+    DataSourceStreamWriter API (commit(messages, batchId) exists
+    precisely so sinks can key idempotence off the batch id)."""
+
+    def __init__(self, options: dict):
+        self.dir = options["path"]
+
+    def write(self, iterator) -> _JsonlCommit:
+        import uuid
+
+        staging = os.path.join(self.dir, "_staging")
+        os.makedirs(staging, exist_ok=True)
+        staged = os.path.join(staging, f"{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(staged, "w", encoding="utf-8") as fh:
+            for row in iterator:
+                fh.write(json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _JsonlCommit(staged, n)
+
+    def _published(self, batch_id: int) -> bool:
+        prefix = f"batch-{batch_id:05d}-"
+        return any(
+            f.startswith(prefix) and f.endswith(".jsonl")
+            for f in os.listdir(self.dir)
+        )
+
+    def commit(self, messages, batchId: int) -> None:
+        if self._published(batchId):  # replayed batch: already published
+            for m in messages:
+                if m is not None and os.path.exists(m.staged):
+                    os.remove(m.staged)
+            return
+        for i, m in enumerate(messages):
+            if m is not None:
+                os.replace(
+                    m.staged,
+                    os.path.join(
+                        self.dir, f"batch-{batchId:05d}-part-{i:05d}.jsonl"
+                    ),
+                )
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m is not None and os.path.exists(m.staged):
+                os.remove(m.staged)
+
+
 class JsonlDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -149,6 +205,9 @@ class JsonlDataSource(DataSource):
 
     def writer(self, schema: StructType, overwrite: bool) -> JsonlWriter:
         return JsonlWriter(self.options, overwrite)
+
+    def streamWriter(self, schema: StructType, overwrite: bool) -> JsonlStreamWriter:
+        return JsonlStreamWriter(self.options)
 
 
 # ---------------------------------------------------------------------------
