@@ -194,3 +194,42 @@ def test_jsonl_writer_abort_leaves_no_visible_files(spark, tmp_path):
             "path", target
         ).save()
     assert [n for n in os.listdir(target) if n.endswith(".jsonl")] == []
+
+
+def test_jsonl_stream_writer_abort_leaves_no_published_files(spark, tmp_path):
+    """Streaming failure path: a micro-batch whose task dies mid-write must
+    never publish — abort(messages, batchId) sweeps the staged copies and
+    the target dir stays free of batch-* files."""
+    import os
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from tts_etl_pipeline_spark.sources.pyds import register_sources
+
+    register_sources(spark)
+    src_dir, out = str(tmp_path / "src"), str(tmp_path / "out")
+    os.makedirs(out)
+    df = spark.createDataFrame(
+        [(1, "x")], "id bigint, s string"
+    )
+    df.write.parquet(src_dir)
+
+    @F.udf("string")
+    def poison(s):
+        raise ValueError("boom")
+
+    stream = (
+        spark.readStream.schema(df.schema).parquet(src_dir)
+        .withColumn("s", poison("s"))
+    )
+    q = (
+        stream.writeStream.format("jsonl_docs")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    with _pytest.raises(Exception):
+        q.awaitTermination()
+    assert [f for f in os.listdir(out) if f.endswith(".jsonl")] == []

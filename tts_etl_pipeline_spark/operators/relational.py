@@ -1397,3 +1397,79 @@ def j5_pyds_writer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# j6 — SCHEMA-DRIFT scan (mergeSchema): a 100 TB lake's table is written
+# by years of pipeline versions, and its parquet files disagree — early
+# files lack columns later ones carry. `mergeSchema=true` unions the
+# footer schemas at planning time and serves missing columns as NULLs,
+# so one scan reads every vintage without a migration rewrite. The
+# layout: vintage-1 orders files carry (o_orderkey, o_orderdate,
+# o_totalprice); vintage-2 adds o_orderpriority — exactly s2's
+# union-by-name drift, pushed down from the DataFrame layer into the
+# SOURCE. Per-vintage aggregates keyed by whether the new column is
+# NULL prove which rows came from which vintage with no file-name
+# bookkeeping. Note the cost the docstring owes the 100 TB reader:
+# mergeSchema reads EVERY file footer at planning time — fine per
+# directory/partition, wrong as a default over a million-file table
+# (that is what the round's versioned-table manifests are for).
+# ---------------------------------------------------------------------------
+@_register(
+    "j6_mergeschema_scan",
+    """
+    WITH v1 AS (
+      SELECT o_orderkey, o_orderdate, o_totalprice, NULL AS o_orderpriority
+      FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    v2 AS (
+      SELECT o_orderkey, o_orderdate, o_totalprice, o_orderpriority
+      FROM orders WHERE o_orderkey % 2 = 1
+    ),
+    unioned AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+    SELECT COALESCE(o_orderpriority, '<pre-schema>') AS priority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+             AS total_price,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key
+    FROM unioned
+    GROUP BY 1
+    ORDER BY priority
+    """,
+)
+def j6_mergeschema_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="j6_")
+    try:
+        orders = table(spark, sf_dir, "orders")
+        v1 = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+            "o_orderkey", "o_orderdate", "o_totalprice"
+        )
+        v2 = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+            "o_orderkey", "o_orderdate", "o_totalprice", "o_orderpriority"
+        )
+        v1.write.parquet(f"{tmp}/t/vintage=1")
+        v2.write.parquet(f"{tmp}/t/vintage=2")
+        back = spark.read.option("mergeSchema", "true").parquet(
+            f"{tmp}/t/vintage=1", f"{tmp}/t/vintage=2"
+        )
+        return (
+            back.groupBy(
+                F.coalesce("o_orderpriority", F.lit("<pre-schema>")).alias(
+                    "priority"
+                )
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+                .cast("double")
+                .alias("total_price"),
+                F.min("o_orderkey").cast("bigint").alias("min_key"),
+            )
+            .orderBy("priority")
+            .localCheckpoint(eager=True)  # materialize before tmp vanishes
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
