@@ -316,3 +316,39 @@ def test_d16_containment_detects_exact_duplicates(spark, tmp_path):
     assert all(c != 3 for c, _ in rows)  # too short to be "contained"
     assert (0, 2) not in rows  # asymmetry: the big doc is NOT in the excerpt
     assert not any(3 in p or 4 in p for p in rows)
+
+
+@given(
+    seed=st.integers(min_value=0, max_value=10_000),
+    scale=st.floats(min_value=0.05, max_value=0.95),
+)
+@settings(max_examples=25, deadline=None)
+def test_audio_fingerprint_scale_invariance(seed, scale):
+    """m6's invariance law as a PROPERTY, through the real WAV encode ->
+    decode -> fingerprint path: for ANY deterministic tone set and ANY
+    amplitude scale in [0.05, 0.95], the energy-share fingerprint is
+    bit-identical — including the int16 quantization the scaling
+    changes. This is where the law could actually break (a band whose
+    share drifts across the 1/64 line under coarser quantization), so
+    it gets fuzzed, not just the six fixture bases."""
+    import numpy as np
+
+    from tts_etl_pipeline_spark.audio.codecs import WAVE_FORMAT_PCM, wrap_wav
+    from tts_etl_pipeline_spark.audio.decode import decode_wav_bytes
+    from tts_etl_pipeline_spark.operators.multimodal import audio_fingerprint64
+
+    rng = np.random.default_rng(seed)
+    rate, n = 16000, 16000
+    t = np.arange(n) / rate
+    bands = rng.choice(np.arange(4, 60), size=8, replace=False)
+    x = np.zeros(n)
+    for bidx in bands:
+        x += 0.1 * np.sin(2 * np.pi * (float(bidx) * 125.0 + 62.5) * t)
+
+    def fp(sig):
+        pcm = np.round(np.clip(sig, -0.999, 0.999) * 32767.0).astype(np.int16)
+        payload = wrap_wav(WAVE_FORMAT_PCM, rate, pcm.tobytes(), 2, 16)
+        decoded, _r, _c = decode_wav_bytes(payload)
+        return audio_fingerprint64(decoded)
+
+    assert fp(x) == fp(scale * x)

@@ -271,3 +271,46 @@ def test_st18_join_delays_downstream_watermark_by_interval(spark, tmp_path):
     # each purchase matches the ~6 clicks in its trailing hour: 6 purchases
     # x 6 clicks = 36 pairs per steady-state hour (hour 0 ramps up)
     assert all(n == 36 for h, n in got.items() if h > 0), got
+
+
+def test_append_window_emits_at_exact_watermark_equality(spark, tmp_path):
+    """The st17/st18 oracles encode emission as window_end <= watermark.
+    This pins the boundary CASE of that contract: with the max event time
+    placed so the watermark lands EXACTLY on a window's end (maxts - 2h
+    == 10:00:00.000000 == end of the 09:00 hour), Spark emits that
+    window — eviction is <=, not strict <. If a Spark upgrade flipped
+    this, both oracles would be off by one window on boundary-aligned
+    data; this fails first."""
+    import datetime
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    base = datetime.datetime(2024, 3, 1)
+    rows, eid = [], 0
+    for h in range(10):
+        for m in (5, 35):
+            rows.append((eid, base + datetime.timedelta(hours=h, minutes=m)))
+            eid += 1
+    rows.append((eid, base + datetime.timedelta(hours=12)))  # wm -> 10:00:00
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp")
+    src_dir = str(tmp_path / "ev")
+    df.write.parquet(src_dir)
+    hourly = (
+        spark.readStream.schema(df.schema)
+        .parquet(src_dir)
+        .withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("win"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    name = f"wmedge_{uuid.uuid4().hex[:8]}"
+    q = (
+        hourly.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    hours = sorted(r["win"].start.hour for r in spark.table(name).collect())
+    assert hours == list(range(10)), hours  # hour 9 (end == wm) included
