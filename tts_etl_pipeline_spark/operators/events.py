@@ -1248,3 +1248,87 @@ def h6_time_weighted_average(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# e13 — DYNAMIC-GAP session windows: F.session_window accepts a per-row
+# COLUMN gap (Spark 3.2+), so the inactivity timeout can depend on the
+# event itself — here conversion-class events (purchase/signup) hold a
+# session open for 2 hours while browse-class events (view/click/error)
+# allow only 30 minutes, the "a purchase keeps the visit alive" rule no
+# fixed-gap sessionizer can express. Same single user_id shuffle as e11;
+# the same expression runs under Structured Streaming. Session algebra:
+# each event extends its session to ts + gap(event); an event joins when
+# its ts <= the running max of prior ends (e11's empirically-pinned
+# boundary: touching exactly MERGES), which is exactly the oracle's
+# gaps-and-islands twin — running MAX(end) over preceding rows, break on
+# ts > that max, cumulative-sum session ids. Second-truncated timestamps
+# keep both engines on identical integer seconds; outputs are picks and
+# counts only.
+# ---------------------------------------------------------------------------
+@_register(
+    "e13_dynamic_gap_sessions",
+    """
+    WITH ev AS (
+      SELECT user_id, event_id, date_trunc('second', ts) AS tss,
+             CASE WHEN event_type IN ('purchase', 'signup')
+                  THEN 7200 ELSE 1800 END AS gap_s
+      FROM events
+    ),
+    ends AS (
+      SELECT user_id, event_id, tss,
+             tss + to_seconds(gap_s) AS e,
+             MAX(tss + to_seconds(gap_s)) OVER (
+               PARTITION BY user_id ORDER BY tss, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS prev_max_end
+      FROM ev
+    ),
+    flagged AS (
+      SELECT user_id, event_id, tss, e,
+             CASE WHEN prev_max_end IS NULL OR tss > prev_max_end
+                  THEN 1 ELSE 0 END AS brk
+      FROM ends
+    ),
+    sess AS (
+      SELECT user_id, tss, e,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY tss, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           strftime(MIN(tss), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(MAX(e), '%Y-%m-%d %H:%M:%S') AS session_end,
+           COUNT(*) AS n_events
+    FROM sess
+    GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+    """,
+)
+def e13_dynamic_gap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.date_trunc("second", F.col("ts").cast("timestamp")).alias("tss"),
+    )
+    # the gap column must be CalendarIntervalType — ANSI interval literals
+    # are DayTimeIntervalType and session_window rejects them; make_interval
+    # is the constructor that still yields the calendar type
+    gap = F.expr(
+        "make_interval(0, 0, 0, 0, 0, "
+        "CASE WHEN event_type IN ('purchase', 'signup') THEN 120 ELSE 30 END, 0)"
+    )
+    return (
+        ev.groupBy("user_id", F.session_window("tss", gap))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format(F.col("session_window.start"), "yyyy-MM-dd HH:mm:ss")
+            .alias("session_start"),
+            F.date_format(F.col("session_window.end"), "yyyy-MM-dd HH:mm:ss")
+            .alias("session_end"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )

@@ -517,3 +517,62 @@ def s6_lateral_topk_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY n.n_name, l.c_acctbal DESC, l.c_name
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# s7 — NULL-SAFE equality join (<=> / eqNullSafe): standard SQL equality
+# never matches NULL = NULL, so rows with a missing key silently vanish
+# from inner joins — the classic "where did 3% of my rows go" bug when a
+# bucketing key is nullable. Spark's <=> treats NULL as a VALUE (one
+# more key bucket), and Catalyst still plans a HASH join for it (NULL
+# hashes like any key) — no nested-loop penalty. The query buckets
+# customers by a deliberately-nullable key (bucket 3 is nullified on
+# BOTH sides) and joins a 7-row bucket dim null-safely: the NULL bucket
+# row aggregates the NULL-key customers instead of dropping them. Dim is
+# literal-bounded (hard broadcast is policy-sound); DuckDB's spelling is
+# IS NOT DISTINCT FROM. The join-key audit twin of s3's null-GROUPING
+# semantics.
+# ---------------------------------------------------------------------------
+@_register(
+    "s7_nullsafe_join",
+    """
+    WITH dim AS (
+      SELECT NULLIF(v, 3) AS dkey,
+             'bucket_' || CAST(v AS VARCHAR) AS bucket
+      FROM (SELECT unnest(range(0, 7)) AS v)
+    ),
+    cust AS (
+      SELECT c_custkey, c_acctbal, NULLIF(c_custkey % 7, 3) AS key
+      FROM customer
+    )
+    SELECT bucket,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal,
+           CAST(MIN(c_custkey) AS BIGINT) AS min_key
+    FROM cust JOIN dim ON key IS NOT DISTINCT FROM dkey
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+)
+def s7_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dim = spark.createDataFrame([(i,) for i in range(7)], "v int").select(
+        F.nullif(F.col("v").cast("bigint"), F.lit(3)).alias("dkey"),
+        F.concat(F.lit("bucket_"), F.col("v").cast("string")).alias("bucket"),
+    )
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_acctbal",
+        F.nullif(F.col("c_custkey") % 7, F.lit(3)).alias("key"),
+    )
+    return (
+        cust.join(F.broadcast(dim), cust.key.eqNullSafe(dim.dkey))  # 7-row dim
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("total_bal"),
+            F.min("c_custkey").cast("bigint").alias("min_key"),
+        )
+        .orderBy("bucket")
+    )
