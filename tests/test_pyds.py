@@ -233,3 +233,64 @@ def test_jsonl_stream_writer_abort_leaves_no_published_files(spark, tmp_path):
     with _pytest.raises(Exception):
         q.awaitTermination()
     assert [f for f in os.listdir(out) if f.endswith(".jsonl")] == []
+
+
+def test_jsonl_writer_append_never_clobbers_prior_writes(spark, tmp_path):
+    """Publish names are uuid-unique, so a second append to the same
+    directory must leave the first write's rows intact (review finding
+    r7: indexed part names made append a silent partial overwrite)."""
+    import os
+
+    from tts_etl_pipeline_spark.sources.pyds import register_sources
+
+    register_sources(spark)
+    target = str(tmp_path / "out")
+    os.makedirs(target)
+    schema = "doc_id bigint, lang string, source string, text string"
+    df1 = spark.createDataFrame([(1, "en", "web", "one")], schema)
+    df2 = spark.createDataFrame([(2, "de", "book", "two")], schema)
+    for df in (df1, df2):
+        df.write.format("jsonl_docs").mode("append").option(
+            "path", target
+        ).save()
+    back = spark.read.format("jsonl_docs").option("path", target).load()
+    assert sorted(r["doc_id"] for r in back.collect()) == [1, 2]
+    assert "_staging" not in os.listdir(target)
+
+
+def test_jsonl_stream_writer_recovers_partial_publish(spark, tmp_path):
+    """Crash-mid-publish recovery: a batch-0 part file exists but its
+    _committed marker does NOT (the torn state a driver death between
+    renames leaves behind). The replayed commit must discard the partial
+    part, republish the full batch, and plant the marker — no lost
+    partitions, no duplicates (review finding r7: an any-part-file probe
+    would have kept the partial file and dropped the rest)."""
+    import os
+
+    from tts_etl_pipeline_spark.sources.pyds import register_sources
+
+    register_sources(spark)
+    src_dir, out = str(tmp_path / "src"), str(tmp_path / "out")
+    os.makedirs(out)
+    df = spark.createDataFrame(
+        [(i, "en", "web", f"doc {i}") for i in range(50)],
+        "doc_id bigint, lang string, source string, text string",
+    )
+    df.repartition(4).write.parquet(src_dir)
+    # fake the torn state: one stale partial part for batch 0, no marker
+    with open(os.path.join(out, "batch-00000-part-00000.jsonl"), "w") as fh:
+        fh.write('{"doc_id": 999999, "lang": "xx", "source": "stale", "text": "partial"}\n')
+    q = (
+        spark.readStream.schema(df.schema)
+        .parquet(src_dir)
+        .writeStream.format("jsonl_docs")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    back = spark.read.format("jsonl_docs").option("path", out).load()
+    got = sorted(r["doc_id"] for r in back.collect())
+    assert got == list(range(50)), got[:5]  # stale partial gone, all rows once
+    assert any(f.startswith("_committed-batch-") for f in os.listdir(out))

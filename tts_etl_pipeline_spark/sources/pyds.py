@@ -90,106 +90,123 @@ class _JsonlCommit(WriterCommitMessage):
         self.rows = rows
 
 
+def _stage_partition(target_dir: str, iterator) -> _JsonlCommit:
+    """Shared task-side half of both write protocols: stream the partition
+    to a uniquely-named file under `<target>/_staging/` and hand the name
+    back in the commit message. Task retries stage under fresh names;
+    nothing a task does is ever visible to readers (JsonlReader lists only
+    top-level `*.jsonl`, and Spark readers skip `_`-prefixed paths)."""
+    import uuid
+
+    staging = os.path.join(target_dir, "_staging")
+    os.makedirs(staging, exist_ok=True)
+    staged = os.path.join(staging, f"{uuid.uuid4().hex}.jsonl")
+    n = 0
+    with open(staged, "w", encoding="utf-8") as fh:
+        for row in iterator:
+            fh.write(json.dumps(row.asDict()) + "\n")
+            n += 1
+    return _JsonlCommit(staged, n)
+
+
+def _sweep_staging(target_dir: str) -> None:
+    import shutil
+
+    shutil.rmtree(os.path.join(target_dir, "_staging"), ignore_errors=True)
+
+
 class JsonlWriter(DataSourceWriter):
-    """The WRITE half of the custom-source API, implementing the real
-    two-phase commit protocol: each task streams its partition to a
-    UNIQUELY-NAMED file under `<path>/_staging/` and returns the staged
-    name in its WriterCommitMessage; only the DRIVER's commit() publishes
-    (renames) staged files to visible `part-NNNNN.jsonl` names, and
-    abort() deletes whatever was staged. A reader can therefore never
-    observe a torn write: task retries stage under fresh names, losers
-    are swept by abort/commit, and visibility is a batch of renames —
-    the same staged-swap discipline as sources/sink.py::compact_parquet,
-    reproduced through the Python DataSource API surface."""
+    """Batch write half of the custom-source API: tasks stage (above), and
+    only the DRIVER's commit() publishes staged files under fresh
+    uuid-unique `part-*.jsonl` names — append can therefore NEVER clobber
+    an earlier write's files, and a failed job (abort()) just sweeps the
+    staging dir. Honest atomicity contract on a plain directory:
+    task-level writes are all-or-nothing and append publication is
+    crash-safe (worst case: some parts published, no marker protocol —
+    the batch API has no replay, so a failed job simply reruns), while
+    OVERWRITE publishes the new files FIRST and deletes the old vintage
+    last — a crash in between leaves both vintages visible, never
+    neither. Full ACID overwrite is what sources/versioned.py's manifest
+    tables are for; this source pins the DataSourceWriter protocol."""
 
     def __init__(self, options: dict, overwrite: bool):
         self.dir = options["path"]
         self.overwrite = overwrite
 
     def write(self, iterator) -> _JsonlCommit:
-        import uuid
-
-        staging = os.path.join(self.dir, "_staging")
-        os.makedirs(staging, exist_ok=True)
-        staged = os.path.join(staging, f"{uuid.uuid4().hex}.jsonl")
-        n = 0
-        with open(staged, "w", encoding="utf-8") as fh:
-            for row in iterator:
-                fh.write(json.dumps(row.asDict()) + "\n")
-                n += 1
-        return _JsonlCommit(staged, n)
+        return _stage_partition(self.dir, iterator)
 
     def commit(self, messages) -> None:
-        import shutil
+        import uuid
 
-        if self.overwrite:
-            for f in os.listdir(self.dir):
-                if f.endswith(".jsonl"):
-                    os.remove(os.path.join(self.dir, f))
-        for i, m in enumerate(messages):
+        os.makedirs(self.dir, exist_ok=True)
+        old = (
+            [f for f in os.listdir(self.dir) if f.endswith(".jsonl")]
+            if self.overwrite
+            else []
+        )
+        for m in messages:
             if m is not None:
-                os.replace(m.staged, os.path.join(self.dir, f"part-{i:05d}.jsonl"))
-        shutil.rmtree(os.path.join(self.dir, "_staging"), ignore_errors=True)
+                os.replace(
+                    m.staged,
+                    os.path.join(self.dir, f"part-{uuid.uuid4().hex}.jsonl"),
+                )
+        # overwrite: old vintage removed only AFTER the new one is visible
+        for f in old:
+            os.remove(os.path.join(self.dir, f))
+        _sweep_staging(self.dir)
 
     def abort(self, messages) -> None:
-        import shutil
-
-        shutil.rmtree(os.path.join(self.dir, "_staging"), ignore_errors=True)
+        _sweep_staging(self.dir)
 
 
 class JsonlStreamWriter(DataSourceStreamWriter):
-    """STREAMING write half: the same staged-rename protocol per
-    micro-batch, made EXACTLY-ONCE by batch-id-keyed idempotence — the
-    published names embed the batchId, and commit() first probes for
-    them: a replayed batch (foreachBatch/stream sinks are at-least-once)
-    finds its files already published, discards its freshly staged
-    copies and returns, so duplicate delivery cannot duplicate data.
-    This is the st16 manifest-probe discipline expressed through the
-    DataSourceStreamWriter API (commit(messages, batchId) exists
-    precisely so sinks can key idempotence off the batch id)."""
+    """STREAMING write half, EXACTLY-ONCE under replay via the st16
+    manifest discipline done properly: each batch's parts publish under
+    deterministic `batch-NNNNN-part-MMMMM.jsonl` names and a `_committed-`
+    MARKER file (underscore-prefixed: invisible to Spark readers and to
+    JsonlReader's *.jsonl listing) is written LAST — commit() probes the
+    MARKER, not the part files, so a crash mid-publish (marker absent)
+    makes the replay first remove the partial parts, then republish all
+    of them, then plant the marker; a replay after a completed publish
+    (marker present) discards its staged copies and changes nothing. An
+    any-part-file probe would instead mistake a partial publish for a
+    complete one and drop the missing partitions (review finding r7)."""
 
     def __init__(self, options: dict):
         self.dir = options["path"]
 
     def write(self, iterator) -> _JsonlCommit:
-        import uuid
+        return _stage_partition(self.dir, iterator)
 
-        staging = os.path.join(self.dir, "_staging")
-        os.makedirs(staging, exist_ok=True)
-        staged = os.path.join(staging, f"{uuid.uuid4().hex}.jsonl")
-        n = 0
-        with open(staged, "w", encoding="utf-8") as fh:
-            for row in iterator:
-                fh.write(json.dumps(row.asDict()) + "\n")
-                n += 1
-        return _JsonlCommit(staged, n)
-
-    def _published(self, batch_id: int) -> bool:
-        prefix = f"batch-{batch_id:05d}-"
-        return any(
-            f.startswith(prefix) and f.endswith(".jsonl")
-            for f in os.listdir(self.dir)
-        )
+    def _marker(self, batch_id: int) -> str:
+        return os.path.join(self.dir, f"_committed-batch-{batch_id:05d}")
 
     def commit(self, messages, batchId: int) -> None:
-        if self._published(batchId):  # replayed batch: already published
-            for m in messages:
-                if m is not None and os.path.exists(m.staged):
-                    os.remove(m.staged)
+        os.makedirs(self.dir, exist_ok=True)
+        if os.path.exists(self._marker(batchId)):  # fully published before
+            _sweep_staging(self.dir)
             return
+        # remove any partial parts from a crashed earlier publish
+        prefix = f"batch-{batchId:05d}-"
+        for f in os.listdir(self.dir):
+            if f.startswith(prefix) and f.endswith(".jsonl"):
+                os.remove(os.path.join(self.dir, f))
         for i, m in enumerate(messages):
             if m is not None:
                 os.replace(
                     m.staged,
-                    os.path.join(
-                        self.dir, f"batch-{batchId:05d}-part-{i:05d}.jsonl"
-                    ),
+                    os.path.join(self.dir, f"{prefix}part-{i:05d}.jsonl"),
                 )
+        with open(self._marker(batchId), "w", encoding="utf-8") as fh:
+            fh.write(str(len([m for m in messages if m is not None])))
+        _sweep_staging(self.dir)
 
     def abort(self, messages, batchId: int) -> None:
-        for m in messages:
-            if m is not None and os.path.exists(m.staged):
-                os.remove(m.staged)
+        # sweep the WHOLE staging dir: failed/retried tasks' staged files
+        # carry no commit message, so sweeping only message-listed files
+        # would orphan them (micro-batches are sequential — safe)
+        _sweep_staging(self.dir)
 
 
 class JsonlDataSource(DataSource):
