@@ -294,3 +294,39 @@ def test_jsonl_stream_writer_recovers_partial_publish(spark, tmp_path):
     got = sorted(r["doc_id"] for r in back.collect())
     assert got == list(range(50)), got[:5]  # stale partial gone, all rows once
     assert any(f.startswith("_committed-batch-") for f in os.listdir(out))
+
+
+def test_staging_is_namespaced_per_job(spark, tmp_path):
+    """ADVICE r8: two jobs writing the same target must not sweep each
+    other's staged files. Simulate job A mid-stage (a staged file in its
+    own _staging/<uuid>/ subdir, fresh mtime), then run job B to a full
+    commit — A's staged file must survive B's sweep."""
+    import os
+
+    from tts_etl_pipeline_spark.sources.pyds import register_sources
+
+    register_sources(spark)
+    target = str(tmp_path / "out")
+    os.makedirs(target)
+    # job A: freshly staged file from a concurrent in-flight writer
+    a_dir = os.path.join(target, "_staging", "jobA")
+    os.makedirs(a_dir)
+    a_staged = os.path.join(a_dir, "inflight.jsonl")
+    with open(a_staged, "w", encoding="utf-8") as fh:
+        fh.write('{"doc_id": 99}\n')
+    # job B: complete batch write (stages in its OWN subdir, then sweeps)
+    df = spark.createDataFrame(
+        [(1, "en", "web", "hello")],
+        "doc_id bigint, lang string, source string, text string",
+    )
+    df.write.format("jsonl_docs").mode("append").option("path", target).save()
+    assert os.path.exists(a_staged), "job B's sweep deleted job A's staged file"
+    # ...but an ORPHAN subdir older than the grace window is reclaimed
+    old = 10_000.0
+    os.utime(a_staged, (old, old))
+    os.utime(a_dir, (old, old))
+    df.write.format("jsonl_docs").mode("append").option("path", target).save()
+    assert not os.path.exists(a_dir)
+    # published parts from both writes are intact and readable
+    back = spark.read.format("jsonl_docs").option("path", target).load()
+    assert back.count() == 2

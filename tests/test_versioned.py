@@ -622,3 +622,24 @@ def test_table_changes_mixed_legacy_manifest_unions_file_schema(spark, tmp_path)
         ("b", None, "insert"),
         ("b", 2, "delete"),
     }
+
+
+def test_stream_changes_refuses_reserved_change_type_at_v1(spark, tmp_path):
+    """ADVICE r8: the version-1 snapshot batch must enforce the same
+    reserved-name refusal table_changes does — withColumn would otherwise
+    silently REPLACE a user column named _change_type in the first
+    micro-batch while every later batch raises."""
+    import pytest as _pytest
+
+    from tts_etl_pipeline_spark.sources.versioned import stream_changes
+
+    path = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    write_version(
+        spark.createDataFrame(
+            [(1, "user-owned")], "k long, _change_type string"
+        ),
+        path,
+    )  # v1
+    with _pytest.raises(ValueError, match="_change_type"):
+        stream_changes(spark, path, ckpt, lambda df, v: df.collect())

@@ -90,17 +90,21 @@ class _JsonlCommit(WriterCommitMessage):
         self.rows = rows
 
 
-def _stage_partition(target_dir: str, iterator) -> _JsonlCommit:
+def _stage_partition(staging_dir: str, iterator) -> _JsonlCommit:
     """Shared task-side half of both write protocols: stream the partition
-    to a uniquely-named file under `<target>/_staging/` and hand the name
-    back in the commit message. Task retries stage under fresh names;
+    to a uniquely-named file under the OWNING JOB's
+    `<target>/_staging/<job-uuid>/` subdirectory and hand the name back in
+    the commit message. Staging is namespaced per writer instance (the
+    uuid is minted driver-side in __init__ and rides the pickled writer to
+    tasks) so two concurrent jobs writing the same target — e.g. a batch
+    JsonlWriter alongside a JsonlStreamWriter — can never sweep each
+    other's staged files mid-job. Task retries stage under fresh names;
     nothing a task does is ever visible to readers (JsonlReader lists only
     top-level `*.jsonl`, and Spark readers skip `_`-prefixed paths)."""
     import uuid
 
-    staging = os.path.join(target_dir, "_staging")
-    os.makedirs(staging, exist_ok=True)
-    staged = os.path.join(staging, f"{uuid.uuid4().hex}.jsonl")
+    os.makedirs(staging_dir, exist_ok=True)
+    staged = os.path.join(staging_dir, f"{uuid.uuid4().hex}.jsonl")
     n = 0
     with open(staged, "w", encoding="utf-8") as fh:
         for row in iterator:
@@ -109,10 +113,41 @@ def _stage_partition(target_dir: str, iterator) -> _JsonlCommit:
     return _JsonlCommit(staged, n)
 
 
-def _sweep_staging(target_dir: str) -> None:
-    import shutil
+# a sibling staging subdir untouched for this long is a crashed job's
+# orphan — mirrors versioned.py vacuum's grace-period contract: must
+# exceed the longest plausible stage duration of a LIVE concurrent job
+_STAGING_ORPHAN_SECONDS = 3600.0
 
-    shutil.rmtree(os.path.join(target_dir, "_staging"), ignore_errors=True)
+
+def _sweep_staging(target_dir: str, staging_dir: str) -> None:
+    """Remove only the owning job's staging subdirectory, then age-gated
+    orphans from crashed jobs (newest mtime inside the sibling subdir must
+    be older than the grace window — a live job staging rows keeps its
+    files fresh), and finally the `_staging` root once empty."""
+    import shutil
+    import time
+
+    shutil.rmtree(staging_dir, ignore_errors=True)
+    root = os.path.join(target_dir, "_staging")
+    try:
+        now = time.time()
+        for fn in os.listdir(root):
+            sub = os.path.join(root, fn)
+            try:
+                newest = max(
+                    [os.path.getmtime(sub)]
+                    + [
+                        os.path.getmtime(os.path.join(sub, f))
+                        for f in os.listdir(sub)
+                    ]
+                )
+                if now - newest >= _STAGING_ORPHAN_SECONDS:
+                    shutil.rmtree(sub, ignore_errors=True)
+            except (FileNotFoundError, NotADirectoryError):
+                continue
+        os.rmdir(root)  # tidy: only succeeds once no job is staging
+    except OSError:
+        pass
 
 
 class JsonlWriter(DataSourceWriter):
@@ -130,11 +165,15 @@ class JsonlWriter(DataSourceWriter):
     tables are for; this source pins the DataSourceWriter protocol."""
 
     def __init__(self, options: dict, overwrite: bool):
+        import uuid
+
         self.dir = options["path"]
         self.overwrite = overwrite
+        # per-job staging namespace (see _stage_partition)
+        self.staging = os.path.join(self.dir, "_staging", uuid.uuid4().hex)
 
     def write(self, iterator) -> _JsonlCommit:
-        return _stage_partition(self.dir, iterator)
+        return _stage_partition(self.staging, iterator)
 
     def commit(self, messages) -> None:
         import uuid
@@ -154,10 +193,10 @@ class JsonlWriter(DataSourceWriter):
         # overwrite: old vintage removed only AFTER the new one is visible
         for f in old:
             os.remove(os.path.join(self.dir, f))
-        _sweep_staging(self.dir)
+        _sweep_staging(self.dir, self.staging)
 
     def abort(self, messages) -> None:
-        _sweep_staging(self.dir)
+        _sweep_staging(self.dir, self.staging)
 
 
 class JsonlStreamWriter(DataSourceStreamWriter):
@@ -174,10 +213,16 @@ class JsonlStreamWriter(DataSourceStreamWriter):
     complete one and drop the missing partitions (review finding r7)."""
 
     def __init__(self, options: dict):
+        import uuid
+
         self.dir = options["path"]
+        # per-query staging namespace (see _stage_partition); a restarted
+        # query mints a fresh uuid — the crashed run's subdir is reclaimed
+        # by the age-gated orphan sweep
+        self.staging = os.path.join(self.dir, "_staging", uuid.uuid4().hex)
 
     def write(self, iterator) -> _JsonlCommit:
-        return _stage_partition(self.dir, iterator)
+        return _stage_partition(self.staging, iterator)
 
     def _marker(self, batch_id: int) -> str:
         return os.path.join(self.dir, f"_committed-batch-{batch_id:05d}")
@@ -185,7 +230,7 @@ class JsonlStreamWriter(DataSourceStreamWriter):
     def commit(self, messages, batchId: int) -> None:
         os.makedirs(self.dir, exist_ok=True)
         if os.path.exists(self._marker(batchId)):  # fully published before
-            _sweep_staging(self.dir)
+            _sweep_staging(self.dir, self.staging)
             return
         # remove any partial parts from a crashed earlier publish
         prefix = f"batch-{batchId:05d}-"
@@ -200,13 +245,14 @@ class JsonlStreamWriter(DataSourceStreamWriter):
                 )
         with open(self._marker(batchId), "w", encoding="utf-8") as fh:
             fh.write(str(len([m for m in messages if m is not None])))
-        _sweep_staging(self.dir)
+        _sweep_staging(self.dir, self.staging)
 
     def abort(self, messages, batchId: int) -> None:
-        # sweep the WHOLE staging dir: failed/retried tasks' staged files
-        # carry no commit message, so sweeping only message-listed files
-        # would orphan them (micro-batches are sequential — safe)
-        _sweep_staging(self.dir)
+        # sweep this query's WHOLE staging subdir: failed/retried tasks'
+        # staged files carry no commit message, so sweeping only
+        # message-listed files would orphan them (micro-batches within one
+        # query are sequential — safe; other jobs' subdirs are untouched)
+        _sweep_staging(self.dir, self.staging)
 
 
 class JsonlDataSource(DataSource):

@@ -388,27 +388,41 @@ def vacuum(
                 os.path.join(_vdir(path), "_latest.json"), {"version": adopted}
             )
             cur = adopted
-        # age-gated removal of manifests still beyond the head (damaged /
-        # gapped): a YOUNG one may be a writer mid-commit — leave it
-        for fn in sorted(os.listdir(_vdir(path))):
-            if fn.startswith("v") and fn.endswith(".json") and fn[1:9].isdigit():
-                full = os.path.join(_vdir(path), fn)
+        keep: set | None = None
+        if cur > 0 and os.path.isdir(data_dir):
+            keep = set()
+            for v in range(max(1, cur - keep_versions + 1), cur + 1):
+                keep.update(_read_manifest(path, v)["files"])
+    # the sweeps run OUTSIDE the lock: manifests and data files are
+    # immutable once published, and the age gate alone makes removal safe
+    # against in-flight writers — holding the flock for the whole
+    # mtime-probe + os.remove pass would block every concurrent writer's
+    # pointer advance for the full sweep duration on a large table.
+    # FileNotFoundError = a concurrent vacuum won the race; fine.
+    # age-gated removal of manifests still beyond the head (damaged /
+    # gapped): a YOUNG one may be a writer mid-commit — leave it
+    for fn in sorted(os.listdir(_vdir(path))):
+        if fn.startswith("v") and fn.endswith(".json") and fn[1:9].isdigit():
+            full = os.path.join(_vdir(path), fn)
+            try:
                 if (
                     int(fn[1:9]) > cur
                     and now - os.path.getmtime(full) >= grace_seconds
                 ):
                     os.remove(full)
-        if cur == 0 or not os.path.isdir(data_dir):
-            return []
-        keep = set()
-        for v in range(max(1, cur - keep_versions + 1), cur + 1):
-            keep.update(_read_manifest(path, v)["files"])
-        for fn in sorted(os.listdir(data_dir)):
-            rel = os.path.join("data", fn)
-            full = os.path.join(data_dir, fn)
+            except FileNotFoundError:
+                pass
+    if keep is None:
+        return []
+    for fn in sorted(os.listdir(data_dir)):
+        rel = os.path.join("data", fn)
+        full = os.path.join(data_dir, fn)
+        try:
             if rel not in keep and now - os.path.getmtime(full) >= grace_seconds:
                 os.remove(full)
                 deleted.append(rel)
+        except FileNotFoundError:
+            pass
     return deleted
 
 
@@ -681,9 +695,16 @@ def stream_changes(
     while last < head:
         v = last + 1
         if v == 1:  # no version 0 to diff against: the snapshot is the feed
-            batch = read_version(spark, path, 1).withColumn(
-                "_change_type", F.lit("insert")
-            )
+            snap = read_version(spark, path, 1)
+            if "_change_type" in snap.columns:
+                # mirror table_changes' refusal: withColumn would silently
+                # REPLACE the user's column in this one batch while every
+                # later batch raises — inconsistent and silently wrong
+                raise ValueError(
+                    "table has a _change_type column — the name is reserved "
+                    "by the change feed (the Delta CDF contract)"
+                )
+            batch = snap.withColumn("_change_type", F.lit("insert"))
         else:
             batch = table_changes(spark, path, v - 1, v)
         if "_commit_version" in batch.columns:
