@@ -268,3 +268,47 @@ def test_pr5_kcore_matches_bruteforce(spark, sf_dir):
         for r in pr5_kcore_decomposition(spark, sf_dir).collect()
     }
     assert got == expected
+
+
+def test_copurchase_artifact_derives_once_and_matches_scratch(spark, sf_dir):
+    """Round-7 verdict task 3: a full pr2..pr5 sweep must derive the
+    co-purchase pair relation from lineitem exactly ONCE (the shared
+    parquet artifact), the artifact must equal the from-scratch
+    derivation row-for-row, and pr1 (the designated derivation-from-
+    scratch proof query) must not touch the artifact at all."""
+    from tts_etl_pipeline_spark.operators import graphs as G
+
+    G._ARTIFACT_CACHE.clear()
+    before = G.ARTIFACT_DERIVATIONS["count"]
+    for fn in (
+        G.pr2_triangle_clustering,
+        G.pr3_bfs_hop_distances,
+        G.pr4_link_prediction,
+        G.pr5_kcore_decomposition,
+    ):
+        fn(spark, sf_dir).collect()
+    assert G.ARTIFACT_DERIVATIONS["count"] == before + 1, (
+        "pr2..pr5 sweep must build the shared artifact exactly once"
+    )
+    art = sorted(
+        (r["u"], r["v"])
+        for r in G.copurchase_artifact(spark, sf_dir).collect()
+    )
+    scratch = sorted(
+        (r["u"], r["v"]) for r in G.copurchase_pairs(spark, sf_dir).collect()
+    )
+    assert art == scratch
+    # n_orders must equal the oracles' COUNT(DISTINCT orderkey) semantics:
+    # every strong pair at w=1 is just the pair set itself
+    w1 = sorted(
+        (r["u"], r["v"])
+        for r in G.copurchase_artifact(spark, sf_dir)
+        .filter("n_orders >= 1")
+        .select("u", "v")
+        .collect()
+    )
+    assert w1 == scratch
+    # pr1 stays from-scratch: no new artifact derivation
+    after = G.ARTIFACT_DERIVATIONS["count"]
+    G.pr1_copurchase_pagerank(spark, sf_dir).collect()
+    assert G.ARTIFACT_DERIVATIONS["count"] == after

@@ -26,6 +26,9 @@ hash-match bit-for-bit.
 
 from __future__ import annotations
 
+import os
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -73,12 +76,14 @@ def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct unordered co-purchase part pairs (u < v), one row per pair.
+    """Distinct unordered co-purchase part pairs (u < v), one row per pair —
+    the FROM-SCRATCH derivation, kept as the reference edge set the tests
+    compare the shared artifact against.
 
     The unweighted twin of copurchase_edges: same l_orderkey self-join with
-    the partkey< orientation, deduplicated instead of counted. pr2 and pr3
-    both consume this relation — one definition keeps the operators and
-    their tests (which use it as the reference edge set) in lock-step."""
+    the partkey< orientation, deduplicated instead of counted. The pr*
+    queries consume the same relation through copurchase_artifact (below),
+    which derives it ONCE per process instead of once per query."""
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     a, b = li.alias("a"), li.alias("b")
     return (
@@ -92,6 +97,60 @@ def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
         .distinct()
     )
+
+
+# (applicationId, abspath(sf_dir)) -> on-disk artifact path. Keyed by
+# session AND fixture dir so tests on synthetic tmp_path graphs never see a
+# stale artifact; within one driver/bench process the fixture dirs are
+# immutable, so the cache is sound for the process lifetime.
+_ARTIFACT_CACHE: dict[tuple[str, str], str] = {}
+# test instrumentation: how many times the lineitem self-join actually ran
+ARTIFACT_DERIVATIONS = {"count": 0}
+
+
+def copurchase_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SHARED co-purchase graph artifact (round-7 verdict task 3): the
+    weighted unordered pair relation `(u < v, n_orders = distinct
+    co-purchasing orders)`, derived from the lineitem self-join ONCE per
+    (session, fixture dir) and written as a node-keyed parquet layout that
+    every graph query reads — at 100 TB nobody rebuilds the graph per
+    query; the edge list is a maintained table (the B11 discipline), and
+    pr2–pr5 each re-deriving it per query was five runs of the same
+    fact-table self-join in every full sweep.
+
+    Consumers: pr2/pr3 take `select(u, v)` (the distinct pair set —
+    identical to copurchase_pairs by construction), pr4/pr5 take
+    `filter(n_orders >= w)` (identical to the old strong_copurchase_pairs
+    HAVING clause). pr1 deliberately keeps the from-scratch derivation as
+    the proof query that artifact and derivation agree end-to-end."""
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    path = _ARTIFACT_CACHE.get(key)
+    if path is None or not os.path.isdir(path):
+        ARTIFACT_DERIVATIONS["count"] += 1
+        li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+        a, b = li.alias("a"), li.alias("b")
+        base = (
+            a.join(
+                b,
+                on=[
+                    F.col("a.l_orderkey") == F.col("b.l_orderkey"),
+                    F.col("a.l_partkey") < F.col("b.l_partkey"),
+                ],
+            )
+            .groupBy(
+                F.col("a.l_partkey").alias("u"),
+                F.col("b.l_partkey").alias("v"),
+            )
+            .agg(F.countDistinct(F.col("a.l_orderkey")).alias("n_orders"))
+        )
+        path = os.path.join(
+            tempfile.mkdtemp(prefix="spark_graft_graph_"), "copurchase_base"
+        )
+        # node-keyed layout: downstream self-joins shuffle on u/v anyway,
+        # and a u-clustered multi-file layout reads back at full parallelism
+        base.repartition("u").write.parquet(path)
+        _ARTIFACT_CACHE[key] = path
+    return spark.read.parquet(path)
 
 
 def pagerank(edges: DataFrame, damping: float = PR_DAMPING,
@@ -231,7 +290,7 @@ TRI_TOP_K = 25
     """,
 )
 def pr2_triangle_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = materialize(copurchase_pairs(spark, sf_dir))
+    pairs = materialize(copurchase_artifact(spark, sf_dir).select("u", "v"))
     deg = materialize(
         pairs.selectExpr("u AS node")
         .unionByName(pairs.selectExpr("v AS node"))
@@ -365,10 +424,10 @@ BFS_MAX_HOPS = 20
     """,
 )
 def pr3_bfs_hop_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Materialize the pairs BEFORE symmetrizing: the lineitem self-join +
-    # distinct is the dominant stage, and an un-materialized union would
-    # re-derive it in both branches (ReuseExchange is best-effort only).
-    pairs = materialize(copurchase_pairs(spark, sf_dir))
+    # Materialize the pairs BEFORE symmetrizing: an un-materialized union
+    # would re-read the artifact in both branches (ReuseExchange is
+    # best-effort only), and the downstream BFS joins reuse the blocks.
+    pairs = materialize(copurchase_artifact(spark, sf_dir).select("u", "v"))
     sym = materialize(
         pairs.selectExpr("u AS src", "v AS dst").unionByName(
             pairs.selectExpr("v AS src", "u AS dst")
@@ -423,21 +482,14 @@ def strong_copurchase_pairs(
 ) -> DataFrame:
     """Materialized unordered part pairs co-purchased in >= min_weight
     DISTINCT orders — the weight-floored graph pr4 (link prediction) and
-    pr5 (k-core) share. One definition keeps their edge sets in lock-step
-    with each other and with their oracles' `pairs` CTE."""
-    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    la, lb = li.alias("a"), li.alias("b")
+    pr5 (k-core) share, served from the shared copurchase_artifact (one
+    lineitem self-join per process, round-7 verdict tasks 3+6). One
+    definition keeps their edge sets in lock-step with each other and with
+    their oracles' `pairs` CTE (HAVING COUNT(DISTINCT orderkey) >= w is
+    exactly the artifact's n_orders filter)."""
     return materialize(
-        la.join(
-            lb,
-            on=[
-                F.col("a.l_orderkey") == F.col("b.l_orderkey"),
-                F.col("a.l_partkey") < F.col("b.l_partkey"),
-            ],
-        )
-        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .agg(F.countDistinct(F.col("a.l_orderkey")).alias("w"))
-        .filter(F.col("w") >= min_weight)
+        copurchase_artifact(spark, sf_dir)
+        .filter(F.col("n_orders") >= min_weight)
         .select("u", "v")
     )
 
