@@ -86,13 +86,10 @@ HEADLINE = [
     # ranking). Cross-round totals compare on the pre-r7 41-query set.
     "x7_heavy_hitter_tokens",
     "v7_filtered_ann_topk",
-    # r7 additions, second batch — new shapes: degree-oriented wedge join
-    # (exact triangles, the m^1.5-bounded graph shuffle); native
-    # session_window aggregation (single-shuffle sessionization, no Window
-    # pass). Cross-round totals compare on the pre-r7 41-query set.
-    "pr2_triangle_clustering",
+    # r7 additions, second batch — new shapes: native session_window
+    # aggregation (single-shuffle sessionization, no Window pass).
+    # Cross-round totals compare on the pre-r7 41-query set.
     "e11_native_session_window",
-    "pr3_bfs_hop_distances",
     "x8_kmv_set_ops",
     # r7 additions, fourth batch — new shapes: LATERAL decorrelated to
     # WindowGroupLimit partial top-k; VARIANT parse-once extraction
@@ -112,9 +109,7 @@ HEADLINE = [
     # shape with a different final ratio, dq10 is a write-dominated
     # versioned-table rehearsal (j2/j3 precedent), m5 is synthesized-media
     # (m2/m3 precedent) — their scale rows live in BASELINE.md instead.
-    "pr4_link_prediction",
     "c14_pareto_skyline",
-    "u7_sql_script_bisection",
     # r7 additions, seventh batch — new shapes: fact-fact interval-typed
     # latency join (no broadcast hint, AQE-chosen); 9-row histogram +
     # broadcast scalar share pass (Benford). j4/st17/u8/f13/pr5 are
@@ -134,13 +129,32 @@ HEADLINE = [
     "x10_native_approx_topk",
 ]
 
+# FIXED-COST heavies (round-8 policy, r7 verdict task 5): queries whose wall
+# cost is dominated by iterative scheduling or probe counts — per-level BFS
+# joins (pr3), per-round peels, log-many bisection probes (u7) — are
+# CONSTANT-ish in data volume, so including them in the headline total makes
+# round-over-round totals progressively less comparable (they were ~14.6 s of
+# r7's 51.4 s while being measured sub-linear or flat to sf1). Same reason
+# pr1/d12/st5 were excluded in r1 (BASELINE.md note). They are still
+# benchmarked every round — run `python bench.py --spot-check` to time ONLY
+# this list; the per-round numbers live in BASELINE.md's spot-check table,
+# NOT in the headline JSON, so the headline total stays dominated by
+# throughput-shaped queries.
+SPOT_CHECK = [
+    "pr2_triangle_clustering",
+    "pr3_bfs_hop_distances",
+    "pr4_link_prediction",
+    "u7_sql_script_bisection",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
     sf = sf_dir.rstrip("/").split("sf")[-1]
     spark = get_spark("bench")
     queries = all_queries()
-    names = [n for n in HEADLINE if n in queries]
+    pool = SPOT_CHECK if "--spot-check" in sys.argv[1:] else HEADLINE
+    names = [n for n in pool if n in queries]
 
     # warm the JVM: codegen, parquet reader, Arrow, and broadcast machinery
     # all JIT on first use — run the flagship once at the smallest sf so the
@@ -171,7 +185,11 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "headline_total_wall",
+                "metric": (
+                    "spot_check_total_wall"
+                    if pool is SPOT_CHECK
+                    else "headline_total_wall"
+                ),
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
