@@ -5,6 +5,13 @@ scale-proof fixture, round-6 verdict task 7).
 Usage: python scripts/make_scaled_sf.py [SRC_SF_DIR] [DST_DIR] [FACTOR]
        (defaults: /root/testdata/sf0.1 -> /tmp/sfscale/sf1, factor 10)
 
+Also writes an EQUAL-LAYOUT copy of the source next to DST_DIR (default
+/tmp/sfscale/sf0.1): both ends of a scale ratio must read the same
+multi-part parquet layout, or the single-file driver fixture serializes
+some scans into one task and the ratio measures layout, not the engine
+(round-7 verdict task 4). Sweep with SPARK_GRAFT_SF_DIR=/tmp/sfscale/sf0.1
+vs /tmp/sfscale/sf1 — never the raw fixture dir against sf1.
+
 Each table is replicated FACTOR times with per-copy key offsets so the
 scaled data keeps the source's per-key densities and join fanouts (the
 thing that makes runtime scaling measurements honest):
@@ -65,11 +72,34 @@ def main() -> None:
     def rd(t):
         return spark.read.parquet(os.path.join(src, f"{t}.parquet"))
 
-    def wr(df, t):
-        df.coalesce(max(1, factor // 2)).write.mode("overwrite").parquet(
-            os.path.join(dst, f"{t}.parquet")
+    # Both ends of every scale ratio must read the SAME multi-part layout:
+    # the driver's sf0.1 fixtures are single parquet files, which serialize
+    # some scans/writes into one task and polluted several sf0.1->sf1
+    # ratios below 1x (round-7 verdict task 4). repartition — never
+    # coalesce: coalesce cannot INCREASE the partition count, so a
+    # single-file source would stay single-part straight through the
+    # explode and the "scaled" fixture would single-task too.
+    parts = max(2, factor // 2)
+
+    def wr(df, t, where=dst):
+        df.repartition(parts).write.mode("overwrite").parquet(
+            os.path.join(where, f"{t}.parquet")
         )
-        print("wrote", t, df.count())
+        print("wrote", os.path.join(where, f"{t}.parquet"), df.count())
+
+    # equal-layout copy of the SOURCE scale: the sweep's small end reads
+    # this, not the raw single-file fixture dir
+    src_copy = os.path.join(
+        os.path.dirname(dst.rstrip("/")) or ".",
+        os.path.basename(src.rstrip("/")),
+    )
+    if os.path.abspath(src_copy) != os.path.abspath(src):
+        os.makedirs(src_copy, exist_ok=True)
+        for t in (
+            "region", "nation", "customer", "supplier", "part",
+            "orders", "lineitem", "events", "documents", "embeddings",
+        ):
+            wr(rd(t), t, where=src_copy)
 
     # fixed-size dimensions: copy through
     for t in ("region", "nation"):
