@@ -19,3 +19,13 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir():
     return SF_DIR
+
+
+def record_floor(name: str, metric: str, value: float, bound: float) -> None:
+    """Round-over-round floor refresh hook (r7 verdict task 7): every
+    recall/error floor test reports its MEASURED value through here, so
+    `pytest -s tests/test_ann_recall.py tests/test_sketches.py | grep FLOOR`
+    regenerates COVERAGE.md's approximate-path floor table without
+    re-deriving ground truth by hand. Any measured value that moves >2
+    points between rounds gets a named investigation."""
+    print(f"\nFLOOR {name} {metric}={value:.4f} bound={bound}")

@@ -38,6 +38,7 @@ import numpy as np
 
 from pyspark.sql import functions as F
 
+from tests.conftest import record_floor
 from tts_etl_pipeline_spark.operators.dedup import d5_minhash_lsh_neardup
 from tts_etl_pipeline_spark.operators.similarity import (
     N_QUERY_VECS,
@@ -79,6 +80,7 @@ def test_ivf_multiprobe_recall_floor(spark, sf_dir):
     exact = {(r.q_id, r.n_id) for r in v1_topk_cosine_exact(spark, sf_dir).collect()}
     ivf = {(r.q_id, r.n_id) for r in v3_ivf_ann_topk(spark, sf_dir).collect()}
     recall = len(exact & ivf) / len(exact)
+    record_floor("v3_ivf_ann_topk", "recall@10_uniform", recall, 0.60)
     assert recall >= 0.60, f"IVF recall@10 collapsed to {recall:.2f}"
     # the sublinearity contract: candidates stay within a quarter of the
     # corpus per query (else "approximate" quietly degrades to brute force)
@@ -117,6 +119,7 @@ def test_ivf_recall_clustered_corpus(spark):
     }
     got = {(r.q_id, r.n_id) for r in ivf_topk(emb).collect()}
     recall = len(exact & got) / len(exact)
+    record_floor("v3_ivf_ann_topk", "recall@10_clustered", recall, 0.90)
     assert recall >= 0.90, f"IVF recall on clustered corpus fell to {recall:.2f}"
     cand, _ = ivf_candidates(emb)
     frac = cand.count() / (N_QUERY_VECS * 500)
@@ -148,6 +151,7 @@ def test_graph_ann_recall_and_sublinearity(spark, sf_dir):
     topk, seen = graph_search_topk(emb, edges, N_QUERY_VECS, 10)
     got = {(r.q_id, r.n_id) for r in topk.collect()}
     recall = len(exact & got) / len(exact)
+    record_floor("v5_graph_ann_topk", "recall@10", recall, 0.80)
     assert recall >= 0.80, f"graph-ANN recall@10 collapsed to {recall:.2f}"
     bound = N_QUERY_VECS * (N_ENTRIES + BEAM + N_HOPS * BEAM * (K_NEIGHBORS + 1))
     n_scored = seen.count()
@@ -193,6 +197,7 @@ def test_graph_ann_search_cost_constant_in_corpus_size(spark):
     bound = nq * (ents + beam + hops * beam * (kn + 1))
     assert n_scored <= bound, f"scored {n_scored} > bound {bound}"
     assert n_scored / (nq * n) <= 0.26, "scored set exceeded its budget"
+    record_floor("v5_graph_ann_topk", "recall@10_n5000", recall, 0.70)
     assert recall >= 0.70, f"graph-ANN recall at n=5000 fell to {recall:.2f}"
 
 
@@ -209,6 +214,7 @@ def test_lsh_radius_recall_floor(spark, sf_dir):
     }
     got = {(r.q_id, r.n_id) for r in v4_lsh_ann_topk(spark, sf_dir).collect()}
     recall = len(truth & got) / max(len(truth), 1)
+    record_floor("v4_lsh_ann_topk", "recall_r10", recall, 0.85)
     assert recall >= 0.85, f"BRP-LSH recall(r<=10) collapsed to {recall:.2f}"
 
 
@@ -239,6 +245,7 @@ def test_simhash_recall_floor_tf_cosine(spark, sf_dir):
     }
     got = {(r.id_a, r.id_b) for r in d6_simhash_neardup(spark, sf_dir).collect()}
     recall = len(truth & got) / max(len(truth), 1)
+    record_floor("d6_simhash_neardup", "recall_cos095", recall, 0.85)
     assert recall >= 0.85, f"SimHash recall(cos>=0.95) collapsed to {recall:.2f}"
 
 
@@ -271,6 +278,7 @@ def test_banded_minhash_recall_and_exactness(spark, sf_dir):
             if (sa or sb) and len(sa & sb) / len(sa | sb) >= 0.9:
                 truth.add((a, b))
     recall = len(truth & got) / max(len(truth), 1)
+    record_floor("d11_banded_minhash_neardup", "recall_j09", recall, 0.80)
     assert recall >= 0.80, f"banded MinHash recall(j>=0.9) collapsed to {recall:.2f}"
 
 
@@ -310,6 +318,7 @@ def test_dedup_e2e_agreement_floor(spark, sf_dir):
     assert len(rows) == len(ids)  # one verdict per document
     got_kept = {r.doc_id for r in rows if r.is_kept}
     agree = sum((d in exact_kept) == (d in got_kept) for d in ids) / len(ids)
+    record_floor("d12_neardup_dedup_e2e", "keep_agreement", agree, 0.95)
     assert agree >= 0.95, f"dedup-e2e agreement collapsed to {agree:.3f}"
 
 
@@ -329,6 +338,7 @@ def test_minhash_lsh_recall_floor(spark, sf_dir):
                 truth.add((a, b))
     got = {(r.id_a, r.id_b) for r in d5_minhash_lsh_neardup(spark, sf_dir).collect()}
     recall = len(truth & got) / max(len(truth), 1)
+    record_floor("d5_demo_minhash_lsh", "recall_j08", recall, 0.90)
     assert recall >= 0.90, f"MinHash-LSH recall(j>=0.8) collapsed to {recall:.2f}"
 
 
@@ -355,6 +365,7 @@ def test_pq_recall_compression_and_determinism(spark, sf_dir):
     }
     got = {(r.q_id, r.n_id) for r in v6_pq_ann_topk(spark, sf_dir).collect()}
     recall = len(exact & got) / len(exact)
+    record_floor("v6_pq_ann_topk", "recall@10", recall, 0.85)
     assert recall >= 0.85, f"PQ recall@10 fell to {recall:.2f}"
 
     books = train_codebooks(emb)

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+from tests.conftest import record_floor
+
 import numpy as np
 import pytest
 
@@ -60,6 +62,12 @@ def test_cms_heavy_hitters_match_exact_topk(spark, sf_dir):
         .count()
     )
     assert set(approx) == set(exact)
+    record_floor(
+        "x2_cms_heavy_hitters",
+        "max_overcount_of_epsN_bound",
+        max(approx[t] - f for t, f in exact.items()) / (0.001 * n_tokens + 1),
+        1.0,
+    )
     for tok, freq in exact.items():
         assert freq <= approx[tok] <= freq + 0.001 * n_tokens + 1
 
@@ -83,6 +91,24 @@ def test_approx_distinct_within_rsd(spark, sf_dir):
         )
         .collect()
     }
+    record_floor(
+        "x1_approx_distinct_stats",
+        "max_rel_err_distinct",
+        max(
+            abs(rows[p]["approx_customers"] - n) / n for p, n in exact.items()
+        ),
+        0.1,
+    )
+    record_floor(
+        "x1_approx_distinct_stats",
+        "max_rel_err_p50_p90",
+        max(
+            abs(rows[p][f"approx_{c}"] - exact_pcts[p][i]) / exact_pcts[p][i]
+            for p in exact
+            for i, c in ((0, "p50"), (1, "p90"))
+        ),
+        0.05,
+    )
     for prio, true_n in exact.items():
         approx_n = rows[prio]["approx_customers"]
         assert approx_n == pytest.approx(true_n, rel=0.1)
@@ -227,12 +253,15 @@ def test_x4_tdigest_matches_exact_percentiles(spark, sf_dir):
         .collect()
     }
     assert set(got) == set(groups)
+    worst = 0.0
     for prio, row in got.items():
         vals = np.sort(groups[prio])
         assert row["n"] == vals.size  # weights sum exactly — counts are exact
         for est_col, q in (("est_p10", 0.10), ("est_p50", 0.50), ("est_p90", 0.90)):
             q_est = np.searchsorted(vals, row[est_col]) / vals.size
+            worst = max(worst, abs(q_est - q))
             assert abs(q_est - q) <= 0.03, (prio, est_col, q_est, q)
+    record_floor("x4_tdigest_quantiles", "max_rank_err", worst, 0.03)
 
 
 def test_x7_mg_candidates_survive_adversarial_churn(spark, tmp_path):
@@ -365,5 +394,11 @@ def test_x9_hll_estimates_within_bound_and_union_consistent(spark, sf_dir):
     }
     exact["ALL"] = ev.select("user_id").distinct().count()
     assert set(est) == set(exact)
+    record_floor(
+        "x9_hll_native_sketch",
+        "max_rel_err",
+        max(abs(est[k] - e) / max(e, 1) for k, e in exact.items()),
+        0.05,
+    )
     for k, e in exact.items():
         assert abs(est[k] - e) <= max(1, 0.05 * e), (k, est[k], e)
