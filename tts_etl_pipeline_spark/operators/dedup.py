@@ -490,6 +490,15 @@ def d4_char_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # see d11, the scale path.
 # ---------------------------------------------------------------------------
 def d5_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEPRECATED DEMO — DO NOT REGISTER, DO NOT USE IN PRODUCTION PATHS.
+
+    Quarantined since round 5 (tests/test_registry.py pins it out of
+    queries() permanently): pyspark.ml's MinHashLSH is OR-amplified, so on
+    a self-similar corpus the candidate set grows toward QUADRATIC — the
+    r3 sf0.1 sweep measured 6.9M pairs / 32 min at the old operating
+    point. Kept only as executable documentation of the pyspark.ml LSH
+    API surface. The production near-dup path is d11 (AND-amplified
+    banded MinHash) -> d9 (components) -> d12 (end-to-end)."""
     from pyspark.ml.feature import HashingTF, MinHashLSH, RegexTokenizer
 
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
