@@ -93,6 +93,12 @@ def main() -> None:
         os.path.dirname(dst.rstrip("/")) or ".",
         os.path.basename(src.rstrip("/")),
     )
+    if os.path.abspath(src_copy) == os.path.abspath(dst):
+        raise ValueError(
+            f"source copy {src_copy} collides with DST_DIR — give src and "
+            "dst distinct basenames or the scaled tables would silently "
+            "overwrite the equal-layout source copy"
+        )
     if os.path.abspath(src_copy) != os.path.abspath(src):
         os.makedirs(src_copy, exist_ok=True)
         for t in (

@@ -298,16 +298,33 @@ def test_copurchase_artifact_derives_once_and_matches_scratch(spark, sf_dir):
         (r["u"], r["v"]) for r in G.copurchase_pairs(spark, sf_dir).collect()
     )
     assert art == scratch
-    # n_orders must equal the oracles' COUNT(DISTINCT orderkey) semantics:
-    # every strong pair at w=1 is just the pair set itself
-    w1 = sorted(
-        (r["u"], r["v"])
-        for r in G.copurchase_artifact(spark, sf_dir)
-        .filter("n_orders >= 1")
-        .select("u", "v")
+    # n_orders must equal the oracles' COUNT(DISTINCT orderkey) semantics —
+    # checked VALUE-for-value against a from-scratch countDistinct (a plain
+    # COUNT(*) would inflate pairs where a part repeats within one order)
+    from pyspark.sql import functions as F
+
+    from tts_etl_pipeline_spark.sources.tables import table as _table
+
+    li = _table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    scratch_w = {
+        (r["u"], r["v"]): r["w"]
+        for r in a.join(
+            b,
+            on=[
+                F.col("a.l_orderkey") == F.col("b.l_orderkey"),
+                F.col("a.l_partkey") < F.col("b.l_partkey"),
+            ],
+        )
+        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .agg(F.countDistinct(F.col("a.l_orderkey")).alias("w"))
         .collect()
-    )
-    assert w1 == scratch
+    }
+    art_w = {
+        (r["u"], r["v"]): r["n_orders"]
+        for r in G.copurchase_artifact(spark, sf_dir).collect()
+    }
+    assert art_w == scratch_w
     # pr1 stays from-scratch: no new artifact derivation
     after = G.ARTIFACT_DERIVATIONS["count"]
     G.pr1_copurchase_pagerank(spark, sf_dir).collect()

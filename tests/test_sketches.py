@@ -396,9 +396,9 @@ def test_x9_hll_estimates_within_bound_and_union_consistent(spark, sf_dir):
     assert set(est) == set(exact)
     record_floor(
         "x9_hll_native_sketch",
-        "max_rel_err",
-        max(abs(est[k] - e) / max(e, 1) for k, e in exact.items()),
-        0.05,
+        "max_err_of_bound",  # err / max(1, 0.05*e): same shape the assert uses
+        max(abs(est[k] - e) / max(1, 0.05 * e) for k, e in exact.items()),
+        1.0,
     )
     for k, e in exact.items():
         assert abs(est[k] - e) <= max(1, 0.05 * e), (k, est[k], e)

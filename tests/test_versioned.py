@@ -643,3 +643,44 @@ def test_stream_changes_refuses_reserved_change_type_at_v1(spark, tmp_path):
     )  # v1
     with _pytest.raises(ValueError, match="_change_type"):
         stream_changes(spark, path, ckpt, lambda df, v: df.collect())
+
+
+def test_rollback_refreshes_mtimes_against_concurrent_vacuum(spark, tmp_path):
+    """Review r8: rollback re-references HISTORICAL files that are older
+    than any grace window by construction; it must refresh their mtimes
+    before committing so a concurrent age-gated vacuum sweep cannot delete
+    them between rollback's existence check and the head advance."""
+    import time as _time
+
+    from tts_etl_pipeline_spark.sources.versioned import (
+        read_version,
+        rollback,
+        vacuum,
+    )
+
+    path = str(tmp_path / "tbl")
+    write_version(spark.createDataFrame([(1, "a")], "k long, v string"), path)
+    write_version(
+        spark.createDataFrame([(2, "b")], "k long, v string"),
+        path,
+        mode="overwrite",
+    )
+    # age v1's (now unreferenced) files far beyond any grace window
+    import os as _os
+
+    v1_files = [
+        _os.path.join(path, f)
+        for f in __import__(
+            "tts_etl_pipeline_spark.sources.versioned", fromlist=["x"]
+        )._read_manifest(path, 1)["files"]
+    ]
+    for f in v1_files:
+        _os.utime(f, (10_000.0, 10_000.0))
+    v3 = rollback(path, 1)
+    assert v3 == 3
+    # the re-referenced files are fresh again: a vacuum with a 1h grace
+    # must NOT delete them, and the rolled-back head stays readable
+    for f in v1_files:
+        assert _time.time() - _os.path.getmtime(f) < 60
+    vacuum(path, keep_versions=1, grace_seconds=3600.0)
+    assert {r["v"] for r in read_version(spark, path).collect()} == {"a"}

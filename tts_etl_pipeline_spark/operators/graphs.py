@@ -106,6 +106,25 @@ def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ARTIFACT_CACHE: dict[tuple[str, str], str] = {}
 # test instrumentation: how many times the lineitem self-join actually ran
 ARTIFACT_DERIVATIONS = {"count": 0}
+# explicit part count for the artifact write: an unCOUNTED repartition("u")
+# is fair game for AQE's coalescePartitions, which would collapse the
+# small-SF artifact to ONE file and reintroduce the single-file-layout
+# measurement artifact (r7 verdict task 4); a user-specified count is
+# exempt from coalescing. 16 u-hashed files read back at >=16-way
+# parallelism at every SF while staying trivial at sf0.001.
+ARTIFACT_PARTITIONS = 16
+
+
+def _cleanup_artifacts() -> None:  # registered once below
+    import shutil
+
+    for p in _ARTIFACT_CACHE.values():
+        shutil.rmtree(os.path.dirname(p), ignore_errors=True)
+
+
+import atexit  # noqa: E402
+
+atexit.register(_cleanup_artifacts)
 
 
 def copurchase_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -148,7 +167,7 @@ def copurchase_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # node-keyed layout: downstream self-joins shuffle on u/v anyway,
         # and a u-clustered multi-file layout reads back at full parallelism
-        base.repartition("u").write.parquet(path)
+        base.repartition(ARTIFACT_PARTITIONS, "u").write.parquet(path)
         _ARTIFACT_CACHE[key] = path
     return spark.read.parquet(path)
 

@@ -114,9 +114,12 @@ def _stage_partition(staging_dir: str, iterator) -> _JsonlCommit:
 
 
 # a sibling staging subdir untouched for this long is a crashed job's
-# orphan — mirrors versioned.py vacuum's grace-period contract: must
-# exceed the longest plausible stage duration of a LIVE concurrent job
-_STAGING_ORPHAN_SECONDS = 3600.0
+# orphan — mirrors versioned.py vacuum's grace-period contract. The window
+# that must be survived is STAGE-TO-COMMIT (a live job's last staged write
+# until its driver-side commit publishes), not just the staging itself:
+# a driver stalled longer than this between staging and commit() loses its
+# staged files to a concurrent job's sweep, so size it generously.
+_STAGING_ORPHAN_SECONDS = 6 * 3600.0
 
 
 def _sweep_staging(target_dir: str, staging_dir: str) -> None:

@@ -318,6 +318,22 @@ def rollback(path: str, to_version: int) -> int:
         raise ValueError(
             f"version {to_version} was vacuumed; missing files: {missing[:3]}"
         )
+    # Refresh the re-referenced files' mtimes BEFORE the commit: rollback
+    # re-references HISTORICAL files that are older than any grace window
+    # by construction, so without this a concurrent vacuum (whose sweep is
+    # age-gated, not lock-gated) could delete them between our existence
+    # check and the head advancing — bricking the new head. Touching them
+    # puts them back inside every in-flight/future vacuum's grace window,
+    # the same freshness signal a normal writer's staged files carry.
+    now = None  # let utime stamp current time
+    for f in files:
+        try:
+            os.utime(os.path.join(path, f), now)
+        except FileNotFoundError:
+            raise ValueError(
+                f"version {to_version} was vacuumed concurrently; "
+                f"missing file: {f}"
+            ) from None
     # restore carries the restored version's SCHEMA too (a rollback across
     # a schema evolution must serve the pre-evolution columns)
     return _commit(path, files, "rollback", schema_json=m.get("schema"))
@@ -394,8 +410,10 @@ def vacuum(
             for v in range(max(1, cur - keep_versions + 1), cur + 1):
                 keep.update(_read_manifest(path, v)["files"])
     # the sweeps run OUTSIDE the lock: manifests and data files are
-    # immutable once published, and the age gate alone makes removal safe
-    # against in-flight writers — holding the flock for the whole
+    # immutable once published, and the age gate makes removal safe against
+    # in-flight writers (fresh staged files by mtime; rollback() explicitly
+    # re-freshens the historical files it re-references before committing,
+    # so they re-enter the grace window too) — holding the flock for the whole
     # mtime-probe + os.remove pass would block every concurrent writer's
     # pointer advance for the full sweep duration on a large table.
     # FileNotFoundError = a concurrent vacuum won the race; fine.
@@ -573,6 +591,13 @@ def table_changes(
         )
     if not old_only and not new_only:  # identical file lists -> empty feed
         base = read_version(spark, path, to_version).limit(0)
+        if "_change_type" in base.columns:
+            # same refusal as the main path below: the early return must
+            # not silently REPLACE a user column the diff path rejects
+            raise ValueError(
+                "table has a _change_type column — the name is reserved by "
+                "the change feed (the Delta CDF contract)"
+            )
         return base.withColumn("_change_type", F.lit("insert"))
 
     # union schema of the two snapshots; a retype between versions has no
