@@ -290,6 +290,13 @@ def test_copurchase_artifact_derives_once_and_matches_scratch(spark, sf_dir):
     assert G.ARTIFACT_DERIVATIONS["count"] == before + 1, (
         "pr2..pr5 sweep must build the shared artifact exactly once"
     )
+    # layout pin: the artifact must be MULTI-part on disk (an AQE-coalesced
+    # single file would serialize downstream first-stage scans into 1 task)
+    import os as _os
+
+    art_path = next(iter(G._ARTIFACT_CACHE.values()))
+    n_parts = len([f for f in _os.listdir(art_path) if f.endswith(".parquet")])
+    assert n_parts > 1, f"artifact wrote {n_parts} part file(s)"
     art = sorted(
         (r["u"], r["v"])
         for r in G.copurchase_artifact(spark, sf_dir).collect()
