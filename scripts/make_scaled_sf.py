@@ -50,6 +50,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F  # noqa: E402
 
 from tts_etl_pipeline_spark.session import get_spark  # noqa: E402
+from tts_etl_pipeline_spark.sources.tables import TABLE_NAMES  # noqa: E402
 
 
 def _copies(df, factor: int):
@@ -101,10 +102,7 @@ def main() -> None:
         )
     if os.path.abspath(src_copy) != os.path.abspath(src):
         os.makedirs(src_copy, exist_ok=True)
-        for t in (
-            "region", "nation", "customer", "supplier", "part",
-            "orders", "lineitem", "events", "documents", "embeddings",
-        ):
+        for t in TABLE_NAMES:
             wr(rd(t), t, where=src_copy)
 
     # fixed-size dimensions: copy through

@@ -297,10 +297,8 @@ def test_copurchase_artifact_derives_once_and_matches_scratch(spark, sf_dir):
     art_path = next(iter(G._ARTIFACT_CACHE.values()))
     n_parts = len([f for f in _os.listdir(art_path) if f.endswith(".parquet")])
     assert n_parts > 1, f"artifact wrote {n_parts} part file(s)"
-    art = sorted(
-        (r["u"], r["v"])
-        for r in G.copurchase_artifact(spark, sf_dir).collect()
-    )
+    art_rows = G.copurchase_artifact(spark, sf_dir).collect()
+    art = sorted((r["u"], r["v"]) for r in art_rows)
     scratch = sorted(
         (r["u"], r["v"]) for r in G.copurchase_pairs(spark, sf_dir).collect()
     )
@@ -327,10 +325,7 @@ def test_copurchase_artifact_derives_once_and_matches_scratch(spark, sf_dir):
         .agg(F.countDistinct(F.col("a.l_orderkey")).alias("w"))
         .collect()
     }
-    art_w = {
-        (r["u"], r["v"]): r["n_orders"]
-        for r in G.copurchase_artifact(spark, sf_dir).collect()
-    }
+    art_w = {(r["u"], r["v"]): r["n_orders"] for r in art_rows}
     assert art_w == scratch_w
     # pr1 stays from-scratch: no new artifact derivation
     after = G.ARTIFACT_DERIVATIONS["count"]

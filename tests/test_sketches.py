@@ -2,10 +2,10 @@
 
 from __future__ import annotations
 
-from tests.conftest import record_floor
-
 import numpy as np
 import pytest
+
+from tests.conftest import record_floor
 
 from pyspark.sql import functions as F
 

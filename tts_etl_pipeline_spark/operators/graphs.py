@@ -26,6 +26,7 @@ hash-match bit-for-bit.
 
 from __future__ import annotations
 
+import atexit
 import os
 import tempfile
 
@@ -54,6 +55,25 @@ PR_ITERATIONS = 10
 PR_TOP_K = 20
 
 
+def _pair_join(li) -> DataFrame:
+    """The one lineitem self-join every co-purchase derivation starts from:
+    rows (u < v, l_orderkey) — one row per co-occurring line pair. TPC-H
+    orders hold <= 7 lines, so fanout per order is bounded by 21 (linear in
+    the fact table, never quadratic)."""
+    a, b = li.alias("a"), li.alias("b")
+    return a.join(
+        b,
+        on=[
+            F.col("a.l_orderkey") == F.col("b.l_orderkey"),
+            F.col("a.l_partkey") < F.col("b.l_partkey"),
+        ],
+    ).select(
+        F.col("a.l_partkey").alias("u"),
+        F.col("b.l_partkey").alias("v"),
+        F.col("a.l_orderkey").alias("orderkey"),
+    )
+
+
 def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Undirected part–part co-purchase edges with multiplicity.
 
@@ -61,13 +81,9 @@ def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     then symmetrize. `weight` counts co-occurrences (two parts bought
     together in many orders bind more strongly)."""
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
     pairs = (
-        a.join(b, on=[F.col("a.l_orderkey") == F.col("b.l_orderkey"),
-                      F.col("a.l_partkey") < F.col("b.l_partkey")])
-        .groupBy(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
+        _pair_join(li)
+        .groupBy("u", "v")
         .agg(F.count(F.lit(1)).alias("weight"))
     )
     return pairs.selectExpr("u AS src", "v AS dst", "weight").unionByName(
@@ -85,18 +101,7 @@ def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries consume the same relation through copurchase_artifact (below),
     which derives it ONCE per process instead of once per query."""
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
-    return (
-        a.join(
-            b,
-            on=[
-                F.col("a.l_orderkey") == F.col("b.l_orderkey"),
-                F.col("a.l_partkey") < F.col("b.l_partkey"),
-            ],
-        )
-        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .distinct()
-    )
+    return _pair_join(li).select("u", "v").distinct()
 
 
 # (applicationId, abspath(sf_dir)) -> on-disk artifact path. Keyed by
@@ -122,8 +127,6 @@ def _cleanup_artifacts() -> None:  # registered once below
         shutil.rmtree(os.path.dirname(p), ignore_errors=True)
 
 
-import atexit  # noqa: E402
-
 atexit.register(_cleanup_artifacts)
 
 
@@ -147,20 +150,10 @@ def copurchase_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
     if path is None or not os.path.isdir(path):
         ARTIFACT_DERIVATIONS["count"] += 1
         li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-        a, b = li.alias("a"), li.alias("b")
         base = (
-            a.join(
-                b,
-                on=[
-                    F.col("a.l_orderkey") == F.col("b.l_orderkey"),
-                    F.col("a.l_partkey") < F.col("b.l_partkey"),
-                ],
-            )
-            .groupBy(
-                F.col("a.l_partkey").alias("u"),
-                F.col("b.l_partkey").alias("v"),
-            )
-            .agg(F.countDistinct(F.col("a.l_orderkey")).alias("n_orders"))
+            _pair_join(li)
+            .groupBy("u", "v")
+            .agg(F.countDistinct("orderkey").alias("n_orders"))
         )
         path = os.path.join(
             tempfile.mkdtemp(prefix="spark_graft_graph_"), "copurchase_base"

@@ -325,10 +325,9 @@ def rollback(path: str, to_version: int) -> int:
     # check and the head advancing — bricking the new head. Touching them
     # puts them back inside every in-flight/future vacuum's grace window,
     # the same freshness signal a normal writer's staged files carry.
-    now = None  # let utime stamp current time
     for f in files:
         try:
-            os.utime(os.path.join(path, f), now)
+            os.utime(os.path.join(path, f))  # stamp current time
         except FileNotFoundError:
             raise ValueError(
                 f"version {to_version} was vacuumed concurrently; "
