@@ -34,7 +34,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tts_etl_pipeline_spark.functions.checkpoints import materialize
-from tts_etl_pipeline_spark.sources.tables import scaled_broadcast, table
+from tts_etl_pipeline_spark.sources.tables import (
+    scaled_broadcast,
+    table,
+    table_disk_bytes,
+)
 
 QUERIES: dict = {}
 ORACLES: dict = {}
@@ -111,13 +115,24 @@ def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ARTIFACT_CACHE: dict[tuple[str, str], str] = {}
 # test instrumentation: how many times the lineitem self-join actually ran
 ARTIFACT_DERIVATIONS = {"count": 0}
-# explicit part count for the artifact write: an unCOUNTED repartition("u")
-# is fair game for AQE's coalescePartitions, which would collapse the
-# small-SF artifact to ONE file and reintroduce the single-file-layout
-# measurement artifact (r7 verdict task 4); a user-specified count is
-# exempt from coalescing. 16 u-hashed files read back at >=16-way
-# parallelism at every SF while staying trivial at sf0.001.
+# explicit part-count FLOOR for the artifact write: an unCOUNTED
+# repartition("u") is fair game for AQE's coalescePartitions, which would
+# collapse the small-SF artifact to ONE file and reintroduce the
+# single-file-layout measurement artifact (r7 verdict task 4); a
+# user-specified count is exempt from coalescing. The actual count scales
+# with the base table (see _artifact_partitions) so the layout stays
+# executor-sized at 100 TB and >=16-way parallel at fixture scale.
 ARTIFACT_PARTITIONS = 16
+# target bytes of SOURCE lineitem per artifact partition: the pair relation
+# is ~linear in lineitem (<=3 pairs per line at <=7 lines/order, narrower
+# rows), so 64 MiB of input per partition keeps every artifact partition
+# well inside executor memory at any scale factor
+_ARTIFACT_INPUT_BYTES_PER_PART = 64 << 20
+
+
+def _artifact_partitions(sf_dir: str) -> int:
+    nbytes = table_disk_bytes(sf_dir, "lineitem") or 0
+    return max(ARTIFACT_PARTITIONS, int(nbytes // _ARTIFACT_INPUT_BYTES_PER_PART))
 
 
 def _cleanup_artifacts() -> None:  # registered once below
@@ -160,7 +175,7 @@ def copurchase_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # node-keyed layout: downstream self-joins shuffle on u/v anyway,
         # and a u-clustered multi-file layout reads back at full parallelism
-        base.repartition(ARTIFACT_PARTITIONS, "u").write.parquet(path)
+        base.repartition(_artifact_partitions(sf_dir), "u").write.parquet(path)
         _ARTIFACT_CACHE[key] = path
     return spark.read.parquet(path)
 
