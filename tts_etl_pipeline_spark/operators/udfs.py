@@ -204,9 +204,11 @@ def u4_grouped_agg_udf_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         return int(v.size)
 
     # a grouped-agg pandas UDF cannot share an agg() with JVM aggregates
-    # (INVALID_PANDAS_UDF_PLACEMENT) — so the row count is a pandas agg too
-    median_udf = F.pandas_udf(median_kernel, "double", F.PandasUDFType.GROUPED_AGG)
-    count_udf = F.pandas_udf(count_kernel, "long", F.PandasUDFType.GROUPED_AGG)
+    # (INVALID_PANDAS_UDF_PLACEMENT) — so the row count is a pandas agg too.
+    # The Series -> scalar type hints select GROUPED_AGG (the explicit
+    # PandasUDFType enum is deprecated, SPARK-28264).
+    median_udf = F.pandas_udf(median_kernel, "double")
+    count_udf = F.pandas_udf(count_kernel, "long")
     ev = table(spark, sf_dir, "events")
     return (
         ev.groupBy("event_type")

@@ -90,7 +90,11 @@ def apply_delta(spark: SparkSession, rollup_path: str, delta: DataFrame) -> None
         # only when the class is unavailable.
         first_write_classes = {"PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"}
         klass = None
-        get_class = getattr(ex, "getErrorClass", None)
+        # getCondition is the Spark-4 name; getErrorClass is its deprecated
+        # alias (kept as fallback for older sessions)
+        get_class = getattr(ex, "getCondition", None) or getattr(
+            ex, "getErrorClass", None
+        )
         if callable(get_class):
             klass = get_class()
         if klass is not None:
