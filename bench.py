@@ -127,6 +127,13 @@ HEADLINE = [
     # u9 (python UDTF pass) and st18 (streaming) follow their families'
     # not-headline precedents; scale rows in BASELINE.md.
     "x10_native_approx_topk",
+    # r8 addition — new shape: TPC-H Q21's EXISTS + NOT-EXISTS-on-same-fact
+    # rewritten to ONE fact scan + one order-grain aggregation (the join's
+    # hash partitioning reused; no window, no second lineitem shuffle).
+    # j7 and pr6 are deliberately NOT headline: j7 is a write-dominated
+    # layout rehearsal (j2/j3/j4 precedent), pr6 is iterative graph
+    # machinery (pr-family precedent) — scale rows live in BASELINE.md.
+    "q23_waiting_suppliers",
 ]
 
 # FIXED-COST heavies (round-8 policy, r7 verdict task 5): queries whose wall

@@ -722,3 +722,77 @@ def pr5_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("degree")
     )
+
+
+# ---------------------------------------------------------------------------
+# pr6 — connected components of the STRONG co-purchase graph with a
+# per-component retail rollup ("market-basket clusters"): which groups of
+# parts are transitively bound by repeated co-purchase, how big is each
+# cluster, and what does its catalog stock price add up to. Components via
+# functions/graph.py's alternating large-star/small-star contraction —
+# O(log n) rounds regardless of component diameter (the d9 machinery,
+# promoted onto the shared graph artifact) — then one size-guarded part
+# join for the price rollup in exact integer cents. The fixture exercises
+# both regimes: sf0.01's strong graph is one giant 1,860-node component
+# plus dust; sf0.1's shatters into 2,350 clusters of <= 14 (the weight
+# floor thins faster than the catalog grows). The oracle recomputes the
+# same fixpoint as a recursive-CTE transitive closure with MIN-label
+# aggregation (the d8/d9 oracle contract: label = min partkey in the
+# component), so the result is hash-exact despite the iterative engine.
+# ---------------------------------------------------------------------------
+PR6_TOP_K = 50
+
+
+@_register(
+    "pr6_copurchase_components",
+    f"""
+    WITH RECURSIVE pairs AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a
+      JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING COUNT(DISTINCT a.l_orderkey) >= {PR4_MIN_WEIGHT}
+    ),
+    sym AS (
+      SELECT u AS src, v AS dst FROM pairs
+      UNION ALL SELECT v, u FROM pairs
+    ),
+    reach(node, label) AS (
+      SELECT DISTINCT src, src FROM sym
+      UNION
+      SELECT s.src, r.label FROM sym s JOIN reach r ON s.dst = r.node
+    ),
+    comp AS (SELECT node, MIN(label) AS label FROM reach GROUP BY node)
+    SELECT CAST(c.label AS BIGINT) AS component,
+           COUNT(*) AS n_parts,
+           CAST(SUM(CAST(CAST(p.p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+                AS BIGINT) AS retail_cents
+    FROM comp c JOIN part p ON p.p_partkey = c.node
+    GROUP BY c.label
+    ORDER BY n_parts DESC, component
+    LIMIT {PR6_TOP_K}
+    """,
+)
+def pr6_copurchase_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tts_etl_pipeline_spark.functions.exact import money
+    from tts_etl_pipeline_spark.functions.graph import connected_components
+
+    pairs = strong_copurchase_pairs(spark, sf_dir, PR4_MIN_WEIGHT)
+    comp = connected_components(pairs.selectExpr("u AS src", "v AS dst"))
+    part = table(spark, sf_dir, "part").select(
+        "p_partkey", (money("p_retailprice") * 100).cast("bigint").alias("cents")
+    )
+    return (
+        comp.join(
+            scaled_broadcast(part, sf_dir, "part"),
+            comp.node == part.p_partkey,
+        )
+        .groupBy(F.col("label").cast("bigint").alias("component"))
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("cents").cast("bigint").alias("retail_cents"),
+        )
+        .orderBy(F.desc("n_parts"), "component")
+        .limit(PR6_TOP_K)
+    )

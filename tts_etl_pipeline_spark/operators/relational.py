@@ -1473,3 +1473,197 @@ def j6_mergeschema_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# q23 — TPC-H Q21's shape ("suppliers who kept orders waiting") adapted to
+# this fixture's columns: a line is LATE when it ships more than 60 days
+# after o_orderdate, and a supplier "kept an order waiting" when, on a
+# multi-supplier finalized ('F') order, they are the ONLY late supplier;
+# numwait counts their late lines (the l1 grain of the textbook query).
+# The oracle runs the textbook formulation — EXISTS + correlated NOT
+# EXISTS, i.e. THREE lineitem scans; the Spark plan is the single-scan
+# rewrite: lineitem joins the 'F' orders once on orderkey (fact-fact hash
+# join, no broadcast hint — both sides scale), then ONE order-grain
+# aggregation derives everything at once: n_suppliers (the EXISTS),
+# n_late_suppliers (the NOT EXISTS), the sole late supplier (max of a
+# when() — exact because the filter keeps only n_late_suppliers = 1) and
+# their late-line count. The groupBy(l_orderkey) reuses the join's hash
+# partitioning, so the fact data shuffles ONCE; supplier names join behind
+# the broadcast size guard and the top-25 is a TakeOrdered, no global sort.
+# ---------------------------------------------------------------------------
+@_register(
+    "q23_waiting_suppliers",
+    """
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM supplier s, lineitem l1, orders o
+    WHERE s.s_suppkey = l1.l_suppkey
+      AND o.o_orderkey = l1.l_orderkey
+      AND o.o_orderstatus = 'F'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 25
+    """,
+)
+def q23_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders_f = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    late = (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    ).cast("int")
+    per_order = (
+        li.join(orders_f, li.l_orderkey == orders_f.o_orderkey)
+        .withColumn("late", late)
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct(
+                F.when(F.col("late") == 1, F.col("l_suppkey"))
+            ).alias("n_late_supp"),
+            F.max(F.when(F.col("late") == 1, F.col("l_suppkey"))).alias(
+                "late_supp"
+            ),
+            F.sum("late").alias("n_late_lines"),
+        )
+        .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+    )
+    supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        per_order.join(
+            scaled_broadcast(supp, sf_dir, "supplier"),
+            per_order.late_supp == supp.s_suppkey,
+        )
+        .groupBy("s_name")
+        .agg(F.sum("n_late_lines").cast("bigint").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(25)
+    )
+
+
+# ---------------------------------------------------------------------------
+# j7 — Z-ORDER pruned scan, promoting sources/zorder.py from a pytest
+# contract to a driver query (the j2/j3/j4 promotion pattern): orders is
+# rewritten Z-ordered on (o_custkey, o_totalprice) — sampled quantile cuts,
+# scan-side Morton key, ONE range exchange, no Window — and an interior
+# 2-D rectangle (the 20-40% band of each dimension, integer-exact bounds
+# both engines compute identically) is aggregated from the clustered
+# layout. The query asserts IN-QUERY, from parquet footer stats alone,
+# that the rectangle lets a reader skip at least a quarter of the files on
+# at least one dimension — the multi-dimensional pruning that a linear
+# sort cannot give both columns at once (the data-skipping contract
+# Delta's OPTIMIZE ZORDER sells). The oracle aggregates the same rectangle
+# straight off the raw table: layout must never change answers.
+# ---------------------------------------------------------------------------
+J7_FILES = 16
+
+
+@_register(
+    "j7_zorder_pruned_scan",
+    """
+    WITH b AS (
+      SELECT MIN(o_custkey) AS cmin, MAX(o_custkey) AS cmax,
+             MIN(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS pmin,
+             MAX(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS pmax
+      FROM orders
+    )
+    SELECT COUNT(*) AS n_orders,
+           COUNT(DISTINCT o_custkey) AS n_custs,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM orders, b
+    WHERE o_custkey BETWEEN b.cmin + (b.cmax - b.cmin) * 2 // 10
+                        AND b.cmin + (b.cmax - b.cmin) * 4 // 10
+      AND CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+          BETWEEN b.pmin + (b.pmax - b.pmin) * 2 // 10
+              AND b.pmin + (b.pmax - b.pmin) * 4 // 10
+    """,
+)
+def j7_zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from tts_etl_pipeline_spark.sources.zorder import (
+        file_column_ranges,
+        zorder_write,
+    )
+
+    orders = table(spark, sf_dir, "orders").withColumn(
+        "price_cents", (money("o_totalprice") * 100).cast("bigint")
+    )
+    # integer-exact interior rectangle: both engines compute the same
+    # bounds from MIN/MAX with integer division (control-plane scalars)
+    b = orders.agg(
+        F.min("o_custkey").alias("cmin"),
+        F.max("o_custkey").alias("cmax"),
+        F.min("price_cents").alias("pmin"),
+        F.max("price_cents").alias("pmax"),
+    ).collect()[0]
+    empty = b.cmin is None  # empty-table sweep: no rows -> no rectangle
+    clo = 0 if empty else b.cmin + (b.cmax - b.cmin) * 2 // 10
+    chi = 0 if empty else b.cmin + (b.cmax - b.cmin) * 4 // 10
+    plo = 0 if empty else b.pmin + (b.pmax - b.pmin) * 2 // 10
+    phi = 0 if empty else b.pmin + (b.pmax - b.pmin) * 4 // 10
+    tmp = tempfile.mkdtemp(prefix="j7_")
+    path = f"{tmp}/orders_zorder"
+    try:
+        cols = orders.select("o_custkey", "price_cents")
+        if empty:  # nothing to cluster; keep the read/agg path identical
+            cols.write.parquet(path)
+        else:
+            zorder_write(cols, ["o_custkey", "price_cents"], path, J7_FILES)
+            # footer-stat data-skipping proof: at least a quarter of the
+            # files must be skippable for the rectangle from min/max alone
+            ranges = file_column_ranges(path, ["o_custkey", "price_cents"])
+            skipped = sum(
+                1
+                for rec in ranges
+                if (
+                    rec.get("o_custkey") is not None
+                    and (rec["o_custkey"][1] < clo or rec["o_custkey"][0] > chi)
+                )
+                or (
+                    rec.get("price_cents") is not None
+                    and (
+                        rec["price_cents"][1] < plo
+                        or rec["price_cents"][0] > phi
+                    )
+                )
+            )
+            if skipped < max(1, len(ranges) // 4):
+                raise AssertionError(
+                    f"z-order pruning degraded: only {skipped}/{len(ranges)} "
+                    "files skippable for the interior rectangle"
+                )
+        back = spark.read.parquet(path)
+        return (
+            back.filter(
+                F.col("o_custkey").between(clo, chi)
+                & F.col("price_cents").between(plo, phi)
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.countDistinct("o_custkey").alias("n_custs"),
+                F.sum("price_cents").cast("bigint").alias("sum_cents"),
+            )
+            .localCheckpoint(eager=True)  # materialize before tmp vanishes
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
