@@ -285,10 +285,11 @@ def test_copurchase_artifact_derives_once_and_matches_scratch(spark, sf_dir):
         G.pr3_bfs_hop_distances,
         G.pr4_link_prediction,
         G.pr5_kcore_decomposition,
+        G.pr6_copurchase_components,
     ):
         fn(spark, sf_dir).collect()
     assert G.ARTIFACT_DERIVATIONS["count"] == before + 1, (
-        "pr2..pr5 sweep must build the shared artifact exactly once"
+        "pr2..pr6 sweep must build the shared artifact exactly once"
     )
     # layout pin: the artifact must be MULTI-part on disk (an AQE-coalesced
     # single file would serialize downstream first-stage scans into 1 task)

@@ -764,3 +764,47 @@ def test_j4_dynamic_partition_pruning_subquery_in_fact_scan(spark, sf_dir):
         assert "BroadcastHashJoin" in plan, plan
     finally:
         cleanup()
+
+
+def test_q23_one_fact_scan_one_fact_grain_exchange(spark, sf_dir):
+    """q23's whole point (round-8): TPC-H Q21's textbook EXISTS/NOT-EXISTS
+    formulation re-scans lineitem three times; the Spark rewrite must keep
+    exactly ONE lineitem scan and ONE orders scan, fold everything into a
+    single order-grain aggregation pass (one countDistinct expand + one
+    l_orderkey exchange + one s_name exchange = at most 3 shuffles, no
+    correlated re-scans), join supplier names by broadcast, and finish with
+    a TakeOrdered top-25 instead of a global sort. If this test fails, the
+    single-scan rewrite regressed to a multi-scan shape."""
+    from tts_etl_pipeline_spark.operators.relational import q23_waiting_suppliers
+    from tts_etl_pipeline_spark.plans.inspect import scans_by_table
+
+    df = q23_waiting_suppliers(spark, sf_dir)
+    scans = scans_by_table(df)
+    assert scans.get("lineitem", 0) == 1, scans
+    assert scans.get("orders", 0) == 1, scans
+    assert count_shuffles(df) <= 3
+    plan = physical_plan(df)
+    assert has_broadcast_join(df)
+    # at most ONE shuffle join (li x orders at scale; formatted plans
+    # mention each node twice — tree + detail header)
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 2
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_pr6_reads_artifact_no_fresh_lineitem_self_join(spark, sf_dir):
+    """pr6 must consume the shared co-purchase artifact (one lineitem
+    self-join per process — the round-8 centerpiece), never re-derive the
+    pair relation: after the artifact exists, building and running pr6 adds
+    ZERO derivations, and its component relation's final plan scans no
+    lineitem at all (components iterate over the materialized edge set)."""
+    from tts_etl_pipeline_spark.operators import graphs as G
+    from tts_etl_pipeline_spark.plans.inspect import scans_by_table
+
+    G.copurchase_artifact(spark, sf_dir).count()  # ensure artifact exists
+    before = G.ARTIFACT_DERIVATIONS["count"]
+    df = G.pr6_copurchase_components(spark, sf_dir)
+    df.collect()
+    assert G.ARTIFACT_DERIVATIONS["count"] == before, (
+        "pr6 re-derived the co-purchase graph instead of reading the artifact"
+    )
+    assert scans_by_table(df).get("lineitem", 0) == 0

@@ -113,6 +113,18 @@ def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # stale artifact; within one driver/bench process the fixture dirs are
 # immutable, so the cache is sound for the process lifetime.
 _ARTIFACT_CACHE: dict[tuple[str, str], str] = {}
+# Artifact scratch root. The artifact is written by EXECUTORS and read back
+# by everyone, so the path must be on a filesystem all of them share — true
+# in this repo's local-mode deployment (made explicit here rather than
+# assumed); on a real cluster point this env var at shared storage
+# (HDFS/NFS/object-store mount). Defaults to the system temp dir.
+_SCRATCH_ENV = "SPARK_GRAFT_SCRATCH"
+
+
+def _scratch_root() -> str:
+    root = os.environ.get(_SCRATCH_ENV) or tempfile.gettempdir()
+    os.makedirs(root, exist_ok=True)
+    return root
 # test instrumentation: how many times the lineitem self-join actually ran
 ARTIFACT_DERIVATIONS = {"count": 0}
 # explicit part-count FLOOR for the artifact write: an unCOUNTED
@@ -162,7 +174,12 @@ def copurchase_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
     the proof query that artifact and derivation agree end-to-end."""
     key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
     path = _ARTIFACT_CACHE.get(key)
-    if path is None or not os.path.isdir(path):
+    # cache validity = the write's _SUCCESS marker, not a bare isdir: a
+    # /tmp reaper or partial cleanup mid-run can leave the directory
+    # present with part files missing — isdir would happily serve a
+    # truncated graph; the marker is written last, so its presence means
+    # the full part set landed (and its absence forces a re-derivation)
+    if path is None or not os.path.isfile(os.path.join(path, "_SUCCESS")):
         ARTIFACT_DERIVATIONS["count"] += 1
         li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
         base = (
@@ -171,7 +188,8 @@ def copurchase_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.countDistinct("orderkey").alias("n_orders"))
         )
         path = os.path.join(
-            tempfile.mkdtemp(prefix="spark_graft_graph_"), "copurchase_base"
+            tempfile.mkdtemp(prefix="spark_graft_graph_", dir=_scratch_root()),
+            "copurchase_base",
         )
         # node-keyed layout: downstream self-joins shuffle on u/v anyway,
         # and a u-clustered multi-file layout reads back at full parallelism

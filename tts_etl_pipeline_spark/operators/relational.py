@@ -1571,8 +1571,22 @@ def q23_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sort cannot give both columns at once (the data-skipping contract
 # Delta's OPTIMIZE ZORDER sells). The oracle aggregates the same rectangle
 # straight off the raw table: layout must never change answers.
+#
+# The per-run Z-order write IS the rehearsal being measured — like j2's
+# bucketed ingest and j3/j4's partitioned writes, the query's subject is
+# the maintenance operation itself, so it deliberately does NOT use the
+# (session, sf_dir) artifact cache the pr* family shares, and it stays out
+# of the throughput headline for the same reason.
+#
+# The pruning contract is asserted only when it is well-posed: a layout
+# with fewer than J7_FILES files (tiny table) or a near-constant key
+# (spread below _J7_MIN_SPREAD on either dimension) cannot promise
+# rectangle skipping, so the check is skipped rather than failed. A real
+# regression raises PruningRegressionError — a typed layout-degradation
+# signal, distinguishable from a query bug.
 # ---------------------------------------------------------------------------
 J7_FILES = 16
+_J7_MIN_SPREAD = 100  # min (max-min) per dimension for the contract to bind
 
 
 @_register(
@@ -1601,6 +1615,7 @@ def j7_zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from tts_etl_pipeline_spark.sources.zorder import (
+        PruningRegressionError,
         file_column_ranges,
         zorder_write,
     )
@@ -1647,8 +1662,13 @@ def j7_zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
                 )
             )
-            if skipped < max(1, len(ranges) // 4):
-                raise AssertionError(
+            contract_binds = (
+                len(ranges) >= J7_FILES
+                and (b.cmax - b.cmin) >= _J7_MIN_SPREAD
+                and (b.pmax - b.pmin) >= _J7_MIN_SPREAD
+            )
+            if contract_binds and skipped < max(1, len(ranges) // 4):
+                raise PruningRegressionError(
                     f"z-order pruning degraded: only {skipped}/{len(ranges)} "
                     "files skippable for the interior rectangle"
                 )

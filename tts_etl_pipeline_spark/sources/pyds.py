@@ -126,7 +126,11 @@ def _sweep_staging(target_dir: str, staging_dir: str) -> None:
     """Remove only the owning job's staging subdirectory, then age-gated
     orphans from crashed jobs (newest mtime inside the sibling subdir must
     be older than the grace window — a live job staging rows keeps its
-    files fresh), and finally the `_staging` root once empty."""
+    files fresh), and finally the `_staging` root once empty. Plain FILES
+    directly under `_staging/` — the pre-namespacing layout's staged
+    `*.jsonl` from an old crashed job — are age-gated on their own mtime
+    and unlinked, so upgraded targets converge to a clean state instead of
+    the legacy orphans blocking the root tidy-up forever."""
     import shutil
     import time
 
@@ -146,7 +150,14 @@ def _sweep_staging(target_dir: str, staging_dir: str) -> None:
                 )
                 if now - newest >= _STAGING_ORPHAN_SECONDS:
                     shutil.rmtree(sub, ignore_errors=True)
-            except (FileNotFoundError, NotADirectoryError):
+            except NotADirectoryError:
+                # legacy flat staged file (pre-namespacing layout)
+                try:
+                    if now - os.path.getmtime(sub) >= _STAGING_ORPHAN_SECONDS:
+                        os.remove(sub)
+                except FileNotFoundError:
+                    pass
+            except FileNotFoundError:
                 continue
         os.rmdir(root)  # tidy: only succeeds once no job is staging
     except OSError:

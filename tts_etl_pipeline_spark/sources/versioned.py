@@ -370,7 +370,11 @@ def vacuum(
       once older than `grace_seconds`, so a racing commit never ends up
       referencing deleted files.
     `grace_seconds=0` reclaims everything immediately — use it only with
-    no active writers (quiesced maintenance)."""
+    no active writers (quiesced maintenance). In particular rollback() is
+    UNSAFE alongside a grace_seconds=0 vacuum: rollback's protection is
+    re-freshening the historical files it re-references (putting them back
+    inside the grace window), and a zero window disables both freshness
+    probes below."""
     import time
 
     if not os.path.isdir(_vdir(path)):
@@ -435,9 +439,19 @@ def vacuum(
         rel = os.path.join("data", fn)
         full = os.path.join(data_dir, fn)
         try:
-            if rel not in keep and now - os.path.getmtime(full) >= grace_seconds:
-                os.remove(full)
-                deleted.append(rel)
+            if rel in keep or now - os.path.getmtime(full) < grace_seconds:
+                continue
+            # re-stat with a CURRENT clock immediately before the unlink:
+            # rollback() utimes every file it re-references BEFORE its
+            # commit, so a just-refreshed mtime here means a rollback is
+            # mid-flight — abort this file's delete. This narrows the
+            # probe->remove race from the whole sweep duration to one
+            # stat->remove gap; grace_seconds=0 disables both probes,
+            # which is why rollback is documented unsafe alongside it.
+            if time.time() - os.path.getmtime(full) < grace_seconds:
+                continue
+            os.remove(full)
+            deleted.append(rel)
         except FileNotFoundError:
             pass
     return deleted
