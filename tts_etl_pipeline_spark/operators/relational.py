@@ -1687,3 +1687,91 @@ def j7_zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# j8 — MERGE INTO driver promotion (round-8 verdict task 1): the versioned
+# table's flagship write path — sources/versioned.py::merge_upsert's
+# matched-update / not-matched-insert / conditional-delete, expressed as
+# ONE full-outer join and committed under the manifest CAS — proven by a
+# driver-checked hash equality instead of pytest alone. The table is seeded
+# from orders (keys % 7 != 0, price in integer cents), then a derived delta
+# (keys % 3 == 0, price doubled) merges in: matched 'F' rows DELETE,
+# matched others UPDATE to the doubled price, unmatched source rows INSERT
+# (keys % 21 == 0 exercise the insert arm, including 'F' inserts — the
+# delete condition only fires WHEN MATCHED, per the Delta contract). The
+# read-back aggregate is layout- and protocol-invisible, like j5/j7: the
+# oracle computes the same merge as a textbook FULL OUTER JOIN projection
+# in DuckDB, so hash equality proves MERGE SEMANTICS, not a write detail.
+# Scale shape: the merge is one key-partitioned shuffle join (the
+# unavoidable cost of any merge) + an atomic manifest commit; the audit
+# aggregate is one partial+final pass over the merged snapshot.
+# ---------------------------------------------------------------------------
+@_register(
+    "j8_merge_upsert_audit",
+    """
+    WITH t AS (
+      SELECT o_orderkey AS k, o_orderstatus AS st,
+             CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey % 7 <> 0
+    ),
+    s AS (
+      SELECT o_orderkey AS k, o_orderstatus AS st,
+             CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) * 2
+                  AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey % 3 = 0
+    ),
+    merged AS (
+      SELECT CASE WHEN s.k IS NOT NULL THEN s.st ELSE t.st END AS status,
+             CASE WHEN s.k IS NOT NULL THEN s.cents ELSE t.cents END AS cents,
+             COALESCE(s.k, t.k) AS k
+      FROM t FULL OUTER JOIN s ON t.k = s.k
+      WHERE NOT (t.k IS NOT NULL AND s.k IS NOT NULL AND s.st = 'F')
+    )
+    SELECT status,
+           COUNT(*) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           CAST(MIN(k) AS BIGINT) AS min_key,
+           CAST(MAX(k) AS BIGINT) AS max_key
+    FROM merged GROUP BY status ORDER BY status
+    """,
+)
+def j8_merge_upsert_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from tts_etl_pipeline_spark.sources.versioned import (
+        merge_upsert,
+        read_version,
+        write_version,
+    )
+
+    orders = table(spark, sf_dir, "orders")
+    cents = (money("o_totalprice") * 100).cast("bigint")
+    target = orders.filter(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey", "o_orderstatus", cents.alias("cents")
+    )
+    source = orders.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey", "o_orderstatus", (cents * 2).cast("bigint").alias("cents")
+    )
+    base = tempfile.mkdtemp(prefix="j8_")
+    path = f"{base}/orders_tbl"
+    try:
+        write_version(target, path)  # v1: the seed commit
+        merge_upsert(  # v2: THE MERGE under test
+            spark, path, source, key="o_orderkey", delete_on="o_orderstatus = 'F'"
+        )
+        back = read_version(spark, path)
+        return (
+            back.groupBy(F.col("o_orderstatus").alias("status"))
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("cents").cast("bigint").alias("sum_cents"),
+                F.min("o_orderkey").cast("bigint").alias("min_key"),
+                F.max("o_orderkey").cast("bigint").alias("max_key"),
+            )
+            .orderBy("status")
+            .localCheckpoint(eager=True)  # materialize before tmp vanishes
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -1347,3 +1347,89 @@ def st20_pyds_stream_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# st21 — INCREMENTAL VIEW MAINTENANCE from the change data feed, promoted
+# to a driver query (round-8 verdict task 2): the IVM centerpiece
+# sources/rollup.py::maintain_counts_from_cdf keeps a per-event_type count
+# aggregate of a versioned table in sync by folding stream_changes
+# micro-batches as +1/-1 deltas, every state commit carrying the merged
+# counts AND the applied-source-version watermark inside ONE manifest CAS.
+# The table takes three commits: v1 = append even event_ids, v2 = append
+# odd event_ids, v3 = overwrite deleting the 'click' rows (delete batches
+# via exceptAll bag semantics). After the drain, the query re-runs the
+# FULL maintenance loop with a FRESH checkpoint (the st16 replay
+# precedent) and asserts IN-QUERY that the watermark makes every replayed
+# batch a detectable no-op — state identical, bag-exact. The oracle is
+# the batch recompute over the final snapshot (events minus clicks,
+# null-safe), so the driver's hash equality proves the incremental path
+# CONVERGES to the batch answer, not just that it runs. Scale shape: each
+# fold is O(one commit's changed rows) + a state-sized merge — never a
+# source recompute; the replay costs one watermark probe per version.
+# ---------------------------------------------------------------------------
+@_register(
+    "st21_ivm_counts_from_cdf",
+    """
+    SELECT event_type, COUNT(*) AS cnt
+    FROM events
+    WHERE event_type IS DISTINCT FROM 'click'
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def st21_ivm_counts_from_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import collections
+    import os as _os
+    import shutil
+    import tempfile
+
+    from tts_etl_pipeline_spark.functions.checkpoints import materialize
+    from tts_etl_pipeline_spark.sources.rollup import (
+        maintain_counts_from_cdf,
+        read_maintained_counts,
+    )
+    from tts_etl_pipeline_spark.sources.tables import table as _table
+    from tts_etl_pipeline_spark.sources.versioned import (
+        read_version,
+        write_version,
+    )
+
+    base = tempfile.mkdtemp(prefix="st21_ivm_")
+    src = _os.path.join(base, "src")
+    state = _os.path.join(base, "state")
+    try:
+        ev = _table(spark, sf_dir, "events").select("event_id", "event_type")
+        write_version(ev.filter(F.col("event_id") % 2 == 0), src)  # v1
+        write_version(ev.filter(F.col("event_id") % 2 == 1), src)  # v2
+        write_version(  # v3: delete every click (null-safe — NULL stays)
+            read_version(spark, src).filter(
+                ~F.col("event_type").eqNullSafe(F.lit("click"))
+            ),
+            src,
+            mode="overwrite",
+        )
+        maintain_counts_from_cdf(
+            spark, src, state, _os.path.join(base, "ck1"), keys=["event_type"]
+        )
+        first = materialize(
+            read_maintained_counts(spark, state).select("event_type", "cnt")
+        )
+        # replay proof: drain AGAIN from scratch (fresh checkpoint) — the
+        # in-state watermark must turn every re-delivered batch into a
+        # no-op, leaving the maintained counts bag-identical
+        maintain_counts_from_cdf(
+            spark, src, state, _os.path.join(base, "ck2"), keys=["event_type"]
+        )
+        replay = materialize(
+            read_maintained_counts(spark, state).select("event_type", "cnt")
+        )
+        a = collections.Counter(map(tuple, first.collect()))
+        b = collections.Counter(map(tuple, replay.collect()))
+        if a != b:
+            raise RuntimeError(
+                f"IVM replay was not a no-op: {a - b} vs {b - a}"
+            )
+        return first.orderBy("event_type")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
