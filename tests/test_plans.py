@@ -808,3 +808,32 @@ def test_pr6_reads_artifact_no_fresh_lineitem_self_join(spark, sf_dir):
         "pr6 re-derived the co-purchase graph instead of reading the artifact"
     )
     assert scans_by_table(df).get("lineitem", 0) == 0
+
+
+def test_cached_parquet_success_marker_forces_rederivation(spark, sf_dir):
+    """The shared-artifact helper (functions/artifacts.py): a cached path
+    whose _SUCCESS marker vanished (a /tmp reaper's partial cleanup) must
+    force a re-derivation instead of serving a truncated relation, and two
+    distinct cache dicts must never collide in the atexit registry (they
+    compare equal as empty dicts — identity, not equality, is the key)."""
+    import os as _os
+
+    from tts_etl_pipeline_spark.functions.artifacts import (
+        _ALL_CACHES,
+        cached_parquet,
+    )
+
+    cache_a: dict = {}
+    cache_b: dict = {}
+    counter = {"count": 0}
+    build = lambda: spark.range(10).selectExpr("id AS k")  # noqa: E731
+    df = cached_parquet(spark, cache_a, ("x",), build, "probe_a", 2, (), counter)
+    assert df.count() == 10 and counter["count"] == 1
+    cached_parquet(spark, cache_a, ("x",), build, "probe_a", 2, (), counter)
+    assert counter["count"] == 1  # cache hit
+    _os.remove(_os.path.join(cache_a[("x",)], "_SUCCESS"))
+    cached_parquet(spark, cache_a, ("x",), build, "probe_a", 2, (), counter)
+    assert counter["count"] == 2  # marker gone -> re-derived
+    cached_parquet(spark, cache_b, ("y",), build, "probe_b", 2, ())
+    assert sum(1 for c in _ALL_CACHES if c is cache_a) == 1
+    assert sum(1 for c in _ALL_CACHES if c is cache_b) == 1

@@ -26,9 +26,7 @@ hash-match bit-for-bit.
 
 from __future__ import annotations
 
-import atexit
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -113,18 +111,6 @@ def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # stale artifact; within one driver/bench process the fixture dirs are
 # immutable, so the cache is sound for the process lifetime.
 _ARTIFACT_CACHE: dict[tuple[str, str], str] = {}
-# Artifact scratch root. The artifact is written by EXECUTORS and read back
-# by everyone, so the path must be on a filesystem all of them share — true
-# in this repo's local-mode deployment (made explicit here rather than
-# assumed); on a real cluster point this env var at shared storage
-# (HDFS/NFS/object-store mount). Defaults to the system temp dir.
-_SCRATCH_ENV = "SPARK_GRAFT_SCRATCH"
-
-
-def _scratch_root() -> str:
-    root = os.environ.get(_SCRATCH_ENV) or tempfile.gettempdir()
-    os.makedirs(root, exist_ok=True)
-    return root
 # test instrumentation: how many times the lineitem self-join actually ran
 ARTIFACT_DERIVATIONS = {"count": 0}
 # explicit part-count FLOOR for the artifact write: an unCOUNTED
@@ -147,16 +133,6 @@ def _artifact_partitions(sf_dir: str) -> int:
     return max(ARTIFACT_PARTITIONS, int(nbytes // _ARTIFACT_INPUT_BYTES_PER_PART))
 
 
-def _cleanup_artifacts() -> None:  # registered once below
-    import shutil
-
-    for p in _ARTIFACT_CACHE.values():
-        shutil.rmtree(os.path.dirname(p), ignore_errors=True)
-
-
-atexit.register(_cleanup_artifacts)
-
-
 def copurchase_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SHARED co-purchase graph artifact (round-7 verdict task 3): the
     weighted unordered pair relation `(u < v, n_orders = distinct
@@ -172,30 +148,30 @@ def copurchase_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
     `filter(n_orders >= w)` (identical to the old strong_copurchase_pairs
     HAVING clause). pr1 deliberately keeps the from-scratch derivation as
     the proof query that artifact and derivation agree end-to-end."""
-    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
-    path = _ARTIFACT_CACHE.get(key)
-    # cache validity = the write's _SUCCESS marker, not a bare isdir: a
-    # /tmp reaper or partial cleanup mid-run can leave the directory
-    # present with part files missing — isdir would happily serve a
-    # truncated graph; the marker is written last, so its presence means
-    # the full part set landed (and its absence forces a re-derivation)
-    if path is None or not os.path.isfile(os.path.join(path, "_SUCCESS")):
-        ARTIFACT_DERIVATIONS["count"] += 1
+    from tts_etl_pipeline_spark.functions.artifacts import cached_parquet
+
+    def build() -> DataFrame:
         li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-        base = (
+        return (
             _pair_join(li)
             .groupBy("u", "v")
             .agg(F.countDistinct("orderkey").alias("n_orders"))
         )
-        path = os.path.join(
-            tempfile.mkdtemp(prefix="spark_graft_graph_", dir=_scratch_root()),
-            "copurchase_base",
-        )
-        # node-keyed layout: downstream self-joins shuffle on u/v anyway,
-        # and a u-clustered multi-file layout reads back at full parallelism
-        base.repartition(_artifact_partitions(sf_dir), "u").write.parquet(path)
-        _ARTIFACT_CACHE[key] = path
-    return spark.read.parquet(path)
+
+    # node-keyed layout: downstream self-joins shuffle on u/v anyway, and a
+    # u-clustered multi-file layout reads back at full parallelism. Cache
+    # validity (_SUCCESS marker), explicit partition count, scratch root and
+    # atexit cleanup are the shared cached_parquet contract.
+    return cached_parquet(
+        spark,
+        _ARTIFACT_CACHE,
+        (spark.sparkContext.applicationId, os.path.abspath(sf_dir)),
+        build,
+        "copurchase_base",
+        _artifact_partitions(sf_dir),
+        ("u",),
+        ARTIFACT_DERIVATIONS,
+    )
 
 
 def pagerank(edges: DataFrame, damping: float = PR_DAMPING,

@@ -50,6 +50,19 @@ def token_stream(docs: DataFrame) -> DataFrame:
         F.explode(F.split(F.lower(F.trim("text")), " ")).alias("token")
     )
 
+
+# A shared TOKENS artifact (the graph-artifact pattern applied to the
+# (doc_id, lang, ts tokenized-array) projection) was PROTOTYPED AND
+# REJECTED in round 9 (r8 verdict task 3): an interleaved same-session A/B
+# at sf0.1 (7 reps each) measured t2 0.222 s baseline vs 0.256 s artifact
+# and t15 0.586 vs 0.599 — the apparent 36-45% prototype win was a
+# warmup-ordering artifact (the r6 first-measurement lesson), and reading
+# the wider array-parquet back is no cheaper than re-splitting the compact
+# text in-memory: split() is whole-stage-codegen CPU on data the scan
+# already paid for, so there is nothing to amortize. t7 was rejected
+# separately (it needs TWO tokenizations — whitespace AND the BPE-ish
+# regex). Numbers in BASELINE.md round-9; the d5/array-pairs precedent.
+
 # ---------------------------------------------------------------------------
 # t1 — per-language token statistics: tokenize + aggregate.
 # ---------------------------------------------------------------------------
