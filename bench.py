@@ -134,11 +134,12 @@ HEADLINE = [
     # layout rehearsal (j2/j3/j4 precedent), pr6 is iterative graph
     # machinery (pr-family precedent) — scale rows live in BASELINE.md.
     "q23_waiting_suppliers",
-    # r9 additions j8 (MERGE INTO audit) and st21 (CDF-driven IVM) are
-    # deliberately NOT headline: both are write-dominated protocol
-    # rehearsals (seed commits + merge/maintenance commits dominate the
-    # wall — the j2/j3/j4/j7/dq10 precedent, and st* is never headline).
-    # Their scale rows live in BASELINE.md.
+    # r9 additions j8 (MERGE INTO audit), st21 (CDF-driven IVM), j9
+    # (manifest-stats pruned scan) and j10 (SCD2 history) are deliberately
+    # NOT headline: all are write-dominated protocol rehearsals (seed
+    # commits + merge/fold/maintenance commits dominate the wall — the
+    # j2/j3/j4/j7/dq10 precedent, and st* is never headline). Their scale
+    # rows live in BASELINE.md.
 ]
 
 # FIXED-COST heavies (round-8 policy, r7 verdict task 5): queries whose wall

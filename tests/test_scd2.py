@@ -1,0 +1,85 @@
+"""SCD2 fold semantics (sources/scd.py): open/close/no-op/insert arms,
+null-safe attribute comparison, reserved names, duplicate-key refusal."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tts_etl_pipeline_spark.sources.scd import scd2_apply
+from tts_etl_pipeline_spark.sources.versioned import read_version
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(rows, "k int, state string, eff long")
+
+
+def _hist(spark, path):
+    rows = [
+        (r["k"], r["state"], r["valid_from"], r["valid_to"], r["is_current"])
+        for r in read_version(spark, path).collect()
+    ]
+    return sorted(rows, key=lambda t: tuple((v is None, v) for v in t))
+
+
+def test_scd2_fold_arms_and_collapse(spark, tmp_path):
+    path = str(tmp_path / "dim")
+    scd2_apply(spark, path, _batch(spark, [(1, "A", 10), (2, "X", 10)]),
+               "k", ["state"], "eff")
+    # batch 2: k1 changes (close+open), k2 unchanged (no-op), k3 inserts
+    scd2_apply(spark, path, _batch(spark, [(1, "B", 20), (2, "X", 20), (3, "C", 20)]),
+               "k", ["state"], "eff")
+    assert _hist(spark, path) == [
+        (1, "A", 10, 20, False),
+        (1, "B", 20, None, True),
+        (2, "X", 10, None, True),   # consecutive duplicate collapsed
+        (3, "C", 20, None, True),
+    ]
+    # batch 3: k1 flips back to A (a real new version, not a resurrection),
+    # k3 absent (untouched)
+    scd2_apply(spark, path, _batch(spark, [(1, "A", 30)]), "k", ["state"], "eff")
+    assert _hist(spark, path) == [
+        (1, "A", 10, 20, False),
+        (1, "A", 30, None, True),
+        (1, "B", 20, 30, False),
+        (2, "X", 10, None, True),
+        (3, "C", 20, None, True),
+    ]
+
+
+def test_scd2_null_safe_attrs_and_null_keys(spark, tmp_path):
+    path = str(tmp_path / "dim")
+    scd2_apply(spark, path, _batch(spark, [(1, None, 10)]), "k", ["state"], "eff")
+    # NULL -> NULL is "same" (no new version); NULL -> value is a change
+    scd2_apply(spark, path, _batch(spark, [(1, None, 20)]), "k", ["state"], "eff")
+    assert _hist(spark, path) == [(1, None, 10, None, True)]
+    scd2_apply(spark, path, _batch(spark, [(1, "A", 30)]), "k", ["state"], "eff")
+    assert _hist(spark, path) == [
+        (1, "A", 30, None, True),
+        (1, None, 10, 30, False),  # None sorts last in the test key
+    ]
+    # a NULL-keyed change row never matches: it inserts (merge contract)
+    scd2_apply(spark, path, _batch(spark, [(None, "Z", 40)]), "k", ["state"], "eff")
+    assert (None, "Z", 40, None, True) in _hist(spark, path)
+
+
+def test_scd2_guards(spark, tmp_path):
+    path = str(tmp_path / "dim")
+    with pytest.raises(ValueError, match="share key"):
+        scd2_apply(spark, path, _batch(spark, [(1, "A", 10), (1, "B", 10)]),
+                   "k", ["state"], "eff")
+    with pytest.raises(ValueError, match="reserved"):
+        scd2_apply(
+            spark, path,
+            spark.createDataFrame([(1, True, 10)], "k int, is_current boolean, eff long"),
+            "k", ["is_current"], "eff",
+        )
+    with pytest.raises(ValueError, match="lacks columns"):
+        scd2_apply(spark, path, _batch(spark, [(1, "A", 10)]), "k", ["other"], "eff")
+    scd2_apply(spark, path, _batch(spark, [(1, "A", 10)]), "k", ["state"], "eff")
+    with pytest.raises(ValueError, match="schema mismatch"):
+        scd2_apply(
+            spark, path,
+            spark.createDataFrame([(1, 2, 20)], "k int, state int, eff long"),
+            "k", ["state"], "eff",
+        )

@@ -684,3 +684,66 @@ def test_rollback_refreshes_mtimes_against_concurrent_vacuum(spark, tmp_path):
         assert _time.time() - _os.path.getmtime(f) < 60
     vacuum(path, keep_versions=1, grace_seconds=3600.0)
     assert {r["v"] for r in read_version(spark, path).collect()} == {"a"}
+
+
+def test_manifest_stats_pruned_read_exact_and_sound(spark, tmp_path):
+    """collect_stats records per-file min/max in the manifest; the pruned
+    read (a) skips provably-disjoint files, (b) returns EXACTLY the rows a
+    plain filtered snapshot read returns (boundary-inclusive), (c) never
+    skips files lacking stats (appends committed without collect_stats
+    degrade to a full read, not a wrong answer), and (d) survives rollback
+    (immutable files keep their recorded ranges)."""
+    from tts_etl_pipeline_spark.sources.versioned import read_version_pruned
+
+    path = str(tmp_path / "t")
+    df = spark.range(1000).selectExpr("id AS k", "id % 7 AS g")
+    write_version(
+        df.repartitionByRange(8, "k"), path, collect_stats=("k",)
+    )
+    pruned, skipped, total = read_version_pruned(spark, path, "k", 100, 249)
+    assert total == 8 and skipped >= total // 2
+    expect = sorted(
+        (r["k"], r["g"])
+        for r in read_version(spark, path).filter(F.col("k").between(100, 249)).collect()
+    )
+    got = sorted((r["k"], r["g"]) for r in pruned.collect())
+    assert got == expect and len(got) == 150  # 100..249 inclusive
+    # (c) an append WITHOUT stats: new rows in-range must still surface
+    write_version(
+        spark.range(2000, 2010).selectExpr("id AS k", "id % 7 AS g"), path
+    )
+    pruned2, skipped2, total2 = read_version_pruned(spark, path, "k", 2000, 2100)
+    assert sorted(r["k"] for r in pruned2.collect()) == list(range(2000, 2010))
+    assert skipped2 >= 7  # the 8 stats-bearing v1 files minus any overlap
+    # (b2) fully-pruned band: empty result, schema intact
+    pruned3, skipped3, total3 = read_version_pruned(spark, path, "k", -50, -1)
+    assert pruned3.collect() == [] and pruned3.columns == ["k", "g"]
+    assert skipped3 == 8 and total3 == total2  # stats-less files still read
+    # (d) rollback to v1 carries the stats forward
+    rollback(path, 1)
+    pruned4, skipped4, total4 = read_version_pruned(spark, path, "k", 100, 249)
+    assert total4 == 8 and skipped4 >= total4 // 2
+    assert sorted((r["k"], r["g"]) for r in pruned4.collect()) == expect
+
+
+def test_manifest_stats_skip_strings_and_empty_files(spark, tmp_path):
+    """String columns are never recorded (parquet stat truncation makes
+    string-range skipping unsound) and files with zero row groups get no
+    entry — both degrade to 'always read', never to a skipped row."""
+    from tts_etl_pipeline_spark.sources.versioned import (
+        _read_manifest,
+        read_version_pruned,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.range(100).selectExpr("id AS k", "CAST(id AS STRING) AS s")
+    write_version(df.repartitionByRange(4, "k"), path, collect_stats=("k", "s"))
+    stats = _read_manifest(path, 1).get("stats", {})
+    assert stats and all("s" not in rec for rec in stats.values())
+    assert all("k" in rec for rec in stats.values())
+    # pruning on the unrecorded column reads everything, filters row-level
+    pruned, skipped, total = read_version_pruned(spark, path, "s", "10", "19")
+    assert skipped == 0
+    assert sorted(r["s"] for r in pruned.collect()) == sorted(
+        str(x) for x in range(10, 20)
+    )

@@ -1726,7 +1726,10 @@ def j7_zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN s.k IS NOT NULL THEN s.cents ELSE t.cents END AS cents,
              COALESCE(s.k, t.k) AS k
       FROM t FULL OUTER JOIN s ON t.k = s.k
-      WHERE NOT (t.k IS NOT NULL AND s.k IS NOT NULL AND s.st = 'F')
+      -- COALESCE mirrors merge_upsert's Delta contract: a NULL delete
+      -- predicate falls through to UPDATE, never deletes
+      WHERE NOT (t.k IS NOT NULL AND s.k IS NOT NULL
+                 AND COALESCE(s.st = 'F', FALSE))
     )
     SELECT status,
            COUNT(*) AS n_rows,
@@ -1771,6 +1774,226 @@ def j8_merge_upsert_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.max("o_orderkey").cast("bigint").alias("max_key"),
             )
             .orderBy("status")
+            .localCheckpoint(eager=True)  # materialize before tmp vanishes
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# j9 — MANIFEST-STATS pruned scan: the versioned table answers j6's own
+# caveat. mergeSchema (and any footer-stat skipping, j7 included) reads
+# every file footer at PLANNING time — fine per partition, the scalability
+# bug at a million-file table. Here the per-file min/max is recorded ONCE,
+# at commit time, into the KB-scale manifest (write_version collect_stats —
+# Iceberg's manifest-entry column stats), and read_version_pruned plans the
+# file set driver-side from the manifest alone: zero footer IO, zero
+# listing. The layout: orders is range-partitioned on o_orderkey into
+# J9_FILES files (disjoint key ranges per file), committed with stats, and
+# an interior 20-40% key band (integer-exact bounds both engines compute
+# identically — the j7 idiom) is read back pruned. The query asserts
+# IN-QUERY that at least half the files were skipped from the manifest
+# (typed PruningRegressionError, gated on well-posedness like j7); the
+# oracle aggregates the same band straight off the raw table — the
+# manifest, the protocol and the layout must never change answers.
+# Scale shape: one range-exchange write rehearsal + an aggregation over
+# ~1/5 of the data; the pruning decision costs O(files) driver-side JSON.
+# ---------------------------------------------------------------------------
+J9_FILES = 16
+_J9_MIN_SPREAD = 100  # min key spread for the pruning contract to bind
+
+
+@_register(
+    "j9_manifest_pruned_scan",
+    """
+    WITH b AS (
+      SELECT MIN(o_orderkey) AS kmin, MAX(o_orderkey) AS kmax FROM orders
+    )
+    SELECT COUNT(*) AS n_orders,
+           COUNT(DISTINCT o_custkey) AS n_custs,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM orders, b
+    WHERE o_orderkey BETWEEN b.kmin + (b.kmax - b.kmin) * 2 // 10
+                         AND b.kmin + (b.kmax - b.kmin) * 4 // 10
+    """,
+)
+def j9_manifest_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from tts_etl_pipeline_spark.sources.versioned import (
+        read_version_pruned,
+        write_version,
+    )
+    from tts_etl_pipeline_spark.sources.zorder import PruningRegressionError
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        (money("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    b = orders.agg(
+        F.min("o_orderkey").alias("kmin"), F.max("o_orderkey").alias("kmax")
+    ).collect()[0]
+    empty = b.kmin is None  # empty-table sweep: no rows -> no band
+    klo = 0 if empty else b.kmin + (b.kmax - b.kmin) * 2 // 10
+    khi = 0 if empty else b.kmin + (b.kmax - b.kmin) * 4 // 10
+    base = tempfile.mkdtemp(prefix="j9_")
+    path = f"{base}/orders_keyed"
+    try:
+        write_version(
+            orders.repartitionByRange(J9_FILES, "o_orderkey"),
+            path,
+            collect_stats=("o_orderkey",),
+        )
+        pruned, skipped, total = read_version_pruned(
+            spark, path, "o_orderkey", klo, khi
+        )
+        contract_binds = (
+            not empty
+            and total >= J9_FILES
+            and (b.kmax - b.kmin) >= _J9_MIN_SPREAD
+        )
+        if contract_binds and skipped < total // 2:
+            raise PruningRegressionError(
+                f"manifest pruning degraded: only {skipped}/{total} files "
+                "skipped for the interior key band"
+            )
+        return (
+            pruned.agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.countDistinct("o_custkey").alias("n_custs"),
+                F.sum("cents").cast("bigint").alias("sum_cents"),
+            )
+            .localCheckpoint(eager=True)  # materialize before tmp vanishes
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# j10 — SCD TYPE-2 dimension history (sources/scd.py driver promotion): the
+# warehouse "keep every historical value" pattern, folded batch-by-batch on
+# the versioned table. The change stream is deterministic from `events`:
+# the time axis splits into three equal epoch-micro bands (integer-exact
+# cuts, the j7/j9 idiom), each band contributes per-user the LATEST
+# (ts, event_id)-ordered event_type as that batch's state, and the three
+# batches fold in order — matched-and-changed closes + opens (null-safe
+# attr comparison), matched-and-same collapses (no version forked),
+# new keys insert. The oracle rebuilds the SAME history with pure window
+# functions (per-(user, band) ROW_NUMBER pick, LAG collapse with
+# IS DISTINCT FROM, LEAD validity bounds), so the driver's hash equality
+# proves the FOLD converges to the declarative history — the two
+# formulations of SCD2 agreeing is the contract. The audit aggregate sums
+# exact closed-interval spans in bigint micros: any mispaired
+# valid_from/valid_to anywhere in the history shifts it. Scale shape: each
+# fold is one current-x-batch full-outer join + an atomic overwrite
+# commit; closed history passes through untouched (never rejoined).
+# ---------------------------------------------------------------------------
+J10_BANDS = 3
+
+
+@_register(
+    "j10_scd2_history",
+    """
+    WITH b AS (
+      SELECT epoch_us(MIN(ts)) AS tmin, epoch_us(MAX(ts)) AS tmax FROM events
+    ),
+    tagged AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS tss,
+             CASE
+               WHEN epoch_us(ts) <= b.tmin + ((b.tmax - b.tmin) // 3) THEN 1
+               WHEN epoch_us(ts) <= b.tmin + (((b.tmax - b.tmin) * 2) // 3)
+                 THEN 2
+               ELSE 3
+             END AS band
+      FROM events, b
+    ),
+    ranked AS (
+      SELECT user_id, band, event_type, tss,
+             ROW_NUMBER() OVER (PARTITION BY user_id, band
+                                ORDER BY tss DESC, event_id DESC) AS rn
+      FROM tagged
+    ),
+    states AS (
+      SELECT user_id, band, event_type, tss FROM ranked WHERE rn = 1
+    ),
+    seq AS (
+      SELECT user_id, event_type, tss,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY band) AS rn2,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY band) AS prev
+      FROM states
+    ),
+    collapsed AS (
+      SELECT user_id, event_type AS state, tss AS valid_from
+      FROM seq WHERE rn2 = 1 OR prev IS DISTINCT FROM event_type
+    ),
+    hist AS (
+      SELECT user_id, state, valid_from,
+             LEAD(valid_from) OVER (PARTITION BY user_id
+                                    ORDER BY valid_from) AS valid_to
+      FROM collapsed
+    )
+    SELECT state,
+           COUNT(*) AS n_versions,
+           CAST(SUM(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_current,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(SUM(valid_to - valid_from) AS BIGINT) AS closed_span_us
+    FROM hist GROUP BY state ORDER BY state
+    """,
+)
+def j10_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from tts_etl_pipeline_spark.sources.scd import scd2_apply
+    from tts_etl_pipeline_spark.sources.versioned import read_version
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("tss"),
+    )
+    b = ev.agg(F.min("tss").alias("tmin"), F.max("tss").alias("tmax")).collect()[0]
+    empty = b.tmin is None  # empty-table sweep: no rows -> three empty folds
+    cut1 = 0 if empty else b.tmin + ((b.tmax - b.tmin) // 3)
+    cut2 = 0 if empty else b.tmin + (((b.tmax - b.tmin) * 2) // 3)
+    bands = [
+        F.col("tss") <= cut1,
+        (F.col("tss") > cut1) & (F.col("tss") <= cut2),
+        F.col("tss") > cut2,
+    ]
+    w = Window.partitionBy("user_id").orderBy(F.desc("tss"), F.desc("event_id"))
+    base = tempfile.mkdtemp(prefix="j10_")
+    path = f"{base}/user_state_dim"
+    try:
+        for cond in bands:
+            batch = (
+                ev.filter(cond)
+                .withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .select("user_id", "event_type", F.col("tss").alias("eff"))
+            )
+            scd2_apply(spark, path, batch, "user_id", ["event_type"], "eff")
+        hist = read_version(spark, path)
+        return (
+            hist.groupBy(F.col("event_type").alias("state"))
+            .agg(
+                F.count(F.lit(1)).alias("n_versions"),
+                F.sum(F.col("is_current").cast("int"))
+                .cast("bigint")
+                .alias("n_current"),
+                F.countDistinct("user_id").alias("n_users"),
+                F.sum(F.col("valid_to") - F.col("valid_from"))
+                .cast("bigint")
+                .alias("closed_span_us"),
+            )
+            .orderBy("state")
             .localCheckpoint(eager=True)  # materialize before tmp vanishes
         )
     finally:

@@ -50,12 +50,13 @@ SAMPLE_ROWS = 65_536  # bounded cut-point sample per column (control-plane)
 
 
 class PruningRegressionError(RuntimeError):
-    """A Z-ordered layout stopped delivering its promised data-skipping
-    ratio (footer-stat pruning below contract). Distinct from a query bug:
-    the ANSWER is still correct — the layout degraded, typically from a
-    skewed or tiny-cardinality clustering key. Callers asserting a pruning
-    contract raise this so monitoring can separate 'rewrite the layout'
-    from 'the query is wrong'."""
+    """A clustered layout stopped delivering its promised data-skipping
+    ratio (file-level pruning below contract — footer stats here, manifest
+    stats in sources/versioned.py). Distinct from a query bug: the ANSWER
+    is still correct — the layout degraded, typically from a skewed or
+    tiny-cardinality clustering key. Callers asserting a pruning contract
+    raise this so monitoring can separate 'rewrite the layout' from 'the
+    query is wrong'."""
 
 
 def quantile_cuts_multi(
