@@ -138,8 +138,10 @@ HEADLINE = [
     # (manifest-stats pruned scan) and j10 (SCD2 history) are deliberately
     # NOT headline: all are write-dominated protocol rehearsals (seed
     # commits + merge/fold/maintenance commits dominate the wall — the
-    # j2/j3/j4/j7/dq10 precedent, and st* is never headline). Their scale
-    # rows live in BASELINE.md.
+    # j2/j3/j4/j7/dq10 precedent, and st* is never headline). j11 (runtime
+    # bloom-filter join) follows j4's optimizer-rehearsal precedent: its
+    # conf scoping + in-query plan assertion are the subject, not
+    # throughput. Scale rows for all five live in BASELINE.md.
 ]
 
 # FIXED-COST heavies (round-8 policy, r7 verdict task 5): queries whose wall

@@ -747,3 +747,60 @@ def test_manifest_stats_skip_strings_and_empty_files(spark, tmp_path):
     assert sorted(r["s"] for r in pruned.collect()) == sorted(
         str(x) for x in range(10, 20)
     )
+
+
+def test_compact_recollects_stats_and_pruning_survives(spark, tmp_path):
+    """OPTIMIZE must not silently turn a pruned table into a full-scan
+    table: compact(collect_stats=...) re-collects manifest ranges for the
+    rewritten files; a plain compact drops them (new files, no inherited
+    ranges) and the pruned read degrades to reading everything — still
+    row-correct."""
+    from tts_etl_pipeline_spark.sources.versioned import (
+        compact,
+        read_version_pruned,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.range(1000).selectExpr("id AS k")
+    write_version(df.repartitionByRange(8, "k"), path, collect_stats=("k",))
+    compact(spark, path, target_files=4, collect_stats=("k",))
+    pruned, skipped, total = read_version_pruned(spark, path, "k", 0, 99)
+    assert skipped >= 1  # coalesce(4) of range-partitioned input stays clustered
+    assert sorted(r["k"] for r in pruned.collect()) == list(range(100))
+    compact(spark, path, target_files=4)  # stats dropped
+    pruned2, skipped2, _ = read_version_pruned(spark, path, "k", 0, 99)
+    assert skipped2 == 0
+    assert sorted(r["k"] for r in pruned2.collect()) == list(range(100))
+
+
+def test_version_asof_timestamp_time_travel(spark, tmp_path):
+    """timestamp AS OF: the newest version committed at-or-before ts;
+    before-everything raises; legacy manifests (no committed_at) resolve
+    through the manifest file's mtime."""
+    import json as _json
+    import time as _time
+
+    from tts_etl_pipeline_spark.sources.versioned import (
+        _manifest_path,
+        version_asof,
+    )
+
+    path = str(tmp_path / "t")
+    write_version(spark.range(3).selectExpr("id AS k"), path)
+    t1 = _time.time()
+    _time.sleep(0.05)
+    write_version(spark.range(3, 6).selectExpr("id AS k"), path)
+    t2 = _time.time()
+    assert version_asof(path, t1) == 1
+    assert version_asof(path, t2) == 2
+    assert version_asof(path, _time.time() + 60) == 2
+    assert {r["k"] for r in read_version(spark, path, version_asof(path, t1)).collect()} == {0, 1, 2}
+    with pytest.raises(ValueError, match="committed after"):
+        version_asof(path, 1.0)
+    # legacy manifest: strip committed_at, resolver falls back to mtime
+    mp = _manifest_path(path, 2)
+    m = _json.load(open(mp))
+    m.pop("committed_at")
+    with open(mp, "w") as fh:
+        _json.dump(m, fh)
+    assert version_asof(path, _time.time()) == 2

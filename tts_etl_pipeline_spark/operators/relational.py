@@ -1998,3 +1998,94 @@ def j10_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# j11 — RUNTIME BLOOM-FILTER join pruning (the optimizer surface next to
+# j4's dynamic partition pruning): Spark's InjectRuntimeFilter rule builds
+# a bloom filter over the CREATION side's join keys (the selective
+# status='P' orders subset) and pushes `might_contain(xxhash64(key))` into
+# the APPLICATION side's scan filter — fact rows that cannot join are
+# dropped BEFORE the shuffle, the row-level analogue of j9's file-level
+# skipping. At 100 TB the rule's own thresholds bind naturally
+# (application side >= 10 GB, creation side <= 10 MB after its filter);
+# at fixture scale the size gate is lowered INSIDE the query and restored
+# in finally (conf leaks poison every later query — the u7 scripting-flag
+# lesson), with the aggregate localCheckpoint'ed while the scoped plan is
+# live (physical planning is lazy; an unmaterialized return would re-plan
+# AFTER the conf restore and silently lose the rehearsal). The broadcast
+# threshold is scoped off for the same reason: orders('P') at 100 TB is
+# not broadcastable, and the bloom filter only matters on a shuffle join.
+# The filter is semantics-free (false positives only re-admit rows the
+# join drops anyway), so the oracle is the plain join-aggregate; the plan
+# contract (`might_contain` + `bloom_filter_agg` present) is asserted
+# in-query with a typed error, gated on both sides being non-empty (the
+# rule legitimately declines on empty statistics).
+# ---------------------------------------------------------------------------
+@_register(
+    "j11_runtime_bloom_join",
+    """
+    SELECT l.l_returnflag AS returnflag,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(12,2)) * 100
+                         AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderstatus = 'P'
+    GROUP BY l.l_returnflag
+    ORDER BY returnflag
+    """,
+)
+def j11_runtime_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tts_etl_pipeline_spark.plans.inspect import physical_plan
+
+    _SCAN_GATE = (
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    )
+    _BCAST = "spark.sql.autoBroadcastJoinThreshold"
+    old_gate = spark.conf.get(_SCAN_GATE, "10GB")
+    old_bcast = spark.conf.get(_BCAST, "10MB")
+    try:
+        spark.conf.set(_SCAN_GATE, "0")
+        spark.conf.set(_BCAST, "-1")
+        li = table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice"
+        )
+        orders_p = (
+            table(spark, sf_dir, "orders")
+            .filter(F.col("o_orderstatus") == "P")
+            .select("o_orderkey")
+        )
+        out = (
+            li.join(orders_p, li.l_orderkey == orders_p.o_orderkey)
+            .groupBy(F.col("l_returnflag").alias("returnflag"))
+            .agg(
+                F.count(F.lit(1)).alias("n_lines"),
+                F.sum(F.col("l_quantity").cast("decimal(12,2)"))
+                .cast("double")
+                .alias("sum_qty"),
+                F.sum((money("l_extendedprice") * 100).cast("bigint"))
+                .cast("bigint")
+                .alias("revenue_cents"),
+            )
+            .orderBy("returnflag")
+        )
+        plan = physical_plan(out)
+        injected = "might_contain" in plan and "bloom_filter_agg" in plan
+        populated = (  # control-plane 1-row probes: the rule may decline
+            li.limit(1).count() == 1 and orders_p.limit(1).count() == 1
+        )  # on empty-side statistics, and that is correct behavior
+        if populated and not injected:
+            from tts_etl_pipeline_spark.sources.zorder import (
+                PruningRegressionError,
+            )
+
+            raise PruningRegressionError(
+                "runtime bloom filter was not injected into the fact scan"
+            )
+        # materialize UNDER the scoped confs: planning is lazy, and the
+        # driver collects after this function restored them
+        return out.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set(_SCAN_GATE, old_gate)
+        spark.conf.set(_BCAST, old_bcast)

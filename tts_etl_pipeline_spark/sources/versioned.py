@@ -135,7 +135,20 @@ def _commit(
     version = parent + 1
     target = _manifest_path(path, version)
     tmp = target + f".tmp-{uuid.uuid4().hex[:8]}"
-    manifest = {"version": version, "files": sorted(files), "parent": parent, "mode": mode}
+    import time
+
+    manifest = {
+        "version": version,
+        "files": sorted(files),
+        "parent": parent,
+        "mode": mode,
+        # Delta/Iceberg record a commit timestamp per snapshot; it powers
+        # timestamp AS OF time travel (version_asof). Wall-clock honesty:
+        # this is the WRITER's clock — commits from clock-skewed writers
+        # can record non-monotonic times, so the as-of resolver scans all
+        # manifests rather than binary-searching.
+        "committed_at": time.time(),
+    }
     if schema_json is not None:
         manifest["schema"] = schema_json
     if stats:
@@ -435,6 +448,33 @@ def read_version_pruned(
     )
 
 
+def version_asof(path: str, ts: float) -> int:
+    """TIMESTAMP AS OF resolution (Delta's `timestampAsOf` /
+    Iceberg's snapshot-at): the newest COMMITTED version whose recorded
+    commit time is <= `ts` (epoch seconds). Pass the result to
+    read_version for the actual time-travel read. Legacy manifests without
+    a recorded time fall back to the manifest file's mtime (same signal
+    vacuum's age gates trust). Raises if the table predates nothing —
+    i.e. every version is newer than `ts`."""
+    head = current_version(path)
+    if head == 0:
+        raise ValueError(f"no versions at {path}")
+    best = None
+    for v in range(1, head + 1):
+        m = _read_manifest(path, v)
+        t = m.get("committed_at")
+        if t is None:  # legacy manifest: the file's own mtime
+            t = os.path.getmtime(_manifest_path(path, v))
+        if t <= ts:
+            best = v
+    if best is None:
+        raise ValueError(
+            f"every version at {path} was committed after {ts}; "
+            f"nothing to travel to"
+        )
+    return best
+
+
 def rollback(path: str, to_version: int) -> int:
     """Append-only restore: commit a NEW version with `to_version`'s files.
     Refuses if vacuum already deleted any of them — committing a head that
@@ -671,7 +711,12 @@ def merge_upsert(
     return write_version(merged, path, mode="overwrite", expected_version=base_version)
 
 
-def compact(spark: SparkSession, path: str, target_files: int = 1) -> int:
+def compact(
+    spark: SparkSession,
+    path: str,
+    target_files: int = 1,
+    collect_stats: tuple = (),
+) -> int:
     """OPTIMIZE-style compaction: rewrite the head snapshot's rows into
     `target_files` files and commit as a new overwrite version. Rows are
     bit-identical (the change feed across a compaction is EMPTY — pinned
@@ -682,11 +727,15 @@ def compact(spark: SparkSession, path: str, target_files: int = 1) -> int:
     work, not state)."""
     base_version = current_version(path)
     snap = read_version(spark, path, base_version if base_version else None)
+    # collect_stats: OPTIMIZE re-collects manifest column stats for the
+    # rewritten files (an overwrite cannot inherit per-file ranges — the
+    # files are new), so a pruned table stays pruned across compactions
     return write_version(
         snap.coalesce(max(1, target_files)),
         path,
         mode="overwrite",
         expected_version=base_version,
+        collect_stats=collect_stats,
     )
 
 
