@@ -831,9 +831,19 @@ def test_cached_parquet_success_marker_forces_rederivation(spark, sf_dir):
     assert df.count() == 10 and counter["count"] == 1
     cached_parquet(spark, cache_a, ("x",), build, "probe_a", 2, (), counter)
     assert counter["count"] == 1  # cache hit
-    _os.remove(_os.path.join(cache_a[("x",)], "_SUCCESS"))
+    old_path = cache_a[("x",)]
+    _os.remove(_os.path.join(old_path, "_SUCCESS"))
     cached_parquet(spark, cache_a, ("x",), build, "probe_a", 2, (), counter)
     assert counter["count"] == 2  # marker gone -> re-derived
+    # the superseded directory was reclaimed, not orphaned
+    assert not _os.path.exists(old_path)
+    # a reaper that takes a data part but LEAVES the marker must also
+    # force a re-derivation (part-count validity, not just _SUCCESS)
+    path2 = cache_a[("x",)]
+    part = next(f for f in _os.listdir(path2) if f.endswith(".parquet"))
+    _os.remove(_os.path.join(path2, part))
+    df2 = cached_parquet(spark, cache_a, ("x",), build, "probe_a", 2, (), counter)
+    assert counter["count"] == 3 and df2.count() == 10
     cached_parquet(spark, cache_b, ("y",), build, "probe_b", 2, ())
     assert sum(1 for c in _ALL_CACHES if c is cache_a) == 1
     assert sum(1 for c in _ALL_CACHES if c is cache_b) == 1

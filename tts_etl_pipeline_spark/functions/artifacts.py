@@ -14,9 +14,13 @@ Contract (shared by the co-purchase graph and the tokens artifacts):
   is fair game for AQE's coalescePartitions, which would collapse a
   small-SF artifact to ONE file and serialize every downstream
   first-stage scan into one task (r7 verdict task 4);
-- cache validity is the write's _SUCCESS marker, not a bare isdir: a
-  /tmp reaper's partial cleanup must force a re-derivation, never serve
-  a truncated relation;
+- cache validity is the write's _SUCCESS marker PLUS the recorded
+  part-file count: a reaper that takes data parts but leaves the marker
+  (size-targeted cleanup, interrupted pass) would otherwise serve a
+  truncated relation as a cache hit;
+- a re-derivation removes the superseded directory before replacing the
+  cache entry, and a failed write removes its own fresh directory — no
+  orphaned trees accumulate under the scratch root;
 - the scratch root comes from $SPARK_GRAFT_SCRATCH (executors write it,
   everyone reads it — the local-mode shared-filesystem assumption made
   explicit; point it at shared storage on a real cluster);
@@ -36,6 +40,23 @@ _SCRATCH_ENV = "SPARK_GRAFT_SCRATCH"
 
 # every cache dict handed to cached_parquet, for the atexit sweep
 _ALL_CACHES: list[dict] = []
+# path -> part-file count the write produced (validity cross-check; kept
+# beside the cache so cache values stay plain paths, which tests rely on)
+_EXPECTED_PARTS: dict[str, int] = {}
+
+
+def _n_parts(path: str) -> int:
+    try:
+        return sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
+    except OSError:
+        return -1
+
+
+def _valid(path: str) -> bool:
+    if not os.path.isfile(os.path.join(path, "_SUCCESS")):
+        return False
+    expected = _EXPECTED_PARTS.get(path)
+    return expected is None or _n_parts(path) == expected
 
 
 def _scratch_root() -> str:
@@ -72,17 +93,24 @@ def cached_parquet(
     if not any(c is cache for c in _ALL_CACHES):  # identity, not dict ==
         _ALL_CACHES.append(cache)
     path = cache.get(key)
-    if path is None or not os.path.isfile(os.path.join(path, "_SUCCESS")):
+    if path is None or not _valid(path):
+        df = build().repartition(partitions, *partition_cols)
+        new_dir = tempfile.mkdtemp(
+            prefix=f"spark_graft_{basename}_", dir=_scratch_root()
+        )
+        new_path = os.path.join(new_dir, basename)
+        try:
+            df.write.parquet(new_path)
+        except BaseException:
+            shutil.rmtree(new_dir, ignore_errors=True)  # no orphan on failure
+            raise
+        # count only COMPLETED derivations (test pins count real work)
         if counter is not None:
             counter["count"] += 1
-        df = build()
-        df = df.repartition(partitions, *partition_cols)
-        path = os.path.join(
-            tempfile.mkdtemp(
-                prefix=f"spark_graft_{basename}_", dir=_scratch_root()
-            ),
-            basename,
-        )
-        df.write.parquet(path)
+        _EXPECTED_PARTS[new_path] = _n_parts(new_path)
+        if path is not None:  # superseded artifact: reclaim, don't orphan
+            shutil.rmtree(os.path.dirname(path), ignore_errors=True)
+            _EXPECTED_PARTS.pop(path, None)
+        path = new_path
         cache[key] = path
     return spark.read.parquet(path)

@@ -229,45 +229,26 @@ def _footer_minmax(path: str, rel_files: list[str], cols: tuple) -> dict:
     manifest (Iceberg's manifest-entry column stats). Planning-time file
     skipping then never touches a footer.
 
-    Soundness scope: only NUMERIC and BOOLEAN min/max are recorded.
-    Parquet writers may TRUNCATE string statistics (a truncated max is a
-    prefix that compares LOWER than the true max), which would make
-    string-range skipping silently drop rows — so string columns are left
-    unrecorded and their files always read. A file with no usable stats
+    Soundness scope (enforced by zorder.column_minmax's numeric_only
+    gate, the ONE shared footer extractor): only NUMERIC and BOOLEAN
+    min/max are recorded — parquet writers may TRUNCATE string
+    statistics, and a truncated max compares LOW, so string-range
+    skipping would silently drop rows. A file with no usable stats
     (empty, missing column, non-numeric) simply gets no entry and is
     never skipped: pruning degrades to a full read, never to a wrong
     answer."""
     import pyarrow.parquet as pq
 
+    from tts_etl_pipeline_spark.sources.zorder import column_minmax
+
     out: dict = {}
     for rel in rel_files:
         meta = pq.ParquetFile(os.path.join(path, rel)).metadata
-        if meta.num_row_groups == 0:
-            continue
-        rec: dict = {}
-        names = {
-            meta.row_group(0).column(ci).path_in_schema: ci
-            for ci in range(meta.num_columns)
+        rec = {
+            c: [v[0], v[1]]  # JSON-friendly lists
+            for c, v in column_minmax(meta, cols, numeric_only=True).items()
+            if v is not None
         }
-        for col in cols:
-            ci = names.get(col)
-            if ci is None:
-                continue
-            mins, maxs = [], []
-            for rg in range(meta.num_row_groups):
-                st = meta.row_group(rg).column(ci).statistics
-                if st is None or not st.has_min_max:
-                    mins = []
-                    break
-                if not isinstance(st.min, (int, float)) or isinstance(
-                    st.min, bool
-                ) != isinstance(st.max, bool):
-                    mins = []
-                    break
-                mins.append(st.min)
-                maxs.append(st.max)
-            if mins:
-                rec[col] = [min(mins), max(maxs)]
         if rec:
             out[rel] = rec
     return out
@@ -372,9 +353,19 @@ def read_version(
     files = m["files"]
     if not files:
         raise ValueError(f"version {v} is empty")
-    reader = spark.read.option("mergeSchema", "true")
-    df = reader.parquet(*[os.path.join(path, f) for f in files])
-    return _align_to_schema(df, m)
+    return _read_files(spark, path, m, files)
+
+
+def _read_files(
+    spark: SparkSession, path: str, manifest: dict, files: list[str]
+) -> DataFrame:
+    """The one snapshot file-set reader (read_version serves the full
+    list, read_version_pruned a kept subset): mergeSchema union of the
+    given files, aligned to the manifest's recorded schema."""
+    df = spark.read.option("mergeSchema", "true").parquet(
+        *[os.path.join(path, f) for f in files]
+    )
+    return _align_to_schema(df, manifest)
 
 
 def _align_to_schema(df: DataFrame, manifest: dict) -> DataFrame:
@@ -433,13 +424,14 @@ def read_version_pruned(
             continue  # provably disjoint from [lo, hi]
         kept.append(f)
     if kept:
-        df = _align_to_schema(
-            spark.read.option("mergeSchema", "true").parquet(
-                *[os.path.join(path, f) for f in kept]
-            ),
-            m,
-        )
-    else:  # everything pruned: serve the version's schema, zero rows
+        df = _read_files(spark, path, m, kept)
+    elif m.get("schema") is not None:
+        # everything pruned: the manifest already records the schema, so
+        # the zero-row frame costs ZERO file IO — reading all footers via
+        # read_version().limit(0) here would be exactly the O(files)
+        # planning cost this feature exists to avoid
+        df = spark.createDataFrame([], _schema_from_json(m["schema"]))
+    else:  # legacy manifest: the files are the only schema source
         df = read_version(spark, path, v).limit(0)
     return (
         df.filter(F.col(col).between(F.lit(lo), F.lit(hi))),

@@ -189,6 +189,47 @@ def linear_write(df: DataFrame, col: str, path: str, n_files: int) -> None:
     )
 
 
+def column_minmax(meta, cols: Sequence[str], numeric_only: bool = False) -> dict:
+    """{col: (min, max) | None} from ONE parquet file's footer metadata,
+    for every requested column PRESENT in the file's schema (absent
+    columns are omitted entirely). The value is None when any row group
+    lacks stats, the file has zero row groups, or — with `numeric_only`
+    — the stats are non-numeric: parquet writers may TRUNCATE string
+    statistics, and a truncated max is a prefix that compares LOW, so
+    range-skipping on string stats can silently drop live rows. This one
+    extractor backs BOTH the footer-ranges contract (file_column_ranges,
+    j7) and the versioned manifest's commit-time stats (_footer_minmax),
+    so the soundness rules cannot drift apart again."""
+    out: dict = {}
+    if meta.num_row_groups == 0:
+        return out
+    names = {
+        meta.row_group(0).column(ci).path_in_schema: ci
+        for ci in range(meta.num_columns)
+    }
+    for col in cols:
+        ci = names.get(col)
+        if ci is None:
+            continue
+        mins: list = []
+        maxs: list = []
+        for rg in range(meta.num_row_groups):
+            st = meta.row_group(rg).column(ci).statistics
+            if st is None or not st.has_min_max:
+                mins = []
+                break
+            if numeric_only and (
+                not isinstance(st.min, (int, float))
+                or isinstance(st.min, bool) != isinstance(st.max, bool)
+            ):
+                mins = []
+                break
+            mins.append(st.min)
+            maxs.append(st.max)
+        out[col] = (min(mins), max(maxs)) if mins else None
+    return out
+
+
 def file_column_ranges(path: str, cols: Sequence[str]) -> list[dict]:
     """Per-file min/max per column from parquet footer statistics only."""
     import pathlib
@@ -199,19 +240,7 @@ def file_column_ranges(path: str, cols: Sequence[str]) -> list[dict]:
     for f in sorted(pathlib.Path(path).glob("*.parquet")):
         meta = pq.ParquetFile(str(f)).metadata
         rec: dict = {"file": f.name}
-        for ci in range(meta.num_columns):
-            name = meta.row_group(0).column(ci).path_in_schema
-            if name not in cols:
-                continue
-            mins, maxs = [], []
-            for rg in range(meta.num_row_groups):
-                st = meta.row_group(rg).column(ci).statistics
-                if st is None or not st.has_min_max:
-                    mins, maxs = [], []
-                    break
-                mins.append(st.min)
-                maxs.append(st.max)
-            rec[name] = (min(mins), max(maxs)) if mins else None
+        rec.update(column_minmax(meta, cols))
         out.append(rec)
     return out
 
