@@ -83,3 +83,50 @@ def test_scd2_guards(spark, tmp_path):
             spark.createDataFrame([(1, 2, 20)], "k int, state int, eff long"),
             "k", ["state"], "eff",
         )
+
+
+def test_scd2_conflict_when_head_moves(spark, tmp_path, monkeypatch):
+    """An SCD2 fold computed against snapshot N must not clobber a commit
+    that lands between its read and its write — the manifest CAS raises
+    and the concurrent commit survives (the merge_upsert contract)."""
+    import tts_etl_pipeline_spark.sources.scd as S
+    import tts_etl_pipeline_spark.sources.versioned as V
+
+    path = str(tmp_path / "dim")
+    scd2_apply(spark, path, _batch(spark, [(1, "A", 10)]), "k", ["state"], "eff")
+
+    real_write = V.write_version
+    state = {"raced": False}
+
+    def racing_write(df, p, mode="append", expected_version=None, **kw):
+        if not state["raced"]:
+            state["raced"] = True
+            real_write(
+                spark.createDataFrame(
+                    [(9, "Z", 10, None, True)],
+                    "k int, state string, valid_from long, valid_to long,"
+                    " is_current boolean",
+                ),
+                p,
+                "append",
+            )
+        return real_write(
+            df, p, mode=mode, expected_version=expected_version, **kw
+        )
+
+    monkeypatch.setattr(S, "write_version", racing_write)
+    import pytest as _pytest
+
+    with _pytest.raises(V.CommitConflictError):
+        scd2_apply(spark, path, _batch(spark, [(1, "B", 20)]), "k", ["state"], "eff")
+    # the concurrent append survived; the failed fold changed nothing
+    assert (9, "Z", 10, None, True) in _hist(spark, path)
+    assert (1, "A", 10, None, True) in _hist(spark, path)
+    # retried fold on the fresh head applies cleanly over it
+    monkeypatch.setattr(S, "write_version", real_write)
+    scd2_apply(spark, path, _batch(spark, [(1, "B", 20)]), "k", ["state"], "eff")
+    assert _hist(spark, path) == [
+        (1, "A", 10, 20, False),
+        (1, "B", 20, None, True),
+        (9, "Z", 10, None, True),
+    ]
