@@ -130,3 +130,35 @@ def test_scd2_conflict_when_head_moves(spark, tmp_path, monkeypatch):
         (1, "B", 20, None, True),
         (9, "Z", 10, None, True),
     ]
+
+
+def test_scd2_soft_delete_arm(spark, tmp_path):
+    """Type-2 soft delete: a deleted key closes its current row at eff
+    with NO replacement; deleting an absent or already-closed key is a
+    no-op (replayed delete batches are idempotent); a key in both changes
+    and deletes raises; NULL-keyed deletes match nothing."""
+    path = str(tmp_path / "dim")
+    scd2_apply(spark, path, _batch(spark, [(1, "A", 10), (2, "B", 10)]),
+               "k", ["state"], "eff")
+
+    def dels(rows):
+        return spark.createDataFrame(rows, "k int, eff long")
+
+    scd2_apply(spark, path, _batch(spark, [(3, "C", 20)]), "k", ["state"], "eff",
+               deletes=dels([(2, 20), (77, 20), (None, 20)]))
+    assert _hist(spark, path) == [
+        (1, "A", 10, None, True),
+        (2, "B", 10, 20, False),   # closed at eff, no replacement
+        (3, "C", 20, None, True),
+    ]
+    # replayed delete: key 2 no longer current -> no-op, history unchanged
+    before = _hist(spark, path)
+    scd2_apply(spark, path, _batch(spark, []), "k", ["state"], "eff",
+               deletes=dels([(2, 30)]))
+    assert _hist(spark, path) == before
+    with pytest.raises(ValueError, match="BOTH changes and deletes"):
+        scd2_apply(spark, path, _batch(spark, [(1, "Z", 40)]),
+                   "k", ["state"], "eff", deletes=dels([(1, 40)]))
+    with pytest.raises(ValueError, match="delete batch lacks"):
+        scd2_apply(spark, path, _batch(spark, []), "k", ["state"], "eff",
+                   deletes=spark.createDataFrame([(1,)], "k int"))

@@ -1433,3 +1433,230 @@ def st21_ivm_counts_from_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         return first.orderBy("event_type")
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# st22 — streaming DIMENSION SYNC: the CDF drives SCD2 (B8 -> B11 for
+# dimensions, completing st16's fact-ingestion direction). A versioned
+# "current user-state" source table evolves over three commits (the
+# cumulative latest per-user state after each of j10's three epoch bands;
+# the third commit DROPS users whose current state is 'error' — entities
+# leaving the source). stream_changes delivers one micro-batch per
+# commit; the fold maps CDF rows to SCD2 semantics — inserts upsert
+# (update = delete+insert pair nets to one upsert), deletes WITHOUT a
+# matching insert soft-close the current row at the stream's max
+# timestamp (scd2_apply's delete arm). The crash-replay contract is
+# asserted in-query: stream_changes re-delivers AT MOST the in-flight
+# version, and re-folding the LAST batch is a detectable no-op (upserts
+# match-and-equal, deletes hit already-closed rows) — bag-identical
+# history, the exactly-once composition. The oracle rebuilds the synced
+# history declaratively: j10's window-function history PLUS the deletion
+# adjustment (an open 'error' version opened in band 3 never entered the
+# source — drop it and close its predecessor at tmax; one opened earlier
+# closes at tmax), all null-safe via IS NOT DISTINCT FROM. Scale shape:
+# each fold is one current-x-batch join + one delete left-join; each CDF
+# batch reads one commit's file-list symmetric difference.
+# ---------------------------------------------------------------------------
+@_register(
+    "st22_stream_scd2_sync",
+    """
+    WITH b AS (
+      SELECT epoch_us(MIN(ts)) AS tmin, epoch_us(MAX(ts)) AS tmax FROM events
+    ),
+    tagged AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS tss,
+             CASE
+               WHEN epoch_us(ts) <= b.tmin + ((b.tmax - b.tmin) // 3) THEN 1
+               WHEN epoch_us(ts) <= b.tmin + (((b.tmax - b.tmin) * 2) // 3)
+                 THEN 2
+               ELSE 3
+             END AS band
+      FROM events, b
+    ),
+    ranked AS (
+      SELECT user_id, band, event_type, tss,
+             ROW_NUMBER() OVER (PARTITION BY user_id, band
+                                ORDER BY tss DESC, event_id DESC) AS rn
+      FROM tagged
+    ),
+    states AS (
+      SELECT user_id, band, event_type, tss FROM ranked WHERE rn = 1
+    ),
+    seq AS (
+      SELECT user_id, event_type, tss,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY band) AS rn2,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY band) AS prev
+      FROM states
+    ),
+    collapsed AS (
+      SELECT user_id, event_type AS state, tss AS valid_from
+      FROM seq WHERE rn2 = 1 OR prev IS DISTINCT FROM event_type
+    ),
+    hist AS (
+      SELECT user_id, state, valid_from,
+             LEAD(valid_from) OVER (PARTITION BY user_id
+                                    ORDER BY valid_from) AS valid_to
+      FROM collapsed
+    ),
+    c AS (
+      SELECT tmin + (((tmax - tmin) * 2) // 3) AS cut2, tmax FROM b
+    ),
+    dropped AS (
+      -- an open 'error' version OPENED in band 3: the source filtered the
+      -- row before it ever appeared, so the synced dimension never opened
+      -- this version at all
+      SELECT user_id, valid_from AS err_from
+      FROM hist, c
+      WHERE valid_to IS NULL AND state IS NOT DISTINCT FROM 'error'
+        AND valid_from > c.cut2
+    ),
+    adj AS (
+      SELECT h.user_id, h.state, h.valid_from,
+             CASE
+               -- error-current since band <= 2: the version exists in the
+               -- dimension and the v3 delete closed it at tmax
+               WHEN h.valid_to IS NULL
+                    AND h.state IS NOT DISTINCT FROM 'error'
+                    AND h.valid_from <= c.cut2 THEN c.tmax
+               -- predecessor of a dropped band-3 error version: it was
+               -- current when the v3 delete arrived
+               WHEN d.user_id IS NOT NULL AND h.valid_to = d.err_from
+                 THEN c.tmax
+               ELSE h.valid_to
+             END AS valid_to
+      FROM hist h
+      LEFT JOIN dropped d ON h.user_id = d.user_id, c
+      WHERE NOT (h.valid_to IS NULL AND h.state IS NOT DISTINCT FROM 'error'
+                 AND h.valid_from > c.cut2)
+    )
+    SELECT state,
+           COUNT(*) AS n_versions,
+           CAST(SUM(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_current,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(SUM(valid_to - valid_from) AS BIGINT) AS closed_span_us
+    FROM adj GROUP BY state ORDER BY state
+    """,
+)
+def st22_stream_scd2_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import collections
+    import os as _os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from tts_etl_pipeline_spark.functions.checkpoints import materialize
+    from tts_etl_pipeline_spark.sources.scd import scd2_apply
+    from tts_etl_pipeline_spark.sources.tables import table as _table
+    from tts_etl_pipeline_spark.sources.versioned import (
+        read_version,
+        stream_changes,
+        table_changes,
+        write_version,
+    )
+
+    ev = _table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("tss"),
+    )
+    bounds = ev.agg(
+        F.min("tss").alias("tmin"), F.max("tss").alias("tmax")
+    ).collect()[0]
+    empty = bounds.tmin is None
+    cut1 = 0 if empty else bounds.tmin + ((bounds.tmax - bounds.tmin) // 3)
+    cut2 = 0 if empty else bounds.tmin + (((bounds.tmax - bounds.tmin) * 2) // 3)
+    tmax = 0 if empty else bounds.tmax
+    w = Window.partitionBy("user_id").orderBy(F.desc("tss"), F.desc("event_id"))
+    bands = [
+        F.col("tss") <= cut1,
+        (F.col("tss") > cut1) & (F.col("tss") <= cut2),
+        F.col("tss") > cut2,
+    ]
+    per_band = [
+        ev.filter(cond)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("state"), "tss")
+        .withColumn("band", F.lit(i + 1))
+        for i, cond in enumerate(bands)
+    ]
+    all_states = per_band[0]
+    for p in per_band[1:]:
+        all_states = all_states.unionByName(p)
+    all_states = materialize(all_states)
+    w2 = Window.partitionBy("user_id").orderBy(F.desc("band"))
+
+    def cum(upto: int) -> DataFrame:
+        """Current state table after band `upto`: highest band wins."""
+        return (
+            all_states.filter(F.col("band") <= upto)
+            .withColumn("r", F.row_number().over(w2))
+            .filter(F.col("r") == 1)
+            .select("user_id", "state", "tss")
+        )
+
+    base = tempfile.mkdtemp(prefix="st22_")
+    src = _os.path.join(base, "user_state_src")
+    dim = _os.path.join(base, "user_state_dim")
+    try:
+        write_version(cum(1), src)  # v1: snapshot after band 1
+        write_version(cum(2), src, mode="overwrite")  # v2: after band 2
+        write_version(  # v3: after band 3, error-current users REMOVED
+            cum(3).filter(~F.col("state").eqNullSafe(F.lit("error"))),
+            src,
+            mode="overwrite",
+        )
+
+        def fold(batch: DataFrame, version: int) -> None:
+            b = materialize(batch)
+            ups = b.filter(F.col("_change_type") == "insert").select(
+                "user_id", "state", F.col("tss").alias("eff")
+            )
+            dels = (
+                b.filter(F.col("_change_type") == "delete")
+                .select("user_id")
+                .join(ups.select("user_id"), "user_id", "left_anti")
+                .withColumn("eff", F.lit(tmax).cast("long"))
+            )
+            scd2_apply(
+                spark, dim, ups, "user_id", ["state"], "eff", deletes=dels
+            )
+
+        stream_changes(spark, src, _os.path.join(base, "ck"), fold)
+        hist_cols = ["user_id", "state", "valid_from", "valid_to", "is_current"]
+        first = materialize(read_version(spark, dim).select(*hist_cols))
+        # crash-replay proof: stream_changes re-delivers AT MOST the
+        # in-flight version — re-folding the LAST batch must be a no-op
+        # (upserts match-and-equal; deletes hit already-closed rows)
+        head = 3
+        replay_batch = table_changes(spark, src, head - 1, head).withColumn(
+            "_commit_version", F.lit(head)
+        )
+        fold(replay_batch, head)
+        again = materialize(read_version(spark, dim).select(*hist_cols))
+        a = collections.Counter(map(tuple, first.collect()))
+        c = collections.Counter(map(tuple, again.collect()))
+        if a != c:
+            raise RuntimeError(
+                f"SCD2 sync replay was not a no-op: {a - c} vs {c - a}"
+            )
+        return (
+            first.groupBy("state")
+            .agg(
+                F.count(F.lit(1)).alias("n_versions"),
+                F.sum(F.col("is_current").cast("int"))
+                .cast("bigint")
+                .alias("n_current"),
+                F.countDistinct("user_id").alias("n_users"),
+                F.sum(F.col("valid_to") - F.col("valid_from"))
+                .cast("bigint")
+                .alias("closed_span_us"),
+            )
+            .orderBy("state")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -17,7 +17,14 @@ Fold semantics per change batch (key, attrs..., eff):
   re-delivering an unchanged state never forks a version);
 - key only in the batch (including NULL keys, the merge_upsert contract):
   a new current row opens;
-- key only in the dimension: untouched.
+- key only in the dimension: untouched;
+- key in the optional `deletes` relation (key, eff): the current row
+  CLOSES at eff with NO replacement — the Kimball type-2 soft delete
+  (the entity left the source; its history stays queryable). Deleting an
+  absent or already-closed key is a no-op, which is what makes a
+  re-delivered delete batch idempotent; a key in BOTH changes and
+  deletes of one batch raises (no well-defined order); NULL-keyed
+  deletes match nothing and are dropped.
 Closed history rows pass through every fold unchanged — at 100 TB the
 join is current-rows x batch, never history x batch.
 
@@ -51,10 +58,12 @@ def scd2_apply(
     key: str,
     attrs: list[str],
     eff_col: str,
+    deletes: DataFrame | None = None,
 ) -> int:
     """Fold one change batch into the SCD2 dimension at `path`; returns
     the committed version. `changes` columns: key, attrs..., eff_col
-    (castable to bigint epoch-micros)."""
+    (castable to bigint epoch-micros); optional `deletes` columns: key,
+    eff_col — soft-deleted keys close their current row at eff."""
     for r in RESERVED:
         if r in (key, *attrs) or r == eff_col:
             raise ValueError(f"column name {r!r} is reserved by SCD2 history")
@@ -73,6 +82,32 @@ def scd2_apply(
     )
     if dup:
         raise ValueError(f"multiple change rows share key {dup[0][key]!r}")
+    d = None
+    if deletes is not None:
+        missing_d = [c for c in (key, eff_col) if c not in deletes.columns]
+        if missing_d:
+            raise ValueError(f"delete batch lacks columns {missing_d}")
+        ddup = (
+            deletes.filter(F.col(key).isNotNull())
+            .groupBy(key)
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .collect()
+        )
+        if ddup:
+            raise ValueError(f"multiple delete rows share key {ddup[0][key]!r}")
+        both = changes.select(key).join(deletes.select(key), key).limit(1).collect()
+        if both:
+            raise ValueError(
+                f"key {both[0][key]!r} appears in BOTH changes and deletes "
+                "of one batch — no well-defined order"
+            )
+        # NULL-keyed deletes can never match a current row
+        d = deletes.filter(F.col(key).isNotNull()).select(
+            F.col(key).alias("__d_key"),
+            F.col(eff_col).cast("long").alias("__d_eff"),
+        )
 
     cols = [key, *attrs]
     fresh = changes.select(
@@ -141,6 +176,18 @@ def scd2_apply(
         F.lit(None).cast("long").alias("valid_to"),
         F.lit(True).alias("is_current"),
     )
+    if d is not None:
+        # soft-delete pass over the SURVIVING current rows (t-only and
+        # matched-unchanged — a newly-opened key cannot be deleted in the
+        # same batch, enforced above): a matched delete closes the row at
+        # its eff, everything else stays current. One left join; the
+        # no-match NULL is exactly the open row's valid_to.
+        kept = kept.join(d, kept[key] == d["__d_key"], "left").select(
+            *cols,
+            "valid_from",
+            F.col("__d_eff").alias("valid_to"),
+            F.col("__d_key").isNull().alias("is_current"),
+        )
     nxt = closed.unionByName(closures).unionByName(kept).unionByName(opened)
     return write_version(
         nxt.select(*hist.columns), path, mode="overwrite",
