@@ -162,3 +162,97 @@ def test_scd2_soft_delete_arm(spark, tmp_path):
     with pytest.raises(ValueError, match="delete batch lacks"):
         scd2_apply(spark, path, _batch(spark, []), "k", ["state"], "eff",
                    deletes=spark.createDataFrame([(1,)], "k int"))
+
+
+# ---------------------------------------------------------------------------
+# Property: the distributed fold equals a pure-Python SCD2 reference model
+# over random batch sequences (changes + deletes, monotone eff). Keys are
+# non-null here (the NULL-key insert arm is pinned by the unit tests
+# above); states include None to exercise the null-safe attr comparison.
+# ---------------------------------------------------------------------------
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def scd2_scenarios(draw):
+    n_batches = draw(st.integers(1, 3))
+    batches = []
+    for i in range(n_batches):
+        keys = draw(st.lists(st.integers(0, 4), unique=True, max_size=4))
+        changes = [
+            (k, draw(st.sampled_from(["a", "b", None])), (i + 1) * 10)
+            for k in keys
+        ]
+        del_pool = [k for k in range(5) if k not in keys]
+        dels = [
+            (k, (i + 1) * 10)
+            for k in draw(
+                st.lists(st.sampled_from(del_pool), unique=True, max_size=2)
+            )
+        ] if del_pool else []
+        batches.append((changes, dels))
+    return batches
+
+
+def _model_fold(model, changes, deletes):
+    for k, s, eff in changes:
+        rows = model.setdefault(k, [])
+        cur = next((r for r in rows if r[2] is None), None)
+        if cur is None:
+            rows.append([s, eff, None])
+        elif cur[0] != s:  # python None == None -> "same", like eqNullSafe
+            cur[2] = eff
+            rows.append([s, eff, None])
+    for k, eff in deletes:
+        cur = next((r for r in model.get(k, []) if r[2] is None), None)
+        if cur is not None:
+            cur[2] = eff
+
+
+@pytest.mark.filterwarnings(
+    # py4j adjusts the recursion limit from its gateway thread; hypothesis
+    # notices and (correctly) declines to reset it — benign here, and the
+    # suite's zero-warning bar matters more than the notice
+    "ignore:The recursion limit will not be reset:hypothesis.errors.HypothesisWarning"
+)
+@given(scd2_scenarios())
+@settings(max_examples=8, deadline=None)
+def test_scd2_fold_matches_reference_model(spark, tmp_path_factory, scenario):
+    import shutil
+
+    root = str(tmp_path_factory.mktemp("scd2_prop"))
+    path = f"{root}/dim"
+    model: dict = {}
+    try:
+        for changes, dels in scenario:
+            scd2_apply(
+                spark,
+                path,
+                spark.createDataFrame(changes, "k int, state string, eff long"),
+                "k",
+                ["state"],
+                "eff",
+                deletes=spark.createDataFrame(dels, "k int, eff long")
+                if dels
+                else None,
+            )
+            _model_fold(model, changes, dels)
+        got = sorted(
+            (
+                (r["k"], r["state"], r["valid_from"], r["valid_to"], r["is_current"])
+                for r in read_version(spark, path).collect()
+            ),
+            key=repr,
+        )
+        want = sorted(
+            (
+                (k, s, vf, vt, vt is None)
+                for k, rows in model.items()
+                for s, vf, vt in rows
+            ),
+            key=repr,
+        )
+        assert got == want
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
