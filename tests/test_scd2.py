@@ -115,9 +115,7 @@ def test_scd2_conflict_when_head_moves(spark, tmp_path, monkeypatch):
         )
 
     monkeypatch.setattr(S, "write_version", racing_write)
-    import pytest as _pytest
-
-    with _pytest.raises(V.CommitConflictError):
+    with pytest.raises(V.CommitConflictError):
         scd2_apply(spark, path, _batch(spark, [(1, "B", 20)]), "k", ["state"], "eff")
     # the concurrent append survived; the failed fold changed nothing
     assert (9, "Z", 10, None, True) in _hist(spark, path)
@@ -162,6 +160,14 @@ def test_scd2_soft_delete_arm(spark, tmp_path):
     with pytest.raises(ValueError, match="delete batch lacks"):
         scd2_apply(spark, path, _batch(spark, []), "k", ["state"], "eff",
                    deletes=spark.createDataFrame([(1,)], "k int"))
+    # a NULL eff would write a zombie row (valid_to NULL but not current,
+    # or a NULL valid_from) — both input arms refuse
+    with pytest.raises(ValueError, match="NULL 'eff'"):
+        scd2_apply(spark, path, _batch(spark, [(5, "A", None)]),
+                   "k", ["state"], "eff")
+    with pytest.raises(ValueError, match="NULL 'eff'"):
+        scd2_apply(spark, path, _batch(spark, []), "k", ["state"], "eff",
+                   deletes=dels([(1, None)]))
 
 
 # ---------------------------------------------------------------------------

@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from tts_etl_pipeline_spark.functions.bands import USER_STATE_HIST_CTES
 from tts_etl_pipeline_spark.functions.checkpoints import materialize
 from tts_etl_pipeline_spark.functions.exact import (
     FRAC,
@@ -1891,50 +1892,10 @@ def j9_manifest_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 # fold is one current-x-batch full-outer join + an atomic overwrite
 # commit; closed history passes through untouched (never rejoined).
 # ---------------------------------------------------------------------------
-J10_BANDS = 3
-
-
 @_register(
     "j10_scd2_history",
-    """
-    WITH b AS (
-      SELECT epoch_us(MIN(ts)) AS tmin, epoch_us(MAX(ts)) AS tmax FROM events
-    ),
-    tagged AS (
-      SELECT user_id, event_id, event_type, epoch_us(ts) AS tss,
-             CASE
-               WHEN epoch_us(ts) <= b.tmin + ((b.tmax - b.tmin) // 3) THEN 1
-               WHEN epoch_us(ts) <= b.tmin + (((b.tmax - b.tmin) * 2) // 3)
-                 THEN 2
-               ELSE 3
-             END AS band
-      FROM events, b
-    ),
-    ranked AS (
-      SELECT user_id, band, event_type, tss,
-             ROW_NUMBER() OVER (PARTITION BY user_id, band
-                                ORDER BY tss DESC, event_id DESC) AS rn
-      FROM tagged
-    ),
-    states AS (
-      SELECT user_id, band, event_type, tss FROM ranked WHERE rn = 1
-    ),
-    seq AS (
-      SELECT user_id, event_type, tss,
-             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY band) AS rn2,
-             LAG(event_type) OVER (PARTITION BY user_id ORDER BY band) AS prev
-      FROM states
-    ),
-    collapsed AS (
-      SELECT user_id, event_type AS state, tss AS valid_from
-      FROM seq WHERE rn2 = 1 OR prev IS DISTINCT FROM event_type
-    ),
-    hist AS (
-      SELECT user_id, state, valid_from,
-             LEAD(valid_from) OVER (PARTITION BY user_id
-                                    ORDER BY valid_from) AS valid_to
-      FROM collapsed
-    )
+    f"""
+    WITH {USER_STATE_HIST_CTES}
     SELECT state,
            COUNT(*) AS n_versions,
            CAST(SUM(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END) AS BIGINT)
@@ -1948,36 +1909,19 @@ def j10_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    from pyspark.sql import Window
-
+    from tts_etl_pipeline_spark.functions.bands import N_BANDS, band_states
     from tts_etl_pipeline_spark.sources.scd import scd2_apply
     from tts_etl_pipeline_spark.sources.versioned import read_version
 
-    ev = table(spark, sf_dir, "events").select(
-        "user_id",
-        "event_id",
-        "event_type",
-        F.unix_micros(F.col("ts").cast("timestamp")).alias("tss"),
-    )
-    b = ev.agg(F.min("tss").alias("tmin"), F.max("tss").alias("tmax")).collect()[0]
-    empty = b.tmin is None  # empty-table sweep: no rows -> three empty folds
-    cut1 = 0 if empty else b.tmin + ((b.tmax - b.tmin) // 3)
-    cut2 = 0 if empty else b.tmin + (((b.tmax - b.tmin) * 2) // 3)
-    bands = [
-        F.col("tss") <= cut1,
-        (F.col("tss") > cut1) & (F.col("tss") <= cut2),
-        F.col("tss") > cut2,
-    ]
-    w = Window.partitionBy("user_id").orderBy(F.desc("tss"), F.desc("event_id"))
+    states, _, _, _, _ = band_states(spark, sf_dir)
     base = tempfile.mkdtemp(prefix="j10_")
     path = f"{base}/user_state_dim"
     try:
-        for cond in bands:
-            batch = (
-                ev.filter(cond)
-                .withColumn("rn", F.row_number().over(w))
-                .filter(F.col("rn") == 1)
-                .select("user_id", "event_type", F.col("tss").alias("eff"))
+        for i in range(1, N_BANDS + 1):
+            batch = states.filter(F.col("band") == i).select(
+                "user_id",
+                F.col("state").alias("event_type"),
+                F.col("tss").alias("eff"),
             )
             scd2_apply(spark, path, batch, "user_id", ["event_type"], "eff")
         hist = read_version(spark, path)

@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from tts_etl_pipeline_spark.functions.bands import USER_STATE_HIST_CTES
 from tts_etl_pipeline_spark.operators.sketches import (
     KMV_K,
     kmv_hash,
@@ -1459,45 +1460,8 @@ def st21_ivm_counts_from_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @_register(
     "st22_stream_scd2_sync",
-    """
-    WITH b AS (
-      SELECT epoch_us(MIN(ts)) AS tmin, epoch_us(MAX(ts)) AS tmax FROM events
-    ),
-    tagged AS (
-      SELECT user_id, event_id, event_type, epoch_us(ts) AS tss,
-             CASE
-               WHEN epoch_us(ts) <= b.tmin + ((b.tmax - b.tmin) // 3) THEN 1
-               WHEN epoch_us(ts) <= b.tmin + (((b.tmax - b.tmin) * 2) // 3)
-                 THEN 2
-               ELSE 3
-             END AS band
-      FROM events, b
-    ),
-    ranked AS (
-      SELECT user_id, band, event_type, tss,
-             ROW_NUMBER() OVER (PARTITION BY user_id, band
-                                ORDER BY tss DESC, event_id DESC) AS rn
-      FROM tagged
-    ),
-    states AS (
-      SELECT user_id, band, event_type, tss FROM ranked WHERE rn = 1
-    ),
-    seq AS (
-      SELECT user_id, event_type, tss,
-             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY band) AS rn2,
-             LAG(event_type) OVER (PARTITION BY user_id ORDER BY band) AS prev
-      FROM states
-    ),
-    collapsed AS (
-      SELECT user_id, event_type AS state, tss AS valid_from
-      FROM seq WHERE rn2 = 1 OR prev IS DISTINCT FROM event_type
-    ),
-    hist AS (
-      SELECT user_id, state, valid_from,
-             LEAD(valid_from) OVER (PARTITION BY user_id
-                                    ORDER BY valid_from) AS valid_to
-      FROM collapsed
-    ),
+    f"""
+    WITH {USER_STATE_HIST_CTES},
     c AS (
       SELECT tmin + (((tmax - tmin) * 2) // 3) AS cut2, tmax FROM b
     ),
@@ -1546,9 +1510,9 @@ def st22_stream_scd2_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import Window
 
+    from tts_etl_pipeline_spark.functions.bands import band_states
     from tts_etl_pipeline_spark.functions.checkpoints import materialize
     from tts_etl_pipeline_spark.sources.scd import scd2_apply
-    from tts_etl_pipeline_spark.sources.tables import table as _table
     from tts_etl_pipeline_spark.sources.versioned import (
         read_version,
         stream_changes,
@@ -1556,37 +1520,7 @@ def st22_stream_scd2_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_version,
     )
 
-    ev = _table(spark, sf_dir, "events").select(
-        "user_id",
-        "event_id",
-        "event_type",
-        F.unix_micros(F.col("ts").cast("timestamp")).alias("tss"),
-    )
-    bounds = ev.agg(
-        F.min("tss").alias("tmin"), F.max("tss").alias("tmax")
-    ).collect()[0]
-    empty = bounds.tmin is None
-    cut1 = 0 if empty else bounds.tmin + ((bounds.tmax - bounds.tmin) // 3)
-    cut2 = 0 if empty else bounds.tmin + (((bounds.tmax - bounds.tmin) * 2) // 3)
-    tmax = 0 if empty else bounds.tmax
-    w = Window.partitionBy("user_id").orderBy(F.desc("tss"), F.desc("event_id"))
-    bands = [
-        F.col("tss") <= cut1,
-        (F.col("tss") > cut1) & (F.col("tss") <= cut2),
-        F.col("tss") > cut2,
-    ]
-    per_band = [
-        ev.filter(cond)
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("user_id", F.col("event_type").alias("state"), "tss")
-        .withColumn("band", F.lit(i + 1))
-        for i, cond in enumerate(bands)
-    ]
-    all_states = per_band[0]
-    for p in per_band[1:]:
-        all_states = all_states.unionByName(p)
-    all_states = materialize(all_states)
+    all_states, _, _, _, tmax = band_states(spark, sf_dir)
     w2 = Window.partitionBy("user_id").orderBy(F.desc("band"))
 
     def cum(upto: int) -> DataFrame:
@@ -1625,13 +1559,13 @@ def st22_stream_scd2_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
                 spark, dim, ups, "user_id", ["state"], "eff", deletes=dels
             )
 
-        stream_changes(spark, src, _os.path.join(base, "ck"), fold)
+        head = stream_changes(spark, src, _os.path.join(base, "ck"), fold)
         hist_cols = ["user_id", "state", "valid_from", "valid_to", "is_current"]
         first = materialize(read_version(spark, dim).select(*hist_cols))
         # crash-replay proof: stream_changes re-delivers AT MOST the
-        # in-flight version — re-folding the LAST batch must be a no-op
-        # (upserts match-and-equal; deletes hit already-closed rows)
-        head = 3
+        # in-flight version (its return value = the last one processed) —
+        # re-folding that LAST batch must be a no-op (upserts
+        # match-and-equal; deletes hit already-closed rows)
         replay_batch = table_changes(spark, src, head - 1, head).withColumn(
             "_commit_version", F.lit(head)
         )

@@ -82,6 +82,11 @@ def scd2_apply(
     )
     if dup:
         raise ValueError(f"multiple change rows share key {dup[0][key]!r}")
+    # a NULL eff would write a row violating the 'valid_to IS NULL iff
+    # is_current' / non-null valid_from invariants — refuse like every
+    # other input-contract violation here
+    if changes.filter(F.col(eff_col).isNull()).limit(1).collect():
+        raise ValueError(f"change batch has a NULL {eff_col!r}")
     d = None
     if deletes is not None:
         missing_d = [c for c in (key, eff_col) if c not in deletes.columns]
@@ -97,6 +102,8 @@ def scd2_apply(
         )
         if ddup:
             raise ValueError(f"multiple delete rows share key {ddup[0][key]!r}")
+        if deletes.filter(F.col(eff_col).isNull()).limit(1).collect():
+            raise ValueError(f"delete batch has a NULL {eff_col!r}")
         both = changes.select(key).join(deletes.select(key), key).limit(1).collect()
         if both:
             raise ValueError(
