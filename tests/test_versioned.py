@@ -804,3 +804,29 @@ def test_version_asof_timestamp_time_travel(spark, tmp_path):
     with open(mp, "w") as fh:
         _json.dump(m, fh)
     assert version_asof(path, _time.time()) == 2
+
+
+def test_pruned_read_pins_to_old_version(spark, tmp_path):
+    """Time travel + manifest pruning compose: a pruned read pinned to
+    version 1 serves v1's rows and v1's stats, blind to later appends."""
+    from tts_etl_pipeline_spark.sources.versioned import read_version_pruned
+
+    path = str(tmp_path / "t")
+    write_version(
+        spark.range(100).selectExpr("id AS k").repartitionByRange(4, "k"),
+        path,
+        collect_stats=("k",),
+    )
+    write_version(
+        spark.range(100, 200).selectExpr("id AS k").repartitionByRange(4, "k"),
+        path,
+        collect_stats=("k",),
+    )
+    pruned, skipped, total = read_version_pruned(spark, path, "k", 0, 49, version=1)
+    assert total == 4 and skipped >= 1  # v1's file set only
+    assert sorted(r["k"] for r in pruned.collect()) == list(range(50))
+    # at the head the same band still never sees v2's rows, but the file
+    # universe is both commits' (v2 files pruned away by their stats)
+    pruned2, skipped2, total2 = read_version_pruned(spark, path, "k", 0, 49)
+    assert total2 == 8 and skipped2 >= 5
+    assert sorted(r["k"] for r in pruned2.collect()) == list(range(50))
