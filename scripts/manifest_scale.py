@@ -1,0 +1,161 @@
+#!/usr/bin/env python
+"""Measure the versioned-table manifest's OWN scale curve (round-9 verdict
+task 3): each version's manifest is ONE JSON listing every live file, so
+commit cost and driver-side planning cost are O(manifest bytes) — the
+bound Iceberg splits with manifest lists + sharded manifests. This script
+produces the measured table BASELINE.md records, at two levels:
+
+1. REAL end-to-end at 10^3 and 10^4 files: write_version a table with N
+   data files (collect_stats on), then measure (a) a 1-file APPEND commit
+   — the steady-state commit re-reads the parent manifest and rewrites
+   N+1 entries, so it isolates manifest cost from data-write cost, (b)
+   read_version DataFrame construction (planning: manifest parse + reader
+   construction over N paths; zero footer IO since the recorded schema is
+   passed explicitly), (c) read_version_pruned planning (manifest parse +
+   N-entry stats loop), (d) a 1% band count() through the pruned reader
+   (end-to-end selective-read latency).
+
+2. MANIFEST-ONLY synthetic at 10^3..10^6 entries (fake file names + stats,
+   no data files): json dump / load / pruning-loop walls and on-disk size.
+   Honest scope: this isolates exactly the component the design note is
+   about — at 10^5+ real files the parquet writes themselves would take
+   this host minutes without changing the manifest curve being measured.
+
+Usage: python scripts/manifest_scale.py [--real-max 10000]
+Prints one human-readable table; copy the numbers into BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+import uuid
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def synthetic(n: int) -> dict:
+    files = sorted(f"data/{uuid.uuid4().hex}.parquet" for _ in range(n))
+    manifest = {
+        "version": 2,
+        "files": files,
+        "parent": 1,
+        "mode": "append",
+        "committed_at": time.time(),
+        "schema": '{"type":"struct","fields":[]}',
+        "stats": {f: {"k": [i * 100, i * 100 + 99]} for i, f in enumerate(files)},
+    }
+    d = tempfile.mkdtemp(prefix="mscale_")
+    p = os.path.join(d, "m.json")
+    try:
+        t0 = time.perf_counter()
+        with open(p, "w", encoding="utf-8") as fh:
+            json.dump(manifest, fh)
+        t_dump = time.perf_counter() - t0
+        size = os.path.getsize(p)
+        t0 = time.perf_counter()
+        with open(p, encoding="utf-8") as fh:
+            m2 = json.load(fh)
+        t_load = time.perf_counter() - t0
+        lo, hi = 100 * (n // 2), 100 * (n // 2) + 500  # interior band
+        t0 = time.perf_counter()
+        stats = m2["stats"]
+        kept = [
+            f
+            for f in m2["files"]
+            if not (
+                (r := stats.get(f, {}).get("k")) is not None
+                and (r[1] < lo or r[0] > hi)
+            )
+        ]
+        t_prune = time.perf_counter() - t0
+        return {
+            "n": n,
+            "bytes": size,
+            "dump_s": round(t_dump, 4),
+            "load_s": round(t_load, 4),
+            "prune_s": round(t_prune, 4),
+            "kept": len(kept),
+        }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def real(spark, n: int) -> dict:
+    from pyspark.sql import functions as F
+
+    from tts_etl_pipeline_spark.sources.versioned import (
+        read_version,
+        read_version_pruned,
+        write_version,
+    )
+
+    d = tempfile.mkdtemp(prefix="mscale_real_")
+    path = os.path.join(d, "t")
+    try:
+        rows = n * 50  # 50 rows per file: file COUNT is the variable
+        df = (
+            spark.range(rows)
+            .select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+            .repartitionByRange(n, "k")
+        )
+        t0 = time.perf_counter()
+        write_version(df, path, collect_stats=("k",))
+        t_v1 = time.perf_counter() - t0
+        one = spark.range(rows, rows + 1).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+        t0 = time.perf_counter()
+        write_version(one, path, collect_stats=("k",))
+        t_append = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        head = read_version(spark, path)
+        t_plan = time.perf_counter() - t0
+        lo, hi = rows // 2, rows // 2 + rows // 100  # ~1% interior band
+        t0 = time.perf_counter()
+        pruned, skipped, total = read_version_pruned(spark, path, "k", lo, hi)
+        t_plan_pruned = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        got = pruned.count()
+        t_count = time.perf_counter() - t0
+        assert got == hi - lo + 1, (got, lo, hi)
+        assert head is not None
+        return {
+            "n_files": total,
+            "v1_write_s": round(t_v1, 3),
+            "append_commit_s": round(t_append, 3),
+            "plan_full_s": round(t_plan, 4),
+            "plan_pruned_s": round(t_plan_pruned, 4),
+            "skipped": skipped,
+            "band_count_s": round(t_count, 3),
+        }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def main() -> None:
+    real_max = 10_000
+    if "--real-max" in sys.argv:
+        real_max = int(sys.argv[sys.argv.index("--real-max") + 1])
+
+    print("== synthetic manifest-only (dump/load/prune walls, driver-side) ==")
+    for n in (1_000, 10_000, 100_000, 1_000_000):
+        print(json.dumps(synthetic(n)))
+
+    from tts_etl_pipeline_spark.session import get_spark
+
+    spark = get_spark("manifest_scale")
+    spark.range(1).count()  # JVM warmup outside the timed regions
+    print("== real versioned table end-to-end ==")
+    for n in (1_000, 10_000):
+        if n > real_max:
+            break
+        print(json.dumps(real(spark, n)))
+
+
+if __name__ == "__main__":
+    main()

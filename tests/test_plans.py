@@ -847,3 +847,72 @@ def test_cached_parquet_success_marker_forces_rederivation(spark, sf_dir):
     cached_parquet(spark, cache_b, ("y",), build, "probe_b", 2, ())
     assert sum(1 for c in _ALL_CACHES if c is cache_a) == 1
     assert sum(1 for c in _ALL_CACHES if c is cache_b) == 1
+
+
+def test_j9_pruned_read_scans_only_surviving_files(spark, tmp_path):
+    """j9's manifest pruning must reach the SCAN's file list (the j3
+    metadata-pruning idiom): read_version_pruned's DataFrame lists exactly
+    the manifest-kept files in inputFiles() — skipped files never enter
+    the reader, at planning time or any other time. A regression that
+    re-listed all files and relied on the row filter would still answer
+    correctly; only this pin catches it."""
+    import os as _os
+
+    from tts_etl_pipeline_spark.sources.versioned import (
+        manifest,
+        read_version_pruned,
+        write_version,
+    )
+
+    path = str(tmp_path / "t")
+    write_version(
+        spark.range(1000).selectExpr("id AS k", "id * 2 AS v")
+        .repartitionByRange(8, "k"),
+        path,
+        collect_stats=("k",),
+    )
+    pruned, skipped, total = read_version_pruned(spark, path, "k", 100, 249)
+    assert total == 8 and skipped >= 5
+    scanned = {f.split("/")[-1] for f in pruned.inputFiles()}
+    m = manifest(path, 1)
+    stats = m["stats"]
+    expect_kept = {
+        f.split("/")[-1]
+        for f in m["files"]
+        if not (stats[f]["k"][1] < 100 or stats[f]["k"][0] > 249)
+    }
+    assert scanned == expect_kept
+    assert len(scanned) == total - skipped
+    # and the files exist where the manifest says (no directory listing)
+    assert all(_os.path.exists(_os.path.join(path, "data", f)) for f in scanned)
+
+
+def test_st21_cdf_batch_scans_only_the_commit_delta(spark, tmp_path):
+    """st21's IVM fold must be O(one commit's changed rows): the CDF batch
+    for an APPEND reads only the appended files — never the whole source.
+    table_changes' plan is pinned via inputFiles: the symmetric difference
+    of the two manifests' file lists, nothing else."""
+    from tts_etl_pipeline_spark.sources.versioned import (
+        manifest,
+        table_changes,
+        write_version,
+    )
+
+    path = str(tmp_path / "t")
+    write_version(
+        spark.range(100).selectExpr("id AS k").repartition(4), path
+    )  # v1: 4 files
+    write_version(
+        spark.range(100, 110).selectExpr("id AS k").coalesce(1), path
+    )  # v2: +1 file
+    v1_files = set(manifest(path, 1)["files"])
+    v2_files = set(manifest(path, 2)["files"])
+    appended = {f.split("/")[-1] for f in v2_files - v1_files}
+    assert len(appended) == 1 and len(v1_files) == 4
+    batch = table_changes(spark, path, 1, 2)
+    scanned = {f.split("/")[-1] for f in batch.inputFiles()}
+    assert scanned == appended, (
+        "the CDF batch re-scanned unchanged files — IVM is no longer "
+        f"O(delta): {scanned} vs {appended}"
+    )
+    assert sorted(r["k"] for r in batch.collect()) == list(range(100, 110))

@@ -95,13 +95,13 @@ def test_scd2_conflict_when_head_moves(spark, tmp_path, monkeypatch):
     path = str(tmp_path / "dim")
     scd2_apply(spark, path, _batch(spark, [(1, "A", 10)]), "k", ["state"], "eff")
 
-    real_write = V.write_version
+    real_parts = V.write_version_parts
     state = {"raced": False}
 
-    def racing_write(df, p, mode="append", expected_version=None, **kw):
+    def racing_parts(parts, p, reuse_files, expected_version, **kw):
         if not state["raced"]:
             state["raced"] = True
-            real_write(
+            V.write_version(
                 spark.createDataFrame(
                     [(9, "Z", 10, None, True)],
                     "k int, state string, valid_from long, valid_to long,"
@@ -110,18 +110,18 @@ def test_scd2_conflict_when_head_moves(spark, tmp_path, monkeypatch):
                 p,
                 "append",
             )
-        return real_write(
-            df, p, mode=mode, expected_version=expected_version, **kw
+        return real_parts(
+            parts, p, reuse_files, expected_version=expected_version, **kw
         )
 
-    monkeypatch.setattr(S, "write_version", racing_write)
+    monkeypatch.setattr(S, "write_version_parts", racing_parts)
     with pytest.raises(V.CommitConflictError):
         scd2_apply(spark, path, _batch(spark, [(1, "B", 20)]), "k", ["state"], "eff")
     # the concurrent append survived; the failed fold changed nothing
     assert (9, "Z", 10, None, True) in _hist(spark, path)
     assert (1, "A", 10, None, True) in _hist(spark, path)
     # retried fold on the fresh head applies cleanly over it
-    monkeypatch.setattr(S, "write_version", real_write)
+    monkeypatch.setattr(S, "write_version_parts", real_parts)
     scd2_apply(spark, path, _batch(spark, [(1, "B", 20)]), "k", ["state"], "eff")
     assert _hist(spark, path) == [
         (1, "A", 10, 20, False),
@@ -168,6 +168,108 @@ def test_scd2_soft_delete_arm(spark, tmp_path):
     with pytest.raises(ValueError, match="NULL 'eff'"):
         scd2_apply(spark, path, _batch(spark, []), "k", ["state"], "eff",
                    deletes=dels([(1, None)]))
+
+
+def test_scd2_fold_reuses_closed_history_files(spark, tmp_path):
+    """Round-10 contract: a fold carries closed-history data files BY
+    MANIFEST REFERENCE — same names, byte-untouched on disk (inode + mtime
+    identity, the test_rollup_maintenance immutability idiom) — and stages
+    only O(current + batch) rows per fold, however much history has
+    accumulated."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from tts_etl_pipeline_spark.sources.scd import closed_history_files
+    from tts_etl_pipeline_spark.sources.versioned import manifest
+
+    path = str(tmp_path / "dim")
+    keys = [1, 2, 3]
+    staged_rows = []
+    # every batch flips every key's state: history grows by 3 closures per
+    # fold while the current slice stays 3 rows
+    for i in range(12):
+        batch = _batch(spark, [(k, f"s{i}", (i + 1) * 10) for k in keys])
+        v = scd2_apply(spark, path, batch, "k", ["state"], "eff")
+        if v >= 3:
+            prev_files = set(manifest(path, v - 1)["files"])
+            prev_closed = set(closed_history_files(path, v - 1))
+            assert prev_closed, "closure files must classify from stats"
+            m = manifest(path, v)
+            # every previously-closed file rides through by reference
+            assert prev_closed <= set(m["files"])
+            staged_rows.append(
+                sum(
+                    pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+                    for f in m["files"]
+                    if f not in prev_files
+                )
+            )
+    # O(current + batch): each fold stages 3 closures + 3 current rows,
+    # never the accumulated history (33 closed rows by the last fold)
+    assert staged_rows and all(n == 6 for n in staged_rows)
+    head = 12
+    closed = closed_history_files(path, head)
+    before = {
+        f: (os.stat(os.path.join(path, f)).st_ino,
+            os.stat(os.path.join(path, f)).st_mtime_ns)
+        for f in closed
+    }
+    scd2_apply(spark, path, _batch(spark, [(k, "zz", 999) for k in keys]),
+               "k", ["state"], "eff")
+    m = manifest(path, head + 1)
+    for f, ident in before.items():
+        assert f in m["files"]
+        st = os.stat(os.path.join(path, f))
+        assert (st.st_ino, st.st_mtime_ns) == ident, f
+    # and the fold's answer is still the full correct history
+    hist = _hist(spark, path)
+    assert len(hist) == 3 * 13  # 12 closures + 1 open row per key
+    assert sum(1 for r in hist if r[4]) == 3
+
+
+def test_scd2_every_version_is_a_valid_scd2_state(spark, tmp_path):
+    """Time travel x SCD2 composition (round-9 verdict task 7): reading the
+    dimension AS OF any committed version yields a consistent history —
+    valid_to IS NULL iff is_current, non-null valid_from, at most one open
+    row per key, per-key closed spans non-negative and non-overlapping,
+    and the open row starting at/after the last closure."""
+    from tts_etl_pipeline_spark.sources.versioned import (
+        current_version,
+        read_version,
+    )
+
+    def dels(rows):
+        return spark.createDataFrame(rows, "k int, eff long")
+
+    path = str(tmp_path / "dim")
+    scd2_apply(spark, path, _batch(spark, [(1, "A", 10), (2, "X", 10)]),
+               "k", ["state"], "eff")
+    scd2_apply(spark, path, _batch(spark, [(1, "B", 20), (3, "C", 20)]),
+               "k", ["state"], "eff")
+    scd2_apply(spark, path, _batch(spark, [(2, "Y", 30)]),
+               "k", ["state"], "eff", deletes=dels([(3, 30)]))
+    scd2_apply(spark, path, _batch(spark, [(3, "D", 40), (1, "B", 40)]),
+               "k", ["state"], "eff")  # re-insert after soft delete + no-op
+    for v in range(1, current_version(path) + 1):
+        per_key: dict = {}
+        for r in read_version(spark, path, v).collect():
+            assert (r["valid_to"] is None) == r["is_current"], (v, r)
+            assert r["valid_from"] is not None, (v, r)
+            per_key.setdefault(r["k"], []).append(r)
+        for k, rs in per_key.items():
+            opens = [r for r in rs if r["is_current"]]
+            assert len(opens) <= 1, (v, k)
+            closed = sorted(
+                (r for r in rs if not r["is_current"]),
+                key=lambda r: r["valid_from"],
+            )
+            for r in closed:
+                assert r["valid_from"] <= r["valid_to"], (v, r)
+            for a, b in zip(closed, closed[1:]):
+                assert a["valid_to"] <= b["valid_from"], (v, k)
+            if opens and closed:
+                assert opens[0]["valid_from"] >= closed[-1]["valid_to"], (v, k)
 
 
 # ---------------------------------------------------------------------------

@@ -830,3 +830,82 @@ def test_pruned_read_pins_to_old_version(spark, tmp_path):
     pruned2, skipped2, total2 = read_version_pruned(spark, path, "k", 0, 49)
     assert total2 == 8 and skipped2 >= 5
     assert sorted(r["k"] for r in pruned2.collect()) == list(range(50))
+
+
+def test_write_version_parts_reuse_guards_and_semantics(spark, tmp_path):
+    """write_version_parts (round-10): reused parent files carry through
+    by reference (names + stats verbatim), zero-row staged files are
+    dropped, foreign reuse_files and schema drift are refused, and a
+    commit landing between snapshot and write raises CommitConflictError."""
+    import os as _os
+
+    from tts_etl_pipeline_spark.sources.versioned import (
+        CommitConflictError,
+        manifest,
+        read_version_files,
+        write_version_parts,
+    )
+
+    path = str(tmp_path / "t")
+    write_version(
+        spark.range(10).selectExpr("id AS k", "id * 2 AS v").coalesce(1),
+        path,
+        collect_stats=("k",),
+    )
+    m1 = manifest(path, 1)
+    keep = m1["files"]
+    assert len(keep) == 1 and m1["stats"][keep[0]]["k"] == [0, 9]
+    # commit: reuse v1's file + one new part + one EMPTY part (dropped)
+    v = write_version_parts(
+        [
+            spark.range(10, 15).selectExpr("id AS k", "id * 2 AS v"),
+            spark.range(0).selectExpr("id AS k", "id * 2 AS v"),
+        ],
+        path,
+        reuse_files=keep,
+        expected_version=1,
+        collect_stats=("k",),
+    )
+    m2 = manifest(path, v)
+    assert keep[0] in m2["files"]
+    assert m2["stats"][keep[0]]["k"] == [0, 9]  # parent stats carried verbatim
+    new_files = [f for f in m2["files"] if f != keep[0]]
+    assert len(new_files) >= 1  # empty part staged no surviving file
+    import pyarrow.parquet as pq
+
+    assert all(
+        pq.ParquetFile(_os.path.join(path, f)).metadata.num_rows > 0
+        for f in new_files
+    )
+    assert sorted(r["k"] for r in read_version(spark, path, v).collect()) == list(
+        range(15)
+    )
+    # subset read serves only the requested files
+    only_new = read_version_files(spark, path, v, new_files)
+    assert sorted(r["k"] for r in only_new.collect()) == list(range(10, 15))
+    with pytest.raises(ValueError, match="not referenced"):
+        read_version_files(spark, path, v, ["data/nope.parquet"])
+    # guards
+    with pytest.raises(ValueError, match="not referenced"):
+        write_version_parts(
+            [spark.range(1).selectExpr("id AS k", "id AS v")],
+            path,
+            reuse_files=["data/nope.parquet"],
+            expected_version=v,
+        )
+    with pytest.raises(ValueError, match="differs from the table schema"):
+        write_version_parts(
+            [spark.range(1).selectExpr("id AS k")],
+            path,
+            reuse_files=[],
+            expected_version=v,
+        )
+    # conflict: another writer commits v+1 first
+    write_version(spark.range(1).selectExpr("id AS k", "id AS v"), path)
+    with pytest.raises(CommitConflictError):
+        write_version_parts(
+            [spark.range(1).selectExpr("id AS k", "id AS v")],
+            path,
+            reuse_files=[],
+            expected_version=v,
+        )

@@ -254,6 +254,29 @@ def _footer_minmax(path: str, rel_files: list[str], cols: tuple) -> dict:
     return out
 
 
+def _stage_files(df: DataFrame, path: str) -> list[str]:
+    """Write `df`'s rows as new immutable data files under data/ and return
+    their table-relative names. Staged files are INVISIBLE until a manifest
+    commit references them (a crash here leaves only vacuum-able orphans) —
+    this is step 1 of the commit protocol, shared by write_version and
+    write_version_parts."""
+    data_dir = os.path.join(path, "data")
+    staging = os.path.join(path, f"_staging-{uuid.uuid4().hex[:8]}")
+    df.write.mode("overwrite").parquet(staging)
+    os.makedirs(data_dir, exist_ok=True)
+    new_files = []
+    for fn in sorted(os.listdir(staging)):
+        if fn.endswith(".parquet"):
+            dst = f"{uuid.uuid4().hex}.parquet"
+            os.replace(os.path.join(staging, fn), os.path.join(data_dir, dst))
+            new_files.append(os.path.join("data", dst))
+    # remove staging leftovers (_SUCCESS etc.)
+    for fn in os.listdir(staging):
+        os.remove(os.path.join(staging, fn))
+    os.rmdir(staging)
+    return new_files
+
+
 def write_version(
     df: DataFrame,
     path: str,
@@ -292,20 +315,7 @@ def write_version(
             commit_schema = _evolved_schema(
                 _schema_from_json(base_schema_json), df.schema, merge_schema
             )
-    data_dir = os.path.join(path, "data")
-    staging = os.path.join(path, f"_staging-{uuid.uuid4().hex[:8]}")
-    df.write.mode("overwrite").parquet(staging)
-    os.makedirs(data_dir, exist_ok=True)
-    new_files = []
-    for fn in sorted(os.listdir(staging)):
-        if fn.endswith(".parquet"):
-            dst = f"{uuid.uuid4().hex}.parquet"
-            os.replace(os.path.join(staging, fn), os.path.join(data_dir, dst))
-            new_files.append(os.path.join("data", dst))
-    # remove staging leftovers (_SUCCESS etc.)
-    for fn in os.listdir(staging):
-        os.remove(os.path.join(staging, fn))
-    os.rmdir(staging)
+    new_files = _stage_files(df, path)
     base: list[str] = []
     stats: dict = {}
     if mode == "append" and base_version > 0:
@@ -323,6 +333,133 @@ def write_version(
         schema_json=commit_schema.json(),
         stats=stats or None,
     )
+
+
+def write_version_parts(
+    parts: list[DataFrame],
+    path: str,
+    reuse_files: list[str],
+    expected_version: int,
+    collect_stats: tuple = (),
+) -> int:
+    """Commit a new snapshot as REUSED parent data files + freshly staged
+    part groups — the Iceberg "overwrite with existing data files" shape
+    that makes an incremental rewrite O(changed), not O(table): a caller
+    that can prove (e.g. from manifest stats) that some parent files are
+    untouched by its rewrite lists them in `reuse_files` VERBATIM — those
+    bytes are never read, never rewritten — and stages only the `parts`
+    DataFrames as new files. The SCD2 fold (sources/scd.py) is the
+    canonical caller: closed-history files ride through every fold by
+    manifest reference; only the current slice and the fold's delta are
+    written.
+
+    Each part is staged as its OWN file group so per-file stats keep the
+    groups distinguishable (the SCD2 fold stages closed rows and current
+    rows separately: a closed-only file's is_current manifest stats read
+    [false, false], which is exactly how the NEXT fold classifies it as
+    reusable without opening it).
+
+    Guards:
+    - `reuse_files` must be a subset of the parent version's file list —
+      re-referencing a file the parent snapshot never held would resurrect
+      vacuum-able data into the head;
+    - every part must match the parent's recorded schema exactly (names +
+      types): this is a REWRITE of one snapshot, not a schema evolution;
+    - staged files with ZERO rows are dropped from the commit (an empty
+      part group would otherwise accrete one stat-less file per fold),
+      unless the commit would then reference no files at all — one empty
+      file is kept so the snapshot stays readable.
+
+    The commit carries the parent's stats for reused files (immutable
+    files, still-valid ranges) plus freshly collected stats for the new
+    files, and the parent-version CAS: a commit landing between the
+    caller's snapshot read and this write surfaces as CommitConflictError,
+    exactly like write_version(expected_version=...)."""
+    if expected_version <= 0:
+        raise ValueError("write_version_parts requires a committed parent version")
+    base_m = _read_manifest(path, expected_version)
+    base_files = set(base_m["files"])
+    foreign = [f for f in reuse_files if f not in base_files]
+    if foreign:
+        raise ValueError(
+            f"reuse_files not referenced by version {expected_version}: "
+            f"{foreign[:3]}"
+        )
+    schema_json = base_m.get("schema")
+    if schema_json is not None:
+        base_types = [
+            (f.name, f.dataType) for f in _schema_from_json(schema_json).fields
+        ]
+        for p in parts:
+            got = [(f.name, f.dataType) for f in p.schema.fields]
+            if got != base_types:
+                raise ValueError(
+                    f"part schema {got} differs from the table schema "
+                    f"{base_types}; write_version_parts rewrites one "
+                    "snapshot — it never evolves the schema"
+                )
+    elif parts:  # legacy manifest: adopt the parts' schema going forward
+        schema_json = parts[0].schema.json()
+
+    import pyarrow.parquet as pq
+
+    staged: list[str] = []
+    for p in parts:
+        staged.extend(_stage_files(p, path))
+    new_files = [
+        f
+        for f in staged
+        if pq.ParquetFile(os.path.join(path, f)).metadata.num_rows > 0
+    ]
+    empties = [f for f in staged if f not in set(new_files)]
+    if not new_files and not reuse_files and empties:
+        # an all-empty snapshot still needs one schema-bearing file so
+        # read_version can serve it (empty FILE LIST is a refused state)
+        new_files, empties = empties[:1], empties[1:]
+    for f in empties:
+        os.remove(os.path.join(path, f))
+    base_stats = base_m.get("stats", {})
+    stats = {f: base_stats[f] for f in reuse_files if f in base_stats}
+    if collect_stats:
+        stats.update(_footer_minmax(path, new_files, tuple(collect_stats)))
+    return _commit(
+        path,
+        list(reuse_files) + new_files,
+        "overwrite",
+        expected_parent=expected_version,
+        schema_json=schema_json,
+        stats=stats or None,
+    )
+
+
+def manifest(path: str, version: int) -> dict:
+    """The committed manifest of `version`, verbatim (files, parent, mode,
+    schema, per-file stats, committed_at) — the public read surface callers
+    use to PLAN against a snapshot driver-side (file classification from
+    stats, file-identity assertions) without touching any data file."""
+    _check_version(path, version)
+    return _read_manifest(path, version)
+
+
+def read_version_files(
+    spark: SparkSession, path: str, version: int, files: list[str]
+) -> DataFrame:
+    """Read a SUBSET of one committed version's data files, aligned to that
+    version's recorded schema — the primitive under every manifest-planned
+    partial read (read_version_pruned's range pruning, the SCD2 fold's
+    live-slice read). `files` must belong to the version's manifest:
+    reading unreferenced files would break snapshot isolation."""
+    _check_version(path, version)
+    m = _read_manifest(path, version)
+    member = set(m["files"])
+    foreign = [f for f in files if f not in member]
+    if foreign:
+        raise ValueError(
+            f"files not referenced by version {version}: {foreign[:3]}"
+        )
+    if not files:
+        raise ValueError("read_version_files needs a non-empty file subset")
+    return _read_files(spark, path, m, list(files))
 
 
 def _check_version(path: str, v: int) -> int:
