@@ -2033,3 +2033,107 @@ def j11_runtime_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set(_SCAN_GATE, old_gate)
         spark.conf.set(_BCAST, old_bcast)
+
+
+# ---------------------------------------------------------------------------
+# j12 — SCD2 INCREMENTAL FOLD protocol (the round-10 write-side contract,
+# driver-promoted): j10 proves the fold's ANSWER converges to the
+# declarative window-function history; j12 proves the fold's WRITE is
+# O(current + batch) — every fold must carry the previous version's
+# closed-history data files BY MANIFEST REFERENCE (same names, still on
+# disk, never rewritten; classification from manifest is_current stats,
+# zero file IO — sources/scd.py::closed_history_files). The protocol is
+# asserted IN-QUERY across every committed version with a typed error, so
+# a regression to history-rewriting folds fails the driver gate even
+# though it would still hash-match. The returned aggregate is the per-user
+# version-count histogram (a different projection of the same fold than
+# j10's per-state rollup), oracle = the shared USER_STATE_HIST_CTES
+# prefix + a per-user GROUP BY. Scale shape: each fold is one
+# current-x-batch join + an O(changed) commit; closed bytes are never
+# read or written again.
+# ---------------------------------------------------------------------------
+@_register(
+    "j12_scd2_incremental_fold",
+    f"""
+    WITH {USER_STATE_HIST_CTES},
+    per_user AS (
+      SELECT user_id,
+             COUNT(*) AS n_versions,
+             CAST(SUM(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_open,
+             CAST(SUM(COALESCE(valid_to - valid_from, 0)) AS BIGINT)
+               AS closed_span_us
+      FROM hist GROUP BY user_id
+    )
+    SELECT n_versions,
+           COUNT(*) AS n_users,
+           CAST(SUM(n_open) AS BIGINT) AS n_open_rows,
+           CAST(SUM(closed_span_us) AS BIGINT) AS sum_closed_span_us
+    FROM per_user GROUP BY n_versions ORDER BY n_versions
+    """,
+)
+def j12_scd2_incremental_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+    import shutil
+    import tempfile
+
+    from tts_etl_pipeline_spark.functions.bands import N_BANDS, band_states
+    from tts_etl_pipeline_spark.sources.scd import (
+        closed_history_files,
+        scd2_apply,
+    )
+    from tts_etl_pipeline_spark.sources.versioned import manifest, read_version
+
+    states, _, _, _, _ = band_states(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="j12_")
+    path = f"{base}/user_state_dim"
+    try:
+        for i in range(1, N_BANDS + 1):
+            batch = states.filter(F.col("band") == i).select(
+                "user_id",
+                F.col("state").alias("event_type"),
+                F.col("tss").alias("eff"),
+            )
+            head = scd2_apply(spark, path, batch, "user_id", ["event_type"], "eff")
+        # THE PROTOCOL ASSERT, driver-checked every round: each fold must
+        # have carried the previous version's closed-history files by
+        # manifest reference (same names, still on disk — zero rewrite).
+        for v in range(2, head + 1):
+            prev_closed = set(closed_history_files(path, v - 1))
+            now_files = set(manifest(path, v)["files"])
+            if not prev_closed <= now_files:
+                raise RuntimeError(
+                    f"SCD2 fold v{v} stopped reusing closed-history files: "
+                    f"{sorted(prev_closed - now_files)[:3]} were rewritten"
+                )
+            gone = [
+                f
+                for f in prev_closed
+                if not _os.path.exists(_os.path.join(path, f))
+            ]
+            if gone:
+                raise RuntimeError(
+                    f"reused closed-history files missing on disk: {gone[:3]}"
+                )
+        hist = read_version(spark, path)
+        per_user = hist.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_versions"),
+            F.sum(F.col("is_current").cast("int")).cast("bigint").alias("n_open"),
+            F.sum(
+                F.coalesce(F.col("valid_to") - F.col("valid_from"), F.lit(0))
+            )
+            .cast("bigint")
+            .alias("closed_span_us"),
+        )
+        return (
+            per_user.groupBy("n_versions")
+            .agg(
+                F.count(F.lit(1)).alias("n_users"),
+                F.sum("n_open").cast("bigint").alias("n_open_rows"),
+                F.sum("closed_span_us").cast("bigint").alias("sum_closed_span_us"),
+            )
+            .orderBy("n_versions")
+            .localCheckpoint(eager=True)  # materialize before tmp vanishes
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

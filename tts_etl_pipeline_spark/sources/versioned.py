@@ -493,12 +493,98 @@ def read_version(
     return _read_files(spark, path, m, files)
 
 
+# explicit multi-path reads are resolved by Spark ONE PATH AT A TIME on the
+# driver (sequential globStatus per path — measured ~1.5 ms each, 15 s at
+# 10^4 files; BASELINE.md round-10 has the curve), where a single directory
+# path resolves in one distributed listing (0.2 s for the same files). Above
+# this file count, reads go through a content-addressed HARDLINK directory.
+_LINKDIR_MIN_FILES = 256
+
+
+def _snapshot_linkdir(path: str, files: list[str]) -> str:
+    """Materialize (once) a directory of hardlinks to exactly `files` and
+    return its path — the planning artifact that lets Spark resolve a
+    large snapshot read as ONE directory instead of 10^4 qualified paths
+    (the role Delta/Iceberg fill with a custom FileIndex, rebuilt here
+    with filesystem primitives). Safe by construction: data files are
+    immutable and the file SET fully determines the directory content, so
+    a completed link dir keyed by the sorted file-list hash is reusable
+    forever; hardlinks cost no space and no copy (same filesystem as the
+    table). Concurrent builders race benignly: the content under both
+    temp dirs is identical, one atomic rename wins, the loser's temp is
+    removed (or served as-is if the rename raced a half-published dir).
+    vacuum() sweeps _snapshots/ entries age-gated like any other
+    rebuildable artifact."""
+    import hashlib
+    import shutil
+
+    key = hashlib.sha256("\n".join(sorted(files)).encode()).hexdigest()[:16]
+    target = os.path.join(path, "_snapshots", key)
+    marker = os.path.join(target, "_LINKED")
+    if os.path.exists(marker):
+        return target
+    tmp = target + f".tmp-{uuid.uuid4().hex[:8]}"
+    os.makedirs(tmp)
+    for f in files:
+        os.link(os.path.join(path, f), os.path.join(tmp, os.path.basename(f)))
+    with open(os.path.join(tmp, "_LINKED"), "w", encoding="utf-8") as fh:
+        fh.write(f"{len(files)}\n")
+    try:
+        os.rename(tmp, target)
+    except OSError:
+        # a concurrent builder won (target exists). If theirs is complete,
+        # use it; a half-published target without the marker means an
+        # in-flight build we must not consume — serve our own temp dir
+        # (identical content, just uncached; vacuum reclaims it later).
+        if os.path.exists(marker):
+            shutil.rmtree(tmp, ignore_errors=True)
+            return target
+        return tmp
+    return target
+
+
 def _read_files(
     spark: SparkSession, path: str, manifest: dict, files: list[str]
 ) -> DataFrame:
     """The one snapshot file-set reader (read_version serves the full
-    list, read_version_pruned a kept subset): mergeSchema union of the
-    given files, aligned to the manifest's recorded schema."""
+    list, read_version_pruned / read_version_files a subset).
+
+    Schema-bearing manifests (every commit this writer makes) read with
+    the RECORDED schema passed explicitly — planning then costs ZERO
+    footer IO in the file count, where option(mergeSchema) runs a
+    distributed footer-merge job over every file before the first byte of
+    data moves (the j9 lesson, applied to the read side: at 10^5 files
+    that job IS the planning cost). The recorded schema is authoritative
+    by protocol — evolution is append-only and type-stable
+    (_evolved_schema) — so files predating a column serve null for it via
+    parquet missing-column semantics, identical to what the mergeSchema +
+    alignment path produced. Fields are read nullable: a file written
+    before a column existed serves nulls regardless of the declared
+    nullability, and lying to the optimizer about non-nullness would be
+    wrong in exactly that case. Legacy manifests (no recorded schema)
+    keep the mergeSchema + alignment path.
+
+    Large file sets (>= _LINKDIR_MIN_FILES) read through the snapshot
+    hardlink directory — driver-side path resolution is the OTHER
+    O(files) planning cost, and a single directory path retires it."""
+    schema_json = manifest.get("schema")
+    if schema_json is not None:
+        from pyspark.sql.types import StructField, StructType
+
+        recorded = _schema_from_json(schema_json)
+        nullable = StructType(
+            [StructField(f.name, f.dataType, True) for f in recorded.fields]
+        )
+        if len(files) >= _LINKDIR_MIN_FILES:
+            linked = _snapshot_linkdir(path, files)
+            return (
+                spark.read.schema(nullable)
+                .option("pathGlobFilter", "*.parquet")  # skip the marker
+                .parquet(linked)
+            )
+        return spark.read.schema(nullable).parquet(
+            *[os.path.join(path, f) for f in files]
+        )
     df = spark.read.option("mergeSchema", "true").parquet(
         *[os.path.join(path, f) for f in files]
     )
@@ -732,6 +818,23 @@ def vacuum(
                     and now - os.path.getmtime(full) >= grace_seconds
                 ):
                     os.remove(full)
+            except FileNotFoundError:
+                pass
+    # snapshot hardlink dirs (_snapshots/<hash>) are rebuildable planning
+    # artifacts: any entry older than the grace window is reclaimable — a
+    # live reader inside the window keeps its dir (same freshness contract
+    # as staged data files). Hardlinks mean removing a data file below
+    # reclaims no space until its snapshot dirs go too, so this sweep runs
+    # BEFORE the data sweep.
+    snap_root = os.path.join(path, "_snapshots")
+    if os.path.isdir(snap_root):
+        import shutil
+
+        for fn in sorted(os.listdir(snap_root)):
+            full = os.path.join(snap_root, fn)
+            try:
+                if now - os.path.getmtime(full) >= grace_seconds:
+                    shutil.rmtree(full, ignore_errors=True)
             except FileNotFoundError:
                 pass
     if keep is None:
