@@ -364,3 +364,35 @@ def test_scd2_fold_matches_reference_model(spark, tmp_path_factory, scenario):
         assert got == want
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_scd2_validation_is_one_driver_action(spark, monkeypatch):
+    """Round-9 verdict task 2 pinned structurally: ALL per-batch input-
+    contract checks (dup keys per arm, NULL eff per arm, both-arms
+    membership) are answered by ONE driver action — wall numbers at
+    fixture scale are commit-dominated, so the contract is the action
+    count, not the stopwatch. Both the clean pass and a violating batch
+    must collect exactly once."""
+    # patch the CONCRETE class: pyspark.sql.DataFrame is the abstract base
+    # in Spark 4 and local sessions run the classic implementation
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    from tts_etl_pipeline_spark.sources.scd import _validate_batch
+
+    calls = {"n": 0}
+    real = DataFrame.collect
+
+    def counting(self):
+        calls["n"] += 1
+        return real(self)
+
+    monkeypatch.setattr(DataFrame, "collect", counting)
+    changes = _batch(spark, [(1, "A", 10), (2, "B", 10)])
+    deletes = spark.createDataFrame([(3, 10), (None, 10)], "k int, eff long")
+    _validate_batch(changes, "k", "eff", deletes)
+    assert calls["n"] == 1, f"validation cost {calls['n']} actions"
+    calls["n"] = 0
+    with pytest.raises(ValueError, match="BOTH changes and deletes"):
+        _validate_batch(changes, "k", "eff",
+                        spark.createDataFrame([(1, 10)], "k int, eff long"))
+    assert calls["n"] == 1, f"violating batch cost {calls['n']} actions"

@@ -948,10 +948,17 @@ def test_large_snapshot_reads_through_hardlink_dir(spark, tmp_path):
         spark, path, 1, V.manifest(path, 1)["files"][:10]
     )
     assert all("/_snapshots/" not in f for f in sub.inputFiles())
-    # the dirs are rebuildable artifacts: a quiesced vacuum reclaims them
+    # RETAINED versions' linkdirs survive any vacuum (a live reader of the
+    # head must never lose its planned file set to a maintenance pass)...
     from tts_etl_pipeline_spark.sources.versioned import vacuum
 
     vacuum(path, keep_versions=99, grace_seconds=0.0)
-    assert not _os.listdir(snap_root) or not _os.path.isdir(snap_root)
-    # and a fresh read just rebuilds the artifact
+    assert dirs1 <= set(_os.listdir(snap_root))
+    assert read_version(spark, path, 1).count() == 600
+    # ...but dropping v1 from retention sweeps its (content-addressed)
+    # linkdir; a later time-travel read just rebuilds the artifact because
+    # v2 — an append — still references every v1 data file
+    vacuum(path, keep_versions=1, grace_seconds=0.0)
+    assert not (dirs1 & set(_os.listdir(snap_root)))
+    assert read_version(spark, path).count() == 700
     assert read_version(spark, path, 1).count() == 600

@@ -16,9 +16,12 @@ from pyspark.sql import functions as F
 N_BANDS = 3
 
 # The oracles' shared CTE prefix: per-(user, band) latest state, collapsed
-# into SCD2 versions with LEAD validity bounds. j10 selects straight from
-# `hist`; st22 appends its deletion-adjustment CTEs.
-USER_STATE_HIST_CTES = """b AS (
+# into SCD2 versions with LEAD validity bounds. j10/j12 select straight
+# from `hist`; st22 appends its deletion-adjustment CTEs; j13 takes the
+# PREFIX variant (bands <= upto) via user_state_hist_ctes(upto) — the
+# declarative twin of time travel to the version committed after band
+# `upto`.
+_USER_STATE_HIST_TEMPLATE = """b AS (
       SELECT epoch_us(MIN(ts)) AS tmin, epoch_us(MAX(ts)) AS tmax FROM events
     ),
     tagged AS (
@@ -38,7 +41,8 @@ USER_STATE_HIST_CTES = """b AS (
       FROM tagged
     ),
     states AS (
-      SELECT user_id, band, event_type, tss FROM ranked WHERE rn = 1
+      SELECT user_id, band, event_type, tss FROM ranked
+      WHERE rn = 1 AND band <= {upto}
     ),
     seq AS (
       SELECT user_id, event_type, tss,
@@ -56,6 +60,18 @@ USER_STATE_HIST_CTES = """b AS (
                                     ORDER BY valid_from) AS valid_to
       FROM collapsed
     )"""
+
+
+def user_state_hist_ctes(upto: int = N_BANDS) -> str:
+    """The shared oracle CTE prefix with only the first `upto` bands'
+    states folded in — upto=N_BANDS is the full history (what
+    USER_STATE_HIST_CTES pins for j10/j12/st22); a smaller `upto` is the
+    declarative equivalent of reading the SCD2 dimension AS OF the
+    version committed after that band (j13's time-travel composition)."""
+    return _USER_STATE_HIST_TEMPLATE.format(upto=upto)
+
+
+USER_STATE_HIST_CTES = user_state_hist_ctes(N_BANDS)
 
 
 def band_states(

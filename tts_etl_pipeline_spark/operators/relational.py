@@ -22,7 +22,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from tts_etl_pipeline_spark.functions.bands import USER_STATE_HIST_CTES
+from tts_etl_pipeline_spark.functions.bands import (
+    USER_STATE_HIST_CTES,
+    user_state_hist_ctes,
+)
 from tts_etl_pipeline_spark.functions.checkpoints import materialize
 from tts_etl_pipeline_spark.functions.exact import (
     FRAC,
@@ -2133,6 +2136,81 @@ def j12_scd2_incremental_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum("closed_span_us").cast("bigint").alias("sum_closed_span_us"),
             )
             .orderBy("n_versions")
+            .localCheckpoint(eager=True)  # materialize before tmp vanishes
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# j13 — TIME TRAVEL x SCD2 composition (round-9 verdict task 7, driver-
+# promoted beyond the pytest invariant): after all three band folds commit,
+# the dimension is read AS OF the MID-FOLD version (version 2 — the commit
+# that closed band 2's batch), and that snapshot must equal the DECLARATIVE
+# history of bands 1..2 alone — the window-function oracle with the band-3
+# states never folded in (functions/bands.py::user_state_hist_ctes(2)).
+# This is the composition a real warehouse leans on daily: "what did the
+# dimension say last Tuesday" answered from manifest-pinned time travel,
+# provably a consistent SCD2 prefix, not a torn mix. The in-query guard
+# asserts the head actually advanced one version per fold (the protocol
+# j12 checks file-identity for). Scale shape: identical to j10's folds;
+# the AS OF read costs one manifest parse + the v2 file set.
+# ---------------------------------------------------------------------------
+@_register(
+    "j13_scd2_asof_history",
+    f"""
+    WITH {user_state_hist_ctes(2)}
+    SELECT state,
+           COUNT(*) AS n_versions,
+           CAST(SUM(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_current,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(SUM(valid_to - valid_from) AS BIGINT) AS closed_span_us
+    FROM hist GROUP BY state ORDER BY state
+    """,
+)
+def j13_scd2_asof_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from tts_etl_pipeline_spark.functions.bands import N_BANDS, band_states
+    from tts_etl_pipeline_spark.sources.scd import scd2_apply
+    from tts_etl_pipeline_spark.sources.versioned import read_version
+
+    states, _, _, _, _ = band_states(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="j13_")
+    path = f"{base}/user_state_dim"
+    try:
+        versions = []
+        for i in range(1, N_BANDS + 1):
+            batch = states.filter(F.col("band") == i).select(
+                "user_id",
+                F.col("state").alias("event_type"),
+                F.col("tss").alias("eff"),
+            )
+            versions.append(
+                scd2_apply(spark, path, batch, "user_id", ["event_type"], "eff")
+            )
+        if versions != list(range(1, N_BANDS + 1)):
+            raise RuntimeError(
+                f"SCD2 folds must commit one version each, got {versions}"
+            )
+        # THE COMPOSITION: time travel to the mid-fold commit; band 3's
+        # states must be invisible, bands 1-2 a consistent SCD2 prefix
+        hist_v2 = read_version(spark, path, versions[1])
+        return (
+            hist_v2.groupBy(F.col("event_type").alias("state"))
+            .agg(
+                F.count(F.lit(1)).alias("n_versions"),
+                F.sum(F.col("is_current").cast("int"))
+                .cast("bigint")
+                .alias("n_current"),
+                F.countDistinct("user_id").alias("n_users"),
+                F.sum(F.col("valid_to") - F.col("valid_from"))
+                .cast("bigint")
+                .alias("closed_span_us"),
+            )
+            .orderBy("state")
             .localCheckpoint(eager=True)  # materialize before tmp vanishes
         )
     finally:

@@ -828,9 +828,24 @@ def vacuum(
     # BEFORE the data sweep.
     snap_root = os.path.join(path, "_snapshots")
     if os.path.isdir(snap_root):
+        import hashlib
         import shutil
 
+        # never sweep the RETAINED versions' own linkdirs, whatever their
+        # age: their data files survive this vacuum by definition, and a
+        # live reader of the head must not lose its planned file set to a
+        # maintenance pass (pre-linkdir, head reads never broke under
+        # vacuum — keep that property). Linkdirs are content-addressed, so
+        # the retained dirs are exactly the retained manifests' hashes.
+        retained = set()
+        for v in range(max(1, cur - keep_versions + 1), cur + 1):
+            fs = _read_manifest(path, v)["files"]
+            retained.add(
+                hashlib.sha256("\n".join(sorted(fs)).encode()).hexdigest()[:16]
+            )
         for fn in sorted(os.listdir(snap_root)):
+            if fn in retained:
+                continue
             full = os.path.join(snap_root, fn)
             try:
                 if now - os.path.getmtime(full) >= grace_seconds:
