@@ -142,11 +142,12 @@ HEADLINE = [
     # bloom-filter join) follows j4's optimizer-rehearsal precedent: its
     # conf scoping + in-query plan assertion are the subject, not
     # throughput. Scale rows for all five live in BASELINE.md.
-    # r10 additions j12 (SCD2 incremental-fold protocol) and j13 (time
-    # travel AS OF x SCD2 composition) are deliberately NOT headline:
-    # write-dominated fold rehearsals like j8/j10 (same precedent); their
-    # subjects are the O(current + batch) write contract and the AS OF
-    # prefix consistency, both asserted in-query. Scale rows in BASELINE.md.
+    # r10 additions j12 (SCD2 incremental-fold protocol), j13 (time travel
+    # AS OF x SCD2 composition) and j14 (point-in-time dimension join) are
+    # deliberately NOT headline: write-dominated fold rehearsals like
+    # j8/j10 (same precedent) — each pays 3 dimension folds before its
+    # subject (the write contract / AS OF prefix / AS-OF-event-time join)
+    # even runs. Scale rows in BASELINE.md.
 ]
 
 # FIXED-COST heavies (round-8 policy, r7 verdict task 5): queries whose wall

@@ -396,3 +396,56 @@ def test_scd2_validation_is_one_driver_action(spark, monkeypatch):
         _validate_batch(changes, "k", "eff",
                         spark.createDataFrame([(1, 10)], "k int, eff long"))
     assert calls["n"] == 1, f"violating batch cost {calls['n']} actions"
+
+
+def test_compact_closed_folds_closure_files_reuses_current(spark, tmp_path):
+    """compact_closed (round-10): the closure groups the incremental fold
+    accretes (one per fold) coalesce into one file while the CURRENT-slice
+    files ride through by reference (inode+mtime identity — compact()'s
+    full rewrite is exactly what this avoids); history is bit-identical,
+    the change feed across the compaction is EMPTY, and the NEXT fold
+    classifies the compacted file reusable again."""
+    import os as _os
+
+    from tts_etl_pipeline_spark.sources.scd import (
+        closed_history_files,
+        compact_closed,
+    )
+    from tts_etl_pipeline_spark.sources.versioned import (
+        manifest,
+        table_changes,
+    )
+
+    path = str(tmp_path / "dim")
+    for i in range(8):
+        scd2_apply(spark, path,
+                   _batch(spark, [(k, f"s{i}", (i + 1) * 10) for k in (1, 2)]),
+                   "k", ["state"], "eff")
+    v = 8
+    closed_before = closed_history_files(path, v)
+    assert len(closed_before) >= 6  # one closure group per fold 2..8
+    live_before = [
+        f for f in manifest(path, v)["files"] if f not in set(closed_before)
+    ]
+    ident = {
+        f: (_os.stat(_os.path.join(path, f)).st_ino,
+            _os.stat(_os.path.join(path, f)).st_mtime_ns)
+        for f in live_before
+    }
+    before = _hist(spark, path)
+    v2 = compact_closed(spark, path)
+    assert v2 == v + 1
+    # current files reused verbatim, closure groups folded to one
+    m2 = manifest(path, v2)
+    for f, i_m in ident.items():
+        st = _os.stat(_os.path.join(path, f))
+        assert f in m2["files"] and (st.st_ino, st.st_mtime_ns) == i_m
+    closed_after = closed_history_files(path, v2)
+    assert len(closed_after) == 1
+    assert _hist(spark, path) == before  # rows bit-identical
+    assert table_changes(spark, path, v, v2).count() == 0  # empty feed
+    # idempotence: already compact -> no new version
+    assert compact_closed(spark, path) is None
+    # and the next fold reuses the compacted file
+    scd2_apply(spark, path, _batch(spark, [(1, "zz", 999)]), "k", ["state"], "eff")
+    assert set(closed_after) <= set(manifest(path, v2 + 1)["files"])

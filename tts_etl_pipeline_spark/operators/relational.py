@@ -2215,3 +2215,102 @@ def j13_scd2_asof_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# j14 — POINT-IN-TIME dimension join (AS OF event time): the operation SCD2
+# history exists to serve — enrich every fact row with the dimension state
+# that was valid AT that row's timestamp, not the current one (the
+# train/serve-skew killer in feature pipelines, Delta/Feast's point-in-time
+# correctness story). The dimension folds from the three epoch bands (the
+# j10 substrate); every event then LEFT-joins its user's history on user_id
+# EQUALITY plus the half-open validity predicate valid_from <= ts <
+# coalesce(valid_to, +inf). Spans are disjoint per user by the SCD2
+# invariant (pinned in test_scd2.py), so each event matches AT MOST one
+# version — events before a user's first version (or with a NULL user)
+# surface as matched=false, kept honest in the output grain. Scale shape:
+# an EQUI join on user_id with the range conditions as residual filters —
+# hash-partitionable, never a nested loop (each user's history is a few
+# rows, so the residual scans a handful of candidates per fact row); the
+# dimension side is SF-scaling, so no hard broadcast — AQE picks broadcast
+# at fixture scale and shuffle at 100 TB. Oracle: the shared hist CTEs +
+# the identical LEFT JOIN in SQL.
+# ---------------------------------------------------------------------------
+@_register(
+    "j14_scd2_point_in_time_join",
+    f"""
+    WITH {USER_STATE_HIST_CTES},
+    ev AS (
+      SELECT user_id, event_id, epoch_us(ts) AS tss,
+             CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      FROM events
+    ),
+    enriched AS (
+      SELECT e.user_id, e.cents,
+             h.state, h.valid_from IS NOT NULL AS matched
+      FROM ev e
+      LEFT JOIN hist h
+        ON e.user_id = h.user_id
+       AND e.tss >= h.valid_from
+       AND (h.valid_to IS NULL OR e.tss < h.valid_to)
+    )
+    SELECT matched, state,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM enriched GROUP BY matched, state ORDER BY matched, state
+    """,
+)
+def j14_scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from tts_etl_pipeline_spark.functions.bands import N_BANDS, band_states
+    from tts_etl_pipeline_spark.functions.exact import money
+    from tts_etl_pipeline_spark.sources.scd import scd2_apply
+    from tts_etl_pipeline_spark.sources.versioned import read_version
+
+    states, _, _, _, _ = band_states(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="j14_")
+    path = f"{base}/user_state_dim"
+    try:
+        for i in range(1, N_BANDS + 1):
+            batch = states.filter(F.col("band") == i).select(
+                "user_id",
+                F.col("state").alias("event_type"),
+                F.col("tss").alias("eff"),
+            )
+            scd2_apply(spark, path, batch, "user_id", ["event_type"], "eff")
+        h = read_version(spark, path).select(
+            F.col("user_id").alias("h_user"),
+            F.col("event_type").alias("state"),
+            "valid_from",
+            "valid_to",
+        )
+        ev = table(spark, sf_dir, "events").select(
+            "user_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("tss"),
+            (money("value") * 100).cast("bigint").alias("cents"),
+        )
+        enriched = ev.join(
+            h,
+            (ev.user_id == h.h_user)
+            & (ev.tss >= h.valid_from)
+            & (h.valid_to.isNull() | (ev.tss < h.valid_to)),
+            "left",
+        )
+        return (
+            enriched.groupBy(
+                F.col("valid_from").isNotNull().alias("matched"),
+                "state",
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.countDistinct("user_id").alias("n_users"),
+                F.sum("cents").cast("bigint").alias("sum_cents"),
+            )
+            .orderBy("matched", "state")
+            .localCheckpoint(eager=True)  # materialize before tmp vanishes
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

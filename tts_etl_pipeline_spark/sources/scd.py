@@ -146,6 +146,40 @@ def closed_history_files(path: str, version: int) -> list[str]:
     ]
 
 
+def compact_closed(
+    spark: SparkSession, path: str, target_files: int = 1
+) -> int | None:
+    """Coalesce the dimension's closed-history file groups into
+    `target_files` files, REUSING the current-slice files untouched — the
+    maintenance pass that bounds what the incremental fold accretes (one
+    small closure group per fold) without ever paying compact()'s full
+    rewrite of the current slice. Rows are bit-identical, so the change
+    feed across this commit is EMPTY (exceptAll bag cancellation — the
+    compact() contract), and the rewritten file carries is_current stats
+    so the NEXT fold classifies it reusable again. Returns the committed
+    version, or None when there is nothing to fold together. Conflict
+    safety: the commit carries the snapshot's expected_version, like every
+    maintenance commit here."""
+    v = current_version(path)
+    if v == 0:
+        return None
+    closed = closed_history_files(path, v)
+    if len(closed) <= max(1, target_files):
+        return None  # already compact
+    m = manifest(path, v)
+    live = [f for f in m["files"] if f not in set(closed)]
+    merged = read_version_files(spark, path, v, closed).coalesce(
+        max(1, target_files)
+    )
+    return write_version_parts(
+        [merged],
+        path,
+        reuse_files=live,
+        expected_version=v,
+        collect_stats=("is_current",),
+    )
+
+
 def scd2_apply(
     spark: SparkSession,
     path: str,
