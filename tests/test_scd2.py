@@ -449,3 +449,85 @@ def test_compact_closed_folds_closure_files_reuses_current(spark, tmp_path):
     # and the next fold reuses the compacted file
     scd2_apply(spark, path, _batch(spark, [(1, "zz", 999)]), "k", ["state"], "eff")
     assert set(closed_after) <= set(manifest(path, v2 + 1)["files"])
+
+
+def test_scd2_fold_after_everything_soft_deleted(spark, tmp_path):
+    """The live-files-empty branch: soft-deleting EVERY key leaves a
+    manifest of closed-only files (the empty current part is dropped at
+    commit), so the next fold's live slice must come from the manifest
+    SCHEMA alone — and an insert after total deletion must open cleanly
+    while the closed history still rides through by reference."""
+    from tts_etl_pipeline_spark.sources.scd import closed_history_files
+    from tts_etl_pipeline_spark.sources.versioned import manifest
+
+    def dels(rows):
+        return spark.createDataFrame(rows, "k int, eff long")
+
+    path = str(tmp_path / "dim")
+    scd2_apply(spark, path, _batch(spark, [(1, "A", 10), (2, "B", 10)]),
+               "k", ["state"], "eff")
+    scd2_apply(spark, path, _batch(spark, []), "k", ["state"], "eff",
+               deletes=dels([(1, 20), (2, 20)]))
+    # every row closed; the manifest should classify ALL files closed
+    m2 = manifest(path, 2)
+    assert set(closed_history_files(path, 2)) == set(m2["files"])
+    assert _hist(spark, path) == [
+        (1, "A", 10, 20, False),
+        (2, "B", 10, 20, False),
+    ]
+    # fold 3 takes the empty-live branch: insert a new key + re-insert 1
+    scd2_apply(spark, path, _batch(spark, [(1, "A2", 30), (9, "Z", 30)]),
+               "k", ["state"], "eff")
+    assert _hist(spark, path) == [
+        (1, "A", 10, 20, False),
+        (1, "A2", 30, None, True),
+        (2, "B", 10, 20, False),
+        (9, "Z", 30, None, True),
+    ]
+    # ...and the closed files were carried by reference, not rewritten
+    assert set(closed_history_files(path, 2)) <= set(manifest(path, 3)["files"])
+    # deleting the re-inserted key again still round-trips
+    scd2_apply(spark, path, _batch(spark, []), "k", ["state"], "eff",
+               deletes=dels([(1, 40), (9, 40)]))
+    hist = _hist(spark, path)
+    assert all(not r[4] for r in hist) and len(hist) == 4
+
+
+def test_scd2_fold_migrates_legacy_stats_free_table(spark, tmp_path):
+    """Migration story for pre-r10 dimensions (no manifest is_current
+    stats): the first fold classifies nothing as reusable, reads the
+    whole table once, and re-splits it into stats-bearing closed/current
+    file groups — from the second fold on, the table is fully
+    incremental. Correct either way; this pins the one-time migration."""
+    from tts_etl_pipeline_spark.sources.scd import closed_history_files
+    from tts_etl_pipeline_spark.sources.versioned import manifest, write_version
+
+    path = str(tmp_path / "dim")
+    legacy = spark.createDataFrame(
+        [(1, "A", 10, 20, False), (1, "B", 20, None, True),
+         (2, "X", 10, None, True)],
+        "k int, state string, valid_from long, valid_to long, is_current boolean",
+    )
+    write_version(legacy, path)  # r9-format commit: schema, NO stats
+    assert closed_history_files(path, 1) == []  # nothing classifiable
+    scd2_apply(spark, path, _batch(spark, [(2, "Y", 30)]), "k", ["state"], "eff")
+    assert _hist(spark, path) == [
+        (1, "A", 10, 20, False),
+        (1, "B", 20, None, True),
+        (2, "X", 10, 30, False),
+        (2, "Y", 30, None, True),
+    ]
+    # the migration fold re-split: closed rows now live in classified files
+    closed2 = closed_history_files(path, 2)
+    assert closed2
+    # ...and the NEXT fold is incremental: those files carried by reference
+    scd2_apply(spark, path, _batch(spark, [(1, "C", 40)]), "k", ["state"], "eff")
+    m3 = manifest(path, 3)
+    assert set(closed2) <= set(m3["files"])
+    assert _hist(spark, path) == [
+        (1, "A", 10, 20, False),
+        (1, "B", 20, 40, False),
+        (1, "C", 40, None, True),
+        (2, "X", 10, 30, False),
+        (2, "Y", 30, None, True),
+    ]
