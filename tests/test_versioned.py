@@ -962,3 +962,59 @@ def test_large_snapshot_reads_through_hardlink_dir(spark, tmp_path):
     assert not (dirs1 & set(_os.listdir(snap_root)))
     assert read_version(spark, path).count() == 700
     assert read_version(spark, path, 1).count() == 600
+
+
+def test_clone_table_zero_copy_independent_lineage(spark, tmp_path):
+    """clone_table (round-10): the clone serves the source's rows and
+    per-file stats WITHOUT copying bytes (hardlinks — shared inodes), then
+    lives its own life: commits to either table are invisible to the
+    other, the clone's pruned reads plan from the carried stats, cloning a
+    historical version time-travels, and either side's vacuum never
+    breaks the other (unlink removes a NAME, data survives while any
+    table references it)."""
+    import os as _os
+
+    from tts_etl_pipeline_spark.sources.versioned import (
+        clone_table,
+        manifest,
+        read_version_pruned,
+        vacuum,
+    )
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    write_version(
+        spark.range(100).selectExpr("id AS k").repartitionByRange(4, "k"),
+        src,
+        collect_stats=("k",),
+    )
+    write_version(
+        spark.range(100, 200).selectExpr("id AS k"), src, collect_stats=("k",)
+    )
+    assert clone_table(src, dst) == 1
+    assert sorted(r["k"] for r in read_version(spark, dst).collect()) == list(range(200))
+    # zero-copy: shared inodes, stats carried -> pruning plans identically
+    sm, dm = manifest(src, 2), manifest(dst, 1)
+    src_inodes = {_os.stat(_os.path.join(src, f)).st_ino for f in sm["files"]}
+    dst_inodes = {_os.stat(_os.path.join(dst, f)).st_ino for f in dm["files"]}
+    assert src_inodes == dst_inodes
+    pruned, skipped, total = read_version_pruned(spark, dst, "k", 0, 24)
+    assert skipped >= 3 and sorted(r["k"] for r in pruned.collect()) == list(range(25))
+    # independent lineage: divergent commits stay invisible to each other
+    write_version(spark.range(500, 501).selectExpr("id AS k"), dst)
+    assert read_version(spark, src).count() == 200
+    assert read_version(spark, dst).count() == 201
+    # cloning a historical version time-travels
+    dst2 = str(tmp_path / "dst2")
+    clone_table(src, dst2, version=1)
+    assert read_version(spark, dst2).count() == 100
+    # clobbering an existing table refuses
+    with pytest.raises(ValueError, match="already a table"):
+        clone_table(src, dst)
+    # source vacuum cannot break the clone: drop src to head-only, then
+    # read the clone of the VACUUMED version
+    write_version(spark.range(1).selectExpr("id AS k"), src, mode="overwrite")
+    vacuum(src, keep_versions=1, grace_seconds=0.0)
+    with pytest.raises(Exception):
+        read_version(spark, src, 1).count()  # gone at the source...
+    assert read_version(spark, dst2).count() == 100  # ...alive in the clone

@@ -725,6 +725,51 @@ def rollback(path: str, to_version: int) -> int:
     )
 
 
+def clone_table(
+    src: str, dst: str, version: int | None = None
+) -> int:
+    """ZERO-COPY table clone (Delta's CLONE command): commit `dst` as a
+    fresh table (v1) whose data equals `src` at `version` (default: head),
+    without copying a byte — every data file is HARDLINKED into the new
+    table's data/ (same filesystem; immutable-by-protocol files make the
+    shared inodes safe: neither table ever rewrites a committed file, and
+    either side's vacuum only unlinks its own name). Schema and per-file
+    stats carry over verbatim, so a pruned read of the clone plans exactly
+    like the source. The clone is a fully independent table afterwards:
+    its own manifest lineage, its own commits, its own vacuum horizon —
+    the dev/test-against-production-data pattern. Honest scope: hardlinks
+    are the local-filesystem analogue of what Delta/Iceberg do on object
+    stores with shallow (absolute-URI) clones; a cross-filesystem dst
+    raises (no silent fallback to a full copy)."""
+    v = current_version(src) if version is None else version
+    _check_version(src, v)
+    m = _read_manifest(src, v)
+    if os.path.isdir(_vdir(dst)) and current_version(dst) > 0:
+        raise ValueError(f"clone destination {dst} is already a table")
+    data_dir = os.path.join(dst, "data")
+    os.makedirs(data_dir, exist_ok=True)
+    files = []
+    for f in m["files"]:
+        name = os.path.basename(f)
+        try:
+            os.link(os.path.join(src, f), os.path.join(data_dir, name))
+        except FileExistsError:
+            pass  # idempotent retry after a crashed clone attempt
+        files.append(os.path.join("data", name))
+    return _commit(
+        dst,
+        files,
+        "clone",
+        expected_parent=0,
+        schema_json=m.get("schema"),
+        stats={
+            os.path.join("data", os.path.basename(f)): s
+            for f, s in m.get("stats", {}).items()
+        }
+        or None,
+    )
+
+
 def history(path: str) -> list[dict]:
     out = []
     for v in range(1, current_version(path) + 1):
