@@ -143,11 +143,12 @@ HEADLINE = [
     # conf scoping + in-query plan assertion are the subject, not
     # throughput. Scale rows for all five live in BASELINE.md.
     # r10 additions j12 (SCD2 incremental-fold protocol), j13 (time travel
-    # AS OF x SCD2 composition) and j14 (point-in-time dimension join) are
-    # deliberately NOT headline: write-dominated fold rehearsals like
-    # j8/j10 (same precedent) — each pays 3 dimension folds before its
-    # subject (the write contract / AS OF prefix / AS-OF-event-time join)
-    # even runs. Scale rows in BASELINE.md.
+    # AS OF x SCD2 composition), j14 (point-in-time dimension join) and
+    # j15 (key-clustered fold range pruning) are deliberately NOT
+    # headline: write-dominated fold rehearsals like j8/j10 (same
+    # precedent) — each pays 3 dimension folds before its subject (the
+    # write contract / AS OF prefix / AS-OF-event-time join / clustered
+    # file reuse) even runs. Scale rows in BASELINE.md.
 ]
 
 # FIXED-COST heavies (round-8 policy, r7 verdict task 5): queries whose wall

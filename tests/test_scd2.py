@@ -299,7 +299,10 @@ def scd2_scenarios(draw):
                 st.lists(st.sampled_from(del_pool), unique=True, max_size=2)
             )
         ] if del_pool else []
-        batches.append((changes, dels))
+        # each fold independently clustered or not: interleavings exercise
+        # the range-pruned reuse path against manifests written both ways
+        cluster = draw(st.sampled_from([None, 1, 2, 3]))
+        batches.append((changes, dels, cluster))
     return batches
 
 
@@ -333,7 +336,7 @@ def test_scd2_fold_matches_reference_model(spark, tmp_path_factory, scenario):
     path = f"{root}/dim"
     model: dict = {}
     try:
-        for changes, dels in scenario:
+        for changes, dels, cluster in scenario:
             scd2_apply(
                 spark,
                 path,
@@ -344,6 +347,7 @@ def test_scd2_fold_matches_reference_model(spark, tmp_path_factory, scenario):
                 deletes=spark.createDataFrame(dels, "k int, eff long")
                 if dels
                 else None,
+                cluster_files=cluster,
             )
             _model_fold(model, changes, dels)
         got = sorted(
@@ -531,3 +535,227 @@ def test_scd2_fold_migrates_legacy_stats_free_table(spark, tmp_path):
         (2, "X", 10, 30, False),
         (2, "Y", 30, None, True),
     ]
+
+
+# ---------------------------------------------------------------------------
+# Key-clustered folds (cluster_files): the round-10 "next rung" — a
+# key-localized batch reads and rewrites only the current FILES whose key
+# range it touches; everything else rides by manifest reference.
+# ---------------------------------------------------------------------------
+
+
+def _ident(path, f):
+    import os as _os
+
+    st = _os.stat(_os.path.join(path, f))
+    return (st.st_ino, st.st_mtime_ns)
+
+
+def test_scd2_clustered_fold_prunes_untouched_current_files(spark, tmp_path):
+    """A localized batch (keys 1..20 of 1..100, clustered into 4 key-range
+    files) must carry every current file whose range misses the batch BY
+    REFERENCE (same name, inode+mtime identity) and stage exactly the
+    touched files' rows + the closures — never the whole current slice."""
+    import os as _os
+
+    import pyarrow.parquet as pq
+
+    from tts_etl_pipeline_spark.sources.versioned import manifest
+
+    path = str(tmp_path / "dim")
+    scd2_apply(spark, path,
+               _batch(spark, [(k, "A", 10) for k in range(1, 101)]),
+               "k", ["state"], "eff", cluster_files=4)
+    m1 = manifest(path, 1)
+    stats1 = m1["stats"]
+    # clustering recorded per-file key ranges on all-current files
+    assert all(
+        stats1[f]["is_current"] == [True, True] and "k" in stats1[f]
+        for f in m1["files"]
+    )
+    untouched = [f for f in m1["files"] if stats1[f]["k"][0] > 20]
+    touched = [f for f in m1["files"] if stats1[f]["k"][0] <= 20]
+    assert untouched and touched  # the fixture must exercise both arms
+    ident_before = {f: _ident(path, f) for f in untouched}
+    touched_rows = sum(
+        pq.ParquetFile(_os.path.join(path, f)).metadata.num_rows
+        for f in touched
+        if stats1[f]["k"][1] >= 1  # every touched file intersects [1,20]
+    )
+    scd2_apply(spark, path,
+               _batch(spark, [(k, "B", 20) for k in range(1, 21)]),
+               "k", ["state"], "eff", cluster_files=4)
+    m2 = manifest(path, 2)
+    for f, ident in ident_before.items():
+        assert f in set(m2["files"])  # carried by reference
+        assert _ident(path, f) == ident  # byte-untouched on disk
+    staged = sum(
+        pq.ParquetFile(_os.path.join(path, f)).metadata.num_rows
+        for f in m2["files"]
+        if f not in set(m1["files"])
+    )
+    # closures (20) + the touched files' surviving current rows — the
+    # untouched ~75 keys were never read, let alone rewritten
+    assert staged == 20 + touched_rows
+    assert staged < 100  # strictly less than the full current slice
+    # and the answer is still the full correct history
+    hist = _hist(spark, path)
+    assert len(hist) == 120 and sum(1 for r in hist if r[4]) == 100
+
+
+def test_scd2_clustered_fold_matches_plain_fold(spark, tmp_path):
+    """Clustering is a LAYOUT choice, never a semantics one: the same batch
+    sequence (changes, new keys, soft deletes) folded clustered and plain
+    yields bag-identical history."""
+    pa, pb = str(tmp_path / "clustered"), str(tmp_path / "plain")
+    batches = [
+        ([(k, "A", 10) for k in range(1, 41)], None),
+        ([(k, "B", 20) for k in range(1, 11)] + [(99, "N", 20)], None),
+        ([(k, "C", 30) for k in range(5, 9)], [(2, 30), (77, 30)]),
+    ]
+    for p, cf in ((pa, 3), (pb, None)):
+        for rows, dels in batches:
+            scd2_apply(
+                spark, p, _batch(spark, rows), "k", ["state"], "eff",
+                deletes=None if dels is None else spark.createDataFrame(
+                    dels, "k int, eff long"),
+                cluster_files=cf,
+            )
+    assert _hist(spark, pa) == _hist(spark, pb)
+
+
+def test_scd2_clustered_null_keys_survive_pruning(spark, tmp_path):
+    """A pruned current file may hold NULL-keyed rows (parquet min/max
+    ignores nulls): skipping it must keep them current — which is sound
+    because NO batch can ever match or delete a NULL key."""
+    path = str(tmp_path / "dim")
+    scd2_apply(spark, path,
+               _batch(spark, [(None, "Z", 10), (1, "A", 10), (2, "A", 10),
+                              (50, "A", 10), (60, "A", 10)]),
+               "k", ["state"], "eff", cluster_files=2)
+    # localized batch on the HIGH keys: the low file (NULLs sort first, so
+    # it holds the NULL row) is untouched
+    scd2_apply(spark, path, _batch(spark, [(50, "B", 20)]),
+               "k", ["state"], "eff", cluster_files=2)
+    assert _hist(spark, path) == [
+        (1, "A", 10, None, True),
+        (2, "A", 10, None, True),
+        (50, "A", 10, 20, False),
+        (50, "B", 20, None, True),
+        (60, "A", 10, None, True),
+        (None, "Z", 10, None, True),
+    ]
+    # ...and a later LOW-key batch reads that file and folds it correctly
+    scd2_apply(spark, path, _batch(spark, [(1, "C", 30)]),
+               "k", ["state"], "eff", cluster_files=2)
+    hist = _hist(spark, path)
+    assert (1, "C", 30, None, True) in hist
+    assert (None, "Z", 10, None, True) in hist
+
+
+def test_recluster_current_restores_pruning_empty_changefeed(spark, tmp_path):
+    """recluster_current: bit-identical rows (EMPTY change feed across the
+    commit), closed-only files reused untouched, and the re-clustered
+    current slice prunes again on the next localized fold."""
+    from tts_etl_pipeline_spark.sources.scd import (
+        closed_history_files,
+        recluster_current,
+    )
+    from tts_etl_pipeline_spark.sources.versioned import manifest, table_changes
+
+    path = str(tmp_path / "dim")
+    scd2_apply(spark, path,
+               _batch(spark, [(k, "A", 10) for k in range(1, 41)]),
+               "k", ["state"], "eff", cluster_files=4)
+    # a WIDE batch (keys at both ends) makes the fold's fresh current files
+    # span the whole key range — clustering has degraded
+    scd2_apply(spark, path, _batch(spark, [(1, "B", 20), (40, "B", 20)]),
+               "k", ["state"], "eff", cluster_files=1)
+    before = _hist(spark, path)
+    closed = closed_history_files(path, 2)
+    ident = {f: _ident(path, f) for f in closed}
+    v = recluster_current(spark, path, "k", target_files=4)
+    assert v == 3
+    assert _hist(spark, path) == before  # rows bit-identical
+    assert table_changes(spark, path, 2, v).count() == 0  # empty feed
+    for f, i in ident.items():  # closed history rode through by reference
+        assert f in set(manifest(path, v)["files"]) and _ident(path, f) == i
+    # pruning works again: a low-key batch reuses the high-range files
+    m3 = manifest(path, v)
+    high = [
+        f for f in m3["files"]
+        if m3["stats"].get(f, {}).get("is_current") == [True, True]
+        and m3["stats"][f].get("k", [0, 0])[0] > 5
+    ]
+    assert high
+    scd2_apply(spark, path, _batch(spark, [(1, "C", 30)]),
+               "k", ["state"], "eff", cluster_files=4)
+    m4 = manifest(path, 4)
+    assert set(high) <= set(m4["files"])
+    # recluster on an empty/uncommitted table is a no-op
+    assert recluster_current(spark, str(tmp_path / "nope"), "k") is None
+
+
+def test_scd2_cluster_files_validation_and_string_keys(spark, tmp_path):
+    """cluster_files < 1 raises; a NON-NUMERIC key records no ranges (the
+    manifest-stats soundness scope) so folds stay correct, just unpruned."""
+    from tts_etl_pipeline_spark.sources.versioned import manifest
+
+    with pytest.raises(ValueError, match="cluster_files"):
+        scd2_apply(spark, str(tmp_path / "x"),
+                   _batch(spark, [(1, "A", 10)]), "k", ["state"], "eff",
+                   cluster_files=0)
+    path = str(tmp_path / "sdim")
+    sb = lambda rows: spark.createDataFrame(rows, "k string, state string, eff long")  # noqa: E731
+    scd2_apply(spark, path, sb([("a", "A", 10), ("b", "A", 10)]),
+               "k", ["state"], "eff", cluster_files=2)
+    m1 = manifest(path, 1)
+    assert all("k" not in m1["stats"].get(f, {}) for f in m1["files"])
+    scd2_apply(spark, path, sb([("a", "B", 20)]),
+               "k", ["state"], "eff", cluster_files=2)
+    rows = sorted(
+        (r["k"], r["state"], r["valid_from"], r["valid_to"], r["is_current"])
+        for r in read_version(spark, path).collect()
+    )
+    assert rows == [
+        ("a", "A", 10, 20, False),
+        ("a", "B", 20, None, True),
+        ("b", "A", 10, None, True),
+    ]
+
+
+def test_clone_of_clustered_dim_keeps_pruning_and_lineage(spark, tmp_path):
+    """Composition: clone_table of a key-clustered dimension carries the
+    key-range stats verbatim, so a localized fold on the CLONE still
+    prunes (reuses the clone's hardlinked untouched files) — and the
+    SOURCE table is untouched by the clone's folds (independent lineage,
+    shared immutable inodes)."""
+    from tts_etl_pipeline_spark.sources.versioned import (
+        clone_table,
+        current_version,
+        manifest,
+    )
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    scd2_apply(spark, src,
+               _batch(spark, [(k, "A", 10) for k in range(1, 41)]),
+               "k", ["state"], "eff", cluster_files=4)
+    assert clone_table(src, dst) == 1
+    m1 = manifest(dst, 1)
+    high = [
+        f for f in m1["files"]
+        if m1["stats"].get(f, {}).get("k", [0, 0])[0] > 10
+    ]
+    assert high  # ranges carried over
+    ident = {f: _ident(dst, f) for f in high}
+    scd2_apply(spark, dst, _batch(spark, [(1, "B", 20)]),
+               "k", ["state"], "eff", cluster_files=4)
+    m2 = manifest(dst, 2)
+    for f, i in ident.items():
+        assert f in set(m2["files"]) and _ident(dst, f) == i
+    # source lineage untouched by the clone's fold
+    assert current_version(src) == 1
+    src_hist = _hist(spark, src)
+    assert all(r[4] for r in src_hist) and len(src_hist) == 40
+    dst_hist = _hist(spark, dst)
+    assert (1, "B", 20, None, True) in dst_hist and len(dst_hist) == 41

@@ -42,7 +42,7 @@ _USER_STATE_HIST_TEMPLATE = """b AS (
     ),
     states AS (
       SELECT user_id, band, event_type, tss FROM ranked
-      WHERE rn = 1 AND band <= {upto}
+      WHERE rn = 1 AND ({states_pred})
     ),
     seq AS (
       SELECT user_id, event_type, tss,
@@ -68,7 +68,15 @@ def user_state_hist_ctes(upto: int = N_BANDS) -> str:
     USER_STATE_HIST_CTES pins for j10/j12/st22); a smaller `upto` is the
     declarative equivalent of reading the SCD2 dimension AS OF the
     version committed after that band (j13's time-travel composition)."""
-    return _USER_STATE_HIST_TEMPLATE.format(upto=upto)
+    return user_state_hist_ctes_where(f"band <= {upto}")
+
+
+def user_state_hist_ctes_where(states_pred: str) -> str:
+    """The shared prefix with an arbitrary per-state SQL predicate over
+    (user_id, band, event_type, tss) — j15 folds only a KEY SUBRANGE of
+    bands 2..3 into its clustered dimension, so its oracle keeps band 1
+    whole and band-filters the rest: `band = 1 OR user_id <= mid`."""
+    return _USER_STATE_HIST_TEMPLATE.format(states_pred=states_pred)
 
 
 USER_STATE_HIST_CTES = user_state_hist_ctes(N_BANDS)

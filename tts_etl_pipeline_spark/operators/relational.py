@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from tts_etl_pipeline_spark.functions.bands import (
     USER_STATE_HIST_CTES,
     user_state_hist_ctes,
+    user_state_hist_ctes_where,
 )
 from tts_etl_pipeline_spark.functions.checkpoints import materialize
 from tts_etl_pipeline_spark.functions.exact import (
@@ -2310,6 +2311,160 @@ def j14_scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum("cents").cast("bigint").alias("sum_cents"),
             )
             .orderBy("matched", "state")
+            .localCheckpoint(eager=True)  # materialize before tmp vanishes
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# j15 — KEY-CLUSTERED SCD2 fold (the round-10 "next rung" past j12's
+# O(current + batch) write): with the current slice staged as key-range
+# files and per-file key min/max in the manifest (scd2_apply
+# cluster_files=N), a key-LOCALIZED batch must read and rewrite ONLY the
+# current files whose range it touches — every other current file rides by
+# manifest reference exactly like closed history does. The query folds
+# band 1 for ALL users (clustered into 4 range files), then bands 2..3 for
+# only the LOWER-HALF user ids (mid = integer midpoint of the events key
+# range, computed identically in both engines); the protocol assert walks
+# every committed version and requires each prior version's current-only
+# files that lie entirely ABOVE mid to survive INTO the next manifest and
+# on disk (typed error on regression — a fold that re-read the whole
+# current slice would still hash-match, only this assert catches it).
+# Well-posedness gate (the j9 idiom): the positive "something was actually
+# pruned" arm is required only when band 1 produced >= 4 stat-bearing
+# range files and its key range extends past mid; degenerate fixtures pass
+# vacuously. Oracle: the shared hist CTEs with the states predicate
+# `band = 1 OR user_id <= mid` (functions/bands.py
+# user_state_hist_ctes_where) + j13's per-state projection. Scale shape:
+# each fold is touched-files x batch, the clustered layout is what turns
+# a 100 TB dimension's localized trickle updates from O(current) rewrites
+# into O(touched) ones; sources/scd.py::recluster_current restores the
+# layout when accumulated folds erode it.
+# ---------------------------------------------------------------------------
+@_register(
+    "j15_scd2_clustered_fold",
+    f"""
+    WITH ub AS (
+      SELECT (MIN(user_id) + MAX(user_id)) // 2 AS mid FROM events
+    ),
+    {user_state_hist_ctes_where(
+        "band = 1 OR user_id <= (SELECT mid FROM ub)")}
+    SELECT state,
+           COUNT(*) AS n_versions,
+           CAST(SUM(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_current,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(SUM(valid_to - valid_from) AS BIGINT) AS closed_span_us
+    FROM hist GROUP BY state ORDER BY state
+    """,
+)
+def j15_scd2_clustered_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+    import shutil
+    import tempfile
+
+    from tts_etl_pipeline_spark.functions.bands import N_BANDS, band_states
+    from tts_etl_pipeline_spark.sources.scd import scd2_apply
+    from tts_etl_pipeline_spark.sources.versioned import manifest, read_version
+
+    states, _, _, _, _ = band_states(spark, sf_dir)
+    bounds = table(spark, sf_dir, "events").agg(
+        F.min("user_id").alias("mn"), F.max("user_id").alias("mx")
+    ).collect()[0]
+    # integer midpoint of the key RANGE — floor division in both engines
+    mid = 0 if bounds["mn"] is None else (bounds["mn"] + bounds["mx"]) // 2
+    base = tempfile.mkdtemp(prefix="j15_")
+    path = f"{base}/user_state_dim"
+    try:
+        versions = []
+        for i in range(1, N_BANDS + 1):
+            batch = states.filter(
+                (F.col("band") == i)
+                & (F.lit(i == 1) | (F.col("user_id") <= mid))
+            ).select(
+                "user_id",
+                F.col("state").alias("event_type"),
+                F.col("tss").alias("eff"),
+            )
+            versions.append(
+                scd2_apply(
+                    spark, path, batch, "user_id", ["event_type"], "eff",
+                    cluster_files=4,
+                )
+            )
+        if versions != list(range(1, N_BANDS + 1)):
+            raise RuntimeError(
+                f"SCD2 folds must commit one version each, got {versions}"
+            )
+
+        def _above_mid_current(v: int) -> list[str]:
+            m = manifest(path, v)
+            st = m.get("stats", {})
+            return [
+                f
+                for f in m["files"]
+                if st.get(f, {}).get("is_current") == [True, True]
+                and st.get(f, {}).get("user_id") is not None
+                and st[f]["user_id"][0] > mid
+            ]
+
+        # THE PROTOCOL ASSERT: prior-version current files entirely above
+        # mid are untouchable by a lower-half batch — same manifest name,
+        # still on disk, for EVERY later version
+        for v in range(2, versions[-1] + 1):
+            keep = _above_mid_current(v - 1)
+            now = set(manifest(path, v)["files"])
+            lost = [f for f in keep if f not in now]
+            if lost:
+                raise RuntimeError(
+                    f"clustered SCD2 fold v{v} rewrote current files a "
+                    f"lower-half batch never touched: {sorted(lost)[:3]}"
+                )
+            gone = [
+                f for f in keep if not _os.path.exists(_os.path.join(path, f))
+            ]
+            if gone:
+                raise RuntimeError(
+                    f"range-pruned current files missing on disk: {gone[:3]}"
+                )
+        # well-posedness-gated positive arm: a healthy clustered band-1
+        # layout whose key range extends past mid MUST yield >= 1 prunable
+        # file, else the clustering itself regressed
+        m1 = manifest(path, 1)
+        stat_files = [
+            f
+            for f in m1["files"]
+            if m1.get("stats", {}).get(f, {}).get("user_id") is not None
+        ]
+        kmax = max(
+            (m1["stats"][f]["user_id"][1] for f in stat_files), default=None
+        )
+        if len(stat_files) >= 4 and kmax is not None and kmax > mid:
+            if not _above_mid_current(1):
+                raise RuntimeError(
+                    "band-1 clustering produced no current file above mid: "
+                    "key-range staging regressed"
+                )
+        hist = read_version(spark, path).select(
+            F.col("event_type").alias("state"),
+            "user_id",
+            "valid_from",
+            "valid_to",
+        )
+        return (
+            hist.groupBy("state")
+            .agg(
+                F.count(F.lit(1)).alias("n_versions"),
+                F.sum(F.col("valid_to").isNull().cast("int"))
+                .cast("bigint")
+                .alias("n_current"),
+                F.countDistinct("user_id").alias("n_users"),
+                F.sum(F.col("valid_to") - F.col("valid_from"))
+                .cast("bigint")
+                .alias("closed_span_us"),
+            )
+            .orderBy("state")
             .localCheckpoint(eager=True)  # materialize before tmp vanishes
         )
     finally:

@@ -43,6 +43,24 @@ rewrite the whole history every batch):
   treated as live — read and re-split once, correct either way.
   Closure-delta files accumulate one small group per fold; compact()
   folds them together when file count matters.
+- KEY-CLUSTERED folds (cluster_files=N, the round-10 "next rung"): the
+  current slice is staged as N key-range files (repartitionByRange on the
+  key) with per-file key min/max recorded in the manifest, and the NEXT
+  fold reuses BY REFERENCE any current-only file whose key range contains
+  no batch key (changes or deletes) — so a key-LOCALIZED batch reads and
+  rewrites only the current files it touches, not the whole current
+  slice. Soundness: an untouched current file's rows are exactly the
+  fold's keep-verbatim arm (no batch key can match them; NULL-keyed
+  current rows can never be matched or deleted by ANY batch — equality
+  joins never match NULL and NULL-keyed deletes are dropped — so skipping
+  them preserves their open state, which is the fold's semantics for
+  them). Pruning needs numeric keys (the manifest stats soundness scope);
+  non-numeric keys simply never record ranges and every fold reads the
+  full current slice — slower, never wrong. Fresh current files written
+  by a localized fold span only that fold's key footprint, so clustering
+  degrades gradually as opened keys accumulate; recluster_current()
+  restores it (bit-identical rows, empty change feed) without touching
+  closed history.
 
 Contract the caller owes (documented, not enforced): batches apply in
 non-decreasing `eff` order per key — this is a fold over a change STREAM,
@@ -180,6 +198,105 @@ def compact_closed(
     )
 
 
+def _untouched_current_files(
+    spark: SparkSession,
+    m: dict,
+    key: str,
+    batch_key_type,
+    batch_keys: DataFrame,
+) -> list[str]:
+    """Current-only files (manifest is_current range [true, true]) with a
+    recorded key range that contains NO batch key — the files a
+    key-localized fold may carry by reference instead of reading. The
+    check is one small Spark job: the per-file ranges (driver-built,
+    O(#files) rows, broadcast) range-joined against the batch's non-null
+    keys; only file NAMES come back to the driver. Returns [] when the
+    manifest carries no key ranges (un-clustered table: zero extra cost)
+    or when the batch's key type differs from the table's (the fold
+    raises on that later — never prune on a lossy comparison)."""
+    from tts_etl_pipeline_spark.sources.versioned import _schema_from_json
+
+    schema_json = m.get("schema")
+    if schema_json is None:
+        return []
+    dim_schema = _schema_from_json(schema_json)
+    if key not in dim_schema.names:
+        return []
+    key_type = dim_schema[key].dataType
+    if key_type != batch_key_type:
+        return []
+    stats = m.get("stats", {})
+    candidates = []
+    for f in m["files"]:
+        st = stats.get(f, {})
+        krange = st.get(key)
+        if st.get("is_current") == [True, True] and krange is not None:
+            candidates.append((f, krange[0], krange[1]))
+    if not candidates:
+        return []
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    ranges = spark.createDataFrame(
+        candidates,
+        StructType(
+            [
+                StructField("__f", StringType()),
+                StructField("__kmin", key_type),
+                StructField("__kmax", key_type),
+            ]
+        ),
+    )
+    touched = {
+        r["__f"]
+        for r in batch_keys.join(
+            F.broadcast(ranges),
+            (F.col("__bk") >= F.col("__kmin"))
+            & (F.col("__bk") <= F.col("__kmax")),
+            "inner",
+        )
+        .select("__f")
+        .distinct()
+        .collect()
+    }
+    return [f for f, _, _ in candidates if f not in touched]
+
+
+def recluster_current(
+    spark: SparkSession, path: str, key: str, target_files: int = 4
+) -> int | None:
+    """Re-cluster the dimension's current slice into `target_files`
+    key-range files (fresh key min/max manifest stats), REUSING every
+    closed-only file untouched — the OPTIMIZE pass that restores
+    cluster_files-fold pruning after localized folds have accreted
+    overlapping current files. Rows are bit-identical, so the change feed
+    across this commit is EMPTY (the compact()/compact_closed contract).
+    Returns the committed version, or None on an empty/uncommitted table.
+    Conflict safety: the commit carries the snapshot's expected_version."""
+    if target_files < 1:
+        raise ValueError("target_files must be >= 1")
+    v = current_version(path)
+    if v == 0:
+        return None
+    m = manifest(path, v)
+    closed = closed_history_files(path, v)
+    live = [f for f in m["files"] if f not in set(closed)]
+    if not live:
+        return None
+    df = read_version_files(spark, path, v, live)
+    return write_version_parts(
+        [
+            df.filter(~F.col("is_current")),
+            df.filter(F.col("is_current")).repartitionByRange(
+                target_files, key
+            ),
+        ],
+        path,
+        reuse_files=sorted(closed),
+        expected_version=v,
+        collect_stats=("is_current", key),
+    )
+
+
 def scd2_apply(
     spark: SparkSession,
     path: str,
@@ -188,11 +305,22 @@ def scd2_apply(
     attrs: list[str],
     eff_col: str,
     deletes: DataFrame | None = None,
+    cluster_files: int | None = None,
 ) -> int:
     """Fold one change batch into the SCD2 dimension at `path`; returns
     the committed version. `changes` columns: key, attrs..., eff_col
     (castable to bigint epoch-micros); optional `deletes` columns: key,
-    eff_col — soft-deleted keys close their current row at eff."""
+    eff_col — soft-deleted keys close their current row at eff.
+
+    `cluster_files=N` stages the post-fold current slice as N key-range
+    files with key min/max manifest stats (see the module docstring's
+    KEY-CLUSTERED section); whenever the PARENT manifest already carries
+    key ranges — from an earlier clustered fold or recluster_current —
+    the fold reuses untouched current files by reference regardless of
+    this flag, so a localized batch costs O(touched files + batch), not
+    O(current)."""
+    if cluster_files is not None and cluster_files < 1:
+        raise ValueError("cluster_files must be >= 1")
     for r in RESERVED:
         if r in (key, *attrs) or r == eff_col:
             raise ValueError(f"column name {r!r} is reserved by SCD2 history")
@@ -226,15 +354,18 @@ def scd2_apply(
         F.lit(True).alias("is_current"),
     )
     base_version = current_version(path)
+    stats_cols = ("is_current",) if cluster_files is None else ("is_current", key)
     if base_version == 0:  # first batch: every change row opens a version
         # is_current stats make the very next fold's file classification
         # work (all-current files are live, but future closure files skip)
         return write_version(
-            fresh,
+            fresh
+            if cluster_files is None
+            else fresh.repartitionByRange(cluster_files, key),
             path,
             mode="append",
             expected_version=0,
-            collect_stats=("is_current",),
+            collect_stats=stats_cols,
         )
 
     m = manifest(path, base_version)
@@ -242,10 +373,26 @@ def scd2_apply(
     # is_current stats [false, false]) ride through by reference; only the
     # LIVE slice (current rows + any unclassifiable file) is read
     closed_files = set(closed_history_files(path, base_version))
-    live_files = [f for f in m["files"] if f not in closed_files]
+    # ...and on a clustered table, so do current-only files whose key
+    # range contains no batch key (one small range-join job; [] — zero
+    # cost — when the manifest has no key ranges)
+    batch_keys = changes.select(F.col(key).alias("__bk"))
+    if d is not None:
+        batch_keys = batch_keys.unionByName(d.select(F.col("__d_key").alias("__bk")))
+    untouched = set(
+        _untouched_current_files(
+            spark,
+            m,
+            key,
+            changes.schema[key].dataType,
+            batch_keys.filter(F.col("__bk").isNotNull()),
+        )
+    )
+    reused = closed_files | untouched
+    live_files = [f for f in m["files"] if f not in reused]
     if live_files:
         live = read_version_files(spark, path, base_version, live_files)
-    else:  # every key soft-deleted: the current slice is empty
+    else:  # every key soft-deleted, or every current file range-pruned
         from tts_etl_pipeline_spark.sources.versioned import _schema_from_json
 
         live = spark.createDataFrame([], _schema_from_json(m["schema"]))
@@ -326,16 +473,20 @@ def scd2_apply(
         closed_delta = closures
         kept_current = kept
     hist_cols = [*cols, "valid_from", "valid_to", "is_current"]
-    # two staged file groups + the reused closed files = ONE atomic commit:
+    # two staged file groups + the reused files = ONE atomic commit:
     # group 1 is closed-only (its is_current stats classify it reusable for
-    # every later fold), group 2 is the post-fold current slice
+    # every later fold), group 2 is the post-fold current slice —
+    # key-range-clustered with key stats when cluster_files asks for it
+    cur_out = kept_current.unionByName(opened).select(*hist_cols)
+    if cluster_files is not None:
+        cur_out = cur_out.repartitionByRange(cluster_files, key)
     return write_version_parts(
         [
             closed_in_live.unionByName(closed_delta).select(*hist_cols),
-            kept_current.unionByName(opened).select(*hist_cols),
+            cur_out,
         ],
         path,
-        reuse_files=sorted(closed_files),
+        reuse_files=sorted(reused),
         expected_version=base_version,
-        collect_stats=("is_current",),
+        collect_stats=stats_cols,
     )
