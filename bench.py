@@ -144,11 +144,14 @@ HEADLINE = [
     # throughput. Scale rows for all five live in BASELINE.md.
     # r10 additions j12 (SCD2 incremental-fold protocol), j13 (time travel
     # AS OF x SCD2 composition), j14 (point-in-time dimension join) and
-    # j15 (key-clustered fold range pruning) are deliberately NOT
-    # headline: write-dominated fold rehearsals like j8/j10 (same
-    # precedent) — each pays 3 dimension folds before its subject (the
-    # write contract / AS OF prefix / AS-OF-event-time join / clustered
-    # file reuse) even runs. Scale rows in BASELINE.md.
+    # j15 (key-clustered fold range pruning), j16 (row-level
+    # DELETE/UPDATE with manifest file pruning) and j17 (CHECK
+    # constraints) are deliberately NOT headline: write-dominated
+    # fold/mutation/protocol rehearsals like j8/j10 (same precedent) —
+    # each pays its seed commits before its subject (the write contract
+    # / AS OF prefix / AS-OF-event-time join / clustered file reuse /
+    # pruned mutation / constraint gate) even runs. Scale rows in
+    # BASELINE.md.
 ]
 
 # FIXED-COST heavies (round-8 policy, r7 verdict task 5): queries whose wall

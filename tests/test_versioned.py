@@ -1018,3 +1018,290 @@ def test_clone_table_zero_copy_independent_lineage(spark, tmp_path):
     with pytest.raises(Exception):
         read_version(spark, src, 1).count()  # gone at the source...
     assert read_version(spark, dst2).count() == 100  # ...alive in the clone
+
+
+# ---------------------------------------------------------------------------
+# Row-level DELETE/UPDATE with manifest-level file pruning (round-10):
+# only files whose recorded range intersects the predicate are rewritten;
+# provably-disjoint files ride by reference.
+# ---------------------------------------------------------------------------
+
+
+def _stat_ident(path, f):
+    import os as _os
+
+    st = _os.stat(_os.path.join(path, f))
+    return (st.st_ino, st.st_mtime_ns)
+
+
+def _kv_table(spark, path):
+    from tts_etl_pipeline_spark.sources.versioned import write_version
+
+    df = spark.range(100).selectExpr(
+        "CAST(id AS INT) AS k",
+        "CAST(id * 2 AS INT) AS v",
+        "CASE WHEN id % 3 = 0 THEN NULL ELSE CAST(id AS INT) END AS nk",
+    )
+    write_version(df.repartitionByRange(4, "k"), path, collect_stats=("k",))
+
+
+def test_delete_where_prunes_disjoint_files(spark, tmp_path):
+    """A narrow DELETE rewrites only the intersecting file(s); the other
+    range files ride by reference (same name, inode+mtime identity), the
+    survivors are exact, and the change feed is exactly the deleted rows."""
+    from tts_etl_pipeline_spark.sources.versioned import (
+        delete_where,
+        manifest,
+        read_version,
+        table_changes,
+    )
+
+    path = str(tmp_path / "t")
+    _kv_table(spark, path)
+    m1 = manifest(path, 1)
+    untouched = [
+        f for f in m1["files"]
+        if m1["stats"][f]["k"][0] > 19 or m1["stats"][f]["k"][1] < 10
+    ]
+    assert untouched  # fixture must exercise the pruned arm
+    ident = {f: _stat_ident(path, f) for f in untouched}
+    assert delete_where(spark, path, "k", 10, 19) == 2
+    m2 = manifest(path, 2)
+    for f, i in ident.items():
+        assert f in set(m2["files"]) and _stat_ident(path, f) == i
+    left = sorted(r["k"] for r in read_version(spark, path).collect())
+    assert left == [k for k in range(100) if not 10 <= k <= 19]
+    feed = sorted(
+        (r["k"], r["_change_type"])
+        for r in table_changes(spark, path, 1, 2).collect()
+    )
+    assert feed == [(k, "delete") for k in range(10, 20)]
+    # rewritten file carries fresh k stats: a second pruned delete still
+    # skips the untouched files
+    assert all("k" in m2["stats"].get(f, {}) for f in m2["files"])
+
+
+def test_delete_where_noop_and_null_and_condition(spark, tmp_path):
+    """An all-miss predicate returns None without committing; NULL `col`
+    rows are never deleted by a range (SQL WHERE semantics); `condition`
+    narrows within the range."""
+    from tts_etl_pipeline_spark.sources.versioned import (
+        current_version,
+        delete_where,
+        read_version,
+    )
+
+    path = str(tmp_path / "t")
+    _kv_table(spark, path)
+    assert delete_where(spark, path, "k", 500, 600) is None  # stats-pruned
+    assert delete_where(spark, path, "k", 10, 19,
+                        condition="v > 1000000000") is None
+    assert current_version(path) == 1  # no burned commits
+    # nk is NULL on multiples of 3: a whole-range delete on nk keeps them
+    assert delete_where(spark, path, "nk", 0, 1000) == 2
+    left = read_version(spark, path)
+    assert left.filter("nk IS NOT NULL").count() == 0
+    assert left.count() == 34  # the NULL-nk rows (0,3,...,99)
+    # condition narrows: delete only even k among the survivors' range
+    assert delete_where(spark, path, "k", 0, 30, condition="k % 2 = 0") == 3
+    ks = sorted(r["k"] for r in read_version(spark, path).collect())
+    assert all(k % 3 == 0 for k in ks)
+    assert [k for k in ks if k <= 30] == [3, 9, 15, 21, 27]
+    # empty table refuses (the read_version "no versions" contract)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no versions"):
+        delete_where(spark, str(tmp_path / "none"), "k", 0, 1)
+
+
+def test_delete_where_everything_leaves_readable_empty_table(spark, tmp_path):
+    from tts_etl_pipeline_spark.sources.versioned import (
+        delete_where,
+        read_version,
+    )
+
+    path = str(tmp_path / "t")
+    _kv_table(spark, path)
+    assert delete_where(spark, path, "k", -1, 1000) == 2
+    df = read_version(spark, path)
+    assert df.count() == 0
+    assert df.columns == ["k", "v", "nk"]  # schema survives the empty state
+
+
+def test_update_where_pre_update_semantics_and_pruning(spark, tmp_path):
+    """UPDATE applies assignments against the PRE-update row (swaps are
+    well-defined), rewrites only intersecting files, and the change feed
+    is delete+insert pairs for exactly the touched rows."""
+    from pyspark.sql import functions as F
+
+    from tts_etl_pipeline_spark.sources.versioned import (
+        manifest,
+        read_version,
+        table_changes,
+        update_where,
+    )
+
+    path = str(tmp_path / "t")
+    _kv_table(spark, path)
+    m1 = manifest(path, 1)
+    untouched = [f for f in m1["files"] if m1["stats"][f]["k"][0] > 29]
+    ident = {f: _stat_ident(path, f) for f in untouched}
+    v = update_where(
+        spark, path, "k", 20, 29,
+        {"v": "v + 1000", "k": F.col("v")},  # k reads the OLD v
+        condition="k % 2 = 0",
+    )
+    assert v == 2
+    m2 = manifest(path, 2)
+    for f, i in ident.items():
+        assert f in set(m2["files"]) and _stat_ident(path, f) == i
+    got = sorted(
+        (r["k"], r["v"])
+        for r in read_version(spark, path).filter("v >= 1000").collect()
+    )
+    assert got == [(2 * k, 2 * k + 1000) for k in range(20, 30, 2)]
+    feed = table_changes(spark, path, 1, 2)
+    assert feed.count() == 10  # 5 deletes + 5 inserts
+    assert feed.filter("_change_type = 'delete'").count() == 5
+    # untouched rows inside the rewritten file are carried verbatim
+    assert read_version(spark, path).count() == 100
+
+
+def test_update_where_guards(spark, tmp_path):
+    """Unknown assignment columns raise; a type-changing assignment is
+    refused by the commit-time schema check (UPDATE never evolves the
+    schema); an all-miss UPDATE returns None without committing."""
+    import pytest as _pytest
+
+    from tts_etl_pipeline_spark.sources.versioned import (
+        current_version,
+        update_where,
+    )
+
+    path = str(tmp_path / "t")
+    _kv_table(spark, path)
+    with _pytest.raises(ValueError, match="unknown columns"):
+        update_where(spark, path, "k", 0, 1, {"zzz": "1"})
+    with _pytest.raises(ValueError, match="schema"):
+        update_where(spark, path, "k", 0, 50, {"v": "'not an int'"})
+    assert update_where(spark, path, "k", 500, 600, {"v": "v"}) is None
+    assert update_where(spark, path, "k", 0, 50, {"v": "v"},
+                        condition="v < 0") is None
+    assert current_version(path) == 1
+
+
+# ---------------------------------------------------------------------------
+# CHECK constraints (round-10): ALTER TABLE ADD/DROP CONSTRAINT, enforced
+# at EVERY commit path against the staged rows, SQL CHECK truth.
+# ---------------------------------------------------------------------------
+
+
+def test_check_constraints_lifecycle(spark, tmp_path):
+    """add validates existing rows then commits METADATA-ONLY (same files,
+    empty change feed); NULL passes CHECK; a violating append is refused
+    with nothing committed; drop re-opens the gate; per-version metadata
+    answers 'what was enforced then'."""
+    import pytest as _pytest
+
+    from tts_etl_pipeline_spark.sources.versioned import (
+        ConstraintViolationError,
+        add_constraint,
+        current_version,
+        drop_constraint,
+        manifest,
+        read_version,
+        table_changes,
+        table_constraints,
+        write_version,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, 20.0, None)], "k int, price double, tag string"
+    )
+    write_version(df, path)
+    assert add_constraint(spark, path, "price_nonneg", "price >= 0") == 2
+    assert manifest(path, 2)["files"] == manifest(path, 1)["files"]
+    assert table_changes(spark, path, 1, 2).count() == 0
+    assert table_constraints(path) == {"price_nonneg": "price >= 0"}
+    assert table_constraints(path, 1) == {}  # per-version metadata
+    # NULL passes (SQL CHECK truth)
+    write_version(spark.createDataFrame([(3, None, "x")], df.schema), path)
+    # violating append refused, head unchanged, staged rows invisible
+    with _pytest.raises(ConstraintViolationError, match="price_nonneg"):
+        write_version(spark.createDataFrame([(4, -5.0, "x")], df.schema), path)
+    assert current_version(path) == 3
+    assert read_version(spark, path).count() == 3
+    # violating ADD refused (existing NULL tag row)
+    with _pytest.raises(ConstraintViolationError, match="existing rows"):
+        add_constraint(spark, path, "tag_req", "tag IS NOT NULL")
+    with _pytest.raises(ValueError, match="already exists"):
+        add_constraint(spark, path, "price_nonneg", "price >= 0")
+    with _pytest.raises(ValueError, match="no constraint"):
+        drop_constraint(path, "nope")
+    drop_constraint(path, "price_nonneg")
+    assert table_constraints(path) == {}
+    write_version(spark.createDataFrame([(9, -1.0, "y")], df.schema), path)
+    assert read_version(spark, path).count() == 4
+
+
+def test_check_constraints_cover_every_commit_path(spark, tmp_path):
+    """merge_upsert, update_where, the SCD2 fold (write_version_parts) and
+    the clone all enforce the table's constraints; compact/clone carry
+    them forward."""
+    import pytest as _pytest
+
+    from tts_etl_pipeline_spark.sources.scd import scd2_apply
+    from tts_etl_pipeline_spark.sources.versioned import (
+        ConstraintViolationError,
+        add_constraint,
+        clone_table,
+        compact,
+        current_version,
+        merge_upsert,
+        table_constraints,
+        update_where,
+        write_version,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, 10.0)], "k int, price double")
+    write_version(df, path)
+    add_constraint(spark, path, "nonneg", "price >= 0")
+    with _pytest.raises(ConstraintViolationError, match="nonneg"):
+        merge_upsert(
+            spark, path, spark.createDataFrame([(1, -1.0)], df.schema), "k"
+        )
+    with _pytest.raises(ConstraintViolationError, match="nonneg"):
+        update_where(spark, path, "k", 1, 1, {"price": "-99.0"})
+    assert current_version(path) == 2  # nothing burned
+    # valid mutations still commit
+    assert update_where(spark, path, "k", 1, 1, {"price": "price + 1"}) == 3
+    # compact carries constraints (write_version_parts inherit)
+    write_version(spark.createDataFrame([(2, 5.0)], df.schema), path)
+    assert compact(spark, path) is not None
+    assert table_constraints(path) == {"nonneg": "price >= 0"}
+    # clone carries them and enforces independently
+    dst = str(tmp_path / "t2")
+    clone_table(path, dst)
+    assert table_constraints(dst) == {"nonneg": "price >= 0"}
+    with _pytest.raises(ConstraintViolationError):
+        write_version(spark.createDataFrame([(3, -1.0)], df.schema), dst)
+    # the SCD2 fold enforces constraints on the history it stages
+    dim = str(tmp_path / "dim")
+    scd2_apply(spark, dim,
+               spark.createDataFrame([(1, "ok", 10)],
+                                     "k int, state string, eff long"),
+               "k", ["state"], "eff")
+    add_constraint(spark, dim, "state_domain", "state <> 'bad'")
+    with _pytest.raises(ConstraintViolationError, match="state_domain"):
+        scd2_apply(spark, dim,
+                   spark.createDataFrame([(1, "bad", 20)],
+                                         "k int, state string, eff long"),
+                   "k", ["state"], "eff")
+    assert current_version(dim) == 2
+    scd2_apply(spark, dim,
+               spark.createDataFrame([(1, "fine", 20)],
+                                     "k int, state string, eff long"),
+               "k", ["state"], "eff")
+    assert current_version(dim) == 3

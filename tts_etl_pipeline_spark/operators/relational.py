@@ -2469,3 +2469,256 @@ def j15_scd2_clustered_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# j16 — row-level DELETE/UPDATE with MANIFEST-level file pruning (Delta's
+# DELETE FROM / UPDATE ... WHERE, the lakehouse mutation surface j8's MERGE
+# doesn't cover): orders is committed range-clustered on o_orderkey (8 files,
+# key stats recorded), then (1) UPDATE zeroes o_totalprice in the FIRST
+# eighth of the key range where o_orderstatus = 'O', and (2) DELETE removes
+# the LAST quarter — each commit must rewrite ONLY the files whose recorded
+# key range intersects its predicate, carrying every provably-disjoint file
+# BY REFERENCE (same manifest name, still on disk — asserted with typed
+# errors across both commits, with a well-posedness gate on the clustered
+# layout). A regression to whole-table rewrites would still hash-match;
+# only the protocol assert catches it. Bounds are integer-exact from
+# MIN/MAX(o_orderkey) (the j7/j9/j15 idiom), so DuckDB reproduces the
+# mutation declaratively: CASE for the update, WHERE NOT for the delete.
+# Scale shape: a localized mutation on a range-clustered 100 TB table costs
+# O(touched files) read+rewrite + one manifest commit — never O(table);
+# unpruned mutations degrade to the full rewrite, never to a lost row.
+# ---------------------------------------------------------------------------
+@_register(
+    "j16_delete_update_pruned",
+    """
+    WITH b AS (
+      SELECT MIN(o_orderkey) AS mn, MAX(o_orderkey) AS mx FROM orders
+    ),
+    args AS (
+      SELECT mn AS u_lo, mn + ((mx - mn) // 8) AS u_hi,
+             mn + (((mx - mn) * 6) // 8) AS d_lo, mx AS d_hi
+      FROM b
+    )
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           COUNT(DISTINCT o_custkey) AS n_cust,
+           CAST(SUM(CASE WHEN o_orderkey BETWEEN a.u_lo AND a.u_hi
+                          AND o_orderstatus = 'O' THEN 0
+                     ELSE CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                               AS BIGINT) END) AS BIGINT) AS sum_cents
+    FROM orders, args a
+    WHERE NOT (o_orderkey BETWEEN a.d_lo AND a.d_hi)
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def j16_delete_update_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+    import shutil
+    import tempfile
+
+    from tts_etl_pipeline_spark.sources.versioned import (
+        delete_where,
+        manifest,
+        read_version,
+        update_where,
+        write_version,
+    )
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    b = orders.agg(
+        F.min("o_orderkey").alias("mn"), F.max("o_orderkey").alias("mx")
+    ).collect()[0]
+    mn = 0 if b["mn"] is None else b["mn"]
+    mx = 0 if b["mx"] is None else b["mx"]
+    u_lo, u_hi = mn, mn + ((mx - mn) // 8)
+    d_lo, d_hi = mn + (((mx - mn) * 6) // 8), mx
+    base = tempfile.mkdtemp(prefix="j16_")
+    path = f"{base}/orders_v"
+    try:
+        write_version(
+            orders.repartitionByRange(8, "o_orderkey"),
+            path,
+            collect_stats=("o_orderkey",),
+        )
+
+        def _disjoint(v: int, lo, hi) -> list[str]:
+            m = manifest(path, v)
+            st = m.get("stats", {})
+            return [
+                f
+                for f in m["files"]
+                if st.get(f, {}).get("o_orderkey") is not None
+                and (st[f]["o_orderkey"][1] < lo or st[f]["o_orderkey"][0] > hi)
+            ]
+
+        def _assert_reused(keep: list[str], v_next: int, what: str) -> None:
+            now = set(manifest(path, v_next)["files"])
+            lost = [f for f in keep if f not in now]
+            if lost:
+                raise RuntimeError(
+                    f"{what} rewrote files its predicate provably never "
+                    f"touched: {sorted(lost)[:3]}"
+                )
+            gone = [
+                f for f in keep if not _os.path.exists(_os.path.join(path, f))
+            ]
+            if gone:
+                raise RuntimeError(
+                    f"{what}: pruned-reuse files missing on disk: {gone[:3]}"
+                )
+
+        m1 = manifest(path, 1)
+        well_posed = (
+            len([f for f in m1["files"]
+                 if m1.get("stats", {}).get(f, {}).get("o_orderkey")]) >= 8
+            and mx - mn >= 64
+        )
+        keep_u = _disjoint(1, u_lo, u_hi)
+        if well_posed and not keep_u:
+            raise RuntimeError(
+                "range-clustered layout yields no file disjoint from the "
+                "first eighth: clustering regressed"
+            )
+        v2 = update_where(
+            spark, path, "o_orderkey", u_lo, u_hi,
+            {"o_totalprice": "CAST(0.0 AS DOUBLE)"},
+            condition="o_orderstatus = 'O'",
+        )
+        if v2 is not None:
+            _assert_reused(keep_u, v2, "UPDATE")
+        head = v2 or 1
+        keep_d = _disjoint(head, d_lo, d_hi)
+        if well_posed and not keep_d:
+            raise RuntimeError(
+                "no file disjoint from the last quarter: clustering regressed"
+            )
+        v3 = delete_where(spark, path, "o_orderkey", d_lo, d_hi)
+        if v3 is not None:
+            _assert_reused(keep_d, v3, "DELETE")
+        from tts_etl_pipeline_spark.functions.exact import money
+
+        return (
+            read_version(spark, path)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.countDistinct("o_custkey").alias("n_cust"),
+                F.sum((money("o_totalprice") * 100).cast("bigint"))
+                .cast("bigint")
+                .alias("sum_cents"),
+            )
+            .orderBy("o_orderstatus")
+            .localCheckpoint(eager=True)  # materialize before tmp vanishes
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# j17 — CHECK constraints (Delta's ALTER TABLE ADD CONSTRAINT, the
+# write-side data-quality gate dq7's read-side suite cannot give you):
+# orders' even-key half seeds a versioned table; two constraints land as
+# METADATA-ONLY commits (same file list — asserted) after validating the
+# existing rows; the odd-key half then appends THROUGH the gate; a
+# constructed violating batch must be REFUSED (typed error, head and row
+# count unchanged, staged files invisible) and a constraint the existing
+# rows violate must be refused at ADD time. Enforcement lives at the
+# commit boundary (versioned._enforce_constraints probes the STAGED files
+# in one job), so every write path — append, merge, mutation, SCD2 fold —
+# inherits it; per-version constraint metadata is time-travel-consistent
+# (v1 reports none). The two valid commits reconstruct orders exactly, so
+# the oracle is a straight per-status aggregate — the constraint protocol
+# itself is what the in-query asserts check. Scale shape: one extra
+# CHECK-probe job per commit over the STAGED rows only (never the table),
+# zero when no constraints are recorded.
+# ---------------------------------------------------------------------------
+@_register(
+    "j17_check_constraints",
+    """
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           COUNT(DISTINCT o_custkey) AS n_cust,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM orders
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def j17_check_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from tts_etl_pipeline_spark.functions.exact import money
+    from tts_etl_pipeline_spark.sources.versioned import (
+        ConstraintViolationError,
+        add_constraint,
+        current_version,
+        manifest,
+        read_version,
+        table_constraints,
+        write_version,
+    )
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    base = tempfile.mkdtemp(prefix="j17_")
+    path = f"{base}/orders_v"
+    try:
+        write_version(orders.filter(F.col("o_orderkey") % 2 == 0), path)
+        v2 = add_constraint(spark, path, "price_nonneg", "o_totalprice >= 0")
+        v3 = add_constraint(
+            spark, path, "status_domain", "o_orderstatus IN ('O','F','P')"
+        )
+        for v_alter in (v2, v3):  # ALTER is metadata-only: same file list
+            if manifest(path, v_alter)["files"] != manifest(path, v_alter - 1)["files"]:
+                raise RuntimeError(
+                    f"ADD CONSTRAINT commit v{v_alter} changed the file list"
+                )
+        if table_constraints(path, 1):
+            raise RuntimeError("v1 must predate every constraint")
+        # a constraint the EXISTING rows violate is refused at ADD time
+        try:
+            add_constraint(spark, path, "odd_only", "o_orderkey % 2 = 1")
+        except ConstraintViolationError:
+            pass
+        else:
+            n = read_version(spark, path).limit(1).count()
+            if n:  # empty table satisfies everything — vacuous, not a bug
+                raise RuntimeError("violating ADD CONSTRAINT was accepted")
+        # the odd half appends THROUGH the gate
+        write_version(orders.filter(F.col("o_orderkey") % 2 == 1), path)
+        head = current_version(path)
+        n_before = read_version(spark, path).count()
+        # a violating batch is refused: typed error, nothing committed
+        bad = spark.createDataFrame(
+            [(-1, -1, "O", -5.0)], orders.schema
+        )
+        try:
+            write_version(bad, path)
+        except ConstraintViolationError:
+            pass
+        else:
+            raise RuntimeError("violating append was accepted")
+        if current_version(path) != head:
+            raise RuntimeError("refused append still advanced the head")
+        if read_version(spark, path).count() != n_before:
+            raise RuntimeError("refused append changed the table contents")
+        return (
+            read_version(spark, path)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.countDistinct("o_custkey").alias("n_cust"),
+                F.sum((money("o_totalprice") * 100).cast("bigint"))
+                .cast("bigint")
+                .alias("sum_cents"),
+            )
+            .orderBy("o_orderstatus")
+            .localCheckpoint(eager=True)  # materialize before tmp vanishes
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

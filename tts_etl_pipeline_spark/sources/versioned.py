@@ -69,6 +69,15 @@ class CommitConflictError(RuntimeError):
     the table head and retry the operation."""
 
 
+class ConstraintViolationError(ValueError):
+    """A row fails a table CHECK constraint (SQL CHECK truth: a violation
+    is an expression evaluating to FALSE — NULL passes). Raised by
+    add_constraint when EXISTING rows violate the new expression, and by
+    every commit path (append, overwrite, parts/merge/mutation commits)
+    when STAGED rows violate a recorded constraint — the refused commit
+    leaves only invisible staged files, which vacuum reclaims."""
+
+
 def _vdir(path: str) -> str:
     return os.path.join(path, "_versions")
 
@@ -122,6 +131,7 @@ def _commit(
     expected_parent: int | None = None,
     schema_json: str | None = None,
     stats: dict | None = None,
+    constraints: dict | None = None,
 ) -> int:
     """Commit `files` as version expected_parent+1 via the manifest-name
     CAS. `expected_parent=None` reads the head at commit time (sequential
@@ -129,9 +139,18 @@ def _commit(
     the snapshot's version so a concurrent commit is DETECTED, not
     silently overwritten. `schema_json` records the version's logical
     schema (Iceberg/Delta's schema-per-snapshot — what makes add-column
-    evolution and time travel to the OLD schema both work)."""
+    evolution and time travel to the OLD schema both work).
+
+    `constraints=None` INHERITS the parent version's CHECK constraints —
+    table constraints survive every commit (append, overwrite, compact,
+    merge, mutations) until drop_constraint removes them; add/drop pass
+    the new dict explicitly. The inherit path re-reads the parent
+    manifest: one driver-side JSON parse per commit, the same cost class
+    as the manifest rewrite this commit already pays."""
     os.makedirs(_vdir(path), exist_ok=True)
     parent = current_version(path) if expected_parent is None else expected_parent
+    if constraints is None and parent >= 1:
+        constraints = _read_manifest(path, parent).get("constraints")
     version = parent + 1
     target = _manifest_path(path, version)
     tmp = target + f".tmp-{uuid.uuid4().hex[:8]}"
@@ -153,6 +172,8 @@ def _commit(
         manifest["schema"] = schema_json
     if stats:
         manifest["stats"] = stats
+    if constraints:
+        manifest["constraints"] = constraints
     with open(tmp, "w", encoding="utf-8") as fh:
         json.dump(manifest, fh)
         fh.flush()
@@ -277,6 +298,126 @@ def _stage_files(df: DataFrame, path: str) -> list[str]:
     return new_files
 
 
+def _enforce_constraints(
+    spark: SparkSession,
+    path: str,
+    staged: list[str],
+    constraints: dict,
+    schema_json: str | None,
+) -> None:
+    """CHECK enforcement at the commit boundary: probe the STAGED files
+    (what will actually be committed — never a recomputation of the
+    caller's possibly-non-deterministic DataFrame) for any row where a
+    constraint expression is FALSE (SQL CHECK truth: NULL passes). ONE
+    job for all constraints; raises ConstraintViolationError naming the
+    first violated constraint, leaving the staged files as invisible
+    vacuum-able orphans. Reads with the COMMIT schema when available, so
+    a merge_schema append that omitted a constrained column serves NULL
+    for it (which passes CHECK) instead of failing analysis."""
+    if not constraints or not staged:
+        return
+    from pyspark.sql import functions as F
+
+    reader = spark.read
+    if schema_json is not None:
+        reader = reader.schema(_schema_from_json(schema_json))
+    df = reader.parquet(*[os.path.join(path, f) for f in staged])
+    checks = sorted(constraints.items())
+    probe = df.select(
+        *[
+            (~F.coalesce(F.expr(expr), F.lit(True))).alias(f"__viol_{i}")
+            for i, (_, expr) in enumerate(checks)
+        ]
+    )
+    any_viol = None
+    for i in range(len(checks)):
+        c = F.col(f"__viol_{i}")
+        any_viol = c if any_viol is None else (any_viol | c)
+    hit = probe.filter(any_viol).limit(1).collect()
+    if hit:
+        i = next(j for j in range(len(checks)) if hit[0][f"__viol_{j}"])
+        name, expr = checks[i]
+        raise ConstraintViolationError(
+            f"CHECK constraint {name!r} ({expr}) violated by a row in "
+            f"this commit; nothing was committed"
+        )
+
+
+def table_constraints(path: str, version: int | None = None) -> dict:
+    """The CHECK constraints recorded at `version` (default: head) —
+    name -> SQL expression. Constraints are per-version metadata like the
+    schema, so time travel answers 'what was enforced then'."""
+    v = current_version(path) if version is None else version
+    if v == 0:
+        return {}
+    _check_version(path, v)
+    return dict(_read_manifest(path, v).get("constraints") or {})
+
+
+def add_constraint(
+    spark: SparkSession, path: str, name: str, expr: str
+) -> int:
+    """ALTER TABLE ADD CONSTRAINT name CHECK (expr) — Delta's contract:
+    EXISTING rows are validated first (one probe over the snapshot; a
+    violation raises and commits nothing), then a METADATA-ONLY version
+    commits with the constraint recorded (same file list — the change
+    feed across it is empty). Every later commit on any write path
+    enforces it against the staged rows until drop_constraint."""
+    v = current_version(path)
+    if v == 0:
+        raise ValueError(f"no versions at {path}")
+    m = _read_manifest(path, v)
+    cons = dict(m.get("constraints") or {})
+    if name in cons:
+        raise ValueError(f"constraint {name!r} already exists: {cons[name]}")
+    from pyspark.sql import functions as F
+
+    existing = read_version(spark, path, v)
+    hit = (
+        existing.filter(~F.coalesce(F.expr(expr), F.lit(True)))
+        .limit(1)
+        .collect()
+    )
+    if hit:
+        raise ConstraintViolationError(
+            f"cannot add CHECK constraint {name!r} ({expr}): existing rows "
+            f"violate it, e.g. {hit[0].asDict()}"
+        )
+    cons[name] = expr
+    return _commit(
+        path,
+        m["files"],
+        "alter",
+        expected_parent=v,
+        schema_json=m.get("schema"),
+        stats=m.get("stats"),
+        constraints=cons,
+    )
+
+
+def drop_constraint(path: str, name: str) -> int:
+    """ALTER TABLE DROP CONSTRAINT — a metadata-only commit without the
+    named constraint. Raises if it does not exist (dropping a typo'd name
+    silently would leave the caller believing enforcement stopped)."""
+    v = current_version(path)
+    if v == 0:
+        raise ValueError(f"no versions at {path}")
+    m = _read_manifest(path, v)
+    cons = dict(m.get("constraints") or {})
+    if name not in cons:
+        raise ValueError(f"no constraint {name!r} at {path}")
+    del cons[name]
+    return _commit(
+        path,
+        m["files"],
+        "alter",
+        expected_parent=v,
+        schema_json=m.get("schema"),
+        stats=m.get("stats"),
+        constraints=cons or {},
+    )
+
+
 def write_version(
     df: DataFrame,
     path: str,
@@ -323,6 +464,13 @@ def write_version(
         base = base_m["files"]
         # parent stats stay valid: data files are immutable by protocol
         stats.update(base_m.get("stats", {}))
+    if base_version > 0:
+        # CHECK constraints apply to appended AND overwriting rows alike
+        cons = _read_manifest(path, base_version).get("constraints")
+        if cons:
+            _enforce_constraints(
+                df.sparkSession, path, new_files, cons, commit_schema.json()
+            )
     if collect_stats:
         stats.update(_footer_minmax(path, new_files, tuple(collect_stats)))
     return _commit(
@@ -418,6 +566,13 @@ def write_version_parts(
         new_files, empties = empties[:1], empties[1:]
     for f in empties:
         os.remove(os.path.join(path, f))
+    cons = base_m.get("constraints")
+    if cons and parts:
+        # reused files carry rows the parent already validated; only the
+        # freshly staged rows need the CHECK probe
+        _enforce_constraints(
+            parts[0].sparkSession, path, new_files, cons, schema_json
+        )
     base_stats = base_m.get("stats", {})
     stats = {f: base_stats[f] for f in reuse_files if f in base_stats}
     if collect_stats:
@@ -767,6 +922,9 @@ def clone_table(
             for f, s in m.get("stats", {}).items()
         }
         or None,
+        # the clone enforces what the source enforced (carried verbatim,
+        # independent thereafter like schema/stats)
+        constraints=m.get("constraints") or {},
     )
 
 
@@ -1001,6 +1159,160 @@ def merge_upsert(
         ]
     )
     return write_version(merged, path, mode="overwrite", expected_version=base_version)
+
+
+def _split_files_by_range(m: dict, col: str, lo, hi) -> tuple[list[str], list[str]]:
+    """(touched, untouched): a file is untouched when its recorded manifest
+    stats for `col` prove it DISJOINT from [lo, hi] (max < lo or min > hi —
+    the read_version_pruned rule); files without usable stats are always
+    touched (read), never skipped, so pruning degrades to a full rewrite,
+    never to a lost row."""
+    stats = m.get("stats", {})
+    touched: list[str] = []
+    untouched: list[str] = []
+    for f in m["files"]:
+        r = stats.get(f, {}).get(col)
+        if r is not None and (r[1] < lo or r[0] > hi):
+            untouched.append(f)
+        else:
+            touched.append(f)
+    return touched, untouched
+
+
+def _row_predicate(col: str, lo, hi, condition):
+    """`col BETWEEN lo AND hi [AND condition]` as a Column. The range is
+    BOTH the row filter and the file-pruning scope — callers never supply
+    a separate hint that could silently disagree with the predicate."""
+    from pyspark.sql import Column
+    from pyspark.sql import functions as F
+
+    pred = F.col(col).between(F.lit(lo), F.lit(hi))
+    if condition is not None:
+        pred = pred & (
+            F.expr(condition) if not isinstance(condition, Column) else condition
+        )
+    return pred
+
+
+def delete_where(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    lo,
+    hi,
+    condition=None,
+    collect_stats: tuple | None = None,
+) -> int | None:
+    """Row-level DELETE on the versioned table — Delta's `DELETE FROM t
+    WHERE ...` with MANIFEST-level file pruning: rows matching
+    `col BETWEEN lo AND hi [AND condition]` are removed by REWRITING ONLY
+    the data files whose recorded `col` range intersects [lo, hi]; every
+    provably-disjoint file rides into the new version BY REFERENCE (never
+    read, never rewritten — the write_version_parts shape the SCD2 fold
+    uses). On a range-clustered table a narrow delete therefore costs
+    O(touched files), not O(table). Returns the committed version, or
+    None when no row matches (no pointless commit, no file churn).
+
+    Semantics (SQL DELETE): a row is deleted iff the predicate is TRUE —
+    NULL `col` (or a NULL `condition`) keeps the row, exactly like the
+    engines' WHERE. `condition` (Column or SQL string) may only NARROW
+    within the range; the range itself is the pruning scope, so the two
+    can never disagree. Rewritten files get fresh manifest stats
+    (default: `col`, keeping later pruned reads/deletes alive; pass
+    collect_stats to record more). The change feed across the commit is
+    exactly the deleted rows (bag exceptAll). Conflict safety: the commit
+    carries the snapshot's version CAS, like every writer here."""
+    from pyspark.sql import functions as F
+
+    v = current_version(path)
+    if v == 0:
+        raise ValueError(f"no versions at {path}")
+    m = _read_manifest(path, v)
+    touched, untouched = _split_files_by_range(m, col, lo, hi)
+    if not touched:
+        return None  # every file provably disjoint: nothing to delete
+    df = _read_files(spark, path, m, touched)
+    pred = _row_predicate(col, lo, hi, condition)
+    # one control-plane probe: an all-miss predicate must not burn a
+    # commit (and a new file generation) for a no-op
+    if not df.filter(pred).limit(1).collect():
+        return None
+    survivors = df.filter(~F.coalesce(pred, F.lit(False)))
+    return write_version_parts(
+        [survivors],
+        path,
+        reuse_files=untouched,
+        expected_version=v,
+        collect_stats=(col,) if collect_stats is None else collect_stats,
+    )
+
+
+def update_where(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    lo,
+    hi,
+    assignments: dict,
+    condition=None,
+    collect_stats: tuple | None = None,
+) -> int | None:
+    """Row-level UPDATE on the versioned table — Delta's `UPDATE t SET ...
+    WHERE ...` with the same MANIFEST-level file pruning as delete_where:
+    only files whose recorded `col` range intersects [lo, hi] are read and
+    rewritten (matching rows get `assignments` applied, the rest of the
+    file's rows are carried verbatim); provably-disjoint files ride by
+    reference. Returns the committed version, or None when no row matches.
+
+    `assignments` maps existing column names to Columns or SQL strings,
+    evaluated against the PRE-update row (standard SQL UPDATE: all
+    assignments see the old values, so swaps are well-defined). Unknown
+    columns raise — UPDATE never evolves the schema (and
+    write_version_parts independently refuses a type change). The change
+    feed across the commit is delete+insert pairs for exactly the updated
+    rows."""
+    from pyspark.sql import Column
+    from pyspark.sql import functions as F
+
+    v = current_version(path)
+    if v == 0:
+        raise ValueError(f"no versions at {path}")
+    m = _read_manifest(path, v)
+    unknown = sorted(
+        set(assignments) - set(_schema_from_json(m["schema"]).names)
+        if m.get("schema")
+        else set()
+    )
+    if unknown:
+        raise ValueError(f"UPDATE assigns unknown columns {unknown}")
+    touched, untouched = _split_files_by_range(m, col, lo, hi)
+    if not touched:
+        return None
+    df = _read_files(spark, path, m, touched)
+    pred = _row_predicate(col, lo, hi, condition)
+    if not df.filter(pred).limit(1).collect():
+        return None
+    hit = F.coalesce(pred, F.lit(False))
+    rewritten = df.select(
+        *[
+            F.when(
+                hit,
+                F.expr(a) if not isinstance(a, Column) else a,
+            )
+            .otherwise(F.col(c))
+            .alias(c)
+            if (a := assignments.get(c)) is not None
+            else F.col(c)
+            for c in df.columns
+        ]
+    )
+    return write_version_parts(
+        [rewritten],
+        path,
+        reuse_files=untouched,
+        expected_version=v,
+        collect_stats=(col,) if collect_stats is None else collect_stats,
+    )
 
 
 def compact(
