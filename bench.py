@@ -145,8 +145,9 @@ HEADLINE = [
     # r10 additions j12 (SCD2 incremental-fold protocol), j13 (time travel
     # AS OF x SCD2 composition), j14 (point-in-time dimension join) and
     # j15 (key-clustered fold range pruning), j16 (row-level
-    # DELETE/UPDATE with manifest file pruning) and j17 (CHECK
-    # constraints) are deliberately NOT headline: write-dominated
+    # DELETE/UPDATE with manifest file pruning), j17 (CHECK
+    # constraints) and j18 (bloom-sidecar point lookup) are
+    # deliberately NOT headline: write-dominated
     # fold/mutation/protocol rehearsals like j8/j10 (same precedent) —
     # each pays its seed commits before its subject (the write contract
     # / AS OF prefix / AS-OF-event-time join / clustered file reuse /

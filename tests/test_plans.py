@@ -952,3 +952,44 @@ def test_j14_point_in_time_join_is_equi_not_nested_loop(spark, sf_dir):
         "ShuffledHashJoin" in plan
     ), plan
     assert df.count() >= 0  # and the real query still materialized
+
+
+def test_j18_bloom_read_scans_only_candidate_files(spark, tmp_path):
+    """j18's bloom pruning must reach the SCAN's file list (the j9 pin's
+    equality twin): read_version_bloom_pruned's DataFrame lists in
+    inputFiles() exactly the files whose sidecar bloom might contain the
+    probe — a regression that read everything and leaned on the row
+    filter would still answer correctly, and only this pin catches it."""
+    import json as _json
+    import os as _os
+
+    from tts_etl_pipeline_spark.sources.versioned import (
+        _bloom_might_contain,
+        manifest,
+        read_version_bloom_pruned,
+        write_version,
+    )
+
+    path = str(tmp_path / "t")
+    write_version(
+        spark.range(2000).selectExpr("id AS k", "id * 2 AS v")
+        .repartition(8, "k"),
+        path,
+        collect_blooms=("k",),
+    )
+    probe = 1234
+    pruned, skipped, total = read_version_bloom_pruned(spark, path, "k", probe)
+    assert total == 8 and skipped >= 4
+    scanned = {f.split("/")[-1] for f in pruned.inputFiles()}
+    m = manifest(path, 1)
+    expect = set()
+    sidecars: dict = {}
+    for f, sc in m["blooms"].items():
+        if sc not in sidecars:
+            with open(_os.path.join(path, sc), encoding="utf-8") as fh:
+                sidecars[sc] = _json.load(fh)
+        bloom = sidecars[sc].get(f, {}).get("k")
+        if bloom is None or _bloom_might_contain(bloom, probe):
+            expect.add(f.split("/")[-1])
+    assert scanned == expect
+    assert len(scanned) == total - skipped

@@ -1305,3 +1305,127 @@ def test_check_constraints_cover_every_commit_path(spark, tmp_path):
                                      "k int, state string, eff long"),
                "k", ["state"], "eff")
     assert current_version(dim) == 3
+
+
+# ---------------------------------------------------------------------------
+# Bloom sidecars (round-10): SOUND equality file-skipping where range
+# stats cannot serve — string keys, hash-distributed layouts.
+# ---------------------------------------------------------------------------
+
+
+def _bloom_table(spark, path, n=4000):
+    from tts_etl_pipeline_spark.sources.versioned import write_version
+
+    df = spark.range(n).selectExpr(
+        "id AS k", "CAST(id AS STRING) AS sk", "id * 2 AS v"
+    )
+    # hash layout: every file's k range spans ~[0, n) — range stats skip 0
+    write_version(
+        df.repartition(8, "k"), path,
+        collect_stats=("k",), collect_blooms=("k", "sk"),
+    )
+
+
+def test_bloom_pruned_equality_read(spark, tmp_path):
+    """On a hash-distributed layout, range pruning keeps every file while
+    the bloom skips all but the true one(s) — for int AND string keys; an
+    absent value skips everything; results always equal the unpruned
+    filter (no false negatives, ever)."""
+    from tts_etl_pipeline_spark.sources.versioned import (
+        read_version,
+        read_version_bloom_pruned,
+        read_version_pruned,
+    )
+
+    path = str(tmp_path / "t")
+    _bloom_table(spark, path)
+    _, range_skipped, total = read_version_pruned(spark, path, "k", 1234, 1234)
+    assert (range_skipped, total) == (0, 8)  # ranges are useless here
+    df, skipped, total = read_version_bloom_pruned(spark, path, "k", 1234)
+    assert total == 8 and skipped >= 4  # typically 7; fpp may cost a file
+    assert [r["v"] for r in df.collect()] == [2468]
+    sdf, sskip, _ = read_version_bloom_pruned(spark, path, "sk", "777")
+    assert sskip >= 4 and [r["k"] for r in sdf.collect()] == [777]
+    adf, askip, _ = read_version_bloom_pruned(spark, path, "k", 999999)
+    assert adf.count() == 0  # absent value: no false negatives possible
+    # parity with the unpruned filter for a spread of probes
+    for probe in (0, 1, 1999, 3999):
+        a = read_version_bloom_pruned(spark, path, "k", probe)[0].collect()
+        b = read_version(spark, path).filter(f"k = {probe}").collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_bloom_carry_append_clone_rollback_compact(spark, tmp_path):
+    """Blooms ride commits exactly like stats: appends carry the parent
+    map, clones copy the sidecars under their own _versions (independent
+    lineage), rollback restores the target's map, compact re-collects on
+    request."""
+    from tts_etl_pipeline_spark.sources.versioned import (
+        clone_table,
+        compact,
+        read_version_bloom_pruned,
+        rollback,
+        write_version,
+    )
+
+    path = str(tmp_path / "t")
+    _bloom_table(spark, path)
+    write_version(
+        spark.range(4000, 4100).selectExpr(
+            "id AS k", "CAST(id AS STRING) AS sk", "id * 2 AS v"
+        ),
+        path,
+        collect_blooms=("k",),
+    )
+    df, skipped, total = read_version_bloom_pruned(spark, path, "k", 4050)
+    assert total > 8 and skipped >= total - 3 and df.count() == 1
+    dst = str(tmp_path / "c")
+    clone_table(path, dst)
+    # the clone's sidecars live under ITS _versions — nuking the source's
+    # metadata must not break the clone's pruned reads
+    import shutil as _sh
+
+    cdf, cskip, ctot = read_version_bloom_pruned(spark, dst, "k", 1234)
+    assert cskip >= ctot - 3 and cdf.count() == 1
+    rollback(path, 1)
+    _, rskip, rtot = read_version_bloom_pruned(spark, path, "k", 1234)
+    assert rtot == 8 and rskip >= 4
+    compact(spark, path, target_files=2, collect_blooms=("k",))
+    qdf, qskip, qtot = read_version_bloom_pruned(spark, path, "k", 1234)
+    assert qtot == 2 and qskip == 1 and qdf.count() == 1
+    _sh.rmtree(path)  # source gone entirely
+    c2, cskip2, _ = read_version_bloom_pruned(spark, dst, "k", 777)
+    assert cskip2 >= 8 and c2.count() == 1
+
+
+def test_bloom_sidecar_vacuum_and_damage_degradation(spark, tmp_path):
+    """vacuum sweeps aged UNREFERENCED sidecars (lost-CAS orphans) and
+    keeps referenced ones; a damaged referenced sidecar degrades pruning
+    to a full read — never a wrong answer."""
+    import os as _os
+    import time as _time
+
+    from tts_etl_pipeline_spark.sources.versioned import (
+        current_version,
+        manifest,
+        read_version_bloom_pruned,
+        vacuum,
+    )
+
+    path = str(tmp_path / "t")
+    _bloom_table(spark, path)
+    orphan = _os.path.join(path, "_versions", "blooms-00orphan.json")
+    with open(orphan, "w", encoding="utf-8") as fh:
+        fh.write("{}")
+    _os.utime(orphan, (_time.time() - 7200, _time.time() - 7200))
+    deleted = vacuum(path, keep_versions=10, grace_seconds=3600)
+    assert any("blooms-00orphan" in d for d in deleted)
+    refd = set(manifest(path, current_version(path)).get("blooms", {}).values())
+    assert refd and all(_os.path.exists(_os.path.join(path, sc)) for sc in refd)
+    # damage the referenced sidecar: reads degrade, answers stay right
+    sc = sorted(refd)[0]
+    with open(_os.path.join(path, sc), "w", encoding="utf-8") as fh:
+        fh.write("not json")
+    df, skipped, total = read_version_bloom_pruned(spark, path, "k", 1234)
+    assert skipped == 0 and total == 8  # full read, no crash
+    assert [r["v"] for r in df.collect()] == [2468]

@@ -2722,3 +2722,128 @@ def j17_check_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# j18 — BLOOM-sidecar point lookup (the sound equality skip where j9's
+# range stats are useless BY CONSTRUCTION): documents is committed
+# HASH-distributed on doc_id (every file's recorded range spans ~the whole
+# key space — asserted: read_version_pruned skips ZERO files), with
+# per-file bloom filters collected into a commit sidecar
+# (versioned._collect_blooms — md5 double-hashing, ~10 bits/value, fpp
+# ~1%, no false negatives ever). Three probe ids — MIN, MAX, and the
+# integer midpoint (present or not — an absent probe must skip ALL files
+# and return nothing) — are looked up via read_version_bloom_pruned; the
+# protocol assert requires each probe to skip >= half the files from the
+# SIDECAR alone (well-posedness-gated: >= 4 bloom-bearing files), and the
+# range-pruning counter-assert pins that ranges really couldn't help. The
+# oracle joins documents to the identically-computed probe set. Scale
+# shape: a point lookup on a 100 TB unclustered corpus costs the manifest
+# map + one lazy sidecar read + the one-or-two files that might hold the
+# key — this is the string-key/point-read answer the j9 soundness scope
+# deliberately left open (parquet writers may truncate STRING min/max;
+# blooms have no such hazard, and test_versioned.py pins a string-key
+# lookup).
+# ---------------------------------------------------------------------------
+@_register(
+    "j18_bloom_point_lookup",
+    """
+    WITH b AS (
+      SELECT MIN(doc_id) AS mn, MAX(doc_id) AS mx FROM documents
+    ),
+    probes AS (
+      SELECT mn AS pid FROM b
+      UNION SELECT mx FROM b
+      UNION SELECT mn + ((mx - mn) // 2) FROM b
+    )
+    SELECT d.doc_id,
+           COUNT(*) AS n_rows,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           MIN(lang) AS lang_min
+    FROM documents d JOIN probes p ON d.doc_id = p.pid
+    GROUP BY d.doc_id ORDER BY d.doc_id
+    """,
+)
+def j18_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from tts_etl_pipeline_spark.sources.versioned import (
+        manifest,
+        read_version,
+        read_version_bloom_pruned,
+        read_version_pruned,
+        write_version,
+    )
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    b = docs.agg(
+        F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx")
+    ).collect()[0]
+    base = tempfile.mkdtemp(prefix="j18_")
+    path = f"{base}/docs_v"
+    try:
+        write_version(
+            docs.repartition(8, "doc_id"),
+            path,
+            collect_stats=("doc_id",),
+            collect_blooms=("doc_id",),
+        )
+        if b["mn"] is None:  # empty corpus: schema-stable empty answer
+            return (
+                read_version(spark, path)
+                .filter(F.lit(False))
+                .groupBy("doc_id")
+                .agg(
+                    F.count(F.lit(1)).alias("n_rows"),
+                    F.sum("n_chars").cast("bigint").alias("sum_chars"),
+                    F.min("lang").alias("lang_min"),
+                )
+                .localCheckpoint(eager=True)
+            )
+        probes = sorted({b["mn"], b["mx"], b["mn"] + ((b["mx"] - b["mn"]) // 2)})
+        m1 = manifest(path, 1)
+        bloomed = len(set(m1.get("blooms", {})))
+        well_posed = bloomed >= 4 and b["mx"] - b["mn"] >= 16
+        if well_posed and len(probes) == 3:
+            # the counter-assert: ranges CANNOT prune this layout — every
+            # hash-partitioned file spans ~the whole id space, so the
+            # MIDPOINT probe (inside every file's [min, max]) range-prunes
+            # nothing. (MIN/MAX probes are the degenerate exception: all
+            # but one file's range lies strictly above the global MIN.)
+            _, range_skipped, _ = read_version_pruned(
+                spark, path, "doc_id", probes[1], probes[1]
+            )
+            if range_skipped > len(m1["files"]) // 2:
+                raise RuntimeError(
+                    "hash layout unexpectedly range-prunable: the fixture "
+                    "no longer exercises the bloom-vs-range contrast"
+                )
+        parts = []
+        for pid in probes:
+            df, skipped, total = read_version_bloom_pruned(
+                spark, path, "doc_id", pid
+            )
+            if well_posed and skipped < total // 2:
+                raise RuntimeError(
+                    f"bloom lookup of {pid} skipped only {skipped}/{total} "
+                    "files — sidecar pruning regressed"
+                )
+            parts.append(df)
+        out = parts[0]
+        for p_df in parts[1:]:
+            out = out.unionByName(p_df)
+        return (
+            out.groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("n_chars").cast("bigint").alias("sum_chars"),
+                F.min("lang").alias("lang_min"),
+            )
+            .orderBy("doc_id")
+            .localCheckpoint(eager=True)  # materialize before tmp vanishes
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

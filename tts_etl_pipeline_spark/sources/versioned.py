@@ -15,7 +15,18 @@ Layout under a table root:
                                       schema-correct time travel),
                                       "stats" (optional per-file column
                                       min/max — manifest-level file
-                                      skipping, read_version_pruned)}
+                                      skipping, read_version_pruned),
+                                      "constraints" (optional CHECK
+                                      constraints, name -> SQL expr —
+                                      enforced on every commit's staged
+                                      rows, add_/drop_constraint),
+                                      "blooms" (optional file -> sidecar
+                                      map for equality file skipping,
+                                      read_version_bloom_pruned)}
+    _versions/blooms-<uuid>.json ... bloom SIDECARS (per-file equality
+                                     filters stay out of the manifest;
+                                     lookups lazy-load only what they
+                                     reference — the Iceberg puffin idea)
     _versions/_latest.json           pointer to the current version
 
 Commit protocol (multi-writer OPTIMISTIC CONCURRENCY, crash-safe):
@@ -132,6 +143,7 @@ def _commit(
     schema_json: str | None = None,
     stats: dict | None = None,
     constraints: dict | None = None,
+    blooms: dict | None = None,
 ) -> int:
     """Commit `files` as version expected_parent+1 via the manifest-name
     CAS. `expected_parent=None` reads the head at commit time (sequential
@@ -174,6 +186,10 @@ def _commit(
         manifest["stats"] = stats
     if constraints:
         manifest["constraints"] = constraints
+    if blooms:
+        # file -> sidecar map ("blooms-<uuid>.json" under _versions/);
+        # an equality lookup lazy-loads only the sidecars it needs
+        manifest["blooms"] = blooms
     with open(tmp, "w", encoding="utf-8") as fh:
         json.dump(manifest, fh)
         fh.flush()
@@ -273,6 +289,99 @@ def _footer_minmax(path: str, rel_files: list[str], cols: tuple) -> dict:
         if rec:
             out[rel] = rec
     return out
+
+
+def _bloom_positions(value, m: int, k: int) -> list[int]:
+    """Deterministic double-hashing positions for `value` — md5 of the
+    value's canonical string bytes split into two 64-bit halves (never
+    Python's salted hash()), so a bloom built at commit time answers
+    probes from any later process identically."""
+    import hashlib
+
+    d = hashlib.md5(str(value).encode("utf-8")).digest()
+    h1 = int.from_bytes(d[:8], "big")
+    h2 = int.from_bytes(d[8:], "big") | 1
+    return [(h1 + i * h2) % m for i in range(k)]
+
+
+# ~10 bits/value + 7 hashes ~= 1% false-positive rate; the cap bounds any
+# one file's bloom at 16 KiB of bits (b64 ~21 KB in the sidecar) — beyond
+# ~13k distinct values per file the fpp degrades gracefully instead of the
+# sidecar growing without bound. Pruning soundness never depends on fpp:
+# a false positive reads a file needlessly, a miss is impossible.
+_BLOOM_BITS_PER_VALUE = 10
+_BLOOM_K = 7
+_BLOOM_MAX_BITS = 1 << 17
+
+
+def _collect_blooms(path: str, rel_files: list[str], cols: tuple) -> dict:
+    """Per-file bloom filters over each requested column's NON-NULL values,
+    built from the freshly staged files at commit time (one local pyarrow
+    column read per file — the same moment _footer_minmax already pays).
+    Returns {rel_file: {col: {"m", "k", "b64"}}}; files where a column is
+    missing or all-NULL get no entry for it and are never skipped.
+
+    This is the SOUND equality-skipping structure for the cases range
+    stats cannot serve: string keys (parquet writers may truncate string
+    min/max — the j9 soundness scope) and hash-distributed layouts (every
+    file's range spans the whole key space, so range pruning keeps
+    everything; a bloom still skips every file that provably lacks the
+    probed value)."""
+    import base64
+
+    import pyarrow.parquet as pq
+
+    out: dict = {}
+    for rel in rel_files:
+        pf = pq.ParquetFile(os.path.join(path, rel))
+        present = [c for c in cols if c in pf.schema_arrow.names]
+        if not present:
+            continue
+        tbl = pf.read(columns=list(present))
+        rec = {}
+        for c in present:
+            vals = [v for v in tbl.column(c).to_pylist() if v is not None]
+            if not vals:
+                continue
+            m = min(
+                _BLOOM_MAX_BITS,
+                max(64, len(set(vals)) * _BLOOM_BITS_PER_VALUE),
+            )
+            bits = bytearray((m + 7) // 8)
+            for v in vals:
+                for pos in _bloom_positions(v, m, _BLOOM_K):
+                    bits[pos >> 3] |= 1 << (pos & 7)
+            rec[c] = {
+                "m": m,
+                "k": _BLOOM_K,
+                "b64": base64.b64encode(bytes(bits)).decode("ascii"),
+            }
+        if rec:
+            out[rel] = rec
+    return out
+
+
+def _bloom_might_contain(bloom: dict, value) -> bool:
+    import base64
+
+    bits = base64.b64decode(bloom["b64"])
+    for pos in _bloom_positions(value, bloom["m"], bloom["k"]):
+        if not (bits[pos >> 3] >> (pos & 7)) & 1:
+            return False
+    return True
+
+
+def _write_bloom_sidecar(path: str, blooms: dict) -> str:
+    """Blooms live in a SIDECAR next to the manifests (Iceberg's puffin
+    idea): the manifest itself stays KB-scale and maps file -> sidecar;
+    an equality lookup lazy-loads only the sidecars its files reference.
+    Content-addressed uuid name: a lost commit CAS leaves a small orphan
+    sidecar, swept by vacuum's unreferenced-blooms pass. The 'blooms-'
+    prefix keeps it invisible to the beyond-head manifest sweep."""
+    os.makedirs(_vdir(path), exist_ok=True)  # may precede the first commit
+    rel = os.path.join("_versions", f"blooms-{uuid.uuid4().hex}.json")
+    _write_atomic(os.path.join(path, rel), blooms)
+    return rel
 
 
 def _stage_files(df: DataFrame, path: str) -> list[str]:
@@ -425,6 +534,7 @@ def write_version(
     expected_version: int | None = None,
     merge_schema: bool = False,
     collect_stats: tuple = (),
+    collect_blooms: tuple = (),
 ) -> int:
     """Commit `df` as the next version. mode='append' adds to the current
     file list; mode='overwrite' replaces it (old files stay on disk for
@@ -445,7 +555,13 @@ def write_version(
     the manifest at commit time (see _footer_minmax for the soundness
     scope) — read_version_pruned then skips files from the MANIFEST alone.
     Appends carry the parent's stats forward (files are immutable); files
-    committed without stats are simply never skipped."""
+    committed without stats are simply never skipped.
+
+    `collect_blooms`: column names whose per-file BLOOM FILTERS are built
+    from the staged files and recorded in a commit sidecar — SOUND
+    equality skipping (read_version_bloom_pruned) for the cases range
+    stats cannot serve: string keys and hash-distributed layouts. Same
+    carry-forward rules as stats."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     base_version = current_version(path) if expected_version is None else expected_version
@@ -459,11 +575,13 @@ def write_version(
     new_files = _stage_files(df, path)
     base: list[str] = []
     stats: dict = {}
+    blooms: dict = {}
     if mode == "append" and base_version > 0:
         base_m = _read_manifest(path, base_version)
         base = base_m["files"]
-        # parent stats stay valid: data files are immutable by protocol
+        # parent stats/blooms stay valid: data files are immutable
         stats.update(base_m.get("stats", {}))
+        blooms.update(base_m.get("blooms", {}))
     if base_version > 0:
         # CHECK constraints apply to appended AND overwriting rows alike
         cons = _read_manifest(path, base_version).get("constraints")
@@ -473,6 +591,11 @@ def write_version(
             )
     if collect_stats:
         stats.update(_footer_minmax(path, new_files, tuple(collect_stats)))
+    if collect_blooms:
+        built = _collect_blooms(path, new_files, tuple(collect_blooms))
+        if built:
+            sidecar = _write_bloom_sidecar(path, built)
+            blooms.update({f: sidecar for f in built})
     return _commit(
         path,
         base + new_files,
@@ -480,6 +603,7 @@ def write_version(
         expected_parent=base_version,
         schema_json=commit_schema.json(),
         stats=stats or None,
+        blooms=blooms or None,
     )
 
 
@@ -489,6 +613,7 @@ def write_version_parts(
     reuse_files: list[str],
     expected_version: int,
     collect_stats: tuple = (),
+    collect_blooms: tuple = (),
 ) -> int:
     """Commit a new snapshot as REUSED parent data files + freshly staged
     part groups — the Iceberg "overwrite with existing data files" shape
@@ -577,6 +702,13 @@ def write_version_parts(
     stats = {f: base_stats[f] for f in reuse_files if f in base_stats}
     if collect_stats:
         stats.update(_footer_minmax(path, new_files, tuple(collect_stats)))
+    base_blooms = base_m.get("blooms", {})
+    blooms = {f: base_blooms[f] for f in reuse_files if f in base_blooms}
+    if collect_blooms:
+        built = _collect_blooms(path, new_files, tuple(collect_blooms))
+        if built:
+            sidecar = _write_bloom_sidecar(path, built)
+            blooms.update({f: sidecar for f in built})
     return _commit(
         path,
         list(reuse_files) + new_files,
@@ -584,6 +716,7 @@ def write_version_parts(
         expected_parent=expected_version,
         schema_json=schema_json,
         stats=stats or None,
+        blooms=blooms or None,
     )
 
 
@@ -818,6 +951,67 @@ def read_version_pruned(
     )
 
 
+def read_version_bloom_pruned(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    value,
+    version: int | None = None,
+) -> tuple[DataFrame, int, int]:
+    """EQUALITY file-skipping snapshot read: `col = value`, planned from
+    the commit BLOOM sidecars alone (collect_blooms at commit time) — the
+    sound point-lookup complement to read_version_pruned's ranges, and the
+    only manifest-level skip that works where ranges cannot: string keys
+    (writer-truncated string min/max are unsound to trust — the j9 scope)
+    and hash-distributed layouts (every file's range spans the whole key
+    space, so range pruning keeps everything; a bloom still skips every
+    file that provably lacks the value). Returns (df, skipped, total).
+
+    Soundness: a bloom has NO false negatives — a skipped file provably
+    lacks `value` among its non-NULL `col` values; false positives just
+    read a file needlessly, and the row filter applies to everything read.
+    Files without a bloom for `col` are always read. A None `value` reads
+    nothing into the filter's `col = NULL` (never TRUE) — callers probe
+    real keys. Planning cost: the manifest map + only the referenced
+    sidecars (lazy, cached per sidecar within the call)."""
+    from pyspark.sql import functions as F
+
+    v = current_version(path) if version is None else version
+    _check_version(path, v)
+    m = _read_manifest(path, v)
+    files = m["files"]
+    if not files:
+        raise ValueError(f"version {v} is empty")
+    bmap = m.get("blooms", {})
+    sidecars: dict = {}
+    kept: list[str] = []
+    for f in files:
+        sc = bmap.get(f)
+        bloom = None
+        if sc is not None and value is not None:
+            if sc not in sidecars:
+                try:
+                    with open(os.path.join(path, sc), encoding="utf-8") as fh:
+                        sidecars[sc] = json.load(fh)
+                except (OSError, json.JSONDecodeError):
+                    sidecars[sc] = {}  # damaged sidecar: degrade to reads
+            bloom = sidecars[sc].get(f, {}).get(col)
+        if bloom is not None and not _bloom_might_contain(bloom, value):
+            continue  # provably lacks `value`
+        kept.append(f)
+    if kept:
+        df = _read_files(spark, path, m, kept)
+    elif m.get("schema") is not None:
+        df = spark.createDataFrame([], _schema_from_json(m["schema"]))
+    else:  # legacy manifest: files are the only schema source
+        df = read_version(spark, path, v).limit(0)
+    return (
+        df.filter(F.col(col) == F.lit(value)),
+        len(files) - len(kept),
+        len(files),
+    )
+
+
 def version_asof(path: str, ts: float) -> int:
     """TIMESTAMP AS OF resolution (Delta's `timestampAsOf` /
     Iceberg's snapshot-at): the newest COMMITTED version whose recorded
@@ -874,9 +1068,10 @@ def rollback(path: str, to_version: int) -> int:
             ) from None
     # restore carries the restored version's SCHEMA too (a rollback across
     # a schema evolution must serve the pre-evolution columns) — and its
-    # file STATS (immutable files, still-valid ranges)
+    # file STATS and BLOOMS (immutable files, still-valid contents)
     return _commit(
-        path, files, "rollback", schema_json=m.get("schema"), stats=m.get("stats")
+        path, files, "rollback", schema_json=m.get("schema"),
+        stats=m.get("stats"), blooms=m.get("blooms")
     )
 
 
@@ -911,6 +1106,29 @@ def clone_table(
         except FileExistsError:
             pass  # idempotent retry after a crashed clone attempt
         files.append(os.path.join("data", name))
+    # blooms carry too — each referenced sidecar is COPIED under the
+    # clone's own _versions (independent lineage: the clone must never
+    # depend on the source's metadata directory), file keys renamed like
+    # the stats keys
+    cloned_blooms: dict = {}
+    src_bloom_map = m.get("blooms", {})
+    if src_bloom_map:
+        import shutil as _shutil
+
+        copied: dict = {}
+        os.makedirs(_vdir(dst), exist_ok=True)
+        for f, sc in src_bloom_map.items():
+            if sc not in copied:
+                new_rel = os.path.join(
+                    "_versions", f"blooms-{uuid.uuid4().hex}.json"
+                )
+                _shutil.copyfile(
+                    os.path.join(src, sc), os.path.join(dst, new_rel)
+                )
+                copied[sc] = new_rel
+            cloned_blooms[
+                os.path.join("data", os.path.basename(f))
+            ] = copied[sc]
     return _commit(
         dst,
         files,
@@ -925,6 +1143,7 @@ def clone_table(
         # the clone enforces what the source enforced (carried verbatim,
         # independent thereafter like schema/stats)
         constraints=m.get("constraints") or {},
+        blooms=cloned_blooms or None,
     )
 
 
@@ -1023,6 +1242,31 @@ def vacuum(
                     os.remove(full)
             except FileNotFoundError:
                 pass
+    # bloom sidecars referenced by NO manifest (a lost commit CAS staged
+    # one, or a damaged manifest was swept above) are small orphans:
+    # age-gated removal like staged data files. Referenced sidecars live
+    # exactly as long as their manifests, which vacuum retains.
+    referenced_sidecars: set = set()
+    for fn in sorted(os.listdir(_vdir(path))):
+        if fn.startswith("v") and fn.endswith(".json") and fn[1:9].isdigit():
+            try:
+                mm = _read_manifest(path, int(fn[1:9]))
+                referenced_sidecars.update((mm.get("blooms") or {}).values())
+            except (ValueError, KeyError, TypeError, json.JSONDecodeError):
+                continue  # damaged manifest: its sweep is handled above
+    for fn in sorted(os.listdir(_vdir(path))):
+        if fn.startswith("blooms-") and fn.endswith(".json"):
+            rel = os.path.join("_versions", fn)
+            full = os.path.join(path, rel)
+            try:
+                if (
+                    rel not in referenced_sidecars
+                    and now - os.path.getmtime(full) >= grace_seconds
+                ):
+                    os.remove(full)
+                    deleted.append(rel)
+            except FileNotFoundError:
+                pass  # concurrent vacuum won; fine
     # snapshot hardlink dirs (_snapshots/<hash>) are rebuildable planning
     # artifacts: any entry older than the grace window is reclaimable — a
     # live reader inside the window keeps its dir (same freshness contract
@@ -1320,6 +1564,7 @@ def compact(
     path: str,
     target_files: int = 1,
     collect_stats: tuple = (),
+    collect_blooms: tuple = (),
 ) -> int:
     """OPTIMIZE-style compaction: rewrite the head snapshot's rows into
     `target_files` files and commit as a new overwrite version. Rows are
@@ -1340,6 +1585,7 @@ def compact(
         mode="overwrite",
         expected_version=base_version,
         collect_stats=collect_stats,
+        collect_blooms=collect_blooms,
     )
 
 
