@@ -146,7 +146,8 @@ HEADLINE = [
     # AS OF x SCD2 composition), j14 (point-in-time dimension join) and
     # j15 (key-clustered fold range pruning), j16 (row-level
     # DELETE/UPDATE with manifest file pruning), j17 (CHECK
-    # constraints) and j18 (bloom-sidecar point lookup) are
+    # constraints), j18 (bloom-sidecar point lookup) and j19 (rename/
+    # drop column evolution) are
     # deliberately NOT headline: write-dominated
     # fold/mutation/protocol rehearsals like j8/j10 (same precedent) —
     # each pays its seed commits before its subject (the write contract

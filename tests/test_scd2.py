@@ -759,3 +759,34 @@ def test_clone_of_clustered_dim_keeps_pruning_and_lineage(spark, tmp_path):
     assert all(r[4] for r in src_hist) and len(src_hist) == 40
     dst_hist = _hist(spark, dst)
     assert (1, "B", 20, None, True) in dst_hist and len(dst_hist) == 41
+
+
+def test_scd2_fold_survives_column_rename(spark, tmp_path):
+    """Renaming an SCD2 attribute (metadata-only, stable physicals) must
+    not break the incremental machinery: the next fold speaks the new
+    name, closed-file classification and key-range pruning still work
+    (stats are physical-keyed)."""
+    from tts_etl_pipeline_spark.sources.versioned import (
+        manifest,
+        rename_column,
+    )
+
+    path = str(tmp_path / "dim")
+    scd2_apply(spark, path,
+               _batch(spark, [(k, "A", 10) for k in range(1, 41)]),
+               "k", ["state"], "eff", cluster_files=4)
+    rename_column(path, "state", "st")
+    v = scd2_apply(
+        spark, path,
+        spark.createDataFrame([(1, "B", 20)], "k int, st string, eff long"),
+        "k", ["st"], "eff", cluster_files=4)
+    assert v == 3
+    rows = sorted(
+        (r["k"], r["st"], r["is_current"])
+        for r in read_version(spark, path).collect()
+        if r["k"] in (1, 2)
+    )
+    assert rows == [(1, "A", False), (1, "B", True), (2, "A", True)]
+    # key-range pruning still classified the untouched range files
+    m2, m3 = manifest(path, 2), manifest(path, 3)
+    assert len([f for f in m2["files"] if f in set(m3["files"])]) >= 3

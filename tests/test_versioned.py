@@ -1429,3 +1429,193 @@ def test_bloom_sidecar_vacuum_and_damage_degradation(spark, tmp_path):
     df, skipped, total = read_version_bloom_pruned(spark, path, "k", 1234)
     assert skipped == 0 and total == 8  # full read, no crash
     assert [r["v"] for r in df.collect()] == [2468]
+
+
+def test_check_constraints_gate_streaming_sink_commits(spark, tmp_path):
+    """The streaming exactly-once sink (st16's foreachBatch ->
+    write_version shape) inherits CHECK enforcement like every other
+    commit path: a micro-batch carrying a violating row fails its commit
+    with ConstraintViolationError and the table head never advances."""
+    import pytest as _pytest
+
+    from tts_etl_pipeline_spark.sources.versioned import (
+        ConstraintViolationError,
+        add_constraint,
+        current_version,
+        write_version,
+    )
+
+    path = str(tmp_path / "sink")
+    write_version(
+        spark.createDataFrame([(1, 5.0)], "k int, price double"), path
+    )
+    add_constraint(spark, path, "nonneg", "price >= 0")
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(2, 7.0), (3, -1.0)], "k int, price double"
+    ).write.parquet(src)
+    stream = spark.readStream.schema("k int, price double").parquet(src)
+
+    def sink(batch_df, batch_id):
+        write_version(batch_df, path)
+
+    q = stream.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", str(tmp_path / "ckpt")
+    ).trigger(availableNow=True).start()
+    with _pytest.raises(Exception) as ei:
+        q.awaitTermination()
+    # Spark wraps the Python error in StreamingQueryException; the typed
+    # cause must be visible in the message chain
+    assert "ConstraintViolationError" in str(ei.value) or isinstance(
+        ei.value, ConstraintViolationError
+    )
+    assert current_version(path) == 2  # the violating commit never landed
+
+
+# ---------------------------------------------------------------------------
+# Column evolution (round-10): RENAME/DROP via column mapping — metadata
+# only, stable physical names, zero data rewrite.
+# ---------------------------------------------------------------------------
+
+
+def test_rename_column_metadata_only_stable_physicals(spark, tmp_path):
+    """RENAME commits metadata only (same files, empty feed); time travel
+    serves the old name; stats AND bloom pruning survive (physical-keyed);
+    appends, mutations and constraints all speak the new name."""
+    from tts_etl_pipeline_spark.sources.versioned import (
+        ConstraintViolationError,
+        add_constraint,
+        delete_where,
+        manifest,
+        read_version,
+        read_version_bloom_pruned,
+        read_version_pruned,
+        rename_column,
+        table_changes,
+        update_where,
+        write_version,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.range(100).selectExpr(
+        "CAST(id AS INT) AS k", "CAST(id * 2.0 AS DOUBLE) AS price",
+        "CAST(id AS STRING) AS tag",
+    )
+    write_version(df.repartitionByRange(4, "k"), path,
+                  collect_stats=("k",), collect_blooms=("tag",))
+    assert rename_column(path, "price", "price_usd") == 2
+    assert manifest(path, 2)["files"] == manifest(path, 1)["files"]
+    assert table_changes(spark, path, 1, 2).count() == 0
+    assert read_version(spark, path).columns == ["k", "price_usd", "tag"]
+    assert read_version(spark, path, 1).columns == ["k", "price", "tag"]
+    assert read_version(spark, path).filter("k = 7").collect()[0]["price_usd"] == 14.0
+    _, skipped, total = read_version_pruned(spark, path, "k", 10, 19)
+    assert (skipped, total) == (3, 4)  # range pruning alive post-rename
+    bdf, bskip, _ = read_version_bloom_pruned(spark, path, "tag", "55")
+    assert bskip >= 2 and bdf.count() == 1  # bloom pruning alive too
+    write_version(
+        spark.createDataFrame([(200, 9.0, "x")],
+                              "k int, price_usd double, tag string"), path)
+    assert read_version(spark, path).filter("k = 200").collect()[0]["price_usd"] == 9.0
+    update_where(spark, path, "k", 7, 7, {"price_usd": "price_usd + 100"})
+    assert read_version(spark, path).filter("k = 7").collect()[0]["price_usd"] == 114.0
+    delete_where(spark, path, "k", 8, 8)
+    add_constraint(spark, path, "pos", "price_usd >= 0")
+    with pytest.raises(ConstraintViolationError):
+        write_version(
+            spark.createDataFrame([(201, -1.0, "y")],
+                                  "k int, price_usd double, tag string"), path)
+    # a constraint mentioning the column blocks a further rename
+    with pytest.raises(ValueError, match="mention column"):
+        rename_column(path, "price_usd", "usd")
+    with pytest.raises(ValueError, match="no column"):
+        rename_column(path, "ghost", "x")
+    with pytest.raises(ValueError, match="already exists"):
+        rename_column(path, "tag", "k")
+
+
+def test_drop_and_readd_column_never_resurrects_stale_data(spark, tmp_path):
+    """DROP is metadata-only; time travel pre-drop still serves the
+    column; a RE-ADDED column with the same logical name gets a fresh
+    physical, so old files serve NULL — never the retired generation's
+    bytes."""
+    from tts_etl_pipeline_spark.sources.versioned import (
+        drop_column,
+        manifest,
+        read_version,
+        rename_column,
+        write_version,
+    )
+
+    path = str(tmp_path / "t")
+    write_version(
+        spark.createDataFrame([(1, 5.0, "old")],
+                              "k int, price double, tag string"), path)
+    rename_column(path, "price", "price_usd")  # mapping active
+    v3 = drop_column(path, "tag")
+    assert manifest(path, v3)["files"] == manifest(path, v3 - 1)["files"]
+    assert read_version(spark, path).columns == ["k", "price_usd"]
+    assert read_version(spark, path, 2).columns == ["k", "price_usd", "tag"]
+    assert "tag" in manifest(path, v3)["dropped_physicals"]
+    write_version(
+        spark.createDataFrame([(2, 6.0, "new")],
+                              "k int, price_usd double, tag string"),
+        path, merge_schema=True)
+    rows = {r["k"]: r["tag"] for r in read_version(spark, path).collect()}
+    assert rows == {1: None, 2: "new"}  # stale 'old' never resurfaces
+    m = manifest(path, v3 + 1)
+    assert m["colmap"]["tag"] != "tag"  # fresh collision-free physical
+    with pytest.raises(ValueError, match="no column"):
+        drop_column(path, "ghost")
+    p2 = str(tmp_path / "one")
+    write_version(spark.createDataFrame([(1,)], "k int"), p2)
+    with pytest.raises(ValueError, match="last column"):
+        drop_column(p2, "k")
+
+
+def test_change_feed_across_rename_uses_stable_physicals(spark, tmp_path):
+    """The feed keys its union schema by PHYSICAL name: a renamed column
+    appears ONCE under the TO-version's label; a compaction after the
+    rename still cancels to an empty-delta feed; a drop/re-add span
+    disambiguates the two generations."""
+    from tts_etl_pipeline_spark.sources.versioned import (
+        compact,
+        drop_column,
+        merge_upsert,
+        read_version,
+        rename_column,
+        table_changes,
+        write_version,
+    )
+
+    path = str(tmp_path / "t")
+    write_version(spark.createDataFrame([(1, 10.0)], "k int, price double"), path)
+    rename_column(path, "price", "price_usd")
+    write_version(spark.createDataFrame([(2, 20.0)], "k int, price_usd double"), path)
+    feed = table_changes(spark, path, 1, 3)
+    assert feed.columns == ["k", "price_usd", "_change_type"]
+    assert sorted(map(tuple, feed.collect())) == [(2, 20.0, "insert")]
+    compact(spark, path)
+    assert table_changes(spark, path, 3, 4).count() == 0  # still cancels
+    assert table_changes(spark, path, 2, 4).count() == 1  # just the insert
+    # merge (an overwrite under the mapping) reports under the new name
+    merge_upsert(spark, path,
+                 spark.createDataFrame([(1, 99.0)], "k int, price_usd double"),
+                 "k")
+    assert sorted(
+        (r["k"], r["price_usd"], r["_change_type"])
+        for r in table_changes(spark, path, 4, 5).collect()
+    ) == [(1, 10.0, "delete"), (1, 99.0, "insert")]
+    # drop/re-add: both generations in one span, disambiguated
+    v_pre = 5
+    drop_column(path, "price_usd")
+    write_version(
+        spark.createDataFrame([(3, 7.0)], "k int, price_usd double"),
+        path, merge_schema=True)
+    f2 = table_changes(spark, path, v_pre, 7)
+    assert set(f2.columns) == {"k", "price_usd", f"price_usd_v{v_pre}",
+                               "_change_type"}
+    ins = [r for r in f2.collect() if r["_change_type"] == "insert"]
+    assert len(ins) == 1 and ins[0]["k"] == 3
+    assert ins[0][f"price_usd_v{v_pre}"] == 7.0 or ins[0]["price_usd"] == 7.0
+    assert read_version(spark, path).count() == 3

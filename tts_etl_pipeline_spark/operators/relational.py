@@ -2847,3 +2847,125 @@ def j18_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# j19 — COLUMN EVOLUTION (RENAME/DROP via column mapping, the Delta
+# column-mapping name mode j6's add-column evolution doesn't cover):
+# orders' even-key half seeds a range-clustered table; o_totalprice is
+# RENAMED to price_usd and o_orderpriority is DROPPED — both METADATA-ONLY
+# commits (file lists asserted identical; data files keep the column's
+# STABLE physical name, so zero bytes move); the odd-key half then appends
+# under the NEW schema, and the final read serves both file generations
+# under one logical schema. Protocol asserts: both alters are file-list
+# identical; time travel to v1 serves the PRE-evolution names; key-range
+# pruning survives the alters (manifest stats are physical-keyed —
+# read_version_pruned must still skip on a well-posed layout). The two
+# valid commits reconstruct orders exactly, so the oracle is a per-status
+# aggregate with key-range integrity columns (MIN/MAX o_orderkey) proving
+# no row was lost or duplicated across the evolution. Scale shape: rename
+# and drop cost one manifest rewrite each at ANY table size — the
+# alternative (rewrite 100 TB to rename a column) is exactly what column
+# mapping exists to avoid.
+# ---------------------------------------------------------------------------
+@_register(
+    "j19_column_evolution",
+    """
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           COUNT(DISTINCT o_custkey) AS n_cust,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM orders
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def j19_column_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from tts_etl_pipeline_spark.functions.exact import money
+    from tts_etl_pipeline_spark.sources.versioned import (
+        drop_column,
+        manifest,
+        read_version,
+        read_version_pruned,
+        rename_column,
+        write_version,
+    )
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderpriority",
+    )
+    base = tempfile.mkdtemp(prefix="j19_")
+    path = f"{base}/orders_v"
+    try:
+        write_version(
+            orders.filter(F.col("o_orderkey") % 2 == 0)
+            .repartitionByRange(4, "o_orderkey"),
+            path,
+            collect_stats=("o_orderkey",),
+        )
+        v2 = rename_column(path, "o_totalprice", "price_usd")
+        v3 = drop_column(path, "o_orderpriority")
+        for v_alter in (v2, v3):  # ALTERs move metadata, never bytes
+            if manifest(path, v_alter)["files"] != manifest(path, v_alter - 1)["files"]:
+                raise RuntimeError(
+                    f"column-evolution commit v{v_alter} changed the file "
+                    "list — a metadata-only ALTER rewrote data"
+                )
+        cols_now = read_version(spark, path).columns
+        if cols_now != ["o_orderkey", "o_custkey", "o_orderstatus", "price_usd"]:
+            raise RuntimeError(f"post-evolution schema wrong: {cols_now}")
+        cols_v1 = read_version(spark, path, 1).columns
+        if "o_totalprice" not in cols_v1 or "o_orderpriority" not in cols_v1:
+            raise RuntimeError(
+                f"time travel lost the pre-evolution schema: {cols_v1}"
+            )
+        # odd half appends under the NEW logical schema; both generations
+        # then serve one schema (old files via their stable physicals)
+        write_version(
+            orders.filter(F.col("o_orderkey") % 2 == 1).select(
+                "o_orderkey",
+                "o_custkey",
+                "o_orderstatus",
+                F.col("o_totalprice").alias("price_usd"),
+            ),
+            path,
+        )
+        m = manifest(path, 4)
+        stat_files = [
+            f
+            for f in m["files"]
+            if m.get("stats", {}).get(f, {}).get("o_orderkey") is not None
+        ]
+        if len(stat_files) >= 4:  # well-posed: pruning must survive alters
+            lo = min(m["stats"][f]["o_orderkey"][0] for f in stat_files)
+            _, skipped, total = read_version_pruned(
+                spark, path, "o_orderkey", lo, lo
+            )
+            if skipped == 0:
+                raise RuntimeError(
+                    "range pruning died across the rename/drop — manifest "
+                    "stats lost their physical keying"
+                )
+        return (
+            read_version(spark, path)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.countDistinct("o_custkey").alias("n_cust"),
+                F.min("o_orderkey").cast("bigint").alias("min_key"),
+                F.max("o_orderkey").cast("bigint").alias("max_key"),
+                F.sum((money("price_usd") * 100).cast("bigint"))
+                .cast("bigint")
+                .alias("sum_cents"),
+            )
+            .orderBy("o_orderstatus")
+            .localCheckpoint(eager=True)  # materialize before tmp vanishes
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -81,6 +81,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tts_etl_pipeline_spark.sources.versioned import (
+    _phys,
     current_version,
     manifest,
     read_version_files,
@@ -157,10 +158,11 @@ def closed_history_files(path: str, version: int) -> list[str]:
     conservatively absent (treated as live)."""
     m = manifest(path, version)
     stats = m.get("stats", {})
+    pic = _phys(m, "is_current")  # stats keys are physical names
     return [
         f
         for f in m["files"]
-        if stats.get(f, {}).get("is_current") == [False, False]
+        if stats.get(f, {}).get(pic) == [False, False]
     ]
 
 
@@ -226,11 +228,13 @@ def _untouched_current_files(
     if key_type != batch_key_type:
         return []
     stats = m.get("stats", {})
+    pic = _phys(m, "is_current")
+    pkey = _phys(m, key)
     candidates = []
     for f in m["files"]:
         st = stats.get(f, {})
-        krange = st.get(key)
-        if st.get("is_current") == [True, True] and krange is not None:
+        krange = st.get(pkey)
+        if st.get(pic) == [True, True] and krange is not None:
             candidates.append((f, krange[0], krange[1]))
     if not candidates:
         return []

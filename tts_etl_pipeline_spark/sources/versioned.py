@@ -22,7 +22,12 @@ Layout under a table root:
                                       rows, add_/drop_constraint),
                                       "blooms" (optional file -> sidecar
                                       map for equality file skipping,
-                                      read_version_bloom_pruned)}
+                                      read_version_bloom_pruned),
+                                      "colmap" + "dropped_physicals"
+                                      (optional column mapping — RENAME/
+                                      DROP evolution with STABLE physical
+                                      file-column names, zero rewrite;
+                                      rename_column / drop_column)}
     _versions/blooms-<uuid>.json ... bloom SIDECARS (per-file equality
                                      filters stay out of the manifest;
                                      lookups lazy-load only what they
@@ -144,6 +149,8 @@ def _commit(
     stats: dict | None = None,
     constraints: dict | None = None,
     blooms: dict | None = None,
+    colmap: dict | None = None,
+    dropped_physicals: list | None = None,
 ) -> int:
     """Commit `files` as version expected_parent+1 via the manifest-name
     CAS. `expected_parent=None` reads the head at commit time (sequential
@@ -161,8 +168,19 @@ def _commit(
     as the manifest rewrite this commit already pays."""
     os.makedirs(_vdir(path), exist_ok=True)
     parent = current_version(path) if expected_parent is None else expected_parent
-    if constraints is None and parent >= 1:
-        constraints = _read_manifest(path, parent).get("constraints")
+    if parent >= 1 and (
+        constraints is None or colmap is None or dropped_physicals is None
+    ):
+        pm = _read_manifest(path, parent)
+        if constraints is None:
+            constraints = pm.get("constraints")
+        # column-mapping metadata inherits like constraints: None means
+        # "carry the parent's"; writers that legitimately reset (a full
+        # overwrite commits all-new files under identity naming) pass {}
+        if colmap is None:
+            colmap = pm.get("colmap")
+        if dropped_physicals is None:
+            dropped_physicals = pm.get("dropped_physicals")
     version = parent + 1
     target = _manifest_path(path, version)
     tmp = target + f".tmp-{uuid.uuid4().hex[:8]}"
@@ -190,6 +208,10 @@ def _commit(
         # file -> sidecar map ("blooms-<uuid>.json" under _versions/);
         # an equality lookup lazy-loads only the sidecars it needs
         manifest["blooms"] = blooms
+    if colmap:
+        manifest["colmap"] = colmap
+    if dropped_physicals:
+        manifest["dropped_physicals"] = dropped_physicals
     with open(tmp, "w", encoding="utf-8") as fh:
         json.dump(manifest, fh)
         fh.flush()
@@ -218,6 +240,48 @@ def _schema_from_json(schema_json: str):
     from pyspark.sql.types import StructType
 
     return StructType.fromJson(json.loads(schema_json))
+
+
+def _phys(manifest: dict, col: str) -> str:
+    """Logical -> PHYSICAL column name under this version's column
+    mapping (identity when the table never renamed anything). Stats and
+    bloom sidecars are keyed by PHYSICAL names — stable across renames —
+    so pruning metadata survives schema evolution with zero rewrites."""
+    return (manifest.get("colmap") or {}).get(col, col)
+
+
+def _physical_struct(logical, colmap: dict | None):
+    from pyspark.sql.types import StructField, StructType
+
+    cm = colmap or {}
+    return StructType(
+        [
+            StructField(cm.get(f.name, f.name), f.dataType, True)
+            for f in logical.fields
+        ]
+    )
+
+
+def _stage_physical(df: DataFrame, colmap: dict | None) -> DataFrame:
+    """Rename a LOGICAL-schema DataFrame to physical column names for
+    staging (no-op without a mapping)."""
+    if not colmap:
+        return df
+    from pyspark.sql import functions as F
+
+    return df.select(
+        *[F.col(c).alias(colmap.get(c, c)) for c in df.columns]
+    )
+
+
+def _constraint_mentions(constraints: dict, col: str) -> list[str]:
+    """Constraint names whose expression mentions `col` as an identifier
+    (word-boundary match — conservative: a string literal containing the
+    name also matches, and refusing is the safe side)."""
+    import re
+
+    pat = re.compile(rf"\b{re.escape(col)}\b")
+    return sorted(n for n, e in (constraints or {}).items() if pat.search(e))
 
 
 def _evolved_schema(base_schema, new_schema, merge_schema: bool):
@@ -413,6 +477,7 @@ def _enforce_constraints(
     staged: list[str],
     constraints: dict,
     schema_json: str | None,
+    colmap: dict | None = None,
 ) -> None:
     """CHECK enforcement at the commit boundary: probe the STAGED files
     (what will actually be committed — never a recomputation of the
@@ -429,8 +494,12 @@ def _enforce_constraints(
 
     reader = spark.read
     if schema_json is not None:
-        reader = reader.schema(_schema_from_json(schema_json))
+        logical = _schema_from_json(schema_json)
+        reader = reader.schema(_physical_struct(logical, colmap))
     df = reader.parquet(*[os.path.join(path, f) for f in staged])
+    if colmap and schema_json is not None:
+        cm = {v: k for k, v in colmap.items()}
+        df = df.select(*[F.col(c).alias(cm.get(c, c)) for c in df.columns])
     checks = sorted(constraints.items())
     probe = df.select(
         *[
@@ -450,6 +519,111 @@ def _enforce_constraints(
             f"CHECK constraint {name!r} ({expr}) violated by a row in "
             f"this commit; nothing was committed"
         )
+
+
+def rename_column(path: str, old: str, new: str) -> int:
+    """ALTER TABLE RENAME COLUMN — a METADATA-ONLY commit (zero data
+    rewrite, Delta's column-mapping name mode): the logical schema gets
+    the new name while every data file keeps the column's STABLE physical
+    name; reads alias physical -> logical, writes alias back. Stats and
+    bloom sidecars are keyed by the physical name, so every pruning
+    structure survives the rename untouched. Time travel is
+    schema-correct: versions before the rename serve the OLD name.
+    Refused when a CHECK constraint mentions the old name (drop and
+    re-add the constraint against the new name — silent rewrite of a
+    recorded expression is how audits rot)."""
+    v = current_version(path)
+    if v == 0:
+        raise ValueError(f"no versions at {path}")
+    m = _read_manifest(path, v)
+    if m.get("schema") is None:
+        raise ValueError("legacy manifest has no recorded schema to rename in")
+    schema = _schema_from_json(m["schema"])
+    if old not in schema.names:
+        raise ValueError(f"no column {old!r} to rename")
+    if new in schema.names:
+        raise ValueError(f"column {new!r} already exists")
+    hit = _constraint_mentions(m.get("constraints"), old)
+    if hit:
+        raise ValueError(
+            f"CHECK constraint(s) {hit} mention column {old!r}; drop them "
+            "before renaming and re-add against the new name"
+        )
+    from pyspark.sql.types import StructField, StructType
+
+    cm = dict(m.get("colmap") or {n: n for n in schema.names})
+    cm[new] = cm.pop(old)  # the physical name never changes
+    new_schema = StructType(
+        [
+            StructField(new if f.name == old else f.name, f.dataType, f.nullable)
+            for f in schema.fields
+        ]
+    )
+    return _commit(
+        path,
+        m["files"],
+        "alter",
+        expected_parent=v,
+        schema_json=new_schema.json(),
+        stats=m.get("stats"),
+        blooms=m.get("blooms"),
+        constraints=m.get("constraints") or {},
+        colmap=cm,
+        dropped_physicals=list(m.get("dropped_physicals") or []),
+    )
+
+
+def drop_column(path: str, name: str) -> int:
+    """ALTER TABLE DROP COLUMN — a METADATA-ONLY commit (zero data
+    rewrite): the logical schema loses the column; old files keep its
+    physical bytes, which readers simply never project (parquet reads
+    only requested columns, so the dead bytes cost nothing at scan
+    time). The retired physical name is RECORDED so a later re-added
+    column with the same logical name gets a fresh physical and can
+    never alias onto the stale data. Time travel before the drop still
+    serves the column. Refused for the last column and when a CHECK
+    constraint mentions it."""
+    v = current_version(path)
+    if v == 0:
+        raise ValueError(f"no versions at {path}")
+    m = _read_manifest(path, v)
+    if m.get("schema") is None:
+        raise ValueError("legacy manifest has no recorded schema to drop from")
+    schema = _schema_from_json(m["schema"])
+    if name not in schema.names:
+        raise ValueError(f"no column {name!r} to drop")
+    if len(schema.fields) == 1:
+        raise ValueError("cannot drop the last column")
+    hit = _constraint_mentions(m.get("constraints"), name)
+    if hit:
+        raise ValueError(
+            f"CHECK constraint(s) {hit} mention column {name!r}; drop them "
+            "before dropping the column"
+        )
+    from pyspark.sql.types import StructType
+
+    cm = dict(m.get("colmap") or {n: n for n in schema.names})
+    retired = cm.pop(name)
+    dropped = list(m.get("dropped_physicals") or []) + [retired]
+    new_schema = StructType([f for f in schema.fields if f.name != name])
+    # strip the dead column's pruning metadata (stats are physical-keyed)
+    stats = {
+        f: {c: r for c, r in rec.items() if c != retired}
+        for f, rec in (m.get("stats") or {}).items()
+    }
+    stats = {f: rec for f, rec in stats.items() if rec}
+    return _commit(
+        path,
+        m["files"],
+        "alter",
+        expected_parent=v,
+        schema_json=new_schema.json(),
+        stats=stats or None,
+        blooms=m.get("blooms"),
+        constraints=m.get("constraints") or {},
+        colmap=cm,
+        dropped_physicals=dropped,
+    )
 
 
 def table_constraints(path: str, version: int | None = None) -> dict:
@@ -565,34 +739,65 @@ def write_version(
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     base_version = current_version(path) if expected_version is None else expected_version
+    base_m = _read_manifest(path, base_version) if base_version > 0 else {}
     commit_schema = df.schema
     if mode == "append" and base_version > 0:
-        base_schema_json = _read_manifest(path, base_version).get("schema")
+        base_schema_json = base_m.get("schema")
         if base_schema_json is not None:  # legacy manifests have no schema
             commit_schema = _evolved_schema(
                 _schema_from_json(base_schema_json), df.schema, merge_schema
             )
-    new_files = _stage_files(df, path)
+    # column mapping (rename/drop evolution): every commit keeps writing
+    # the STABLE physical names — appends for their evolved schema,
+    # overwrites for whichever logical names persist (physical identity
+    # across a compaction is what keeps the change feed cancelling after
+    # a rename). A column NEW to the mapping gets a collision-free
+    # physical: a retired physical still lives in old files with stale
+    # data, so a re-added logical name must never alias onto it.
+    cm_parent = base_m.get("colmap") if base_version > 0 else None
+    dropped = list(base_m.get("dropped_physicals") or []) if base_version > 0 else []
+    cm: dict | None = None
+    if cm_parent is not None:
+        cm = {}
+        forbidden = set(cm_parent.values()) | set(dropped)
+        for f in commit_schema.fields:
+            if f.name in cm_parent:
+                cm[f.name] = cm_parent[f.name]
+            else:
+                phys = f.name
+                if phys in forbidden:
+                    phys = f"{f.name}_{uuid.uuid4().hex[:8]}"
+                cm[f.name] = phys
+                forbidden.add(phys)
+    new_files = _stage_files(_stage_physical(df, cm), path)
     base: list[str] = []
     stats: dict = {}
     blooms: dict = {}
     if mode == "append" and base_version > 0:
-        base_m = _read_manifest(path, base_version)
         base = base_m["files"]
         # parent stats/blooms stay valid: data files are immutable
         stats.update(base_m.get("stats", {}))
         blooms.update(base_m.get("blooms", {}))
     if base_version > 0:
         # CHECK constraints apply to appended AND overwriting rows alike
-        cons = _read_manifest(path, base_version).get("constraints")
+        cons = base_m.get("constraints")
         if cons:
             _enforce_constraints(
-                df.sparkSession, path, new_files, cons, commit_schema.json()
+                df.sparkSession, path, new_files, cons,
+                commit_schema.json(), colmap=cm,
             )
+    # stats/blooms are keyed by PHYSICAL names (stable across renames)
+    phys_of = (cm or {}).get
     if collect_stats:
-        stats.update(_footer_minmax(path, new_files, tuple(collect_stats)))
+        stats.update(
+            _footer_minmax(
+                path, new_files, tuple(phys_of(c, c) for c in collect_stats)
+            )
+        )
     if collect_blooms:
-        built = _collect_blooms(path, new_files, tuple(collect_blooms))
+        built = _collect_blooms(
+            path, new_files, tuple(phys_of(c, c) for c in collect_blooms)
+        )
         if built:
             sidecar = _write_bloom_sidecar(path, built)
             blooms.update({f: sidecar for f in built})
@@ -604,6 +809,10 @@ def write_version(
         schema_json=commit_schema.json(),
         stats=stats or None,
         blooms=blooms or None,
+        # the (possibly extended) mapping and the retired-physical list
+        # carry on every mode — physical identity is what survives
+        colmap=cm or {},
+        dropped_physicals=dropped,
     )
 
 
@@ -676,9 +885,10 @@ def write_version_parts(
 
     import pyarrow.parquet as pq
 
+    cm = base_m.get("colmap")
     staged: list[str] = []
     for p in parts:
-        staged.extend(_stage_files(p, path))
+        staged.extend(_stage_files(_stage_physical(p, cm), path))
     new_files = [
         f
         for f in staged
@@ -696,16 +906,24 @@ def write_version_parts(
         # reused files carry rows the parent already validated; only the
         # freshly staged rows need the CHECK probe
         _enforce_constraints(
-            parts[0].sparkSession, path, new_files, cons, schema_json
+            parts[0].sparkSession, path, new_files, cons, schema_json,
+            colmap=cm,
         )
+    phys_of = (cm or {}).get
     base_stats = base_m.get("stats", {})
     stats = {f: base_stats[f] for f in reuse_files if f in base_stats}
     if collect_stats:
-        stats.update(_footer_minmax(path, new_files, tuple(collect_stats)))
+        stats.update(
+            _footer_minmax(
+                path, new_files, tuple(phys_of(c, c) for c in collect_stats)
+            )
+        )
     base_blooms = base_m.get("blooms", {})
     blooms = {f: base_blooms[f] for f in reuse_files if f in base_blooms}
     if collect_blooms:
-        built = _collect_blooms(path, new_files, tuple(collect_blooms))
+        built = _collect_blooms(
+            path, new_files, tuple(phys_of(c, c) for c in collect_blooms)
+        )
         if built:
             sidecar = _write_bloom_sidecar(path, built)
             blooms.update({f: sidecar for f in built})
@@ -717,6 +935,9 @@ def write_version_parts(
         schema_json=schema_json,
         stats=stats or None,
         blooms=blooms or None,
+        # a parts rewrite keeps the snapshot's naming: mapping carries
+        colmap=cm or {},
+        dropped_physicals=list(base_m.get("dropped_physicals") or []),
     )
 
 
@@ -857,22 +1078,30 @@ def _read_files(
     O(files) planning cost, and a single directory path retires it."""
     schema_json = manifest.get("schema")
     if schema_json is not None:
-        from pyspark.sql.types import StructField, StructType
-
         recorded = _schema_from_json(schema_json)
-        nullable = StructType(
-            [StructField(f.name, f.dataType, True) for f in recorded.fields]
-        )
+        colmap = manifest.get("colmap")
+        # files store PHYSICAL names (stable across renames); the read
+        # plans physical and aliases back to this version's LOGICAL names
+        nullable = _physical_struct(recorded, colmap)
         if len(files) >= _LINKDIR_MIN_FILES:
             linked = _snapshot_linkdir(path, files)
-            return (
+            df = (
                 spark.read.schema(nullable)
                 .option("pathGlobFilter", "*.parquet")  # skip the marker
                 .parquet(linked)
             )
-        return spark.read.schema(nullable).parquet(
-            *[os.path.join(path, f) for f in files]
-        )
+        else:
+            df = spark.read.schema(nullable).parquet(
+                *[os.path.join(path, f) for f in files]
+            )
+        if colmap:
+            from pyspark.sql import functions as F
+
+            cm = {v: k for k, v in colmap.items()}  # physical -> logical
+            df = df.select(
+                *[F.col(c).alias(cm.get(c, c)) for c in df.columns]
+            )
+        return df
     df = spark.read.option("mergeSchema", "true").parquet(
         *[os.path.join(path, f) for f in files]
     )
@@ -928,9 +1157,10 @@ def read_version_pruned(
     if not files:
         raise ValueError(f"version {v} is empty")
     stats = m.get("stats", {})
+    pcol = _phys(m, col)  # stats are keyed by stable PHYSICAL names
     kept: list[str] = []
     for f in files:
-        r = stats.get(f, {}).get(col)
+        r = stats.get(f, {}).get(pcol)
         if r is not None and (r[1] < lo or r[0] > hi):
             continue  # provably disjoint from [lo, hi]
         kept.append(f)
@@ -995,7 +1225,7 @@ def read_version_bloom_pruned(
                         sidecars[sc] = json.load(fh)
                 except (OSError, json.JSONDecodeError):
                     sidecars[sc] = {}  # damaged sidecar: degrade to reads
-            bloom = sidecars[sc].get(f, {}).get(col)
+            bloom = sidecars[sc].get(f, {}).get(_phys(m, col))
         if bloom is not None and not _bloom_might_contain(bloom, value):
             continue  # provably lacks `value`
         kept.append(f)
@@ -1071,7 +1301,9 @@ def rollback(path: str, to_version: int) -> int:
     # file STATS and BLOOMS (immutable files, still-valid contents)
     return _commit(
         path, files, "rollback", schema_json=m.get("schema"),
-        stats=m.get("stats"), blooms=m.get("blooms")
+        stats=m.get("stats"), blooms=m.get("blooms"),
+        colmap=m.get("colmap") or {},
+        dropped_physicals=list(m.get("dropped_physicals") or [])
     )
 
 
@@ -1144,6 +1376,8 @@ def clone_table(
         # independent thereafter like schema/stats)
         constraints=m.get("constraints") or {},
         blooms=cloned_blooms or None,
+        colmap=m.get("colmap") or {},
+        dropped_physicals=list(m.get("dropped_physicals") or []),
     )
 
 
@@ -1412,10 +1646,11 @@ def _split_files_by_range(m: dict, col: str, lo, hi) -> tuple[list[str], list[st
     touched (read), never skipped, so pruning degrades to a full rewrite,
     never to a lost row."""
     stats = m.get("stats", {})
+    pcol = _phys(m, col)  # stats are keyed by stable PHYSICAL names
     touched: list[str] = []
     untouched: list[str] = []
     for f in m["files"]:
-        r = stats.get(f, {}).get(col)
+        r = stats.get(f, {}).get(pcol)
         if r is not None and (r[1] < lo or r[0] > hi):
             untouched.append(f)
         else:
@@ -1644,25 +1879,39 @@ def table_changes(
             )
         return base.withColumn("_change_type", F.lit("insert"))
 
-    # union schema of the two snapshots; a retype between versions has no
-    # sound row-diff semantics — refuse instead of coercing silently
-    fields: dict = {}
+    # union schema of the two snapshots, keyed by STABLE PHYSICAL names so
+    # a column renamed between the versions appears ONCE (labeled with the
+    # TO-version's name — the Delta-CDF-under-column-mapping behavior) and
+    # rows rewritten across a rename still cancel; a retype between
+    # versions has no sound row-diff semantics — refuse instead of
+    # coercing silently. Without any column mapping, physical == logical
+    # and this is exactly the old union-by-name.
+    canon: dict = {}  # physical -> [label, dtype], FROM-side order
 
-    def _merge_fields(schema_fields) -> None:
-        for f in schema_fields:
-            prev = fields.setdefault(f.name, f.dataType)
-            if prev != f.dataType:
-                raise ValueError(
-                    f"column {f.name!r} was retyped between versions "
-                    f"({prev} vs {f.dataType}); change feed across a "
-                    f"retype is not supported"
-                )
+    def _merge_side(m: dict, relabel: bool) -> None:
+        sj = m.get("schema")
+        cm = m.get("colmap") or {}
+        for f in _schema_from_json(sj).fields:
+            phys = cm.get(f.name, f.name)
+            if phys in canon:
+                if canon[phys][1] != f.dataType:
+                    raise ValueError(
+                        f"column {f.name!r} was retyped between versions "
+                        f"({canon[phys][1]} vs {f.dataType}); change feed "
+                        f"across a retype is not supported"
+                    )
+                if relabel:  # the TO version's name wins, position stays
+                    canon[phys][0] = f.name
+            else:
+                canon[phys] = [f.name, f.dataType]
 
     legacy_probe: list[str] = []
-    for m, side in ((old_m, old_only), (new_m, new_only)):
-        sj = m.get("schema")
-        if sj is not None:
-            _merge_fields(_schema_from_json(sj).fields)
+    # FROM side first pins the column ORDER (old columns, then new-only);
+    # the TO side then RELABELS shared physicals — a renamed column keeps
+    # its position but carries the new name
+    for m, side, relabel in ((old_m, old_only, False), (new_m, new_only, True)):
+        if m.get("schema") is not None:
+            _merge_side(m, relabel)
         else:
             # legacy manifest (no recorded schema): its side's columns must
             # come from the FILES — building the union from the
@@ -1676,30 +1925,54 @@ def table_changes(
         probe = spark.read.option("mergeSchema", "true").parquet(
             *[os.path.join(path, f) for f in legacy_probe]
         )
-        _merge_fields(probe.schema.fields)
-    if "_change_type" in fields:
+        for f in probe.schema.fields:  # legacy: physical == logical
+            if f.name in canon:
+                if canon[f.name][1] != f.dataType:
+                    raise ValueError(
+                        f"column {f.name!r} was retyped between versions "
+                        f"({canon[f.name][1]} vs {f.dataType}); change feed "
+                        f"across a retype is not supported"
+                    )
+            else:
+                canon[f.name] = [f.name, f.dataType]
+    # two different physicals may claim one label (drop 'x' then re-add
+    # 'x': both generations in the union) — later claimants disambiguate
+    seen_labels: set = set()
+    for phys in canon:  # insertion order: FROM columns, then new-only
+        label = canon[phys][0]
+        while label in seen_labels:
+            label = f"{label}_v{from_version}"
+        canon[phys][0] = label
+        seen_labels.add(label)
+    if "_change_type" in seen_labels:
         raise ValueError(
             "table has a _change_type column — the name is reserved by the "
             "change feed (the Delta CDF contract)"
         )
 
-    def _read(files: list[str]) -> DataFrame | None:
+    def _read(m: dict, files: list[str]) -> DataFrame | None:
         if not files:
             return None
-        df = spark.read.option("mergeSchema", "true").parquet(
-            *[os.path.join(path, f) for f in files]
-        )
-        have = set(df.columns)
+        # this version's recorded schema + mapping serve LOGICAL names
+        # (zero footer IO for schema-bearing manifests — the j9 lesson)
+        df = _read_files(spark, path, m, files)
+        cm = m.get("colmap") or {}
+        own = {  # this side's logical name -> canonical label
+            f: canon[cm.get(f, f)][0]
+            for f in df.columns
+            if cm.get(f, f) in canon
+        }
+        inv = {v: k for k, v in own.items()}
         return df.select(
             *[
-                F.col(n).cast(t).alias(n)
-                if n in have
-                else F.lit(None).cast(t).alias(n)
-                for n, t in fields.items()
+                F.col(inv[label]).cast(t).alias(label)
+                if label in inv
+                else F.lit(None).cast(t).alias(label)
+                for label, t in canon.values()  # insertion order
             ]
         )
 
-    olds, news = _read(old_only), _read(new_only)
+    olds, news = _read(old_m, old_only), _read(new_m, new_only)
     if news is None:
         news = spark.createDataFrame([], olds.schema)
     if olds is None:
