@@ -1619,3 +1619,148 @@ def test_change_feed_across_rename_uses_stable_physicals(spark, tmp_path):
     assert len(ins) == 1 and ins[0]["k"] == 3
     assert ins[0][f"price_usd_v{v_pre}"] == 7.0 or ins[0]["price_usd"] == 7.0
     assert read_version(spark, path).count() == 3
+
+
+def test_stream_changes_across_rename_delivers_per_version_schemas(
+    spark, tmp_path
+):
+    """The streaming CDF delivers each commit under ITS OWN version's
+    logical names (the documented add-column contract, extended to
+    renames): the rename commit itself is an EMPTY batch, later batches
+    speak the new name, and the cursor replays nothing on a re-drain."""
+    from tts_etl_pipeline_spark.sources.versioned import (
+        rename_column,
+        stream_changes,
+        write_version,
+    )
+
+    path = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+    write_version(spark.createDataFrame([(1, 10.0)], "k int, price double"), path)
+    rename_column(path, "price", "price_usd")
+    write_version(
+        spark.createDataFrame([(2, 20.0)], "k int, price_usd double"), path
+    )
+    seen = []
+
+    def process(df, v):
+        seen.append((v, sorted(c for c in df.columns if not c.startswith("_")),
+                     df.count()))
+
+    assert stream_changes(spark, path, ckpt, process) == 3
+    assert seen == [
+        (1, ["k", "price"], 1),          # snapshot batch: pre-rename names
+        (2, ["k", "price_usd"], 0),      # the rename commit: empty feed
+        (3, ["k", "price_usd"], 1),      # post-rename insert, new name
+    ]
+    seen.clear()
+    assert stream_changes(spark, path, ckpt, process) == 3  # cursor holds
+    assert seen == []
+
+
+# ---------------------------------------------------------------------------
+# Property tests: mutations vs the DataFrame-filter model; bloom
+# no-false-negative invariant.
+# ---------------------------------------------------------------------------
+from hypothesis import given, settings
+from hypothesis import strategies as hst
+
+
+@hst.composite
+def mutation_scenarios(draw):
+    n = draw(hst.integers(5, 40))
+    nulls = draw(hst.lists(hst.integers(0, 39), unique=True, max_size=5))
+    lo = draw(hst.integers(-5, 45))
+    hi = draw(hst.integers(lo, 50))
+    parity = draw(hst.sampled_from([None, 0, 1]))
+    files = draw(hst.integers(1, 4))
+    return n, nulls, lo, hi, parity, files
+
+
+@pytest.mark.filterwarnings(
+    "ignore:The recursion limit will not be reset:hypothesis.errors.HypothesisWarning"
+)
+@given(mutation_scenarios())
+@settings(max_examples=6, deadline=None)
+def test_delete_where_matches_filter_model(spark, tmp_path_factory, scenario):
+    """DELETE WHERE == 'keep rows where the predicate is not TRUE', for
+    random tables (with NULL keys), ranges, conditions and file layouts —
+    whatever the stats-pruning decided to skip or rewrite."""
+    import shutil
+
+    from tts_etl_pipeline_spark.sources.versioned import (
+        delete_where,
+        read_version,
+        write_version,
+    )
+
+    n, nulls, lo, hi, parity, files = scenario
+    root = str(tmp_path_factory.mktemp("dw_prop"))
+    path = f"{root}/t"
+    rows = [
+        (None if i in nulls else i, i * 2) for i in range(n)
+    ]
+    try:
+        df = spark.createDataFrame(rows, "k int, v int")
+        write_version(df.repartitionByRange(files, "k"), path,
+                      collect_stats=("k",))
+        cond = None if parity is None else f"v % 4 = {parity * 2}"
+        delete_where(spark, path, "k", lo, hi, condition=cond)
+        got = sorted(
+            ((r["k"], r["v"]) for r in read_version(spark, path).collect()),
+            key=repr,
+        )
+        want = sorted(
+            (
+                (k, v)
+                for k, v in rows
+                if not (
+                    k is not None
+                    and lo <= k <= hi
+                    and (parity is None or v % 4 == parity * 2)
+                )
+            ),
+            key=repr,
+        )
+        assert got == want
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@pytest.mark.filterwarnings(
+    "ignore:The recursion limit will not be reset:hypothesis.errors.HypothesisWarning"
+)
+@given(
+    hst.lists(
+        hst.one_of(hst.integers(-1000, 1000), hst.text(max_size=8)),
+        min_size=1, max_size=60,
+    ),
+    hst.integers(1, 5),
+)
+@settings(max_examples=6, deadline=None)
+def test_bloom_never_false_negative(spark, tmp_path_factory, values, files):
+    """Every present value MUST be found through the bloom-pruned read —
+    false positives cost a file read, false negatives are impossible.
+    Mixed int/string draws run as strings (one typed column per table)."""
+    import shutil
+
+    from tts_etl_pipeline_spark.sources.versioned import (
+        read_version_bloom_pruned,
+        write_version,
+    )
+
+    root = str(tmp_path_factory.mktemp("bl_prop"))
+    path = f"{root}/t"
+    vals = [str(v) for v in values]
+    try:
+        df = spark.createDataFrame([(v,) for v in vals], "c string")
+        write_version(df.repartition(files), path, collect_blooms=("c",))
+        for probe in set(vals):
+            got, _, _ = read_version_bloom_pruned(spark, path, "c", probe)
+            assert got.count() == vals.count(probe)
+        absent, _, _ = read_version_bloom_pruned(
+            spark, path, "c", "__definitely_absent__"
+        )
+        assert absent.count() == 0
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -2000,7 +2000,12 @@ def stream_changes(
     inserts) plus a ``_commit_version`` column — Delta's CDF column of the
     same name. A compaction commit (same rows, new files) delivers an
     EMPTY batch; an add-column evolution delivers batches in the evolved
-    union schema, exactly as the batch feed does.
+    union schema, exactly as the batch feed does. Schema evolution
+    generally: each batch speaks ITS commit's logical names (a RENAME
+    commit is itself an empty batch; batches after it carry the new
+    name) — `process` is a per-version callback, not a fixed-schema
+    stream, so per-version schemas are the honest contract (pinned in
+    test_versioned.py).
 
     Exactly-once per version to an idempotent ``process`` (the foreachBatch
     contract): the last fully-processed version is checkpointed with an
