@@ -1764,3 +1764,140 @@ def test_bloom_never_false_negative(spark, tmp_path_factory, values, files):
         assert absent.count() == 0
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Round-10 review-pass regressions (the continuation's code-review pass):
+# each test pins a fixed finding.
+# ---------------------------------------------------------------------------
+
+
+def test_rollback_restores_target_version_constraints(spark, tmp_path):
+    """rollback carries the RESTORED version's constraints, never the
+    head's: every committed version's constraints provably hold over its
+    own rows, while the head's were never checked against the restored
+    rows (review finding 1)."""
+    from tts_etl_pipeline_spark.sources.versioned import (
+        add_constraint,
+        delete_where,
+        read_version,
+        rollback,
+        table_constraints,
+        write_version,
+    )
+
+    path = str(tmp_path / "t")
+    write_version(
+        spark.createDataFrame([(1, -5.0), (2, 3.0)], "k int, price double"),
+        path,
+    )
+    delete_where(spark, path, "k", 1, 1)  # v2: the negative row is gone
+    v3 = add_constraint(spark, path, "nonneg", "price >= 0")  # validates v2
+    assert v3 == 3
+    v4 = rollback(path, 1)  # restore the version that CONTAINS price=-5
+    # the head must NOT claim 'nonneg' holds over rows it never validated
+    assert table_constraints(path) == {}
+    assert table_constraints(path, v3) == {"nonneg": "price >= 0"}
+    assert {r["price"] for r in read_version(spark, path).collect()} == {-5.0, 3.0}
+    # and rolling back to the POST-constraint version re-arms enforcement
+    rollback(path, v3)
+    assert table_constraints(path) == {"nonneg": "price >= 0"}
+
+
+def test_bloom_probe_type_insensitive(spark, tmp_path):
+    """Numerically-equal probes of a different Python type must still
+    find the file — a type-sensitive encoding would be a FALSE NEGATIVE
+    (review finding 2): double column probed with int, int column probed
+    with float, and a Decimal-shaped integer all hit."""
+    from decimal import Decimal
+
+    from tts_etl_pipeline_spark.sources.versioned import (
+        read_version_bloom_pruned,
+        write_version,
+    )
+
+    path = str(tmp_path / "t")
+    write_version(
+        spark.createDataFrame(
+            [(5, 5.0), (700, 700.25)], "ik int, dk double"
+        ).repartition(4),
+        path,
+        collect_blooms=("ik", "dk"),
+    )
+    df, _, _ = read_version_bloom_pruned(spark, path, "dk", 5)  # int probe
+    assert df.count() == 1
+    df, _, _ = read_version_bloom_pruned(spark, path, "ik", 5.0)  # float probe
+    assert df.count() == 1
+    df, _, _ = read_version_bloom_pruned(spark, path, "ik", Decimal("5.00"))
+    assert df.count() == 1
+    df, _, _ = read_version_bloom_pruned(spark, path, "dk", 700.25)
+    assert df.count() == 1
+
+
+def test_constraint_alters_carry_bloom_sidecars(spark, tmp_path):
+    """add/drop_constraint are metadata commits and must carry the blooms
+    map like every other manifest field — losing it silently regresses
+    equality pruning to full reads forever (review finding 3)."""
+    from tts_etl_pipeline_spark.sources.versioned import (
+        add_constraint,
+        drop_constraint,
+        read_version_bloom_pruned,
+        write_version,
+    )
+
+    path = str(tmp_path / "t")
+    _bloom_table(spark, path)
+    add_constraint(spark, path, "pos", "k >= 0")
+    _, skipped, total = read_version_bloom_pruned(spark, path, "k", 1234)
+    assert total == 8 and skipped >= 4  # pruning survived the ALTER
+    drop_constraint(path, "pos")
+    _, skipped, total = read_version_bloom_pruned(spark, path, "k", 1234)
+    assert total == 8 and skipped >= 4
+
+
+def test_update_where_legacy_manifest_refuses_unknown_assignment(
+    spark, tmp_path
+):
+    """On a legacy (schemaless) manifest the READ's columns are the
+    authority: a typo'd assignment refuses instead of committing a
+    silent no-op rewrite (review finding 6)."""
+    import json as _json
+    import os as _os
+
+    from tts_etl_pipeline_spark.sources.versioned import (
+        current_version,
+        update_where,
+        write_version,
+    )
+
+    path = str(tmp_path / "t")
+    write_version(spark.createDataFrame([(1, 2.0)], "k int, price double"), path)
+    mp = _os.path.join(path, "_versions", "v00000001.json")
+    with open(mp) as fh:
+        m = _json.load(fh)
+    del m["schema"]
+    with open(mp, "w") as fh:
+        _json.dump(m, fh)
+    with pytest.raises(ValueError, match="unknown columns"):
+        update_where(spark, path, "k", 1, 1, {"pricee": "0.0"})
+    assert current_version(path) == 1  # nothing committed
+
+
+def test_overwrite_missing_constrained_column_refuses_typed(spark, tmp_path):
+    """An overwrite whose schema lost a constrained column gets a TYPED
+    refusal naming the constraints, not a raw analysis error after
+    staging (review finding 7)."""
+    from tts_etl_pipeline_spark.sources.versioned import (
+        add_constraint,
+        current_version,
+        write_version,
+    )
+
+    path = str(tmp_path / "t")
+    write_version(spark.createDataFrame([(1, 2.0)], "k int, price double"), path)
+    add_constraint(spark, path, "pos", "price >= 0")
+    with pytest.raises(ValueError, match="absent from this commit's schema"):
+        write_version(
+            spark.createDataFrame([(9,)], "k int"), path, mode="overwrite"
+        )
+    assert current_version(path) == 2

@@ -2826,10 +2826,14 @@ def j18_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
             df, skipped, total = read_version_bloom_pruned(
                 spark, path, "doc_id", pid
             )
-            if well_posed and skipped < total // 2:
+            # threshold against BLOOM-BEARING files: an empty partition
+            # gets no bloom and is kept unconditionally, so counting it in
+            # the denominator would fail a tiny-but-healthy layout
+            if well_posed and skipped < bloomed // 2:
                 raise RuntimeError(
                     f"bloom lookup of {pid} skipped only {skipped}/{total} "
-                    "files — sidecar pruning regressed"
+                    f"files ({bloomed} bloom-bearing) — sidecar pruning "
+                    "regressed"
                 )
             parts.append(df)
         out = parts[0]

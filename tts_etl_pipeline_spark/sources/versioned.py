@@ -355,14 +355,39 @@ def _footer_minmax(path: str, rel_files: list[str], cols: tuple) -> dict:
     return out
 
 
+def _bloom_canonical(value) -> bytes:
+    """Type-tagged canonical bytes: numerically-EQUAL values hash the
+    same whatever Python type delivered them (int 5, float 5.0,
+    Decimal('5.00') — pyarrow's to_pylist and a caller's arithmetic
+    routinely disagree on type), because a type-sensitive encoding would
+    turn an equal probe into a FALSE NEGATIVE — a skipped file that
+    contains the value. Cross-kind tags (int-like / fractional / string /
+    bytes / bool) can only collide into false POSITIVES, which merely
+    read a file."""
+    import numbers
+
+    if isinstance(value, bool):
+        return b"b:1" if value else b"b:0"
+    if isinstance(value, numbers.Integral):
+        return b"i:" + str(int(value)).encode("ascii")
+    if isinstance(value, numbers.Real) or type(value).__name__ == "Decimal":
+        f = float(value)
+        if f.is_integer():
+            return b"i:" + str(int(f)).encode("ascii")
+        return b"f:" + repr(f).encode("ascii")
+    if isinstance(value, (bytes, bytearray)):
+        return b"y:" + bytes(value)
+    return b"s:" + str(value).encode("utf-8")
+
+
 def _bloom_positions(value, m: int, k: int) -> list[int]:
     """Deterministic double-hashing positions for `value` — md5 of the
-    value's canonical string bytes split into two 64-bit halves (never
-    Python's salted hash()), so a bloom built at commit time answers
-    probes from any later process identically."""
+    value's canonical bytes split into two 64-bit halves (never Python's
+    salted hash()), so a bloom built at commit time answers probes from
+    any later process identically."""
     import hashlib
 
-    d = hashlib.md5(str(value).encode("utf-8")).digest()
+    d = hashlib.md5(_bloom_canonical(value)).digest()
     h1 = int.from_bytes(d[:8], "big")
     h2 = int.from_bytes(d[8:], "big") | 1
     return [(h1 + i * h2) % m for i in range(k)]
@@ -399,27 +424,36 @@ def _collect_blooms(path: str, rel_files: list[str], cols: tuple) -> dict:
     for rel in rel_files:
         pf = pq.ParquetFile(os.path.join(path, rel))
         present = [c for c in cols if c in pf.schema_arrow.names]
-        if not present:
+        if not present or pf.metadata.num_rows == 0:
             continue
-        tbl = pf.read(columns=list(present))
-        rec = {}
-        for c in present:
-            vals = [v for v in tbl.column(c).to_pylist() if v is not None]
-            if not vals:
-                continue
-            m = min(
-                _BLOOM_MAX_BITS,
-                max(64, len(set(vals)) * _BLOOM_BITS_PER_VALUE),
-            )
-            bits = bytearray((m + 7) // 8)
-            for v in vals:
-                for pos in _bloom_positions(v, m, _BLOOM_K):
-                    bits[pos >> 3] |= 1 << (pos & 7)
-            rec[c] = {
+        # size from the footer's row count (an upper bound on distinct
+        # values — duplicates only make the filter sparser) and fold the
+        # column in RECORD BATCHES: driver memory stays batch-bounded,
+        # never O(file rows) — the footer gives the size for free, the
+        # one column read is the price of the filter itself
+        m = min(
+            _BLOOM_MAX_BITS,
+            max(64, pf.metadata.num_rows * _BLOOM_BITS_PER_VALUE),
+        )
+        bits = {c: bytearray((m + 7) // 8) for c in present}
+        seen = {c: False for c in present}
+        for batch in pf.iter_batches(columns=list(present)):
+            for c in present:
+                for v in batch.column(c).to_pylist():
+                    if v is None:
+                        continue
+                    seen[c] = True
+                    for pos in _bloom_positions(v, m, _BLOOM_K):
+                        bits[c][pos >> 3] |= 1 << (pos & 7)
+        rec = {
+            c: {
                 "m": m,
                 "k": _BLOOM_K,
-                "b64": base64.b64encode(bytes(bits)).decode("ascii"),
+                "b64": base64.b64encode(bytes(bits[c])).decode("ascii"),
             }
+            for c in present
+            if seen[c]
+        }
         if rec:
             out[rel] = rec
     return out
@@ -501,17 +535,28 @@ def _enforce_constraints(
         cm = {v: k for k, v in colmap.items()}
         df = df.select(*[F.col(c).alias(cm.get(c, c)) for c in df.columns])
     checks = sorted(constraints.items())
-    probe = df.select(
-        *[
-            (~F.coalesce(F.expr(expr), F.lit(True))).alias(f"__viol_{i}")
-            for i, (_, expr) in enumerate(checks)
-        ]
-    )
-    any_viol = None
-    for i in range(len(checks)):
-        c = F.col(f"__viol_{i}")
-        any_viol = c if any_viol is None else (any_viol | c)
-    hit = probe.filter(any_viol).limit(1).collect()
+    try:
+        probe = df.select(
+            *[
+                (~F.coalesce(F.expr(expr), F.lit(True))).alias(f"__viol_{i}")
+                for i, (_, expr) in enumerate(checks)
+            ]
+        )
+        any_viol = None
+        for i in range(len(checks)):
+            c = F.col(f"__viol_{i}")
+            any_viol = c if any_viol is None else (any_viol | c)
+        hit = probe.filter(any_viol).limit(1).collect()
+    except Exception as ex:  # typed refusal beats a raw analysis error
+        from pyspark.errors import AnalysisException
+
+        if isinstance(ex, AnalysisException):
+            raise ValueError(
+                "a CHECK constraint references a column absent from this "
+                f"commit's schema ({[n for n, _ in checks]}); drop the "
+                "constraint before overwriting with a narrower schema"
+            ) from ex
+        raise
     if hit:
         i = next(j for j in range(len(checks)) if hit[0][f"__viol_{j}"])
         name, expr = checks[i]
@@ -674,6 +719,7 @@ def add_constraint(
         expected_parent=v,
         schema_json=m.get("schema"),
         stats=m.get("stats"),
+        blooms=m.get("blooms"),  # metadata ALTERs carry every sidecar map
         constraints=cons,
     )
 
@@ -697,6 +743,7 @@ def drop_constraint(path: str, name: str) -> int:
         expected_parent=v,
         schema_json=m.get("schema"),
         stats=m.get("stats"),
+        blooms=m.get("blooms"),  # metadata ALTERs carry every sidecar map
         constraints=cons or {},
     )
 
@@ -1302,6 +1349,11 @@ def rollback(path: str, to_version: int) -> int:
     return _commit(
         path, files, "rollback", schema_json=m.get("schema"),
         stats=m.get("stats"), blooms=m.get("blooms"),
+        # the restored version's OWN constraints: they provably hold over
+        # its rows (adds validate existing, commits validate staged) —
+        # inheriting the head's would record constraints over rows that
+        # were never checked against them
+        constraints=m.get("constraints") or {},
         colmap=m.get("colmap") or {},
         dropped_physicals=list(m.get("dropped_physicals") or [])
     )
@@ -1486,8 +1538,11 @@ def vacuum(
             try:
                 mm = _read_manifest(path, int(fn[1:9]))
                 referenced_sidecars.update((mm.get("blooms") or {}).values())
-            except (ValueError, KeyError, TypeError, json.JSONDecodeError):
-                continue  # damaged manifest: its sweep is handled above
+            except (
+                ValueError, KeyError, TypeError, json.JSONDecodeError,
+                FileNotFoundError,  # a concurrent vacuum swept it; fine
+            ):
+                continue  # damaged/raced manifest: handled by its own sweep
     for fn in sorted(os.listdir(_vdir(path))):
         if fn.startswith("blooms-") and fn.endswith(".json"):
             rel = os.path.join("_versions", fn)
@@ -1757,17 +1812,21 @@ def update_where(
     if v == 0:
         raise ValueError(f"no versions at {path}")
     m = _read_manifest(path, v)
-    unknown = sorted(
-        set(assignments) - set(_schema_from_json(m["schema"]).names)
-        if m.get("schema")
-        else set()
-    )
-    if unknown:
-        raise ValueError(f"UPDATE assigns unknown columns {unknown}")
+    if m.get("schema"):
+        unknown = sorted(
+            set(assignments) - set(_schema_from_json(m["schema"]).names)
+        )
+        if unknown:
+            raise ValueError(f"UPDATE assigns unknown columns {unknown}")
     touched, untouched = _split_files_by_range(m, col, lo, hi)
     if not touched:
         return None
     df = _read_files(spark, path, m, touched)
+    # legacy manifests have no recorded schema: the read's columns are the
+    # authority — a typo'd assignment must refuse, never no-op silently
+    unknown = sorted(set(assignments) - set(df.columns))
+    if unknown:
+        raise ValueError(f"UPDATE assigns unknown columns {unknown}")
     pred = _row_predicate(col, lo, hi, condition)
     if not df.filter(pred).limit(1).collect():
         return None
