@@ -1901,3 +1901,47 @@ def test_overwrite_missing_constrained_column_refuses_typed(spark, tmp_path):
             spark.createDataFrame([(9,)], "k int"), path, mode="overwrite"
         )
     assert current_version(path) == 2
+
+
+def test_table_detail_describes_the_version(spark, tmp_path):
+    """DESCRIBE DETAIL: manifest-resident facts + per-file sizes, per
+    version (time-travel-consistent), without a data read; vacuumed
+    history reports missing files instead of raising."""
+    from tts_etl_pipeline_spark.sources.versioned import (
+        add_constraint,
+        rename_column,
+        table_detail,
+        vacuum,
+        write_version,
+    )
+
+    path = str(tmp_path / "t")
+    write_version(
+        spark.createDataFrame([(1, 2.0, "a"), (2, 3.0, "b")],
+                              "k int, price double, tag string")
+        .repartition(2),
+        path,
+        collect_stats=("k",),
+        collect_blooms=("tag",),
+    )
+    rename_column(path, "price", "price_usd")
+    add_constraint(spark, path, "pos", "price_usd >= 0")
+    d = table_detail(path)
+    assert (d["version"], d["head"]) == (3, 3)
+    assert d["columns"] == ["k", "price_usd", "tag"]
+    assert d["stats_columns"] == ["k"] and d["bloom_columns"] == ["tag"]
+    assert d["constraints"] == {"pos": "price_usd >= 0"}
+    assert d["renamed_columns"] == {"price_usd": "price"}
+    assert d["num_files"] == 2 and d["missing_files"] == 0
+    assert d["size_bytes"] > 0 and d["mode"] == "alter"
+    d1 = table_detail(path, 1)
+    assert d1["columns"] == ["k", "price", "tag"]
+    assert d1["constraints"] == {} and d1["renamed_columns"] == {}
+    # an overwrite + vacuum leaves v1 describable with missing files
+    write_version(
+        spark.createDataFrame([(9, 1.0, "z")],
+                              "k int, price_usd double, tag string"),
+        path, mode="overwrite")
+    vacuum(path, keep_versions=1, grace_seconds=0.0)
+    dv = table_detail(path, 1)
+    assert dv["missing_files"] == dv["num_files"] == 2
