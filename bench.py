@@ -1,8 +1,15 @@
 #!/usr/bin/env python
 """Benchmark driver: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+compact JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"cpu_total": ..., "sf": ..., "n_queries": ..., "detail": "bench_detail.json"}.
+
+Per-query wall/cpu detail goes to the SIDECAR file named by "detail"
+(bench_detail.json next to this script), NOT to stdout: the round-10
+record came back `parsed: null` because the old single line carrying 52
+per-query walls + cpus overflowed the 2000-char stdout tail the driver
+keeps — the headline line must stay small enough to survive that tail
+whatever the query count grows to (r10 verdict task 1).
 
 Each query is materialized with collect() (results are small aggregates /
 top-k) or a noop-count for large outputs. Timing includes plan + execution,
@@ -257,20 +264,38 @@ def main() -> None:
         cpu[name] = round(best_cpu, 4)
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
+    metric = (
+        "spot_check_total_wall" if pool is SPOT_CHECK else "headline_total_wall"
+    )
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # per-query detail -> sidecar (never stdout: see module docstring)
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"
+    )
+    with open(detail_path, "w", encoding="utf-8") as fh:
+        json.dump(
             {
-                "metric": (
-                    "spot_check_total_wall"
-                    if pool is SPOT_CHECK
-                    else "headline_total_wall"
-                ),
+                "metric": metric,
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
                 "cpu": cpu,
                 "cpu_total": round(sum(cpu.values()), 4),
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "sf": sf_val,
+            },
+            fh,
+            indent=1,
+        )
+    print(
+        json.dumps(
+            {
+                "metric": metric,
+                "value": total,
+                "unit": "sec",
+                "cpu_total": round(sum(cpu.values()), 4),
+                "sf": sf_val,
+                "n_queries": len(timings),
+                "detail": "bench_detail.json",
             }
         )
     )

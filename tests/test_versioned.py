@@ -726,10 +726,13 @@ def test_manifest_stats_pruned_read_exact_and_sound(spark, tmp_path):
     assert sorted((r["k"], r["g"]) for r in pruned4.collect()) == expect
 
 
-def test_manifest_stats_skip_strings_and_empty_files(spark, tmp_path):
-    """String columns are never recorded (parquet stat truncation makes
-    string-range skipping unsound) and files with zero row groups get no
-    entry — both degrade to 'always read', never to a skipped row."""
+def test_manifest_stats_string_bounds_recorded(spark, tmp_path):
+    """String columns record truncate(16) BOUNDS (r10 verdict task 4 —
+    previously strings were skipped entirely and string predicates pruned
+    zero files): bounds must be recorded, must be at most 16 chars +
+    widened, and a string-range pruned read must stay value-exact. Files
+    with zero row groups still get no entry — degrade to 'always read',
+    never to a skipped row."""
     from tts_etl_pipeline_spark.sources.versioned import (
         _read_manifest,
         read_version_pruned,
@@ -739,11 +742,13 @@ def test_manifest_stats_skip_strings_and_empty_files(spark, tmp_path):
     df = spark.range(100).selectExpr("id AS k", "CAST(id AS STRING) AS s")
     write_version(df.repartitionByRange(4, "k"), path, collect_stats=("k", "s"))
     stats = _read_manifest(path, 1).get("stats", {})
-    assert stats and all("s" not in rec for rec in stats.values())
-    assert all("k" in rec for rec in stats.values())
-    # pruning on the unrecorded column reads everything, filters row-level
+    assert stats and all("s" in rec and "k" in rec for rec in stats.values())
+    for rec in stats.values():
+        lo, hi = rec["s"]
+        assert isinstance(lo, str) and isinstance(hi, str)
+        assert len(lo) <= 16 and len(hi) <= 16
+    # string-range pruning is live AND value-exact (row filter on top)
     pruned, skipped, total = read_version_pruned(spark, path, "s", "10", "19")
-    assert skipped == 0
     assert sorted(r["s"] for r in pruned.collect()) == sorted(
         str(x) for x in range(10, 20)
     )
@@ -1764,6 +1769,318 @@ def test_bloom_never_false_negative(spark, tmp_path_factory, values, files):
         assert absent.count() == 0
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_truncated_string_bounds_unit():
+    """The Iceberg truncate(N) bound scheme: prefix lower bound,
+    incremented upper bound, carry-left at U+10FFFF, surrogate-range
+    skip, None when no upper bound is representable, exact when it fits."""
+    from tts_etl_pipeline_spark.sources.zorder import truncated_string_bounds
+
+    # fits: exact (tight) bounds
+    assert truncated_string_bounds("abc", "xyz", 16) == ("abc", "xyz")
+    # truncate + increment the last kept code point
+    assert truncated_string_bounds("a" * 20, "abcdefghijklmnopqrst", 16) == (
+        "a" * 16,
+        "abcdefghijklmnoq",
+    )
+    # carry: last kept char at U+10FFFF -> increment the previous, drop it
+    assert truncated_string_bounds("a", "ab" + chr(0x10FFFF) + "zz", 3) == (
+        "a",
+        "ac",
+    )
+    # increment must skip the surrogate block (unencodable in UTF-8)
+    got = truncated_string_bounds("a", "ab" + chr(0xD7FF) + "zzz", 3)
+    assert got == ("a", "ab" + chr(0xE000))
+    # every position at U+10FFFF: no sound upper bound exists
+    assert truncated_string_bounds("a", chr(0x10FFFF) * 4, 3) is None
+    # soundness law on random-ish cases: lo_bound <= lo, hi_bound >= hi
+    for lo, hi in [("alpha", "omega-very-long-string-here"),
+                   ("", "zzzzzzzzzzzzzzzzzzzz")]:
+        b = truncated_string_bounds(lo, hi, 16)
+        assert b[0] <= lo and b[1] >= hi
+
+
+def test_string_range_pruning_end_to_end(spark, tmp_path):
+    """collect_stats on a STRING column records truncated bounds and
+    read_version_pruned skips lexically-disjoint files — the j9 gap the
+    r10 verdict flagged (string predicates previously skipped zero
+    files) — while staying value-exact."""
+    from tts_etl_pipeline_spark.sources.versioned import (
+        manifest,
+        read_version_pruned,
+        write_version,
+    )
+
+    path = str(tmp_path / "t")
+    rows = [(f"{c}{i:02d}-suffix-beyond-sixteen-chars", i)
+            for c in "abcdefgh" for i in range(20)]
+    df = spark.createDataFrame(rows, "name string, v int")
+    write_version(
+        df.repartitionByRange(8, "name"), path, collect_stats=("name",)
+    )
+    m = manifest(path, 1)
+    with_stats = [f for f in m["files"] if m["stats"].get(f, {}).get("name")]
+    assert len(with_stats) >= 8  # string stats are actually recorded now
+    pruned, skipped, total = read_version_pruned(spark, path, "name", "b", "c")
+    assert total == 8 and skipped >= 4
+    got = sorted(r["name"] for r in pruned.collect())
+    want = sorted(n for n, _ in rows if "b" <= n <= "c")
+    assert got == want
+
+
+def test_string_pruning_shared_prefix_hazard(spark, tmp_path):
+    """Keys sharing a 16-char prefix (the c_name shape) collapse every
+    file's truncated range to the SAME [prefix, prefix+1) band — pruning
+    must skip NOTHING (never a wrong skip) and answers stay exact; the
+    bloom path remains the point-lookup answer for this layout."""
+    from tts_etl_pipeline_spark.sources.versioned import (
+        read_version_bloom_pruned,
+        read_version_pruned,
+        write_version,
+    )
+
+    path = str(tmp_path / "t")
+    # i < 100 keeps every key's first 16 chars IDENTICAL
+    # ("Customer#0000000"): the truncated bounds of all 4 files collide
+    rows = [(f"Customer#{i:09d}", i) for i in range(100)]
+    df = spark.createDataFrame(rows, "name string, v int")
+    write_version(
+        df.repartitionByRange(4, "name"),
+        path,
+        collect_stats=("name",),
+        collect_blooms=("name",),
+    )
+    probe = "Customer#000000023"
+    pruned, skipped, total = read_version_pruned(
+        spark, path, "name", probe, probe
+    )
+    assert total == 4 and skipped == 0  # bounds collide: no file skippable
+    assert pruned.count() == 1  # ...but the row filter still lands exactly
+    bloomed, bskipped, _ = read_version_bloom_pruned(
+        spark, path, "name", probe
+    )
+    assert bskipped >= 2 and bloomed.count() == 1  # blooms still skip
+
+
+def test_deletion_vector_delete_leaves_files_untouched(spark, tmp_path):
+    """delete_where_dv is MERGE-ON-READ: the commit's file list is
+    IDENTICAL and every data file is byte-untouched (inode + mtime_ns
+    pinned) — the whole point of deletion vectors; a regression to
+    copy-on-write would still read correctly and only this catches it."""
+    import os
+
+    from tts_etl_pipeline_spark.sources.versioned import (
+        delete_where_dv,
+        manifest,
+        read_version,
+        write_version,
+    )
+
+    path = str(tmp_path / "t")
+    write_version(
+        spark.range(1000).selectExpr("id AS k", "id*2 AS v")
+        .repartitionByRange(4, "k"),
+        path,
+        collect_stats=("k",),
+    )
+    m1 = manifest(path, 1)
+    def _sig():
+        return {
+            f: (os.stat(os.path.join(path, f)).st_ino,
+                os.stat(os.path.join(path, f)).st_mtime_ns)
+            for f in m1["files"]
+        }
+    before = _sig()
+    assert delete_where_dv(spark, path, "k", 5, 5) == 2
+    assert manifest(path, 2)["files"] == m1["files"]
+    assert _sig() == before
+    assert read_version(spark, path).count() == 999
+    assert read_version(spark, path).filter("k = 5").count() == 0
+    # snapshot isolation: the old version still serves the row
+    assert read_version(spark, path, 1).filter("k = 5").count() == 1
+
+
+def test_deletion_vector_cdf_union_and_noop(spark, tmp_path):
+    """The change feed across a DV commit is exactly the newly-deleted
+    rows (file lists are identical — the dv-changed re-read path);
+    repeated deletes UNION per-file positions; a delete matching only
+    already-deleted rows commits NOTHING."""
+    from tts_etl_pipeline_spark.sources.versioned import (
+        delete_where_dv,
+        read_version,
+        table_changes,
+        write_version,
+    )
+
+    path = str(tmp_path / "t")
+    write_version(
+        spark.range(1000).selectExpr("id AS k", "id*2 AS v")
+        .repartitionByRange(4, "k"),
+        path,
+        collect_stats=("k",),
+    )
+    delete_where_dv(spark, path, "k", 5, 5)
+    ch = table_changes(spark, path, 1, 2).collect()
+    assert [(r["k"], r["_change_type"]) for r in ch] == [(5, "delete")]
+    # overlapping second delete: 3,4,6,7 are new; 5 is already gone
+    delete_where_dv(spark, path, "k", 3, 7)
+    ch2 = table_changes(spark, path, 2, 3)
+    assert ch2.count() == 4
+    assert read_version(spark, path).count() == 995
+    assert delete_where_dv(spark, path, "k", 5, 5) is None  # all-dead range
+    # condition narrows within the range, SQL WHERE truth
+    delete_where_dv(spark, path, "k", 100, 110, condition="v % 4 = 0")
+    assert read_version(spark, path).filter(
+        "k between 100 and 110"
+    ).count() == 5
+
+
+def test_deletion_vector_compact_rollback_clone(spark, tmp_path):
+    """compact() materializes DV survivors and CLEARS the vectors (CDF
+    across it empty); rollback restores the target version's row
+    visibility (its vectors); clone carries vectors so the clone's rows
+    equal the source snapshot's; table_detail reports the DV debt."""
+    from tts_etl_pipeline_spark.sources.versioned import (
+        clone_table,
+        compact,
+        delete_where_dv,
+        manifest,
+        read_version,
+        rollback,
+        table_changes,
+        table_detail,
+        write_version,
+    )
+
+    path = str(tmp_path / "t")
+    write_version(
+        spark.range(500).selectExpr("id AS k", "id*2 AS v")
+        .repartitionByRange(4, "k"),
+        path,
+        collect_stats=("k",),
+    )
+    delete_where_dv(spark, path, "k", 10, 19)  # v2: 490 rows
+    d = table_detail(path)
+    assert d["dv_files"] == 1 and d["dv_deleted_rows"] == 10
+    dst = str(tmp_path / "c")
+    clone_table(path, dst)
+    assert read_version(spark, dst).count() == 490
+    v3 = compact(spark, path, target_files=2)
+    assert "dvs" not in manifest(path, v3)
+    assert read_version(spark, path).count() == 490
+    assert table_changes(spark, path, 2, v3).count() == 0  # pure rewrite
+    rollback(path, 1)
+    assert read_version(spark, path).count() == 500
+
+
+def test_deletion_vector_varint_roundtrip():
+    """The DV position encoding round-trips arbitrary sorted positions
+    (including >2^32 — row positions are long)."""
+    from tts_etl_pipeline_spark.sources.versioned import _dv_decode, _dv_encode
+
+    for case in ([], [0], [0, 1, 2], [7], [5, 130, 16384, 1 << 40]):
+        assert _dv_decode(_dv_encode(case)) == case
+
+
+def test_bloom_never_false_negative_beyond_float_exact(spark, tmp_path):
+    """No-false-negative must survive Spark's FLOAT-WIDENED equality past
+    2^53 (the r10 ADVICE finding): a DECIMAL/BIGINT value beyond the
+    float-exact range must be found by an exact probe of its real digits,
+    AND a bigint/double probe pair that Spark's widening makes EQUAL
+    (9007199254740993 == 9007199254740992.0 as doubles) must never skip
+    each other's files — build sets both encodings, probe admits either."""
+    from decimal import Decimal
+
+    from tts_etl_pipeline_spark.sources.versioned import (
+        read_version_bloom_pruned,
+        write_version,
+    )
+
+    big = 9007199254740993  # 2^53 + 1: not float-representable
+    rounded = 9007199254740992  # what float folding turns it into
+
+    # DECIMAL(20,0) column holding the exact digits: exact bigint probe
+    # must match (old float-folded canonicalization skipped the file)
+    p1 = str(tmp_path / "dec")
+    write_version(
+        spark.createDataFrame(
+            [(Decimal(big),), (Decimal(1),)], "k decimal(20,0)"
+        ).repartition(2, "k"),
+        p1,
+        collect_blooms=("k",),
+    )
+    got, _, _ = read_version_bloom_pruned(spark, p1, "k", big)
+    assert got.count() == 1
+
+    # DOUBLE column holding 2^53 (the fold target): a BIGINT probe of
+    # 2^53+1 widens to the same double under Spark equality -> must read
+    p2 = str(tmp_path / "dbl")
+    write_version(
+        spark.createDataFrame(
+            [(float(rounded),), (1.0,)], "k double"
+        ).repartition(2, "k"),
+        p2,
+        collect_blooms=("k",),
+    )
+    got, _, _ = read_version_bloom_pruned(spark, p2, "k", big)
+    assert got.count() == 1  # Spark: CAST(big AS double) == 2^53
+
+    # BIGINT column holding 2^53+1: a DOUBLE probe of 2^53 widens the
+    # column to the same double -> must read (build set the folded twin)
+    p3 = str(tmp_path / "big")
+    write_version(
+        spark.createDataFrame([(big,), (1,)], "k long").repartition(2, "k"),
+        p3,
+        collect_blooms=("k",),
+    )
+    got, _, _ = read_version_bloom_pruned(spark, p3, "k", float(rounded))
+    assert got.count() == 1  # Spark: CAST(big AS double) == 2^53.0
+
+
+def test_bloom_encodings_exact_within_float_range():
+    """Everyday keys (abs <= 2^53) carry exactly ONE encoding — the
+    widened-equality twin only exists where floats actually lose digits,
+    so the common case pays no extra bits and no extra probe work."""
+    from decimal import Decimal
+
+    from tts_etl_pipeline_spark.sources.versioned import _bloom_encodings
+
+    assert len(_bloom_encodings(5)) == 1
+    assert len(_bloom_encodings(5.0)) == 1
+    assert len(_bloom_encodings(Decimal("5.00"))) == 1
+    assert _bloom_encodings(5) == _bloom_encodings(5.0)
+    assert len(_bloom_encodings("abc")) == 1
+    assert len(_bloom_encodings(9007199254740993)) == 2
+    assert len(_bloom_encodings(Decimal(9007199254740993))) == 2
+    # the folded twin IS the exact encoding for the float side
+    assert len(_bloom_encodings(9007199254740992.0)) == 1
+
+
+def test_scd2_float_key_never_prunes(spark, tmp_path):
+    """A FLOAT/DOUBLE SCD2 key disables clustered-fold file pruning (the
+    r10 ADVICE NaN finding): parquet stats exclude NaN while Spark joins
+    treat NaN = NaN, so range pruning could misclassify a NaN-keyed
+    current file as untouched and the fold would miss its close. Pinned
+    end-to-end: a NaN-keyed current row must still fold correctly."""
+    from tts_etl_pipeline_spark.sources.scd import scd2_apply
+    from tts_etl_pipeline_spark.sources.versioned import read_version
+
+    path = str(tmp_path / "dim")
+    nan = float("nan")
+    b1 = spark.createDataFrame(
+        [(1.0, "a", 1000), (nan, "n0", 1000)], "k double, attr string, eff long"
+    )
+    scd2_apply(spark, path, b1, "k", ["attr"], "eff", cluster_files=2)
+    # second fold updates the NaN key: Spark's NaN = NaN equality must
+    # close the old current row even though no footer range contains NaN
+    b2 = spark.createDataFrame([(nan, "n1", 2000)], "k double, attr string, eff long")
+    scd2_apply(spark, path, b2, "k", ["attr"], "eff", cluster_files=2)
+    cur = {
+        (("nan" if r["k"] != r["k"] else r["k"]), r["attr"])
+        for r in read_version(spark, path).filter("is_current").collect()
+    }
+    assert cur == {(1.0, "a"), ("nan", "n1")}
 
 
 # ---------------------------------------------------------------------------

@@ -2973,3 +2973,134 @@ def j19_column_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# j20 — DELETION VECTORS (merge-on-read row-level delete; Delta's DV
+# feature, the answer to j16's copy-on-write cost cliff): orders is
+# committed range-clustered (8 files, o_orderkey stats), then (1) a 1-ROW
+# DELETE of the minimum orderkey and (2) a narrow-band DELETE each commit
+# as a POSITION SIDECAR — the file list is identical and EVERY data file
+# is byte-untouched across both mutations, asserted in-query by inode +
+# mtime_ns (the strongest "no rewrite" witness the filesystem offers).
+# The change feed across the 1-row commit is asserted to be EXACTLY one
+# delete row (CDF stays exact under merge-on-read), and the final
+# aggregate reads through the broadcast anti-join apply path. Scale
+# shape: a 1-row DELETE on a 100 TB table costs one position-finding
+# scan of the range-pruned touched files + a KB sidecar + one manifest
+# commit — never a file rewrite; reads pay one broadcast hash anti-join
+# sized O(live deleted rows), and compact() clears the debt. DuckDB
+# reproduces the mutations declaratively (WHERE NOT ...), so value
+# equality proves the read path applies vectors exactly.
+# ---------------------------------------------------------------------------
+@_register(
+    "j20_deletion_vectors",
+    """
+    WITH b AS (
+      SELECT MIN(o_orderkey) AS mn, MAX(o_orderkey) AS mx FROM orders
+    ),
+    args AS (
+      SELECT mn, mn + (((mx - mn) * 3) // 8) AS b_lo,
+             mn + (((mx - mn) * 3) // 8) + ((mx - mn) // 64) AS b_hi
+      FROM b
+    )
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           COUNT(DISTINCT o_custkey) AS n_cust,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM orders, args a
+    WHERE o_orderkey <> a.mn
+      AND NOT (o_orderkey BETWEEN a.b_lo AND a.b_hi)
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def j20_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+    import shutil
+    import tempfile
+
+    from tts_etl_pipeline_spark.functions.exact import money
+    from tts_etl_pipeline_spark.sources.versioned import (
+        delete_where_dv,
+        manifest,
+        read_version,
+        table_changes,
+        write_version,
+    )
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    b = orders.agg(
+        F.min("o_orderkey").alias("mn"), F.max("o_orderkey").alias("mx")
+    ).collect()[0]
+    mn = 0 if b["mn"] is None else b["mn"]
+    mx = 0 if b["mx"] is None else b["mx"]
+    b_lo = mn + (((mx - mn) * 3) // 8)
+    b_hi = b_lo + ((mx - mn) // 64)
+    base = tempfile.mkdtemp(prefix="j20_")
+    path = f"{base}/orders_v"
+    try:
+        write_version(
+            orders.repartitionByRange(8, "o_orderkey"),
+            path,
+            collect_stats=("o_orderkey",),
+        )
+        m1 = manifest(path, 1)
+
+        def _sig() -> dict:
+            out = {}
+            for f in m1["files"]:
+                st = _os.stat(_os.path.join(path, f))
+                out[f] = (st.st_ino, st.st_mtime_ns)
+            return out
+
+        before = _sig()
+        v2 = delete_where_dv(spark, path, "o_orderkey", mn, mn)
+        if v2 is None:
+            raise RuntimeError("the minimum orderkey row must exist")
+        if manifest(path, v2)["files"] != m1["files"]:
+            raise RuntimeError(
+                "DV delete changed the FILE LIST — merge-on-read regressed "
+                "to a rewrite commit"
+            )
+        if manifest(path, v2).get("mode") != "delete-dv":
+            raise RuntimeError("DV commit lost its mode tag")
+        # the 1-row change feed must be exactly one delete
+        cdf = table_changes(spark, path, 1, v2).collect()
+        if len(cdf) != 1 or cdf[0]["_change_type"] != "delete" or (
+            cdf[0]["o_orderkey"] != mn
+        ):
+            raise RuntimeError(
+                f"CDF across the 1-row DV delete is not exactly that row: "
+                f"{cdf[:3]}"
+            )
+        v3 = delete_where_dv(spark, path, "o_orderkey", b_lo, b_hi)
+        after = _sig()
+        if before != after:
+            moved = sorted(
+                f for f in before if before[f] != after.get(f)
+            )
+            raise RuntimeError(
+                f"deletion vectors must leave every data file byte-"
+                f"untouched; rewritten: {moved[:3]}"
+            )
+        head = v3 or v2
+        if not (manifest(path, head).get("dvs") or {}):
+            raise RuntimeError("head manifest carries no deletion vectors")
+        return (
+            read_version(spark, path)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.countDistinct("o_custkey").alias("n_cust"),
+                F.sum((money("o_totalprice") * 100).cast("bigint"))
+                .cast("bigint")
+                .alias("sum_cents"),
+            )
+            .orderBy("o_orderstatus")
+            .localCheckpoint(eager=True)  # materialize before tmp vanishes
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

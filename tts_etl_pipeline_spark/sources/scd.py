@@ -215,7 +215,15 @@ def _untouched_current_files(
     keys; only file NAMES come back to the driver. Returns [] when the
     manifest carries no key ranges (un-clustered table: zero extra cost)
     or when the batch's key type differs from the table's (the fold
-    raises on that later — never prune on a lossy comparison)."""
+    raises on that later — never prune on a lossy comparison), or when
+    the key is FLOAT/DOUBLE: Spark's join semantics treat NaN = NaN and
+    NaN greater than every double, while parquet footer stats EXCLUDE
+    NaN — a NaN batch key would range-join into no file's [min, max] and
+    misclassify a current file holding NaN-keyed rows as untouched, so
+    the fold would silently miss the close/update Spark's own equality
+    performs (r10 ADVICE). Floating-point SCD2 keys therefore never
+    prune — a full fold, never a lost row; real dimensions key on
+    int/string/date types, which keep the fast path."""
     from tts_etl_pipeline_spark.sources.versioned import _schema_from_json
 
     schema_json = m.get("schema")
@@ -226,6 +234,10 @@ def _untouched_current_files(
         return []
     key_type = dim_schema[key].dataType
     if key_type != batch_key_type:
+        return []
+    from pyspark.sql.types import DoubleType, FloatType
+
+    if isinstance(key_type, (FloatType, DoubleType)):
         return []
     stats = m.get("stats", {})
     pic = _phys(m, "is_current")

