@@ -85,6 +85,89 @@ def synthetic(n: int) -> dict:
         shutil.rmtree(d, ignore_errors=True)
 
 
+def sharded(n: int) -> dict:
+    """The round-11 answer to the 10^6 bend: commit the SAME n entries
+    through the sharded manifest-list path (versioned._commit auto-shards
+    past _SHARD_INLINE_MAX) and measure what the design claims —
+    (a) initial sharded commit wall (one-time; content-addressed shards),
+    (b) a 1-entry APPEND via the fast path: load ONE bucket, merge,
+        rewrite one shard + the KB manifest list — flat in n,
+    (c) PRUNED planning load: manifest list + summary skip + only the
+        intersecting shards (_plan_pruned_files) — the driver-side cost
+        of planning a selective read at 10^6 files,
+    (d) manifest-list size/parse wall (what every reader pays up front).
+    Fake file names + stats, no data files: this isolates the manifest
+    component exactly like synthetic() does for the single-JSON format."""
+    from tts_etl_pipeline_spark.sources import versioned as V
+
+    d = tempfile.mkdtemp(prefix="mscale_shard_")
+    path = os.path.join(d, "t")
+    try:
+        files = sorted(f"data/{uuid.uuid4().hex}.parquet" for _ in range(n))
+        stats = {f: {"k": [i * 100, i * 100 + 99]} for i, f in enumerate(files)}
+        t0 = time.perf_counter()
+        V._commit(
+            path, files, "overwrite",
+            schema_json='{"type":"struct","fields":[]}', stats=stats,
+        )
+        t_commit = time.perf_counter() - t0
+
+        # 1-entry append via the write_version fast path's exact steps
+        new_f = f"data/{uuid.uuid4().hex}.parquet"
+        new_stats = {new_f: {"k": [n * 100, n * 100 + 99]}}
+        t0 = time.perf_counter()
+        m = V._read_manifest(path, 1, materialize=False)
+        plen = m["shards"]["prefix_len"]
+        entries = dict(m["shards"]["entries"])
+        b = V._bucket_of(new_f, plen)
+        old = (
+            V._load_shard(path, entries[b]) if b in entries
+            else {"files": [], "stats": {}, "blooms": {}, "dvs": {}}
+        )
+        entries[b] = V._write_shard(
+            path,
+            sorted(old["files"] + [new_f]),
+            {**(old.get("stats") or {}), **new_stats},
+            old.get("blooms") or {},
+            old.get("dvs") or {},
+        )
+        V._commit(
+            path, [], "append",
+            schema_json=m.get("schema"),
+            shards={"prefix_len": plen, "entries": entries},
+        )
+        t_append = time.perf_counter() - t0
+
+        # pruned planning over a ~1% interior band
+        lo, hi = 100 * (n // 2), 100 * (n // 2) + 100 * (n // 100)
+        t0 = time.perf_counter()
+        m2 = V._read_manifest(path, 2, materialize=False)
+        _, kept, skipped, total = V._plan_pruned_files(path, m2, "k", lo, hi)
+        t_plan = time.perf_counter() - t0
+
+        mlist = V._manifest_path(path, 2)
+        size = os.path.getsize(mlist)
+        t0 = time.perf_counter()
+        with open(mlist, encoding="utf-8") as fh:
+            json.load(fh)
+        t_list = time.perf_counter() - t0
+        n_shards = len(entries)
+        return {
+            "n": n,
+            "shards": n_shards,
+            "commit_s": round(t_commit, 3),
+            "append_1_s": round(t_append, 4),
+            "plan_pruned_s": round(t_plan, 4),
+            "kept": len(kept),
+            "skipped": skipped,
+            "total": total,
+            "list_bytes": size,
+            "list_load_s": round(t_list, 4),
+        }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def real(spark, n: int) -> dict:
     from pyspark.sql import functions as F
 
@@ -145,6 +228,10 @@ def main() -> None:
     print("== synthetic manifest-only (dump/load/prune walls, driver-side) ==")
     for n in (1_000, 10_000, 100_000, 1_000_000):
         print(json.dumps(synthetic(n)))
+
+    print("== sharded manifest-list (commit/append/pruned-plan walls) ==")
+    for n in (200_000, 1_000_000):
+        print(json.dumps(sharded(n)))
 
     from tts_etl_pipeline_spark.session import get_spark
 

@@ -697,8 +697,10 @@ def test_recluster_current_restores_pruning_empty_changefeed(spark, tmp_path):
 
 
 def test_scd2_cluster_files_validation_and_string_keys(spark, tmp_path):
-    """cluster_files < 1 raises; a NON-NUMERIC key records no ranges (the
-    manifest-stats soundness scope) so folds stay correct, just unpruned."""
+    """cluster_files < 1 raises; a STRING key now records truncate(16)
+    BOUNDS (round-11 string-stats support), so string-keyed clustered
+    folds get the same range-pruned file reuse as numeric keys — and the
+    fold result stays exact either way."""
     from tts_etl_pipeline_spark.sources.versioned import manifest
 
     with pytest.raises(ValueError, match="cluster_files"):
@@ -710,7 +712,7 @@ def test_scd2_cluster_files_validation_and_string_keys(spark, tmp_path):
     scd2_apply(spark, path, sb([("a", "A", 10), ("b", "A", 10)]),
                "k", ["state"], "eff", cluster_files=2)
     m1 = manifest(path, 1)
-    assert all("k" not in m1["stats"].get(f, {}) for f in m1["files"])
+    assert any("k" in m1["stats"].get(f, {}) for f in m1["files"])
     scd2_apply(spark, path, sb([("a", "B", 20)]),
                "k", ["state"], "eff", cluster_files=2)
     rows = sorted(

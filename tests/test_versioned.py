@@ -1771,6 +1771,250 @@ def test_bloom_never_false_negative(spark, tmp_path_factory, values, files):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def test_alter_preserves_deletion_vectors(spark, tmp_path):
+    """Metadata-only ALTER commits (ADD/DROP CONSTRAINT, RENAME/DROP
+    COLUMN) must carry the deletion-vector map like every other sidecar —
+    dropping it would silently RESURRECT deleted rows in the new head."""
+    from tts_etl_pipeline_spark.sources.versioned import (
+        add_constraint,
+        delete_where_dv,
+        drop_constraint,
+        read_version,
+        rename_column,
+        write_version,
+    )
+
+    path = str(tmp_path / "t")
+    write_version(
+        spark.range(100).selectExpr("id AS k", "id*2 AS v")
+        .repartitionByRange(4, "k"),
+        path,
+        collect_stats=("k",),
+    )
+    delete_where_dv(spark, path, "k", 10, 19)
+    assert read_version(spark, path).count() == 90
+    add_constraint(spark, path, "nonneg", "v >= 0")
+    assert read_version(spark, path).count() == 90
+    drop_constraint(path, "nonneg")
+    assert read_version(spark, path).count() == 90
+    rename_column(path, "v", "val")
+    assert read_version(spark, path).count() == 90
+    assert read_version(spark, path).filter("k = 15").count() == 0
+
+
+def test_conflict_matrix_compact_vs_scd2_fold(spark, tmp_path, monkeypatch):
+    """COMPACT lands between an SCD2 fold's snapshot read and its parts
+    commit: the fold must raise CommitConflictError (its reuse plan
+    references files the compaction retired), never fork or clobber —
+    and a retry on the fresh head applies cleanly (r10 verdict task 7)."""
+    import tts_etl_pipeline_spark.sources.scd as S
+    import tts_etl_pipeline_spark.sources.versioned as V
+
+    path = str(tmp_path / "dim")
+    b1 = spark.createDataFrame(
+        [(1, "a", 1000), (2, "b", 1000)], "k int, attr string, eff long"
+    )
+    S.scd2_apply(spark, path, b1, "k", ["attr"], "eff")
+    b2 = spark.createDataFrame([(1, "a2", 2000)], "k int, attr string, eff long")
+
+    real_parts = V.write_version_parts
+    state = {"raced": False}
+
+    def racing_parts(parts, p, reuse_files, expected_version, **kw):
+        if not state["raced"]:
+            state["raced"] = True
+            V.compact(spark, p, target_files=1, collect_stats=("is_current",))
+        return real_parts(
+            parts, p, reuse_files=reuse_files,
+            expected_version=expected_version, **kw,
+        )
+
+    monkeypatch.setattr(S, "write_version_parts", racing_parts)
+    with pytest.raises((V.CommitConflictError, ValueError)):
+        # either the reuse-subset guard or the CAS refuses — both typed,
+        # neither silently clobbers the compaction
+        S.scd2_apply(spark, path, b2, "k", ["attr"], "eff")
+    monkeypatch.setattr(S, "write_version_parts", real_parts)
+    S.scd2_apply(spark, path, b2, "k", ["attr"], "eff")  # retry lands
+    cur = {
+        (r["k"], r["attr"])
+        for r in V.read_version(spark, path).filter("is_current").collect()
+    }
+    assert cur == {(1, "a2"), (2, "b")}
+
+
+def test_conflict_matrix_delete_vs_merge(spark, tmp_path, monkeypatch):
+    """A row-level DELETE (both copy-on-write and DV form) landing between
+    a MERGE's snapshot read and its overwrite commit must surface as
+    CommitConflictError — the merge was computed against rows the delete
+    removed; silently committing it would resurrect them."""
+    import tts_etl_pipeline_spark.sources.versioned as V
+
+    path = str(tmp_path / "t")
+    V.write_version(
+        spark.createDataFrame(
+            [(1, 10), (2, 20), (3, 30)], "k int, v int"
+        ).repartitionByRange(2, "k"),
+        path,
+        collect_stats=("k",),
+    )
+    src = spark.createDataFrame([(2, 200), (4, 400)], "k int, v int")
+
+    real_write = V.write_version
+    state = {"race": "cow"}
+
+    def racing_write(df, p, mode="append", expected_version=None, **kw):
+        if state["race"] == "cow":
+            state["race"] = None
+            V.delete_where(spark, p, "k", 3, 3)
+        elif state["race"] == "dv":
+            state["race"] = None
+            V.delete_where_dv(spark, p, "k", 1, 1)
+        return real_write(
+            df, p, mode=mode, expected_version=expected_version, **kw
+        )
+
+    monkeypatch.setattr(V, "write_version", racing_write)
+    with pytest.raises(V.CommitConflictError):
+        V.merge_upsert(spark, path, src, key="k")
+    # the delete survived; the merge changed nothing
+    assert sorted(r["k"] for r in V.read_version(spark, path).collect()) == [1, 2]
+    state["race"] = "dv"
+    with pytest.raises(V.CommitConflictError):
+        V.merge_upsert(spark, path, src, key="k")
+    assert sorted(r["k"] for r in V.read_version(spark, path).collect()) == [2]
+    monkeypatch.setattr(V, "write_version", real_write)
+    V.merge_upsert(spark, path, src, key="k")  # retry on the fresh head
+    assert sorted(map(tuple, V.read_version(spark, path).collect())) == [
+        (2, 200), (4, 400),
+    ]
+
+
+def test_conflict_matrix_alter_vs_append(spark, tmp_path, monkeypatch):
+    """An append landing between ADD CONSTRAINT's existing-row validation
+    and its metadata commit must fail the ALTER's CAS: committing would
+    record a constraint over rows it never validated (the appended batch
+    here VIOLATES it — exactly the row an unguarded ALTER would bless)."""
+    import tts_etl_pipeline_spark.sources.versioned as V
+
+    path = str(tmp_path / "t")
+    V.write_version(
+        spark.createDataFrame([(1, 10), (2, 20)], "k int, v int"), path
+    )
+
+    real_read = V.read_version
+    state = {"raced": False}
+
+    def racing_read(sp, p, version=None):
+        out = real_read(sp, p, version)
+        if not state["raced"]:
+            state["raced"] = True
+            real_write = V.write_version
+            real_write(
+                spark.createDataFrame([(9, -99)], "k int, v int"), p, "append"
+            )
+        return out
+
+    monkeypatch.setattr(V, "read_version", racing_read)
+    with pytest.raises(V.CommitConflictError):
+        V.add_constraint(spark, path, "nonneg", "v >= 0")
+    monkeypatch.setattr(V, "read_version", real_read)
+    # nothing recorded; a retry now validates the violating row and refuses
+    assert V.table_constraints(path) == {}
+    with pytest.raises(V.ConstraintViolationError):
+        V.add_constraint(spark, path, "nonneg", "v >= 0")
+
+
+def test_sharded_manifest_end_to_end(spark, tmp_path, monkeypatch):
+    """Beyond _SHARD_INLINE_MAX files the manifest becomes a MANIFEST LIST
+    over content-addressed bucket shards (r10 verdict task 5). Pinned with
+    shrunk thresholds: (a) the commit is sharded and readable; (b) a 1-file
+    append rewrites EXACTLY the one bucket the file hashes into — every
+    other shard entry is the same content-addressed sidecar, byte-for-byte
+    (the flat-append contract); (c) pruned reads skip via shard summaries
+    and stay value-exact; (d) DV deletes and the change feed work through
+    shards; (e) vacuum never sweeps a referenced shard."""
+    import tts_etl_pipeline_spark.sources.versioned as V
+
+    monkeypatch.setattr(V, "_SHARD_INLINE_MAX", 6)
+    monkeypatch.setattr(V, "_SHARD_SIZE", 4)
+    path = str(tmp_path / "t")
+    V.write_version(
+        spark.range(160).selectExpr("id AS k", "id*2 AS v")
+        .repartitionByRange(8, "k"),
+        path,
+        collect_stats=("k",),
+    )
+    m1 = V._read_manifest(path, 1, materialize=False)
+    assert "shards" in m1 and "files" not in m1
+    assert V.read_version(spark, path).count() == 160
+    before = {b: e["path"] for b, e in m1["shards"]["entries"].items()}
+
+    # (b) flat append: exactly one bucket rewritten (coalesce(1): a 1-row
+    # frame must stage ONE file for the one-bucket assertion to be sharp)
+    V.write_version(
+        spark.createDataFrame([(160, 320)], "k long, v long").coalesce(1),
+        path,
+        collect_stats=("k",),
+    )
+    m2 = V._read_manifest(path, 2, materialize=False)
+    after = {b: e["path"] for b, e in m2["shards"]["entries"].items()}
+    changed = [b for b in after if before.get(b) != after.get(b)]
+    assert len(changed) == 1, changed
+    assert all(before[b] == after[b] for b in before if b not in changed)
+    assert V.read_version(spark, path).count() == 161
+
+    # (c) summary-first pruning, value-exact
+    pruned, skipped, total = V.read_version_pruned(spark, path, "k", 0, 19)
+    assert total == 9 and skipped >= 4
+    assert sorted(r["k"] for r in pruned.collect()) == list(range(20))
+
+    # (d) deletion vectors + CDF through shards
+    assert V.delete_where_dv(spark, path, "k", 5, 5) == 3
+    assert V.read_version(spark, path).count() == 160
+    ch = V.table_changes(spark, path, 2, 3).collect()
+    assert [(r["k"], r["_change_type"]) for r in ch] == [(5, "delete")]
+
+    # (e) vacuum with full retention keeps every referenced shard
+    V.vacuum(path, keep_versions=10, grace_seconds=0.0)
+    assert V.read_version(spark, path, 1).count() == 160
+    assert V.read_version(spark, path).count() == 160
+
+
+def test_sharded_manifest_format_compat(spark, tmp_path, monkeypatch):
+    """Old single-JSON (inline) manifests stay readable beside sharded
+    ones in the SAME lineage: v1 commits inline, the lowered threshold
+    shards v2 — both versions read, time travel and the cross-format
+    change feed stay exact."""
+    import tts_etl_pipeline_spark.sources.versioned as V
+
+    path = str(tmp_path / "t")
+    V.write_version(
+        spark.range(40).selectExpr("id AS k", "id*2 AS v")
+        .repartitionByRange(4, "k"),
+        path,
+        collect_stats=("k",),
+    )
+    assert "files" in V._read_manifest(path, 1, materialize=False)
+    monkeypatch.setattr(V, "_SHARD_INLINE_MAX", 3)
+    V.write_version(
+        spark.range(40, 80).selectExpr("id AS k", "id*2 AS v")
+        .repartitionByRange(4, "k"),
+        path,
+        collect_stats=("k",),
+    )
+    m2 = V._read_manifest(path, 2, materialize=False)
+    assert "shards" in m2  # inline parent + append crossed the threshold
+    assert V.read_version(spark, path, 1).count() == 40  # old format reads
+    assert V.read_version(spark, path, 2).count() == 80
+    feed = V.table_changes(spark, path, 1, 2)
+    assert feed.count() == 40  # exactly the appended rows
+    assert set(r["_change_type"] for r in feed.collect()) == {"insert"}
+    # stats carried into the shards: pruning still lands
+    _, skipped, total = V.read_version_pruned(spark, path, "k", 0, 9)
+    assert total == 8 and skipped >= 4
+
+
 def test_truncated_string_bounds_unit():
     """The Iceberg truncate(N) bound scheme: prefix lower bound,
     incremented upper bound, carry-left at U+10FFFF, surrogate-range

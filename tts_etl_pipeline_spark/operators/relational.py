@@ -3104,3 +3104,94 @@ def j20_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# j21 — STRING-KEY manifest range pruning (r10 verdict task 4, closing j9's
+# documented gap: string columns previously recorded NO manifest stats, so
+# a string-range predicate skipped zero files): part is committed
+# range-clustered on p_name (8 files), whose truncate(16) BOUNDS — prefix
+# lower, last-code-point-incremented upper (the Iceberg truncateStringMax
+# scheme; sound against writer truncation because truncation only WIDENS
+# the range) — land in the manifest at commit time. A lexical range read
+# (p_name BETWEEN 'b' AND 'e') must then skip AT LEAST HALF the files,
+# asserted in-query with a well-posedness gate, and the kept files' rows
+# still pass through the row-level filter, so DuckDB's plain WHERE
+# reproduces the result exactly — value equality proves pruning never
+# dropped a live row. Scale shape: planning is one KB-scale manifest read
+# (zero footer IO in the file count); at 10^5 string-keyed files this is
+# the difference between a driver-side dictionary lookup and a
+# distributed footer sweep before the first byte of data moves.
+# ---------------------------------------------------------------------------
+@_register(
+    "j21_string_pruned_scan",
+    """
+    SELECT p_brand,
+           COUNT(*) AS n_parts,
+           CAST(SUM(p_size) AS BIGINT) AS sum_size,
+           CAST(SUM(CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM part
+    WHERE p_name BETWEEN 'b' AND 'e'
+    GROUP BY p_brand ORDER BY p_brand
+    """,
+)
+def j21_string_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from tts_etl_pipeline_spark.functions.exact import money
+    from tts_etl_pipeline_spark.sources.versioned import (
+        manifest,
+        read_version_pruned,
+        write_version,
+    )
+
+    part = table(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_brand", "p_size", "p_retailprice"
+    )
+    base = tempfile.mkdtemp(prefix="j21_")
+    path = f"{base}/part_v"
+    try:
+        write_version(
+            part.repartitionByRange(8, "p_name"),
+            path,
+            collect_stats=("p_name",),
+        )
+        m = manifest(path, 1)
+        with_bounds = [
+            f
+            for f in m["files"]
+            if m.get("stats", {}).get(f, {}).get("p_name") is not None
+        ]
+        if len(with_bounds) < len(m["files"]):
+            raise RuntimeError(
+                "string bounds missing from the manifest for "
+                f"{len(m['files']) - len(with_bounds)} files — the "
+                "truncate(16) stats path regressed"
+            )
+        pruned, skipped, total = read_version_pruned(
+            spark, path, "p_name", "b", "e"
+        )
+        # well-posed when the clustered layout separates initial letters
+        # (true for this fixture's word-prefixed names at every sf)
+        if total >= 8 and skipped < total // 2:
+            raise RuntimeError(
+                f"string-range pruning skipped only {skipped}/{total} "
+                "files on a range-clustered string key — bounds pruning "
+                "regressed"
+            )
+        return (
+            pruned.groupBy("p_brand")
+            .agg(
+                F.count(F.lit(1)).alias("n_parts"),
+                F.sum("p_size").cast("bigint").alias("sum_size"),
+                F.sum((money("p_retailprice") * 100).cast("bigint"))
+                .cast("bigint")
+                .alias("sum_cents"),
+            )
+            .orderBy("p_brand")
+            .localCheckpoint(eager=True)  # materialize before tmp vanishes
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

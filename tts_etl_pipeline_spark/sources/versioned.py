@@ -119,8 +119,165 @@ def current_version(path: str) -> int:
         return json.load(fh)["version"]
 
 
-def _read_manifest(path: str, version: int) -> dict:
+# --------------------------------------------------------------------------
+# Sharded manifests (r10 verdict task 5): ONE json listing every file is
+# the right format to ~10^5 entries (measured: 10^5 parses in ~0.3 s);
+# at 10^6 it bends (3.4 s parse / 6.7 s dump / 127 MB — the one recorded
+# cliff in the 100 TB posture when files are small). Beyond
+# _SHARD_INLINE_MAX files a commit therefore writes a MANIFEST LIST:
+# the v*.json keeps every scalar field (schema, constraints, colmap,
+# mode, parent) plus a "shards" map, and the per-file payload (names,
+# stats, blooms, dvs) moves into per-shard sidecar files.
+#
+# Shard key: the first `prefix_len` hex chars of the data file's uuid
+# basename — a fixed RANGE partition of the (uniform) filename space, so
+# membership is STABLE under inserts and deletes: a commit that touches
+# k files rewrites at most k shards, never the neighbors. Shard files
+# are CONTENT-ADDRESSED (sha256 of canonical payload), so an untouched
+# bucket re-references the same sidecar byte-for-byte across versions —
+# zero rewrite — and vacuum sweeps unreferenced "shard-*" files exactly
+# like bloom/dv sidecars. Each shard entry carries per-column [lo, hi]
+# SUMMARIES (the Iceberg manifest-list partition summaries), so pruned
+# planning loads the manifest list + only the shards whose summary
+# intersects the predicate: sub-second at 10^6 files (measured in
+# scripts/manifest_scale.py).
+# --------------------------------------------------------------------------
+_SHARD_INLINE_MAX = 100_000
+_SHARD_SIZE = 20_000  # target entries/shard when choosing prefix_len
+
+
+def _bucket_prefix_len(total: int) -> int:
+    """Smallest k with 16^k buckets keeping expected entries/shard under
+    _SHARD_SIZE (k >= 1)."""
+    k = 1
+    while total > _SHARD_SIZE * (16 ** k) and k < 8:
+        k += 1
+    return k
+
+
+def _bucket_of(rel_file: str, prefix_len: int) -> str:
+    return os.path.basename(rel_file)[:prefix_len]
+
+
+def _shard_summary(files: list[str], stats: dict) -> dict:
+    """{col: [lo, hi]} over the shard's files, for every column where ALL
+    files carry stats — a file without stats makes the column unbounded
+    for the whole shard (omit: the shard can then never be skipped on
+    that column, the sound side)."""
+    if not files:
+        return {}
+    per_col: dict = {}
+    for i, f in enumerate(files):
+        rec = stats.get(f)
+        if not rec:
+            return {}  # one statless file unbounds every column
+        if i == 0:
+            per_col = {c: [v[0], v[1]] for c, v in rec.items()}
+            continue
+        for c in list(per_col):
+            v = rec.get(c)
+            if v is None:
+                del per_col[c]
+                continue
+            if v[0] < per_col[c][0]:
+                per_col[c][0] = v[0]
+            if v[1] > per_col[c][1]:
+                per_col[c][1] = v[1]
+    return per_col
+
+
+def _write_shard(
+    path: str, files: list[str], stats: dict, blooms: dict, dvs: dict
+) -> dict:
+    """Write one shard sidecar (content-addressed; an existing identical
+    shard is reused without a write) and return its manifest entry."""
+    import hashlib
+
+    payload = {
+        "files": files,
+        "stats": {f: stats[f] for f in files if f in stats},
+        "blooms": {f: blooms[f] for f in files if f in blooms},
+        "dvs": {f: dvs[f] for f in files if f in dvs},
+    }
+    blob = json.dumps(payload, sort_keys=True).encode("utf-8")
+    digest = hashlib.sha256(blob).hexdigest()[:24]
+    rel = os.path.join("_versions", f"shard-{digest}.json")
+    full = os.path.join(path, rel)
+    if not os.path.exists(full):
+        os.makedirs(_vdir(path), exist_ok=True)
+        tmp = full + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "wb") as fh:
+            fh.write(blob)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, full)  # benign race: identical content either way
+    else:
+        # keep a referenced shard inside every vacuum grace window (same
+        # freshness contract rollback uses for re-referenced data files)
+        os.utime(full)
+    entry = {"path": rel, "n": len(files)}
+    summary = _shard_summary(files, stats)
+    if summary:
+        entry["summary"] = summary
+    return entry
+
+
+def _shard_commit_payload(
+    files: list[str], stats: dict, blooms: dict, dvs: dict, path: str
+) -> dict:
+    """Group a fully-materialized file set into bucket shards and write
+    them; returns the manifest's 'shards' map. Content addressing makes
+    this O(changed shards) in DISK IO for any writer (an unchanged
+    bucket hashes to the existing sidecar), O(total entries) in driver
+    CPU — the append fast path in write_version avoids even that by
+    carrying the parent's untouched shard entries verbatim."""
+    prefix_len = _bucket_prefix_len(len(files))
+    buckets: dict = {}
+    for f in sorted(files):
+        buckets.setdefault(_bucket_of(f, prefix_len), []).append(f)
+    return {
+        "prefix_len": prefix_len,
+        "entries": {
+            b: _write_shard(path, fs, stats or {}, blooms or {}, dvs or {})
+            for b, fs in sorted(buckets.items())
+        },
+    }
+
+
+def _read_manifest(path: str, version: int, materialize: bool = True) -> dict:
+    """Load one committed manifest. Sharded manifests (a 'shards' map
+    instead of inline per-file payload) are MATERIALIZED by default —
+    files/stats/blooms/dvs merged from every shard — so every reader
+    keeps its inline-format view; pass materialize=False for planning
+    paths that use shard summaries to avoid loading the world
+    (read_version_pruned) or writers that carry untouched shards
+    verbatim (the write_version append fast path)."""
     with open(_manifest_path(path, version), encoding="utf-8") as fh:
+        m = json.load(fh)
+    if not materialize or "shards" not in m:
+        return m
+    files: list[str] = []
+    stats: dict = {}
+    blooms: dict = {}
+    dvs: dict = {}
+    for b, entry in sorted(m["shards"]["entries"].items()):
+        payload = _load_shard(path, entry)
+        files.extend(payload["files"])
+        stats.update(payload.get("stats") or {})
+        blooms.update(payload.get("blooms") or {})
+        dvs.update(payload.get("dvs") or {})
+    m["files"] = files
+    if stats:
+        m["stats"] = stats
+    if blooms:
+        m["blooms"] = blooms
+    if dvs:
+        m["dvs"] = dvs
+    return m
+
+
+def _load_shard(path: str, entry: dict) -> dict:
+    with open(os.path.join(path, entry["path"]), encoding="utf-8") as fh:
         return json.load(fh)
 
 
@@ -152,6 +309,7 @@ def _commit(
     colmap: dict | None = None,
     dropped_physicals: list | None = None,
     dvs: dict | None = None,
+    shards: dict | None = None,
 ) -> int:
     """Commit `files` as version expected_parent+1 via the manifest-name
     CAS. `expected_parent=None` reads the head at commit time (sequential
@@ -172,7 +330,8 @@ def _commit(
     if parent >= 1 and (
         constraints is None or colmap is None or dropped_physicals is None
     ):
-        pm = _read_manifest(path, parent)
+        # raw read: the inherited fields are manifest-list scalars
+        pm = _read_manifest(path, parent, materialize=False)
         if constraints is None:
             constraints = pm.get("constraints")
         # column-mapping metadata inherits like constraints: None means
@@ -187,9 +346,16 @@ def _commit(
     tmp = target + f".tmp-{uuid.uuid4().hex[:8]}"
     import time
 
+    # beyond the inline envelope the per-file payload moves into bucket
+    # shards (see the sharded-manifest block above); a prebuilt `shards`
+    # plan (the append fast path) wins over the auto decision
+    if shards is None and len(files) > _SHARD_INLINE_MAX:
+        shards = _shard_commit_payload(
+            files, stats or {}, blooms or {}, dvs or {}, path
+        )
+        files, stats, blooms, dvs = [], None, None, None
     manifest = {
         "version": version,
-        "files": sorted(files),
         "parent": parent,
         "mode": mode,
         # Delta/Iceberg record a commit timestamp per snapshot; it powers
@@ -199,6 +365,18 @@ def _commit(
         # manifests rather than binary-searching.
         "committed_at": time.time(),
     }
+    if shards is not None:
+        manifest["shards"] = shards
+        manifest["n_files"] = sum(
+            e["n"] for e in shards["entries"].values()
+        ) + len(files)
+        if files:  # a fast-path plan may not cover freshly staged files
+            raise ValueError(
+                "a shards plan must cover every file; stage new files "
+                "into their buckets before committing"
+            )
+    else:
+        manifest["files"] = sorted(files)
     if schema_json is not None:
         manifest["schema"] = schema_json
     if stats:
@@ -806,6 +984,7 @@ def rename_column(path: str, old: str, new: str) -> int:
         schema_json=new_schema.json(),
         stats=m.get("stats"),
         blooms=m.get("blooms"),
+        dvs=m.get("dvs"),  # metadata ALTERs must not resurrect DV'd rows
         constraints=m.get("constraints") or {},
         colmap=cm,
         dropped_physicals=list(m.get("dropped_physicals") or []),
@@ -859,6 +1038,7 @@ def drop_column(path: str, name: str) -> int:
         schema_json=new_schema.json(),
         stats=stats or None,
         blooms=m.get("blooms"),
+        dvs=m.get("dvs"),  # metadata ALTERs must not resurrect DV'd rows
         constraints=m.get("constraints") or {},
         colmap=cm,
         dropped_physicals=dropped,
@@ -914,6 +1094,7 @@ def add_constraint(
         schema_json=m.get("schema"),
         stats=m.get("stats"),
         blooms=m.get("blooms"),  # metadata ALTERs carry every sidecar map
+        dvs=m.get("dvs"),  # ...deletion vectors included
         constraints=cons,
     )
 
@@ -938,6 +1119,7 @@ def drop_constraint(path: str, name: str) -> int:
         schema_json=m.get("schema"),
         stats=m.get("stats"),
         blooms=m.get("blooms"),  # metadata ALTERs carry every sidecar map
+        dvs=m.get("dvs"),  # ...deletion vectors included
         constraints=cons or {},
     )
 
@@ -980,7 +1162,16 @@ def write_version(
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     base_version = current_version(path) if expected_version is None else expected_version
-    base_m = _read_manifest(path, base_version) if base_version > 0 else {}
+    # raw read: every field this function needs except the append base's
+    # per-file payload is a manifest-list scalar, and the SHARDED append
+    # path below carries untouched shards verbatim — materializing a
+    # 10^6-entry parent here would be exactly the O(table) planning cost
+    # sharding exists to retire
+    base_m = (
+        _read_manifest(path, base_version, materialize=False)
+        if base_version > 0
+        else {}
+    )
     commit_schema = df.schema
     if mode == "append" and base_version > 0:
         base_schema_json = base_m.get("schema")
@@ -1015,7 +1206,8 @@ def write_version(
     stats: dict = {}
     blooms: dict = {}
     dvs: dict = {}
-    if mode == "append" and base_version > 0:
+    parent_shards = base_m.get("shards") if mode == "append" else None
+    if mode == "append" and base_version > 0 and parent_shards is None:
         base = base_m["files"]
         # parent stats/blooms/deletion-vectors stay valid: data files are
         # immutable, and an append adds files without resurrecting rows
@@ -1045,6 +1237,37 @@ def write_version(
         if built:
             sidecar = _write_bloom_sidecar(path, built)
             blooms.update({f: sidecar for f in built})
+    shard_plan = None
+    if parent_shards is not None:
+        # SHARDED append fast path: untouched buckets carry by reference
+        # (same content-addressed sidecar — zero read, zero write); only
+        # the buckets the new files hash into are loaded, merged and
+        # rewritten. A k-file append therefore costs O(k shards), flat in
+        # the table's file count — measured in scripts/manifest_scale.py.
+        plen = parent_shards["prefix_len"]
+        entries = dict(parent_shards["entries"])
+        hit: dict = {}
+        for f in new_files:
+            hit.setdefault(_bucket_of(f, plen), []).append(f)
+        for b, fs in sorted(hit.items()):
+            old = (
+                _load_shard(path, entries[b]) if b in entries
+                else {"files": [], "stats": {}, "blooms": {}, "dvs": {}}
+            )
+            merged_files = sorted(old["files"] + fs)
+            m_stats = dict(old.get("stats") or {})
+            m_blooms = dict(old.get("blooms") or {})
+            m_dvs = dict(old.get("dvs") or {})
+            for f in fs:
+                if f in stats:
+                    m_stats[f] = stats[f]
+                if f in blooms:
+                    m_blooms[f] = blooms[f]
+            entries[b] = _write_shard(
+                path, merged_files, m_stats, m_blooms, m_dvs
+            )
+        shard_plan = {"prefix_len": plen, "entries": entries}
+        base, new_files, stats, blooms, dvs = [], [], {}, {}, {}
     return _commit(
         path,
         base + new_files,
@@ -1058,6 +1281,7 @@ def write_version(
         colmap=cm or {},
         dropped_physicals=dropped,
         dvs=dvs or None,
+        shards=shard_plan,
     )
 
 
@@ -1434,6 +1658,57 @@ def _align_to_schema(df: DataFrame, manifest: dict) -> DataFrame:
     )
 
 
+def _plan_pruned_files(
+    path: str, m: dict, col: str, lo, hi
+) -> tuple[dict, list[str], int, int]:
+    """Classify one snapshot's files against `col BETWEEN lo AND hi` from
+    recorded stats alone: returns (read_manifest, kept, skipped, total).
+    Inline manifests walk the stats map (O(files) dict lookups). SHARDED
+    manifests go summary-first: a shard whose per-column summary is
+    provably disjoint is skipped WITHOUT LOADING IT — planning cost is
+    the manifest list + only the intersecting shards, sub-second at 10^6
+    files (scripts/manifest_scale.py) — then per-file stats inside the
+    loaded shards refine as usual. The returned read_manifest carries the
+    scalar fields plus exactly the loaded shards' dvs, so _read_files
+    anti-applies deletion vectors for every kept file."""
+    pcol = _phys(m, col)
+    if "shards" not in m:
+        files = m["files"]
+        stats = m.get("stats", {})
+        kept = [
+            f
+            for f in files
+            if not (
+                (r := stats.get(f, {}).get(pcol)) is not None
+                and (r[1] < lo or r[0] > hi)
+            )
+        ]
+        return m, kept, len(files) - len(kept), len(files)
+    total = skipped = 0
+    kept = []
+    dvs: dict = {}
+    for b, entry in sorted(m["shards"]["entries"].items()):
+        total += entry["n"]
+        s = (entry.get("summary") or {}).get(pcol)
+        if s is not None and (s[1] < lo or s[0] > hi):
+            skipped += entry["n"]
+            continue  # the whole bucket is provably disjoint: never loaded
+        payload = _load_shard(path, entry)
+        st = payload.get("stats") or {}
+        for f in payload["files"]:
+            r = st.get(f, {}).get(pcol)
+            if r is not None and (r[1] < lo or r[0] > hi):
+                skipped += 1
+                continue
+            kept.append(f)
+        dvs.update(payload.get("dvs") or {})
+    read_m = {k: v for k, v in m.items() if k != "shards"}
+    read_m["files"] = kept
+    if dvs:
+        read_m["dvs"] = dvs
+    return read_m, kept, skipped, total
+
+
 def read_version_pruned(
     spark: SparkSession,
     path: str,
@@ -1459,20 +1734,16 @@ def read_version_pruned(
 
     v = current_version(path) if version is None else version
     _check_version(path, v)
-    m = _read_manifest(path, v)
-    files = m["files"]
-    if not files:
+    # RAW read: sharded manifests plan summary-first in _plan_pruned_files
+    # (loading every shard here would be the O(files) cost to avoid)
+    m = _read_manifest(path, v, materialize=False)
+    if ("shards" not in m and not m["files"]) or (
+        "shards" in m and m.get("n_files", 0) == 0
+    ):
         raise ValueError(f"version {v} is empty")
-    stats = m.get("stats", {})
-    pcol = _phys(m, col)  # stats are keyed by stable PHYSICAL names
-    kept: list[str] = []
-    for f in files:
-        r = stats.get(f, {}).get(pcol)
-        if r is not None and (r[1] < lo or r[0] > hi):
-            continue  # provably disjoint from [lo, hi]
-        kept.append(f)
+    read_m, kept, skipped, total = _plan_pruned_files(path, m, col, lo, hi)
     if kept:
-        df = _read_files(spark, path, m, kept)
+        df = _read_files(spark, path, read_m, kept)
     elif m.get("schema") is not None:
         # everything pruned: the manifest already records the schema, so
         # the zero-row frame costs ZERO file IO — reading all footers via
@@ -1483,8 +1754,8 @@ def read_version_pruned(
         df = read_version(spark, path, v).limit(0)
     return (
         df.filter(F.col(col).between(F.lit(lo), F.lit(hi))),
-        len(files) - len(kept),
-        len(files),
+        skipped,
+        total,
     )
 
 
@@ -1848,7 +2119,10 @@ def vacuum(
                 intact = all(
                     os.path.exists(os.path.join(path, f)) for f in m["files"]
                 )
-            except (ValueError, KeyError, TypeError, json.JSONDecodeError):
+            except (
+                ValueError, KeyError, TypeError, json.JSONDecodeError,
+                OSError,  # a sharded manifest whose shard sidecar is gone
+            ):
                 # TypeError: valid JSON of the wrong shape (non-dict, or a
                 # non-list "files") is damage too — age-gate it below
                 intact = False
@@ -1895,16 +2169,40 @@ def vacuum(
     for fn in sorted(os.listdir(_vdir(path))):
         if fn.startswith("v") and fn.endswith(".json") and fn[1:9].isdigit():
             try:
-                mm = _read_manifest(path, int(fn[1:9]))
+                mm = _read_manifest(path, int(fn[1:9]), materialize=False)
                 referenced_sidecars.update((mm.get("blooms") or {}).values())
                 referenced_sidecars.update((mm.get("dvs") or {}).values())
+                # sharded manifests: the shard files themselves are
+                # referenced metadata, exactly like bloom/dv sidecars
+                referenced_sidecars.update(
+                    e["path"]
+                    for e in (mm.get("shards") or {}).get("entries", {}).values()
+                )
             except (
                 ValueError, KeyError, TypeError, json.JSONDecodeError,
-                FileNotFoundError,  # a concurrent vacuum swept it; fine
+                OSError,  # swept by a concurrent vacuum; fine
             ):
                 continue  # damaged/raced manifest: handled by its own sweep
+    # bloom/dv references INSIDE shard payloads: each unique shard is
+    # content-addressed and shared across versions, so one pass over the
+    # referenced shard set (never per-manifest) collects them all
+    for sc in sorted(
+        s for s in referenced_sidecars
+        if os.path.basename(s).startswith("shard-")
+    ):
+        try:
+            with open(os.path.join(path, sc), encoding="utf-8") as fh:
+                payload = json.load(fh)
+            referenced_sidecars.update((payload.get("blooms") or {}).values())
+            referenced_sidecars.update((payload.get("dvs") or {}).values())
+        except (OSError, json.JSONDecodeError, AttributeError, TypeError):
+            continue  # damaged shard: its manifest is damaged too
     for fn in sorted(os.listdir(_vdir(path))):
-        if (fn.startswith("blooms-") or fn.startswith("dv-")) and fn.endswith(".json"):
+        if (
+            fn.startswith("blooms-")
+            or fn.startswith("dv-")
+            or fn.startswith("shard-")
+        ) and fn.endswith(".json"):
             rel = os.path.join("_versions", fn)
             full = os.path.join(path, rel)
             try:
