@@ -2218,6 +2218,148 @@ def test_deletion_vector_compact_rollback_clone(spark, tmp_path):
     assert read_version(spark, path).count() == 500
 
 
+def test_update_where_dv_merge_on_read(spark, tmp_path):
+    """update_where_dv: matched rows DV'd in place (their files byte-
+    untouched), updated copies appended as fresh files; CDF across the
+    commit is exactly delete+insert pairs; assignments see PRE-update
+    values (swap well-defined); no-match -> None; unknown column refuses;
+    CHECK constraints gate the staged copies."""
+    import os
+
+    import pytest as _pytest
+
+    from tts_etl_pipeline_spark.sources.versioned import (
+        ConstraintViolationError,
+        add_constraint,
+        manifest,
+        read_version,
+        table_changes,
+        update_where_dv,
+        write_version,
+    )
+
+    path = str(tmp_path / "t")
+    write_version(
+        spark.range(100).selectExpr("id AS k", "id AS a", "id*2 AS b")
+        .repartitionByRange(4, "k"),
+        path,
+        collect_stats=("k",),
+    )
+    m1 = manifest(path, 1)
+    sig = {
+        f: (os.stat(os.path.join(path, f)).st_ino,
+            os.stat(os.path.join(path, f)).st_mtime_ns)
+        for f in m1["files"]
+    }
+    # swap a and b for k in [10, 12] — pre-update evaluation
+    v2 = update_where_dv(spark, path, "k", 10, 12, {"a": "b", "b": "a"})
+    assert v2 == 2
+    m2 = manifest(path, 2)
+    assert set(m1["files"]) < set(m2["files"])  # originals + appended
+    assert all(
+        sig[f] == (os.stat(os.path.join(path, f)).st_ino,
+                   os.stat(os.path.join(path, f)).st_mtime_ns)
+        for f in m1["files"]
+    )
+    got = sorted(
+        map(tuple, read_version(spark, path).filter("k between 10 and 12").collect())
+    )
+    assert got == [(10, 20, 10), (11, 22, 11), (12, 24, 12)]
+    assert read_version(spark, path).count() == 100
+    ch = table_changes(spark, path, 1, 2)
+    assert ch.filter("_change_type = 'delete'").count() == 3
+    assert ch.filter("_change_type = 'insert'").count() == 3
+    # no live match -> no commit
+    assert update_where_dv(spark, path, "k", 5000, 6000, {"a": "0"}) is None
+    with _pytest.raises(ValueError, match="unknown"):
+        update_where_dv(spark, path, "k", 1, 2, {"zz": "1"})
+    add_constraint(spark, path, "a_nonneg", "a >= 0")
+    with _pytest.raises(ConstraintViolationError):
+        update_where_dv(spark, path, "k", 1, 2, {"a": "-1"})
+    assert read_version(spark, path).count() == 100  # refused: unchanged
+
+
+def test_purge_dvs_rewrites_only_vectored_files(spark, tmp_path):
+    """purge_dvs materializes the DV debt by rewriting ONLY the files
+    carrying a vector — clean files ride by reference, byte-untouched —
+    and the change feed across the purge is EMPTY (bit-identical rows);
+    re-collected stats keep the table pruning."""
+    import os
+
+    from tts_etl_pipeline_spark.sources.versioned import (
+        delete_where_dv,
+        manifest,
+        purge_dvs,
+        read_version,
+        read_version_pruned,
+        table_changes,
+        write_version,
+    )
+
+    path = str(tmp_path / "t")
+    write_version(
+        spark.range(400).selectExpr("id AS k", "id*2 AS v")
+        .repartitionByRange(4, "k"),
+        path,
+        collect_stats=("k",),
+    )
+    delete_where_dv(spark, path, "k", 10, 19)  # one file gets a vector
+    m2 = manifest(path, 2)
+    clean = [f for f in m2["files"] if f not in m2.get("dvs", {})]
+    assert clean  # range clustering keeps the delete localized
+    sig = {
+        f: (os.stat(os.path.join(path, f)).st_ino,
+            os.stat(os.path.join(path, f)).st_mtime_ns)
+        for f in clean
+    }
+    v3 = purge_dvs(spark, path)
+    assert v3 == 3
+    m3 = manifest(path, v3)
+    assert "dvs" not in m3
+    assert set(clean) < set(m3["files"])  # clean files carried verbatim
+    assert all(
+        sig[f] == (os.stat(os.path.join(path, f)).st_ino,
+                   os.stat(os.path.join(path, f)).st_mtime_ns)
+        for f in clean
+    )
+    assert read_version(spark, path).count() == 390
+    assert table_changes(spark, path, 2, 3).count() == 0  # pure rewrite
+    _, skipped, total = read_version_pruned(spark, path, "k", 350, 360)
+    assert skipped >= 2  # re-collected stats keep pruning alive
+    assert purge_dvs(spark, path) is None  # nothing left to purge
+
+
+def test_bloom_pruned_read_composes_with_range_stats(spark, tmp_path):
+    """Equality reads compose BOTH structures (r11): the probe is the
+    range [v, v], so recorded range stats pre-skip range-disjoint files
+    and blooms refine the remainder — on a range-clustered table with
+    both recorded, an equality probe must skip MORE than blooms alone
+    could on a hash layout, and stay value-exact. A cross-type probe
+    degrades to bloom-only, never an error."""
+    from tts_etl_pipeline_spark.sources.versioned import (
+        read_version_bloom_pruned,
+        write_version,
+    )
+
+    path = str(tmp_path / "t")
+    write_version(
+        spark.range(800).selectExpr("id AS k", "id*2 AS v")
+        .repartitionByRange(8, "k"),
+        path,
+        collect_stats=("k",),
+        collect_blooms=("k",),
+    )
+    got, skipped, total = read_version_bloom_pruned(spark, path, "k", 123)
+    assert total == 8 and skipped == 7  # ranges alone prove 7/8 disjoint
+    assert [r["v"] for r in got.collect()] == [246]
+    # cross-kind probe REFUSES: Spark's ANSI coercion makes
+    # bigint k = '123' MATCH k = 123, while the bloom encodes exact
+    # in-family values — silently skipping would be a false negative,
+    # so the typed refusal is the only sound answer
+    with pytest.raises(TypeError, match="type\\s+family"):
+        read_version_bloom_pruned(spark, path, "k", "123")
+
+
 def test_deletion_vector_varint_roundtrip():
     """The DV position encoding round-trips arbitrary sorted positions
     (including >2^32 — row positions are long)."""

@@ -1687,6 +1687,7 @@ def _plan_pruned_files(
     total = skipped = 0
     kept = []
     dvs: dict = {}
+    blooms: dict = {}
     for b, entry in sorted(m["shards"]["entries"].items()):
         total += entry["n"]
         s = (entry.get("summary") or {}).get(pcol)
@@ -1702,10 +1703,15 @@ def _plan_pruned_files(
                 continue
             kept.append(f)
         dvs.update(payload.get("dvs") or {})
+        blooms.update(payload.get("blooms") or {})
     read_m = {k: v for k, v in m.items() if k != "shards"}
     read_m["files"] = kept
     if dvs:
         read_m["dvs"] = dvs
+    if blooms:
+        # loaded shards' bloom refs ride along so an equality caller
+        # (read_version_bloom_pruned) can refine the range-kept set
+        read_m["blooms"] = blooms
     return read_m, kept, skipped, total
 
 
@@ -1783,19 +1789,71 @@ def read_version_bloom_pruned(
     Files without a bloom for `col` are always read. A None `value` reads
     nothing into the filter's `col = NULL` (never TRUE) — callers probe
     real keys. Planning cost: the manifest map + only the referenced
-    sidecars (lazy, cached per sidecar within the call)."""
+    sidecars (lazy, cached per sidecar within the call).
+
+    Probe TYPE contract (r11): `value` must be in the column's own type
+    family (string column -> str probe, numeric column -> number). A
+    cross-kind probe REFUSES with TypeError instead of planning: Spark's
+    ANSI coercion CASTS one side (bigint k = '123' matches k = 123)
+    while the bloom encodes exact in-family values, so silently skipping
+    files that coerced equality would match would be a false negative —
+    and a caller holding a string can express the numeric probe exactly
+    by converting it. Refusal keeps blooms compact (no both-ways
+    encoding of every numeric-looking string on ID columns)."""
     from pyspark.sql import functions as F
 
     v = current_version(path) if version is None else version
     _check_version(path, v)
-    m = _read_manifest(path, v)
-    files = m["files"]
-    if not files:
+    # raw read + summary-first planning: an equality probe IS the range
+    # [value, value], so recorded RANGE stats pre-prune for free (r11 —
+    # the two structures compose: ranges skip whole shards/files, blooms
+    # refine what ranges keep)
+    m = _read_manifest(path, v, materialize=False)
+    if value is not None and m.get("schema") is not None:
+        import numbers
+
+        field = {f.name: f.dataType for f in
+                 _schema_from_json(m["schema"]).fields}.get(col)
+        tname = field.typeName() if field is not None else None
+        is_str_col = tname in ("string", "varchar", "char")
+        is_num_col = tname in (
+            "byte", "short", "integer", "long", "float", "double", "decimal"
+        )
+        if (is_str_col and not isinstance(value, str)) or (
+            is_num_col
+            and not (
+                isinstance(value, numbers.Number)
+                or type(value).__name__ == "Decimal"
+            )
+        ):
+            raise TypeError(
+                f"bloom probe {value!r} is outside column {col!r}'s type "
+                f"family ({tname}); Spark's coerced equality and the "
+                "bloom's exact encoding disagree across kinds — pass the "
+                "probe in the column's own type"
+            )
+    if ("shards" not in m and not m["files"]) or (
+        "shards" in m and m.get("n_files", 0) == 0
+    ):
         raise ValueError(f"version {v} is empty")
-    bmap = m.get("blooms", {})
+    candidates: list[str] | None = None
+    total = None
+    read_m = None
+    if value is not None:
+        try:
+            read_m, candidates, _, total = _plan_pruned_files(
+                path, m, col, value, value
+            )
+        except TypeError:
+            candidates = None  # incomparable probe/stat types: no pre-prune
+    if candidates is None:
+        read_m = _read_manifest(path, v)  # materialized fallback
+        candidates = read_m["files"]
+        total = len(candidates)
+    bmap = read_m.get("blooms", {})
     sidecars: dict = {}
     kept: list[str] = []
-    for f in files:
+    for f in candidates:
         sc = bmap.get(f)
         bloom = None
         if sc is not None and value is not None:
@@ -1810,15 +1868,15 @@ def read_version_bloom_pruned(
             continue  # provably lacks `value`
         kept.append(f)
     if kept:
-        df = _read_files(spark, path, m, kept)
+        df = _read_files(spark, path, read_m, kept)
     elif m.get("schema") is not None:
         df = spark.createDataFrame([], _schema_from_json(m["schema"]))
     else:  # legacy manifest: files are the only schema source
         df = read_version(spark, path, v).limit(0)
     return (
         df.filter(F.col(col) == F.lit(value)),
-        len(files) - len(kept),
-        len(files),
+        total - len(kept),
+        total,
     )
 
 
@@ -2470,9 +2528,8 @@ def delete_where_dv(
     commit). Conflict safety: the snapshot-version CAS, like every
     writer here. Positions are encoded EXECUTOR-side (one compact row
     per touched file comes back), so the driver never holds the matched
-    rows themselves."""
-    import pandas as pd
-
+    rows themselves. update_where_dv is the UPDATE twin; purge_dvs the
+    targeted materialization once vectors accrete."""
     v = current_version(path)
     if v == 0:
         raise ValueError(f"no versions at {path}")
@@ -2487,7 +2544,34 @@ def delete_where_dv(
         return None  # every file provably disjoint: nothing to delete
     df = _read_files(spark, path, m, touched, with_positions=True)
     pred = _row_predicate(col, lo, hi, condition)
-    hits = df.filter(pred).select("__dv_file", "__dv_pos")
+    dmap = _grow_dv_map(spark, path, m, touched, df.filter(pred))
+    if dmap is None:
+        return None  # no live row matches: no pointless commit
+    return _commit(
+        path,
+        m["files"],  # the whole point: the file list is IDENTICAL
+        "delete-dv",
+        expected_parent=v,
+        schema_json=m.get("schema"),
+        stats=m.get("stats"),  # immutable files: ranges stay valid bounds
+        blooms=m.get("blooms"),
+        constraints=m.get("constraints") or {},
+        colmap=m.get("colmap") or {},
+        dropped_physicals=list(m.get("dropped_physicals") or []),
+        dvs=dmap,
+    )
+
+
+def _grow_dv_map(
+    spark: SparkSession, path: str, m: dict, touched: list[str], hit_rows
+) -> dict | None:
+    """Encode `hit_rows`' (__dv_file, __dv_pos) pairs EXECUTOR-side (one
+    compact row per file — the driver never holds the matched rows),
+    union them into the touched files' existing vectors, write one DV
+    sidecar and return the commit's full dvs map. None when no live row
+    hit (nothing to commit). Shared by delete_where_dv and
+    update_where_dv."""
+    import pandas as pd
 
     def _encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
@@ -2502,12 +2586,13 @@ def delete_where_dv(
         )
 
     enc = (
-        hits.groupBy("__dv_file")
+        hit_rows.select("__dv_file", "__dv_pos")
+        .groupBy("__dv_file")
         .applyInPandas(_encode_group, "file string, card long, b64 string")
         .collect()
     )
     if not enc:
-        return None  # no live row matches: no pointless commit
+        return None
     rel_of = {os.path.basename(f): f for f in touched}
     old = _load_dvs(path, m, touched)  # merge with prior vectors
     new_dv: dict = {}
@@ -2521,18 +2606,140 @@ def delete_where_dv(
     sidecar = _write_dv_sidecar(path, new_dv)
     for rel in new_dv:
         dmap[rel] = sidecar
+    return dmap
+
+
+def update_where_dv(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    lo,
+    hi,
+    assignments: dict,
+    condition=None,
+    collect_stats: tuple | None = None,
+) -> int | None:
+    """MERGE-ON-READ row-level UPDATE: the matched rows' positions go into
+    deletion vectors (their files ride by reference, byte-untouched) and
+    the UPDATED COPIES are appended as fresh files — Delta's
+    DVs-for-UPDATE shape. Where update_where rewrites every touched file
+    (right when most of a file's rows match), a DV update writes
+    O(matched rows), so a 1-row UPDATE on a 100 TB table costs one
+    position-finding scan + one tiny appended file + one commit.
+
+    Semantics match update_where exactly: `assignments` (column ->
+    Column/SQL) evaluate against the PRE-update row (swaps well-defined),
+    unknown columns refuse, `condition` narrows within the range, NULL
+    predicate keeps the row, no-match returns None without a commit, and
+    the change feed across the commit is delete+insert pairs for exactly
+    the updated rows. CHECK constraints probe the staged updated rows at
+    the commit boundary like every write path. Rewritten copies get
+    fresh manifest stats (default: `col`); the old files keep theirs
+    (still-sound bounds — a DV only hides rows)."""
+    from pyspark.sql import Column
+    from pyspark.sql import functions as F
+
+    v = current_version(path)
+    if v == 0:
+        raise ValueError(f"no versions at {path}")
+    m = _read_manifest(path, v)
+    if m.get("schema") is None:
+        raise ValueError(
+            "deletion vectors require a schema-bearing manifest; this "
+            "legacy table predates them — use update_where (copy-on-write)"
+        )
+    unknown = sorted(
+        set(assignments) - set(_schema_from_json(m["schema"]).names)
+    )
+    if unknown:
+        raise ValueError(f"UPDATE assigns unknown columns {unknown}")
+    touched, _ = _split_files_by_range(m, col, lo, hi)
+    if not touched:
+        return None
+    df = _read_files(spark, path, m, touched, with_positions=True)
+    pred = _row_predicate(col, lo, hi, condition)
+    hit = df.filter(F.coalesce(pred, F.lit(False)))
+    # data files are immutable and the predicate deterministic, so the
+    # two passes below (positions; updated copies) see identical rows
+    dmap = _grow_dv_map(spark, path, m, touched, hit)
+    if dmap is None:
+        return None
+    updated = hit.select(
+        *[
+            (F.expr(a) if not isinstance(a, Column) else a).alias(c)
+            if (a := assignments.get(c)) is not None
+            else F.col(c)
+            for c in df.columns
+            if c not in ("__dv_file", "__dv_pos")
+        ]
+    )
+    cm = m.get("colmap")
+    new_files = _stage_files(_stage_physical(updated, cm), path)
+    cons = m.get("constraints")
+    if cons:
+        _enforce_constraints(
+            spark, path, new_files, cons, m.get("schema"), colmap=cm
+        )
+    stats = dict(m.get("stats") or {})
+    phys_of = (cm or {}).get
+    want_stats = (col,) if collect_stats is None else collect_stats
+    stats.update(
+        _footer_minmax(path, new_files, tuple(phys_of(c, c) for c in want_stats))
+    )
     return _commit(
         path,
-        m["files"],  # the whole point: the file list is IDENTICAL
-        "delete-dv",
+        m["files"] + new_files,
+        "update-dv",
         expected_parent=v,
         schema_json=m.get("schema"),
-        stats=m.get("stats"),  # immutable files: ranges stay valid bounds
+        stats=stats or None,
         blooms=m.get("blooms"),
-        constraints=m.get("constraints") or {},
-        colmap=m.get("colmap") or {},
+        constraints=cons or {},
+        colmap=cm or {},
         dropped_physicals=list(m.get("dropped_physicals") or []),
         dvs=dmap,
+    )
+
+
+def purge_dvs(
+    spark: SparkSession, path: str, collect_stats: tuple | None = None
+) -> int | None:
+    """Materialize the deletion-vector debt: rewrite ONLY the files that
+    carry a vector (their survivors become fresh files), carrying every
+    clean file BY REFERENCE — Delta's REORG TABLE ... APPLY (PURGE).
+    compact() also clears vectors but rewrites the WHOLE table; purge
+    costs O(DV'd file bytes), which is the right maintenance shape once
+    vectors accrete on a few hot files of a 100 TB table. Rows are
+    bit-identical to the pre-purge visible set, so the change feed
+    across the commit is EMPTY (exceptAll bag cancellation — the
+    compact() contract). Returns the committed version, or None when no
+    file carries a vector.
+
+    `collect_stats=None` re-collects, for the rewritten files, stats for
+    every LOGICAL column the parent manifest already tracked on them —
+    a purged table keeps pruning like the original; pass a tuple to
+    override."""
+    v = current_version(path)
+    if v == 0:
+        return None
+    m = _read_manifest(path, v)
+    dv_files = sorted(f for f in (m.get("dvs") or {}) if f in set(m["files"]))
+    if not dv_files:
+        return None
+    reuse = [f for f in m["files"] if f not in set(dv_files)]
+    survivors = _read_files(spark, path, m, dv_files)  # vectors applied
+    if collect_stats is None:
+        cm_inv = {p: c for c, p in (m.get("colmap") or {}).items()}
+        phys_cols: set = set()
+        for f in dv_files:
+            phys_cols.update((m.get("stats") or {}).get(f, {}))
+        collect_stats = tuple(sorted(cm_inv.get(p, p) for p in phys_cols))
+    return write_version_parts(
+        [survivors],
+        path,
+        reuse_files=reuse,
+        expected_version=v,
+        collect_stats=collect_stats,
     )
 
 
