@@ -993,3 +993,32 @@ def test_j18_bloom_read_scans_only_candidate_files(spark, tmp_path):
             expect.add(f.split("/")[-1])
     assert scanned == expect
     assert len(scanned) == total - skipped
+
+
+def test_dv_read_applies_vectors_with_broadcast_hash_anti_join(spark, tmp_path):
+    """The deletion-vector read path must stay JVM-side and hash-shaped:
+    the positions anti-join plans as a BroadcastHashJoin LeftAnti (never a
+    nested loop / cartesian, never a Python row filter), and the scan side
+    still lists exactly the snapshot's files — a regression to a UDF probe
+    or a shuffled join would read correctly and only this pin catches it."""
+    from tts_etl_pipeline_spark.plans.inspect import physical_plan
+    from tts_etl_pipeline_spark.sources.versioned import (
+        delete_where_dv,
+        read_version,
+        write_version,
+    )
+
+    path = str(tmp_path / "t")
+    write_version(
+        spark.range(2000).selectExpr("id AS k", "id*2 AS v")
+        .repartitionByRange(4, "k"),
+        path,
+        collect_stats=("k",),
+    )
+    delete_where_dv(spark, path, "k", 100, 104)
+    df = read_version(spark, path)
+    plan = physical_plan(df)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert df.count() == 1995

@@ -3058,37 +3058,41 @@ def j20_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         before = _sig()
         v2 = delete_where_dv(spark, path, "o_orderkey", mn, mn)
-        if v2 is None:
+        # well-posed gate: on an EMPTY orders there is no minimum row to
+        # delete (b["mn"] is None) and every protocol assert is vacuous —
+        # the query still answers (zero groups), per the empty-tables sweep
+        if v2 is None and b["mn"] is not None:
             raise RuntimeError("the minimum orderkey row must exist")
-        if manifest(path, v2)["files"] != m1["files"]:
-            raise RuntimeError(
-                "DV delete changed the FILE LIST — merge-on-read regressed "
-                "to a rewrite commit"
-            )
-        if manifest(path, v2).get("mode") != "delete-dv":
-            raise RuntimeError("DV commit lost its mode tag")
-        # the 1-row change feed must be exactly one delete
-        cdf = table_changes(spark, path, 1, v2).collect()
-        if len(cdf) != 1 or cdf[0]["_change_type"] != "delete" or (
-            cdf[0]["o_orderkey"] != mn
-        ):
-            raise RuntimeError(
-                f"CDF across the 1-row DV delete is not exactly that row: "
-                f"{cdf[:3]}"
-            )
-        v3 = delete_where_dv(spark, path, "o_orderkey", b_lo, b_hi)
-        after = _sig()
-        if before != after:
-            moved = sorted(
-                f for f in before if before[f] != after.get(f)
-            )
-            raise RuntimeError(
-                f"deletion vectors must leave every data file byte-"
-                f"untouched; rewritten: {moved[:3]}"
-            )
-        head = v3 or v2
-        if not (manifest(path, head).get("dvs") or {}):
-            raise RuntimeError("head manifest carries no deletion vectors")
+        if v2 is not None:
+            if manifest(path, v2)["files"] != m1["files"]:
+                raise RuntimeError(
+                    "DV delete changed the FILE LIST — merge-on-read "
+                    "regressed to a rewrite commit"
+                )
+            if manifest(path, v2).get("mode") != "delete-dv":
+                raise RuntimeError("DV commit lost its mode tag")
+            # the 1-row change feed must be exactly one delete
+            cdf = table_changes(spark, path, 1, v2).collect()
+            if len(cdf) != 1 or cdf[0]["_change_type"] != "delete" or (
+                cdf[0]["o_orderkey"] != mn
+            ):
+                raise RuntimeError(
+                    f"CDF across the 1-row DV delete is not exactly that "
+                    f"row: {cdf[:3]}"
+                )
+            v3 = delete_where_dv(spark, path, "o_orderkey", b_lo, b_hi)
+            after = _sig()
+            if before != after:
+                moved = sorted(
+                    f for f in before if before[f] != after.get(f)
+                )
+                raise RuntimeError(
+                    f"deletion vectors must leave every data file byte-"
+                    f"untouched; rewritten: {moved[:3]}"
+                )
+            head = v3 or v2
+            if not (manifest(path, head).get("dvs") or {}):
+                raise RuntimeError("head manifest carries no deletion vectors")
         return (
             read_version(spark, path)
             .groupBy("o_orderstatus")
@@ -3164,7 +3168,12 @@ def j21_string_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             for f in m["files"]
             if m.get("stats", {}).get(f, {}).get("p_name") is not None
         ]
-        if len(with_bounds) < len(m["files"]):
+        # empty staged files legitimately carry no stats (zero row groups
+        # -> nothing to bound); only ROW-BEARING files owe bounds. An
+        # empty part table stages one schema-bearing empty file and the
+        # sweep's contract is "runs, zero rows" — not "prunes".
+        nonempty = part.limit(1).count() > 0
+        if nonempty and len(with_bounds) < len(m["files"]) - 1:
             raise RuntimeError(
                 "string bounds missing from the manifest for "
                 f"{len(m['files']) - len(with_bounds)} files — the "
@@ -3191,6 +3200,146 @@ def j21_string_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("sum_cents"),
             )
             .orderBy("p_brand")
+            .localCheckpoint(eager=True)  # materialize before tmp vanishes
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# j22 — merge-on-read UPDATE + targeted DV PURGE (the round-11 completion of
+# j20's delete-side story): orders range-clustered (8 files, key stats),
+# then (1) update_where_dv zeroes o_totalprice for 'O'-status rows in one
+# narrow key band — the matched rows enter a deletion vector and their
+# UPDATED COPIES append as fresh files, every ORIGINAL file byte-untouched
+# (inode+mtime asserted across the commit), CDF = delete+insert pairs
+# (count-asserted) — then (2) purge_dvs materializes the debt by rewriting
+# ONLY the vectored files, every clean file carried by manifest reference
+# (asserted), with an EMPTY change feed across the purge (asserted: purge
+# is maintenance, not mutation). The final aggregate reads the purged head,
+# so value equality proves the whole MoR-update -> purge lifecycle kept
+# rows exact. Scale shape: the update writes O(matched rows); the purge
+# reads/writes O(vectored file bytes) — never O(table) — which is the
+# maintenance cost model a 100 TB table needs once narrow updates accrete.
+# ---------------------------------------------------------------------------
+@_register(
+    "j22_dv_update_purge",
+    """
+    WITH b AS (
+      SELECT MIN(o_orderkey) AS mn, MAX(o_orderkey) AS mx FROM orders
+    ),
+    args AS (
+      SELECT mn + (((mx - mn) * 2) // 8) AS u_lo,
+             mn + (((mx - mn) * 2) // 8) + ((mx - mn) // 32) AS u_hi
+      FROM b
+    )
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           COUNT(DISTINCT o_custkey) AS n_cust,
+           CAST(SUM(CASE WHEN o_orderkey BETWEEN a.u_lo AND a.u_hi
+                          AND o_orderstatus = 'O' THEN 0
+                     ELSE CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                               AS BIGINT) END) AS BIGINT) AS sum_cents
+    FROM orders, args a
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def j22_dv_update_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+    import shutil
+    import tempfile
+
+    from tts_etl_pipeline_spark.functions.exact import money
+    from tts_etl_pipeline_spark.sources.versioned import (
+        manifest,
+        purge_dvs,
+        read_version,
+        table_changes,
+        update_where_dv,
+        write_version,
+    )
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    b = orders.agg(
+        F.min("o_orderkey").alias("mn"), F.max("o_orderkey").alias("mx")
+    ).collect()[0]
+    mn = 0 if b["mn"] is None else b["mn"]
+    mx = 0 if b["mx"] is None else b["mx"]
+    u_lo = mn + (((mx - mn) * 2) // 8)
+    u_hi = u_lo + ((mx - mn) // 32)
+    base = tempfile.mkdtemp(prefix="j22_")
+    path = f"{base}/orders_v"
+    try:
+        write_version(
+            orders.repartitionByRange(8, "o_orderkey"),
+            path,
+            collect_stats=("o_orderkey",),
+        )
+        m1 = manifest(path, 1)
+
+        def _sig(files) -> dict:
+            out = {}
+            for f in files:
+                st = _os.stat(_os.path.join(path, f))
+                out[f] = (st.st_ino, st.st_mtime_ns)
+            return out
+
+        before = _sig(m1["files"])
+        v2 = update_where_dv(
+            spark, path, "o_orderkey", u_lo, u_hi,
+            {"o_totalprice": "CAST(0.0 AS DOUBLE)"},
+            condition="o_orderstatus = 'O'",
+        )
+        if v2 is not None:
+            m2 = manifest(path, v2)
+            if _sig(m1["files"]) != before:
+                raise RuntimeError(
+                    "merge-on-read UPDATE rewrote an original data file"
+                )
+            missing = [f for f in m1["files"] if f not in set(m2["files"])]
+            if missing:
+                raise RuntimeError(
+                    f"MoR UPDATE dropped original files: {missing[:3]}"
+                )
+            ch = table_changes(spark, path, 1, v2)
+            n_del = ch.filter("_change_type = 'delete'").count()
+            n_ins = ch.filter("_change_type = 'insert'").count()
+            if n_del != n_ins or n_del == 0:
+                raise RuntimeError(
+                    f"MoR UPDATE change feed is not delete+insert pairs: "
+                    f"{n_del} deletes vs {n_ins} inserts"
+                )
+            clean = [f for f in m2["files"] if f not in (m2.get("dvs") or {})]
+            clean_sig = _sig(clean)
+            v3 = purge_dvs(spark, path)
+            if v3 is None:
+                raise RuntimeError("purge found no vectors after a DV update")
+            m3 = manifest(path, v3)
+            if m3.get("dvs"):
+                raise RuntimeError("purge left deletion vectors behind")
+            lost = [f for f in clean if f not in set(m3["files"])]
+            if lost or _sig(clean) != clean_sig:
+                raise RuntimeError(
+                    "purge rewrote files that carried no vector"
+                )
+            if table_changes(spark, path, v2, v3).count() != 0:
+                raise RuntimeError(
+                    "change feed across the purge is not empty — purge "
+                    "must be maintenance, never mutation"
+                )
+        return (
+            read_version(spark, path)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.countDistinct("o_custkey").alias("n_cust"),
+                F.sum((money("o_totalprice") * 100).cast("bigint"))
+                .cast("bigint")
+                .alias("sum_cents"),
+            )
+            .orderBy("o_orderstatus")
             .localCheckpoint(eager=True)  # materialize before tmp vanishes
         )
     finally:

@@ -32,6 +32,23 @@ Layout under a table root:
                                      filters stay out of the manifest;
                                      lookups lazy-load only what they
                                      reference — the Iceberg puffin idea)
+    _versions/dv-<uuid>.json ...     DELETION-VECTOR sidecars (r11):
+                                     per-file deleted-row positions,
+                                     varint-delta encoded — merge-on-read
+                                     DELETE/UPDATE (delete_where_dv /
+                                     update_where_dv) commit these and
+                                     leave data files byte-untouched;
+                                     reads anti-apply them in _read_files;
+                                     purge_dvs / compact() materialize
+    _versions/shard-<sha>.json ...   MANIFEST-LIST shards (r11): past
+                                     _SHARD_INLINE_MAX files the per-file
+                                     payload (names/stats/blooms/dvs)
+                                     moves into content-addressed
+                                     hex-prefix bucket shards; the
+                                     manifest keeps scalars + a KB-scale
+                                     "shards" map with per-column
+                                     summaries (see the sharded block
+                                     before _bucket_prefix_len)
     _versions/_latest.json           pointer to the current version
 
 Commit protocol (multi-writer OPTIMISTIC CONCURRENCY, crash-safe):
@@ -63,7 +80,9 @@ holding version N is isolated from any concurrent commit of N+1
 n's — history is append-only, like Delta's RESTORE.
 
 At 100 TB the manifest holds file paths only (thousands of entries — KBs),
-so planning stays driver-light; data files are immutable, and vacuum only
+so planning stays driver-light; past ~10^5 files the manifest becomes a
+KB-scale list over bucket shards (r11) so appends and pruned planning stay
+flat in the file count. Data files are immutable, and vacuum only
 reclaims unreferenced files older than a grace period, which is what makes
 compaction/vacuum safe to run online (with grace_seconds sized above the
 longest write+commit; grace_seconds=0 requires quiesced writers).
