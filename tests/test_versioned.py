@@ -2360,6 +2360,31 @@ def test_bloom_pruned_read_composes_with_range_stats(spark, tmp_path):
         read_version_bloom_pruned(spark, path, "k", "123")
 
 
+def test_deletion_vectors_through_linkdir_read(spark, tmp_path):
+    """>= _LINKDIR_MIN_FILES snapshots read through the content-addressed
+    hardlink directory, where _metadata.file_path is the LINKDIR path —
+    the DV anti-join must still land because vectors key on the file
+    BASE NAME, which the hardlink preserves. A regression to full-path
+    keying would silently serve deleted rows on exactly the large
+    tables DVs exist for."""
+    import tts_etl_pipeline_spark.sources.versioned as V
+
+    path = str(tmp_path / "t")
+    V.write_version(
+        spark.range(2080).selectExpr("id AS k", "id*2 AS v")
+        .repartition(260, "k"),
+        path,
+        collect_stats=("k",),
+    )
+    assert len(V.manifest(path, 1)["files"]) >= V._LINKDIR_MIN_FILES
+    assert V.delete_where_dv(spark, path, "k", 7, 7) == 2
+    head = V.read_version(spark, path)
+    assert head.count() == 2079
+    assert head.filter("k = 7").count() == 0
+    # and the linkdir path is actually in play for this read
+    assert any("_snapshots" in f for f in head.inputFiles())
+
+
 def test_deletion_vector_varint_roundtrip():
     """The DV position encoding round-trips arbitrary sorted positions
     (including >2^32 — row positions are long)."""
