@@ -138,14 +138,31 @@ def sharded(n: int) -> dict:
         )
         t_append = time.perf_counter() - t0
 
+        # 1-file DELETION-VECTOR commit via the same delta-plan path
+        # delete_where_dv takes (load one bucket, write one shard + list)
+        target = files[0]
+        dv_sidecar = V._write_dv_sidecar(
+            path, {target: {"card": 1, "b64": V._dv_encode([0])}}
+        )
+        t0 = time.perf_counter()
+        m_dv = V._read_manifest(path, 2, materialize=False)
+        V._commit(
+            path, [], "delete-dv",
+            schema_json=m_dv.get("schema"),
+            shards=V._sharded_delta_plan(
+                path, m_dv, dv_updates={target: dv_sidecar}
+            ),
+        )
+        t_dv = time.perf_counter() - t0
+
         # pruned planning over a ~1% interior band
         lo, hi = 100 * (n // 2), 100 * (n // 2) + 100 * (n // 100)
         t0 = time.perf_counter()
-        m2 = V._read_manifest(path, 2, materialize=False)
+        m2 = V._read_manifest(path, 3, materialize=False)
         _, kept, skipped, total = V._plan_pruned_files(path, m2, "k", lo, hi)
         t_plan = time.perf_counter() - t0
 
-        mlist = V._manifest_path(path, 2)
+        mlist = V._manifest_path(path, 3)
         size = os.path.getsize(mlist)
         t0 = time.perf_counter()
         with open(mlist, encoding="utf-8") as fh:
@@ -157,6 +174,7 @@ def sharded(n: int) -> dict:
             "shards": n_shards,
             "commit_s": round(t_commit, 3),
             "append_1_s": round(t_append, 4),
+            "dv_delete_1_s": round(t_dv, 4),
             "plan_pruned_s": round(t_plan, 4),
             "kept": len(kept),
             "skipped": skipped,

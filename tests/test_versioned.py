@@ -1969,11 +1969,37 @@ def test_sharded_manifest_end_to_end(spark, tmp_path, monkeypatch):
     assert total == 9 and skipped >= 4
     assert sorted(r["k"] for r in pruned.collect()) == list(range(20))
 
-    # (d) deletion vectors + CDF through shards
+    # (d) deletion vectors + CDF through shards — and the DV commit is
+    # itself a DELTA plan: only the bucket(s) holding the touched file
+    # rewrite; every other shard entry is the parent's, verbatim
+    pre_dv = {
+        b: e["path"]
+        for b, e in V._read_manifest(path, 2, materialize=False)["shards"]["entries"].items()
+    }
     assert V.delete_where_dv(spark, path, "k", 5, 5) == 3
+    post_dv = {
+        b: e["path"]
+        for b, e in V._read_manifest(path, 3, materialize=False)["shards"]["entries"].items()
+    }
+    dv_changed_buckets = [b for b in post_dv if pre_dv.get(b) != post_dv[b]]
+    assert len(dv_changed_buckets) == 1, dv_changed_buckets
     assert V.read_version(spark, path).count() == 160
     ch = V.table_changes(spark, path, 2, 3).collect()
     assert [(r["k"], r["_change_type"]) for r in ch] == [(5, "delete")]
+
+    # (d2) merge-on-read UPDATE through shards: originals untouched, the
+    # appended copy and the vector land in their buckets, rows exact
+    assert V.update_where_dv(spark, path, "k", 7, 7, {"v": "v + 1000"}) == 4
+    assert V.read_version(spark, path).count() == 160
+    assert [
+        r["v"] for r in V.read_version(spark, path).filter("k = 7").collect()
+    ] == [1014]
+    # (d3) purge through shards: vectors cleared, rows identical
+    v5 = V.purge_dvs(spark, path)
+    assert v5 == 5
+    assert not V._read_manifest(path, v5).get("dvs")
+    assert V.read_version(spark, path).count() == 160
+    assert V.table_changes(spark, path, 4, 5).count() == 0
 
     # (e) vacuum with full retention keeps every referenced shard
     V.vacuum(path, keep_versions=10, grace_seconds=0.0)

@@ -263,6 +263,52 @@ def _shard_commit_payload(
     }
 
 
+def _sharded_delta_plan(
+    path: str,
+    m_raw: dict,
+    new_files: list[str] = (),
+    new_stats: dict | None = None,
+    new_blooms: dict | None = None,
+    dv_updates: dict | None = None,
+) -> dict:
+    """Apply a DELTA (appended files and/or per-file DV reference
+    updates) to a sharded parent manifest, touching ONLY the buckets the
+    delta hashes into: untouched buckets carry the parent's
+    content-addressed entries verbatim (zero read, zero write). This is
+    the O(changed shards) commit plan every sharded writer shares —
+    write_version's append fast path, delete_where_dv, update_where_dv —
+    so a 1-row mutation on a 10^6-file table loads and rewrites ONE
+    ~_SHARD_SIZE-entry shard plus the KB manifest list."""
+    new_stats = new_stats or {}
+    new_blooms = new_blooms or {}
+    dv_updates = dv_updates or {}
+    plen = m_raw["shards"]["prefix_len"]
+    entries = dict(m_raw["shards"]["entries"])
+    hit: dict = {}
+    for f in new_files:
+        hit.setdefault(_bucket_of(f, plen), {}).setdefault("files", []).append(f)
+    for f in dv_updates:
+        hit.setdefault(_bucket_of(f, plen), {}).setdefault("dvs", []).append(f)
+    for b, delta in sorted(hit.items()):
+        old = (
+            _load_shard(path, entries[b]) if b in entries
+            else {"files": [], "stats": {}, "blooms": {}, "dvs": {}}
+        )
+        files = sorted(old["files"] + delta.get("files", []))
+        stats = dict(old.get("stats") or {})
+        blooms = dict(old.get("blooms") or {})
+        for f in delta.get("files", []):
+            if f in new_stats:
+                stats[f] = new_stats[f]
+            if f in new_blooms:
+                blooms[f] = new_blooms[f]
+        dvs = dict(old.get("dvs") or {})
+        for f in delta.get("dvs", []):
+            dvs[f] = dv_updates[f]
+        entries[b] = _write_shard(path, files, stats, blooms, dvs)
+    return {"prefix_len": plen, "entries": entries}
+
+
 def _read_manifest(path: str, version: int, materialize: bool = True) -> dict:
     """Load one committed manifest. Sharded manifests (a 'shards' map
     instead of inline per-file payload) are MATERIALIZED by default —
@@ -1263,29 +1309,9 @@ def write_version(
         # the buckets the new files hash into are loaded, merged and
         # rewritten. A k-file append therefore costs O(k shards), flat in
         # the table's file count — measured in scripts/manifest_scale.py.
-        plen = parent_shards["prefix_len"]
-        entries = dict(parent_shards["entries"])
-        hit: dict = {}
-        for f in new_files:
-            hit.setdefault(_bucket_of(f, plen), []).append(f)
-        for b, fs in sorted(hit.items()):
-            old = (
-                _load_shard(path, entries[b]) if b in entries
-                else {"files": [], "stats": {}, "blooms": {}, "dvs": {}}
-            )
-            merged_files = sorted(old["files"] + fs)
-            m_stats = dict(old.get("stats") or {})
-            m_blooms = dict(old.get("blooms") or {})
-            m_dvs = dict(old.get("dvs") or {})
-            for f in fs:
-                if f in stats:
-                    m_stats[f] = stats[f]
-                if f in blooms:
-                    m_blooms[f] = blooms[f]
-            entries[b] = _write_shard(
-                path, merged_files, m_stats, m_blooms, m_dvs
-            )
-        shard_plan = {"prefix_len": plen, "entries": entries}
+        shard_plan = _sharded_delta_plan(
+            path, base_m, new_files, new_stats=stats, new_blooms=blooms
+        )
         base, new_files, stats, blooms, dvs = [], [], {}, {}, {}
     return _commit(
         path,
@@ -2552,20 +2578,39 @@ def delete_where_dv(
     v = current_version(path)
     if v == 0:
         raise ValueError(f"no versions at {path}")
-    m = _read_manifest(path, v)
+    # RAW read + summary-first range planning: on a SHARDED parent the
+    # whole mutation is O(touched shards) — the manifest list plus only
+    # the buckets whose summary intersects [lo, hi] load at plan time,
+    # and only the buckets whose files gained a vector rewrite at commit
+    # time (_sharded_delta_plan); inline parents keep the direct path.
+    m = _read_manifest(path, v, materialize=False)
     if m.get("schema") is None:
         raise ValueError(
             "deletion vectors require a schema-bearing manifest; this "
             "legacy table predates them — use delete_where (copy-on-write)"
         )
-    touched, untouched = _split_files_by_range(m, col, lo, hi)
+    read_m, touched, _, _ = _plan_pruned_files(path, m, col, lo, hi)
     if not touched:
         return None  # every file provably disjoint: nothing to delete
-    df = _read_files(spark, path, m, touched, with_positions=True)
+    df = _read_files(spark, path, read_m, touched, with_positions=True)
     pred = _row_predicate(col, lo, hi, condition)
-    dmap = _grow_dv_map(spark, path, m, touched, df.filter(pred))
-    if dmap is None:
+    updates = _grow_dv_map(spark, path, read_m, touched, df.filter(pred))
+    if updates is None:
         return None  # no live row matches: no pointless commit
+    if "shards" in m:
+        return _commit(
+            path,
+            [],
+            "delete-dv",
+            expected_parent=v,
+            schema_json=m.get("schema"),
+            constraints=m.get("constraints") or {},
+            colmap=m.get("colmap") or {},
+            dropped_physicals=list(m.get("dropped_physicals") or []),
+            shards=_sharded_delta_plan(path, m, dv_updates=updates),
+        )
+    dmap = dict(m.get("dvs") or {})  # untouched files keep their vectors
+    dmap.update(updates)
     return _commit(
         path,
         m["files"],  # the whole point: the file list is IDENTICAL
@@ -2586,10 +2631,12 @@ def _grow_dv_map(
 ) -> dict | None:
     """Encode `hit_rows`' (__dv_file, __dv_pos) pairs EXECUTOR-side (one
     compact row per file — the driver never holds the matched rows),
-    union them into the touched files' existing vectors, write one DV
-    sidecar and return the commit's full dvs map. None when no live row
-    hit (nothing to commit). Shared by delete_where_dv and
-    update_where_dv."""
+    union them into the touched files' existing vectors (looked up from
+    `m`'s dvs map — for sharded parents the caller passes the planning
+    read_manifest, whose dvs cover every loaded shard), write one DV
+    sidecar and return {rel_file: sidecar_rel} for EXACTLY the files
+    whose vector changed. None when no live row hit (nothing to commit).
+    Shared by delete_where_dv and update_where_dv."""
     import pandas as pd
 
     def _encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -2621,11 +2668,8 @@ def _grow_dv_map(
         if rel in old:
             pos = sorted(set(old[rel]) | set(pos))
         new_dv[rel] = {"card": len(pos), "b64": _dv_encode(pos)}
-    dmap = dict(m.get("dvs") or {})  # untouched files keep their vectors
     sidecar = _write_dv_sidecar(path, new_dv)
-    for rel in new_dv:
-        dmap[rel] = sidecar
-    return dmap
+    return {rel: sidecar for rel in new_dv}
 
 
 def update_where_dv(
@@ -2661,7 +2705,9 @@ def update_where_dv(
     v = current_version(path)
     if v == 0:
         raise ValueError(f"no versions at {path}")
-    m = _read_manifest(path, v)
+    # raw read + summary-first planning (the delete_where_dv discipline):
+    # sharded parents pay O(touched shards) at plan AND commit time
+    m = _read_manifest(path, v, materialize=False)
     if m.get("schema") is None:
         raise ValueError(
             "deletion vectors require a schema-bearing manifest; this "
@@ -2672,16 +2718,16 @@ def update_where_dv(
     )
     if unknown:
         raise ValueError(f"UPDATE assigns unknown columns {unknown}")
-    touched, _ = _split_files_by_range(m, col, lo, hi)
+    read_m, touched, _, _ = _plan_pruned_files(path, m, col, lo, hi)
     if not touched:
         return None
-    df = _read_files(spark, path, m, touched, with_positions=True)
+    df = _read_files(spark, path, read_m, touched, with_positions=True)
     pred = _row_predicate(col, lo, hi, condition)
     hit = df.filter(F.coalesce(pred, F.lit(False)))
     # data files are immutable and the predicate deterministic, so the
     # two passes below (positions; updated copies) see identical rows
-    dmap = _grow_dv_map(spark, path, m, touched, hit)
-    if dmap is None:
+    updates = _grow_dv_map(spark, path, read_m, touched, hit)
+    if updates is None:
         return None
     updated = hit.select(
         *[
@@ -2699,12 +2745,29 @@ def update_where_dv(
         _enforce_constraints(
             spark, path, new_files, cons, m.get("schema"), colmap=cm
         )
-    stats = dict(m.get("stats") or {})
     phys_of = (cm or {}).get
     want_stats = (col,) if collect_stats is None else collect_stats
-    stats.update(
-        _footer_minmax(path, new_files, tuple(phys_of(c, c) for c in want_stats))
+    new_stats = _footer_minmax(
+        path, new_files, tuple(phys_of(c, c) for c in want_stats)
     )
+    if "shards" in m:
+        return _commit(
+            path,
+            [],
+            "update-dv",
+            expected_parent=v,
+            schema_json=m.get("schema"),
+            constraints=cons or {},
+            colmap=cm or {},
+            dropped_physicals=list(m.get("dropped_physicals") or []),
+            shards=_sharded_delta_plan(
+                path, m, new_files, new_stats=new_stats, dv_updates=updates
+            ),
+        )
+    stats = dict(m.get("stats") or {})
+    stats.update(new_stats)
+    dmap = dict(m.get("dvs") or {})
+    dmap.update(updates)
     return _commit(
         path,
         m["files"] + new_files,
