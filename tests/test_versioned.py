@@ -2411,6 +2411,193 @@ def test_deletion_vectors_through_linkdir_read(spark, tmp_path):
     assert any("_snapshots" in f for f in head.inputFiles())
 
 
+def test_range_pruning_sound_under_float_widening(spark, tmp_path):
+    """Range file-skipping must hold under BOTH of Spark's comparison
+    regimes (review finding 1): a BIGINT file holding 2^53+1 probed with
+    the DOUBLE 2^53 (Spark widens the column and MATCHES) must be READ,
+    not skipped — exact-only disjointness would prune it; same for
+    delete_where's touched-file split."""
+    from tts_etl_pipeline_spark.sources.versioned import (
+        delete_where,
+        read_version,
+        read_version_pruned,
+        write_version,
+    )
+
+    big = 9007199254740993  # 2^53 + 1
+    rounded = float(9007199254740992)  # the double both sides widen to
+    path = str(tmp_path / "t")
+    write_version(
+        spark.createDataFrame([(big, 1), (1, 2)], "k long, v int")
+        .repartition(2, "k"),
+        path,
+        collect_stats=("k",),
+    )
+    got, skipped, total = read_version_pruned(spark, path, "k", rounded, rounded)
+    assert got.count() == 1  # Spark: CAST(big AS double) == 2^53 -> match
+    # and the mutation path deletes the row Spark's comparison matches
+    assert delete_where(spark, path, "k", rounded, rounded) == 2
+    assert read_version(spark, path).count() == 1
+
+
+def test_bloom_probe_refuses_bool_cross_kind(spark, tmp_path):
+    """bool is its own probe family (review finding 2): Spark coerces
+    bigint k = true to k = 1 while the bloom tags b:/i: differently — a
+    bool probe on a numeric column (and an int probe on a boolean
+    column) must refuse, never silently skip."""
+    from tts_etl_pipeline_spark.sources.versioned import (
+        read_version_bloom_pruned,
+        write_version,
+    )
+
+    p1 = str(tmp_path / "num")
+    write_version(
+        spark.createDataFrame([(1, 1), (2, 2)], "k long, v int"),
+        p1,
+        collect_blooms=("k",),
+    )
+    with pytest.raises(TypeError, match="type\\s+family"):
+        read_version_bloom_pruned(spark, p1, "k", True)
+    p2 = str(tmp_path / "boo")
+    write_version(
+        spark.createDataFrame([(True, 1), (False, 2)], "k boolean, v int"),
+        p2,
+        collect_blooms=("k",),
+    )
+    with pytest.raises(TypeError, match="type\\s+family"):
+        read_version_bloom_pruned(spark, p2, "k", 1)
+    got, _, _ = read_version_bloom_pruned(spark, p2, "k", True)
+    assert got.count() == 1  # in-family probe works
+
+
+def test_sharded_append_resplits_outgrown_buckets(spark, tmp_path, monkeypatch):
+    """Appends that outgrow the frozen prefix_len trigger ONE full
+    reshard with a deeper prefix (review finding 3 — the amortized
+    hash-table-resize), after which deltas are flat again; rows and
+    pruning stay exact across the resplit."""
+    import tts_etl_pipeline_spark.sources.versioned as V
+
+    monkeypatch.setattr(V, "_SHARD_INLINE_MAX", 4)
+    monkeypatch.setattr(V, "_SHARD_SIZE", 1)  # resplit at 4 entries/bucket
+    path = str(tmp_path / "t")
+    V.write_version(
+        spark.range(140).selectExpr("id AS k", "id*2 AS v")
+        .repartitionByRange(14, "k"),
+        path,
+        collect_stats=("k",),
+    )
+    m1 = V._read_manifest(path, 1, materialize=False)
+    plen1 = m1["shards"]["prefix_len"]
+    assert plen1 == 1  # 14 files fit one hex digit of buckets
+    # one bulk append of ~60 files: pigeonhole over 16 one-char buckets
+    # forces SOME bucket past 4 entries, so the delta plan must refuse
+    # and write_version must fall back to the full reshard
+    V.write_version(
+        spark.range(140, 740).selectExpr("id AS k", "id*2 AS v")
+        .repartitionByRange(60, "k"),
+        path,
+        collect_stats=("k",),
+    )
+    mh = V._read_manifest(path, 2, materialize=False)
+    assert mh["shards"]["prefix_len"] > plen1  # the resize happened
+    assert V.read_version(spark, path).count() == 740
+    _, skipped, total = V.read_version_pruned(spark, path, "k", 0, 9)
+    assert total >= 74 and skipped >= 60  # stats survived the resplit
+
+
+def test_purge_dvs_recollects_blooms(spark, tmp_path):
+    """purge_dvs re-collects BLOOMS for the rewritten files (review
+    finding 5): a purged table keeps equality skipping, not just range
+    pruning."""
+    from tts_etl_pipeline_spark.sources.versioned import (
+        delete_where_dv,
+        manifest,
+        purge_dvs,
+        read_version_bloom_pruned,
+        write_version,
+    )
+
+    path = str(tmp_path / "t")
+    write_version(
+        spark.range(400).selectExpr("id AS k", "id*2 AS v")
+        .repartition(4, "k"),  # hash layout: blooms are the only skip
+        path,
+        collect_blooms=("k",),
+    )
+    delete_where_dv(spark, path, "k", 10, 10)
+    v3 = purge_dvs(spark, path)
+    m3 = manifest(path, v3)
+    rewritten = [f for f in m3["files"] if f not in set(manifest(path, 1)["files"])]
+    assert rewritten and all(f in (m3.get("blooms") or {}) for f in rewritten)
+    got, skipped, total = read_version_bloom_pruned(spark, path, "k", 123)
+    assert skipped >= 1 and got.count() == 1
+
+
+def test_sharded_alter_carries_shards_verbatim(spark, tmp_path, monkeypatch):
+    """Metadata ALTERs on a sharded table carry the parent's shard
+    entries byte-for-byte (review finding 6): zero payload IO, zero
+    re-bucketing — and the DV map inside the shards survives."""
+    import tts_etl_pipeline_spark.sources.versioned as V
+
+    monkeypatch.setattr(V, "_SHARD_INLINE_MAX", 4)
+    monkeypatch.setattr(V, "_SHARD_SIZE", 2)
+    path = str(tmp_path / "t")
+    V.write_version(
+        spark.range(80).selectExpr("id AS k", "id*2 AS v")
+        .repartitionByRange(8, "k"),
+        path,
+        collect_stats=("k",),
+    )
+    V.delete_where_dv(spark, path, "k", 3, 3)
+    pre = V._read_manifest(path, 2, materialize=False)["shards"]
+    v3 = V.rename_column(path, "v", "val")
+    v4 = V.add_constraint(spark, path, "nonneg", "val >= 0")
+    v5 = V.drop_constraint(path, "nonneg")
+    for vv in (v3, v4, v5):
+        mm = V._read_manifest(path, vv, materialize=False)
+        assert mm["shards"] == pre  # verbatim: same content-addressed paths
+    assert V.read_version(spark, path).count() == 79  # DV survived ALTERs
+    assert V.version_asof(path, 1e18) == v5  # scalar reads on sharded work
+    last = V.history(path)[-1]
+    assert last["mode"] == "alter"
+    assert last["n_files"] == sum(e["n"] for e in pre["entries"].values())
+
+
+def test_stream_changes_delivers_dv_commits(spark, tmp_path):
+    """The streaming change feed delivers a DV commit as ONE micro-batch
+    of exactly the deleted rows (and a purge as an EMPTY batch) — the
+    st13 exactly-once contract extended over merge-on-read commits."""
+    from tts_etl_pipeline_spark.sources.versioned import (
+        delete_where_dv,
+        purge_dvs,
+        stream_changes,
+        write_version,
+    )
+
+    path = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+    write_version(
+        spark.range(100).selectExpr("id AS k", "id*2 AS v")
+        .repartitionByRange(4, "k"),
+        path,
+        collect_stats=("k",),
+    )
+    delete_where_dv(spark, path, "k", 3, 5)  # v2
+    purge_dvs(spark, path)  # v3: maintenance, must drain as empty
+    seen: dict = {}
+
+    def process(batch, version):
+        seen[version] = sorted(
+            (r["k"], r["_change_type"]) for r in batch.collect()
+        )
+
+    last = stream_changes(spark, path, ckpt, process)
+    assert last == 3
+    assert len(seen[1]) == 100  # initial snapshot, all inserts
+    assert seen[2] == [(3, "delete"), (4, "delete"), (5, "delete")]
+    assert seen[3] == []  # purge rewrote bytes, changed no rows
+
+
 def test_deletion_vector_varint_roundtrip():
     """The DV position encoding round-trips arbitrary sorted positions
     (including >2^32 — row positions are long)."""

@@ -270,7 +270,7 @@ def _sharded_delta_plan(
     new_stats: dict | None = None,
     new_blooms: dict | None = None,
     dv_updates: dict | None = None,
-) -> dict:
+) -> dict | None:
     """Apply a DELTA (appended files and/or per-file DV reference
     updates) to a sharded parent manifest, touching ONLY the buckets the
     delta hashes into: untouched buckets carry the parent's
@@ -278,7 +278,15 @@ def _sharded_delta_plan(
     the O(changed shards) commit plan every sharded writer shares —
     write_version's append fast path, delete_where_dv, update_where_dv —
     so a 1-row mutation on a 10^6-file table loads and rewrites ONE
-    ~_SHARD_SIZE-entry shard plus the KB manifest list."""
+    ~_SHARD_SIZE-entry shard plus the KB manifest list.
+
+    Returns None when a touched bucket would exceed 4 x _SHARD_SIZE
+    entries: the parent's prefix_len (frozen at its last full build) has
+    been outgrown by appends, and the caller must fall back to one full
+    materialized reshard (fresh prefix_len) — amortized like a hash-table
+    resize (O(table) once per ~16x growth decade), keeping per-shard size
+    and so per-mutation cost bounded forever instead of growing with the
+    table."""
     new_stats = new_stats or {}
     new_blooms = new_blooms or {}
     dv_updates = dv_updates or {}
@@ -289,7 +297,12 @@ def _sharded_delta_plan(
         hit.setdefault(_bucket_of(f, plen), {}).setdefault("files", []).append(f)
     for f in dv_updates:
         hit.setdefault(_bucket_of(f, plen), {}).setdefault("dvs", []).append(f)
+    resplit = 4 * _SHARD_SIZE  # read live: tests shrink _SHARD_SIZE
     for b, delta in sorted(hit.items()):
+        if b in entries and entries[b]["n"] + len(
+            delta.get("files", ())
+        ) > resplit:
+            return None  # bucket outgrown: one full reshard, then flat again
         old = (
             _load_shard(path, entries[b]) if b in entries
             else {"files": [], "stats": {}, "blooms": {}, "dvs": {}}
@@ -307,6 +320,22 @@ def _sharded_delta_plan(
             dvs[f] = dv_updates[f]
         entries[b] = _write_shard(path, files, stats, blooms, dvs)
     return {"prefix_len": plen, "entries": entries}
+
+
+def _alter_payload_kwargs(m_raw: dict) -> dict:
+    """The per-file-payload kwargs a METADATA-ONLY commit (ALTERs) passes
+    to _commit: a sharded parent's shard entries carry VERBATIM (zero
+    payload IO — re-bucketing 10^6 entries for a scalar change would be
+    exactly the O(table) cost sharding retires), an inline parent's maps
+    carry directly."""
+    if "shards" in m_raw:
+        return {"files": [], "shards": m_raw["shards"]}
+    return {
+        "files": m_raw["files"],
+        "stats": m_raw.get("stats"),
+        "blooms": m_raw.get("blooms"),
+        "dvs": m_raw.get("dvs"),
+    }
 
 
 def _read_manifest(path: str, version: int, materialize: bool = True) -> dict:
@@ -1017,7 +1046,9 @@ def rename_column(path: str, old: str, new: str) -> int:
     v = current_version(path)
     if v == 0:
         raise ValueError(f"no versions at {path}")
-    m = _read_manifest(path, v)
+    # raw read: everything an ALTER touches is a manifest-list scalar,
+    # and a sharded parent's payload carries verbatim (_alter_payload_kwargs)
+    m = _read_manifest(path, v, materialize=False)
     if m.get("schema") is None:
         raise ValueError("legacy manifest has no recorded schema to rename in")
     schema = _schema_from_json(m["schema"])
@@ -1043,16 +1074,13 @@ def rename_column(path: str, old: str, new: str) -> int:
     )
     return _commit(
         path,
-        m["files"],
-        "alter",
+        mode="alter",
         expected_parent=v,
         schema_json=new_schema.json(),
-        stats=m.get("stats"),
-        blooms=m.get("blooms"),
-        dvs=m.get("dvs"),  # metadata ALTERs must not resurrect DV'd rows
         constraints=m.get("constraints") or {},
         colmap=cm,
         dropped_physicals=list(m.get("dropped_physicals") or []),
+        **_alter_payload_kwargs(m),  # DVs/stats/blooms or shards verbatim
     )
 
 
@@ -1069,7 +1097,7 @@ def drop_column(path: str, name: str) -> int:
     v = current_version(path)
     if v == 0:
         raise ValueError(f"no versions at {path}")
-    m = _read_manifest(path, v)
+    m = _read_manifest(path, v, materialize=False)  # scalars suffice
     if m.get("schema") is None:
         raise ValueError("legacy manifest has no recorded schema to drop from")
     schema = _schema_from_json(m["schema"])
@@ -1089,24 +1117,28 @@ def drop_column(path: str, name: str) -> int:
     retired = cm.pop(name)
     dropped = list(m.get("dropped_physicals") or []) + [retired]
     new_schema = StructType([f for f in schema.fields if f.name != name])
-    # strip the dead column's pruning metadata (stats are physical-keyed)
-    stats = {
-        f: {c: r for c, r in rec.items() if c != retired}
-        for f, rec in (m.get("stats") or {}).items()
-    }
-    stats = {f: rec for f, rec in stats.items() if rec}
+    payload = _alter_payload_kwargs(m)
+    if "shards" not in m:
+        # strip the dead column's pruning metadata (stats are
+        # physical-keyed). Sharded parents skip the strip: rewriting every
+        # bucket to drop dead-weight entries would be the O(table) cost
+        # ALTERs must never pay, and stale stats on a RETIRED physical are
+        # harmless by construction (retired names are never reused, so no
+        # probe ever consults them).
+        stats = {
+            f: {c: r for c, r in rec.items() if c != retired}
+            for f, rec in (m.get("stats") or {}).items()
+        }
+        payload["stats"] = {f: rec for f, rec in stats.items() if rec} or None
     return _commit(
         path,
-        m["files"],
-        "alter",
+        mode="alter",
         expected_parent=v,
         schema_json=new_schema.json(),
-        stats=stats or None,
-        blooms=m.get("blooms"),
-        dvs=m.get("dvs"),  # metadata ALTERs must not resurrect DV'd rows
         constraints=m.get("constraints") or {},
         colmap=cm,
         dropped_physicals=dropped,
+        **payload,
     )
 
 
@@ -1118,7 +1150,10 @@ def table_constraints(path: str, version: int | None = None) -> dict:
     if v == 0:
         return {}
     _check_version(path, v)
-    return dict(_read_manifest(path, v).get("constraints") or {})
+    # raw read: constraints are a manifest-list scalar
+    return dict(
+        _read_manifest(path, v, materialize=False).get("constraints") or {}
+    )
 
 
 def add_constraint(
@@ -1133,7 +1168,7 @@ def add_constraint(
     v = current_version(path)
     if v == 0:
         raise ValueError(f"no versions at {path}")
-    m = _read_manifest(path, v)
+    m = _read_manifest(path, v, materialize=False)  # scalars suffice
     cons = dict(m.get("constraints") or {})
     if name in cons:
         raise ValueError(f"constraint {name!r} already exists: {cons[name]}")
@@ -1153,14 +1188,11 @@ def add_constraint(
     cons[name] = expr
     return _commit(
         path,
-        m["files"],
-        "alter",
+        mode="alter",
         expected_parent=v,
         schema_json=m.get("schema"),
-        stats=m.get("stats"),
-        blooms=m.get("blooms"),  # metadata ALTERs carry every sidecar map
-        dvs=m.get("dvs"),  # ...deletion vectors included
         constraints=cons,
+        **_alter_payload_kwargs(m),  # every sidecar map, or shards verbatim
     )
 
 
@@ -1171,21 +1203,18 @@ def drop_constraint(path: str, name: str) -> int:
     v = current_version(path)
     if v == 0:
         raise ValueError(f"no versions at {path}")
-    m = _read_manifest(path, v)
+    m = _read_manifest(path, v, materialize=False)  # scalars suffice
     cons = dict(m.get("constraints") or {})
     if name not in cons:
         raise ValueError(f"no constraint {name!r} at {path}")
     del cons[name]
     return _commit(
         path,
-        m["files"],
-        "alter",
+        mode="alter",
         expected_parent=v,
         schema_json=m.get("schema"),
-        stats=m.get("stats"),
-        blooms=m.get("blooms"),  # metadata ALTERs carry every sidecar map
-        dvs=m.get("dvs"),  # ...deletion vectors included
         constraints=cons or {},
+        **_alter_payload_kwargs(m),  # every sidecar map, or shards verbatim
     )
 
 
@@ -1312,7 +1341,17 @@ def write_version(
         shard_plan = _sharded_delta_plan(
             path, base_m, new_files, new_stats=stats, new_blooms=blooms
         )
-        base, new_files, stats, blooms, dvs = [], [], {}, {}, {}
+        if shard_plan is not None:
+            base, new_files, stats, blooms, dvs = [], [], {}, {}, {}
+        else:
+            # a bucket outgrew the parent's frozen prefix_len: pay ONE
+            # full materialized reshard (fresh prefix_len via _commit's
+            # auto-shard) — amortized O(1) per ~16x growth, flat after
+            full = _read_manifest(path, base_version)
+            base = full["files"]
+            stats = {**full.get("stats", {}), **stats}
+            blooms = {**full.get("blooms", {}), **blooms}
+            dvs = dict(full.get("dvs", {}))
     return _commit(
         path,
         base + new_files,
@@ -1703,6 +1742,30 @@ def _align_to_schema(df: DataFrame, manifest: dict) -> DataFrame:
     )
 
 
+def _stat_disjoint(r, lo, hi) -> bool:
+    """True only when the recorded range [r[0], r[1]] PROVABLY cannot
+    contain a row matching `col BETWEEN lo AND hi` under BOTH comparison
+    regimes Spark may use: exact (same types) and FLOAT-WIDENED (mixed
+    int/float compare as double — past 2^53 the two orders disagree, the
+    same hazard _bloom_encodings handles for equality). Requiring
+    disjointness in the exact AND the double order keeps file skipping
+    sound whatever type the caller's literal arrives in; when the values
+    cannot fold to float (strings; overflow), the exact order alone is
+    the only regime Spark could use, so it decides."""
+    import numbers
+
+    if not (r[1] < lo or r[0] > hi):
+        return False
+    if isinstance(lo, numbers.Number) and not isinstance(lo, bool):
+        try:
+            fl, fh = float(lo), float(hi)
+            f0, f1 = float(r[0]), float(r[1])
+        except (OverflowError, TypeError, ValueError):
+            return False  # cannot prove under widening: read the file
+        return f1 < fl or f0 > fh
+    return True
+
+
 def _plan_pruned_files(
     path: str, m: dict, col: str, lo, hi
 ) -> tuple[dict, list[str], int, int]:
@@ -1725,7 +1788,7 @@ def _plan_pruned_files(
             for f in files
             if not (
                 (r := stats.get(f, {}).get(pcol)) is not None
-                and (r[1] < lo or r[0] > hi)
+                and _stat_disjoint(r, lo, hi)
             )
         ]
         return m, kept, len(files) - len(kept), len(files)
@@ -1736,14 +1799,14 @@ def _plan_pruned_files(
     for b, entry in sorted(m["shards"]["entries"].items()):
         total += entry["n"]
         s = (entry.get("summary") or {}).get(pcol)
-        if s is not None and (s[1] < lo or s[0] > hi):
+        if s is not None and _stat_disjoint(s, lo, hi):
             skipped += entry["n"]
             continue  # the whole bucket is provably disjoint: never loaded
         payload = _load_shard(path, entry)
         st = payload.get("stats") or {}
         for f in payload["files"]:
             r = st.get(f, {}).get(pcol)
-            if r is not None and (r[1] < lo or r[0] > hi):
+            if r is not None and _stat_disjoint(r, lo, hi):
                 skipped += 1
                 continue
             kept.append(f)
@@ -1864,13 +1927,26 @@ def read_version_bloom_pruned(
         is_num_col = tname in (
             "byte", "short", "integer", "long", "float", "double", "decimal"
         )
-        if (is_str_col and not isinstance(value, str)) or (
-            is_num_col
-            and not (
-                isinstance(value, numbers.Number)
-                or type(value).__name__ == "Decimal"
+        is_bool_col = tname == "boolean"
+        # bool is its OWN family: Spark coerces bigint k = true to k = 1
+        # while the bloom tags b:/i: differently, so a bool probe on a
+        # numeric column (bool IS a numbers.Number) or an int probe on a
+        # boolean column must refuse like any other cross-kind probe
+        bad = (
+            (is_str_col and not isinstance(value, str))
+            or (
+                is_num_col
+                and (
+                    isinstance(value, bool)
+                    or not (
+                        isinstance(value, numbers.Number)
+                        or type(value).__name__ == "Decimal"
+                    )
+                )
             )
-        ):
+            or (is_bool_col and not isinstance(value, bool))
+        )
+        if bad:
             raise TypeError(
                 f"bloom probe {value!r} is outside column {col!r}'s type "
                 f"family ({tname}); Spark's coerced equality and the "
@@ -1938,7 +2014,10 @@ def version_asof(path: str, ts: float) -> int:
         raise ValueError(f"no versions at {path}")
     best = None
     for v in range(1, head + 1):
-        m = _read_manifest(path, v)
+        # raw read: committed_at is a manifest-list scalar — materializing
+        # a sharded manifest's payload here would turn a timestamp lookup
+        # into the very O(files) parse sharding retires
+        m = _read_manifest(path, v, materialize=False)
         t = m.get("committed_at")
         if t is None:  # legacy manifest: the file's own mtime
             t = os.path.getmtime(_manifest_path(path, v))
@@ -2168,10 +2247,12 @@ def table_detail(path: str, version: int | None = None) -> dict:
 def history(path: str) -> list[dict]:
     out = []
     for v in range(1, current_version(path) + 1):
-        m = _read_manifest(path, v)
-        out.append(
-            {"version": v, "n_files": len(m["files"]), "mode": m.get("mode", "?")}
-        )
+        # raw read: n_files/mode are manifest-list scalars on sharded
+        # manifests (n_files recorded at commit); inline manifests count
+        # their files list directly
+        m = _read_manifest(path, v, materialize=False)
+        n = m.get("n_files") if "shards" in m else len(m["files"])
+        out.append({"version": v, "n_files": n, "mode": m.get("mode", "?")})
     return out
 
 
@@ -2467,7 +2548,10 @@ def _split_files_by_range(m: dict, col: str, lo, hi) -> tuple[list[str], list[st
     untouched: list[str] = []
     for f in m["files"]:
         r = stats.get(f, {}).get(pcol)
-        if r is not None and (r[1] < lo or r[0] > hi):
+        # disjointness must hold under Spark's widened order too
+        # (_stat_disjoint), or a >2^53 mixed-type predicate could skip a
+        # file whose rows Spark's own comparison would mutate
+        if r is not None and _stat_disjoint(r, lo, hi):
             untouched.append(f)
         else:
             touched.append(f)
@@ -2598,17 +2682,20 @@ def delete_where_dv(
     if updates is None:
         return None  # no live row matches: no pointless commit
     if "shards" in m:
-        return _commit(
-            path,
-            [],
-            "delete-dv",
-            expected_parent=v,
-            schema_json=m.get("schema"),
-            constraints=m.get("constraints") or {},
-            colmap=m.get("colmap") or {},
-            dropped_physicals=list(m.get("dropped_physicals") or []),
-            shards=_sharded_delta_plan(path, m, dv_updates=updates),
-        )
+        plan = _sharded_delta_plan(path, m, dv_updates=updates)
+        if plan is not None:
+            return _commit(
+                path,
+                [],
+                "delete-dv",
+                expected_parent=v,
+                schema_json=m.get("schema"),
+                constraints=m.get("constraints") or {},
+                colmap=m.get("colmap") or {},
+                dropped_physicals=list(m.get("dropped_physicals") or []),
+                shards=plan,
+            )
+        m = _read_manifest(path, v)  # outgrown bucket: one full reshard
     dmap = dict(m.get("dvs") or {})  # untouched files keep their vectors
     dmap.update(updates)
     return _commit(
@@ -2751,19 +2838,22 @@ def update_where_dv(
         path, new_files, tuple(phys_of(c, c) for c in want_stats)
     )
     if "shards" in m:
-        return _commit(
-            path,
-            [],
-            "update-dv",
-            expected_parent=v,
-            schema_json=m.get("schema"),
-            constraints=cons or {},
-            colmap=cm or {},
-            dropped_physicals=list(m.get("dropped_physicals") or []),
-            shards=_sharded_delta_plan(
-                path, m, new_files, new_stats=new_stats, dv_updates=updates
-            ),
+        plan = _sharded_delta_plan(
+            path, m, new_files, new_stats=new_stats, dv_updates=updates
         )
+        if plan is not None:
+            return _commit(
+                path,
+                [],
+                "update-dv",
+                expected_parent=v,
+                schema_json=m.get("schema"),
+                constraints=cons or {},
+                colmap=cm or {},
+                dropped_physicals=list(m.get("dropped_physicals") or []),
+                shards=plan,
+            )
+        m = _read_manifest(path, v)  # outgrown bucket: one full reshard
     stats = dict(m.get("stats") or {})
     stats.update(new_stats)
     dmap = dict(m.get("dvs") or {})
@@ -2784,7 +2874,10 @@ def update_where_dv(
 
 
 def purge_dvs(
-    spark: SparkSession, path: str, collect_stats: tuple | None = None
+    spark: SparkSession,
+    path: str,
+    collect_stats: tuple | None = None,
+    collect_blooms: tuple | None = None,
 ) -> int | None:
     """Materialize the deletion-vector debt: rewrite ONLY the files that
     carry a vector (their survivors become fresh files), carrying every
@@ -2797,10 +2890,12 @@ def purge_dvs(
     compact() contract). Returns the committed version, or None when no
     file carries a vector.
 
-    `collect_stats=None` re-collects, for the rewritten files, stats for
-    every LOGICAL column the parent manifest already tracked on them —
-    a purged table keeps pruning like the original; pass a tuple to
-    override."""
+    `collect_stats=None` / `collect_blooms=None` re-collect, for the
+    rewritten files, stats and blooms for every LOGICAL column the parent
+    manifest already tracked on them — a purged table keeps BOTH pruning
+    structures like the original (losing the bloom half silently would
+    turn every later point lookup into a read of the purged files,
+    forever); pass tuples to override."""
     v = current_version(path)
     if v == 0:
         return None
@@ -2810,18 +2905,37 @@ def purge_dvs(
         return None
     reuse = [f for f in m["files"] if f not in set(dv_files)]
     survivors = _read_files(spark, path, m, dv_files)  # vectors applied
+    cm_inv = {p: c for c, p in (m.get("colmap") or {}).items()}
     if collect_stats is None:
-        cm_inv = {p: c for c, p in (m.get("colmap") or {}).items()}
         phys_cols: set = set()
         for f in dv_files:
             phys_cols.update((m.get("stats") or {}).get(f, {}))
         collect_stats = tuple(sorted(cm_inv.get(p, p) for p in phys_cols))
+    if collect_blooms is None:
+        # bloom columns live in the referenced sidecars (a small set —
+        # content shared across files); one driver-side pass recovers them
+        bmap = m.get("blooms") or {}
+        bloom_phys: set = set()
+        sidecars: dict = {}
+        for f in dv_files:
+            sc = bmap.get(f)
+            if sc is None:
+                continue
+            if sc not in sidecars:
+                try:
+                    with open(os.path.join(path, sc), encoding="utf-8") as fh:
+                        sidecars[sc] = json.load(fh)
+                except (OSError, json.JSONDecodeError):
+                    sidecars[sc] = {}
+            bloom_phys.update(sidecars[sc].get(f, {}))
+        collect_blooms = tuple(sorted(cm_inv.get(p, p) for p in bloom_phys))
     return write_version_parts(
         [survivors],
         path,
         reuse_files=reuse,
         expected_version=v,
         collect_stats=collect_stats,
+        collect_blooms=collect_blooms,
     )
 
 
