@@ -2563,6 +2563,47 @@ def test_sharded_alter_carries_shards_verbatim(spark, tmp_path, monkeypatch):
     assert last["n_files"] == sum(e["n"] for e in pre["entries"].values())
 
 
+def test_optimize_zorder_versioned(spark, tmp_path):
+    """OPTIMIZE ZORDER BY on the versioned protocol: after the rewrite,
+    range pruning skips files on BOTH clustered columns (the j7 contract,
+    now on versioned manifest stats instead of raw footers); rows are
+    bit-identical so the change feed across the commit is EMPTY; a
+    pre-existing deletion vector is materialized away (OPTIMIZE doubles
+    as a purge)."""
+    from tts_etl_pipeline_spark.sources.versioned import (
+        delete_where_dv,
+        manifest,
+        optimize_zorder,
+        read_version,
+        read_version_pruned,
+        table_changes,
+        write_version,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.range(4096).selectExpr(
+        "pmod(id * 2654435761, 4096) AS x",  # decorrelate x and y
+        "id AS y",
+        "id AS payload",
+    )
+    write_version(df.repartition(8), path, collect_stats=("x", "y"))
+    delete_where_dv(spark, path, "y", 7, 7)  # v2: one vectored row
+    v3 = optimize_zorder(spark, path, ("x", "y"), target_files=16)
+    m3 = manifest(path, v3)
+    assert "dvs" not in m3  # the rewrite materialized the vector away
+    assert read_version(spark, path).count() == 4095
+    assert table_changes(spark, path, 2, v3).count() == 0  # pure rewrite
+    _, sx, tx = read_version_pruned(spark, path, "x", 0, 255)
+    _, sy, ty = read_version_pruned(spark, path, "y", 0, 255)
+    assert tx == 16 and ty == 16
+    # the j7 contract: >= 25% of files skippable on EACH zorder column
+    assert sx >= 4 and sy >= 4, (sx, sy)
+    got = read_version_pruned(spark, path, "y", 0, 9)[0]
+    assert sorted(r["y"] for r in got.collect()) == [
+        y for y in range(10) if y != 7
+    ]
+
+
 def test_stream_changes_delivers_dv_commits(spark, tmp_path):
     """The streaming change feed delivers a DV commit as ONE micro-batch
     of exactly the deleted rows (and a purge as an EMPTY batch) — the

@@ -3344,3 +3344,115 @@ def j22_dv_update_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# j23 — OPTIMIZE ZORDER BY on the VERSIONED protocol (Delta's flagship
+# maintenance command, composing r8's j7 Morton layout with the manifest
+# stats the versioned table records at commit): lineitem's projection is
+# committed hash-scattered (v1 — range stats exist but every file spans
+# both key spaces, so 2-D pruning starts dead), then optimize_zorder
+# rewrites the snapshot Morton-clustered on (l_orderkey, l_partkey) in ONE
+# sampled-cuts pass + ONE range exchange (window-free — no global sort at
+# any size). In-query asserts: the change feed across the OPTIMIZE commit
+# is EMPTY (bit-identical rows — maintenance, never mutation), and the
+# post-optimize manifest prunes >= 25% of files on EACH zorder column
+# (the j7 contract, now answered from KB-scale manifest stats instead of
+# per-file footer IO). The returned aggregate reads a 2-D range through
+# the pruned planner, so DuckDB value equality proves pruning dropped no
+# live row. Scale shape: this is the layout-maintenance pass that makes
+# multi-dimension range workloads on a 100 TB versioned table plan from
+# the manifest alone.
+# ---------------------------------------------------------------------------
+@_register(
+    "j23_versioned_zorder_optimize",
+    """
+    WITH b AS (
+      SELECT MIN(l_orderkey) AS omn, MAX(l_orderkey) AS omx,
+             MIN(l_partkey)  AS pmn, MAX(l_partkey)  AS pmx
+      FROM lineitem
+    ),
+    args AS (
+      SELECT omn, omn + ((omx - omn) // 4) AS o_hi,
+             pmn, pmn + ((pmx - pmn) // 4) AS p_hi
+      FROM b
+    )
+    SELECT l_returnflag,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+                         AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM lineitem, args a
+    WHERE l_orderkey BETWEEN a.omn AND a.o_hi
+      AND l_partkey  BETWEEN a.pmn AND a.p_hi
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def j23_versioned_zorder_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from tts_etl_pipeline_spark.functions.exact import money
+    from tts_etl_pipeline_spark.sources.versioned import (
+        optimize_zorder,
+        read_version_pruned,
+        table_changes,
+        write_version,
+    )
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_returnflag", "l_quantity",
+        "l_extendedprice",
+    )
+    b = li.agg(
+        F.min("l_orderkey").alias("omn"), F.max("l_orderkey").alias("omx"),
+        F.min("l_partkey").alias("pmn"), F.max("l_partkey").alias("pmx"),
+    ).collect()[0]
+    omn = 0 if b["omn"] is None else b["omn"]
+    omx = 0 if b["omx"] is None else b["omx"]
+    pmn = 0 if b["pmn"] is None else b["pmn"]
+    pmx = 0 if b["pmx"] is None else b["pmx"]
+    o_hi = omn + ((omx - omn) // 4)
+    p_hi = pmn + ((pmx - pmn) // 4)
+    base = tempfile.mkdtemp(prefix="j23_")
+    path = f"{base}/lineitem_v"
+    try:
+        # v1 hash-scattered: every file spans both key spaces
+        write_version(li.repartition(16), path, collect_stats=("l_orderkey",))
+        v2 = optimize_zorder(
+            spark, path, ("l_orderkey", "l_partkey"), target_files=16
+        )
+        if table_changes(spark, path, 1, v2).count() != 0:
+            raise RuntimeError(
+                "OPTIMIZE ZORDER changed rows — maintenance must be a "
+                "bit-identical rewrite"
+            )
+        pruned_o, so, to = read_version_pruned(
+            spark, path, "l_orderkey", omn, o_hi
+        )
+        _, sp, tp = read_version_pruned(spark, path, "l_partkey", pmn, p_hi)
+        # well-posed when the table is big enough to cluster 16 ways
+        if to >= 16 and b["omn"] is not None and (
+            so < to // 4 or sp < tp // 4
+        ):
+            raise RuntimeError(
+                f"zorder pruning under contract: {so}/{to} on l_orderkey, "
+                f"{sp}/{tp} on l_partkey (>=25% each expected)"
+            )
+        return (
+            pruned_o.filter(F.col("l_partkey").between(pmn, p_hi))
+            .groupBy("l_returnflag")
+            .agg(
+                F.count(F.lit(1)).alias("n_items"),
+                F.sum(F.col("l_quantity").cast("bigint"))
+                .cast("bigint")
+                .alias("sum_qty"),
+                F.sum((money("l_extendedprice") * 100).cast("bigint"))
+                .cast("bigint")
+                .alias("sum_cents"),
+            )
+            .orderBy("l_returnflag")
+            .localCheckpoint(eager=True)  # materialize before tmp vanishes
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -3041,6 +3041,60 @@ def compact(
     )
 
 
+def optimize_zorder(
+    spark: SparkSession,
+    path: str,
+    cols: tuple,
+    target_files: int = 8,
+    collect_blooms: tuple = (),
+) -> int:
+    """OPTIMIZE ... ZORDER BY on the versioned table (Delta's flagship
+    maintenance command): rewrite the head snapshot MORTON-clustered on
+    `cols` into ~`target_files` key-range files and commit as one
+    overwrite version with fresh manifest stats on exactly those columns
+    — after it, read_version_pruned skips files on EVERY zorder column
+    (a linear sort covers one), which is what multi-dimension point/range
+    workloads need at 100 TB. Rows are bit-identical to the pre-optimize
+    VISIBLE set (deletion vectors are applied by the snapshot read and
+    cleared by the rewrite — OPTIMIZE doubles as a full purge), so the
+    change feed across the commit is EMPTY. Scale shape: one sampled
+    quantile-cuts pass + one range exchange (zorder_write's window-free
+    discipline — no global sort, no ntile window); conflict safety via
+    the snapshot-version CAS like compact()."""
+    from tts_etl_pipeline_spark.sources.zorder import (
+        Z_BITS,
+        morton_key,
+        quantile_cuts_multi,
+    )
+
+    if target_files < 1:
+        raise ValueError("target_files must be >= 1")
+    base = current_version(path)
+    snap = read_version(spark, path, base if base else None)
+    if "zkey" in snap.columns:
+        raise ValueError(
+            "column name 'zkey' is reserved by OPTIMIZE ZORDER"
+        )
+    missing = [c for c in cols if c not in snap.columns]
+    if missing:
+        raise ValueError(f"zorder columns not in the table: {missing}")
+    cuts = quantile_cuts_multi(snap, list(cols), Z_BITS)
+    clustered = (
+        morton_key(snap, list(cols), Z_BITS, cuts=cuts)
+        .repartitionByRange(target_files, "zkey")
+        .sortWithinPartitions("zkey")
+        .drop("zkey")
+    )
+    return write_version(
+        clustered,
+        path,
+        mode="overwrite",
+        expected_version=base,
+        collect_stats=tuple(cols),
+        collect_blooms=collect_blooms,
+    )
+
+
 def table_changes(
     spark: SparkSession, path: str, from_version: int, to_version: int
 ) -> DataFrame:
