@@ -146,12 +146,13 @@ def sharded(n: int) -> dict:
         )
         t0 = time.perf_counter()
         m_dv = V._read_manifest(path, 2, materialize=False)
+        plan = V._sharded_delta_plan(path, m_dv, dv_updates={target: dv_sidecar})
+        if plan is None:  # outgrown bucket (possible under shrunk _SHARD_SIZE)
+            raise RuntimeError(
+                "delta plan refused — rerun with default shard constants"
+            )
         V._commit(
-            path, [], "delete-dv",
-            schema_json=m_dv.get("schema"),
-            shards=V._sharded_delta_plan(
-                path, m_dv, dv_updates={target: dv_sidecar}
-            ),
+            path, [], "delete-dv", schema_json=m_dv.get("schema"), shards=plan
         )
         t_dv = time.perf_counter() - t0
 

@@ -2586,11 +2586,21 @@ def test_optimize_zorder_versioned(spark, tmp_path):
         "id AS y",
         "id AS payload",
     )
-    write_version(df.repartition(8), path, collect_stats=("x", "y"))
+    write_version(
+        df.repartition(8),
+        path,
+        collect_stats=("x", "y", "payload"),
+        collect_blooms=("payload",),
+    )
     delete_where_dv(spark, path, "y", 7, 7)  # v2: one vectored row
     v3 = optimize_zorder(spark, path, ("x", "y"), target_files=16)
     m3 = manifest(path, v3)
     assert "dvs" not in m3  # the rewrite materialized the vector away
+    # OPTIMIZE keeps EVERY pruning structure the parent tracked (review
+    # finding: zorder-only stats would silently retire payload's file
+    # skipping forever — the rewrite touches 100% of files)
+    assert any("payload" in rec for rec in m3["stats"].values())
+    assert m3.get("blooms"), "bloom coverage lost across OPTIMIZE"
     assert read_version(spark, path).count() == 4095
     assert table_changes(spark, path, 2, v3).count() == 0  # pure rewrite
     _, sx, tx = read_version_pruned(spark, path, "x", 0, 255)

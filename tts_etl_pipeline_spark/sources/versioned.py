@@ -92,6 +92,7 @@ from __future__ import annotations
 
 import contextlib
 import json
+import numbers
 import os
 import uuid
 
@@ -270,6 +271,7 @@ def _sharded_delta_plan(
     new_stats: dict | None = None,
     new_blooms: dict | None = None,
     dv_updates: dict | None = None,
+    shard_cache: dict | None = None,
 ) -> dict | None:
     """Apply a DELTA (appended files and/or per-file DV reference
     updates) to a sharded parent manifest, touching ONLY the buckets the
@@ -298,13 +300,19 @@ def _sharded_delta_plan(
     for f in dv_updates:
         hit.setdefault(_bucket_of(f, plen), {}).setdefault("dvs", []).append(f)
     resplit = 4 * _SHARD_SIZE  # read live: tests shrink _SHARD_SIZE
+    # validate EVERY touched bucket before writing ANY shard: a refusal
+    # after partial writes would orphan the already-written sidecars (and
+    # pay their IO twice when the caller's full reshard rewrites them);
+    # a bucket absent from the parent counts from zero — a bulk append
+    # can overfill a fresh bucket just as well as an existing one
     for b, delta in sorted(hit.items()):
-        if b in entries and entries[b]["n"] + len(
-            delta.get("files", ())
-        ) > resplit:
+        n_old = entries[b]["n"] if b in entries else 0
+        if n_old + len(delta.get("files", ())) > resplit:
             return None  # bucket outgrown: one full reshard, then flat again
+    for b, delta in sorted(hit.items()):
         old = (
-            _load_shard(path, entries[b]) if b in entries
+            _load_shard(path, entries[b], cache=shard_cache)
+            if b in entries
             else {"files": [], "stats": {}, "blooms": {}, "dvs": {}}
         )
         files = sorted(old["files"] + delta.get("files", []))
@@ -370,9 +378,18 @@ def _read_manifest(path: str, version: int, materialize: bool = True) -> dict:
     return m
 
 
-def _load_shard(path: str, entry: dict) -> dict:
+def _load_shard(path: str, entry: dict, cache: dict | None = None) -> dict:
+    """Parse one shard sidecar; `cache` (a per-CALL dict keyed by shard
+    path) lets a mutation that plans AND commits over the same buckets
+    parse each one once — shard files are content-addressed and immutable,
+    so within-call reuse is always sound."""
+    if cache is not None and entry["path"] in cache:
+        return cache[entry["path"]]
     with open(os.path.join(path, entry["path"]), encoding="utf-8") as fh:
-        return json.load(fh)
+        payload = json.load(fh)
+    if cache is not None:
+        cache[entry["path"]] = payload
+    return payload
 
 
 @contextlib.contextmanager
@@ -665,8 +682,6 @@ def _bloom_canonical(value) -> bytes:
     r10 ADVICE finding). The residual hazard — Spark's WIDENED equality
     making a bigint probe match a float-rounded double value — is handled
     by _bloom_encodings setting/probing BOTH encodings past 2^53."""
-    import numbers
-
     if isinstance(value, bool):
         return b"b:1" if value else b"b:0"
     if isinstance(value, numbers.Integral):
@@ -706,8 +721,6 @@ def _bloom_encodings(value) -> list[bytes]:
     A float-side value needs no extra work beyond the shared fold: its
     exact encoding already IS its float-folded encoding. Cost: the extra
     encoding only exists past 2^53 — everyday keys build/probe one."""
-    import numbers
-
     encs = [_bloom_canonical(value)]
     if isinstance(value, bool):
         return encs
@@ -1752,8 +1765,6 @@ def _stat_disjoint(r, lo, hi) -> bool:
     sound whatever type the caller's literal arrives in; when the values
     cannot fold to float (strings; overflow), the exact order alone is
     the only regime Spark could use, so it decides."""
-    import numbers
-
     if not (r[1] < lo or r[0] > hi):
         return False
     if isinstance(lo, numbers.Number) and not isinstance(lo, bool):
@@ -1767,7 +1778,7 @@ def _stat_disjoint(r, lo, hi) -> bool:
 
 
 def _plan_pruned_files(
-    path: str, m: dict, col: str, lo, hi
+    path: str, m: dict, col: str, lo, hi, shard_cache: dict | None = None
 ) -> tuple[dict, list[str], int, int]:
     """Classify one snapshot's files against `col BETWEEN lo AND hi` from
     recorded stats alone: returns (read_manifest, kept, skipped, total).
@@ -1802,7 +1813,7 @@ def _plan_pruned_files(
         if s is not None and _stat_disjoint(s, lo, hi):
             skipped += entry["n"]
             continue  # the whole bucket is provably disjoint: never loaded
-        payload = _load_shard(path, entry)
+        payload = _load_shard(path, entry, cache=shard_cache)
         st = payload.get("stats") or {}
         for f in payload["files"]:
             r = st.get(f, {}).get(pcol)
@@ -1918,8 +1929,6 @@ def read_version_bloom_pruned(
     # refine what ranges keep)
     m = _read_manifest(path, v, materialize=False)
     if value is not None and m.get("schema") is not None:
-        import numbers
-
         field = {f.name: f.dataType for f in
                  _schema_from_json(m["schema"]).fields}.get(col)
         tname = field.typeName() if field is not None else None
@@ -2673,7 +2682,10 @@ def delete_where_dv(
             "deletion vectors require a schema-bearing manifest; this "
             "legacy table predates them — use delete_where (copy-on-write)"
         )
-    read_m, touched, _, _ = _plan_pruned_files(path, m, col, lo, hi)
+    shard_cache: dict = {}  # plan + commit parse each bucket ONCE
+    read_m, touched, _, _ = _plan_pruned_files(
+        path, m, col, lo, hi, shard_cache=shard_cache
+    )
     if not touched:
         return None  # every file provably disjoint: nothing to delete
     df = _read_files(spark, path, read_m, touched, with_positions=True)
@@ -2682,7 +2694,9 @@ def delete_where_dv(
     if updates is None:
         return None  # no live row matches: no pointless commit
     if "shards" in m:
-        plan = _sharded_delta_plan(path, m, dv_updates=updates)
+        plan = _sharded_delta_plan(
+            path, m, dv_updates=updates, shard_cache=shard_cache
+        )
         if plan is not None:
             return _commit(
                 path,
@@ -2805,7 +2819,10 @@ def update_where_dv(
     )
     if unknown:
         raise ValueError(f"UPDATE assigns unknown columns {unknown}")
-    read_m, touched, _, _ = _plan_pruned_files(path, m, col, lo, hi)
+    shard_cache: dict = {}  # plan + commit parse each bucket ONCE
+    read_m, touched, _, _ = _plan_pruned_files(
+        path, m, col, lo, hi, shard_cache=shard_cache
+    )
     if not touched:
         return None
     df = _read_files(spark, path, read_m, touched, with_positions=True)
@@ -2839,7 +2856,8 @@ def update_where_dv(
     )
     if "shards" in m:
         plan = _sharded_delta_plan(
-            path, m, new_files, new_stats=new_stats, dv_updates=updates
+            path, m, new_files, new_stats=new_stats, dv_updates=updates,
+            shard_cache=shard_cache,
         )
         if plan is not None:
             return _commit(
@@ -3046,7 +3064,8 @@ def optimize_zorder(
     path: str,
     cols: tuple,
     target_files: int = 8,
-    collect_blooms: tuple = (),
+    collect_stats: tuple | None = None,
+    collect_blooms: tuple | None = None,
 ) -> int:
     """OPTIMIZE ... ZORDER BY on the versioned table (Delta's flagship
     maintenance command): rewrite the head snapshot MORTON-clustered on
@@ -3058,39 +3077,52 @@ def optimize_zorder(
     VISIBLE set (deletion vectors are applied by the snapshot read and
     cleared by the rewrite — OPTIMIZE doubles as a full purge), so the
     change feed across the commit is EMPTY. Scale shape: one sampled
-    quantile-cuts pass + one range exchange (zorder_write's window-free
-    discipline — no global sort, no ntile window); conflict safety via
-    the snapshot-version CAS like compact()."""
-    from tts_etl_pipeline_spark.sources.zorder import (
-        Z_BITS,
-        morton_key,
-        quantile_cuts_multi,
-    )
+    quantile-cuts pass + one range exchange (zorder_cluster's window-free
+    discipline, shared with zorder_write — no global sort, no ntile
+    window); conflict safety via the snapshot-version CAS like compact().
+
+    `collect_stats=None` / `collect_blooms=None` keep EVERY pruning
+    structure the parent tracked (stats columns from the parent manifest
+    UNION the zorder columns; bloom columns from the referenced sidecars
+    — the purge_dvs convention): OPTIMIZE rewrites 100% of files, so
+    defaulting to zorder-only stats would silently retire every other
+    column's file skipping forever. Pass tuples to override."""
+    from tts_etl_pipeline_spark.sources.zorder import zorder_cluster
 
     if target_files < 1:
         raise ValueError("target_files must be >= 1")
     base = current_version(path)
     snap = read_version(spark, path, base if base else None)
-    if "zkey" in snap.columns:
-        raise ValueError(
-            "column name 'zkey' is reserved by OPTIMIZE ZORDER"
-        )
     missing = [c for c in cols if c not in snap.columns]
     if missing:
         raise ValueError(f"zorder columns not in the table: {missing}")
-    cuts = quantile_cuts_multi(snap, list(cols), Z_BITS)
-    clustered = (
-        morton_key(snap, list(cols), Z_BITS, cuts=cuts)
-        .repartitionByRange(target_files, "zkey")
-        .sortWithinPartitions("zkey")
-        .drop("zkey")
-    )
+    m = _read_manifest(path, base) if base else {}
+    cm_inv = {p: c for c, p in (m.get("colmap") or {}).items()}
+    if collect_stats is None:
+        phys_cols: set = set()
+        for rec in (m.get("stats") or {}).values():
+            phys_cols.update(rec)
+        collect_stats = tuple(
+            sorted(set(cols) | {cm_inv.get(p, p) for p in phys_cols})
+        )
+    if collect_blooms is None:
+        bloom_phys: set = set()
+        sidecars: dict = {}
+        for f, sc in (m.get("blooms") or {}).items():
+            if sc not in sidecars:
+                try:
+                    with open(os.path.join(path, sc), encoding="utf-8") as fh:
+                        sidecars[sc] = json.load(fh)
+                except (OSError, json.JSONDecodeError):
+                    sidecars[sc] = {}
+            bloom_phys.update(sidecars[sc].get(f, {}))
+        collect_blooms = tuple(sorted(cm_inv.get(p, p) for p in bloom_phys))
     return write_version(
-        clustered,
+        zorder_cluster(snap, list(cols), target_files),
         path,
         mode="overwrite",
         expected_version=base,
-        collect_stats=tuple(cols),
+        collect_stats=collect_stats,
         collect_blooms=collect_blooms,
     )
 

@@ -160,22 +160,41 @@ def morton_key(
     return out.withColumn("zkey", zkey).drop(*[f"__rank_{c}" for c in cols])
 
 
+def zorder_cluster(
+    df: DataFrame, cols: Sequence[str], n_files: int, bits: int = Z_BITS
+) -> DataFrame:
+    """The one Morton-clustering pipeline BOTH sinks share (zorder_write's
+    raw-parquet path and versioned.optimize_zorder's commit path — a
+    single helper so the clustering discipline can never silently diverge
+    between them): sampled quantile cuts (one count + one sample pass for
+    ALL columns) -> scan-side Morton key -> one range exchange -> sorted
+    partitions, intermediate columns dropped. Window-free; scales to any
+    table size. Refuses when `df` already carries the reserved
+    intermediate names ('zkey', '__rank_<col>') — morton_key would
+    silently OVERWRITE then DROP a user column of that name."""
+    reserved = ["zkey"] + [f"__rank_{c}" for c in cols]
+    clash = sorted(set(reserved) & set(df.columns))
+    if clash:
+        raise ValueError(
+            f"column name(s) {clash} are reserved by the Z-order "
+            "clustering pipeline; rename them first"
+        )
+    cuts = quantile_cuts_multi(df, cols, bits)
+    return (
+        morton_key(df, cols, bits, cuts=cuts)
+        .repartitionByRange(max(1, n_files), "zkey")
+        .sortWithinPartitions("zkey")
+        .drop("zkey")
+    )
+
+
 def zorder_write(
     df: DataFrame, cols: Sequence[str], path: str, n_files: int, bits: int = Z_BITS
 ) -> None:
-    """Write `df` Z-ordered on `cols` into ~`n_files` parquet files.
-
-    Window-free: sampled quantile cuts (one count + one sample pass for
-    ALL columns) -> scan-side Morton key -> one range exchange. Scales to
-    any table size."""
-    cuts = quantile_cuts_multi(df, cols, bits)
-    keyed = morton_key(df, cols, bits, cuts=cuts)
-    (
-        keyed.repartitionByRange(n_files, "zkey")
-        .sortWithinPartitions("zkey")
-        .drop("zkey")
-        .write.mode("overwrite")
-        .parquet(path)
+    """Write `df` Z-ordered on `cols` into ~`n_files` parquet files
+    (zorder_cluster + a raw parquet sink)."""
+    zorder_cluster(df, cols, n_files, bits).write.mode("overwrite").parquet(
+        path
     )
 
 
