@@ -2995,3 +2995,876 @@ def test_concurrent_writers_all_commit_exactly_once(spark, tmp_path):
     # history is a contiguous append chain and every version still reads
     assert [h["version"] for h in history(path)] == list(range(1, head + 1))
     assert read_version(spark, path, head // 2).count() == head // 2
+
+
+def test_bloom_nonintegral_decimal_folds_like_real():
+    """r11 ADVICE (medium): a NON-integral Decimal whose float fold is
+    integral (Decimal('2.0000000000000000001') -> 2.0) must encode
+    exactly like the double it widens to ('i:2'), or a widened double
+    probe 2.0 silently skips its file — a false negative. The Decimal
+    branch applies the SAME fold as numbers.Real."""
+    from decimal import Decimal
+
+    from tts_etl_pipeline_spark.sources.versioned import _bloom_canonical
+
+    d = Decimal("2.0000000000000000001")
+    assert _bloom_canonical(d) == _bloom_canonical(2.0) == b"i:2"
+    # a genuinely fractional Decimal still folds like its float twin
+    assert _bloom_canonical(Decimal("2.5")) == _bloom_canonical(2.5)
+    # and an EXACT-integral Decimal keeps its exact digits (>2^53 safe)
+    assert _bloom_canonical(Decimal(9007199254740993)) == b"i:9007199254740993"
+
+
+def test_bloom_pruned_read_nonintegral_decimal_widened_probe(spark, tmp_path):
+    """End-to-end twin of the canonical-encoding fix: a decimal column
+    holding 2.0000000000000000001 must be READ by a double probe 2.0
+    (Spark's decimal<->double widened equality makes the row match)."""
+    from decimal import Decimal
+
+    from tts_etl_pipeline_spark.sources.versioned import (
+        read_version_bloom_pruned,
+        write_version,
+    )
+
+    path = str(tmp_path / "t")
+    write_version(
+        spark.createDataFrame(
+            [(Decimal("2.0000000000000000001"),), (Decimal("9.5"),)],
+            "k decimal(20,19)",
+        ).repartition(2, "k"),
+        path,
+        collect_blooms=("k",),
+    )
+    got, _, _total = read_version_bloom_pruned(spark, path, "k", 2.0)
+    # pre-fix the bloom encoded 'f:2.0' at build but the probe asks 'i:2',
+    # so the file holding the matching row was skipped -> count 0
+    assert got.count() == 1  # widened equality: CAST(k AS double) == 2.0
+
+
+def test_stat_disjoint_cross_type_degrades_to_read(spark, tmp_path):
+    """r11 ADVICE (low): a numeric BETWEEN probe against recorded STRING
+    truncate(16) bounds (or vice versa) proves nothing — it must degrade
+    to reading the file (skip nothing), never crash the caller's plan."""
+    from tts_etl_pipeline_spark.sources.versioned import (
+        _stat_disjoint,
+        read_version_pruned,
+        write_version,
+    )
+
+    assert _stat_disjoint(["a", "z"], 1, 5) is False
+    assert _stat_disjoint([1, 5], "a", "z") is False
+    # end-to-end: numeric range probe on a string column with recorded
+    # bounds plans a full read instead of propagating TypeError
+    path = str(tmp_path / "t")
+    write_version(
+        spark.createDataFrame([("7",), ("b",)], "s string").repartition(2, "s"),
+        path,
+        collect_stats=("s",),
+    )
+    df, skipped, total = read_version_pruned(spark, path, "s", 1, 5)
+    assert (skipped, total) == (0, 2)  # unprunable: every file read
+
+
+def test_dv_decode_raises_on_dangling_continuation():
+    """r11 ADVICE (low): a bit-truncated varint stream (final byte still
+    carrying the continuation bit) must RAISE — silently dropping the
+    trailing position would serve deleted rows back."""
+    import base64
+
+    import pytest as _pytest
+
+    from tts_etl_pipeline_spark.sources.versioned import _dv_decode, _dv_encode
+
+    good = _dv_encode([5, 130, 16384])
+    raw = base64.b64decode(good)
+    # chop the terminating byte of the last varint: its predecessor keeps
+    # the continuation bit set, so the stream now dangles
+    with _pytest.raises(ValueError, match="dangling"):
+        _dv_decode(base64.b64encode(raw[:-1]).decode("ascii"))
+    with _pytest.raises(ValueError, match="dangling"):
+        _dv_decode(base64.b64encode(b"\x81").decode("ascii"))
+
+
+def test_load_dvs_validates_cardinality(tmp_path):
+    """r11 ADVICE (low): a valid-JSON DV sidecar whose decoded position
+    count disagrees with the recorded 'card' is damage — _load_dvs must
+    raise instead of resurrecting deleted rows."""
+    import json
+
+    import pytest as _pytest
+
+    from tts_etl_pipeline_spark.sources.versioned import (
+        _dv_encode,
+        _load_dvs,
+        _vdir,
+    )
+
+    path = str(tmp_path)
+    os.makedirs(_vdir(path), exist_ok=True)
+    rel = os.path.join("_versions", "dv-test.json")
+    with open(os.path.join(path, rel), "w", encoding="utf-8") as fh:
+        json.dump({"data/f.parquet": {"card": 3, "b64": _dv_encode([1, 2])}}, fh)
+    manifest = {"dvs": {"data/f.parquet": rel}}
+    with _pytest.raises(ValueError, match="card"):
+        _load_dvs(path, manifest, ["data/f.parquet"])
+
+
+def test_write_shard_survives_vacuum_unlink_race(tmp_path, monkeypatch):
+    """r11 ADVICE (low): when vacuum unlinks a content-addressed shard in
+    the gap between _write_shard's existence probe and its utime refresh,
+    the FileNotFoundError must fall through to REWRITING the shard — a
+    committed manifest must never reference a missing sidecar."""
+    from tts_etl_pipeline_spark.sources.versioned import _write_shard
+
+    path = str(tmp_path)
+    entry = _write_shard(path, ["data/a.parquet"], {}, {}, {})
+    full = os.path.join(path, entry["path"])
+    assert os.path.exists(full)
+
+    real_utime = os.utime
+
+    def racing_utime(p, *a, **kw):
+        if p == full:  # simulate the concurrent vacuum winning the race
+            os.remove(full)
+            raise FileNotFoundError(p)
+        return real_utime(p, *a, **kw)
+
+    monkeypatch.setattr(os, "utime", racing_utime)
+    entry2 = _write_shard(path, ["data/a.parquet"], {}, {}, {})
+    assert entry2 == entry
+    assert os.path.exists(full)  # rewritten, not silently missing
+
+
+# ---------------------------------------------------------------------------
+# Partition-spec transforms + spec evolution (r12)
+# ---------------------------------------------------------------------------
+
+
+def _pspec_imports():
+    from tts_etl_pipeline_spark.sources.versioned import (
+        alter_partition_spec,
+        manifest,
+        partition_spec,
+        read_version,
+        read_version_pruned,
+        write_version,
+    )
+
+    return (
+        alter_partition_spec,
+        manifest,
+        partition_spec,
+        read_version,
+        read_version_pruned,
+        write_version,
+    )
+
+
+def _pspec_df(spark):
+    import datetime as dt
+
+    rows = [
+        (i, dt.date(1992 + i % 6, 1 + i % 12, 1 + i % 28), f"c{i % 7}")
+        for i in range(200)
+    ]
+    return spark.createDataFrame(rows, "k long, d date, s string")
+
+
+def test_partition_spec_layout_and_prune(spark, tmp_path):
+    """A year(d)-partitioned write lays out ONE file per live year and a
+    date-range read plans O(matching partitions) files — the Iceberg
+    `PARTITIONED BY (years(d))` contract — with rows exactly equal to the
+    unpartitioned filter."""
+    (alter, manifest, pspec, read_v, read_pruned, write_v) = _pspec_imports()
+    df = _pspec_df(spark)
+    path = str(tmp_path / "t")
+    write_v(df, path, partition_by=(("year", "d"),))
+    m = manifest(path, 1)
+    n_years = df.selectExpr("year(d)").distinct().count()
+    assert len(m["files"]) == n_years  # one file group per partition tuple
+    assert all("__p:year:d" in m["stats"][f] for f in m["files"])
+    assert pspec(path)["fields"] == [["year", "d", None]]
+    got, skipped, total = read_pruned(spark, path, "d", "1993-01-01", "1993-12-31")
+    assert (skipped, total) == (n_years - 1, n_years)  # only 1993's file read
+    exp = df.filter("d between date'1993-01-01' and date'1993-12-31'")
+    assert sorted(r["k"] for r in got.collect()) == sorted(
+        r["k"] for r in exp.collect()
+    )
+
+
+def test_partition_spec_evolution_prunes_both_vintages(spark, tmp_path):
+    """Spec evolution is Iceberg's: the new spec applies to NEW files only
+    (no rewrite — old files byte-identical), and one date predicate prunes
+    BOTH vintages — old files under year(d), new files under month(d)."""
+    import datetime as dt
+
+    (alter, manifest, pspec, read_v, read_pruned, write_v) = _pspec_imports()
+    df = _pspec_df(spark)
+    old, new = df.filter("d < date'1995-01-01'"), df.filter("d >= date'1995-01-01'")
+    path = str(tmp_path / "t")
+    write_v(old, path, partition_by=(("year", "d"),))
+    m1 = manifest(path, 1)
+    sig = {
+        f: os.stat(os.path.join(path, f)).st_mtime_ns for f in m1["files"]
+    }
+    alter(path, (("month", "d"),))
+    assert pspec(path)["fields"] == [["month", "d", None]]
+    assert pspec(path)["history"]["1"] == [["year", "d", None]]
+    write_v(new, path)  # appends lay out under the EVOLVED spec, no re-declare
+    m3 = manifest(path, 3)
+    assert {
+        f: os.stat(os.path.join(path, f)).st_mtime_ns for f in m1["files"]
+    } == sig  # evolution rewrote nothing
+    n_old = len(m1["files"])
+    n_new = len(m3["files"]) - n_old
+    new_months = new.selectExpr(
+        "(year(d)-1970)*12 + month(d) - 1 as m"
+    ).distinct().count()
+    assert n_new == new_months  # month layout under the evolved spec
+    # a probe spanning the vintage boundary: one 1993 year-file from the
+    # old vintage + only the matching month-files from the new vintage
+    got, skipped, total = read_pruned(
+        spark, path, "d", dt.date(1993, 1, 1), dt.date(1995, 12, 31)
+    )
+    match_new = new.filter("d <= date'1995-12-31'").selectExpr(
+        "(year(d)-1970)*12 + month(d) - 1 as m"
+    ).distinct().count()
+    kept = total - skipped
+    assert total == n_old + n_new
+    assert kept == 2 + match_new  # 1993 + 1994 year files + matching months
+    exp = df.filter("d between date'1993-01-01' and date'1995-12-31'")
+    assert got.count() == exp.count()
+    # idempotent re-declare: the same fields reuse the existing vintage id
+    v_before = manifest(path, 3)["version"]
+    alter(path, (("month", "d"),))
+    assert pspec(path)["id"] == "2"
+
+
+def test_partition_spec_bucket_and_truncate(spark, tmp_path):
+    """bucket(N) prunes EQUALITY probes only (a range derives nothing);
+    truncate(W) prunes string prefixes and floors ints (negatives too,
+    Iceberg semantics)."""
+    (alter, manifest, pspec, read_v, read_pruned, write_v) = _pspec_imports()
+    df = _pspec_df(spark)
+    p1 = str(tmp_path / "b")
+    write_v(df, p1, partition_by=(("bucket", "k", 8),))
+    n = len(manifest(p1, 1)["files"])
+    got, skipped, total = read_pruned(spark, p1, "k", 17, 17)
+    assert got.count() == 1 and total == n and skipped == n - 1
+    _, sk_range, _ = read_pruned(spark, p1, "k", 10, 20)  # range: no bucket skip
+    assert sk_range == 0
+    p2 = str(tmp_path / "tr")
+    write_v(df, p2, partition_by=(("truncate", "s", 2),))
+    got2, sk2, tot2 = read_pruned(spark, p2, "s", "c1", "c2")
+    assert sk2 > 0
+    assert got2.count() == df.filter("s between 'c1' and 'c2'").count()
+    # int truncate floors negatives: -7 with W=4 -> -8
+    p3 = str(tmp_path / "ti")
+    neg = spark.createDataFrame([(-7,), (-1,), (3,), (9,)], "k long")
+    write_v(neg, p3, partition_by=(("truncate", "k", 4),))
+    m3 = manifest(p3, 1)
+    vals = sorted(v["__p:truncate[4]:k"][0] for v in m3["stats"].values())
+    assert vals == [-8, -4, 0, 8]
+    g3, s3, t3 = read_pruned(spark, p3, "k", -7, -7)
+    assert g3.count() == 1 and s3 == t3 - 1
+
+
+def test_partition_spec_null_and_prespec_files_never_skipped(spark, tmp_path):
+    """A NULL transform value records no tuple stat (its file is always
+    read), and files written BEFORE the spec existed keep serving — both
+    degrade to read, never to a wrong skip."""
+    import datetime as dt
+
+    (alter, manifest, pspec, read_v, read_pruned, write_v) = _pspec_imports()
+    path = str(tmp_path / "t")
+    pre = spark.createDataFrame(
+        [(1, dt.date(1993, 6, 1), "x")], "k long, d date, s string"
+    )
+    write_v(pre, path)  # pre-spec vintage: no tuple at all
+    alter(path, (("year", "d"),))
+    with_null = spark.createDataFrame(
+        [(2, None, "y"), (3, dt.date(1999, 1, 1), "z")],
+        "k long, d date, s string",
+    )
+    write_v(with_null, path)
+    got, skipped, total = read_pruned(spark, path, "d", "1993-01-01", "1993-12-31")
+    assert got.count() == 1  # the pre-spec row
+    # the 1999 file is skippable; the pre-spec file and the null-tuple
+    # file are not (no stat -> read)
+    assert skipped == 1
+    assert read_v(spark, path).count() == 3
+
+
+def test_partition_spec_mutation_interplay(spark, tmp_path):
+    """DV delete + update + purge on a partitioned, spec-evolved table:
+    merge-on-read mutations keep every data file byte-identical, purge
+    rewrites only vectored files, and partition pruning keeps planning
+    O(matching partitions) throughout (tuples carried by every commit)."""
+    from tts_etl_pipeline_spark.sources.versioned import (
+        delete_where_dv,
+        purge_dvs,
+        update_where_dv,
+    )
+
+    (alter, manifest, pspec, read_v, read_pruned, write_v) = _pspec_imports()
+    df = _pspec_df(spark)
+    old, new = df.filter("d < date'1995-01-01'"), df.filter("d >= date'1995-01-01'")
+    path = str(tmp_path / "t")
+    write_v(old, path, partition_by=(("year", "d"),))
+    alter(path, (("month", "d"),))
+    write_v(new, path)
+    head = manifest(path, 3)
+    sig = {
+        f: os.stat(os.path.join(path, f)).st_ino for f in head["files"]
+    }
+    v4 = delete_where_dv(spark, path, "k", 0, 4)  # rows in both vintages
+    v5 = update_where_dv(spark, path, "k", 10, 10, {"s": "'UPD'"})
+    m5 = manifest(path, v5)
+    # merge-on-read: every ORIGINAL file is byte-identical (the update
+    # appends the rewritten rows as new files and DV-hides the old ones)
+    assert {
+        f: os.stat(os.path.join(path, f)).st_ino
+        for f in m5["files"]
+        if f in sig
+    } == sig
+    assert set(sig) <= set(m5["files"])
+    assert read_v(spark, path).count() == 195
+    assert read_v(spark, path).filter("s = 'UPD'").count() == 1
+    # pruning still plans O(matching partitions) with DVs live
+    got, skipped, total = read_pruned(spark, path, "d", "1993-01-01", "1993-12-31")
+    exp = df.filter(
+        "d between date'1993-01-01' and date'1993-12-31' and k not in (0,1,2,3,4)"
+    ).count()
+    assert got.count() == exp
+    assert skipped > 0
+    v6 = purge_dvs(spark, path)
+    assert read_v(spark, path).count() == 195
+    assert read_v(spark, path).filter("s = 'UPD'").count() == 1
+    got2, sk2, _ = read_pruned(spark, path, "d", "1993-01-01", "1993-12-31")
+    assert got2.count() == exp
+    # untouched (unvectored) files keep their tuples, so pruning survives
+    assert sk2 > 0
+
+
+def test_partition_spec_rename_survives(spark, tmp_path):
+    """Specs are keyed by PHYSICAL column names: renaming the partition
+    column keeps every recorded tuple valid and pruning exact under the
+    NEW logical name (the same contract stats/blooms honor)."""
+    from tts_etl_pipeline_spark.sources.versioned import rename_column
+
+    (alter, manifest, pspec, read_v, read_pruned, write_v) = _pspec_imports()
+    df = _pspec_df(spark)
+    path = str(tmp_path / "t")
+    write_v(df, path, partition_by=(("year", "d"),))
+    rename_column(path, "d", "order_date")
+    got, skipped, total = read_pruned(
+        spark, path, "order_date", "1993-01-01", "1993-12-31"
+    )
+    assert skipped == total - 1
+    assert got.count() == df.filter(
+        "d between date'1993-01-01' and date'1993-12-31'"
+    ).count()
+    # appends after the rename keep partitioning (spec follows the rename)
+    import datetime as dt
+
+    extra = spark.createDataFrame(
+        [(999, dt.date(1993, 7, 7), "zz")], "k long, order_date date, s string"
+    )
+    write_v(extra, path)
+    got2, sk2, tot2 = read_pruned(
+        spark, path, "order_date", "1993-01-01", "1993-12-31"
+    )
+    assert got2.count() == got.count() + 1
+    assert sk2 == tot2 - 2  # the old 1993 file + the new 1993 file
+
+
+def test_partition_spec_validation():
+    """Bad specs fail the DECLARING commit with typed messages: unknown
+    transform, wrong column type, missing/forbidden params, duplicates,
+    unknown columns."""
+    import pytest as _pytest
+
+    from pyspark.sql.types import (
+        DateType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from tts_etl_pipeline_spark.sources.versioned import _parse_partition_spec
+
+    schema = StructType(
+        [
+            StructField("k", LongType()),
+            StructField("d", DateType()),
+            StructField("s", StringType()),
+        ]
+    )
+    ok = _parse_partition_spec((("day", "d"), ("bucket", "k", 8), "s"), schema, None)
+    assert ok == [["day", "d", None], ["bucket", "k", 8], ["identity", "s", None]]
+    for bad, msg in [
+        ((("hour", "d"),), "unknown partition transform"),
+        ((("year", "k"),), "needs a date/timestamp"),
+        ((("bucket", "d", 8),), "int-family and string"),
+        ((("bucket", "k"),), "positive int"),
+        ((("bucket", "k", 0),), "positive int"),
+        ((("day", "d", 3),), "takes no parameter"),
+        ((("day", "d"), ("day", "d")), "duplicate"),
+        ((("day", "nope"),), "not in the schema"),
+    ]:
+        with _pytest.raises(ValueError, match=msg):
+            _parse_partition_spec(bad, schema, None)
+
+
+def test_partition_spec_unpartition_evolution(spark, tmp_path):
+    """Evolving to an EMPTY spec stops laying out new files (and records
+    the vintage); old files keep pruning under their original spec."""
+    (alter, manifest, pspec, read_v, read_pruned, write_v) = _pspec_imports()
+    df = _pspec_df(spark)
+    path = str(tmp_path / "t")
+    write_v(df.filter("d < date'1995-01-01'"), path, partition_by=(("year", "d"),))
+    n1 = len(manifest(path, 1)["files"])
+    alter(path, ())
+    assert pspec(path)["fields"] is None or pspec(path)["fields"] == []
+    write_v(df.filter("d >= date'1995-01-01'").coalesce(2), path)
+    got, skipped, total = read_pruned(spark, path, "d", "1993-01-01", "1993-12-31")
+    assert skipped == n1 - 1  # old vintage still prunes; new files all read
+    assert got.count() == df.filter(
+        "d between date'1993-01-01' and date'1993-12-31'"
+    ).count()
+
+
+# ---------------------------------------------------------------------------
+# Branch/tag refs + write-audit-publish (r12)
+# ---------------------------------------------------------------------------
+
+
+def _wap_imports():
+    from tts_etl_pipeline_spark.sources import versioned as V
+
+    return V
+
+
+def test_wap_stage_audit_publish(spark, tmp_path):
+    """The canonical write-audit-publish flow: staged commits are invisible
+    to EVERY main reader until fast_forward, and publishing grafts exactly
+    the staged commits into main's history (parent chain, modes and
+    provenance intact)."""
+    V = _wap_imports()
+    path = str(tmp_path / "t")
+    V.write_version(spark.range(10).selectExpr("id as k"), path)
+    fork = V.create_branch(path, "audit")
+    assert fork == 1
+    V.write_version(spark.range(10, 15).selectExpr("id as k"), path, branch="audit")
+    V.write_version(spark.range(15, 18).selectExpr("id as k"), path, branch="audit")
+    # pre-publish: main sees NOTHING staged, the audit reader sees it all
+    assert V.current_version(path) == 1
+    assert V.read_version(spark, path).count() == 10
+    assert V.read_branch(spark, path, "audit").count() == 18
+    assert V.branch_head(path, "audit") == 3
+    # audit passes -> publish
+    head = V.fast_forward(path, "audit")
+    assert head == 3 and V.current_version(path) == 3
+    assert V.read_version(spark, path).count() == 18
+    hist = V.history(path)
+    assert [h["version"] for h in hist] == [1, 2, 3]
+    m2 = V.manifest(path, 2)
+    assert m2.get("published_from") == "audit" and "branch" not in m2
+    assert m2["parent"] == 1  # the staged chain IS main's chain
+    # time travel through the published range works like any history
+    assert V.read_version(spark, path, 2).count() == 15
+    # the branch re-rooted at the new head with no staged work left
+    assert V.list_refs(path)["branches"]["audit"] == {"fork": 3, "head": 3}
+    assert not os.path.exists(
+        os.path.join(path, "_versions", "v00000002-audit.json")
+    )
+    # idempotent: publishing an empty branch is a no-op
+    assert V.fast_forward(path, "audit") == 3
+
+
+def test_wap_publish_conflict_is_typed_and_publishes_nothing(spark, tmp_path):
+    """A concurrent MAIN commit after the fork makes the staged chain
+    non-fast-forwardable: publish raises PublishConflictError (a
+    CommitConflictError subtype — one conflict taxonomy) and changes
+    nothing; the remedy is re-staging onto the new head."""
+    import pytest as _pytest
+
+    V = _wap_imports()
+    path = str(tmp_path / "t")
+    V.write_version(spark.range(5).selectExpr("id as k"), path)
+    V.create_branch(path, "audit")
+    V.write_version(spark.range(5, 8).selectExpr("id as k"), path, branch="audit")
+    V.write_version(spark.range(100, 101).selectExpr("id as k"), path)  # main wins v2
+    with _pytest.raises(V.PublishConflictError):
+        V.fast_forward(path, "audit")
+    assert issubclass(V.PublishConflictError, V.CommitConflictError)
+    assert V.current_version(path) == 2
+    assert V.read_version(spark, path).count() == 6  # main untouched
+    # the branch still holds its staged work for a re-stage decision
+    assert V.read_branch(spark, path, "audit").count() == 8
+
+
+def test_wap_publish_resumes_after_partial_crash(spark, tmp_path):
+    """A publish that died between linking slot 1 and slot 2 resumes: the
+    content-identical slot is recognized and skipped, the remaining staged
+    commits land, and the pointer advances once."""
+    import json as _json
+
+    V = _wap_imports()
+    path = str(tmp_path / "t")
+    V.write_version(spark.range(5).selectExpr("id as k"), path)
+    V.create_branch(path, "audit")
+    V.write_version(spark.range(5, 8).selectExpr("id as k"), path, branch="audit")
+    V.write_version(spark.range(8, 9).selectExpr("id as k"), path, branch="audit")
+    # simulate the dead publisher's first slot landing (clean manifest)
+    src = os.path.join(path, "_versions", "v00000002-audit.json")
+    with open(src, encoding="utf-8") as fh:
+        m = _json.load(fh)
+    m.pop("branch", None)
+    m["published_from"] = "audit"
+    with open(os.path.join(path, "_versions", "v00000002.json"), "w") as fh:
+        _json.dump(m, fh)
+    assert V.current_version(path) == 1  # pointer never advanced
+    head = V.fast_forward(path, "audit")
+    assert head == 3 and V.current_version(path) == 3
+    assert V.read_version(spark, path).count() == 9
+
+
+def test_branch_commit_cas_conflict(spark, tmp_path):
+    """Two writers staging onto the SAME branch snapshot: exactly one wins
+    the branch's manifest CAS, the loser gets CommitConflictError — the
+    same optimistic discipline main commits use."""
+    import pytest as _pytest
+
+    V = _wap_imports()
+    path = str(tmp_path / "t")
+    V.write_version(spark.range(5).selectExpr("id as k"), path)
+    V.create_branch(path, "audit")
+    h = V.branch_head(path, "audit")
+    V.write_version(
+        spark.range(5, 6).selectExpr("id as k"), path,
+        branch="audit", expected_version=h,
+    )
+    with _pytest.raises(V.CommitConflictError):
+        V.write_version(
+            spark.range(6, 7).selectExpr("id as k"), path,
+            branch="audit", expected_version=h,
+        )
+
+
+def test_tag_pins_reproducible_read_through_vacuum(spark, tmp_path):
+    """A tag is a reproducible read: vacuum retains the tagged snapshot's
+    files even when keep_versions would reclaim them; deleting the tag
+    releases them."""
+    V = _wap_imports()
+    path = str(tmp_path / "t")
+    V.write_version(spark.range(10).selectExpr("id as k"), path)
+    V.create_tag(path, "launch")
+    V.write_version(
+        spark.range(100, 105).selectExpr("id as k"), path, mode="overwrite"
+    )
+    deleted = V.vacuum(path, keep_versions=1, grace_seconds=0.0)
+    assert V.read_tag(spark, path, "launch").count() == 10  # retained
+    assert sorted(r["k"] for r in V.read_tag(spark, path, "launch").collect()) == list(range(10))
+    V.delete_tag(path, "launch")
+    deleted2 = V.vacuum(path, keep_versions=1, grace_seconds=0.0)
+    assert deleted2  # the tag's files are reclaimable now
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no tag"):
+        V.read_tag(spark, path, "launch")
+
+
+def test_branch_staging_survives_vacuum_then_reclaims_on_delete(spark, tmp_path):
+    """Live branches pin their staged files against vacuum (a stage-then-
+    audit window can exceed any grace period); delete_branch turns the
+    staged snapshot into reclaimable garbage without touching main."""
+    V = _wap_imports()
+    path = str(tmp_path / "t")
+    V.write_version(spark.range(10).selectExpr("id as k"), path)
+    V.create_branch(path, "audit")
+    V.write_version(spark.range(10, 20).selectExpr("id as k"), path, branch="audit")
+    V.vacuum(path, keep_versions=1, grace_seconds=0.0)
+    assert V.read_branch(spark, path, "audit").count() == 20  # staged files kept
+    V.delete_branch(path, "audit")
+    V.vacuum(path, keep_versions=1, grace_seconds=0.0)
+    assert V.read_version(spark, path).count() == 10  # main untouched
+    # the staged manifest and its data files are gone
+    assert not any(
+        "-audit" in fn for fn in os.listdir(os.path.join(path, "_versions"))
+    )
+
+
+def test_ref_validation_and_typed_refusals(spark, tmp_path):
+    import pytest as _pytest
+
+    V = _wap_imports()
+    path = str(tmp_path / "t")
+    V.write_version(spark.range(3).selectExpr("id as k"), path)
+    for bad in ("", "-x", ".hidden", "a/b", "a b", "a:b"):
+        with _pytest.raises(ValueError, match="invalid ref name"):
+            V.create_branch(path, bad)
+    V.create_branch(path, "audit")
+    with _pytest.raises(ValueError, match="already exists"):
+        V.create_branch(path, "audit")
+    V.create_tag(path, "v1")
+    with _pytest.raises(ValueError, match="already exists"):
+        V.create_tag(path, "v1")
+    with _pytest.raises(ValueError, match="no branch"):
+        V.write_version(spark.range(1).selectExpr("id as k"), path, branch="nope")
+    with _pytest.raises(ValueError, match="no branch"):
+        V.fast_forward(path, "nope")
+    with _pytest.raises(ValueError, match="no tag"):
+        V.delete_tag(path, "nope")
+    with _pytest.raises(ValueError):  # tags pin COMMITTED main versions only
+        V.create_tag(path, "future", at_version=99)
+
+
+def test_branch_from_empty_table_bootstrap(spark, tmp_path):
+    """WAP bootstrap: staging the very FIRST load on an empty table (fork
+    at version 0) — the standard shape for a new pipeline's first
+    audited publish."""
+    V = _wap_imports()
+    path = str(tmp_path / "t")
+    fork = V.create_branch(path, "init")
+    assert fork == 0
+    V.write_version(spark.range(7).selectExpr("id as k"), path, branch="init")
+    assert V.current_version(path) == 0  # nothing published yet
+    assert V.read_branch(spark, path, "init").count() == 7
+    assert V.fast_forward(path, "init") == 1
+    assert V.read_version(spark, path).count() == 7
+
+
+def test_bloom_build_executor_side_identical_bits(spark, tmp_path):
+    """r12: commit-time blooms build EXECUTOR-side (one task per staged
+    file) — the bits must be byte-identical to the driver fallback, so
+    every probe answers the same whichever side built the filter."""
+    import json as _json
+
+    from tts_etl_pipeline_spark.sources.versioned import (
+        _collect_blooms,
+        _collect_blooms_spark,
+        manifest,
+        read_version_bloom_pruned,
+        write_version,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.range(2000).selectExpr("id as k", "cast(id as string) as s")
+    write_version(df.repartition(4, "k"), path, collect_blooms=("k", "s"))
+    m = manifest(path, 1)
+    files = sorted(m["files"])
+    assert len(files) > 1  # the distributed path actually ran
+    sidecar = m["blooms"][files[0]]
+    with open(os.path.join(path, sidecar), encoding="utf-8") as fh:
+        committed = _json.load(fh)
+    driver_built = _collect_blooms(path, files, ("k", "s"))
+    assert committed == driver_built  # byte-identical bits
+    spark_built = _collect_blooms_spark(spark, path, files, ("k", "s"))
+    assert spark_built == driver_built
+    got, skipped, total = read_version_bloom_pruned(spark, path, "k", 1234)
+    assert got.count() == 1 and total == len(files) and skipped >= 1
+
+
+# ---------------------------------------------------------------------------
+# Equality deletes (r12) — Iceberg v2 equality delete files
+# ---------------------------------------------------------------------------
+
+
+def test_equality_delete_commits_without_reading_data(spark, tmp_path):
+    """The point of an equality delete: the commit writes a KB sidecar +
+    manifest and runs ZERO Spark jobs — no scan to find positions (that
+    is the DV tradeoff); job count pinned via a job group."""
+    from tts_etl_pipeline_spark.sources.versioned import (
+        delete_where_eq,
+        manifest,
+        read_version,
+        write_version,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.range(100).selectExpr("id as k", "concat('n', id) as name")
+    write_version(df.repartition(4, "k"), path)
+    m1 = manifest(path, 1)
+    sig = {f: os.stat(os.path.join(path, f)).st_mtime_ns for f in m1["files"]}
+    sc = spark.sparkContext
+    sc.setJobGroup("eq_commit_pin", "equality delete commit")
+    v2 = delete_where_eq(path, "k", [3, 50, 99])
+    jobs = sc.statusTracker().getJobIdsForGroup("eq_commit_pin")
+    sc.setJobGroup(None, None)
+    assert list(jobs) == []  # not a single Spark job
+    m2 = manifest(path, v2)
+    assert m2["files"] == m1["files"]  # no file added, none rewritten
+    assert {
+        f: os.stat(os.path.join(path, f)).st_mtime_ns for f in m2["files"]
+    } == sig
+    assert m2["mode"] == "delete-eq"
+    assert sorted(r["k"] for r in read_version(spark, path).collect()) == [
+        k for k in range(100) if k not in (3, 50, 99)
+    ]
+
+
+def test_equality_delete_scopes_to_prior_files(spark, tmp_path):
+    """Iceberg sequence-number semantics: the delete applies to files
+    added BEFORE it — a CDC re-insert of a deleted key survives, and a
+    LATER delete of the same key kills the fresh copy."""
+    from tts_etl_pipeline_spark.sources.versioned import (
+        delete_where_eq,
+        read_version,
+        write_version,
+    )
+
+    path = str(tmp_path / "t")
+    write_version(spark.range(10).selectExpr("id as k"), path)
+    delete_where_eq(path, "k", [5])
+    write_version(spark.createDataFrame([(5,)], "k long"), path)  # re-insert
+    got = sorted(r["k"] for r in read_version(spark, path).collect())
+    assert got == [0, 1, 2, 3, 4, 5, 6, 7, 8, 9][:5] + [5] + [6, 7, 8, 9]
+    delete_where_eq(path, "k", [5])  # a LATER delete covers the re-insert
+    assert sorted(r["k"] for r in read_version(spark, path).collect()) == [
+        0, 1, 2, 3, 4, 6, 7, 8, 9,
+    ]
+
+
+def test_equality_delete_cdf_and_stream_exact(spark, tmp_path):
+    """CDF across an equality-delete commit is exactly the newly-invisible
+    rows as deletes (file lists identical — the DV-changed-files trigger
+    extended); across the re-insert, one insert; a compaction after the
+    delete still cancels to an empty feed."""
+    from tts_etl_pipeline_spark.sources.versioned import (
+        compact,
+        delete_where_eq,
+        manifest,
+        table_changes,
+        write_version,
+    )
+
+    path = str(tmp_path / "t")
+    write_version(spark.range(10).selectExpr("id as k"), path)
+    v2 = delete_where_eq(path, "k", [2, 4])
+    assert sorted(
+        (r["k"], r["_change_type"]) for r in table_changes(spark, path, 1, v2).collect()
+    ) == [(2, "delete"), (4, "delete")]
+    write_version(spark.createDataFrame([(4,)], "k long"), path)
+    assert [
+        (r["k"], r["_change_type"]) for r in table_changes(spark, path, 2, 3).collect()
+    ] == [(4, "insert")]
+    vc = compact(spark, path)
+    assert table_changes(spark, path, vc - 1, vc).count() == 0
+    assert manifest(path, vc).get("eqdeletes") is None  # materialized + cleared
+
+
+def test_equality_delete_composes_with_dvs_and_pruning(spark, tmp_path):
+    """Equality deletes and positional DVs are both subtractive and
+    compose in either order; pruned reads (sharded or inline) carry the
+    per-file add-version stamps, so scoping survives manifest pruning."""
+    from tts_etl_pipeline_spark.sources.versioned import (
+        delete_where_dv,
+        delete_where_eq,
+        read_version,
+        read_version_pruned,
+        write_version,
+    )
+
+    path = str(tmp_path / "t")
+    write_version(
+        spark.range(100).selectExpr("id as k").repartitionByRange(4, "k"),
+        path,
+        collect_stats=("k",),
+    )
+    delete_where_eq(path, "k", [10, 60])
+    delete_where_dv(spark, path, "k", 20, 25)
+    got = sorted(r["k"] for r in read_version(spark, path).collect())
+    dead = {10, 60} | set(range(20, 26))
+    assert got == [k for k in range(100) if k not in dead]
+    pruned, skipped, total = read_version_pruned(spark, path, "k", 0, 49)
+    assert skipped >= 1
+    assert sorted(r["k"] for r in pruned.collect()) == [
+        k for k in range(50) if k not in dead
+    ]
+
+
+def test_equality_delete_clone_remap_and_rollback(spark, tmp_path):
+    """A clone remaps the source-lineage seq/add-version axis onto <=1:
+    carried visibility is exact, the clone's future appends escape
+    carried deletes, its future deletes cover carried files. rollback
+    restores the restored version's OWN delete set."""
+    from tts_etl_pipeline_spark.sources.versioned import (
+        clone_table,
+        delete_where_eq,
+        read_version,
+        rollback,
+        write_version,
+    )
+
+    src = str(tmp_path / "s")
+    write_version(spark.range(8).selectExpr("id as k"), src)
+    delete_where_eq(src, "k", [1, 2])
+    write_version(spark.createDataFrame([(2,)], "k long"), src)  # re-insert 2
+    dst = str(tmp_path / "d")
+    clone_table(src, dst)
+    assert sorted(r["k"] for r in read_version(spark, dst).collect()) == [
+        0, 2, 3, 4, 5, 6, 7,
+    ]
+    write_version(spark.createDataFrame([(1,)], "k long"), dst)
+    assert 1 in {r["k"] for r in read_version(spark, dst).collect()}
+    delete_where_eq(dst, "k", [0])
+    assert sorted(r["k"] for r in read_version(spark, dst).collect()) == [
+        1, 2, 3, 4, 5, 6, 7,
+    ]
+    rollback(src, 1)
+    assert read_version(spark, src).count() == 8  # pre-delete visibility
+
+
+def test_equality_delete_scd2_fold_interplay(spark, tmp_path):
+    """The SCD2 fold's staged rewrites materialize live equality deletes
+    for the rows they rewrite (stamped past every seq), while REUSED
+    closed-history files stay covered — fold output equals a fresh read."""
+    from tts_etl_pipeline_spark.sources.versioned import (
+        delete_where_eq,
+        read_version,
+        write_version,
+        write_version_parts,
+    )
+
+    path = str(tmp_path / "t")
+    write_version(spark.range(10).selectExpr("id as k"), path)
+    delete_where_eq(path, "k", [7])
+    live = read_version(spark, path)  # 9 rows, 7 invisible
+    v = write_version_parts(
+        [live], path, reuse_files=[], expected_version=2
+    )
+    got = sorted(r["k"] for r in read_version(spark, path).collect())
+    assert got == [0, 1, 2, 3, 4, 5, 6, 8, 9]
+    # the rewrite is stamped past the delete: re-adding 7 now survives
+    write_version(spark.createDataFrame([(7,)], "k long"), path)
+    assert 7 in {r["k"] for r in read_version(spark, path).collect()}
+
+
+def test_equality_delete_validation(spark, tmp_path):
+    import pytest as _pytest
+
+    from tts_etl_pipeline_spark.sources.versioned import (
+        delete_where_eq,
+        drop_column,
+        write_version,
+    )
+
+    path = str(tmp_path / "t")
+    write_version(
+        spark.range(5).selectExpr("id as k", "concat('n', id) as name"), path
+    )
+    with _pytest.raises(ValueError, match="non-empty"):
+        delete_where_eq(path, "k", [])
+    with _pytest.raises(ValueError, match="NULL"):
+        delete_where_eq(path, "k", [1, None])
+    with _pytest.raises(TypeError, match="type family"):
+        delete_where_eq(path, "k", ["3"])  # string probe on bigint column
+    with _pytest.raises(TypeError, match="type family"):
+        delete_where_eq(path, "name", [3])
+    with _pytest.raises(ValueError, match="no column"):
+        delete_where_eq(path, "nope", [1])
+    delete_where_eq(path, "name", ["n1"])
+    with _pytest.raises(ValueError, match="equality delete"):
+        drop_column(path, "name")  # live delete references it

@@ -122,6 +122,73 @@ def _manifest_path(path: str, version: int) -> str:
     return os.path.join(_vdir(path), f"v{version:08d}.json")
 
 
+# --- named refs (branches + tags) --------------------------------------
+# A BRANCH is a staging lineage: its commits live in the same _versions/
+# pool as manifests named v{N:08d}-{branch}.json, numbered from the MAIN
+# version the branch forked at — invisible to main readers (current_version
+# never points at them, vacuum never adopts them) until fast_forward
+# publishes them by hard-linking content-identical clean manifests into
+# the main lineage. A TAG is an immutable named pointer to a main version;
+# vacuum retains tagged snapshots' files, so a tag is a reproducible read
+# for as long as it exists. Refs live in _versions/_refs.json, mutated
+# only under the _latest flock.
+
+_REF_NAME_OK = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789_-."
+
+# v{8 digits}.json = a MAIN manifest; v{8 digits}-{branch}.json = a branch's
+# staged manifest. Vacuum tells them apart with this (a staged manifest of a
+# LIVE branch is never swept; a dead branch's files age out like any orphan).
+import re as _re
+
+_MANIFEST_RE = _re.compile(r"^v(\d{8})(?:-(.+))?\.json$")
+
+
+def _check_ref_name(name: str) -> str:
+    if not name or any(ch not in _REF_NAME_OK for ch in name) or name[0] in "-.":
+        raise ValueError(
+            f"invalid ref name {name!r}: use letters/digits/[-_.], not "
+            f"starting with '-' or '.'"
+        )
+    return name
+
+
+def _refs_path(path: str) -> str:
+    return os.path.join(_vdir(path), "_refs.json")
+
+
+def _load_refs(path: str) -> dict:
+    p = _refs_path(path)
+    if not os.path.exists(p):
+        return {"branches": {}, "tags": {}}
+    with open(p, encoding="utf-8") as fh:
+        refs = json.load(fh)
+    refs.setdefault("branches", {})
+    refs.setdefault("tags", {})
+    return refs
+
+
+def _branch_manifest_file(path: str, version: int, branch: str) -> str:
+    return os.path.join(_vdir(path), f"v{version:08d}-{branch}.json")
+
+
+def _resolve_manifest_file(
+    path: str, version: int, branch: str | None = None, fork: int | None = None
+) -> str:
+    """The file holding `version`'s manifest as seen FROM `branch` (None =
+    main): a branch serves its own manifests past its fork point and
+    main's at or before it — the shared-prefix lineage."""
+    if branch is not None and fork is not None and version > fork:
+        return _branch_manifest_file(path, version, branch)
+    return _manifest_path(path, version)
+
+
+class PublishConflictError(CommitConflictError):
+    """fast_forward found a MAIN commit occupying a version slot the
+    branch staged with DIFFERENT content: main advanced past the fork, so
+    the staged chain no longer fast-forwards. Rebase by re-staging onto
+    the new head (create a fresh branch) — never force-publish."""
+
+
 def _write_atomic(target: str, payload: dict) -> None:
     tmp = target + f".tmp-{uuid.uuid4().hex[:8]}"
     with open(tmp, "w", encoding="utf-8") as fh:
@@ -223,7 +290,16 @@ def _write_shard(
     digest = hashlib.sha256(blob).hexdigest()[:24]
     rel = os.path.join("_versions", f"shard-{digest}.json")
     full = os.path.join(path, rel)
-    if not os.path.exists(full):
+    refreshed = False
+    if os.path.exists(full):
+        # keep a referenced shard inside every vacuum grace window (same
+        # freshness contract rollback uses for re-referenced data files)
+        try:
+            os.utime(full)
+            refreshed = True
+        except FileNotFoundError:
+            pass  # vacuum swept it inside the probe gap: rewrite below
+    if not refreshed:
         os.makedirs(_vdir(path), exist_ok=True)
         tmp = full + f".tmp-{uuid.uuid4().hex[:8]}"
         with open(tmp, "wb") as fh:
@@ -231,10 +307,6 @@ def _write_shard(
             fh.flush()
             os.fsync(fh.fileno())
         os.replace(tmp, full)  # benign race: identical content either way
-    else:
-        # keep a referenced shard inside every vacuum grace window (same
-        # freshness contract rollback uses for re-referenced data files)
-        os.utime(full)
     entry = {"path": rel, "n": len(files)}
     summary = _shard_summary(files, stats)
     if summary:
@@ -346,15 +418,24 @@ def _alter_payload_kwargs(m_raw: dict) -> dict:
     }
 
 
-def _read_manifest(path: str, version: int, materialize: bool = True) -> dict:
+def _read_manifest(
+    path: str,
+    version: int,
+    materialize: bool = True,
+    branch: str | None = None,
+    fork: int | None = None,
+) -> dict:
     """Load one committed manifest. Sharded manifests (a 'shards' map
     instead of inline per-file payload) are MATERIALIZED by default —
     files/stats/blooms/dvs merged from every shard — so every reader
     keeps its inline-format view; pass materialize=False for planning
     paths that use shard summaries to avoid loading the world
     (read_version_pruned) or writers that carry untouched shards
-    verbatim (the write_version append fast path)."""
-    with open(_manifest_path(path, version), encoding="utf-8") as fh:
+    verbatim (the write_version append fast path). branch/fork resolve
+    versions past the fork to the branch's own staged manifests."""
+    with open(
+        _resolve_manifest_file(path, version, branch, fork), encoding="utf-8"
+    ) as fh:
         m = json.load(fh)
     if not materialize or "shards" not in m:
         return m
@@ -421,6 +502,11 @@ def _commit(
     dropped_physicals: list | None = None,
     dvs: dict | None = None,
     shards: dict | None = None,
+    pspecs: dict | None = None,
+    pspec_id: str | None = None,
+    branch: str | None = None,
+    eqdeletes: list | None = None,
+    marker: str | None = None,
 ) -> int:
     """Commit `files` as version expected_parent+1 via the manifest-name
     CAS. `expected_parent=None` reads the head at commit time (sequential
@@ -437,12 +523,26 @@ def _commit(
     manifest: one driver-side JSON parse per commit, the same cost class
     as the manifest rewrite this commit already pays."""
     os.makedirs(_vdir(path), exist_ok=True)
+    fork: int | None = None
+    if branch is not None:
+        info = _load_refs(path)["branches"].get(branch)
+        if info is None:
+            raise ValueError(f"no branch {branch!r} at {path}")
+        fork = info["fork"]
+        if expected_parent is None:
+            expected_parent = branch_head(path, branch)
     parent = current_version(path) if expected_parent is None else expected_parent
     if parent >= 1 and (
-        constraints is None or colmap is None or dropped_physicals is None
+        constraints is None
+        or colmap is None
+        or dropped_physicals is None
+        or pspecs is None
+        or eqdeletes is None
     ):
         # raw read: the inherited fields are manifest-list scalars
-        pm = _read_manifest(path, parent, materialize=False)
+        pm = _read_manifest(
+            path, parent, materialize=False, branch=branch, fork=fork
+        )
         if constraints is None:
             constraints = pm.get("constraints")
         # column-mapping metadata inherits like constraints: None means
@@ -452,8 +552,17 @@ def _commit(
             colmap = pm.get("colmap")
         if dropped_physicals is None:
             dropped_physicals = pm.get("dropped_physicals")
+        # partition-spec metadata inherits as a PAIR: a commit that
+        # declares specs passes both; everyone else carries the parent's
+        if pspecs is None:
+            pspecs = pm.get("pspecs")
+            pspec_id = pm.get("pspec_id")
+        # equality deletes inherit like constraints: they stay live until
+        # a rewrite stamps every file past their seq (overwrite passes [])
+        if eqdeletes is None:
+            eqdeletes = pm.get("eqdeletes")
     version = parent + 1
-    target = _manifest_path(path, version)
+    target = _resolve_manifest_file(path, version, branch, fork)
     tmp = target + f".tmp-{uuid.uuid4().hex[:8]}"
     import time
 
@@ -507,6 +616,24 @@ def _commit(
         # referenced positions; writers carry entries like blooms — always
         # explicitly, since a rewritten file's vector dies with the file
         manifest["dvs"] = dvs
+    if pspecs:
+        manifest["pspecs"] = pspecs
+        if pspec_id is not None:
+            manifest["pspec_id"] = pspec_id
+    if eqdeletes:
+        # [{sc, col, seq}]: small value-list sidecars; each applies to
+        # files whose "__v" add-version stat is BELOW its seq
+        manifest["eqdeletes"] = eqdeletes
+    if branch is not None:
+        # provenance marker: a staged (unpublished) commit names its
+        # branch; fast_forward strips this when publishing into main
+        manifest["branch"] = branch
+    if marker is not None:
+        # caller-supplied IDEMPOTENCE token (e.g. a streaming batch id):
+        # marker_version() probes committed manifests for it, so an
+        # at-least-once redelivery can skip its already-landed commit
+        # without scanning a single data row
+        manifest["marker"] = marker
     with open(tmp, "w", encoding="utf-8") as fh:
         json.dump(manifest, fh)
         fh.flush()
@@ -524,9 +651,16 @@ def _commit(
     finally:
         os.remove(tmp)
     # forward-only pointer advance: a slow v(N+1) winner must never
-    # regress _latest after v(N+2) already landed
+    # regress _latest after v(N+2) already landed. Branch commits advance
+    # the BRANCH head cache instead — main's pointer never sees them.
     with _latest_lock(path):
-        if current_version(path) < version:
+        if branch is not None:
+            refs = _load_refs(path)
+            info = refs["branches"].get(branch)
+            if info is not None and info.get("head", info["fork"]) < version:
+                info["head"] = version
+                _write_atomic(_refs_path(path), refs)
+        elif current_version(path) < version:
             _write_atomic(os.path.join(_vdir(path), "_latest.json"), {"version": version})
     return version
 
@@ -689,7 +823,16 @@ def _bloom_canonical(value) -> bytes:
     if type(value).__name__ == "Decimal":
         if value.is_finite() and value == value.to_integral_value():
             return b"i:" + str(int(value)).encode("ascii")
-        return b"f:" + repr(float(value)).encode("ascii")
+        # non-integral Decimal: fold through float EXACTLY like the Real
+        # branch below — a Decimal whose float fold is integral (e.g.
+        # Decimal('2.0000000000000000001') -> 2.0) must encode 'i:2' so a
+        # widened double probe 2.0 (which encodes 'i:2') still hits; an
+        # 'f:2.0' here would be a silent false NEGATIVE under Spark's
+        # decimal<->double widened equality (the r11 ADVICE finding)
+        f = float(value)
+        if f.is_integer():
+            return b"i:" + str(int(f)).encode("ascii")
+        return b"f:" + repr(f).encode("ascii")
     if isinstance(value, numbers.Real):
         f = float(value)
         if f.is_integer():
@@ -778,17 +921,56 @@ _BLOOM_K = 7
 _BLOOM_MAX_BITS = 1 << 17
 
 
+def _bloom_build_one(full: str, cols: tuple) -> dict:
+    """ONE file's bloom record {col: {"m","k","b64"}} — the shared builder
+    both the driver fallback and the distributed build call, so commit-time
+    bits are byte-identical whichever side computes them (md5 double
+    hashing, never Python's salted hash()). Sized from the footer's row
+    count (an upper bound on distinct values — duplicates only make the
+    filter sparser); the column folds in RECORD BATCHES so memory stays
+    batch-bounded, never O(file rows)."""
+    import base64
+
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(full)
+    present = [c for c in cols if c in pf.schema_arrow.names]
+    if not present or pf.metadata.num_rows == 0:
+        return {}
+    m = min(
+        _BLOOM_MAX_BITS,
+        max(64, pf.metadata.num_rows * _BLOOM_BITS_PER_VALUE),
+    )
+    bits = {c: bytearray((m + 7) // 8) for c in present}
+    seen = {c: False for c in present}
+    for batch in pf.iter_batches(columns=list(present)):
+        for c in present:
+            for v in batch.column(c).to_pylist():
+                if v is None:
+                    continue
+                seen[c] = True
+                for pos in _bloom_positions(v, m, _BLOOM_K):
+                    bits[c][pos >> 3] |= 1 << (pos & 7)
+    return {
+        c: {
+            "m": m,
+            "k": _BLOOM_K,
+            "b64": base64.b64encode(bytes(bits[c])).decode("ascii"),
+        }
+        for c in present
+        if seen[c]
+    }
+
+
 def _collect_blooms(path: str, rel_files: list[str], cols: tuple) -> dict:
     """Per-file bloom filters over each requested column's NON-NULL values,
-    built from the freshly staged files at commit time. Cost honesty: this
-    is NOT the footer-only cost class of _footer_minmax — it decodes every
-    row of each requested column (batched, so driver MEMORY stays bounded)
-    and runs a per-value md5 fold driver-side, i.e. O(rows x cols) driver
-    CPU per commit. Enable collect_blooms only on point-lookup key columns
-    where the read-side file skipping repays that; on wide/hot tables
-    prefer collect_stats (free) plus blooms on the one key that needs them.
-    Returns {rel_file: {col: {"m", "k", "b64"}}}; files where a column is
-    missing or all-NULL get no entry for it and are never skipped.
+    built from the freshly staged files at commit time — the DRIVER-side
+    fallback (single file, or no session at hand); multi-file commits go
+    through _collect_blooms_spark, which runs the same builder one task
+    per file so the O(rows x cols) fold scales with EXECUTORS, not driver
+    CPU. Returns {rel_file: {col: {"m", "k", "b64"}}}; files where a
+    column is missing or all-NULL get no entry for it and are never
+    skipped.
 
     This is the SOUND equality-skipping structure for the cases range
     stats cannot serve: string keys (parquet writers may truncate string
@@ -796,47 +978,57 @@ def _collect_blooms(path: str, rel_files: list[str], cols: tuple) -> dict:
     file's range spans the whole key space, so range pruning keeps
     everything; a bloom still skips every file that provably lacks the
     probed value)."""
-    import base64
-
-    import pyarrow.parquet as pq
-
     out: dict = {}
     for rel in rel_files:
-        pf = pq.ParquetFile(os.path.join(path, rel))
-        present = [c for c in cols if c in pf.schema_arrow.names]
-        if not present or pf.metadata.num_rows == 0:
-            continue
-        # size from the footer's row count (an upper bound on distinct
-        # values — duplicates only make the filter sparser) and fold the
-        # column in RECORD BATCHES: driver memory stays batch-bounded,
-        # never O(file rows) — the footer gives the size for free, the
-        # one column read is the price of the filter itself
-        m = min(
-            _BLOOM_MAX_BITS,
-            max(64, pf.metadata.num_rows * _BLOOM_BITS_PER_VALUE),
-        )
-        bits = {c: bytearray((m + 7) // 8) for c in present}
-        seen = {c: False for c in present}
-        for batch in pf.iter_batches(columns=list(present)):
-            for c in present:
-                for v in batch.column(c).to_pylist():
-                    if v is None:
-                        continue
-                    seen[c] = True
-                    for pos in _bloom_positions(v, m, _BLOOM_K):
-                        bits[c][pos >> 3] |= 1 << (pos & 7)
-        rec = {
-            c: {
-                "m": m,
-                "k": _BLOOM_K,
-                "b64": base64.b64encode(bytes(bits[c])).decode("ascii"),
-            }
-            for c in present
-            if seen[c]
-        }
+        rec = _bloom_build_one(os.path.join(path, rel), cols)
         if rec:
             out[rel] = rec
     return out
+
+
+def _collect_blooms_spark(
+    spark, path: str, rel_files: list[str], cols: tuple
+) -> dict:
+    """EXECUTOR-side commit-time bloom build: one task per staged file
+    runs _bloom_build_one (the d10 partial-bloom pattern of
+    functions/bloom.py applied to the commit path), and the driver
+    collects only the finished KB-scale records — commit cost scales with
+    executor count, not driver CPU, which is what a 100 TB commit needs.
+    Bits are identical to the driver fallback by construction (shared
+    builder, deterministic md5 positions). Single-file commits (or no
+    session) fall back to the driver loop, where a Spark job is pure
+    overhead."""
+    if spark is None or len(rel_files) <= 1:
+        return _collect_blooms(path, rel_files, cols)
+    import pandas as pd
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    cols_t = tuple(cols)
+    root = os.path.abspath(path)
+
+    def build(batches):
+        for pdf in batches:
+            out_f, out_j = [], []
+            for rel in pdf["f"]:
+                rec = _bloom_build_one(os.path.join(root, rel), cols_t)
+                if rec:
+                    out_f.append(rel)
+                    out_j.append(json.dumps(rec))
+            yield pd.DataFrame({"f": out_f, "j": out_j})
+
+    fdf = spark.createDataFrame([(f,) for f in rel_files], "f string")
+    n = max(1, min(len(rel_files), spark.sparkContext.defaultParallelism))
+    rows = (
+        fdf.repartition(n)
+        .mapInPandas(
+            build,
+            StructType(
+                [StructField("f", StringType()), StructField("j", StringType())]
+            ),
+        )
+        .collect()
+    )
+    return {r["f"]: json.loads(r["j"]) for r in rows}
 
 
 def _bloom_might_contain(bloom: dict, value) -> bool:
@@ -925,6 +1117,11 @@ def _dv_decode(b64: str) -> list[int]:
             prev += acc
             out.append(prev)
             acc = shift = 0
+    if shift:
+        # a trailing varint with its continuation bit still set: the
+        # payload was truncated mid-position — silently dropping it would
+        # serve deleted rows back (the _load_dvs docstring's contract)
+        raise ValueError("damaged deletion vector: dangling continuation byte")
     return out
 
 
@@ -957,7 +1154,16 @@ def _load_dvs(path: str, manifest: dict, files: list[str]) -> dict:
                 sidecars[sc] = json.load(fh)
         rec = sidecars[sc].get(f)
         if rec is not None:
-            out[f] = _dv_decode(rec["b64"])
+            pos = _dv_decode(rec["b64"])
+            if len(pos) != rec["card"]:
+                # bit-truncated-but-valid-JSON sidecar: decoding fewer
+                # positions than the recorded cardinality would resurrect
+                # deleted rows — raise, per this function's contract
+                raise ValueError(
+                    f"damaged deletion vector for {f}: decoded {len(pos)} "
+                    f"positions, sidecar records card={rec['card']}"
+                )
+            out[f] = pos
     return out
 
 
@@ -1124,6 +1330,12 @@ def drop_column(path: str, name: str) -> int:
             f"CHECK constraint(s) {hit} mention column {name!r}; drop them "
             "before dropping the column"
         )
+    retiring = (m.get("colmap") or {}).get(name, name)
+    if any(e["col"] == retiring for e in m.get("eqdeletes") or []):
+        raise ValueError(
+            f"live equality delete(s) reference column {name!r}; "
+            "materialize them first (compact)"
+        )
     from pyspark.sql.types import StructType
 
     cm = dict(m.get("colmap") or {n: n for n in schema.names})
@@ -1231,6 +1443,402 @@ def drop_constraint(path: str, name: str) -> int:
     )
 
 
+# ---------------------------------------------------------------------------
+# Partition-spec transforms + spec evolution (Iceberg spec.md "Partitioning")
+#
+# A table may declare a PARTITION SPEC — ordered (transform, column[, param])
+# fields: identity / year / month / day / bucket(N) / truncate(W). Writers lay
+# data out one file group per partition TUPLE; each file records its tuple as
+# synthetic per-file stats (key "__p:<t>[<p>]:<col>" -> [v, v]) in the SAME
+# stats map range pruning reads. Partition pruning is therefore stats pruning
+# over transform values: _plan_pruned_files derives transform-space probes
+# from the raw predicate and a file is skipped when ANY probe proves its
+# recorded value disjoint. Reusing the stats channel is what makes every
+# existing consumer — sharded manifests (shard summaries aggregate the
+# synthetic keys like any column), DV commits (carry stats verbatim), SCD2
+# file reuse, vacuum, time travel — carry partition metadata with zero new
+# code paths.
+#
+# Spec EVOLUTION is Iceberg's: alter_partition_spec commits a new spec id
+# that applies to files written AFTER it; existing files keep their original
+# vintage's synthetic stats and keep pruning under them (no rewrite). A read
+# probes EVERY recorded vintage — each file answers under whichever spec laid
+# it out; files with no tuple (pre-spec, compacted, SCD2 parts) are simply
+# never skipped. Soundness: every transform derivation below is either
+# MONOTONE (closed range -> closed range: identity/year/month/day/truncate)
+# or derived only from an equality probe (bucket), and an underivable probe
+# contributes no pruning rather than a wrong skip.
+# ---------------------------------------------------------------------------
+
+# transform name -> whether it takes an int parameter
+_PARTITION_TRANSFORMS = {
+    "identity": False,
+    "year": False,
+    "month": False,
+    "day": False,
+    "bucket": True,
+    "truncate": True,
+}
+
+
+def _pstat_key(t: str, phys: str, param) -> str:
+    """Synthetic stats key for one spec field — the '__p:' prefix keeps it
+    out of any physical column's namespace, and the key doubles as the
+    partitionBy directory name at stage time."""
+    return f"__p:{t}[{param}]:{phys}" if param is not None else f"__p:{t}:{phys}"
+
+
+def _parse_partition_spec(partition_by, schema, colmap) -> list:
+    """Validate a user spec into canonical [transform, PHYSICAL col, param]
+    triples (physical names: specs survive renames exactly like stats).
+    Transform/type pairs are checked here so a bad spec fails the DECLARING
+    commit, not a later writer: year/month/day need a date/timestamp
+    column; bucket and truncate need int-family or string (bucket's
+    probe-side derivation is crc32 of Spark's cast-to-string, which is
+    reproducible driver-side only for those families)."""
+    cm = colmap or {}
+    types = {f.name: f.dataType for f in schema.fields}
+    fields: list = []
+    seen: set = set()
+    for item in tuple(partition_by):
+        if isinstance(item, str):
+            item = ("identity", item)
+        t, col, *rest = item
+        t = str(t).lower()
+        if t not in _PARTITION_TRANSFORMS:
+            raise ValueError(
+                f"unknown partition transform {t!r}; supported: "
+                f"{sorted(_PARTITION_TRANSFORMS)}"
+            )
+        param = rest[0] if rest else None
+        if _PARTITION_TRANSFORMS[t]:
+            if not isinstance(param, int) or isinstance(param, bool) or param <= 0:
+                raise ValueError(f"{t}() requires a positive int parameter")
+        elif rest:
+            raise ValueError(f"{t}() takes no parameter")
+        if col not in types:
+            raise ValueError(f"partition column {col!r} not in the schema")
+        tn = types[col].typeName()
+        if t in ("year", "month", "day") and tn not in (
+            "date", "timestamp", "timestamp_ntz"
+        ):
+            raise ValueError(f"{t}() needs a date/timestamp column; {col} is {tn}")
+        if t in ("bucket", "truncate") and tn not in (
+            "byte", "short", "integer", "long", "string", "varchar", "char"
+        ):
+            raise ValueError(
+                f"{t}() supports int-family and string columns; {col} is {tn}"
+            )
+        trip = [t, cm.get(col, col), param]
+        if tuple(trip) in seen:
+            raise ValueError(f"duplicate partition field {trip}")
+        seen.add(tuple(trip))
+        fields.append(trip)
+    return fields
+
+
+def _partition_expr(t: str, phys: str, param, dtype):
+    """Spark Column computing one spec field's transform value — the WRITE
+    side of the derivation _derive_probe reproduces driver-side."""
+    from pyspark.sql import functions as F
+
+    c = F.col(phys)
+    if t == "identity":
+        return c
+    if t == "year":
+        return (F.year(c.cast("date")) - F.lit(1970)).cast("int")
+    if t == "month":
+        d = c.cast("date")
+        return ((F.year(d) - F.lit(1970)) * 12 + F.month(d) - 1).cast("int")
+    if t == "day":
+        return F.datediff(c.cast("date"), F.to_date(F.lit("1970-01-01"))).cast(
+            "int"
+        )
+    if t == "bucket":
+        # crc32 over Spark's canonical string form: identical bytes are
+        # reproducible driver-side with zlib.crc32 (same polynomial as
+        # java.util.zip.CRC32), unlike Murmur3's Spark-internal seeding
+        return F.pmod(F.crc32(c.cast("string")), F.lit(int(param))).cast("int")
+    if t == "truncate":
+        if dtype.typeName() in ("string", "varchar", "char"):
+            return F.substring(c, 1, int(param))
+        # floor to the W-multiple (Iceberg truncate semantics): pmod is the
+        # POSITIVE remainder, so negatives floor correctly too
+        return (c - F.pmod(c, F.lit(int(param)))).cast(dtype)
+    raise ValueError(f"unknown partition transform {t!r}")
+
+
+def _pvalue_parse(t: str, param, raw: str, dtype):
+    """Parse one partitionBy directory value back into the comparison space
+    _derive_probe probes in; None (unparseable / exotic type) records no
+    stat — the file is simply never skipped on this field."""
+    tn = dtype.typeName()
+    try:
+        if t in ("year", "month", "day", "bucket"):
+            return int(raw)
+        if t == "truncate":
+            return raw if tn in ("string", "varchar", "char") else int(raw)
+        # identity: restore the column's own ordering space (ISO date
+        # strings order lexically, so dates stay strings on both sides)
+        if tn in ("byte", "short", "integer", "long"):
+            return int(raw)
+        if tn in ("float", "double"):
+            return float(raw)
+        if tn in ("string", "varchar", "char", "date"):
+            return raw
+        return None
+    except ValueError:
+        return None
+
+
+def _ymd_value(t: str, v):
+    """year/month/day transform value of one raw probe endpoint (str /
+    date / datetime); None when unparseable. Closed raw ranges map to
+    closed transform ranges because all three are monotone."""
+    import datetime as dt
+
+    if isinstance(v, dt.datetime):
+        d = v.date()
+    elif isinstance(v, dt.date):
+        d = v
+    elif isinstance(v, str):
+        try:
+            d = dt.date.fromisoformat(v.strip()[:10])
+        except ValueError:
+            return None
+    else:
+        return None
+    if t == "day":
+        return (d - dt.date(1970, 1, 1)).days
+    if t == "month":
+        return (d.year - 1970) * 12 + d.month - 1
+    return d.year - 1970
+
+
+def _bucket_probe_str(v):
+    """The string Spark's CAST(col AS STRING) yields for a column value
+    equal to probe `v` on a bucket-legal column (int-family or string);
+    None refuses the derivation (no pruning)."""
+    if isinstance(v, bool):
+        return None
+    if isinstance(v, str):
+        return v
+    if isinstance(v, numbers.Integral):
+        return str(int(v))
+    if isinstance(v, numbers.Real) and float(v).is_integer():
+        return str(int(float(v)))  # widened probe 5.0 on a bigint column
+    return None
+
+
+def _derive_probe(t: str, param, lo, hi):
+    """(lo', hi') in TRANSFORM space covering every raw value in [lo, hi],
+    or None when the transform cannot bound the probe (bucket over a
+    genuine range; an unparseable endpoint) — None means no pruning from
+    this field, never a wrong skip."""
+    if lo is None or hi is None:
+        return None
+    if t == "identity":
+        import datetime as dt
+
+        def norm(v):
+            if isinstance(v, dt.datetime):
+                return None  # date-typed identity stats are ISO DATE strings
+            if isinstance(v, dt.date):
+                return v.isoformat()
+            if isinstance(v, (int, float, str)) and not isinstance(v, bool):
+                return v
+            return None
+
+        lo2, hi2 = norm(lo), norm(hi)
+        return None if lo2 is None or hi2 is None else (lo2, hi2)
+    if t in ("year", "month", "day"):
+        d0, d1 = _ymd_value(t, lo), _ymd_value(t, hi)
+        return None if d0 is None or d1 is None else (d0, d1)
+    if t == "bucket":
+        if lo != hi:
+            return None
+        s = _bucket_probe_str(lo)
+        if s is None:
+            return None
+        import zlib
+
+        b = zlib.crc32(s.encode("utf-8")) % int(param)
+        return (b, b)
+    if t == "truncate":
+        w = int(param)
+        if isinstance(lo, str) and isinstance(hi, str):
+            return (lo[:w], hi[:w])
+        if (
+            isinstance(lo, numbers.Integral)
+            and isinstance(hi, numbers.Integral)
+            and not isinstance(lo, bool)
+            and not isinstance(hi, bool)
+        ):
+            return (int(lo) - int(lo) % w, int(hi) - int(hi) % w)
+        return None
+    return None
+
+
+def _partition_probes(m: dict, pcol: str, lo, hi) -> list:
+    """Transform-space (stat_key, lo', hi') probes for a raw predicate on
+    physical column `pcol`, across EVERY recorded spec vintage — each file
+    answers under whichever spec laid it out, which is exactly how spec
+    evolution prunes both vintages in one read."""
+    specs = m.get("pspecs")
+    if not specs:
+        return []
+    probes: list = []
+    seen: set = set()
+    for sid in specs:
+        for t, c, p in specs[sid]:
+            if c != pcol:
+                continue
+            key = _pstat_key(t, c, p)
+            if key in seen:
+                continue
+            seen.add(key)
+            d = _derive_probe(t, p, lo, hi)
+            if d is not None:
+                probes.append((key, d[0], d[1]))
+    return probes
+
+
+def _stage_partitioned(
+    df: DataFrame, path: str, fields: list, colmap: dict | None, schema
+) -> tuple[list[str], dict]:
+    """Stage `df` laid out by the active partition spec: hash-repartition
+    on the transform columns (a tuple never straddles tasks, so the file
+    count is O(live partition tuples), not O(tasks x tuples)), write via
+    partitionBy, then walk the staging tree moving each file into data/
+    and recording its tuple values as synthetic [v, v] stats. NULL
+    transform values land in Spark's default partition dir and record no
+    stat for that field — never skipped, always read (the same sound
+    degradation as files that predate stats collection)."""
+    import shutil
+    import urllib.parse
+
+    from pyspark.sql import functions as F
+
+    cm = colmap or {}
+    dtype_of = {cm.get(f.name, f.name): f.dataType for f in schema.fields}
+    staged = _stage_physical(df, colmap)
+    meta: dict = {}  # stat key -> (transform, param, column dtype)
+    for t, c, p in fields:
+        if c not in dtype_of:
+            raise ValueError(
+                f"partition spec field {t}({c!r}) references a column absent "
+                f"from this commit's schema; evolve the spec first "
+                f"(alter_partition_spec)"
+            )
+        key = _pstat_key(t, c, p)
+        meta[key] = (t, p, dtype_of[c])
+        staged = staged.withColumn(key, _partition_expr(t, c, p, dtype_of[c]))
+    keys = list(meta)
+    staging = os.path.join(path, f"_staging-{uuid.uuid4().hex[:8]}")
+    (
+        staged.repartition(*[F.col(k) for k in keys])
+        .write.mode("overwrite")
+        .partitionBy(*keys)
+        .parquet(staging)
+    )
+    data_dir = os.path.join(path, "data")
+    os.makedirs(data_dir, exist_ok=True)
+    new_files: list[str] = []
+    pstats: dict = {}
+    for root, _dirs, fns in sorted(os.walk(staging)):
+        rel_dir = os.path.relpath(root, staging)
+        parts = () if rel_dir == "." else tuple(rel_dir.split(os.sep))
+        for fn in sorted(fns):
+            if not fn.endswith(".parquet"):
+                continue
+            rec = {}
+            for part in parts:
+                k, _, raw = part.partition("=")
+                # Spark Hive-escapes special chars in dir names (the ':'
+                # in the synthetic key becomes %3A) — unquote BOTH sides
+                k = urllib.parse.unquote(k)
+                if k not in meta or raw == "__HIVE_DEFAULT_PARTITION__":
+                    continue  # null tuple value: unprunable on this field
+                t, p, dt = meta[k]
+                v = _pvalue_parse(t, p, urllib.parse.unquote(raw), dt)
+                if v is not None:
+                    rec[k] = [v, v]
+            dst = f"{uuid.uuid4().hex}.parquet"
+            os.replace(os.path.join(root, fn), os.path.join(data_dir, dst))
+            rel = os.path.join("data", dst)
+            new_files.append(rel)
+            if rec:
+                pstats[rel] = rec
+    shutil.rmtree(staging, ignore_errors=True)
+    return new_files, pstats
+
+
+def _resolve_pspec(base_m: dict, partition_by, commit_schema, cm):
+    """(pspecs, pspec_id, active_fields) for one commit: reuse an existing
+    vintage when the declared fields already exist (idempotent re-declare),
+    else mint the next id. Empty partition_by with no parent spec stays
+    unpartitioned (None id)."""
+    pspecs = {k: v for k, v in (base_m.get("pspecs") or {}).items()}
+    pspec_id = base_m.get("pspec_id")
+    if partition_by is not None:
+        fields = _parse_partition_spec(partition_by, commit_schema, cm)
+        for sid, fs in sorted(pspecs.items(), key=lambda kv: int(kv[0])):
+            if [list(x) for x in fs] == fields:
+                pspec_id = sid
+                break
+        else:
+            pspec_id = str(max((int(s) for s in pspecs), default=0) + 1)
+            pspecs[pspec_id] = fields
+    active = pspecs.get(pspec_id) if pspec_id is not None else None
+    return pspecs, pspec_id, (active or None)
+
+
+def alter_partition_spec(path: str, partition_by) -> int:
+    """ALTER TABLE ... SET PARTITION SPEC — Iceberg-style spec EVOLUTION
+    as a METADATA-ONLY commit (same file list; the change feed across it
+    is empty): the new spec lays out files written AFTER this commit;
+    every existing file keeps its own vintage's partition tuple and keeps
+    pruning under it — no data is rewritten, ever. `partition_by=()`
+    evolves to UNPARTITIONED (new files get no tuple). Re-declaring an
+    existing vintage reuses its id (idempotent)."""
+    v = current_version(path)
+    if v == 0:
+        raise ValueError(f"no versions at {path}")
+    m = _read_manifest(path, v, materialize=False)
+    if m.get("schema") is None:
+        raise ValueError(
+            "legacy manifest records no schema; cannot validate a spec"
+        )
+    pspecs, pspec_id, _ = _resolve_pspec(
+        m, tuple(partition_by), _schema_from_json(m["schema"]), m.get("colmap")
+    )
+    return _commit(
+        path,
+        mode="alter-partition-spec",
+        expected_parent=v,
+        schema_json=m.get("schema"),
+        pspecs=pspecs,
+        pspec_id=pspec_id,
+        **_alter_payload_kwargs(m),  # every sidecar map, or shards verbatim
+    )
+
+
+def partition_spec(path: str, version: int | None = None) -> dict:
+    """Introspection: {'id', 'fields', 'history'} at a version (default
+    head) — fields is the ACTIVE spec's [transform, column, param] list
+    (None when unpartitioned), history maps every vintage ever declared."""
+    v = current_version(path) if version is None else version
+    _check_version(path, v)
+    m = _read_manifest(path, v, materialize=False)
+    specs = m.get("pspecs") or {}
+    sid = m.get("pspec_id")
+    return {
+        "id": sid,
+        "fields": specs.get(sid) if sid is not None else None,
+        "history": specs,
+    }
+
+
 def write_version(
     df: DataFrame,
     path: str,
@@ -1239,6 +1847,10 @@ def write_version(
     merge_schema: bool = False,
     collect_stats: tuple = (),
     collect_blooms: tuple = (),
+    partition_by: tuple | None = None,
+    branch: str | None = None,
+    eq_delete: tuple | None = None,
+    marker: str | None = None,
 ) -> int:
     """Commit `df` as the next version. mode='append' adds to the current
     file list; mode='overwrite' replaces it (old files stay on disk for
@@ -1265,9 +1877,44 @@ def write_version(
     from the staged files and recorded in a commit sidecar — SOUND
     equality skipping (read_version_bloom_pruned) for the cases range
     stats cannot serve: string keys and hash-distributed layouts. Same
-    carry-forward rules as stats."""
+    carry-forward rules as stats.
+
+    `partition_by`: declare (or re-declare) the table's PARTITION SPEC —
+    tuples like ("day", "o_orderdate") / ("bucket", "o_custkey", 16) /
+    ("truncate", "p_name", 4) / "o_orderstatus" (identity shorthand).
+    This commit AND every later write lay files out one group per
+    partition tuple and record the tuple as synthetic per-file stats;
+    read_version_pruned / bloom_pruned / delete_where / *_dv then prune
+    declaratively on the transform (see the partition-spec section
+    above). Omit it (None) to keep writing under the parent's active
+    spec — appends to a partitioned table stay partitioned without
+    re-declaring anything.
+
+    `branch`: commit to a STAGING BRANCH (create_branch) instead of main —
+    the write-audit-publish staging step: the commit is invisible to every
+    main reader until fast_forward publishes it. Branch commits extend the
+    branch's own lineage (append/overwrite/stats/blooms/spec layout all
+    behave identically) with the same optimistic CAS per branch.
+
+    `eq_delete=(col, values)`: record an EQUALITY DELETE of these key
+    values in the SAME commit (seq = this commit, covering every OLDER
+    file while this commit's fresh stamps exempt the staged rows) — the
+    Iceberg v2 CDC commit shape: new data files + a delete file in one
+    atomic snapshot. upsert_where_eq is the ergonomic wrapper. Append
+    mode only.
+
+    `marker`: idempotence token recorded in the manifest; probe with
+    marker_version() before re-applying an at-least-once redelivery."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    bfork: int | None = None
+    if branch is not None:
+        binfo = _load_refs(path)["branches"].get(branch)
+        if binfo is None:
+            raise ValueError(f"no branch {branch!r} at {path}")
+        bfork = binfo["fork"]
+        if expected_version is None:
+            expected_version = branch_head(path, branch)
     base_version = current_version(path) if expected_version is None else expected_version
     # raw read: every field this function needs except the append base's
     # per-file payload is a manifest-list scalar, and the SHARDED append
@@ -1275,7 +1922,9 @@ def write_version(
     # 10^6-entry parent here would be exactly the O(table) planning cost
     # sharding exists to retire
     base_m = (
-        _read_manifest(path, base_version, materialize=False)
+        _read_manifest(
+            path, base_version, materialize=False, branch=branch, fork=bfork
+        )
         if base_version > 0
         else {}
     )
@@ -1308,7 +1957,36 @@ def write_version(
                     phys = f"{f.name}_{uuid.uuid4().hex[:8]}"
                 cm[f.name] = phys
                 forbidden.add(phys)
-    new_files = _stage_files(_stage_physical(df, cm), path)
+    pspecs, pspec_id, active_spec = _resolve_pspec(
+        base_m, partition_by, commit_schema, cm
+    )
+    eqds: list = []
+    if eq_delete is not None:
+        # the atomic CDC-upsert shape: this commit's staged files carry a
+        # fresh "__v" stamp, so the delete (seq = this commit) covers
+        # every OLDER copy of the keys and none of the staged rows
+        if mode != "append":
+            raise ValueError("eq_delete composes with append commits only")
+        eq_col, eq_vals = eq_delete
+        eq_vals = list(eq_vals)
+        _validate_eq_values(commit_schema, eq_col, eq_vals)
+        os.makedirs(_vdir(path), exist_ok=True)
+        eq_phys = (cm or {}).get(eq_col, eq_col)
+        eq_rel = os.path.join("_versions", f"eqd-{uuid.uuid4().hex}.json")
+        _write_atomic(
+            os.path.join(path, eq_rel), {"col": eq_phys, "values": eq_vals}
+        )
+        eqds = list(base_m.get("eqdeletes") or [])
+        eqds.append({"sc": eq_rel, "col": eq_phys, "seq": base_version + 1})
+    pstats: dict = {}
+    if active_spec:
+        new_files, pstats = _stage_partitioned(
+            df, path, active_spec, cm, commit_schema
+        )
+        if not new_files:  # empty input: keep the one-empty-file contract
+            new_files = _stage_files(_stage_physical(df, cm), path)
+    else:
+        new_files = _stage_files(_stage_physical(df, cm), path)
     base: list[str] = []
     stats: dict = {}
     blooms: dict = {}
@@ -1329,17 +2007,28 @@ def write_version(
                 df.sparkSession, path, new_files, cons,
                 commit_schema.json(), colmap=cm,
             )
-    # stats/blooms are keyed by PHYSICAL names (stable across renames)
+    # stats/blooms are keyed by PHYSICAL names (stable across renames);
+    # per-FILE dict merge, not replace — a partitioned file's synthetic
+    # tuple stats and its footer min/max share one entry
     phys_of = (cm or {}).get
+    # every freshly staged file records its ADD VERSION ("__v" — the
+    # Iceberg data sequence number): equality deletes apply only to files
+    # added BEFORE the delete, which is what lets a CDC re-insert of a
+    # deleted key survive. Files that predate the stamp read as ancient
+    # (affected by every delete) — the sound direction.
+    for f in new_files:
+        stats.setdefault(f, {})["__v"] = [base_version + 1, base_version + 1]
+    for f, rec in pstats.items():
+        stats.setdefault(f, {}).update(rec)
     if collect_stats:
-        stats.update(
-            _footer_minmax(
-                path, new_files, tuple(phys_of(c, c) for c in collect_stats)
-            )
-        )
+        for f, rec in _footer_minmax(
+            path, new_files, tuple(phys_of(c, c) for c in collect_stats)
+        ).items():
+            stats.setdefault(f, {}).update(rec)
     if collect_blooms:
-        built = _collect_blooms(
-            path, new_files, tuple(phys_of(c, c) for c in collect_blooms)
+        built = _collect_blooms_spark(
+            df.sparkSession, path, new_files,
+            tuple(phys_of(c, c) for c in collect_blooms),
         )
         if built:
             sidecar = _write_bloom_sidecar(path, built)
@@ -1360,7 +2049,7 @@ def write_version(
             # a bucket outgrew the parent's frozen prefix_len: pay ONE
             # full materialized reshard (fresh prefix_len via _commit's
             # auto-shard) — amortized O(1) per ~16x growth, flat after
-            full = _read_manifest(path, base_version)
+            full = _read_manifest(path, base_version, branch=branch, fork=bfork)
             base = full["files"]
             stats = {**full.get("stats", {}), **stats}
             blooms = {**full.get("blooms", {}), **blooms}
@@ -1379,6 +2068,14 @@ def write_version(
         dropped_physicals=dropped,
         dvs=dvs or None,
         shards=shard_plan,
+        pspecs=pspecs or {},
+        pspec_id=pspec_id,
+        branch=branch,
+        # an overwrite replaces the snapshot: every staged file is stamped
+        # past any live delete's seq, so the entries are dead — drop them
+        eqdeletes=eqds if eq_delete is not None
+        else ([] if mode == "overwrite" else None),
+        marker=marker,
     )
 
 
@@ -1455,6 +2152,7 @@ def write_version_parts(
     staged: list[str] = []
     for p in parts:
         staged.extend(_stage_files(_stage_physical(p, cm), path))
+    new_v = expected_version + 1  # freshly staged parts' add version
     new_files = [
         f
         for f in staged
@@ -1479,16 +2177,22 @@ def write_version_parts(
     base_stats = base_m.get("stats", {})
     stats = {f: base_stats[f] for f in reuse_files if f in base_stats}
     if collect_stats:
-        stats.update(
-            _footer_minmax(
-                path, new_files, tuple(phys_of(c, c) for c in collect_stats)
-            )
-        )
+        for f, rec in _footer_minmax(
+            path, new_files, tuple(phys_of(c, c) for c in collect_stats)
+        ).items():
+            stats.setdefault(f, {}).update(rec)
+    # staged parts are rewrites read through _read_files (live equality
+    # deletes already applied): stamp them past every live delete's seq,
+    # while REUSED files keep their original add version and so stay
+    # covered — the fold materializes deletes only for what it rewrote
+    for f in new_files:
+        stats.setdefault(f, {})["__v"] = [new_v, new_v]
     base_blooms = base_m.get("blooms", {})
     blooms = {f: base_blooms[f] for f in reuse_files if f in base_blooms}
     if collect_blooms:
-        built = _collect_blooms(
-            path, new_files, tuple(phys_of(c, c) for c in collect_blooms)
+        built = _collect_blooms_spark(
+            parts[0].sparkSession if parts else None, path, new_files,
+            tuple(phys_of(c, c) for c in collect_blooms),
         )
         if built:
             sidecar = _write_bloom_sidecar(path, built)
@@ -1624,7 +2328,108 @@ def _snapshot_linkdir(path: str, files: list[str]) -> str:
     return target
 
 
+def _load_eqdeletes(path: str, manifest: dict) -> list[dict]:
+    """Load this manifest's equality-delete sidecars, seq-ascending. A
+    damaged sidecar RAISES (the _load_dvs contract: silently serving
+    deleted rows back is a correctness failure, not a degraded read)."""
+    out = []
+    for e in manifest.get("eqdeletes") or []:
+        with open(os.path.join(path, e["sc"]), encoding="utf-8") as fh:
+            payload = json.load(fh)
+        if payload.get("col") != e["col"] or not isinstance(
+            payload.get("values"), list
+        ):
+            raise ValueError(f"damaged equality-delete sidecar {e['sc']}")
+        out.append(
+            {"seq": e["seq"], "col": e["col"], "values": payload["values"]}
+        )
+    return sorted(out, key=lambda d: d["seq"])
+
+
+def _eqdelete_groups(path: str, manifest: dict, files: list[str]) -> list:
+    """[(file_subset, applicable_deletes)] — an equality delete applies to
+    files ADDED BEFORE it (add-version stat "__v" < seq; files without
+    the stamp read as ancient, the sound direction), so applicability is
+    a SUFFIX of the seq-sorted delete list and the group count is bounded
+    by live deletes + 1, never by file count. compact()/purge bound the
+    delete count like they bound DV debt."""
+    if not manifest.get("eqdeletes"):
+        return [(files, [])]
+    import bisect
+
+    loaded = _load_eqdeletes(path, manifest)
+    seqs = [e["seq"] for e in loaded]
+    stats = manifest.get("stats") or {}
+    groups: dict = {}
+    for f in files:
+        # a file with no stamp is ANCIENT: affected by every delete —
+        # -inf (not 0) so clone-remapped seqs (which may be <= 0) still
+        # cover it
+        rec = stats.get(f, {}).get("__v")
+        av = rec[0] if rec else float("-inf")
+        i = bisect.bisect_right(seqs, av)  # deletes with seq > av apply
+        groups.setdefault(i, []).append(f)
+    return [(fs, loaded[i:]) for i, fs in sorted(groups.items())]
+
+
 def _read_files(
+    spark: SparkSession,
+    path: str,
+    manifest: dict,
+    files: list[str],
+    with_positions: bool = False,
+) -> DataFrame:
+    """The snapshot file-set reader every consumer funnels through.
+    EQUALITY DELETES (delete_where_eq — Iceberg v2 equality delete files)
+    are applied here: files are grouped by which deletes touch them (a
+    delete applies only to files added before it — see _eqdelete_groups),
+    each group anti-joins its applicable value lists (broadcast, JVM-side,
+    O(delete values) per join), and the groups union. The common case —
+    no live equality deletes — is a zero-cost passthrough to the raw
+    reader; DV anti-application happens inside the raw reader as before."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructField, StructType
+
+    groups = _eqdelete_groups(path, manifest, files)
+    if len(groups) == 1 and not groups[0][1]:
+        return _read_files_raw(spark, path, manifest, files, with_positions)
+    cm_inv = {v: k for k, v in (manifest.get("colmap") or {}).items()}
+    phys_types = (
+        {
+            (manifest.get("colmap") or {}).get(f.name, f.name): f.dataType
+            for f in _schema_from_json(manifest["schema"]).fields
+        }
+        if manifest.get("schema")
+        else {}
+    )
+    parts = []
+    for fs, eqds in groups:
+        d = _read_files_raw(spark, path, manifest, fs, with_positions)
+        for eq in eqds:
+            logical = cm_inv.get(eq["col"], eq["col"])
+            if logical not in d.columns:
+                raise ValueError(
+                    f"equality delete references column {eq['col']!r} "
+                    f"missing from the snapshot schema; the table metadata "
+                    f"is damaged (drop_column refuses live-delete columns)"
+                )
+            dtype = phys_types.get(eq["col"])
+            vals = spark.createDataFrame(
+                [(v,) for v in eq["values"]],
+                StructType([StructField("__eq_val", dtype, True)]),
+            )
+            d = d.join(
+                F.broadcast(vals),
+                F.col(logical) == F.col("__eq_val"),
+                "left_anti",
+            )
+        parts.append(d)
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+def _read_files_raw(
     spark: SparkSession,
     path: str,
     manifest: dict,
@@ -1764,9 +2569,16 @@ def _stat_disjoint(r, lo, hi) -> bool:
     disjointness in the exact AND the double order keeps file skipping
     sound whatever type the caller's literal arrives in; when the values
     cannot fold to float (strings; overflow), the exact order alone is
-    the only regime Spark could use, so it decides."""
-    if not (r[1] < lo or r[0] > hi):
-        return False
+    the only regime Spark could use, so it decides. A CROSS-TYPE probe
+    (numeric BETWEEN against recorded string bounds, or vice versa —
+    possible since string truncate bounds are recorded) can prove
+    nothing: degrade to reading the file like any unprunable stat,
+    never crash the caller's plan."""
+    try:
+        if not (r[1] < lo or r[0] > hi):
+            return False
+    except TypeError:
+        return False  # cross-type stat vs probe: unprunable, read the file
     if isinstance(lo, numbers.Number) and not isinstance(lo, bool):
         try:
             fl, fh = float(lo), float(hi)
@@ -1791,40 +2603,52 @@ def _plan_pruned_files(
     scalar fields plus exactly the loaded shards' dvs, so _read_files
     anti-applies deletion vectors for every kept file."""
     pcol = _phys(m, col)
+    # the raw-column probe plus every partition-transform derivation the
+    # table's spec vintages admit: a file (or whole shard) is skipped when
+    # ANY probe proves its recorded value disjoint — files without a given
+    # key are never skipped by it, which is what lets two spec vintages
+    # (and pre-spec files) coexist under one read
+    probes = [(pcol, lo, hi)] + _partition_probes(m, pcol, lo, hi)
+
+    def _skip(rec: dict) -> bool:
+        for key, pl, ph in probes:
+            r = rec.get(key)
+            if r is not None and _stat_disjoint(r, pl, ph):
+                return True
+        return False
+
     if "shards" not in m:
         files = m["files"]
         stats = m.get("stats", {})
-        kept = [
-            f
-            for f in files
-            if not (
-                (r := stats.get(f, {}).get(pcol)) is not None
-                and _stat_disjoint(r, lo, hi)
-            )
-        ]
+        kept = [f for f in files if not _skip(stats.get(f, {}))]
         return m, kept, len(files) - len(kept), len(files)
     total = skipped = 0
     kept = []
     dvs: dict = {}
     blooms: dict = {}
+    kept_stats: dict = {}
     for b, entry in sorted(m["shards"]["entries"].items()):
         total += entry["n"]
-        s = (entry.get("summary") or {}).get(pcol)
-        if s is not None and _stat_disjoint(s, lo, hi):
+        if _skip(entry.get("summary") or {}):
             skipped += entry["n"]
             continue  # the whole bucket is provably disjoint: never loaded
         payload = _load_shard(path, entry, cache=shard_cache)
         st = payload.get("stats") or {}
         for f in payload["files"]:
-            r = st.get(f, {}).get(pcol)
-            if r is not None and _stat_disjoint(r, lo, hi):
+            if _skip(st.get(f, {})):
                 skipped += 1
                 continue
             kept.append(f)
+            if f in st:
+                kept_stats[f] = st[f]
         dvs.update(payload.get("dvs") or {})
         blooms.update(payload.get("blooms") or {})
     read_m = {k: v for k, v in m.items() if k != "shards"}
     read_m["files"] = kept
+    if kept_stats:
+        # kept files' stats ride along: _read_files needs each file's
+        # "__v" add version to scope equality deletes correctly
+        read_m["stats"] = kept_stats
     if dvs:
         read_m["dvs"] = dvs
     if blooms:
@@ -2080,7 +2904,14 @@ def rollback(path: str, to_version: int) -> int:
         # were never checked against them
         constraints=m.get("constraints") or {},
         colmap=m.get("colmap") or {},
-        dropped_physicals=list(m.get("dropped_physicals") or [])
+        dropped_physicals=list(m.get("dropped_physicals") or []),
+        # the restored version's row VISIBILITY includes its equality
+        # deletes (inheriting the head's would keep a post-to_version
+        # delete applied after the rollback), and its partition spec —
+        # the layout the restored files were actually written under
+        eqdeletes=list(m.get("eqdeletes") or []),
+        pspecs=dict(m.get("pspecs") or {}),
+        pspec_id=m.get("pspec_id"),
     )
 
 
@@ -2162,6 +2993,31 @@ def clone_table(
             cloned_dvs[
                 os.path.join("data", os.path.basename(f))
             ] = copied_dv[sc]
+    # EQUALITY deletes carry too (copied sidecars): the clone's visible
+    # rows must equal the source snapshot's. Seq numbers and per-file
+    # "__v" add-version stamps are SOURCE-lineage version numbers, but the
+    # clone is a fresh table at v1 — REMAP both order-preserving onto
+    # integers <= 1 (largest source number -> 1, descending): carried
+    # applicability is exactly preserved, every future clone commit
+    # (stamps >= 2) escapes the carried deletes, and every future delete
+    # (seq >= 2) covers all carried files — no resurrection either way.
+    src_stats = m.get("stats", {})
+    axis = sorted(
+        {r["__v"][0] for r in src_stats.values() if "__v" in r}
+        | {e["seq"] for e in m.get("eqdeletes") or []}
+    )
+    remap = {x: 1 - (len(axis) - 1 - i) for i, x in enumerate(axis)}
+    cloned_eqs: list = []
+    if m.get("eqdeletes"):
+        import shutil as _shutil
+
+        os.makedirs(_vdir(dst), exist_ok=True)
+        for e in m["eqdeletes"]:
+            new_rel = os.path.join("_versions", f"eqd-{uuid.uuid4().hex}.json")
+            _shutil.copyfile(
+                os.path.join(src, e["sc"]), os.path.join(dst, new_rel)
+            )
+            cloned_eqs.append({**e, "sc": new_rel, "seq": remap[e["seq"]]})
     return _commit(
         dst,
         files,
@@ -2169,8 +3025,10 @@ def clone_table(
         expected_parent=0,
         schema_json=m.get("schema"),
         stats={
-            os.path.join("data", os.path.basename(f)): s
-            for f, s in m.get("stats", {}).items()
+            os.path.join("data", os.path.basename(f)): (
+                {**s, "__v": [remap[s["__v"][0]]] * 2} if "__v" in s else s
+            )
+            for f, s in src_stats.items()
         }
         or None,
         # the clone enforces what the source enforced (carried verbatim,
@@ -2180,6 +3038,7 @@ def clone_table(
         colmap=m.get("colmap") or {},
         dropped_physicals=list(m.get("dropped_physicals") or []),
         dvs=cloned_dvs or None,
+        eqdeletes=cloned_eqs or [],
     )
 
 
@@ -2204,7 +3063,9 @@ def table_detail(path: str, version: int | None = None) -> dict:
             missing += 1  # vacuumed history: report, don't raise
     stats_cols: set = set()
     for rec in (m.get("stats") or {}).values():
-        stats_cols.update(rec)
+        # protocol-internal keys (the "__v" add-version stamp, "__p:..."
+        # partition tuples) are not user pruning columns — hide them
+        stats_cols.update(c for c in rec if not c.startswith("__"))
     bloom_cols: set = set()
     for sc in sorted(set((m.get("blooms") or {}).values())):
         try:
@@ -2263,6 +3124,206 @@ def history(path: str) -> list[dict]:
         n = m.get("n_files") if "shards" in m else len(m["files"])
         out.append({"version": v, "n_files": n, "mode": m.get("mode", "?")})
     return out
+
+
+# ---------------------------------------------------------------------------
+# Branch / tag refs + write-audit-publish (Iceberg branching & tagging;
+# the Netflix WAP pattern). See the refs section by _manifest_path for the
+# storage model. The canonical flow:
+#   create_branch(path, "audit")                      # step 0: fork
+#   write_version(df, path, branch="audit")           # step 1: WRITE staged
+#   read_branch(spark, path, "audit") ... checks ...  # step 2: AUDIT
+#   fast_forward(path, "audit")                       # step 3: PUBLISH
+# A pre-publish main reader NEVER sees staged commits; a failed audit just
+# delete_branch()es and vacuum reclaims the staged files.
+# ---------------------------------------------------------------------------
+
+
+def create_branch(path: str, name: str, at_version: int | None = None) -> int:
+    """Fork a staging branch at `at_version` (default: the current main
+    head; 0 on an empty table — staging the very first load is the
+    standard WAP bootstrap). Returns the fork version. Refusing an
+    existing name is typed: silently reusing a live branch would let two
+    writers interleave staged lineages."""
+    _check_ref_name(name)
+    os.makedirs(_vdir(path), exist_ok=True)
+    with _latest_lock(path):
+        refs = _load_refs(path)
+        if name in refs["branches"]:
+            raise ValueError(f"branch {name!r} already exists at {path}")
+        v = current_version(path) if at_version is None else at_version
+        if at_version is not None:
+            _check_version(path, v)
+        refs["branches"][name] = {"fork": v, "head": v}
+        _write_atomic(_refs_path(path), refs)
+    return v
+
+
+def branch_head(path: str, name: str) -> int:
+    """The branch's newest staged version — the refs entry is a
+    forward-only CACHE exactly like _latest (the manifest-name CAS is the
+    truth), so probe past it for commits whose pointer advance was lost."""
+    info = _load_refs(path)["branches"].get(name)
+    if info is None:
+        raise ValueError(f"no branch {name!r} at {path}")
+    h = info.get("head", info["fork"])
+    while os.path.exists(_branch_manifest_file(path, h + 1, name)):
+        h += 1
+    return h
+
+
+def delete_branch(path: str, name: str) -> None:
+    """Drop a branch ref (an ABANDONED audit): its staged manifests and
+    any files only they reference become unreferenced garbage that vacuum
+    reclaims age-gated. Raises on a missing name (dropping a typo'd branch
+    silently would leave the caller believing the staging was discarded)."""
+    with _latest_lock(path):
+        refs = _load_refs(path)
+        if name not in refs["branches"]:
+            raise ValueError(f"no branch {name!r} at {path}")
+        del refs["branches"][name]
+        _write_atomic(_refs_path(path), refs)
+
+
+def read_branch(
+    spark: SparkSession, path: str, name: str, version: int | None = None
+) -> DataFrame:
+    """Snapshot read of a STAGED branch (the WAP audit step): the branch's
+    newest staged version by default, or any version along its lineage —
+    at or before the fork it is simply main history. Deletion vectors,
+    column mapping and recorded schema apply exactly as on main (one
+    shared _read_files funnel)."""
+    info = _load_refs(path)["branches"].get(name)
+    if info is None:
+        raise ValueError(f"no branch {name!r} at {path}")
+    fork = info["fork"]
+    v = branch_head(path, name) if version is None else version
+    if v <= fork:
+        return read_version(spark, path, v)
+    m = _read_manifest(path, v, branch=name, fork=fork)
+    if not m["files"]:
+        raise ValueError(f"branch {name!r} version {v} is empty")
+    return _read_files(spark, path, m, m["files"])
+
+
+def create_tag(path: str, name: str, at_version: int | None = None) -> int:
+    """Pin an immutable named TAG at a main version (default: head) — a
+    reproducible read: vacuum retains the tagged snapshot's files for as
+    long as the tag exists, so `read_tag` answers identically forever."""
+    _check_ref_name(name)
+    with _latest_lock(path):
+        refs = _load_refs(path)
+        if name in refs["tags"]:
+            raise ValueError(f"tag {name!r} already exists at {path}")
+        v = current_version(path) if at_version is None else at_version
+        _check_version(path, v)  # a tag must name a committed main version
+        refs["tags"][name] = v
+        _write_atomic(_refs_path(path), refs)
+    return v
+
+
+def delete_tag(path: str, name: str) -> None:
+    with _latest_lock(path):
+        refs = _load_refs(path)
+        if name not in refs["tags"]:
+            raise ValueError(f"no tag {name!r} at {path}")
+        del refs["tags"][name]
+        _write_atomic(_refs_path(path), refs)
+
+
+def read_tag(spark: SparkSession, path: str, name: str) -> DataFrame:
+    """Time travel by TAG: the pinned snapshot, exactly as tagged."""
+    v = _load_refs(path)["tags"].get(name)
+    if v is None:
+        raise ValueError(f"no tag {name!r} at {path}")
+    return read_version(spark, path, v)
+
+
+def list_refs(path: str) -> dict:
+    """{'branches': {name: {'fork', 'head'}}, 'tags': {name: version}}."""
+    return _load_refs(path)
+
+
+def fast_forward(path: str, branch: str) -> int:
+    """PUBLISH a staged branch into main (WAP step 3): each staged commit
+    past the fork is re-written as a CLEAN manifest ('branch' marker
+    replaced by 'published_from' provenance) and hard-linked into the main
+    lineage under the SAME manifest-name CAS every writer uses, then
+    _latest advances to the branch head — main's history gains exactly
+    the staged commits, parent chain intact. Returns the new main head.
+
+    IDEMPOTENT and crash-RESUMABLE: a main slot already holding
+    content-identical bytes (an earlier publish that died before the
+    pointer advance — vacuum may even have adopted it) is skipped; a slot
+    holding a DIFFERENT commit means a concurrent writer advanced main
+    past the fork, and the publish raises PublishConflictError having
+    changed nothing further — re-stage onto the new head, never force.
+    After publishing, the branch re-roots at the new head (fork = head,
+    no staged work) rather than dangling at the old fork."""
+
+    def _strip(d: dict) -> dict:
+        return {k: v for k, v in d.items() if k not in ("branch", "published_from")}
+
+    info = _load_refs(path)["branches"].get(branch)
+    if info is None:
+        raise ValueError(f"no branch {branch!r} at {path}")
+    fork = info["fork"]
+    head = branch_head(path, branch)
+    for v in range(fork + 1, head + 1):
+        with open(_branch_manifest_file(path, v, branch), encoding="utf-8") as fh:
+            m = json.load(fh)
+        m.pop("branch", None)
+        m["published_from"] = branch
+        target = _manifest_path(path, v)
+
+        def _slot_matches() -> bool:
+            with open(target, encoding="utf-8") as fh:
+                return _strip(json.load(fh)) == _strip(m)
+
+        if os.path.exists(target):
+            if _slot_matches():
+                continue  # resume: an earlier publish already landed this slot
+            raise PublishConflictError(
+                f"cannot fast-forward {branch!r} into {path}: main already "
+                f"holds a different v{v} (a concurrent commit landed after "
+                f"the fork at v{fork}); re-stage onto the new head"
+            )
+        tmp = target + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump(m, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        try:
+            os.link(tmp, target)
+        except FileExistsError:
+            # lost the slot between probe and link: identical -> resume
+            if not _slot_matches():
+                raise PublishConflictError(
+                    f"cannot fast-forward {branch!r} into {path}: a "
+                    f"concurrent commit won v{v} during the publish; "
+                    f"re-stage onto the new head"
+                ) from None
+        finally:
+            os.remove(tmp)
+    with _latest_lock(path):
+        if current_version(path) < head:
+            _write_atomic(
+                os.path.join(_vdir(path), "_latest.json"), {"version": head}
+            )
+        refs = _load_refs(path)
+        if branch in refs["branches"]:
+            refs["branches"][branch] = {"fork": head, "head": head}
+            _write_atomic(_refs_path(path), refs)
+    # the staged copies are now redundant (content-identical manifests
+    # live at the main names and the branch re-rooted past them): drop
+    # them so a long-lived branch doesn't accrete dead staged files that
+    # the live-branch vacuum guard would retain forever
+    for v in range(fork + 1, head + 1):
+        try:
+            os.remove(_branch_manifest_file(path, v, branch))
+        except FileNotFoundError:
+            pass  # a concurrent publish already cleaned it; fine
+    return head
 
 
 def vacuum(
@@ -2328,10 +3389,30 @@ def vacuum(
             )
             cur = adopted
         keep: set | None = None
+        refs = _load_refs(path)
         if cur > 0 and os.path.isdir(data_dir):
             keep = set()
             for v in range(max(1, cur - keep_versions + 1), cur + 1):
                 keep.update(_read_manifest(path, v)["files"])
+            # LIVE branches' staged snapshots and TAGGED versions pin
+            # their files exactly like retained main versions — a staged
+            # write must survive until published or the branch is deleted,
+            # and a tag is a reproducible read by contract
+            for bname, info in refs["branches"].items():
+                for v in range(info["fork"] + 1, branch_head(path, bname) + 1):
+                    try:
+                        keep.update(
+                            _read_manifest(
+                                path, v, branch=bname, fork=info["fork"]
+                            )["files"]
+                        )
+                    except (OSError, ValueError, KeyError, json.JSONDecodeError):
+                        continue  # torn staged commit: its own sweep applies
+            for tv in set(refs["tags"].values()):
+                try:
+                    keep.update(_read_manifest(path, tv)["files"])
+                except (OSError, ValueError, KeyError, json.JSONDecodeError):
+                    continue
     # the sweeps run OUTSIDE the lock: manifests and data files are
     # immutable once published, and the age gate makes removal safe against
     # in-flight writers (fresh staged files by mtime; rollback() explicitly
@@ -2341,15 +3422,22 @@ def vacuum(
     # pointer advance for the full sweep duration on a large table.
     # FileNotFoundError = a concurrent vacuum won the race; fine.
     # age-gated removal of manifests still beyond the head (damaged /
-    # gapped): a YOUNG one may be a writer mid-commit — leave it
+    # gapped): a YOUNG one may be a writer mid-commit — leave it. A LIVE
+    # branch's staged manifests are never swept whatever their age (a
+    # branch may stage for longer than any grace window — publication is
+    # the human-paced audit step); a DEAD branch's manifests age out.
+    live_branches = set(refs["branches"])
     for fn in sorted(os.listdir(_vdir(path))):
-        if fn.startswith("v") and fn.endswith(".json") and fn[1:9].isdigit():
+        mt = _MANIFEST_RE.match(fn)
+        if mt:
+            br = mt.group(2)
+            if br is not None and br in live_branches:
+                continue  # staged commit of a live branch: retained
+            if br is None and int(mt.group(1)) <= cur:
+                continue  # main history: retained for time travel
             full = os.path.join(_vdir(path), fn)
             try:
-                if (
-                    int(fn[1:9]) > cur
-                    and now - os.path.getmtime(full) >= grace_seconds
-                ):
+                if now - os.path.getmtime(full) >= grace_seconds:
                     os.remove(full)
             except FileNotFoundError:
                 pass
@@ -2360,11 +3448,19 @@ def vacuum(
     # retains.
     referenced_sidecars: set = set()
     for fn in sorted(os.listdir(_vdir(path))):
-        if fn.startswith("v") and fn.endswith(".json") and fn[1:9].isdigit():
+        if _MANIFEST_RE.match(fn):
+            # read the ACTUAL file (main or branch-staged): a branch
+            # manifest's sidecars are referenced metadata exactly like a
+            # main manifest's — resolving by version number alone would
+            # read the wrong lineage and sweep a live branch's sidecars
             try:
-                mm = _read_manifest(path, int(fn[1:9]), materialize=False)
+                with open(os.path.join(_vdir(path), fn), encoding="utf-8") as fh:
+                    mm = json.load(fh)
                 referenced_sidecars.update((mm.get("blooms") or {}).values())
                 referenced_sidecars.update((mm.get("dvs") or {}).values())
+                referenced_sidecars.update(
+                    e["sc"] for e in mm.get("eqdeletes") or []
+                )
                 # sharded manifests: the shard files themselves are
                 # referenced metadata, exactly like bloom/dv sidecars
                 referenced_sidecars.update(
@@ -2373,6 +3469,7 @@ def vacuum(
                 )
             except (
                 ValueError, KeyError, TypeError, json.JSONDecodeError,
+                AttributeError,  # valid JSON of the wrong shape
                 OSError,  # swept by a concurrent vacuum; fine
             ):
                 continue  # damaged/raced manifest: handled by its own sweep
@@ -2394,6 +3491,7 @@ def vacuum(
         if (
             fn.startswith("blooms-")
             or fn.startswith("dv-")
+            or fn.startswith("eqd-")
             or fn.startswith("shard-")
         ) and fn.endswith(".json"):
             rel = os.path.join("_versions", fn)
@@ -2403,6 +3501,14 @@ def vacuum(
                     rel not in referenced_sidecars
                     and now - os.path.getmtime(full) >= grace_seconds
                 ):
+                    # re-stat with a CURRENT clock immediately before the
+                    # unlink (mirrors the data-file sweep below):
+                    # _write_shard utime-refreshes a re-referenced shard
+                    # BEFORE its commit, so a just-refreshed mtime means a
+                    # writer is adopting this sidecar mid-commit — abort
+                    # this delete rather than orphan a committed manifest
+                    if time.time() - os.path.getmtime(full) < grace_seconds:
+                        continue
                     os.remove(full)
                     deleted.append(rel)
             except FileNotFoundError:
@@ -2773,6 +3879,158 @@ def _grow_dv_map(
     return {rel: sidecar for rel in new_dv}
 
 
+def _validate_eq_values(schema, col: str, vals: list) -> None:
+    """The equality-delete value contract (shared by delete_where_eq and
+    write_version's eq_delete): non-empty, None-free, and in the column's
+    own type family — a cross-family delete would depend on Spark's
+    coercion rules the sidecar can't reproduce, so it refuses typed
+    (the read_version_bloom_pruned probe contract)."""
+    if not vals:
+        raise ValueError("equality delete requires a non-empty value list")
+    if any(v is None for v in vals):
+        raise ValueError(
+            "equality deletes cannot target NULL (col = NULL is never true)"
+        )
+    field = {f.name: f.dataType for f in schema.fields}.get(col)
+    if field is None:
+        raise ValueError(f"no column {col!r} in the table schema")
+    tname = field.typeName()
+    is_str = tname in ("string", "varchar", "char")
+    is_num = tname in (
+        "byte", "short", "integer", "long", "float", "double", "decimal"
+    )
+    is_bool = tname == "boolean"
+    for val in vals:
+        ok = (
+            (is_str and isinstance(val, str))
+            or (is_bool and isinstance(val, bool))
+            or (
+                is_num
+                and isinstance(val, (int, float))
+                and not isinstance(val, bool)
+            )
+        )
+        if not ok:
+            raise TypeError(
+                f"equality delete value {val!r} is outside column {col!r}'s "
+                f"type family ({tname}); convert it exactly instead"
+            )
+
+
+def marker_version(path: str, marker: str) -> int | None:
+    """The committed version carrying idempotence token `marker`, or None —
+    the at-least-once redelivery probe (manifest scalars only: KB per
+    version, no data-file IO; scan newest-first since redeliveries are
+    recent by construction)."""
+    for v in range(current_version(path), 0, -1):
+        try:
+            if _read_manifest(path, v, materialize=False).get("marker") == marker:
+                return v
+        except (OSError, json.JSONDecodeError):
+            continue  # vacuumed/raced history: not this one
+    return None
+
+
+def upsert_where_eq(
+    df: DataFrame,
+    path: str,
+    key: str,
+    delete_keys=(),
+    expected_version: int | None = None,
+    marker: str | None = None,
+) -> int:
+    """ATOMIC CDC UPSERT in ONE commit with ZERO table reads — the Iceberg
+    v2 CDC commit shape (new data files + an equality-delete file in the
+    same snapshot): `df`'s rows are staged as fresh files stamped with
+    this commit's add version, and one equality delete over df's key
+    values plus `delete_keys` (seq = this commit) covers every OLDER copy
+    while the fresh stamps exempt the staged rows. Cost is O(batch)
+    staging + a KB sidecar + the manifest — contrast merge_upsert's
+    full-outer join over the whole table: THIS is the 100 TB streaming
+    CDC shape, with compact()/purge bounding the accreted delete list
+    like DV debt.
+
+    In-batch discipline: `df` must hold at most one row per key (a real
+    CDC apply dedups to the latest change first) — duplicate keys would
+    all survive, since the delete only covers older files. `delete_keys`
+    are keys whose rows are deleted WITHOUT replacement. `marker` records
+    an idempotence token (see marker_version) for at-least-once sinks.
+    On an empty table the upsert degrades to a plain first write (nothing
+    older to delete)."""
+    keys = [r[0] for r in df.select(key).distinct().collect()]
+    if df.count() != len(keys):
+        raise ValueError(
+            "upsert batch holds duplicate keys; dedup to the latest change "
+            "per key first (the CDC apply discipline)"
+        )
+    all_keys = sorted(set(keys) | set(delete_keys))
+    base = current_version(path) if expected_version is None else expected_version
+    if base == 0 or not all_keys:
+        return write_version(
+            df, path, expected_version=expected_version, marker=marker
+        )
+    return write_version(
+        df,
+        path,
+        expected_version=expected_version,
+        eq_delete=(key, all_keys),
+        marker=marker,
+    )
+
+
+def delete_where_eq(
+    path: str, col: str, values, expected_version: int | None = None
+) -> int:
+    """EQUALITY DELETE (Iceberg v2 equality delete files — the CDC-shaped
+    merge-on-read): commit a small sidecar of KEY VALUES whose rows are
+    deleted, WITHOUT READING A SINGLE DATA FILE — no Spark job, no scan,
+    no positions; the commit cost is one KB-scale sidecar + the manifest.
+    This is what a streaming CDC upsert needs: j20's deletion vectors are
+    positional (every delete pays a read to find which file/row matched),
+    while an equality delete defers that work to readers, who anti-join
+    the value list per intersecting file group (see _read_files /
+    _eqdelete_groups).
+
+    SCOPE semantics (Iceberg sequence numbers): the delete applies to
+    rows in files ADDED BEFORE this commit — a later re-insert of a
+    deleted key survives, which is exactly the CDC delete+reinsert
+    ordering. compact() (a full rewrite) materializes and clears the
+    debt; purge_dvs and the SCD2 fold stamp their rewritten files past
+    every live delete, so maintenance composes without resurrections.
+
+    Guards: the column must exist in the recorded schema; values must be
+    non-empty, None-free, JSON-plain (int/float/str/bool), and in the
+    column's own type family — a cross-family delete would depend on
+    Spark's coercion rules the sidecar can't reproduce, so it refuses
+    typed instead (the read_version_bloom_pruned probe contract)."""
+    vals = list(values)
+    v = current_version(path) if expected_version is None else expected_version
+    if v == 0:
+        raise ValueError(f"no versions at {path}")
+    m = _read_manifest(path, v, materialize=False)
+    if m.get("schema") is None:
+        raise ValueError(
+            "legacy manifest records no schema; equality deletes need one"
+        )
+    _validate_eq_values(_schema_from_json(m["schema"]), col, vals)
+    phys = _phys(m, col)
+    os.makedirs(_vdir(path), exist_ok=True)
+    rel = os.path.join("_versions", f"eqd-{uuid.uuid4().hex}.json")
+    _write_atomic(os.path.join(path, rel), {"col": phys, "values": vals})
+    eqds = list(m.get("eqdeletes") or [])
+    # seq = THIS commit's version: applies to every file in the current
+    # snapshot (their add versions are <= v < v+1), to nothing after
+    eqds.append({"sc": rel, "col": phys, "seq": v + 1})
+    return _commit(
+        path,
+        mode="delete-eq",
+        expected_parent=v,
+        schema_json=m.get("schema"),
+        eqdeletes=eqds,
+        **_alter_payload_kwargs(m),  # every sidecar map, or shards verbatim
+    )
+
+
 def update_where_dv(
     spark: SparkSession,
     path: str,
@@ -2854,6 +4112,10 @@ def update_where_dv(
     new_stats = _footer_minmax(
         path, new_files, tuple(phys_of(c, c) for c in want_stats)
     )
+    # the appended updated-row files carry THIS commit's add version, so
+    # a live equality delete (seq <= v) never re-kills the fresh copies
+    for f in new_files:
+        new_stats.setdefault(f, {})["__v"] = [v + 1, v + 1]
     if "shards" in m:
         plan = _sharded_delta_plan(
             path, m, new_files, new_stats=new_stats, dv_updates=updates,
@@ -3174,6 +4436,24 @@ def table_changes(
         for f in old_files & new_files
         if old_dvs.get(f) != new_dvs.get(f)
     }
+    # EQUALITY deletes change row visibility without touching the file
+    # list, exactly like DVs: any shared file whose APPLICABLE delete set
+    # differs between the versions re-reads on both sides (each through
+    # its own manifest, where _read_files applies its own deletes), and
+    # exceptAll cancels everything but the newly-deleted rows. Cost stays
+    # O(files the new delete touches).
+    old_eqs = old_m.get("eqdeletes") or []
+    new_eqs = new_m.get("eqdeletes") or []
+    if old_eqs != new_eqs:
+        o_ids = sorted((e["seq"], e["sc"]) for e in old_eqs)
+        n_ids = sorted((e["seq"], e["sc"]) for e in new_eqs)
+        stats_probe = new_m.get("stats") or {}
+        old_stats_probe = old_m.get("stats") or {}
+        for f in old_files & new_files:
+            rec = (stats_probe.get(f) or old_stats_probe.get(f) or {}).get("__v")
+            av = rec[0] if rec else float("-inf")  # unstamped = ancient
+            if [x for x in o_ids if x[0] > av] != [x for x in n_ids if x[0] > av]:
+                dv_changed.add(f)
     old_only = sorted((old_files - new_files) | dv_changed)
     new_only = sorted((new_files - old_files) | dv_changed)
     missing = [
