@@ -3456,3 +3456,369 @@ def j23_versioned_zorder_optimize(spark: SparkSession, sf_dir: str) -> DataFrame
         )
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# j24 — PARTITION-SPEC TRANSFORMS + SPEC EVOLUTION on versioned tables
+# (Iceberg spec.md "Partitioning" / "Partition Evolution"): orders is
+# created PARTITIONED BY year(o_orderdate) — one file group per year, the
+# tuple recorded as synthetic per-file stats — then the spec EVOLVES to
+# month(o_orderdate) and the post-1996 half appends under it, NO rewrite
+# (asserted by inode+mtime). One date predicate spanning the vintage
+# boundary must plan O(matching partitions) files across BOTH vintages:
+# year-files prune under the old spec, month-files under the new. A DV
+# delete then proves mutations compose with partitioned layouts (file
+# list unchanged, tuples carried). DuckDB reproduces the result
+# declaratively, so value equality proves pruning never dropped a row.
+# ---------------------------------------------------------------------------
+@_register(
+    "j24_partition_spec_evolution",
+    """
+    WITH w AS (
+      SELECT * FROM orders
+      WHERE o_orderdate BETWEEN DATE '1995-06-01' AND DATE '1996-03-31'
+    ),
+    mn AS (SELECT MIN(o_orderkey) AS mn FROM w)
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           COUNT(DISTINCT o_custkey) AS n_cust,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM w, mn
+    WHERE o_orderkey <> mn.mn
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def j24_partition_spec_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+    import shutil
+    import tempfile
+
+    from tts_etl_pipeline_spark.functions.exact import money
+    from tts_etl_pipeline_spark.sources.versioned import (
+        alter_partition_spec,
+        delete_where_dv,
+        manifest,
+        partition_spec,
+        read_version_pruned,
+        write_version,
+    )
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate",
+    )
+    lo, hi = "1995-06-01", "1996-03-31"
+    split = "1996-01-01"
+    old = orders.filter(F.col("o_orderdate") < F.lit(split).cast("date"))
+    new = orders.filter(F.col("o_orderdate") >= F.lit(split).cast("date"))
+    n_rows = orders.count()
+    base = tempfile.mkdtemp(prefix="j24_")
+    path = f"{base}/orders_v"
+    try:
+        write_version(old, path, partition_by=(("year", "o_orderdate"),))
+        m1 = manifest(path, 1)
+        n_years = old.selectExpr("year(o_orderdate)").distinct().count()
+        if n_rows and len(m1["files"]) != n_years:
+            raise RuntimeError(
+                f"year layout wrote {len(m1['files'])} files for "
+                f"{n_years} live years — not one group per partition tuple"
+            )
+        sig = {
+            f: _os.stat(_os.path.join(path, f)).st_ino for f in m1["files"]
+        }
+        alter_partition_spec(path, (("month", "o_orderdate"),))
+        if partition_spec(path)["fields"] != [["month", "o_orderdate", None]]:
+            raise RuntimeError("spec evolution did not activate month()")
+        write_version(new, path)  # appends lay out under the EVOLVED spec
+        m3 = manifest(path, 3)
+        if {
+            f: _os.stat(_os.path.join(path, f)).st_ino
+            for f in m3["files"] if f in sig
+        } != sig or not set(sig) <= set(m3["files"]):
+            raise RuntimeError(
+                "spec evolution must rewrite nothing — old-vintage files "
+                "changed identity"
+            )
+        n_months = new.selectExpr(
+            "(year(o_orderdate)-1970)*12 + month(o_orderdate)-1"
+        ).distinct().count()
+        # the vintage-spanning probe: year-files prune under spec 1,
+        # month-files under spec 2 — O(matching partitions) planning
+        pruned, skipped, total = read_version_pruned(
+            spark, path, "o_orderdate", lo, hi
+        )
+        want_old = old.filter(
+            f"year(o_orderdate) between 1995 and 1995"
+        ).selectExpr("year(o_orderdate)").distinct().count()
+        want_new = new.filter(
+            f"o_orderdate <= date'{hi}'"
+        ).selectExpr(
+            "(year(o_orderdate)-1970)*12 + month(o_orderdate)-1"
+        ).distinct().count()
+        if n_rows and total - skipped != want_old + want_new:
+            raise RuntimeError(
+                f"partition pruning planned {total - skipped} of {total} "
+                f"files; want exactly {want_old} year-partitions + "
+                f"{want_new} month-partitions across the two spec vintages"
+            )
+        # mutation interplay: a DV delete on the partitioned table leaves
+        # the file list (and every tuple stat) intact
+        mn = pruned.agg(F.min("o_orderkey")).collect()[0][0]
+        if mn is not None:
+            v4 = delete_where_dv(spark, path, "o_orderkey", mn, mn)
+            if v4 is not None and manifest(path, v4)["files"] != m3["files"]:
+                raise RuntimeError(
+                    "DV delete on a partitioned table changed the file list"
+                )
+        final, _, _ = read_version_pruned(spark, path, "o_orderdate", lo, hi)
+        return (
+            final.groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.countDistinct("o_custkey").alias("n_cust"),
+                F.sum((money("o_totalprice") * 100).cast("bigint"))
+                .cast("bigint")
+                .alias("sum_cents"),
+            )
+            .orderBy("o_orderstatus")
+            .localCheckpoint(eager=True)  # materialize before tmp vanishes
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# j25 — BRANCH/TAG REFS + WRITE-AUDIT-PUBLISH on versioned tables (Iceberg
+# branching/tagging; the Netflix WAP pattern): the odd-key half of orders
+# is STAGED on a branch — two commits, invisible to every main reader — a
+# dq-style audit runs against the staged snapshot, and fast_forward
+# publishes: main's history gains EXACTLY the staged commits (parent
+# chain and provenance asserted in-query), and a tag pins the published
+# snapshot for reproducible reads. The conflict arm (a concurrent main
+# commit making the staged chain non-fast-forwardable, refused typed) is
+# pinned in tests/test_versioned.py::test_wap_publish_conflict_*.
+# DuckDB reproduces the final table declaratively, so value equality
+# proves publish delivered the staged rows exactly once.
+# ---------------------------------------------------------------------------
+@_register(
+    "j25_write_audit_publish",
+    """
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM orders
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def j25_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from tts_etl_pipeline_spark.functions.exact import money
+    from tts_etl_pipeline_spark.sources.versioned import (
+        create_branch,
+        create_tag,
+        current_version,
+        fast_forward,
+        history,
+        manifest,
+        read_branch,
+        read_tag,
+        read_version,
+        write_version,
+    )
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    first = orders.filter(F.col("o_orderkey") % 2 == 0)
+    second = orders.filter(F.col("o_orderkey") % 2 == 1)
+    n_first, n_total = first.count(), orders.count()
+    base = tempfile.mkdtemp(prefix="j25_")
+    path = f"{base}/orders_v"
+    try:
+        write_version(first, path)  # main v1
+        create_branch(path, "audit")
+        half = second.filter(F.col("o_custkey") % 2 == 0)
+        rest = second.filter(F.col("o_custkey") % 2 == 1)
+        write_version(half, path, branch="audit")   # staged commit 1
+        write_version(rest, path, branch="audit")   # staged commit 2
+        # WRITE happened; main must not have seen any of it
+        if current_version(path) != 1:
+            raise RuntimeError("staged commits advanced MAIN's head")
+        if read_version(spark, path).count() != n_first:
+            raise RuntimeError("a pre-publish reader saw staged rows")
+        # AUDIT against the staged snapshot (the dq gate of WAP)
+        staged = read_branch(spark, path, "audit")
+        if staged.filter(
+            F.col("o_orderkey").isNull() | F.col("o_totalprice").isNull()
+        ).count() != 0:
+            raise RuntimeError("audit failed: staged nulls in key columns")
+        if staged.count() != n_total:
+            raise RuntimeError("staged snapshot is not main + the batch")
+        # PUBLISH: main's history gains exactly the two staged commits
+        head = fast_forward(path, "audit")
+        if head != 3 or [h["version"] for h in history(path)] != [1, 2, 3]:
+            raise RuntimeError(
+                f"fast-forward grafted a wrong chain: head={head}"
+            )
+        m2, m3 = manifest(path, 2), manifest(path, 3)
+        if (
+            m2.get("published_from") != "audit"
+            or m3.get("published_from") != "audit"
+            or m2.get("parent") != 1
+            or m3.get("parent") != 2
+        ):
+            raise RuntimeError("published commits lost lineage/provenance")
+        if read_version(spark, path).count() != n_total:
+            raise RuntimeError("publish did not deliver the staged rows")
+        create_tag(path, "published")  # reproducible read of the release
+        return (
+            read_tag(spark, path, "published")
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum((money("o_totalprice") * 100).cast("bigint"))
+                .cast("bigint")
+                .alias("sum_cents"),
+            )
+            .orderBy("o_orderstatus")
+            .localCheckpoint(eager=True)  # materialize before tmp vanishes
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# j26 — EQUALITY DELETES (Iceberg v2 equality delete files; the CDC-shaped
+# merge-on-read): a key-valued DELETE commits WITHOUT READING A DATA FILE —
+# zero Spark jobs (pinned in-query via a job group), file list and bytes
+# untouched (mtime-asserted) — readers anti-join the KB value sidecar per
+# intersecting file group. Scope is Iceberg's sequence-number rule: the
+# delete covers files added BEFORE it, so the CDC re-insert of a deleted
+# key (appended after) SURVIVES — asserted in-query along with an exact
+# 1-row-per-deleted-key change feed. DuckDB reproduces the final
+# visibility declaratively, so value equality proves the read path applies
+# the delete exactly. The streaming twin (equality deletes drained through
+# stream_changes into an SCD2 soft-close) extends st22's oracle.
+# ---------------------------------------------------------------------------
+@_register(
+    "j26_equality_deletes",
+    """
+    WITH mn AS (
+      SELECT MIN(o_orderkey) AS mk FROM orders WHERE o_orderkey % 32 = 0
+    )
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           COUNT(DISTINCT o_custkey) AS n_cust,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM orders, mn
+    WHERE o_orderkey % 32 <> 0 OR o_orderkey = mn.mk
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def j26_equality_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+    import shutil
+    import tempfile
+
+    from tts_etl_pipeline_spark.functions.exact import money
+    from tts_etl_pipeline_spark.sources.versioned import (
+        delete_where_eq,
+        manifest,
+        read_version,
+        table_changes,
+        write_version,
+    )
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    keys = sorted(
+        r["o_orderkey"]
+        for r in orders.filter(F.col("o_orderkey") % 32 == 0)
+        .select("o_orderkey")
+        .distinct()
+        .collect()
+    )
+    base = tempfile.mkdtemp(prefix="j26_")
+    path = f"{base}/orders_v"
+    try:
+        write_version(
+            orders.repartitionByRange(8, "o_orderkey"),
+            path,
+            collect_stats=("o_orderkey",),
+        )
+        m1 = manifest(path, 1)
+        sig = {
+            f: _os.stat(_os.path.join(path, f)).st_mtime_ns
+            for f in m1["files"]
+        }
+        if keys:
+            sc = spark.sparkContext
+            sc.setJobGroup("j26_eq_commit", "equality delete commit")
+            v2 = delete_where_eq(path, "o_orderkey", keys)
+            jobs = sc.statusTracker().getJobIdsForGroup("j26_eq_commit")
+            sc.setJobGroup(None, None)
+            if list(jobs):
+                raise RuntimeError(
+                    f"equality delete ran {len(jobs)} Spark job(s) — the "
+                    "commit must not read a single data file"
+                )
+            m2 = manifest(path, v2)
+            if m2["files"] != m1["files"] or {
+                f: _os.stat(_os.path.join(path, f)).st_mtime_ns
+                for f in m2["files"]
+            } != sig:
+                raise RuntimeError(
+                    "equality delete touched data files — merge-on-read "
+                    "regressed to a rewrite"
+                )
+            if m2.get("mode") != "delete-eq":
+                raise RuntimeError("equality-delete commit lost its mode tag")
+            # the change feed is exactly the deleted keys, all deletes
+            cdf = table_changes(spark, path, 1, v2)
+            agg = cdf.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum((F.col("_change_type") == "delete").cast("int")).alias(
+                    "nd"
+                ),
+                F.countDistinct("o_orderkey").alias("nk"),
+            ).collect()[0]
+            if not (agg["n"] == agg["nd"] and agg["nk"] == len(keys)):
+                raise RuntimeError(
+                    f"CDF across the equality delete is not exactly the "
+                    f"{len(keys)} deleted keys: {agg}"
+                )
+            # CDC re-insert: the smallest deleted key comes back in a
+            # LATER commit and must SURVIVE the earlier delete
+            mk = keys[0]
+            write_version(
+                orders.filter(F.col("o_orderkey") == mk), path
+            )
+            back = read_version(spark, path).filter(
+                F.col("o_orderkey") == mk
+            )
+            if back.count() != 1:
+                raise RuntimeError(
+                    "a re-inserted key did not survive an EARLIER equality "
+                    "delete — sequence-number scoping is broken"
+                )
+        return (
+            read_version(spark, path)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.countDistinct("o_custkey").alias("n_cust"),
+                F.sum((money("o_totalprice") * 100).cast("bigint"))
+                .cast("bigint")
+                .alias("sum_cents"),
+            )
+            .orderBy("o_orderstatus")
+            .localCheckpoint(eager=True)  # materialize before tmp vanishes
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

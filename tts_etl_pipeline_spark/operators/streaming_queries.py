@@ -1492,6 +1492,15 @@ def st21_ivm_counts_from_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
       LEFT JOIN dropped d ON h.user_id = d.user_id, c
       WHERE NOT (h.valid_to IS NULL AND h.state IS NOT DISTINCT FROM 'error'
                  AND h.valid_from > c.cut2)
+    ),
+    adj2 AS (
+      -- v4 is an EQUALITY DELETE (r12): every user_id divisible by 5
+      -- still current after v3 is key-deleted at the source, and the
+      -- streamed CDF batch must soft-close exactly those versions at tmax
+      SELECT user_id, state, valid_from,
+             CASE WHEN valid_to IS NULL AND user_id % 5 = 0 THEN c.tmax
+                  ELSE valid_to END AS valid_to
+      FROM adj, c
     )
     SELECT state,
            COUNT(*) AS n_versions,
@@ -1499,7 +1508,7 @@ def st21_ivm_counts_from_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS n_current,
            COUNT(DISTINCT user_id) AS n_users,
            CAST(SUM(valid_to - valid_from) AS BIGINT) AS closed_span_us
-    FROM adj GROUP BY state ORDER BY state
+    FROM adj2 GROUP BY state ORDER BY state
     """,
 )
 def st22_stream_scd2_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1543,6 +1552,23 @@ def st22_stream_scd2_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
             src,
             mode="overwrite",
         )
+        # v4: a CDC-shaped EQUALITY DELETE (r12) — key values committed
+        # without reading a data file; the CDF batch must still deliver
+        # the now-invisible rows as deletes, which the fold soft-closes
+        eq_keys = sorted(
+            r["user_id"]
+            for r in read_version(spark, src)
+            .filter(F.col("user_id") % 5 == 0)
+            .select("user_id")
+            .distinct()
+            .collect()
+        )
+        if eq_keys:
+            from tts_etl_pipeline_spark.sources.versioned import (
+                delete_where_eq,
+            )
+
+            delete_where_eq(src, "user_id", eq_keys)
 
         def fold(batch: DataFrame, version: int) -> None:
             b = materialize(batch)
