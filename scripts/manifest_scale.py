@@ -102,13 +102,19 @@ def sharded(n: int) -> dict:
 
     d = tempfile.mkdtemp(prefix="mscale_shard_")
     path = os.path.join(d, "t")
+    # a real 1-column schema so the r12 equality-delete arm's column/type
+    # validation runs exactly as in production
+    k_schema = (
+        '{"type":"struct","fields":[{"name":"k","type":"long",'
+        '"nullable":true,"metadata":{}}]}'
+    )
     try:
         files = sorted(f"data/{uuid.uuid4().hex}.parquet" for _ in range(n))
         stats = {f: {"k": [i * 100, i * 100 + 99]} for i, f in enumerate(files)}
         t0 = time.perf_counter()
         V._commit(
             path, files, "overwrite",
-            schema_json='{"type":"struct","fields":[]}', stats=stats,
+            schema_json=k_schema, stats=stats,
         )
         t_commit = time.perf_counter() - t0
 
@@ -156,14 +162,22 @@ def sharded(n: int) -> dict:
         )
         t_dv = time.perf_counter() - t0
 
+        # 1000-key EQUALITY-DELETE commit (r12): shards carry VERBATIM via
+        # _alter_payload_kwargs — the commit cost is one KB value sidecar
+        # + the manifest list, FLAT in n (no data read, no shard touched)
+        t0 = time.perf_counter()
+        V.delete_where_eq(path, "k", list(range(0, 100_000, 100)))
+        t_eq = time.perf_counter() - t0
+
         # pruned planning over a ~1% interior band
         lo, hi = 100 * (n // 2), 100 * (n // 2) + 100 * (n // 100)
         t0 = time.perf_counter()
-        m2 = V._read_manifest(path, 3, materialize=False)
+        head = V.current_version(path)
+        m2 = V._read_manifest(path, head, materialize=False)
         _, kept, skipped, total = V._plan_pruned_files(path, m2, "k", lo, hi)
         t_plan = time.perf_counter() - t0
 
-        mlist = V._manifest_path(path, 3)
+        mlist = V._manifest_path(path, head)
         size = os.path.getsize(mlist)
         t0 = time.perf_counter()
         with open(mlist, encoding="utf-8") as fh:
@@ -176,6 +190,7 @@ def sharded(n: int) -> dict:
             "commit_s": round(t_commit, 3),
             "append_1_s": round(t_append, 4),
             "dv_delete_1_s": round(t_dv, 4),
+            "eq_delete_1000keys_s": round(t_eq, 4),
             "plan_pruned_s": round(t_plan, 4),
             "kept": len(kept),
             "skipped": skipped,

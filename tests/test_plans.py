@@ -1022,3 +1022,35 @@ def test_dv_read_applies_vectors_with_broadcast_hash_anti_join(spark, tmp_path):
     assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
     assert df.count() == 1995
+
+
+def test_eq_delete_read_applies_values_with_broadcast_hash_anti_join(
+    spark, tmp_path
+):
+    """The equality-delete read path (r12) must stay JVM-side and
+    hash-shaped like the DV path: the value anti-join plans as a
+    BroadcastHashJoin LeftAnti — never a nested loop, never a Python row
+    filter — and a stamped post-delete file group unions in WITHOUT the
+    anti-join applying to it (the sequence-number scope is a planning
+    decision, not a runtime filter)."""
+    from tts_etl_pipeline_spark.plans.inspect import physical_plan
+    from tts_etl_pipeline_spark.sources.versioned import (
+        delete_where_eq,
+        read_version,
+        write_version,
+    )
+
+    path = str(tmp_path / "t")
+    write_version(
+        spark.range(2000).selectExpr("id AS k", "id*2 AS v")
+        .repartitionByRange(4, "k"),
+        path,
+    )
+    delete_where_eq(path, "k", [100, 500, 1500])
+    write_version(spark.createDataFrame([(500, 0)], "k long, v long"), path)
+    df = read_version(spark, path)
+    plan = physical_plan(df)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert df.count() == 1998  # 2000 - 3 deleted + 1 re-inserted

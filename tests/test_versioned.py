@@ -3404,7 +3404,8 @@ def test_partition_spec_validation():
     ok = _parse_partition_spec((("day", "d"), ("bucket", "k", 8), "s"), schema, None)
     assert ok == [["day", "d", None], ["bucket", "k", 8], ["identity", "s", None]]
     for bad, msg in [
-        ((("hour", "d"),), "unknown partition transform"),
+        ((("week", "d"),), "unknown partition transform"),
+        ((("hour", "d"),), "needs a timestamp"),
         ((("year", "k"),), "needs a date/timestamp"),
         ((("bucket", "d", 8),), "int-family and string"),
         ((("bucket", "k"),), "positive int"),
@@ -3868,3 +3869,152 @@ def test_equality_delete_validation(spark, tmp_path):
     delete_where_eq(path, "name", ["n1"])
     with _pytest.raises(ValueError, match="equality delete"):
         drop_column(path, "name")  # live delete references it
+
+
+def test_upsert_where_eq_atomic_cdc_commit(spark, tmp_path):
+    """The atomic CDC upsert: staged rows + an equality delete land in ONE
+    commit with zero table reads — old copies die, fresh copies survive,
+    delete_keys vanish, and the whole batch is one version."""
+    from tts_etl_pipeline_spark.sources.versioned import (
+        current_version,
+        manifest,
+        read_version,
+        upsert_where_eq,
+    )
+
+    path = str(tmp_path / "t")
+    upsert_where_eq(
+        spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k long, s string"),
+        path,
+        "k",
+    )
+    m1 = manifest(path, 1)
+    sig = {f: os.stat(os.path.join(path, f)).st_mtime_ns for f in m1["files"]}
+    sc = spark.sparkContext
+    b2 = spark.createDataFrame([(2, "B2"), (4, "d")], "k long, s string")
+    v2 = upsert_where_eq(b2, path, "k", delete_keys=[3])
+    assert current_version(path) == v2 == 2  # ONE commit for the batch
+    m2 = manifest(path, v2)
+    assert set(m1["files"]) <= set(m2["files"])  # append-only
+    assert {
+        f: os.stat(os.path.join(path, f)).st_mtime_ns
+        for f in m2["files"] if f in sig
+    } == sig  # merge-on-read: v1 bytes untouched
+    assert len(m2.get("eqdeletes") or []) == 1
+    assert sorted((r.k, r.s) for r in read_version(spark, path).collect()) == [
+        (1, "a"), (2, "B2"), (4, "d"),
+    ]
+
+
+def test_upsert_where_eq_marker_idempotence(spark, tmp_path):
+    """marker/marker_version: an at-least-once sink probes the manifest
+    scalars (no data reads) and skips an already-landed batch."""
+    import pytest as _pytest
+
+    from tts_etl_pipeline_spark.sources.versioned import (
+        current_version,
+        marker_version,
+        upsert_where_eq,
+    )
+
+    path = str(tmp_path / "t")
+    upsert_where_eq(
+        spark.createDataFrame([(1, "a")], "k long, s string"),
+        path, "k", marker="b0",
+    )
+    upsert_where_eq(
+        spark.createDataFrame([(1, "a2")], "k long, s string"),
+        path, "k", marker="b1",
+    )
+    assert marker_version(path, "b0") == 1
+    assert marker_version(path, "b1") == 2
+    assert marker_version(path, "b7") is None
+    # the CDC apply discipline: duplicate keys in one batch refuse
+    with _pytest.raises(ValueError, match="duplicate keys"):
+        upsert_where_eq(
+            spark.createDataFrame([(9, "x"), (9, "y")], "k long, s string"),
+            path, "k",
+        )
+    assert current_version(path) == 2
+
+
+def test_partition_spec_hour_transform(spark, tmp_path):
+    """hour() completes the Iceberg transform set: timestamp columns lay
+    out one file group per epoch hour and a timestamp-range probe plans
+    O(matching hours) files; a DATE column refuses the transform."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from tts_etl_pipeline_spark.sources.versioned import (
+        manifest,
+        read_version_pruned,
+        write_version,
+    )
+
+    rows = [
+        (i, dt.datetime(2024, 1, 1, i % 6, 10 * (i % 5)))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "k long, ts timestamp_ntz")
+    path = str(tmp_path / "t")
+    write_version(df, path, partition_by=(("hour", "ts"),))
+    m = manifest(path, 1)
+    assert len(m["files"]) == 6  # hours 0..5 of 2024-01-01
+    got, skipped, total = read_version_pruned(
+        spark, path, "ts", "2024-01-01 02:00:00", "2024-01-01 03:59:59"
+    )
+    assert (skipped, total) == (4, 6)  # only hours 2 and 3 read
+    exp = df.filter(
+        "ts between timestamp_ntz'2024-01-01 02:00:00' "
+        "and timestamp_ntz'2024-01-01 03:59:59'"
+    ).count()
+    assert got.count() == exp
+    # datetime-object probes derive too
+    got2, sk2, _ = read_version_pruned(
+        spark, path, "ts",
+        dt.datetime(2024, 1, 1, 5, 0), dt.datetime(2024, 1, 1, 5, 59),
+    )
+    assert sk2 == 5 and got2.count() == df.filter("hour(ts) = 5").count()
+    with _pytest.raises(ValueError, match="hour\\(\\) needs a timestamp"):
+        write_version(
+            spark.createDataFrame([(1, dt.date(2024, 1, 1))], "k long, d date"),
+            str(tmp_path / "t2"),
+            partition_by=(("hour", "d"),),
+        )
+
+
+def test_read_branch_pruned_audits_at_scale(spark, tmp_path):
+    """The WAP audit step prunes staged snapshots from manifest stats
+    exactly like main reads — a dq gate on a staging branch never pays a
+    full scan (and partition-spec layouts prune on branches too)."""
+    import datetime as dt
+
+    from tts_etl_pipeline_spark.sources.versioned import (
+        create_branch,
+        read_branch_pruned,
+        write_version,
+    )
+
+    path = str(tmp_path / "t")
+    rows = [
+        (i, dt.date(1992 + i % 4, 1 + i % 12, 1 + i % 28)) for i in range(80)
+    ]
+    df = spark.createDataFrame(rows, "k long, d date")
+    write_version(
+        df.filter("d < date'1994-01-01'"), path,
+        partition_by=(("year", "d"),),
+    )
+    create_branch(path, "audit")
+    write_version(df.filter("d >= date'1994-01-01'"), path, branch="audit")
+    got, skipped, total = read_branch_pruned(
+        spark, path, "audit", "d", "1995-01-01", "1995-12-31"
+    )
+    assert skipped == total - 1  # only the staged 1995 year-file read
+    assert got.count() == df.filter("year(d) = 1995").count()
+    # at-or-before the fork it is simply main history
+    got2, sk2, tot2 = read_branch_pruned(
+        spark, path, "audit", "d", "1992-01-01", "1992-12-31", version=1
+    )
+    assert got2.count() == df.filter("year(d) = 1992").count()
+    assert sk2 == tot2 - 1

@@ -1711,3 +1711,180 @@ def st23_stream_pit_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# st24 — streaming CDC UPSERT sink via EQUALITY DELETES (r12; the write
+# direction j26 exists for): a 3-batch CDC feed (per-band latest user
+# states; 'error' = CDC delete) drains through foreachBatch into ONE
+# atomic upsert_where_eq commit per micro-batch — staged rows + an
+# equality-delete file in the same snapshot, ZERO reads of the growing
+# table (contrast st7's OR-IGNORE anti-join and merge_upsert's full-outer
+# join, both O(table) per batch). Exactly-once comes from manifest-level
+# MARKER tokens (the "100 TB shape" st16's docstring points at): the
+# second, fresh-checkpoint run re-delivers every batch and must add ZERO
+# versions — asserted in-query, as is merge-on-read itself (v1's files
+# byte-identical at the head). Oracle: last-writer-wins per user across
+# the band sequence, minus users whose final state is the CDC delete.
+# ---------------------------------------------------------------------------
+@_register(
+    "st24_stream_cdc_upsert_sink",
+    """
+    WITH b AS (
+      SELECT MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS tmin,
+             MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS tmax
+      FROM events
+    ),
+    c AS (
+      SELECT tmin + ((tmax - tmin) // 3) AS cut1,
+             tmin + (((tmax - tmin) * 2) // 3) AS cut2
+      FROM b
+    ),
+    ev AS (
+      SELECT user_id, event_id, event_type AS state,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS tss
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    banded AS (
+      SELECT ev.*, CASE WHEN tss <= c.cut1 THEN 1
+                        WHEN tss <= c.cut2 THEN 2 ELSE 3 END AS band
+      FROM ev, c
+    ),
+    latest AS (
+      SELECT user_id, state, tss, band,
+             ROW_NUMBER() OVER (PARTITION BY user_id, band
+                                ORDER BY tss DESC, event_id DESC) AS rn
+      FROM banded
+    ),
+    final AS (
+      SELECT user_id, state, tss,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY band DESC)
+               AS rb
+      FROM latest WHERE rn = 1
+    )
+    SELECT state,
+           COUNT(*) AS n_users,
+           CAST(SUM(tss) AS BIGINT) AS sum_tss,
+           CAST(MIN(tss) AS BIGINT) AS min_tss
+    FROM final
+    WHERE rb = 1 AND state IS DISTINCT FROM 'error'
+    GROUP BY state ORDER BY state
+    """,
+)
+def st24_stream_cdc_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+    import shutil
+    import tempfile
+    import time
+
+    from tts_etl_pipeline_spark.functions.bands import band_states
+    from tts_etl_pipeline_spark.sources.versioned import (
+        current_version,
+        manifest,
+        marker_version,
+        read_version,
+        upsert_where_eq,
+    )
+
+    states, empty, _, _, _ = band_states(spark, sf_dir)
+    states = states.filter(F.col("user_id").isNotNull())
+    base = tempfile.mkdtemp(prefix="st24_")
+    feed = _os.path.join(base, "cdc_feed")
+    tbl = _os.path.join(base, "user_state_tbl")
+    try:
+        # materialize the CDC feed: one parquet file per band, ascending
+        # mtimes so the file stream delivers one micro-batch per band in
+        # band order (FileStreamSource orders by timestamp, then path)
+        _os.makedirs(feed, exist_ok=True)
+        n_bands = 0
+        if not empty:
+            t0 = time.time()
+            for bnd in (1, 2, 3):
+                part = states.filter(F.col("band") == bnd).select(
+                    "user_id", "state", "tss"
+                )
+                staging = _os.path.join(base, f"stage{bnd}")
+                part.coalesce(1).write.mode("overwrite").parquet(staging)
+                src = next(
+                    f for f in sorted(_os.listdir(staging))
+                    if f.endswith(".parquet")
+                )
+                dst = _os.path.join(feed, f"band{bnd}.parquet")
+                _os.replace(_os.path.join(staging, src), dst)
+                _os.utime(dst, (t0 + bnd, t0 + bnd))
+                n_bands += 1
+
+        def apply_cdc(batch: DataFrame, bid: int) -> None:
+            n = batch.count()
+            if n == 0:
+                return
+            mark = f"st24-band-{bid}"
+            if current_version(tbl) > 0 and marker_version(tbl, mark) is not None:
+                return  # at-least-once redelivery: already committed
+            ups = batch.filter(~F.col("state").eqNullSafe(F.lit("error")))
+            dels = [
+                r["user_id"]
+                for r in batch.filter(F.col("state").eqNullSafe(F.lit("error")))
+                .select("user_id")
+                .collect()
+            ]
+            upsert_where_eq(
+                ups, tbl, "user_id", delete_keys=dels, marker=mark
+            )
+
+        schema = "user_id bigint, state string, tss bigint"
+        for run in range(2):  # run 2 = full fresh-checkpoint replay
+            if n_bands == 0:
+                break
+            (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(feed)
+                .writeStream.foreachBatch(apply_cdc)
+                .option("checkpointLocation", _os.path.join(base, f"ck{run}"))
+                .trigger(availableNow=True)
+                .start()
+                .awaitTermination()
+            )
+            if run == 0:
+                head = current_version(tbl)
+                if head != n_bands:
+                    raise RuntimeError(
+                        f"expected one atomic upsert commit per CDC batch: "
+                        f"{head} versions for {n_bands} batches"
+                    )
+                sig = {
+                    f: _os.stat(_os.path.join(tbl, f)).st_mtime_ns
+                    for f in manifest(tbl, 1)["files"]
+                }
+        if n_bands == 0:
+            return spark.createDataFrame(
+                [], "state string, n_users bigint, sum_tss bigint, min_tss bigint"
+            )
+        if current_version(tbl) != n_bands:
+            raise RuntimeError(
+                "the fresh-checkpoint replay added versions — the marker "
+                "idempotence probe failed"
+            )
+        head_m = manifest(tbl, current_version(tbl))
+        if {
+            f: _os.stat(_os.path.join(tbl, f)).st_mtime_ns
+            for f in head_m["files"] if f in sig
+        } != sig or not set(sig) <= set(head_m["files"]):
+            raise RuntimeError(
+                "CDC upserts rewrote v1's files — merge-on-read regressed "
+                "to a rewrite"
+            )
+        return (
+            read_version(spark, tbl)
+            .groupBy("state")
+            .agg(
+                F.count(F.lit(1)).alias("n_users"),
+                F.sum("tss").cast("bigint").alias("sum_tss"),
+                F.min("tss").cast("bigint").alias("min_tss"),
+            )
+            .orderBy("state")
+            .localCheckpoint(eager=True)  # materialize before tmp vanishes
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

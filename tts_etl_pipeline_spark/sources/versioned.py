@@ -1470,12 +1470,14 @@ def drop_constraint(path: str, name: str) -> int:
 # contributes no pruning rather than a wrong skip.
 # ---------------------------------------------------------------------------
 
-# transform name -> whether it takes an int parameter
+# transform name -> whether it takes an int parameter (the full Iceberg
+# transform set: identity/year/month/day/hour/bucket(N)/truncate(W))
 _PARTITION_TRANSFORMS = {
     "identity": False,
     "year": False,
     "month": False,
     "day": False,
+    "hour": False,
     "bucket": True,
     "truncate": True,
 }
@@ -1523,6 +1525,8 @@ def _parse_partition_spec(partition_by, schema, colmap) -> list:
             "date", "timestamp", "timestamp_ntz"
         ):
             raise ValueError(f"{t}() needs a date/timestamp column; {col} is {tn}")
+        if t == "hour" and tn not in ("timestamp", "timestamp_ntz"):
+            raise ValueError(f"hour() needs a timestamp column; {col} is {tn}")
         if t in ("bucket", "truncate") and tn not in (
             "byte", "short", "integer", "long", "string", "varchar", "char"
         ):
@@ -1554,6 +1558,12 @@ def _partition_expr(t: str, phys: str, param, dtype):
         return F.datediff(c.cast("date"), F.to_date(F.lit("1970-01-01"))).cast(
             "int"
         )
+    if t == "hour":
+        # epoch hours; the session runs UTC so the driver-side derivation
+        # (naive micros // 3.6e9) matches exactly
+        return F.floor(
+            F.unix_micros(c.cast("timestamp")) / F.lit(3_600_000_000)
+        ).cast("int")
     if t == "bucket":
         # crc32 over Spark's canonical string form: identical bytes are
         # reproducible driver-side with zlib.crc32 (same polynomial as
@@ -1574,7 +1584,7 @@ def _pvalue_parse(t: str, param, raw: str, dtype):
     stat — the file is simply never skipped on this field."""
     tn = dtype.typeName()
     try:
-        if t in ("year", "month", "day", "bucket"):
+        if t in ("year", "month", "day", "hour", "bucket"):
             return int(raw)
         if t == "truncate":
             return raw if tn in ("string", "varchar", "char") else int(raw)
@@ -1592,11 +1602,26 @@ def _pvalue_parse(t: str, param, raw: str, dtype):
 
 
 def _ymd_value(t: str, v):
-    """year/month/day transform value of one raw probe endpoint (str /
-    date / datetime); None when unparseable. Closed raw ranges map to
-    closed transform ranges because all three are monotone."""
+    """year/month/day/hour transform value of one raw probe endpoint
+    (str / date / datetime); None when unparseable. Closed raw ranges map
+    to closed transform ranges because all four are monotone."""
     import datetime as dt
 
+    if t == "hour":
+        if isinstance(v, dt.datetime):
+            ts = v
+        elif isinstance(v, dt.date):
+            ts = dt.datetime(v.year, v.month, v.day)
+        elif isinstance(v, str):
+            try:
+                ts = dt.datetime.fromisoformat(v.strip())
+            except ValueError:
+                return None
+        else:
+            return None
+        # floor-division epoch hours (naive, matching the UTC session)
+        epoch = dt.datetime(1970, 1, 1)
+        return int((ts - epoch) // dt.timedelta(hours=1))
     if isinstance(v, dt.datetime):
         d = v.date()
     elif isinstance(v, dt.date):
@@ -1651,7 +1676,7 @@ def _derive_probe(t: str, param, lo, hi):
 
         lo2, hi2 = norm(lo), norm(hi)
         return None if lo2 is None or hi2 is None else (lo2, hi2)
-    if t in ("year", "month", "day"):
+    if t in ("year", "month", "day", "hour"):
         d0, d1 = _ymd_value(t, lo), _ymd_value(t, hi)
         return None if d0 is None or d1 is None else (d0, d1)
     if t == "bucket":
@@ -3206,6 +3231,48 @@ def read_branch(
     return _read_files(spark, path, m, m["files"])
 
 
+def read_branch_pruned(
+    spark: SparkSession,
+    path: str,
+    name: str,
+    col: str,
+    lo,
+    hi,
+    version: int | None = None,
+) -> tuple[DataFrame, int, int]:
+    """FILE-SKIPPING read of a STAGED branch snapshot — the audit step at
+    scale: a 100 TB staging branch's dq gate wants `col BETWEEN lo AND hi`
+    planned from manifest stats (and partition-transform probes) exactly
+    like read_version_pruned on main, not a full scan. Returns
+    (df, files_skipped, files_total); same soundness contract."""
+    from pyspark.sql import functions as F
+
+    info = _load_refs(path)["branches"].get(name)
+    if info is None:
+        raise ValueError(f"no branch {name!r} at {path}")
+    fork = info["fork"]
+    v = branch_head(path, name) if version is None else version
+    if v <= fork:
+        return read_version_pruned(spark, path, col, lo, hi, version=v)
+    m = _read_manifest(path, v, materialize=False, branch=name, fork=fork)
+    if ("shards" not in m and not m["files"]) or (
+        "shards" in m and m.get("n_files", 0) == 0
+    ):
+        raise ValueError(f"branch {name!r} version {v} is empty")
+    read_m, kept, skipped, total = _plan_pruned_files(path, m, col, lo, hi)
+    if kept:
+        df = _read_files(spark, path, read_m, kept)
+    elif m.get("schema") is not None:
+        df = spark.createDataFrame([], _schema_from_json(m["schema"]))
+    else:
+        df = read_branch(spark, path, name, version=v).limit(0)
+    return (
+        df.filter(F.col(col).between(F.lit(lo), F.lit(hi))),
+        skipped,
+        total,
+    )
+
+
 def create_tag(path: str, name: str, at_version: int | None = None) -> int:
     """Pin an immutable named TAG at a main version (default: head) — a
     reproducible read: vacuum retains the tagged snapshot's files for as
@@ -3957,11 +4024,18 @@ def upsert_where_eq(
     an idempotence token (see marker_version) for at-least-once sinks.
     On an empty table the upsert degrades to a plain first write (nothing
     older to delete)."""
-    keys = [r[0] for r in df.select(key).distinct().collect()]
-    if df.count() != len(keys):
+    # ONE batch-sized job collects the keys and proves uniqueness together
+    key_rows = df.groupBy(key).count().collect()
+    if any(r["count"] > 1 for r in key_rows):
         raise ValueError(
             "upsert batch holds duplicate keys; dedup to the latest change "
             "per key first (the CDC apply discipline)"
+        )
+    keys = [r[0] for r in key_rows]
+    if any(k is None for k in keys):
+        raise ValueError(
+            "upsert batch holds a NULL key; equality deletes cannot target "
+            "NULL (col = NULL is never true) — filter or key the row first"
         )
     all_keys = sorted(set(keys) | set(delete_keys))
     base = current_version(path) if expected_version is None else expected_version
