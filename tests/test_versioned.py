@@ -4018,3 +4018,118 @@ def test_read_branch_pruned_audits_at_scale(spark, tmp_path):
     )
     assert got2.count() == df.filter("year(d) = 1992").count()
     assert sk2 == tot2 - 1
+
+
+def test_metadata_tables(spark, tmp_path):
+    """Iceberg-style metadata tables: history/snapshots, files (with
+    add-version stamps, DV flags and partition tuples), partitions
+    rollup, refs — all served from manifests with zero data reads."""
+    import datetime as dt
+
+    from tts_etl_pipeline_spark.sources.versioned import (
+        create_branch,
+        create_tag,
+        delete_where_dv,
+        metadata_table,
+        write_version,
+    )
+
+    path = str(tmp_path / "t")
+    rows = [(i, dt.date(1992 + i % 3, 1, 1)) for i in range(30)]
+    write_version(
+        spark.createDataFrame(rows, "k long, d date"),
+        path,
+        partition_by=(("year", "d"),),
+    )
+    write_version(spark.createDataFrame([(99, None)], "k long, d date"), path)
+    delete_where_dv(spark, path, "k", 0, 0)
+    create_branch(path, "audit")
+    create_tag(path, "v1", at_version=1)
+
+    hist = metadata_table(spark, path, "history").collect()
+    assert [(h.version, h.mode) for h in hist] == [
+        (1, "append"), (2, "append"), (3, "delete-dv"),
+    ]
+    files = metadata_table(spark, path, "files").collect()
+    assert len(files) == 4  # 3 year files + the v2 null-date file
+    by_add = {}
+    for f in files:
+        by_add.setdefault(f.add_version, 0)
+        by_add[f.add_version] += 1
+    assert by_add == {1: 3, 2: 1}
+    assert sum(1 for f in files if f.has_dv) == 1
+    assert sum(1 for f in files if f.partition) == 3  # the year tuples
+    parts = metadata_table(spark, path, "partitions").collect()
+    assert sum(p.n_files for p in parts) == 4
+    refs = metadata_table(spark, path, "refs").collect()
+    assert sorted((r.kind, r.name, r.version) for r in refs) == [
+        ("branch", "audit", 3), ("tag", "v1", 1),
+    ]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown metadata table"):
+        metadata_table(spark, path, "nope")
+
+
+def test_eqdelete_sidecar_vacuum_lifecycle(spark, tmp_path):
+    """Equality-delete sidecars live exactly as long as a manifest
+    references them — vacuum never sweeps one the retained history still
+    points at (time travel to the delete's own version must keep
+    applying it, the DV-sidecar contract), and an ORPHAN sidecar (lost
+    CAS) ages out like any other."""
+    from tts_etl_pipeline_spark.sources.versioned import (
+        _write_atomic,
+        compact,
+        delete_where_eq,
+        read_version,
+        vacuum,
+        write_version,
+    )
+
+    path = str(tmp_path / "t")
+    write_version(spark.range(20).selectExpr("id as k"), path)
+    delete_where_eq(path, "k", [3, 7])
+    vdir = os.path.join(path, "_versions")
+    assert any(f.startswith("eqd-") for f in os.listdir(vdir))
+    vacuum(path, keep_versions=1, grace_seconds=0.0)
+    # still referenced by the head manifest: must survive and still apply
+    assert any(f.startswith("eqd-") for f in os.listdir(vdir))
+    assert read_version(spark, path).count() == 18
+    compact(spark, path)  # materializes + clears the entries at the head
+    vacuum(path, keep_versions=1, grace_seconds=0.0)
+    # v2's manifest (history is never deleted at or below the head) still
+    # references the sidecar, so it is RETAINED even though the head no
+    # longer carries the delete — the DV-sidecar lifecycle contract
+    assert any(f.startswith("eqd-") for f in os.listdir(vdir))
+    assert read_version(spark, path).count() == 18
+    # an ORPHAN sidecar (a lost CAS: valid JSON, referenced by nothing)
+    # ages out exactly like bloom/dv orphans
+    orphan = os.path.join(vdir, "eqd-deadbeef.json")
+    _write_atomic(orphan, {"col": "k", "values": [1]})
+    os.utime(orphan, (1, 1))  # ancient
+    deleted = vacuum(path, keep_versions=1, grace_seconds=0.0)
+    assert not os.path.exists(orphan)
+
+
+def test_concurrent_equality_deletes_cas(spark, tmp_path):
+    """Two equality deletes racing from the same snapshot: exactly one
+    wins the manifest CAS, the loser refuses typed and retries cleanly on
+    the fresh head (extending the r11 conflict matrix)."""
+    import pytest as _pytest
+
+    from tts_etl_pipeline_spark.sources.versioned import (
+        CommitConflictError,
+        delete_where_eq,
+        read_version,
+        write_version,
+    )
+
+    path = str(tmp_path / "t")
+    write_version(spark.range(10).selectExpr("id as k"), path)
+    delete_where_eq(path, "k", [1], expected_version=1)
+    with _pytest.raises(CommitConflictError):
+        delete_where_eq(path, "k", [2], expected_version=1)  # stale snapshot
+    delete_where_eq(path, "k", [2])  # fresh-head retry lands
+    assert sorted(r.k for r in read_version(spark, path).collect()) == [
+        0, 3, 4, 5, 6, 7, 8, 9,
+    ]

@@ -3393,6 +3393,140 @@ def fast_forward(path: str, branch: str) -> int:
     return head
 
 
+def metadata_table(
+    spark: SparkSession, path: str, kind: str, version: int | None = None
+) -> DataFrame:
+    """Iceberg-style METADATA TABLES — the table's own bookkeeping served
+    as DataFrames (SELECT * FROM t.history / t.files / ...):
+
+    - "history" / "snapshots": one row per committed version — version,
+      parent, mode, committed_at, n_files, branch provenance, marker;
+    - "files": one row per data file AT `version` (default head) — path,
+      bytes, add_version (the "__v" stamp; null predates it), has_dv,
+      partition tuple as a map of transform-key -> value;
+    - "partitions": the files table aggregated per partition tuple —
+      n_files + total bytes;
+    - "refs": one row per branch/tag (kind, name, version, fork).
+
+    Built driver-side from manifests + one os.stat per file (files/
+    partitions kinds) — the table_detail cost class, O(files) at the
+    metadata level, zero data-file reads. At 10^6 files prefer
+    table_detail's scalars unless the per-file relation is the point."""
+    from pyspark.sql.types import (
+        BooleanType,
+        DoubleType,
+        LongType,
+        MapType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    head = current_version(path)
+    if kind in ("history", "snapshots"):
+        rows = []
+        for v in range(1, head + 1):
+            m = _read_manifest(path, v, materialize=False)
+            n = m.get("n_files") if "shards" in m else len(m["files"])
+            rows.append(
+                (
+                    v,
+                    m.get("parent"),
+                    m.get("mode", "?"),
+                    float(m.get("committed_at") or 0.0),
+                    n,
+                    m.get("published_from"),
+                    m.get("marker"),
+                )
+            )
+        return spark.createDataFrame(
+            rows,
+            StructType(
+                [
+                    StructField("version", LongType(), False),
+                    StructField("parent", LongType(), True),
+                    StructField("mode", StringType(), True),
+                    StructField("committed_at", DoubleType(), True),
+                    StructField("n_files", LongType(), True),
+                    StructField("published_from", StringType(), True),
+                    StructField("marker", StringType(), True),
+                ]
+            ),
+        )
+    if kind == "refs":
+        refs = _load_refs(path)
+        rows = [
+            ("branch", n, info.get("head", info["fork"]), info["fork"])
+            for n, info in sorted(refs["branches"].items())
+        ] + [("tag", n, v, None) for n, v in sorted(refs["tags"].items())]
+        return spark.createDataFrame(
+            rows,
+            StructType(
+                [
+                    StructField("kind", StringType(), False),
+                    StructField("name", StringType(), False),
+                    StructField("version", LongType(), True),
+                    StructField("fork", LongType(), True),
+                ]
+            ),
+        )
+    if kind in ("files", "partitions"):
+        v = head if version is None else version
+        _check_version(path, v)
+        m = _read_manifest(path, v)
+        stats = m.get("stats") or {}
+        dvs = m.get("dvs") or {}
+        rows = []
+        for f in m["files"]:
+            try:
+                size = os.stat(os.path.join(path, f)).st_size
+            except FileNotFoundError:
+                size = None  # vacuumed history: report, don't raise
+            rec = stats.get(f) or {}
+            av = rec.get("__v")
+            tup = {
+                k: str(vv[0]) for k, vv in rec.items() if k.startswith("__p:")
+            }
+            rows.append(
+                (f, size, av[0] if av else None, f in dvs, tup or None)
+            )
+        files_df = spark.createDataFrame(
+            rows,
+            StructType(
+                [
+                    StructField("file", StringType(), False),
+                    StructField("bytes", LongType(), True),
+                    StructField("add_version", LongType(), True),
+                    StructField("has_dv", BooleanType(), True),
+                    StructField(
+                        "partition", MapType(StringType(), StringType()), True
+                    ),
+                ]
+            ),
+        )
+        if kind == "files":
+            return files_df
+        from pyspark.sql import functions as F
+
+        return (
+            files_df.withColumn(
+                "partition_key",
+                F.coalesce(
+                    F.map_entries("partition").cast("string"), F.lit("<none>")
+                ),
+            )
+            .groupBy("partition_key")
+            .agg(
+                F.count(F.lit(1)).alias("n_files"),
+                F.sum("bytes").alias("total_bytes"),
+            )
+        )
+    raise ValueError(
+        f"unknown metadata table {kind!r}; use history|snapshots|files|"
+        f"partitions|refs"
+    )
+
+
 def vacuum(
     path: str, keep_versions: int = 1, grace_seconds: float = 3600.0
 ) -> list[str]:
