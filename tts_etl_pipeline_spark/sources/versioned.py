@@ -1619,6 +1619,11 @@ def _ymd_value(t: str, v):
                 return None
         else:
             return None
+        if ts.tzinfo is not None:
+            # an AWARE probe (tz-suffixed ISO string / tz-aware datetime)
+            # normalizes to UTC wall time — the session runs UTC, so this
+            # matches the write side instead of crashing the subtraction
+            ts = ts.astimezone(dt.timezone.utc).replace(tzinfo=None)
         # floor-division epoch hours (naive, matching the UTC session)
         epoch = dt.datetime(1970, 1, 1)
         return int((ts - epoch) // dt.timedelta(hours=1))
@@ -1708,10 +1713,23 @@ def _partition_probes(m: dict, pcol: str, lo, hi) -> list:
     """Transform-space (stat_key, lo', hi') probes for a raw predicate on
     physical column `pcol`, across EVERY recorded spec vintage — each file
     answers under whichever spec laid it out, which is exactly how spec
-    evolution prunes both vintages in one read."""
+    evolution prunes both vintages in one read. BUCKET probes additionally
+    require the probe value's kind to match the column's type family: the
+    bucket stat is an int whatever the column holds, so a cross-type
+    probe (numeric on a string bucket column) would derive the WRONG
+    bucket and skip unsoundly — refuse the derivation instead (the
+    _stat_disjoint cross-type rule, applied where the type info would
+    otherwise be destroyed)."""
     specs = m.get("pspecs")
     if not specs:
         return []
+    bucket_tn = None
+    if m.get("schema") is not None:
+        cm = m.get("colmap") or {}
+        bucket_tn = {
+            cm.get(f.name, f.name): f.dataType.typeName()
+            for f in _schema_from_json(m["schema"]).fields
+        }.get(pcol)
     probes: list = []
     seen: set = set()
     for sid in specs:
@@ -1722,6 +1740,11 @@ def _partition_probes(m: dict, pcol: str, lo, hi) -> list:
             if key in seen:
                 continue
             seen.add(key)
+            if t == "bucket":
+                is_str_col = bucket_tn in ("string", "varchar", "char")
+                probe_is_str = isinstance(lo, str)
+                if bucket_tn is None or is_str_col != probe_is_str:
+                    continue  # cross-type (or unknowable): no pruning
             d = _derive_probe(t, p, lo, hi)
             if d is not None:
                 probes.append((key, d[0], d[1]))
@@ -1857,9 +1880,11 @@ def partition_spec(path: str, version: int | None = None) -> dict:
     m = _read_manifest(path, v, materialize=False)
     specs = m.get("pspecs") or {}
     sid = m.get("pspec_id")
+    # an EMPTY evolved spec (alter to ()) reads as unpartitioned: None,
+    # exactly as documented — the vintage itself stays in history
     return {
         "id": sid,
-        "fields": specs.get(sid) if sid is not None else None,
+        "fields": (specs.get(sid) or None) if sid is not None else None,
         "history": specs,
     }
 
@@ -2441,17 +2466,93 @@ def _read_files(
                     f"is damaged (drop_column refuses live-delete columns)"
                 )
             dtype = phys_types.get(eq["col"])
-            vals = spark.createDataFrame(
-                [(v,) for v in eq["values"]],
-                StructType([StructField("__eq_val", dtype, True)]),
-            )
-            d = d.join(
-                F.broadcast(vals),
-                F.col(logical) == F.col("__eq_val"),
-                "left_anti",
-            )
+            for frame_type, coerced, via_double in _eq_join_plans(
+                eq["values"], dtype
+            ):
+                if not coerced:
+                    continue  # every value provably matches nothing
+                vals = spark.createDataFrame(
+                    [(v,) for v in coerced],
+                    StructType([StructField("__eq_val", frame_type, True)]),
+                )
+                lhs = (
+                    F.col(logical).cast("double")
+                    if via_double
+                    else F.col(logical)
+                )
+                d = d.join(
+                    F.broadcast(vals),
+                    lhs == F.col("__eq_val"),
+                    "left_anti",
+                )
         parts.append(d)
     return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+_INT_RANGES = {
+    "byte": (-(1 << 7), (1 << 7) - 1),
+    "short": (-(1 << 15), (1 << 15) - 1),
+    "integer": (-(1 << 31), (1 << 31) - 1),
+    "long": (-(1 << 63), (1 << 63) - 1),
+}
+
+
+def _eq_join_plans(values: list, dtype) -> list:
+    """[(frame_type, coerced_values, compare_via_double)] — how one
+    equality delete's JSON values (int/float/str/bool only) anti-join a
+    column of `dtype`, matching the equality Spark itself would apply to
+    a literal of the value's kind:
+
+    - int-family column: ints (and integral floats) in the column's own
+      type; out-of-range or fractional values provably match no row and
+      are dropped, never poisoning the read (the r12 review finding);
+    - float/double column: everything folds to float;
+    - DECIMAL column: int values compare in exact DECIMAL space (the
+      bigint-literal rule), float values in DOUBLE space via a cast on
+      the column side (the double-literal widening rule) — two plans;
+    - string/boolean: values pass through (the validator already pinned
+      the family)."""
+    from pyspark.sql.types import DoubleType
+
+    tn = dtype.typeName() if dtype is not None else None
+    if tn in _INT_RANGES:
+        lo, hi = _INT_RANGES[tn]
+        out = []
+        for v in values:
+            if isinstance(v, bool):
+                continue
+            if isinstance(v, float):
+                if not v.is_integer():
+                    continue
+                v = int(v)
+            if isinstance(v, int) and lo <= v <= hi:
+                out.append(v)
+        return [(dtype, out, False)]
+    if tn in ("float", "double"):
+        return [
+            (
+                dtype,
+                [
+                    float(v)
+                    for v in values
+                    if isinstance(v, (int, float)) and not isinstance(v, bool)
+                ],
+                False,
+            )
+        ]
+    if tn == "decimal":
+        from decimal import Decimal
+
+        lim = 10 ** (dtype.precision - dtype.scale)  # ints beyond the
+        ints = [  # representable range provably match no stored decimal
+            Decimal(v)
+            for v in values
+            if isinstance(v, int) and not isinstance(v, bool)
+            and -lim < v < lim
+        ]
+        floats = [float(v) for v in values if isinstance(v, float)]
+        return [(dtype, ints, False), (DoubleType(), floats, True)]
+    return [(dtype, list(values), False)]
 
 
 def _read_files_raw(
@@ -3064,6 +3165,11 @@ def clone_table(
         dropped_physicals=list(m.get("dropped_physicals") or []),
         dvs=cloned_dvs or None,
         eqdeletes=cloned_eqs or [],
+        # the clone keeps the source's PARTITION SPEC (physical-keyed,
+        # and the colmap carries): its tuple stats keep pruning and its
+        # future writes keep the declared layout — rollback's rule
+        pspecs=dict(m.get("pspecs") or {}),
+        pspec_id=m.get("pspec_id"),
     )
 
 
