@@ -352,3 +352,117 @@ def test_audio_fingerprint_scale_invariance(seed, scale):
         return audio_fingerprint64(decoded)
 
     assert fp(x) == fp(scale * x)
+
+
+# ---------------------------------------------------------------------------
+# Partition-transform soundness (r12): the never-skip-a-matching-row law
+# ---------------------------------------------------------------------------
+
+
+def _py_transform(t, param, v):
+    """Independent pure-Python reference of each partition transform —
+    deliberately NOT the production derivation (_derive_probe), so the
+    property below cross-checks two implementations."""
+    import datetime as dt
+    import zlib
+
+    if t == "identity":
+        return v
+    if t == "bucket":
+        s = str(v) if not isinstance(v, str) else v
+        return zlib.crc32(s.encode("utf-8")) % param
+    if t == "truncate":
+        if isinstance(v, str):
+            return v[:param]
+        return v - (v % param)
+    d = v if isinstance(v, dt.date) else dt.date.fromisoformat(str(v)[:10])
+    if t == "year":
+        return d.year - 1970
+    if t == "month":
+        return (d.year - 1970) * 12 + d.month - 1
+    if t == "day":
+        return (d - dt.date(1970, 1, 1)).days
+    if t == "hour":
+        ts = (
+            v
+            if isinstance(v, dt.datetime)
+            else dt.datetime(d.year, d.month, d.day)
+        )
+        return int((ts - dt.datetime(1970, 1, 1)) // dt.timedelta(hours=1))
+    raise AssertionError(t)
+
+
+@given(
+    st.integers(min_value=-(10**12), max_value=10**12),
+    st.integers(min_value=0, max_value=10**10),
+    st.integers(min_value=0, max_value=10**10),
+    st.sampled_from([("truncate", 1), ("truncate", 7), ("truncate", 1000),
+                     ("bucket", 2), ("bucket", 16), ("identity", None)]),
+)
+@settings(max_examples=300, deadline=None)
+def test_partition_probe_soundness_ints(v, a, b, tp):
+    """For every INT value v and range [lo, hi] containing v: the derived
+    transform-space probe must contain transform(v) — a violation would
+    let partition pruning skip a file holding a matching row. Bucket
+    probes only derive on equality (lo == hi); monotone transforms derive
+    on any closed range."""
+    from tts_etl_pipeline_spark.sources.versioned import _derive_probe
+
+    t, param = tp
+    lo, hi = v - min(a, b), v + max(a, b)
+    d = _derive_probe(t, param, lo, hi)
+    tv = _py_transform(t, param, v)
+    if t == "bucket":
+        if lo == hi:
+            assert d == (tv, tv)
+        else:
+            assert d is None  # a range derives nothing on a hash transform
+    else:
+        assert d is not None
+        assert d[0] <= tv <= d[1]
+
+
+@given(
+    st.dates(min_value=__import__("datetime").date(1900, 1, 2),
+             max_value=__import__("datetime").date(2100, 12, 30)),
+    st.integers(min_value=0, max_value=5000),
+    st.sampled_from(["year", "month", "day"]),
+    st.booleans(),
+)
+@settings(max_examples=300, deadline=None)
+def test_partition_probe_soundness_dates(v, span, t, as_str):
+    """Same law over DATE values (date objects AND ISO strings), where
+    the transforms are calendar-aware: for any range containing v, the
+    derived probe contains transform(v)."""
+    import datetime as dt
+
+    from tts_etl_pipeline_spark.sources.versioned import _derive_probe
+
+    lo = v - dt.timedelta(days=span)
+    hi = v + dt.timedelta(days=span)
+    if as_str:
+        lo, hi = lo.isoformat(), hi.isoformat()
+    d = _derive_probe(t, None, lo, hi)
+    tv = _py_transform(t, None, v)
+    assert d is not None
+    assert d[0] <= tv <= d[1]
+
+
+@given(
+    st.text(min_size=0, max_size=30),
+    st.sampled_from([1, 2, 4, 16]),
+)
+@settings(max_examples=300, deadline=None)
+def test_partition_probe_soundness_strings(v, w):
+    """String truncate: for the EQUALITY range [v, v] the probe contains
+    v[:w] (prefix order also makes any [lo, hi] ∋ v sound, since
+    truncation is monotone under lexicographic order — checked via a
+    random enclosing range too)."""
+    from tts_etl_pipeline_spark.sources.versioned import _derive_probe
+
+    d = _derive_probe("truncate", w, v, v)
+    tv = _py_transform("truncate", w, v)
+    assert d is not None and d[0] <= tv <= d[1]
+    lo, hi = min(v, "m" * 3), max(v, "m" * 3)
+    d2 = _derive_probe("truncate", w, lo, hi)
+    assert d2 is not None and d2[0] <= tv <= d2[1]
