@@ -2136,6 +2136,7 @@ def write_version_parts(
     expected_version: int,
     collect_stats: tuple = (),
     collect_blooms: tuple = (),
+    eqdeletes: list | None = None,
 ) -> int:
     """Commit a new snapshot as REUSED parent data files + freshly staged
     part groups — the Iceberg "overwrite with existing data files" shape
@@ -2264,6 +2265,10 @@ def write_version_parts(
         colmap=cm or {},
         dropped_physicals=list(base_m.get("dropped_physicals") or []),
         dvs=dvs or None,
+        # None inherits (reused files may still be covered by live
+        # equality deletes); purge_eq passes [] once every affected file
+        # is rewritten and the entries are provably dead
+        eqdeletes=eqdeletes,
     )
 
 
@@ -4530,6 +4535,72 @@ def purge_dvs(
         expected_version=v,
         collect_stats=collect_stats,
         collect_blooms=collect_blooms,
+    )
+
+
+def purge_eq(
+    spark: SparkSession,
+    path: str,
+    collect_stats: tuple | None = None,
+) -> int | None:
+    """Materialize the EQUALITY-DELETE debt: rewrite ONLY the files some
+    live delete still applies to (their survivors become fresh files
+    stamped past every seq), carrying clean files BY REFERENCE and
+    DROPPING the now-dead delete entries — purge_dvs' twin for the r12
+    CDC shape, and the bounded-maintenance answer to delete-list
+    accretion (compact() also clears them but rewrites the WHOLE table;
+    after heavy CDC traffic only recent file groups are typically
+    covered, so this costs O(affected bytes)). Deletion vectors riding on
+    rewritten files materialize with them (the _read_files funnel) and
+    their entries die with the files; clean files keep theirs. The
+    visible row set is bit-identical, so the change feed across the
+    commit is EMPTY. Returns the committed version, or None when no live
+    delete applies to any file.
+
+    `collect_stats=None` re-collects whatever stat columns the affected
+    files carried (internal __-keys excluded; partition tuples are NOT
+    reconstructed — rewritten files simply stop partition-pruning until
+    the next spec-laid write, the compact()/zorder degradation)."""
+    v = current_version(path)
+    if v == 0:
+        return None
+    m = _read_manifest(path, v)
+    if not m.get("eqdeletes"):
+        return None
+    affected: list[str] = []
+    clean: list[str] = []
+    for fs, eqds in _eqdelete_groups(path, m, m["files"]):
+        (affected if eqds else clean).extend(fs)
+    if not affected:
+        # every entry is already dead (e.g. all covered files rewritten):
+        # drop the bookkeeping with a metadata-only commit
+        return _commit(
+            path,
+            mode="purge-eq",
+            expected_parent=v,
+            schema_json=m.get("schema"),
+            eqdeletes=[],
+            **_alter_payload_kwargs(_read_manifest(path, v, materialize=False)),
+        )
+    affected_sorted = sorted(affected)
+    survivors = _read_files(spark, path, m, affected_sorted)  # deletes applied
+    cm_inv = {p: c for c, p in (m.get("colmap") or {}).items()}
+    if collect_stats is None:
+        phys_cols: set = set()
+        for f in affected_sorted:
+            phys_cols.update(
+                c
+                for c in (m.get("stats") or {}).get(f, {})
+                if not c.startswith("__")
+            )
+        collect_stats = tuple(sorted(cm_inv.get(p, p) for p in phys_cols))
+    return write_version_parts(
+        [survivors],
+        path,
+        reuse_files=sorted(clean),
+        expected_version=v,
+        collect_stats=collect_stats,
+        eqdeletes=[],  # every affected file rewritten: all entries dead
     )
 
 
