@@ -4345,3 +4345,105 @@ def test_purge_eq_drops_dead_entries_metadata_only(spark, tmp_path):
     assert v is not None
     assert manifest(path, v).get("eqdeletes") is None
     assert read_version(spark, path).count() == 5
+
+
+# ---------------------------------------------------------------------------
+# Type widening (r12) — Iceberg v3 type promotion
+# ---------------------------------------------------------------------------
+
+
+def test_widen_column_metadata_only(spark, tmp_path):
+    """widen_column is a METADATA-ONLY commit: the file list and bytes are
+    untouched, reads serve the wide type over the narrow physical
+    encoding, appends carry the wide type, time travel before the widen
+    serves the narrow type, and pruning stats stay valid."""
+    from pyspark.sql.types import LongType
+
+    from tts_etl_pipeline_spark.sources.versioned import (
+        manifest,
+        read_version,
+        read_version_pruned,
+        widen_column,
+        write_version,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(100)], "k int, v float"
+    ).repartitionByRange(4, "k")
+    write_version(df, path, collect_stats=("k",))
+    m1 = manifest(path, 1)
+    sig = {f: os.stat(os.path.join(path, f)).st_mtime_ns for f in m1["files"]}
+    v2 = widen_column(path, "k", "long")
+    v3 = widen_column(path, "v", "double")
+    m3 = manifest(path, v3)
+    assert m3["files"] == m1["files"]
+    assert {
+        f: os.stat(os.path.join(path, f)).st_mtime_ns for f in m3["files"]
+    } == sig  # zero rewrites
+    got = read_version(spark, path)
+    assert dict(got.dtypes) == {"k": "bigint", "v": "double"}
+    assert got.count() == 100
+    # time travel before the widen serves the NARROW schema
+    assert dict(read_version(spark, path, 1).dtypes) == {"k": "int", "v": "float"}
+    # a wide-typed append lands; the recorded stats still prune
+    write_version(
+        spark.createDataFrame([(10**12, 1.0)], "k long, v double"), path
+    )
+    assert read_version(spark, path).count() == 101
+    pruned, skipped, total = read_version_pruned(spark, path, "k", 0, 10)
+    assert skipped >= 3 and pruned.count() == 11
+    assert isinstance(read_version(spark, path).schema["k"].dataType, LongType)
+
+
+def test_widen_column_refusals(spark, tmp_path):
+    """Only value-preserving promotions pass: narrowing, cross-family and
+    scale-changing decimals refuse typed."""
+    import pytest as _pytest
+
+    from tts_etl_pipeline_spark.sources.versioned import (
+        widen_column,
+        write_version,
+    )
+
+    from decimal import Decimal
+
+    path = str(tmp_path / "t")
+    write_version(
+        spark.createDataFrame(
+            [(1, "a", Decimal("1.50"))], "k long, s string, d decimal(10,2)"
+        ),
+        path,
+    )
+    for col, t in [("k", "int"), ("s", "long"), ("d", "decimal(12,3)"), ("k", "double")]:
+        with _pytest.raises(ValueError, match="cannot widen|already has"):
+            widen_column(path, col, t)
+    with _pytest.raises(ValueError, match="no column"):
+        widen_column(path, "nope", "long")
+    # decimal PRECISION growth at the same scale is legal
+    v = widen_column(path, "d", "decimal(20,2)")
+    assert v == 2
+
+
+def test_widen_column_cdf_and_mutations(spark, tmp_path):
+    """The change feed across a widen commit is empty; a feed SPANNING the
+    widen diffs in the wider type; merge-on-read mutations keep working on
+    the widened column."""
+    from tts_etl_pipeline_spark.sources.versioned import (
+        delete_where_eq,
+        read_version,
+        table_changes,
+        widen_column,
+        write_version,
+    )
+
+    path = str(tmp_path / "t")
+    write_version(spark.createDataFrame([(1,), (2,)], "k int"), path)
+    v2 = widen_column(path, "k", "long")
+    assert table_changes(spark, path, 1, v2).count() == 0  # metadata-only
+    write_version(spark.createDataFrame([(3,)], "k long"), path)
+    feed = table_changes(spark, path, 1, 3)  # spans the widen
+    assert dict(feed.drop("_change_type").dtypes) == {"k": "bigint"}
+    assert sorted((r.k, r._change_type) for r in feed.collect()) == [(3, "insert")]
+    delete_where_eq(path, "k", [1])  # eq delete on the widened column
+    assert sorted(r.k for r in read_version(spark, path).collect()) == [2, 3]

@@ -3822,3 +3822,106 @@ def j26_equality_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# j27 — TYPE WIDENING on versioned tables (Iceberg v3 type promotion):
+# lineitem lands with INT keys/quantities, widen_column promotes
+# l_orderkey int->long and the table keeps serving — METADATA-ONLY
+# (file list + mtimes asserted identical, empty change feed), old files
+# read under the wide schema (Spark's parquet reader up-converts int32
+# natively), time travel before the widen serves the narrow type, and a
+# post-widen append carries values beyond int32 range — the sum over the
+# mixed-vintage key column only comes out right if both physical
+# encodings read as one logical BIGINT column. DuckDB reproduces the
+# final table declaratively, so value equality proves exactly that.
+# ---------------------------------------------------------------------------
+@_register(
+    "j27_type_widening",
+    """
+    WITH base AS (
+      SELECT CAST(l_orderkey AS BIGINT) AS k, l_returnflag,
+             CAST(l_quantity AS INTEGER) AS q
+      FROM lineitem
+    ),
+    extra AS (
+      SELECT k + 1099511627776 AS k, l_returnflag, q
+      FROM base WHERE k % 7 = 0
+    ),
+    unioned AS (SELECT * FROM base UNION ALL SELECT * FROM extra)
+    SELECT l_returnflag,
+           COUNT(*) AS n_items,
+           CAST(SUM(q) AS BIGINT) AS sum_qty,
+           CAST(SUM(k) AS BIGINT) AS sum_keys
+    FROM unioned GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def j27_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+    import shutil
+    import tempfile
+
+    from tts_etl_pipeline_spark.sources.versioned import (
+        manifest,
+        read_version,
+        table_changes,
+        widen_column,
+        write_version,
+    )
+
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").cast("int").alias("k"),
+        "l_returnflag",
+        F.col("l_quantity").cast("int").alias("q"),
+    )
+    n_rows = li.count()
+    base = tempfile.mkdtemp(prefix="j27_")
+    path = f"{base}/li_v"
+    try:
+        write_version(li, path, collect_stats=("k",))
+        m1 = manifest(path, 1)
+        sig = {
+            f: _os.stat(_os.path.join(path, f)).st_mtime_ns
+            for f in m1["files"]
+        }
+        v2 = widen_column(path, "k", "long")
+        m2 = manifest(path, v2)
+        if m2["files"] != m1["files"] or {
+            f: _os.stat(_os.path.join(path, f)).st_mtime_ns
+            for f in m2["files"]
+        } != sig:
+            raise RuntimeError(
+                "type widening touched data files — the promotion must be "
+                "metadata-only"
+            )
+        if table_changes(spark, path, 1, v2).count() != 0:
+            raise RuntimeError("the change feed across a widen is not empty")
+        if dict(read_version(spark, path, 1).dtypes)["k"] != "int":
+            raise RuntimeError(
+                "time travel before the widen must serve the NARROW type"
+            )
+        if dict(read_version(spark, path).dtypes)["k"] != "bigint":
+            raise RuntimeError("the head must serve the WIDE type")
+        # post-widen append: keys beyond int32 range land in the same
+        # logical column old int32 files serve
+        write_version(
+            li.filter(F.col("k") % 7 == 0).select(
+                (F.col("k").cast("long") + F.lit(1099511627776)).alias("k"),
+                "l_returnflag",
+                "q",
+            ),
+            path,
+        )
+        return (
+            read_version(spark, path)
+            .groupBy("l_returnflag")
+            .agg(
+                F.count(F.lit(1)).alias("n_items"),
+                F.sum("q").cast("bigint").alias("sum_qty"),
+                F.sum("k").cast("bigint").alias("sum_keys"),
+            )
+            .orderBy("l_returnflag")
+            .localCheckpoint(eager=True)  # materialize before tmp vanishes
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

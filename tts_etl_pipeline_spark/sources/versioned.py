@@ -1251,6 +1251,86 @@ def _enforce_constraints(
         )
 
 
+# Iceberg v3 type-promotion rules: a stored value reads identically under
+# the wider type, so widening is METADATA-ONLY (old files keep their narrow
+# physical encoding; the recorded schema read serves the wide type — Spark's
+# parquet reader up-converts int32->int64 and float->double natively,
+# verified on 4.1.2). Narrowing or cross-family changes remain refusals.
+_WIDENINGS = {
+    "byte": {"short", "integer", "long"},
+    "short": {"integer", "long"},
+    "integer": {"long"},
+    "float": {"double"},
+}
+
+
+def _wider_type(a, b):
+    """The wider of two SAME-FAMILY promotable types, or None when the
+    pair is not a legal widening in either direction."""
+    if a == b:
+        return a
+    an, bn = a.typeName(), b.typeName()
+    if bn in _WIDENINGS.get(an, ()):
+        return b
+    if an in _WIDENINGS.get(bn, ()):
+        return a
+    if an == bn == "decimal" and a.scale == b.scale:
+        return a if a.precision >= b.precision else b
+    return None
+
+
+def widen_column(path: str, col: str, new_type) -> int:
+    """ALTER TABLE ... ALTER COLUMN col TYPE <wider> — TYPE WIDENING as a
+    METADATA-ONLY commit (Iceberg v3 type promotion): byte->short->int->
+    long, float->double, decimal(P,S)->decimal(P',S) with P' > P. The
+    file list is untouched; old files keep their narrow physical encoding
+    and every read serves the recorded (wide) schema — Spark's parquet
+    reader up-converts natively. Stats/blooms/partition tuples stay valid
+    (numeric probes are type-insensitive by design throughout this
+    module). Appends after the widen must carry the WIDE type (the
+    no-silent-retype append rule still holds — cast explicitly). Time
+    travel before the widen serves the narrow type, per the
+    schema-per-snapshot contract. Anything not a legal promotion refuses
+    typed."""
+    from pyspark.sql.types import StructField, StructType, _parse_datatype_string
+
+    v = current_version(path)
+    if v == 0:
+        raise ValueError(f"no versions at {path}")
+    m = _read_manifest(path, v, materialize=False)
+    if m.get("schema") is None:
+        raise ValueError("legacy manifest records no schema to widen")
+    schema = _schema_from_json(m["schema"])
+    if col not in schema.names:
+        raise ValueError(f"no column {col!r} to widen")
+    old_t = schema[col].dataType
+    new_t = (
+        _parse_datatype_string(new_type) if isinstance(new_type, str) else new_type
+    )
+    if new_t == old_t:
+        raise ValueError(f"column {col!r} already has type {old_t.simpleString()}")
+    if _wider_type(old_t, new_t) != new_t:
+        raise ValueError(
+            f"cannot widen {col!r} from {old_t.simpleString()} to "
+            f"{new_t.simpleString()}: only byte->short->int->long, "
+            f"float->double and same-scale decimal precision growth are "
+            f"value-preserving promotions"
+        )
+    new_schema = StructType(
+        [
+            StructField(f.name, new_t if f.name == col else f.dataType, f.nullable)
+            for f in schema.fields
+        ]
+    )
+    return _commit(
+        path,
+        mode="alter-widen",
+        expected_parent=v,
+        schema_json=new_schema.json(),
+        **_alter_payload_kwargs(m),  # every sidecar map, or shards verbatim
+    )
+
+
 def rename_column(path: str, old: str, new: str) -> int:
     """ALTER TABLE RENAME COLUMN — a METADATA-ONLY commit (zero data
     rewrite, Delta's column-mapping name mode): the logical schema gets
@@ -4876,11 +4956,17 @@ def table_changes(
             phys = cm.get(f.name, f.name)
             if phys in canon:
                 if canon[phys][1] != f.dataType:
-                    raise ValueError(
-                        f"column {f.name!r} was retyped between versions "
-                        f"({canon[phys][1]} vs {f.dataType}); change feed "
-                        f"across a retype is not supported"
-                    )
+                    # a WIDENED column (widen_column) diffs soundly in the
+                    # wider type — both sides' values read identically
+                    # there; any other retype has no sound row diff
+                    wide = _wider_type(canon[phys][1], f.dataType)
+                    if wide is None:
+                        raise ValueError(
+                            f"column {f.name!r} was retyped between versions "
+                            f"({canon[phys][1]} vs {f.dataType}); change feed "
+                            f"across a non-widening retype is not supported"
+                        )
+                    canon[phys][1] = wide
                 if relabel:  # the TO version's name wins, position stays
                     canon[phys][0] = f.name
             else:
@@ -4909,11 +4995,15 @@ def table_changes(
         for f in probe.schema.fields:  # legacy: physical == logical
             if f.name in canon:
                 if canon[f.name][1] != f.dataType:
-                    raise ValueError(
-                        f"column {f.name!r} was retyped between versions "
-                        f"({canon[f.name][1]} vs {f.dataType}); change feed "
-                        f"across a retype is not supported"
-                    )
+                    wide = _wider_type(canon[f.name][1], f.dataType)
+                    if wide is None:
+                        raise ValueError(
+                            f"column {f.name!r} was retyped between versions "
+                            f"({canon[f.name][1]} vs {f.dataType}); change "
+                            f"feed across a non-widening retype is not "
+                            f"supported"
+                        )
+                    canon[f.name][1] = wide
             else:
                 canon[f.name] = [f.name, f.dataType]
     # two different physicals may claim one label (drop 'x' then re-add
