@@ -4447,3 +4447,54 @@ def test_widen_column_cdf_and_mutations(spark, tmp_path):
     assert sorted((r.k, r._change_type) for r in feed.collect()) == [(3, "insert")]
     delete_where_eq(path, "k", [1])  # eq delete on the widened column
     assert sorted(r.k for r in read_version(spark, path).collect()) == [2, 3]
+
+
+def test_wap_cdc_mutations_on_branch(spark, tmp_path):
+    """CDC mutations STAGE on a WAP branch: equality deletes and atomic
+    upserts commit to the branch lineage (zero main visibility), the
+    audit reads them applied, and fast_forward publishes the exact
+    mutation history into main."""
+    from tts_etl_pipeline_spark.sources.versioned import (
+        create_branch,
+        current_version,
+        delete_where_eq,
+        fast_forward,
+        history,
+        read_branch,
+        read_version,
+        upsert_where_eq,
+        write_version,
+    )
+
+    path = str(tmp_path / "t")
+    write_version(
+        spark.createDataFrame(
+            [(i, f"n{i}") for i in range(10)], "k long, s string"
+        ),
+        path,
+    )
+    create_branch(path, "cdc")
+    delete_where_eq(path, "k", [3], branch="cdc")
+    upsert_where_eq(
+        spark.createDataFrame([(5, "UPD"), (99, "new")], "k long, s string"),
+        path,
+        "k",
+        delete_keys=[7],
+        branch="cdc",
+    )
+    # main never saw any of it
+    assert current_version(path) == 1
+    assert read_version(spark, path).count() == 10
+    # the audit sees the mutations APPLIED
+    staged = {r.k: r.s for r in read_branch(spark, path, "cdc").collect()}
+    assert 3 not in staged and 7 not in staged
+    assert staged[5] == "UPD" and staged[99] == "new"
+    assert len(staged) == 9  # 10 - {3,5,7} + {5',99}
+    # publish: main gains exactly the staged mutation commits
+    head = fast_forward(path, "cdc")
+    assert head == 3
+    assert [h["mode"] for h in history(path)] == [
+        "append", "delete-eq", "append",
+    ]
+    final = {r.k: r.s for r in read_version(spark, path).collect()}
+    assert final == staged

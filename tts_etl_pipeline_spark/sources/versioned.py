@@ -4330,6 +4330,7 @@ def upsert_where_eq(
     delete_keys=(),
     expected_version: int | None = None,
     marker: str | None = None,
+    branch: str | None = None,
 ) -> int:
     """ATOMIC CDC UPSERT in ONE commit with ZERO table reads — the Iceberg
     v2 CDC commit shape (new data files + an equality-delete file in the
@@ -4348,7 +4349,8 @@ def upsert_where_eq(
     are keys whose rows are deleted WITHOUT replacement. `marker` records
     an idempotence token (see marker_version) for at-least-once sinks.
     On an empty table the upsert degrades to a plain first write (nothing
-    older to delete)."""
+    older to delete). `branch` stages the upsert on a WAP branch —
+    CDC-mutation staging, invisible to main until fast_forward."""
     # ONE batch-sized job collects the keys and proves uniqueness together
     key_rows = df.groupBy(key).count().collect()
     if any(r["count"] > 1 for r in key_rows):
@@ -4363,10 +4365,16 @@ def upsert_where_eq(
             "NULL (col = NULL is never true) — filter or key the row first"
         )
     all_keys = sorted(set(keys) | set(delete_keys))
-    base = current_version(path) if expected_version is None else expected_version
+    if expected_version is None and branch is not None:
+        base = branch_head(path, branch)
+    elif expected_version is None:
+        base = current_version(path)
+    else:
+        base = expected_version
     if base == 0 or not all_keys:
         return write_version(
-            df, path, expected_version=expected_version, marker=marker
+            df, path, expected_version=expected_version, marker=marker,
+            branch=branch,
         )
     return write_version(
         df,
@@ -4374,11 +4382,16 @@ def upsert_where_eq(
         expected_version=expected_version,
         eq_delete=(key, all_keys),
         marker=marker,
+        branch=branch,
     )
 
 
 def delete_where_eq(
-    path: str, col: str, values, expected_version: int | None = None
+    path: str,
+    col: str,
+    values,
+    expected_version: int | None = None,
+    branch: str | None = None,
 ) -> int:
     """EQUALITY DELETE (Iceberg v2 equality delete files — the CDC-shaped
     merge-on-read): commit a small sidecar of KEY VALUES whose rows are
@@ -4401,12 +4414,24 @@ def delete_where_eq(
     non-empty, None-free, JSON-plain (int/float/str/bool), and in the
     column's own type family — a cross-family delete would depend on
     Spark's coercion rules the sidecar can't reproduce, so it refuses
-    typed instead (the read_version_bloom_pruned probe contract)."""
+    typed instead (the read_version_bloom_pruned probe contract).
+
+    `branch`: stage the delete on a WAP branch instead of main — the
+    CDC-mutation staging step: invisible to main readers until
+    fast_forward, auditable via read_branch(_pruned)."""
     vals = list(values)
+    bfork: int | None = None
+    if branch is not None:
+        binfo = _load_refs(path)["branches"].get(branch)
+        if binfo is None:
+            raise ValueError(f"no branch {branch!r} at {path}")
+        bfork = binfo["fork"]
+        if expected_version is None:
+            expected_version = branch_head(path, branch)
     v = current_version(path) if expected_version is None else expected_version
     if v == 0:
         raise ValueError(f"no versions at {path}")
-    m = _read_manifest(path, v, materialize=False)
+    m = _read_manifest(path, v, materialize=False, branch=branch, fork=bfork)
     if m.get("schema") is None:
         raise ValueError(
             "legacy manifest records no schema; equality deletes need one"
@@ -4426,6 +4451,7 @@ def delete_where_eq(
         expected_parent=v,
         schema_json=m.get("schema"),
         eqdeletes=eqds,
+        branch=branch,
         **_alter_payload_kwargs(m),  # every sidecar map, or shards verbatim
     )
 
