@@ -4498,3 +4498,177 @@ def test_wap_cdc_mutations_on_branch(spark, tmp_path):
     ]
     final = {r.k: r.s for r in read_version(spark, path).collect()}
     assert final == staged
+
+
+# -------------------------- r12 ADVICE pins --------------------------
+
+
+def test_wap_publish_holds_latest_lock_for_whole_loop(spark, tmp_path):
+    """r12 ADVICE (medium): fast_forward must hold the _latest flock for
+    the ENTIRE publish loop — not just the pointer advance — so vacuum's
+    adoption pass (same lock) can never advance main over a partially-
+    linked prefix of the staged chain. Pin: while an outside holder owns
+    the lock, a publish links NOTHING; on release it completes whole."""
+    import fcntl
+    import threading
+    import time as _time
+
+    V = _wap_imports()
+    path = str(tmp_path / "t")
+    V.write_version(spark.range(5).selectExpr("id as k"), path)
+    V.create_branch(path, "audit")
+    V.write_version(spark.range(5, 8).selectExpr("id as k"), path, branch="audit")
+    V.write_version(spark.range(8, 9).selectExpr("id as k"), path, branch="audit")
+    lock_path = os.path.join(path, "_versions", "_latest.lock")
+    fd = os.open(lock_path, os.O_CREAT | os.O_RDWR, 0o644)
+    fcntl.flock(fd, fcntl.LOCK_EX)
+    done = threading.Event()
+
+    def _publish():
+        V.fast_forward(path, "audit")
+        done.set()
+
+    t = threading.Thread(target=_publish, daemon=True)
+    try:
+        t.start()
+        deadline = _time.time() + 3.0
+        while _time.time() < deadline:
+            # blocked publish must not have linked ANY main slot
+            assert not os.path.exists(
+                os.path.join(path, "_versions", "v00000002.json")
+            )
+            assert not done.is_set()
+            _time.sleep(0.1)
+    finally:
+        fcntl.flock(fd, fcntl.LOCK_UN)
+        os.close(fd)
+    t.join(timeout=30)
+    assert done.is_set()
+    assert V.current_version(path) == 3
+    assert V.read_version(spark, path).count() == 9
+
+
+def test_wap_publish_conflict_links_no_manifests(spark, tmp_path):
+    """r12 ADVICE (medium) companion: a conflicted publish leaves main's
+    manifest directory EXACTLY as it found it — zero new v-slots — so a
+    follow-up vacuum(grace_seconds=0) has no orphaned prefix to adopt and
+    main's head stays at the concurrent writer's commit."""
+    import pytest as _pytest
+
+    V = _wap_imports()
+    path = str(tmp_path / "t")
+    V.write_version(spark.range(5).selectExpr("id as k"), path)
+    V.create_branch(path, "audit")
+    V.write_version(spark.range(5, 8).selectExpr("id as k"), path, branch="audit")
+    V.write_version(spark.range(8, 9).selectExpr("id as k"), path, branch="audit")
+    V.write_version(spark.range(100, 101).selectExpr("id as k"), path)  # main v2
+    vdir = os.path.join(path, "_versions")
+    before = sorted(
+        f for f in os.listdir(vdir) if f.startswith("v") and "-" not in f
+    )
+    with _pytest.raises(V.PublishConflictError):
+        V.fast_forward(path, "audit")
+    after = sorted(
+        f for f in os.listdir(vdir) if f.startswith("v") and "-" not in f
+    )
+    assert after == before  # nothing linked, not even a prefix
+    from tts_etl_pipeline_spark.sources.versioned import vacuum
+
+    vacuum(path, grace_seconds=0)
+    assert V.current_version(path) == 2  # adoption found nothing staged
+
+
+def test_recollect_excludes_synthetic_stat_keys(spark, tmp_path):
+    """r12 ADVICE (low): optimize_zorder / purge_dvs with
+    collect_stats=None rebuild the stat-column list from the parent
+    manifest, which carries synthetic '__v' / '__p:*' keys on every file;
+    those must be FILTERED (purge_eq's convention), not swept into the
+    footer re-collect request."""
+    from tts_etl_pipeline_spark.sources import versioned as V
+
+    path = str(tmp_path / "t")
+    V.write_version(
+        spark.createDataFrame([(i, i % 3) for i in range(20)], "k long, g long"),
+        path,
+        collect_stats=("k",),
+    )
+    V.delete_where_dv(spark, path, "k", 3, 3)
+    m = V._read_manifest(path, V.current_version(path))
+    assert any("__v" in rec for rec in m["stats"].values())  # the hazard exists
+    requested: list = []
+    orig = V._footer_minmax
+
+    def _spy(p, rel_files, cols, **kw):
+        requested.append(tuple(cols))
+        return orig(p, rel_files, cols, **kw)
+
+    V._footer_minmax = _spy
+    try:
+        V.purge_dvs(spark, path)
+        V.optimize_zorder(spark, path, ["k"], target_files=2)
+    finally:
+        V._footer_minmax = orig
+    assert requested, "re-collect path did not run"
+    for cols in requested:
+        assert not any(c.startswith("__") for c in cols), cols
+    # and the rebuilt table still prunes on the real stat column
+    got, read, total = V.read_version_pruned(spark, path, "k", 0, 0)
+    assert got.count() == 1
+
+
+def test_upsert_mixed_type_delete_keys_typed_error(spark, tmp_path):
+    """r12 ADVICE (low): upsert_where_eq with delete_keys whose type
+    family differs from the key column (ints against a string key) must
+    raise the typed family-mismatch error from _validate_eq_values, not
+    the bare TypeError of sorting a mixed str/int set."""
+    import pytest as _pytest
+
+    from tts_etl_pipeline_spark.sources.versioned import (
+        upsert_where_eq,
+        write_version,
+    )
+
+    path = str(tmp_path / "t")
+    write_version(
+        spark.createDataFrame([("a", 1), ("b", 2)], "k string, v long"), path
+    )
+    with _pytest.raises(TypeError, match="k"):
+        upsert_where_eq(
+            spark.createDataFrame([("c", 3)], "k string, v long"),
+            path,
+            "k",
+            delete_keys=[7, 8],  # ints against a string key column
+        )
+
+
+def test_bloom_probe_covers_legacy_fractional_decimal_encoding():
+    """r12 ADVICE (low): sidecars carry no format version, so a bloom
+    built BEFORE the r12 canonical-encoding fix stored 'f:2.0' for a
+    non-integral Decimal whose float fold is integral; the probe side now
+    ALSO tries that legacy encoding — an old sidecar yields a false
+    positive (a read), never a false-negative file skip."""
+    import base64
+    from decimal import Decimal
+
+    from tts_etl_pipeline_spark.sources.versioned import (
+        _BLOOM_K,
+        _bloom_might_contain,
+        _encoding_positions,
+    )
+
+    d = Decimal("2.0000000000000000001")
+    m = 1024
+    bits = bytearray(m // 8)
+    # simulate the PRE-change sidecar: only the legacy 'f:2.0' encoding set
+    for pos in _encoding_positions(b"f:2.0", m, _BLOOM_K):
+        bits[pos >> 3] |= 1 << (pos & 7)
+    legacy = {"m": m, "k": _BLOOM_K, "b64": base64.b64encode(bytes(bits)).decode()}
+    assert _bloom_might_contain(legacy, d)  # pre-fix: False -> wrong skip
+    # a NEW sidecar (canonical 'i:2') naturally still admits the value
+    bits2 = bytearray(m // 8)
+    for pos in _encoding_positions(b"i:2", m, _BLOOM_K):
+        bits2[pos >> 3] |= 1 << (pos & 7)
+    fresh = {"m": m, "k": _BLOOM_K, "b64": base64.b64encode(bytes(bits2)).decode()}
+    assert _bloom_might_contain(fresh, d)
+    # and an unrelated probe still misses both
+    assert not _bloom_might_contain(legacy, Decimal("3.5"))

@@ -1031,13 +1031,35 @@ def _collect_blooms_spark(
     return {r["f"]: json.loads(r["j"]) for r in rows}
 
 
+def _legacy_bloom_encodings(value) -> list[bytes]:
+    """PROBE-ONLY compatibility encodings for sidecars built before an
+    encoding change (sidecars carry no format version to gate on, so the
+    probe side carries the history instead; extra probes can only cost a
+    false POSITIVE — a read, never a wrong skip):
+
+    - r12 change: a non-integral Decimal whose float fold IS integral
+      (Decimal('2.0000000000000000001') -> 2.0) now canonicalizes 'i:2';
+      pre-change sidecars set 'f:2.0' for it — probe that too. Rebuilt
+      sidecars (compact/optimize) retire the need, but correctness must
+      not depend on a maintenance pass having run."""
+    if (
+        type(value).__name__ == "Decimal"
+        and value.is_finite()
+        and value != value.to_integral_value()
+    ):
+        f = float(value)
+        if f.is_integer():
+            return [b"f:" + repr(f).encode("ascii")]
+    return []
+
+
 def _bloom_might_contain(bloom: dict, value) -> bool:
     """True when ANY of `value`'s encodings is fully present (probe=OR —
     the dual of build's set-every-encoding; see _bloom_positions)."""
     import base64
 
     bits = base64.b64decode(bloom["b64"])
-    for enc in _bloom_encodings(value):
+    for enc in _bloom_encodings(value) + _legacy_bloom_encodings(value):
         if all(
             (bits[pos >> 3] >> (pos & 7)) & 1
             for pos in _encoding_positions(enc, bloom["m"], bloom["k"])
@@ -1551,7 +1573,11 @@ def drop_constraint(path: str, name: str) -> int:
 # ---------------------------------------------------------------------------
 
 # transform name -> whether it takes an int parameter (the full Iceberg
-# transform set: identity/year/month/day/hour/bucket(N)/truncate(W))
+# transform set: identity/year/month/day/hour/bucket(N)/truncate(W), plus
+# sbucket(N) — bucket via SPARK's own hash (murmur3 seed 42, the bucketBy
+# partition-id expression) instead of crc32, which makes the layout
+# storage-bucket compatible: sources/spj.py can expose the snapshot as a
+# genuine bucketed catalog table and join it with zero Exchange)
 _PARTITION_TRANSFORMS = {
     "identity": False,
     "year": False,
@@ -1559,6 +1585,7 @@ _PARTITION_TRANSFORMS = {
     "day": False,
     "hour": False,
     "bucket": True,
+    "sbucket": True,
     "truncate": True,
 }
 
@@ -1607,7 +1634,7 @@ def _parse_partition_spec(partition_by, schema, colmap) -> list:
             raise ValueError(f"{t}() needs a date/timestamp column; {col} is {tn}")
         if t == "hour" and tn not in ("timestamp", "timestamp_ntz"):
             raise ValueError(f"hour() needs a timestamp column; {col} is {tn}")
-        if t in ("bucket", "truncate") and tn not in (
+        if t in ("bucket", "sbucket", "truncate") and tn not in (
             "byte", "short", "integer", "long", "string", "varchar", "char"
         ):
             raise ValueError(
@@ -1647,8 +1674,14 @@ def _partition_expr(t: str, phys: str, param, dtype):
     if t == "bucket":
         # crc32 over Spark's canonical string form: identical bytes are
         # reproducible driver-side with zlib.crc32 (same polynomial as
-        # java.util.zip.CRC32), unlike Murmur3's Spark-internal seeding
+        # java.util.zip.CRC32) without reimplementing Spark's hash
         return F.pmod(F.crc32(c.cast("string")), F.lit(int(param))).cast("int")
+    if t == "sbucket":
+        # Spark's OWN bucket function: pmod(murmur3_hash(col), N) is
+        # byte-identical to the bucket id bucketBy assigns, so this layout
+        # doubles as a storage-bucketed table (spj.py); the driver-side
+        # probe twin is functions/murmur3.spark_hash
+        return F.pmod(F.hash(c), F.lit(int(param))).cast("int")
     if t == "truncate":
         if dtype.typeName() in ("string", "varchar", "char"):
             return F.substring(c, 1, int(param))
@@ -1664,7 +1697,7 @@ def _pvalue_parse(t: str, param, raw: str, dtype):
     stat — the file is simply never skipped on this field."""
     tn = dtype.typeName()
     try:
-        if t in ("year", "month", "day", "hour", "bucket"):
+        if t in ("year", "month", "day", "hour", "bucket", "sbucket"):
             return int(raw)
         if t == "truncate":
             return raw if tn in ("string", "varchar", "char") else int(raw)
@@ -1820,11 +1853,25 @@ def _partition_probes(m: dict, pcol: str, lo, hi) -> list:
             if key in seen:
                 continue
             seen.add(key)
-            if t == "bucket":
+            if t in ("bucket", "sbucket"):
                 is_str_col = bucket_tn in ("string", "varchar", "char")
                 probe_is_str = isinstance(lo, str)
                 if bucket_tn is None or is_str_col != probe_is_str:
                     continue  # cross-type (or unknowable): no pruning
+            if t == "sbucket":
+                # Spark-hash bucket: derivable only from an EQUALITY probe,
+                # and the hash is TYPE-SENSITIVE (int vs long blocks), so
+                # the column's own type drives the driver-side twin
+                if lo != hi:
+                    continue
+                from tts_etl_pipeline_spark.functions.murmur3 import bucket_id
+
+                try:
+                    b = bucket_id(lo, bucket_tn, int(p))
+                except (ValueError, TypeError):
+                    continue  # underivable: no pruning, never a wrong skip
+                probes.append((key, b, b))
+                continue
             d = _derive_probe(t, p, lo, hi)
             if d is not None:
                 probes.append((key, d[0], d[1]))
@@ -3510,14 +3557,22 @@ def fast_forward(path: str, branch: str) -> int:
     _latest advances to the branch head — main's history gains exactly
     the staged commits, parent chain intact. Returns the new main head.
 
-    IDEMPOTENT and crash-RESUMABLE: a main slot already holding
-    content-identical bytes (an earlier publish that died before the
-    pointer advance — vacuum may even have adopted it) is skipped; a slot
-    holding a DIFFERENT commit means a concurrent writer advanced main
-    past the fork, and the publish raises PublishConflictError having
-    changed nothing further — re-stage onto the new head, never force.
-    After publishing, the branch re-roots at the new head (fork = head,
-    no staged work) rather than dangling at the old fork."""
+    ALL-OR-NOTHING on conflict, crash-RESUMABLE on death. The whole
+    publish runs under the _latest flock — the same lock every pointer
+    advance and vacuum's adoption pass take — so while it holds, no
+    concurrent writer can observe an advanced pointer (writers pick
+    their slot from _latest, which stays at the fork until we finish)
+    and vacuum cannot adopt a partially-linked prefix. A slot conflict
+    can therefore only be detected at the FIRST slot we touch, before
+    any new slot is linked: PublishConflictError means main truly moved
+    past the fork before we started, and the publish changed nothing —
+    re-stage onto the new head, never force. A main slot already holding
+    content-identical bytes (an earlier publish that DIED mid-loop —
+    vacuum may even have adopted its prefix; that is the one window the
+    lock cannot close, since death releases the flock) is skipped, so
+    re-running fast_forward completes the interrupted publish. After
+    publishing, the branch re-roots at the new head (fork = head, no
+    staged work) rather than dangling at the old fork."""
 
     def _strip(d: dict) -> dict:
         return {k: v for k, v in d.items() if k not in ("branch", "published_from")}
@@ -3527,43 +3582,59 @@ def fast_forward(path: str, branch: str) -> int:
         raise ValueError(f"no branch {branch!r} at {path}")
     fork = info["fork"]
     head = branch_head(path, branch)
-    for v in range(fork + 1, head + 1):
-        with open(_branch_manifest_file(path, v, branch), encoding="utf-8") as fh:
-            m = json.load(fh)
-        m.pop("branch", None)
-        m["published_from"] = branch
-        target = _manifest_path(path, v)
-
-        def _slot_matches() -> bool:
-            with open(target, encoding="utf-8") as fh:
-                return _strip(json.load(fh)) == _strip(m)
-
-        if os.path.exists(target):
-            if _slot_matches():
-                continue  # resume: an earlier publish already landed this slot
-            raise PublishConflictError(
-                f"cannot fast-forward {branch!r} into {path}: main already "
-                f"holds a different v{v} (a concurrent commit landed after "
-                f"the fork at v{fork}); re-stage onto the new head"
-            )
-        tmp = target + f".tmp-{uuid.uuid4().hex[:8]}"
-        with open(tmp, "w", encoding="utf-8") as fh:
-            json.dump(m, fh)
-            fh.flush()
-            os.fsync(fh.fileno())
-        try:
-            os.link(tmp, target)
-        except FileExistsError:
-            # lost the slot between probe and link: identical -> resume
-            if not _slot_matches():
-                raise PublishConflictError(
-                    f"cannot fast-forward {branch!r} into {path}: a "
-                    f"concurrent commit won v{v} during the publish; "
-                    f"re-stage onto the new head"
-                ) from None
-        finally:
-            os.remove(tmp)
     with _latest_lock(path):
+        linked_any = False
+        for v in range(fork + 1, head + 1):
+            with open(_branch_manifest_file(path, v, branch), encoding="utf-8") as fh:
+                m = json.load(fh)
+            m.pop("branch", None)
+            m["published_from"] = branch
+            target = _manifest_path(path, v)
+
+            def _slot_matches() -> bool:
+                with open(target, encoding="utf-8") as fh:
+                    return _strip(json.load(fh)) == _strip(m)
+
+            if os.path.exists(target):
+                if _slot_matches():
+                    continue  # resume: a prior (dead) publish landed this slot
+                # under the lock nobody else can link new slots mid-loop
+                # (writers target _latest+1 = fork+1, our first slot), so a
+                # foreign slot here predates this call: nothing of ours is
+                # linked yet and the publish is a clean no-op failure
+                assert not linked_any, (
+                    "publish invariant violated: foreign manifest appeared "
+                    "inside the locked publish loop"
+                )
+                raise PublishConflictError(
+                    f"cannot fast-forward {branch!r} into {path}: main already "
+                    f"holds a different v{v} (a concurrent commit landed after "
+                    f"the fork at v{fork}); re-stage onto the new head"
+                )
+            tmp = target + f".tmp-{uuid.uuid4().hex[:8]}"
+            with open(tmp, "w", encoding="utf-8") as fh:
+                json.dump(m, fh)
+                fh.flush()
+                os.fsync(fh.fileno())
+            try:
+                os.link(tmp, target)
+            except FileExistsError:
+                # lost the slot between probe and link (a CAS writer racing
+                # our very first slot): identical -> resume, else clean fail
+                if not _slot_matches():
+                    assert not linked_any, (
+                        "publish invariant violated: CAS lost mid-loop "
+                        "while holding the latest lock"
+                    )
+                    raise PublishConflictError(
+                        f"cannot fast-forward {branch!r} into {path}: a "
+                        f"concurrent commit won v{v} during the publish; "
+                        f"re-stage onto the new head"
+                    ) from None
+            finally:
+                os.remove(tmp)
+            linked_any = True
+        # pointer advance INLINE under the same (non-reentrant) flock
         if current_version(path) < head:
             _write_atomic(
                 os.path.join(_vdir(path), "_latest.json"), {"version": head}
@@ -4364,6 +4435,12 @@ def upsert_where_eq(
             "upsert batch holds a NULL key; equality deletes cannot target "
             "NULL (col = NULL is never true) — filter or key the row first"
         )
+    if delete_keys:
+        # validate against the batch's own key column NOW, so a
+        # cross-family delete_keys list (e.g. ints against a string key)
+        # fails with the typed family-mismatch error instead of the bare
+        # TypeError the mixed-type sort below would raise first
+        _validate_eq_values(df.schema, key, list(delete_keys))
     all_keys = sorted(set(keys) | set(delete_keys))
     if expected_version is None and branch is not None:
         base = branch_head(path, branch)
@@ -4614,7 +4691,11 @@ def purge_dvs(
     if collect_stats is None:
         phys_cols: set = set()
         for f in dv_files:
-            phys_cols.update((m.get("stats") or {}).get(f, {}))
+            phys_cols.update(
+                c
+                for c in (m.get("stats") or {}).get(f, {})
+                if not c.startswith("__")  # synthetic keys ('__v', '__p:*')
+            )
         collect_stats = tuple(sorted(cm_inv.get(p, p) for p in phys_cols))
     if collect_blooms is None:
         # bloom columns live in the referenced sidecars (a small set —
@@ -4854,7 +4935,7 @@ def optimize_zorder(
     if collect_stats is None:
         phys_cols: set = set()
         for rec in (m.get("stats") or {}).values():
-            phys_cols.update(rec)
+            phys_cols.update(c for c in rec if not c.startswith("__"))
         collect_stats = tuple(
             sorted(set(cols) | {cm_inv.get(p, p) for p in phys_cols})
         )
