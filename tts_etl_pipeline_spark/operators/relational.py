@@ -3591,24 +3591,32 @@ def j24_partition_spec_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # j25 — BRANCH/TAG REFS + WRITE-AUDIT-PUBLISH on versioned tables (Iceberg
 # branching/tagging; the Netflix WAP pattern): the odd-key half of orders
-# is STAGED on a branch — two commits, invisible to every main reader — a
+# is STAGED on a branch — two appends PLUS a merge-on-read DV delete
+# (WAP x MoR, r13: the vector commit scans and lands in the BRANCH
+# lineage, by reference), all invisible to every main reader — a
 # dq-style audit runs against the staged snapshot, and fast_forward
 # publishes: main's history gains EXACTLY the staged commits (parent
-# chain and provenance asserted in-query), and a tag pins the published
-# snapshot for reproducible reads. The conflict arm (a concurrent main
-# commit making the staged chain non-fast-forwardable, refused typed) is
-# pinned in tests/test_versioned.py::test_wap_publish_conflict_*.
-# DuckDB reproduces the final table declaratively, so value equality
-# proves publish delivered the staged rows exactly once.
+# chain, provenance, the delete-dv mode and its untouched file list all
+# asserted in-query), and a tag pins the published snapshot for
+# reproducible reads. The conflict arm (a concurrent main commit making
+# the staged chain non-fast-forwardable, refused typed) is pinned in
+# tests/test_versioned.py::test_wap_publish_conflict_*; the DV-staging
+# matrix in ::test_wap_dv_mutations_stage_on_branch. DuckDB reproduces
+# the final table declaratively, so value equality proves publish
+# delivered the staged rows (and the staged delete) exactly once.
 # ---------------------------------------------------------------------------
 @_register(
     "j25_write_audit_publish",
     """
+    WITH mx AS (
+      SELECT MAX(o_orderkey) AS mx FROM orders WHERE o_orderkey % 2 = 1
+    )
     SELECT o_orderstatus,
            COUNT(*) AS n_orders,
            CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
                 AS BIGINT) AS sum_cents
-    FROM orders
+    FROM orders, mx
+    WHERE o_orderkey <> mx.mx
     GROUP BY o_orderstatus ORDER BY o_orderstatus
     """,
 )
@@ -3621,6 +3629,7 @@ def j25_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         create_branch,
         create_tag,
         current_version,
+        delete_where_dv,
         fast_forward,
         history,
         manifest,
@@ -3636,6 +3645,7 @@ def j25_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     first = orders.filter(F.col("o_orderkey") % 2 == 0)
     second = orders.filter(F.col("o_orderkey") % 2 == 1)
     n_first, n_total = first.count(), orders.count()
+    mx = second.agg(F.max("o_orderkey")).collect()[0][0]
     base = tempfile.mkdtemp(prefix="j25_")
     path = f"{base}/orders_v"
     try:
@@ -3645,6 +3655,12 @@ def j25_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         rest = second.filter(F.col("o_custkey") % 2 == 1)
         write_version(half, path, branch="audit")   # staged commit 1
         write_version(rest, path, branch="audit")   # staged commit 2
+        # staged commit 3: a MERGE-ON-READ mutation in the staged lineage
+        # (WAP x MoR, r13): the DV delete scans the BRANCH snapshot and
+        # its vector commit stays invisible to main like any staged write
+        vdv = delete_where_dv(spark, path, "o_orderkey", mx, mx, branch="audit")
+        if mx is not None and vdv != 4:
+            raise RuntimeError(f"staged DV delete landed at {vdv}, want 4")
         # WRITE happened; main must not have seen any of it
         if current_version(path) != 1:
             raise RuntimeError("staged commits advanced MAIN's head")
@@ -3656,23 +3672,34 @@ def j25_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderkey").isNull() | F.col("o_totalprice").isNull()
         ).count() != 0:
             raise RuntimeError("audit failed: staged nulls in key columns")
-        if staged.count() != n_total:
-            raise RuntimeError("staged snapshot is not main + the batch")
-        # PUBLISH: main's history gains exactly the two staged commits
+        if staged.count() != n_total - (0 if mx is None else 1):
+            raise RuntimeError("staged snapshot is not main + batch - DV row")
+        # PUBLISH: main's history gains exactly the three staged commits
         head = fast_forward(path, "audit")
-        if head != 3 or [h["version"] for h in history(path)] != [1, 2, 3]:
+        if head != 4 or [h["version"] for h in history(path)] != [1, 2, 3, 4]:
             raise RuntimeError(
                 f"fast-forward grafted a wrong chain: head={head}"
             )
-        m2, m3 = manifest(path, 2), manifest(path, 3)
+        m2, m3, m4 = manifest(path, 2), manifest(path, 3), manifest(path, 4)
         if (
             m2.get("published_from") != "audit"
-            or m3.get("published_from") != "audit"
+            or m4.get("published_from") != "audit"
             or m2.get("parent") != 1
             or m3.get("parent") != 2
+            or m4.get("parent") != 3
         ):
             raise RuntimeError("published commits lost lineage/provenance")
-        if read_version(spark, path).count() != n_total:
+        if history(path)[-1]["mode"] != "delete-dv" or not m4.get("dvs"):
+            raise RuntimeError(
+                "the published lineage lost the staged DV commit"
+            )
+        if m4["files"] != m3["files"]:
+            raise RuntimeError(
+                "a published DV delete must ride by reference — same files"
+            )
+        if read_version(spark, path).count() != n_total - (
+            0 if mx is None else 1
+        ):
             raise RuntimeError("publish did not deliver the staged rows")
         create_tag(path, "published")  # reproducible read of the release
         return (
@@ -3924,4 +3951,123 @@ def j27_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)  # materialize before tmp vanishes
         )
     finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# j28 — STORAGE-PARTITIONED JOIN on versioned tables (Iceberg SPJ /
+# SPARK-37375): orders and a per-order lineitem rollup are both written
+# sbucket(16) on the order key via the j24 spec machinery — Spark's OWN
+# bucket hash, so each snapshot's file groups ARE a valid bucketed
+# layout — and spj_join exposes them to the catalog and joins them with
+# ZERO Exchange (asserted in-plan, broadcast disabled): each task reads
+# bucket b's files from BOTH tables, the file-group-to-file-group
+# co-located read. The shuffle this deletes is THE dominant cost of a
+# repeated 100 TB fact-fact join. A mismatched-bucket-count probe must
+# refuse co-location (typed) and degrade to a plain join; the
+# evolved-spec and merge-on-read fallback arms are pinned in
+# tests/test_spj.py. DuckDB reproduces the join declaratively, so value
+# equality proves bucket routing lost no row.
+# ---------------------------------------------------------------------------
+@_register(
+    "j28_storage_partitioned_join",
+    """
+    WITH la AS (
+      SELECT l_orderkey,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+             CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+                  AS BIGINT)) AS BIGINT) AS cents
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(qty) AS BIGINT) AS sum_qty,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM orders JOIN la ON o_orderkey = l_orderkey
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def j28_storage_partitioned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from tts_etl_pipeline_spark.functions.exact import money
+    from tts_etl_pipeline_spark.plans.inspect import (
+        count_shuffles,
+        physical_plan,
+    )
+    from tts_etl_pipeline_spark.sources.spj import (
+        drop_spj_exposures,
+        spj_compatibility,
+        spj_join,
+    )
+    from tts_etl_pipeline_spark.sources.versioned import manifest, write_version
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    rollup = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("bigint"))
+            .cast("bigint")
+            .alias("qty"),
+            F.sum((money("l_extendedprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents"),
+        )
+    )
+    base = tempfile.mkdtemp(prefix="j28_")
+    po, pl, px = f"{base}/orders_v", f"{base}/rollup_v", f"{base}/probe_v"
+    prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+    try:
+        write_version(orders, po, partition_by=(("sbucket", "o_orderkey", 16),))
+        write_version(rollup, pl, partition_by=(("sbucket", "l_orderkey", 16),))
+        # one file group per live bucket — the O(buckets) layout contract
+        if orders.count() >= 16 and len(manifest(po, 1)["files"]) != 16:
+            raise RuntimeError(
+                f"sbucket(16) wrote {len(manifest(po, 1)['files'])} file "
+                f"groups; want one per bucket"
+            )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined, colocated = spj_join(
+            spark, po, pl, ("o_orderkey", "l_orderkey")
+        )
+        if not colocated:
+            raise RuntimeError("compatible sbucket(16) specs must co-locate")
+        plan = physical_plan(joined)
+        if "SortMergeJoin" not in plan or "Bucketed: true" not in plan:
+            raise RuntimeError(f"not a bucketed sort-merge join:\n{plan}")
+        if count_shuffles(joined) != 0:
+            raise RuntimeError(
+                f"storage-partitioned join must plan ZERO Exchange below "
+                f"the join:\n{plan}"
+            )
+        # the negative arm: a mismatched bucket count refuses co-location
+        write_version(
+            orders.limit(50), px, partition_by=(("sbucket", "o_orderkey", 8),)
+        )
+        n_bad, reason, _ = spj_compatibility(po, px, "o_orderkey", "o_orderkey")
+        if n_bad is not None or "bucket counts differ" not in str(reason):
+            raise RuntimeError(
+                f"mismatched bucket counts must refuse co-location, got "
+                f"{n_bad}: {reason}"
+            )
+        return (
+            joined.groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum("qty").cast("bigint").alias("sum_qty"),
+                F.sum("cents").cast("bigint").alias("sum_cents"),
+            )
+            .orderBy("o_orderstatus")
+            .localCheckpoint(eager=True)  # materialize before tmp vanishes
+        )
+    finally:
+        if prior is None:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        else:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+        drop_spj_exposures(spark)
         shutil.rmtree(base, ignore_errors=True)

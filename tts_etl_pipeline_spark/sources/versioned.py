@@ -4211,6 +4211,7 @@ def delete_where_dv(
     lo,
     hi,
     condition=None,
+    branch: str | None = None,
 ) -> int | None:
     """MERGE-ON-READ row-level DELETE (Delta's deletion vectors): rows
     matching `col BETWEEN lo AND hi [AND condition]` are removed by
@@ -4236,8 +4237,21 @@ def delete_where_dv(
     writer here. Positions are encoded EXECUTOR-side (one compact row
     per touched file comes back), so the driver never holds the matched
     rows themselves. update_where_dv is the UPDATE twin; purge_dvs the
-    targeted materialization once vectors accrete."""
-    v = current_version(path)
+    targeted materialization once vectors accrete.
+
+    `branch`: stage the DV delete on a WAP branch instead of main (the
+    delete_where_eq discipline) — the position-finding scan runs against
+    the BRANCH snapshot, the vector commit lands in the branch lineage,
+    main readers never see it until fast_forward publishes."""
+    bfork: int | None = None
+    if branch is not None:
+        binfo = _load_refs(path)["branches"].get(branch)
+        if binfo is None:
+            raise ValueError(f"no branch {branch!r} at {path}")
+        bfork = binfo["fork"]
+        v = branch_head(path, branch)
+    else:
+        v = current_version(path)
     if v == 0:
         raise ValueError(f"no versions at {path}")
     # RAW read + summary-first range planning: on a SHARDED parent the
@@ -4245,7 +4259,7 @@ def delete_where_dv(
     # the buckets whose summary intersects [lo, hi] load at plan time,
     # and only the buckets whose files gained a vector rewrite at commit
     # time (_sharded_delta_plan); inline parents keep the direct path.
-    m = _read_manifest(path, v, materialize=False)
+    m = _read_manifest(path, v, materialize=False, branch=branch, fork=bfork)
     if m.get("schema") is None:
         raise ValueError(
             "deletion vectors require a schema-bearing manifest; this "
@@ -4277,8 +4291,9 @@ def delete_where_dv(
                 colmap=m.get("colmap") or {},
                 dropped_physicals=list(m.get("dropped_physicals") or []),
                 shards=plan,
+                branch=branch,
             )
-        m = _read_manifest(path, v)  # outgrown bucket: one full reshard
+        m = _read_manifest(path, v, branch=branch, fork=bfork)  # reshard
     dmap = dict(m.get("dvs") or {})  # untouched files keep their vectors
     dmap.update(updates)
     return _commit(
@@ -4293,6 +4308,7 @@ def delete_where_dv(
         colmap=m.get("colmap") or {},
         dropped_physicals=list(m.get("dropped_physicals") or []),
         dvs=dmap,
+        branch=branch,
     )
 
 
@@ -4542,6 +4558,7 @@ def update_where_dv(
     assignments: dict,
     condition=None,
     collect_stats: tuple | None = None,
+    branch: str | None = None,
 ) -> int | None:
     """MERGE-ON-READ row-level UPDATE: the matched rows' positions go into
     deletion vectors (their files ride by reference, byte-untouched) and
@@ -4559,16 +4576,28 @@ def update_where_dv(
     the updated rows. CHECK constraints probe the staged updated rows at
     the commit boundary like every write path. Rewritten copies get
     fresh manifest stats (default: `col`); the old files keep theirs
-    (still-sound bounds — a DV only hides rows)."""
+    (still-sound bounds — a DV only hides rows).
+
+    `branch`: stage the DV update on a WAP branch (the delete_where_eq
+    discipline) — positions AND updated-copy files land in the branch
+    lineage, invisible to main until fast_forward publishes."""
     from pyspark.sql import Column
     from pyspark.sql import functions as F
 
-    v = current_version(path)
+    bfork: int | None = None
+    if branch is not None:
+        binfo = _load_refs(path)["branches"].get(branch)
+        if binfo is None:
+            raise ValueError(f"no branch {branch!r} at {path}")
+        bfork = binfo["fork"]
+        v = branch_head(path, branch)
+    else:
+        v = current_version(path)
     if v == 0:
         raise ValueError(f"no versions at {path}")
     # raw read + summary-first planning (the delete_where_dv discipline):
     # sharded parents pay O(touched shards) at plan AND commit time
-    m = _read_manifest(path, v, materialize=False)
+    m = _read_manifest(path, v, materialize=False, branch=branch, fork=bfork)
     if m.get("schema") is None:
         raise ValueError(
             "deletion vectors require a schema-bearing manifest; this "
@@ -4634,8 +4663,9 @@ def update_where_dv(
                 colmap=cm or {},
                 dropped_physicals=list(m.get("dropped_physicals") or []),
                 shards=plan,
+                branch=branch,
             )
-        m = _read_manifest(path, v)  # outgrown bucket: one full reshard
+        m = _read_manifest(path, v, branch=branch, fork=bfork)  # reshard
     stats = dict(m.get("stats") or {})
     stats.update(new_stats)
     dmap = dict(m.get("dvs") or {})
@@ -4652,6 +4682,7 @@ def update_where_dv(
         colmap=cm or {},
         dropped_physicals=list(m.get("dropped_physicals") or []),
         dvs=dmap,
+        branch=branch,
     )
 
 
