@@ -4672,3 +4672,108 @@ def test_bloom_probe_covers_legacy_fractional_decimal_encoding():
     assert _bloom_might_contain(fresh, d)
     # and an unrelated probe still misses both
     assert not _bloom_might_contain(legacy, Decimal("3.5"))
+
+
+# ---------------------- r13: branch-aware DV mutations ----------------------
+
+
+def test_wap_dv_mutations_stage_on_branch(spark, tmp_path):
+    """The WAP x MoR composition (r12 verdict task 2): a positional DV
+    DELETE and a DV UPDATE staged on a branch — main stays BYTE-IDENTICAL
+    (manifest list, file list, mtimes) until fast_forward, the audit read
+    sees both mutations applied, and publish delivers them to main with
+    the staged lineage intact."""
+    import json as _json
+
+    V = _wap_imports()
+    from tts_etl_pipeline_spark.sources.versioned import (
+        delete_where_dv,
+        update_where_dv,
+    )
+
+    path = str(tmp_path / "t")
+    V.write_version(
+        spark.createDataFrame(
+            [(i, f"n{i}", i * 10) for i in range(20)], "k long, s string, v long"
+        ),
+        path,
+    )
+    m1 = V.manifest(path, 1)
+    sig = {
+        f: os.stat(os.path.join(path, f)).st_mtime_ns for f in m1["files"]
+    }
+    V.create_branch(path, "cdc")
+    # stage: DV delete of k in [3,5], then DV update of k=10 -> s='UPD'
+    v2 = delete_where_dv(spark, path, "k", 3, 5, branch="cdc")
+    assert v2 == 2
+    v3 = update_where_dv(
+        spark, path, "k", 10, 10, {"s": "'UPD'"}, branch="cdc"
+    )
+    assert v3 == 3
+    # main: untouched in every observable way
+    assert V.current_version(path) == 1
+    assert V.read_version(spark, path).count() == 20
+    assert V.manifest(path, 1)["files"] == m1["files"]
+    assert {
+        f: os.stat(os.path.join(path, f)).st_mtime_ns for f in m1["files"]
+    } == sig
+    # the staged DV delete rides BY REFERENCE: branch v2's file list is
+    # exactly main v1's, only the dvs map differs
+    with open(
+        os.path.join(path, "_versions", "v00000002-cdc.json"),
+        encoding="utf-8",
+    ) as fh:
+        m2 = _json.load(fh)
+    assert m2["files"] == m1["files"] and m2.get("dvs")
+    # audit: both mutations applied in the staged snapshot
+    staged = {r.k: r.s for r in V.read_branch(spark, path, "cdc").collect()}
+    assert set(staged) == set(range(20)) - {3, 4, 5}
+    assert staged[10] == "UPD"
+    # vacuum with zero grace while the branch is live: staged DV sidecars
+    # and the updated-copy file survive (branch retention)
+    from tts_etl_pipeline_spark.sources.versioned import vacuum
+
+    vacuum(path, grace_seconds=0)
+    staged_after = {r.k: r.s for r in V.read_branch(spark, path, "cdc").collect()}
+    assert staged_after == staged
+    # publish: main gains exactly the staged mutation commits
+    head = V.fast_forward(path, "cdc")
+    assert head == 3
+    assert [h["mode"] for h in V.history(path)] == [
+        "append", "delete-dv", "update-dv",
+    ]
+    final = {r.k: r.s for r in V.read_version(spark, path).collect()}
+    assert final == staged
+
+
+def test_wap_dv_update_on_branch_respects_branch_snapshot(spark, tmp_path):
+    """A branch-staged DV mutation must scan the BRANCH snapshot, not
+    main: rows appended on the branch after the fork are visible to the
+    staged update, and a concurrent main append stays invisible to it."""
+    V = _wap_imports()
+    from tts_etl_pipeline_spark.sources.versioned import update_where_dv
+
+    path = str(tmp_path / "t")
+    V.write_version(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, s string"), path
+    )
+    V.create_branch(path, "cdc")
+    # branch gains k=3; main (concurrently) gains k=4
+    V.write_version(
+        spark.createDataFrame([(3, "c")], "k long, s string"),
+        path, branch="cdc",
+    )
+    V.write_version(
+        spark.createDataFrame([(4, "d")], "k long, s string"), path
+    )
+    # staged update touches the branch-only row
+    v = update_where_dv(spark, path, "k", 3, 3, {"s": "'C'"}, branch="cdc")
+    assert v == 3
+    staged = {r.k: r.s for r in V.read_branch(spark, path, "cdc").collect()}
+    assert staged == {1: "a", 2: "b", 3: "C"}
+    # the staged update never saw (or mutated) main's k=4
+    main = {r.k: r.s for r in V.read_version(spark, path).collect()}
+    assert main == {1: "a", 2: "b", 4: "d"}
+    # a main-side DV update against the same table is independent
+    update_where_dv(spark, path, "k", 4, 4, {"s": "'D'"})
+    assert {r.k: r.s for r in V.read_version(spark, path).collect()}[4] == "D"
