@@ -4777,3 +4777,324 @@ def test_wap_dv_update_on_branch_respects_branch_snapshot(spark, tmp_path):
     # a main-side DV update against the same table is independent
     update_where_dv(spark, path, "k", 4, 4, {"s": "'D'"})
     assert {r.k: r.s for r in V.read_version(spark, path).collect()}[4] == "D"
+
+
+def test_metadata_tables_sharded_distributed_build(spark, tmp_path, monkeypatch):
+    """r12 verdict task 3: on a SHARDED manifest the files/partitions
+    metadata tables build DISTRIBUTED (mapInPandas over shard sidecars,
+    flat driver memory) — same rows, same schema as the inline build."""
+    import datetime as dt
+
+    from tts_etl_pipeline_spark.sources import versioned as V
+
+    monkeypatch.setattr(V, "_SHARD_SIZE", 4)
+    monkeypatch.setattr(V, "_SHARD_INLINE_MAX", 4)  # force a sharded manifest
+    path = str(tmp_path / "t")
+    rows = [(i, dt.date(1980 + i % 12, 1, 1)) for i in range(60)]
+    V.write_version(
+        spark.createDataFrame(rows, "k long, d date"),
+        path,
+        partition_by=(("year", "d"),),
+    )
+    V.write_version(spark.createDataFrame([(99, None)], "k long, d date"), path)
+    V.delete_where_dv(spark, path, "k", 0, 0)
+    raw = V._read_manifest(path, V.current_version(path), materialize=False)
+    assert "shards" in raw  # the build under test IS the sharded one
+    files = V.metadata_table(spark, path, "files")
+    # the distributed plan: a MapInPandas stage, no driver row list
+    assert "MapInPandas" in files._jdf.queryExecution().executedPlan().toString()
+    got = files.collect()
+    m = V._read_manifest(path, V.current_version(path))
+    assert sorted(r.file for r in got) == sorted(m["files"])
+    assert sum(1 for r in got if r.has_dv) == 1
+    assert all(r.bytes and r.bytes > 0 for r in got)
+    assert {r.add_version for r in got} == {1, 2}
+    # partition tuples survive the shard round-trip
+    assert sum(1 for r in got if r.partition) == len(
+        [f for f, s in (m.get("stats") or {}).items()
+         if any(k.startswith("__p:") for k in s)]
+    )
+    parts = V.metadata_table(spark, path, "partitions").collect()
+    assert sum(p.n_files for p in parts) == len(m["files"])
+
+
+# ------------------- r13: column initial-defaults (j29) -------------------
+
+
+def _defaults_imports():
+    from tts_etl_pipeline_spark.sources import versioned as V
+
+    return V
+
+
+def test_add_column_default_metadata_only_and_mixed_reads(spark, tmp_path):
+    """add_column(default=) is METADATA-ONLY (file list + mtimes
+    identical, empty CDF); pre-add files serve the default, post-add
+    files their own bytes, time travel the old schema."""
+    V = _defaults_imports()
+    path = str(tmp_path / "t")
+    V.write_version(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, s string"), path
+    )
+    m1 = V.manifest(path, 1)
+    sig = {f: os.stat(os.path.join(path, f)).st_mtime_ns for f in m1["files"]}
+    v2 = V.add_column(path, "score", "long", default=7)
+    m2 = V.manifest(path, v2)
+    assert m2["files"] == m1["files"]
+    assert {
+        f: os.stat(os.path.join(path, f)).st_mtime_ns for f in m2["files"]
+    } == sig
+    assert V.table_changes(spark, path, 1, v2).count() == 0
+    assert V.read_version(spark, path, 1).columns == ["k", "s"]
+    V.write_version(
+        spark.createDataFrame([(3, "c", 99)], "k long, s string, score long"),
+        path,
+    )
+    got = {r.k: r.score for r in V.read_version(spark, path).collect()}
+    assert got == {1: 7, 2: 7, 3: 99}
+    # the CDF across the span is exactly the appended row, default-filled
+    # rows cancel (unchanged by the metadata default)
+    feed = V.table_changes(spark, path, 1, 3).collect()
+    assert [(r.k, r.score, r._change_type) for r in feed] == [(3, 99, "insert")]
+    # a column added WITHOUT a default serves null for the old vintage
+    V.add_column(path, "note", "string")
+    got2 = {r.k: r.note for r in V.read_version(spark, path).collect()}
+    assert got2 == {1: None, 2: None, 3: None}
+
+
+def test_add_column_default_widen_interplay(spark, tmp_path):
+    """The widen x default matrix: widening a defaulted column keeps the
+    default serving (in the wider type), and a default declared on a
+    later-widened table composes with beyond-int32 appends."""
+    V = _defaults_imports()
+    path = str(tmp_path / "t")
+    V.write_version(spark.createDataFrame([(1,), (2,)], "k long"), path)
+    V.add_column(path, "score", "int", default=7)
+    V.widen_column(path, "score", "long")
+    assert dict(V.read_version(spark, path).dtypes)["score"] == "bigint"
+    big = 1 << 40
+    V.write_version(
+        spark.createDataFrame([(3, big)], "k long, score long"), path
+    )
+    got = {r.k: r.score for r in V.read_version(spark, path).collect()}
+    assert got == {1: 7, 2: 7, 3: big}
+    # time travel between add and widen serves the NARROW defaulted type
+    tv = V.read_version(spark, path, 2)
+    assert dict(tv.dtypes)["score"] == "int"
+    assert {r.score for r in tv.collect()} == {7}
+
+
+def test_add_column_default_drop_readd_fresh(spark, tmp_path):
+    """Drop a defaulted column then re-add the same name with a NEW
+    default: old files serve the NEW default (fresh physical), never the
+    stale bytes or the dead entry's value."""
+    V = _defaults_imports()
+    path = str(tmp_path / "t")
+    V.write_version(spark.createDataFrame([(1,), (2,)], "k long"), path)
+    V.add_column(path, "x", "long", default=1)
+    # materialize x=1 physically so stale bytes EXIST to alias onto
+    V.write_version(
+        V.read_version(spark, path), path, mode="overwrite"
+    )
+    V.drop_column(path, "x")
+    assert all(e["col"] != "x" for e in V.manifest(
+        path, V.current_version(path)).get("defaults") or [])
+    V.add_column(path, "x", "long", default=2)
+    got = {r.k: r.x for r in V.read_version(spark, path).collect()}
+    assert got == {1: 2, 2: 2}  # the new default, not stale 1s
+    # rename keeps the default serving (physical-keyed metadata)
+    V.rename_column(path, "x", "y")
+    assert {r.y for r in V.read_version(spark, path).collect()} == {2}
+
+
+def test_add_column_default_rewrite_materializes(spark, tmp_path):
+    """compact() materializes the default into fresh physical bytes —
+    rows identical before/after, empty change feed across the rewrite."""
+    V = _defaults_imports()
+    path = str(tmp_path / "t")
+    V.write_version(spark.createDataFrame([(1, "a"), (2, "b")], "k long, s string"), path)
+    V.add_column(path, "score", "long", default=7)
+    before = sorted(
+        (r.k, r.s, r.score) for r in V.read_version(spark, path).collect()
+    )
+    v = V.compact(spark, path)
+    assert V.table_changes(spark, path, v - 1, v).count() == 0
+    after = sorted(
+        (r.k, r.s, r.score) for r in V.read_version(spark, path).collect()
+    )
+    assert after == before == [(1, "a", 7), (2, "b", 7)]
+
+
+def test_add_column_default_clone_and_rollback(spark, tmp_path):
+    """Clones carry defaults (seq-remapped onto the fresh lineage);
+    rollback across the add restores the pre-add schema."""
+    V = _defaults_imports()
+    path = str(tmp_path / "t")
+    dst = str(tmp_path / "c")
+    V.write_version(spark.createDataFrame([(1,), (2,)], "k long"), path)
+    V.add_column(path, "score", "long", default=7)
+    V.clone_table(path, dst)
+    got = {r.k: r.score for r in V.read_version(spark, dst).collect()}
+    assert got == {1: 7, 2: 7}
+    # a post-clone append escapes the carried default (fresh stamps)
+    V.write_version(spark.createDataFrame([(3, 9)], "k long, score long"), dst)
+    assert {r.k: r.score for r in V.read_version(spark, dst).collect()} == {
+        1: 7, 2: 7, 3: 9,
+    }
+    # rollback the SOURCE to v1: pre-add schema, no column
+    V.rollback(path, 1)
+    assert V.read_version(spark, path).columns == ["k"]
+
+
+def test_add_column_default_refusals_and_dv_interplay(spark, tmp_path):
+    import pytest as _pytest
+
+    V = _defaults_imports()
+    path = str(tmp_path / "t")
+    V.write_version(spark.createDataFrame([(1,), (2,), (3,)], "k long"), path)
+    with _pytest.raises(ValueError, match="already exists"):
+        V.add_column(path, "k", "long")
+    with _pytest.raises(TypeError, match="type family"):
+        V.add_column(path, "s", "string", default=5)
+    with _pytest.raises(TypeError, match="type family"):
+        V.add_column(path, "n", "long", default="x")
+    # a DV delete composes with the fill: deleted rows invisible, the
+    # rest serve the default
+    V.add_column(path, "score", "long", default=7)
+    V.delete_where_dv(spark, path, "k", 2, 2)
+    got = {r.k: r.score for r in V.read_version(spark, path).collect()}
+    assert got == {1: 7, 3: 7}
+    # an equality delete probing the DEFAULT value kills pre-add rows
+    # (they serve that value — one visibility rule everywhere)
+    V.delete_where_eq(path, "score", [7])
+    assert V.read_version(spark, path).count() == 0
+
+
+# ----------------------- r13: row lineage (j30) -----------------------
+
+
+def _ids(spark, path, version=None):
+    from tts_etl_pipeline_spark.sources.versioned import read_version_lineage
+
+    return {
+        r.k: r._row_id
+        for r in read_version_lineage(spark, path, version).collect()
+    }
+
+
+def test_row_lineage_mint_and_stability(spark, tmp_path):
+    """Ids are unique, stable across appends, and minted fresh (never
+    reused) for genuinely new rows; normal reads never see the machinery."""
+    from tts_etl_pipeline_spark.sources import versioned as V
+
+    path = str(tmp_path / "t")
+    V.write_version(spark.range(0, 50).selectExpr("id as k", "id*2 as v"), path)
+    V.enable_row_lineage(path)
+    assert V.enable_row_lineage(path) == V.current_version(path)  # idempotent
+    ids1 = _ids(spark, path)
+    assert len(set(ids1.values())) == 50
+    V.write_version(spark.range(50, 60).selectExpr("id as k", "id*2 as v"), path)
+    ids2 = _ids(spark, path)
+    assert all(ids2[k] == ids1[k] for k in ids1)  # old rows keep their ids
+    fresh = {ids2[k] for k in range(50, 60)}
+    assert fresh.isdisjoint(set(ids1.values())) and len(fresh) == 10
+    head = V.read_version(spark, path)
+    assert "__rid" not in head.columns and "_row_id" not in head.columns
+
+
+def test_row_lineage_survives_every_maintenance_rewrite(spark, tmp_path):
+    """THE j30 contract: compact(), optimize_zorder(), purge_dvs() and
+    purge_eq() preserve the (row -> id) mapping byte-for-byte — same id
+    set, same rows — even though every physical position changes."""
+    from tts_etl_pipeline_spark.sources import versioned as V
+
+    path = str(tmp_path / "t")
+    V.write_version(
+        spark.range(0, 200).selectExpr("id as k", "id % 7 as g"), path,
+        collect_stats=("k",),
+    )
+    V.enable_row_lineage(path)
+    V.delete_where_dv(spark, path, "k", 10, 19)
+    base = _ids(spark, path)
+    assert len(base) == 190
+    V.purge_dvs(spark, path)
+    assert _ids(spark, path) == base
+    V.compact(spark, path, target_files=3)
+    assert _ids(spark, path) == base
+    V.optimize_zorder(spark, path, ["k", "g"], target_files=4)
+    assert _ids(spark, path) == base
+    V.delete_where_eq(path, "k", [40, 41])
+    want = {k: v for k, v in base.items() if k not in (40, 41)}
+    assert _ids(spark, path) == want
+    V.purge_eq(spark, path)
+    assert _ids(spark, path) == want
+    # appends after rewrites continue the monotone counter (no collisions)
+    V.write_version(spark.range(500, 510).selectExpr("id as k", "id % 7 as g"), path)
+    final = _ids(spark, path)
+    assert {final[k] for k in range(500, 510)}.isdisjoint(set(base.values()))
+
+
+def test_row_lineage_clone_rollback_and_updates(spark, tmp_path):
+    """Clone carries ids verbatim with a continued counter; rollback
+    recovers blocks across the enable boundary from the head's stats;
+    DV-update copies mint fresh ids (the documented copy-on-write rule)."""
+    from tts_etl_pipeline_spark.sources import versioned as V
+
+    path, dst = str(tmp_path / "t"), str(tmp_path / "c")
+    V.write_version(spark.range(0, 30).selectExpr("id as k", "id*2 as v"), path)
+    V.enable_row_lineage(path)
+    ids = _ids(spark, path)
+    V.clone_table(path, dst)
+    assert _ids(spark, dst) == ids
+    V.write_version(spark.range(100, 103).selectExpr("id as k", "id*2 as v"), dst)
+    cids = _ids(spark, dst)
+    assert {cids[k] for k in (100, 101, 102)}.isdisjoint(set(ids.values()))
+    # rollback to the PRE-enable snapshot: same files -> same ids,
+    # recovered from the head's stats (lineage stays on)
+    V.rollback(path, 1)
+    assert _ids(spark, path) == ids
+    # a DV UPDATE's copies are new rows id-wise
+    v = V.update_where_dv(spark, path, "k", 5, 5, {"v": "999"})
+    after = _ids(spark, path)
+    assert after[5] not in set(ids.values())
+    assert all(after[k] == ids[k] for k in ids if k != 5)
+
+
+def test_row_lineage_refusals_and_sharded(spark, tmp_path, monkeypatch):
+    """Reserved-name refusals, the not-enabled refusal, and lineage over
+    a SHARDED manifest (blocks ride the shard stats channel)."""
+    import pytest as _pytest
+
+    from tts_etl_pipeline_spark.sources import versioned as V
+
+    path = str(tmp_path / "t")
+    with _pytest.raises(ValueError, match="reserved"):
+        V.write_version(spark.range(3).selectExpr("id as __rid"), path)
+    # a RENAME onto the reserved name still exists as a back door — the
+    # enable gate catches it
+    V.write_version(spark.range(3).selectExpr("id as k", "id as x"), path)
+    V.rename_column(path, "x", "__rid")
+    with _pytest.raises(ValueError, match="reserved"):
+        V.enable_row_lineage(path)
+    path2 = str(tmp_path / "t2")
+    V.write_version(spark.range(3).selectExpr("id as k"), path2)
+    with _pytest.raises(ValueError, match="not enabled"):
+        V.read_version_lineage(spark, path2)
+    with _pytest.raises(ValueError, match="reserved"):
+        V.write_version(
+            spark.range(3).selectExpr("id as k", "id as __rid"), path2
+        )
+    # sharded: force the manifest-list format, lineage still exact
+    monkeypatch.setattr(V, "_SHARD_SIZE", 4)
+    monkeypatch.setattr(V, "_SHARD_INLINE_MAX", 4)
+    path3 = str(tmp_path / "t3")
+    V.write_version(
+        spark.range(0, 60).selectExpr("id as k").repartition(12), path3
+    )
+    V.enable_row_lineage(path3)
+    ids = _ids(spark, path3)
+    assert len(set(ids.values())) == 60
+    V.write_version(spark.range(60, 70).selectExpr("id as k"), path3)
+    ids2 = _ids(spark, path3)
+    assert all(ids2[k] == ids[k] for k in ids)
+    assert len(set(ids2.values())) == 70

@@ -4071,3 +4071,224 @@ def j28_storage_partitioned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
         drop_spj_exposures(spark)
         shutil.rmtree(base, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# j29 — COLUMN INITIAL-DEFAULTS on versioned tables (Iceberg v3
+# `initial-default`): add_column(..., default=5) is a METADATA-ONLY
+# commit — file list + mtimes asserted identical in-query, EMPTY change
+# feed — and every file written BEFORE the add serves the default at
+# read time (the value lives inline in the manifest, scoped by the same
+# per-file add-version channel equality deletes ride), while post-add
+# appends serve their own bytes. Time travel before the add serves the
+# pre-add schema. The oracle rebuilds the mixed-vintage table
+# declaratively (pre-add half + literal default, post-add half + real
+# scores), so value equality proves the fill is applied to exactly the
+# pre-add files. The widen x default, drop/re-add (fresh physical,
+# never stale bytes), rename, compact-materialization, clone-remap, DV
+# and eq-delete interplays are pinned in tests/test_versioned.py.
+# ---------------------------------------------------------------------------
+@_register(
+    "j29_default_column_values",
+    """
+    WITH pre AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice, 5 AS score
+      FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    post AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice,
+             o_orderkey % 10 AS score
+      FROM orders WHERE o_orderkey % 2 = 1
+    ),
+    u AS (SELECT * FROM pre UNION ALL SELECT * FROM post)
+    SELECT score,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM u GROUP BY score ORDER BY score
+    """,
+)
+def j29_default_column_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+    import shutil
+    import tempfile
+
+    from tts_etl_pipeline_spark.functions.exact import money
+    from tts_etl_pipeline_spark.sources.versioned import (
+        add_column,
+        manifest,
+        read_version,
+        table_changes,
+        write_version,
+    )
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    pre = orders.filter(F.col("o_orderkey") % 2 == 0)
+    post = orders.filter(F.col("o_orderkey") % 2 == 1).withColumn(
+        "score", (F.col("o_orderkey") % 10).cast("long")
+    )
+    base = tempfile.mkdtemp(prefix="j29_")
+    path = f"{base}/orders_v"
+    try:
+        write_version(pre, path)  # v1: no score column exists yet
+        m1 = manifest(path, 1)
+        sig = {
+            f: _os.stat(_os.path.join(path, f)).st_mtime_ns
+            for f in m1["files"]
+        }
+        v2 = add_column(path, "score", "long", default=5)
+        m2 = manifest(path, v2)
+        if m2["files"] != m1["files"] or {
+            f: _os.stat(_os.path.join(path, f)).st_mtime_ns
+            for f in m2["files"]
+        } != sig:
+            raise RuntimeError(
+                "add_column(default=) touched data files — the add must be "
+                "metadata-only"
+            )
+        if table_changes(spark, path, 1, v2).count() != 0:
+            raise RuntimeError("the change feed across an add-column is not empty")
+        if "score" in read_version(spark, path, 1).columns:
+            raise RuntimeError(
+                "time travel before the add must serve the PRE-ADD schema"
+            )
+        write_version(post, path)  # v3: post-add files carry real scores
+        return (
+            read_version(spark, path)
+            .groupBy("score")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum((money("o_totalprice") * 100).cast("bigint"))
+                .cast("bigint")
+                .alias("sum_cents"),
+            )
+            .orderBy("score")
+            .localCheckpoint(eager=True)  # materialize before tmp vanishes
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# j30 — ROW LINEAGE on versioned tables (Iceberg v3 `_row_id`): every row
+# carries a STABLE id minted at commit (per-file contiguous blocks in the
+# stats channel + a monotone manifest counter), and MAINTENANCE rewrites
+# — compact() and optimize_zorder() here, purge_dvs/purge_eq in tests —
+# preserve the (row -> id) mapping byte-for-byte by MATERIALIZING ids
+# into the rewritten files' own hidden '__rid' column (asserted in-query
+# by comparing the full map across both rewrites), while appends mint
+# fresh never-reused ids. The oracle can reproduce the ids exactly
+# because each commit stages ONE file sorted on the unique key, making
+# id = global sort rank — ROW_NUMBER() in DuckDB. Value equality over
+# SUM(_row_id) therefore proves mint order, stability across a DV
+# delete + compact + zorder, and fresh-only-for-new in one shot.
+# Clone/rollback carry and the copy-on-write fresh-id rule for DV
+# updates are pinned in tests/test_versioned.py.
+# ---------------------------------------------------------------------------
+@_register(
+    "j30_row_lineage",
+    """
+    WITH base AS (
+      SELECT l_orderkey AS k, l_linenumber AS ln, l_returnflag,
+             ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber) - 1
+               AS rid
+      FROM lineitem WHERE l_partkey % 5 = 0
+    ),
+    nmax AS (SELECT COUNT(*) AS n FROM base),
+    extra AS (
+      SELECT l_orderkey AS k, l_linenumber AS ln, l_returnflag,
+             (SELECT n FROM nmax)
+               + ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber) - 1
+               AS rid
+      FROM lineitem WHERE l_partkey % 5 = 1
+    ),
+    u AS (SELECT * FROM base UNION ALL SELECT * FROM extra)
+    SELECT l_returnflag,
+           COUNT(*) AS n_items,
+           CAST(SUM(rid) AS BIGINT) AS sum_rid,
+           CAST(MAX(rid) AS BIGINT) AS max_rid
+    FROM u
+    WHERE k % 32 <> 0
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def j30_row_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from tts_etl_pipeline_spark.sources.versioned import (
+        compact,
+        current_version,
+        delete_where_dv,
+        enable_row_lineage,
+        optimize_zorder,
+        read_version_lineage,
+        write_version,
+    )
+
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("k"),
+        F.col("l_linenumber").alias("ln"),
+        "l_returnflag",
+        "l_partkey",
+    )
+    base_rows = (
+        li.filter(F.col("l_partkey") % 5 == 0).drop("l_partkey")
+        .repartition(1).sortWithinPartitions("k", "ln")
+    )
+    extra_rows = (
+        li.filter(F.col("l_partkey") % 5 == 1).drop("l_partkey")
+        .repartition(1).sortWithinPartitions("k", "ln")
+    )
+    base = tempfile.mkdtemp(prefix="j30_")
+    path = f"{base}/li_v"
+    try:
+        write_version(base_rows, path)  # ONE sorted file: id = sort rank
+        enable_row_lineage(path)
+        write_version(extra_rows, path)  # fresh block continues the count
+        kmax = li.agg(F.max("k")).collect()[0][0] or 0
+        pre = {
+            (r.k, r.ln): r._row_id
+            for r in read_version_lineage(spark, path).collect()
+        }
+        if len(set(pre.values())) != len(pre):
+            raise RuntimeError("row ids are not unique after two commits")
+        v = delete_where_dv(
+            spark, path, "k", 0, kmax, condition="k % 32 = 0"
+        )
+        want = {
+            kl: rid for kl, rid in pre.items() if kl[0] % 32 != 0
+        } if v is not None else pre
+        compact(spark, path, target_files=3)
+        after_compact = {
+            (r.k, r.ln): r._row_id
+            for r in read_version_lineage(spark, path).collect()
+        }
+        if after_compact != want:
+            raise RuntimeError(
+                "compact() changed row ids — lineage must survive the rewrite"
+            )
+        optimize_zorder(spark, path, ["k", "ln"], target_files=4)
+        after_z = {
+            (r.k, r.ln): r._row_id
+            for r in read_version_lineage(spark, path).collect()
+        }
+        if after_z != want:
+            raise RuntimeError(
+                "optimize_zorder() changed row ids — lineage must survive"
+            )
+        return (
+            read_version_lineage(spark, path)
+            .groupBy("l_returnflag")
+            .agg(
+                F.count(F.lit(1)).alias("n_items"),
+                F.sum("_row_id").cast("bigint").alias("sum_rid"),
+                F.max("_row_id").cast("bigint").alias("max_rid"),
+            )
+            .orderBy("l_returnflag")
+            .localCheckpoint(eager=True)  # materialize before tmp vanishes
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -506,6 +506,9 @@ def _commit(
     pspec_id: str | None = None,
     branch: str | None = None,
     eqdeletes: list | None = None,
+    defaults: list | None = None,
+    row_lineage: bool | None = None,
+    next_row_id: int | None = None,
     marker: str | None = None,
 ) -> int:
     """Commit `files` as version expected_parent+1 via the manifest-name
@@ -538,6 +541,8 @@ def _commit(
         or dropped_physicals is None
         or pspecs is None
         or eqdeletes is None
+        or defaults is None
+        or row_lineage is None
     ):
         # raw read: the inherited fields are manifest-list scalars
         pm = _read_manifest(
@@ -561,6 +566,18 @@ def _commit(
         # a rewrite stamps every file past their seq (overwrite passes [])
         if eqdeletes is None:
             eqdeletes = pm.get("eqdeletes")
+        # column defaults inherit forever (metadata the old files serve
+        # from; a rewrite materializes values but the entry stays for any
+        # remaining pre-add files — harmless once none qualify)
+        if defaults is None:
+            defaults = pm.get("defaults")
+        # row lineage: the flag and the MONOTONE id counter both inherit
+        # (ids are never reused — a rollback inherits the HEAD's counter,
+        # so ids minted on the abandoned timeline stay burned)
+        if row_lineage is None:
+            row_lineage = pm.get("row_lineage")
+        if next_row_id is None:
+            next_row_id = pm.get("next_row_id")
     version = parent + 1
     target = _resolve_manifest_file(path, version, branch, fork)
     tmp = target + f".tmp-{uuid.uuid4().hex[:8]}"
@@ -624,6 +641,16 @@ def _commit(
         # [{sc, col, seq}]: small value-list sidecars; each applies to
         # files whose "__v" add-version stat is BELOW its seq
         manifest["eqdeletes"] = eqdeletes
+    if defaults:
+        # [{col: PHYSICAL, value, seq}] — Iceberg v3 initial-defaults:
+        # files added BEFORE seq serve `value` for the column instead of
+        # null (the _read_files_raw fill); inline values, no sidecar
+        manifest["defaults"] = defaults
+    if row_lineage:
+        # Iceberg v3 row lineage: per-file first-row-id blocks live in the
+        # stats channel ("__rid"); the counter only ever moves forward
+        manifest["row_lineage"] = True
+        manifest["next_row_id"] = int(next_row_id or 0)
     if branch is not None:
         # provenance marker: a staged (unpublished) commit names its
         # branch; fast_forward strips this when publishing into main
@@ -1353,6 +1380,96 @@ def widen_column(path: str, col: str, new_type) -> int:
     )
 
 
+def add_column(path: str, name: str, dtype, default=None) -> int:
+    """ALTER TABLE ADD COLUMN [WITH DEFAULT] — a METADATA-ONLY commit
+    (Iceberg v3 ``initial-default``): the logical schema gains the
+    column; NO data file is touched. Files added BEFORE this commit
+    serve `default` for the column (null when no default) — the value
+    lives inline in the manifest, scoped by the same per-file add-version
+    ("__v") channel equality deletes use, so a later rewrite
+    (compact/purge/zorder) materializes it physically and new files
+    simply read their own bytes. Time travel before the add serves the
+    old schema, per the schema-per-snapshot contract.
+
+    Appends after the add should carry the column explicitly; an append
+    that omits it writes files that serve NULL (not the default) — the
+    initial-default covers the PRE-ADD history only, exactly Iceberg's
+    semantics (write-defaults are the caller's job).
+
+    `default` must be JSON-plain (int/float/str/bool) and in the
+    column's own type family — string values also serve date/timestamp
+    columns (cast from ISO form at read). A re-added previously-dropped
+    name gets a fresh physical (never aliasing retired bytes)."""
+    from pyspark.sql.types import StructField, StructType, _parse_datatype_string
+
+    v = current_version(path)
+    if v == 0:
+        raise ValueError(f"no versions at {path}")
+    m = _read_manifest(path, v, materialize=False)
+    if m.get("schema") is None:
+        raise ValueError("legacy manifest records no schema to add to")
+    schema = _schema_from_json(m["schema"])
+    if name in schema.names:
+        raise ValueError(f"column {name!r} already exists")
+    new_t = _parse_datatype_string(dtype) if isinstance(dtype, str) else dtype
+    if default is not None:
+        tn = new_t.typeName()
+        ok = (
+            (isinstance(default, bool) and tn == "boolean")
+            or (
+                isinstance(default, (int, float))
+                and not isinstance(default, bool)
+                and tn in (
+                    "byte", "short", "integer", "long", "float", "double",
+                    "decimal",
+                )
+            )
+            or (
+                isinstance(default, str)
+                and tn in (
+                    "string", "varchar", "char", "date", "timestamp",
+                    "timestamp_ntz",
+                )
+            )
+        )
+        if not ok:
+            raise TypeError(
+                f"default {default!r} is not in {tn}'s type family "
+                f"(JSON-plain values only; ISO strings for date/timestamp)"
+            )
+    # physical naming: a retired (dropped) physical must never be aliased
+    # onto — old files still hold its stale bytes (the append-path rule)
+    cm = dict(m.get("colmap") or {})
+    dropped = list(m.get("dropped_physicals") or [])
+    if cm or dropped:
+        full_cm = {n: cm.get(n, n) for n in schema.names}
+        forbidden = set(full_cm.values()) | set(dropped)
+        phys = name if name not in forbidden else f"{name}_{uuid.uuid4().hex[:8]}"
+        full_cm[name] = phys
+        cm = full_cm
+    else:
+        phys, cm = name, None
+    new_schema = StructType(
+        list(schema.fields) + [StructField(name, new_t, True)]
+    )
+    defaults = list(m.get("defaults") or [])
+    if default is not None:
+        # seq = this commit's version: covers every file in the current
+        # snapshot (add versions <= v < v+1), nothing written after
+        defaults.append({"col": phys, "value": default, "seq": v + 1})
+    return _commit(
+        path,
+        mode="alter-add",
+        expected_parent=v,
+        schema_json=new_schema.json(),
+        constraints=m.get("constraints") or {},
+        colmap=cm if cm is not None else {},
+        dropped_physicals=dropped,
+        defaults=defaults,
+        **_alter_payload_kwargs(m),  # every sidecar map, or shards verbatim
+    )
+
+
 def rename_column(path: str, old: str, new: str) -> int:
     """ALTER TABLE RENAME COLUMN — a METADATA-ONLY commit (zero data
     rewrite, Delta's column-mapping name mode): the logical schema gets
@@ -1465,6 +1582,12 @@ def drop_column(path: str, name: str) -> int:
         constraints=m.get("constraints") or {},
         colmap=cm,
         dropped_physicals=dropped,
+        # the retired physical's initial-default dies with the column (a
+        # re-added name gets a fresh physical, so the stale entry could
+        # never match — dropping it just keeps the manifest clean)
+        defaults=[
+            e for e in (m.get("defaults") or []) if e["col"] != retired
+        ],
         **payload,
     )
 
@@ -2028,10 +2151,17 @@ def write_version(
     branch: str | None = None,
     eq_delete: tuple | None = None,
     marker: str | None = None,
+    _rid_materialized: bool = False,
 ) -> int:
     """Commit `df` as the next version. mode='append' adds to the current
     file list; mode='overwrite' replaces it (old files stay on disk for
     time travel until vacuum).
+
+    `_rid_materialized` (module-internal, maintenance rewrites only):
+    `df` carries the hidden '__rid' row-lineage column — it is staged
+    physically but EXCLUDED from the recorded schema, and the staged
+    files are flagged "__ridm" so the lineage read trusts their bytes
+    instead of minting fresh id blocks.
 
     Optimistic concurrency: the base version is captured ONCE, up front
     (or taken from `expected_version` when the caller computed `df` from
@@ -2105,12 +2235,23 @@ def write_version(
         if base_version > 0
         else {}
     )
-    commit_schema = df.schema
+    from pyspark.sql.types import StructType as _ST
+
+    if _rid_materialized and _RID_COL not in df.columns:
+        raise ValueError("_rid_materialized requires a '__rid' column")
+    if not _rid_materialized and _RID_COL in df.columns:
+        raise ValueError(f"{_RID_COL!r} is reserved by row lineage")
+    logical_schema = (
+        _ST([f for f in df.schema.fields if f.name != _RID_COL])
+        if _rid_materialized
+        else df.schema
+    )
+    commit_schema = logical_schema
     if mode == "append" and base_version > 0:
         base_schema_json = base_m.get("schema")
         if base_schema_json is not None:  # legacy manifests have no schema
             commit_schema = _evolved_schema(
-                _schema_from_json(base_schema_json), df.schema, merge_schema
+                _schema_from_json(base_schema_json), logical_schema, merge_schema
             )
     # column mapping (rename/drop evolution): every commit keeps writing
     # the STABLE physical names — appends for their evolved schema,
@@ -2195,8 +2336,15 @@ def write_version(
     # (affected by every delete) — the sound direction.
     for f in new_files:
         stats.setdefault(f, {})["__v"] = [base_version + 1, base_version + 1]
+        if _rid_materialized:
+            # this file's parquet bytes CARRY their row ids — the lineage
+            # read must trust them, never mint a fresh block
+            stats[f]["__ridm"] = [1, 1]
     for f, rec in pstats.items():
         stats.setdefault(f, {}).update(rec)
+    # row lineage: fresh contiguous id blocks for genuinely new rows
+    # (skipped for __ridm files, whose ids ride in their own bytes)
+    next_rid = _assign_row_ids(path, base_m, new_files, stats)
     if collect_stats:
         for f, rec in _footer_minmax(
             path, new_files, tuple(phys_of(c, c) for c in collect_stats)
@@ -2252,6 +2400,7 @@ def write_version(
         # past any live delete's seq, so the entries are dead — drop them
         eqdeletes=eqds if eq_delete is not None
         else ([] if mode == "overwrite" else None),
+        next_row_id=next_rid,
         marker=marker,
     )
 
@@ -2264,6 +2413,7 @@ def write_version_parts(
     collect_stats: tuple = (),
     collect_blooms: tuple = (),
     eqdeletes: list | None = None,
+    _rid_materialized: bool = False,
 ) -> int:
     """Commit a new snapshot as REUSED parent data files + freshly staged
     part groups — the Iceberg "overwrite with existing data files" shape
@@ -2314,7 +2464,11 @@ def write_version_parts(
             (f.name, f.dataType) for f in _schema_from_json(schema_json).fields
         ]
         for p in parts:
-            got = [(f.name, f.dataType) for f in p.schema.fields]
+            got = [
+                (f.name, f.dataType)
+                for f in p.schema.fields
+                if not (_rid_materialized and f.name == _RID_COL)
+            ]
             if got != base_types:
                 raise ValueError(
                     f"part schema {got} differs from the table schema "
@@ -2365,6 +2519,9 @@ def write_version_parts(
     # covered — the fold materializes deletes only for what it rewrote
     for f in new_files:
         stats.setdefault(f, {})["__v"] = [new_v, new_v]
+        if _rid_materialized:
+            stats[f]["__ridm"] = [1, 1]  # ids ride in the file's own bytes
+    next_rid = _assign_row_ids(path, base_m, new_files, stats)
     base_blooms = base_m.get("blooms", {})
     blooms = {f: base_blooms[f] for f in reuse_files if f in base_blooms}
     if collect_blooms:
@@ -2396,6 +2553,7 @@ def write_version_parts(
         # equality deletes); purge_eq passes [] once every affected file
         # is rewritten and the entries are provably dead
         eqdeletes=eqdeletes,
+        next_row_id=next_rid,
     )
 
 
@@ -2560,6 +2718,7 @@ def _read_files(
     manifest: dict,
     files: list[str],
     with_positions: bool = False,
+    extra_phys_cols: tuple = (),
 ) -> DataFrame:
     """The snapshot file-set reader every consumer funnels through.
     EQUALITY DELETES (delete_where_eq — Iceberg v2 equality delete files)
@@ -2576,7 +2735,9 @@ def _read_files(
 
     groups = _eqdelete_groups(path, manifest, files)
     if len(groups) == 1 and not groups[0][1]:
-        return _read_files_raw(spark, path, manifest, files, with_positions)
+        return _read_files_raw(
+            spark, path, manifest, files, with_positions, extra_phys_cols
+        )
     cm_inv = {v: k for k, v in (manifest.get("colmap") or {}).items()}
     phys_types = (
         {
@@ -2588,7 +2749,9 @@ def _read_files(
     )
     parts = []
     for fs, eqds in groups:
-        d = _read_files_raw(spark, path, manifest, fs, with_positions)
+        d = _read_files_raw(
+            spark, path, manifest, fs, with_positions, extra_phys_cols
+        )
         for eq in eqds:
             logical = cm_inv.get(eq["col"], eq["col"])
             if logical not in d.columns:
@@ -2687,15 +2850,51 @@ def _eq_join_plans(values: list, dtype) -> list:
     return [(dtype, list(values), False)]
 
 
+def _default_groups(manifest: dict, files: list[str]) -> list:
+    """[(file_subset, applicable_default_entries)] — an initial-default
+    applies to files ADDED BEFORE the column (add-version stat "__v" <
+    seq; unstamped files read as ancient — they provably predate the
+    column, the direction that serves the default). Applicability is a
+    suffix of the seq-sorted entry list, so group count is bounded by
+    live defaulted columns + 1 (the _eqdelete_groups shape)."""
+    dmap = manifest.get("defaults") or []
+    if not dmap:
+        return [(files, [])]
+    import bisect
+
+    entries = sorted(dmap, key=lambda e: e["seq"])
+    seqs = [e["seq"] for e in entries]
+    stats = manifest.get("stats") or {}
+    groups: dict = {}
+    for f in files:
+        rec = stats.get(f, {}).get("__v")
+        av = rec[0] if rec else float("-inf")
+        i = bisect.bisect_right(seqs, av)  # defaults with seq > av apply
+        groups.setdefault(i, []).append(f)
+    return [(fs, entries[i:]) for i, fs in sorted(groups.items())]
+
+
 def _read_files_raw(
     spark: SparkSession,
     path: str,
     manifest: dict,
     files: list[str],
     with_positions: bool = False,
+    extra_phys_cols: tuple = (),
 ) -> DataFrame:
     """The one snapshot file-set reader (read_version serves the full
     list, read_version_pruned / read_version_files a subset).
+    `extra_phys_cols`: physical column names appended to the scan schema
+    beyond the recorded logical schema (the row-lineage reader asks for
+    the hidden '__rid' column rewrites materialize); files lacking one
+    serve null for it — parquet missing-column semantics.
+
+    COLUMN INITIAL-DEFAULTS (add_column(default=)) are applied here:
+    files are grouped by which defaults cover them (at most live
+    defaulted columns + 1 groups), each pre-add group's scan replaces
+    the missing column's nulls with the recorded literal (constant-
+    folded, JVM-side), and the groups union — the same per-vintage
+    funnel equality deletes ride one level up.
 
     DELETION VECTORS are anti-applied here — the single funnel every
     reader (full read, pruned read, CDF side, fold, merge) goes through,
@@ -2747,10 +2946,41 @@ def _read_files_raw(
         )
         return _align_to_schema(df, manifest)
     recorded = _schema_from_json(schema_json)
+    dgroups = _default_groups(manifest, files)
+    if dgroups and (len(dgroups) > 1 or dgroups[0][1]):
+        from functools import reduce
+
+        sub = {k: vv for k, vv in manifest.items() if k != "defaults"}
+        cm_inv = {p: l for l, p in (manifest.get("colmap") or {}).items()}
+        parts = []
+        for fs, fills in dgroups:
+            d = _read_files_raw(
+                spark, path, sub, fs, with_positions, extra_phys_cols
+            )
+            for e in fills:
+                logical = cm_inv.get(e["col"], e["col"])
+                if logical in d.columns:
+                    d = d.withColumn(
+                        logical,
+                        F.lit(e["value"]).cast(recorded[logical].dataType),
+                    )
+            parts.append(d)
+        return reduce(lambda a, b: a.unionByName(b), parts)
     colmap = manifest.get("colmap")
     # files store PHYSICAL names (stable across renames); the read
     # plans physical and aliases back to this version's LOGICAL names
     nullable = _physical_struct(recorded, colmap)
+    if extra_phys_cols:
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        nullable = StructType(
+            list(nullable.fields)
+            + [
+                StructField(c, LongType(), True)
+                for c in extra_phys_cols
+                if c not in nullable.names
+            ]
+        )
     if len(files) >= _LINKDIR_MIN_FILES:
         linked = _snapshot_linkdir(path, files)
         df = (
@@ -3153,9 +3383,35 @@ def rollback(path: str, to_version: int) -> int:
     # a schema evolution must serve the pre-evolution columns) — and its
     # file STATS, BLOOMS and DELETION VECTORS (immutable files; the
     # restored snapshot's row visibility IS its vectors)
+    stats = m.get("stats")
+    rl_kwargs: dict = {}
+    head_raw = _read_manifest(path, current_version(path), materialize=False)
+    if head_raw.get("row_lineage"):
+        # rollback ACROSS a lineage enable: the restored stats may predate
+        # the id blocks — recover each file's block from the HEAD's stats
+        # (same immutable file = same rows = same ids), minting fresh ones
+        # only for files the head no longer tracks. The counter continues
+        # the head's (ids burned on the abandoned timeline stay burned).
+        hstats = _read_manifest(path, current_version(path)).get("stats") or {}
+        stats = {f: dict(rec) for f, rec in (stats or {}).items()}
+        nxt = int(head_raw.get("next_row_id") or 0)
+        for f in files:
+            rec = stats.setdefault(f, {})
+            if _RID_COL in rec or "__ridm" in rec:
+                continue
+            src = hstats.get(f) or {}
+            if _RID_COL in src:
+                rec[_RID_COL] = src[_RID_COL]
+            elif "__ridm" in src:
+                rec["__ridm"] = src["__ridm"]
+            else:
+                rec[_RID_COL] = [nxt, nxt]
+                nxt += _footer_num_rows(path, f)
+        rl_kwargs = {"row_lineage": True, "next_row_id": nxt}
     return _commit(
         path, files, "rollback", schema_json=m.get("schema"),
-        stats=m.get("stats"), blooms=m.get("blooms"), dvs=m.get("dvs"),
+        stats=stats, blooms=m.get("blooms"), dvs=m.get("dvs"),
+        **rl_kwargs,
         # the restored version's OWN constraints: they provably hold over
         # its rows (adds validate existing, commits validate staged) —
         # inheriting the head's would record constraints over rows that
@@ -3168,6 +3424,7 @@ def rollback(path: str, to_version: int) -> int:
         # delete applied after the rollback), and its partition spec —
         # the layout the restored files were actually written under
         eqdeletes=list(m.get("eqdeletes") or []),
+        defaults=list(m.get("defaults") or []),
         pspecs=dict(m.get("pspecs") or {}),
         pspec_id=m.get("pspec_id"),
     )
@@ -3263,8 +3520,15 @@ def clone_table(
     axis = sorted(
         {r["__v"][0] for r in src_stats.values() if "__v" in r}
         | {e["seq"] for e in m.get("eqdeletes") or []}
+        | {e["seq"] for e in m.get("defaults") or []}
     )
     remap = {x: 1 - (len(axis) - 1 - i) for i, x in enumerate(axis)}
+    # column initial-defaults carry with the SAME remap (inline values, no
+    # sidecar to copy): carried applicability — which files predate which
+    # column — is exactly preserved in the clone's fresh lineage
+    cloned_defaults = [
+        {**e, "seq": remap[e["seq"]]} for e in m.get("defaults") or []
+    ]
     cloned_eqs: list = []
     if m.get("eqdeletes"):
         import shutil as _shutil
@@ -3297,6 +3561,12 @@ def clone_table(
         dropped_physicals=list(m.get("dropped_physicals") or []),
         dvs=cloned_dvs or None,
         eqdeletes=cloned_eqs or [],
+        defaults=cloned_defaults or [],
+        # row ids carry VERBATIM (they're row identities, not version
+        # numbers — no remap); the clone's counter continues the source's
+        # so its future rows never collide with carried ids
+        row_lineage=bool(m.get("row_lineage")) or None,
+        next_row_id=m.get("next_row_id"),
         # the clone keeps the source's PARTITION SPEC (physical-keyed,
         # and the colmap carries): its tuple stats keep pruning and its
         # future writes keep the declared layout — rollback's rule
@@ -3655,6 +3925,178 @@ def fast_forward(path: str, branch: str) -> int:
     return head
 
 
+# ---------------------------------------------------------------------------
+# ROW LINEAGE (Iceberg v3 `_row_id`): every row carries a STABLE id minted
+# at commit time — the audit-trail primitive CDC consumers need ("which
+# physical rows is this derived record built from?"). Design:
+#
+# - each data file owns a CONTIGUOUS id block: its first-row-id lives in
+#   the stats channel ("__rid" -> [first, first]); a row's id is
+#   first + row position. Assignment costs one footer num_rows read per
+#   NEW file at commit (the _footer_minmax cost class) and a monotone
+#   manifest counter ("next_row_id") — ids are never reused, rollback
+#   inherits the head's counter, vacuum can't resurrect a burned id.
+# - MAINTENANCE rewrites (compact / optimize_zorder / purge_dvs /
+#   purge_eq) preserve ids by MATERIALIZING them: the rewrite reads rows
+#   with their computed ids and stages files that physically carry a
+#   hidden '__rid' long column (invisible to normal reads — the recorded
+#   schema never mentions it; such files are flagged "__ridm" in stats).
+#   The lineage read coalesces: materialized column if present, else
+#   block arithmetic.
+# - copy-on-write row REWRITES (overwrite, merge, update) mint fresh ids
+#   (the rewritten row is a new row, id-wise) — the honest v1 contract;
+#   Iceberg's carried-id-on-update refinement needs per-row id transport
+#   through every mutation and is out of scope here.
+# ---------------------------------------------------------------------------
+
+_RID_COL = "__rid"  # the reserved hidden physical column + stats key
+
+
+def _footer_num_rows(path: str, rel: str) -> int:
+    import pyarrow.parquet as pq
+
+    return int(pq.ParquetFile(os.path.join(path, rel)).metadata.num_rows)
+
+
+def _assign_row_ids(
+    path: str, parent_m: dict, new_files: list[str], stats: dict
+) -> int | None:
+    """When the parent tracks row lineage, stamp a fresh contiguous id
+    block ("__rid") into `stats` for every new file that doesn't already
+    carry lineage (a rewrite-materialized file has "__ridm" instead) and
+    return the advanced counter; None when lineage is off. One footer
+    num_rows read per new file — same cost class as stats collection."""
+    if not parent_m.get("row_lineage"):
+        return None
+    nxt = int(parent_m.get("next_row_id") or 0)
+    for f in sorted(new_files):
+        rec = stats.setdefault(f, {})
+        if _RID_COL in rec or "__ridm" in rec:
+            continue  # already lineage-bearing (materialized or carried)
+        n = _footer_num_rows(path, f)
+        rec[_RID_COL] = [nxt, nxt]
+        nxt += n
+    return nxt
+
+
+def enable_row_lineage(path: str) -> int:
+    """ALTER TABLE ... SET ROW LINEAGE — a metadata commit assigning
+    every EXISTING file its first-row-id block (one footer num_rows
+    sweep, zero data rewrites) and turning the flag on; every later
+    commit assigns blocks to its new files automatically. Idempotent
+    (returns the head untouched when already enabled). Refused when the
+    schema claims the reserved '__rid' name."""
+    v = current_version(path)
+    if v == 0:
+        raise ValueError(f"no versions at {path}")
+    m = _read_manifest(path, v)
+    if m.get("row_lineage"):
+        return v
+    if m.get("schema") is None:
+        raise ValueError("legacy manifest records no schema; lineage needs one")
+    schema = _schema_from_json(m["schema"])
+    cm = m.get("colmap") or {}
+    if _RID_COL in schema.names or _RID_COL in {
+        cm.get(n, n) for n in schema.names
+    }:
+        raise ValueError(f"{_RID_COL!r} is reserved by row lineage")
+    stats = {f: dict(rec) for f, rec in (m.get("stats") or {}).items()}
+    nxt = 0
+    for f in m["files"]:
+        rec = stats.setdefault(f, {})
+        rec[_RID_COL] = [nxt, nxt]
+        nxt += _footer_num_rows(path, f)
+    return _commit(
+        path,
+        m["files"],
+        "alter-lineage",
+        expected_parent=v,
+        schema_json=m.get("schema"),
+        stats=stats,
+        blooms=m.get("blooms"),
+        dvs=m.get("dvs"),
+        constraints=m.get("constraints") or {},
+        colmap=cm,
+        dropped_physicals=list(m.get("dropped_physicals") or []),
+        eqdeletes=list(m.get("eqdeletes") or []),
+        defaults=list(m.get("defaults") or []),
+        pspecs=dict(m.get("pspecs") or {}),
+        pspec_id=m.get("pspec_id"),
+        row_lineage=True,
+        next_row_id=nxt,
+    )
+
+
+def _read_files_lineage(
+    spark: SparkSession, path: str, m: dict, files: list[str]
+) -> DataFrame:
+    """`files` read with a `_row_id` column: materialized '__rid' bytes
+    where a rewrite wrote them, first-block + row-position arithmetic
+    everywhere else (one broadcast of the O(files) first-id map)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    stats = m.get("stats") or {}
+    d = _read_files(
+        spark, path, m, files, with_positions=True,
+        extra_phys_cols=(_RID_COL,),
+    )
+    firsts = [
+        (os.path.basename(f), int(stats[f][_RID_COL][0]))
+        for f in files
+        if _RID_COL in (stats.get(f) or {})
+    ]
+    fdf = spark.createDataFrame(
+        firsts,
+        StructType(
+            [
+                StructField("__rl_file", StringType(), False),
+                StructField("__rl_first", LongType(), False),
+            ]
+        ),
+    )
+    d = d.join(
+        F.broadcast(fdf), d["__dv_file"] == F.col("__rl_file"), "left"
+    )
+    d = d.withColumn(
+        "_row_id",
+        F.coalesce(F.col(_RID_COL), F.col("__rl_first") + F.col("__dv_pos")),
+    )
+    return d.drop(_RID_COL, "__rl_file", "__rl_first", "__dv_file", "__dv_pos")
+
+
+def read_version_lineage(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """The snapshot with its `_row_id` column — stable across every
+    maintenance rewrite, fresh only for genuinely new rows."""
+    v = current_version(path) if version is None else version
+    _check_version(path, v)
+    m = _read_manifest(path, v)
+    if not m.get("row_lineage"):
+        raise ValueError(
+            f"row lineage is not enabled at {path} (enable_row_lineage)"
+        )
+    if "_row_id" in _schema_from_json(m["schema"]).names:
+        raise ValueError("table has a _row_id column — the name is reserved")
+    return _read_files_lineage(spark, path, m, m["files"])
+
+
+def _metadata_file_rows(table_path: str, files, stats: dict, dvs: dict):
+    """One metadata-table row per data file — module-level so the sharded
+    build's executor tasks and the inline driver build share one
+    definition (identical rows whichever side computes them)."""
+    for f in files:
+        try:
+            size = os.stat(os.path.join(table_path, f)).st_size
+        except FileNotFoundError:
+            size = None  # vacuumed history: report, don't raise
+        rec = stats.get(f) or {}
+        av = rec.get("__v")
+        tup = {k: str(vv[0]) for k, vv in rec.items() if k.startswith("__p:")}
+        yield (f, size, av[0] if av else None, f in dvs, tup or None)
+
+
 def metadata_table(
     spark: SparkSession, path: str, kind: str, version: int | None = None
 ) -> DataFrame:
@@ -3670,10 +4112,15 @@ def metadata_table(
       n_files + total bytes;
     - "refs": one row per branch/tag (kind, name, version, fork).
 
-    Built driver-side from manifests + one os.stat per file (files/
-    partitions kinds) — the table_detail cost class, O(files) at the
-    metadata level, zero data-file reads. At 10^6 files prefer
-    table_detail's scalars unless the per-file relation is the point."""
+    Cost shape (files/partitions kinds): a SHARDED manifest builds the
+    relation DISTRIBUTED — one task per manifest shard parses its own
+    sidecar and stats its own files via mapInPandas, so a 10^6-file
+    table materializes in O(shards/executors) wall time with FLAT driver
+    memory (the driver holds only the KB-scale shard entry list, never a
+    per-file row list). Inline manifests (small tables by construction —
+    growth reshards) keep the direct driver build. history/snapshots/refs
+    are O(versions)/O(refs) driver-side scalars either way. Zero data
+    file reads in all kinds."""
     from pyspark.sql.types import (
         BooleanType,
         DoubleType,
@@ -3735,37 +4182,69 @@ def metadata_table(
     if kind in ("files", "partitions"):
         v = head if version is None else version
         _check_version(path, v)
-        m = _read_manifest(path, v)
-        stats = m.get("stats") or {}
-        dvs = m.get("dvs") or {}
-        rows = []
-        for f in m["files"]:
-            try:
-                size = os.stat(os.path.join(path, f)).st_size
-            except FileNotFoundError:
-                size = None  # vacuumed history: report, don't raise
-            rec = stats.get(f) or {}
-            av = rec.get("__v")
-            tup = {
-                k: str(vv[0]) for k, vv in rec.items() if k.startswith("__p:")
-            }
-            rows.append(
-                (f, size, av[0] if av else None, f in dvs, tup or None)
-            )
-        files_df = spark.createDataFrame(
-            rows,
-            StructType(
-                [
-                    StructField("file", StringType(), False),
-                    StructField("bytes", LongType(), True),
-                    StructField("add_version", LongType(), True),
-                    StructField("has_dv", BooleanType(), True),
-                    StructField(
-                        "partition", MapType(StringType(), StringType()), True
-                    ),
-                ]
-            ),
+        files_schema = StructType(
+            [
+                StructField("file", StringType(), False),
+                StructField("bytes", LongType(), True),
+                StructField("add_version", LongType(), True),
+                StructField("has_dv", BooleanType(), True),
+                StructField(
+                    "partition", MapType(StringType(), StringType()), True
+                ),
+            ]
         )
+
+        raw = _read_manifest(path, v, materialize=False)
+        if "shards" in raw:
+            # DISTRIBUTED build: one row per shard entry in, the shard's
+            # file rows out — the driver never materializes the file list
+            import pandas as pd
+
+            table_path = path  # plain string closure: picklable
+            shard_rels = sorted(
+                e["path"] for e in raw["shards"]["entries"].values()
+            )
+
+            def _expand(batches):
+                for pdf in batches:
+                    out = {c: [] for c in
+                           ("file", "bytes", "add_version", "has_dv",
+                            "partition")}
+                    for rel in pdf["shard"]:
+                        with open(
+                            os.path.join(table_path, rel), encoding="utf-8"
+                        ) as fh:
+                            payload = json.load(fh)
+                        for row in _metadata_file_rows(
+                            table_path,
+                            payload["files"],
+                            payload.get("stats") or {},
+                            payload.get("dvs") or {},
+                        ):
+                            for c, val in zip(out, row):
+                                out[c].append(val)
+                    yield pd.DataFrame(out)
+
+            n_slices = max(
+                1, min(len(shard_rels), spark.sparkContext.defaultParallelism)
+            )
+            files_df = (
+                spark.createDataFrame(
+                    [(s,) for s in shard_rels], "shard string"
+                )
+                .repartition(n_slices)
+                .mapInPandas(_expand, files_schema)
+            )
+            if kind == "files":
+                return files_df
+        else:
+            m = _read_manifest(path, v)
+            rows = list(
+                _metadata_file_rows(
+                    path, m["files"], m.get("stats") or {}, m.get("dvs") or {}
+                )
+            )
+            files_df = spark.createDataFrame(rows, files_schema)
         if kind == "files":
             return files_df
         from pyspark.sql import functions as F
@@ -4647,6 +5126,9 @@ def update_where_dv(
     # a live equality delete (seq <= v) never re-kills the fresh copies
     for f in new_files:
         new_stats.setdefault(f, {})["__v"] = [v + 1, v + 1]
+    # row lineage: updated COPIES are new rows id-wise (the documented
+    # copy-on-write contract — carried-id updates are out of scope)
+    next_rid = _assign_row_ids(path, m, new_files, new_stats)
     if "shards" in m:
         plan = _sharded_delta_plan(
             path, m, new_files, new_stats=new_stats, dv_updates=updates,
@@ -4664,6 +5146,7 @@ def update_where_dv(
                 dropped_physicals=list(m.get("dropped_physicals") or []),
                 shards=plan,
                 branch=branch,
+                next_row_id=next_rid,
             )
         m = _read_manifest(path, v, branch=branch, fork=bfork)  # reshard
     stats = dict(m.get("stats") or {})
@@ -4683,6 +5166,7 @@ def update_where_dv(
         dropped_physicals=list(m.get("dropped_physicals") or []),
         dvs=dmap,
         branch=branch,
+        next_row_id=next_rid,
     )
 
 
@@ -4717,7 +5201,15 @@ def purge_dvs(
     if not dv_files:
         return None
     reuse = [f for f in m["files"] if f not in set(dv_files)]
-    survivors = _read_files(spark, path, m, dv_files)  # vectors applied
+    lineage = bool(m.get("row_lineage"))
+    if lineage:
+        # survivors keep their ids: read with lineage, materialize into
+        # the rewritten files' own bytes (positions change, ids must not)
+        survivors = _read_files_lineage(spark, path, m, dv_files).withColumnRenamed(
+            "_row_id", _RID_COL
+        )
+    else:
+        survivors = _read_files(spark, path, m, dv_files)  # vectors applied
     cm_inv = {p: c for c, p in (m.get("colmap") or {}).items()}
     if collect_stats is None:
         phys_cols: set = set()
@@ -4753,6 +5245,7 @@ def purge_dvs(
         expected_version=v,
         collect_stats=collect_stats,
         collect_blooms=collect_blooms,
+        _rid_materialized=lineage,
     )
 
 
@@ -4801,7 +5294,13 @@ def purge_eq(
             **_alter_payload_kwargs(_read_manifest(path, v, materialize=False)),
         )
     affected_sorted = sorted(affected)
-    survivors = _read_files(spark, path, m, affected_sorted)  # deletes applied
+    lineage = bool(m.get("row_lineage"))
+    if lineage:
+        survivors = _read_files_lineage(
+            spark, path, m, affected_sorted
+        ).withColumnRenamed("_row_id", _RID_COL)
+    else:
+        survivors = _read_files(spark, path, m, affected_sorted)
     cm_inv = {p: c for c, p in (m.get("colmap") or {}).items()}
     if collect_stats is None:
         phys_cols: set = set()
@@ -4819,6 +5318,7 @@ def purge_eq(
         expected_version=v,
         collect_stats=collect_stats,
         eqdeletes=[],  # every affected file rewritten: all entries dead
+        _rid_materialized=lineage,
     )
 
 
@@ -4910,7 +5410,18 @@ def compact(
     silently clobbered (retry by re-running: compaction is idempotent
     work, not state)."""
     base_version = current_version(path)
-    snap = read_version(spark, path, base_version if base_version else None)
+    lineage = base_version > 0 and bool(
+        _read_manifest(path, base_version, materialize=False).get("row_lineage")
+    )
+    if lineage:
+        # row lineage: compaction must not change a single row's id — the
+        # rewrite reads rows WITH their ids and materializes them into the
+        # new files' own bytes (the "__ridm" channel)
+        snap = read_version_lineage(spark, path, base_version).withColumnRenamed(
+            "_row_id", _RID_COL
+        )
+    else:
+        snap = read_version(spark, path, base_version if base_version else None)
     # collect_stats: OPTIMIZE re-collects manifest column stats for the
     # rewritten files (an overwrite cannot inherit per-file ranges — the
     # files are new), so a pruned table stays pruned across compactions
@@ -4921,6 +5432,7 @@ def compact(
         expected_version=base_version,
         collect_stats=collect_stats,
         collect_blooms=collect_blooms,
+        _rid_materialized=lineage,
     )
 
 
@@ -4957,11 +5469,19 @@ def optimize_zorder(
     if target_files < 1:
         raise ValueError("target_files must be >= 1")
     base = current_version(path)
-    snap = read_version(spark, path, base if base else None)
+    m = _read_manifest(path, base) if base else {}
+    lineage = bool(m.get("row_lineage"))
+    if lineage:
+        # the re-cluster moves every row between files: ids materialize
+        # into the new files' bytes, the only way they can survive
+        snap = read_version_lineage(spark, path, base).withColumnRenamed(
+            "_row_id", _RID_COL
+        )
+    else:
+        snap = read_version(spark, path, base if base else None)
     missing = [c for c in cols if c not in snap.columns]
     if missing:
         raise ValueError(f"zorder columns not in the table: {missing}")
-    m = _read_manifest(path, base) if base else {}
     cm_inv = {p: c for c, p in (m.get("colmap") or {}).items()}
     if collect_stats is None:
         phys_cols: set = set()
@@ -4989,6 +5509,7 @@ def optimize_zorder(
         expected_version=base,
         collect_stats=collect_stats,
         collect_blooms=collect_blooms,
+        _rid_materialized=lineage,
     )
 
 
@@ -5159,6 +5680,15 @@ def table_changes(
             "change feed (the Delta CDF contract)"
         )
 
+    # a column ADDED WITH A DEFAULT between the versions: the FROM side's
+    # rows all predate the add (its schema lacks the column), so under
+    # the TO version they serve the default — fill the missing column
+    # with THAT value, not null, and unchanged rows cancel (the empty-CDF
+    # contract add_column shares with every metadata-only ALTER)
+    to_defaults = {
+        e["col"]: e["value"] for e in (new_m.get("defaults") or [])
+    }
+
     def _read(m: dict, files: list[str]) -> DataFrame | None:
         if not files:
             return None
@@ -5176,8 +5706,8 @@ def table_changes(
             *[
                 F.col(inv[label]).cast(t).alias(label)
                 if label in inv
-                else F.lit(None).cast(t).alias(label)
-                for label, t in canon.values()  # insertion order
+                else F.lit(to_defaults.get(phys)).cast(t).alias(label)
+                for phys, (label, t) in canon.items()  # insertion order
             ]
         )
 
