@@ -263,3 +263,99 @@ def test_sbucket_string_probe_prunes(spark, tmp_path):
     # cross-type probe (numeric on a string sbucket) refuses to derive
     _, skipped2, _ = read_version_pruned(spark, path, "k", 77, 77)
     assert skipped2 == 0
+
+
+def test_spj_read_zero_exchange_aggregation(spark, tmp_path):
+    """The groupBy twin: an aggregation keyed on the sbucket column plans
+    partial+final HashAggregate directly on the bucketed scan — zero
+    Exchange — and the values equal the plain groupBy exactly."""
+    from tts_etl_pipeline_spark.sources.spj import spj_read
+
+    path = str(tmp_path / "t")
+    df = spark.range(0, 5000).selectExpr("id % 400 as k", "id as v")
+    write_version(df, path, partition_by=(("sbucket", "k", 8),))
+    try:
+        d, colocated = spj_read(spark, path, "k")
+        assert colocated
+        agg = d.groupBy("k").agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+        plan = physical_plan(agg)
+        assert count_shuffles(agg) == 0, plan
+        got = {(r.k, r.s, r.n) for r in agg.collect()}
+        want = {
+            (r.k, r.s, r.n)
+            for r in df.groupBy("k")
+            .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+            .collect()
+        }
+        assert got == want
+        # incompatible snapshot degrades (DV pending), stays exact
+        delete_where_dv(spark, path, "k", 7, 7)
+        d2, ok2 = spj_read(spark, path, "k")
+        assert not ok2
+        assert d2.count() == read_version(spark, path).count()
+        with pytest.raises(ValueError, match="deletion vectors"):
+            spj_read(spark, path, "k", fallback=False)
+    finally:
+        drop_spj_exposures(spark)
+
+
+def test_spj_exposed_scan_bucket_prunes_equality_filter(spark, tmp_path):
+    """Because the sbucket hash IS Spark's bucket hash, the claim made to
+    the catalog is true — so Spark's own bucket pruning on an equality
+    filter is CORRECT (SelectedBucketsCount 1 out of N) and returns
+    exactly the matching rows. A mis-hashed layout would silently drop
+    them; this pin is the soundness witness."""
+    from tts_etl_pipeline_spark.sources.spj import spj_read
+
+    path = str(tmp_path / "t")
+    df = spark.range(0, 2000).selectExpr("id as k", "id * 3 as v")
+    write_version(df, path, partition_by=(("sbucket", "k", 8),))
+    # a filter-only query has no co-location benefit, so the planner's
+    # auto-bucketed-scan heuristic would skip the bucket layout (and its
+    # pruning) to keep parallelism — pin it on for the pruning witness
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try:
+        d, colocated = spj_read(spark, path, "k")
+        assert colocated
+        probe = d.filter(F.col("k") == 1234)
+        plan = physical_plan(probe)
+        m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+        assert m and m.group(1) == "1" and m.group(2) == "8", plan
+        rows = probe.collect()
+        assert len(rows) == 1 and rows[0].v == 3702
+    finally:
+        spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+        drop_spj_exposures(spark)
+
+
+def test_spj_survives_compact_and_lineage(spark, tmp_path):
+    """compact() keeps the declared sbucket layout (the overwrite lays
+    out under the active spec), so SPJ stays zero-Exchange after
+    maintenance — including on a row-lineage table, where the hidden
+    materialized '__rid' column rides the partitioned stage."""
+    from tts_etl_pipeline_spark.sources.spj import spj_join
+    from tts_etl_pipeline_spark.sources.versioned import (
+        compact,
+        enable_row_lineage,
+        read_version_lineage,
+    )
+
+    pa, pb, dfa, dfb = _two_tables(spark, tmp_path)
+    enable_row_lineage(pa)
+    ids = {r.k: r._row_id for r in read_version_lineage(spark, pa).collect()}
+    # accrete a second file-per-bucket generation, then compact
+    write_version(
+        spark.range(3000, 3500).selectExpr("id as k", "id * 2 as va"), pa
+    )
+    compact(spark, pa, target_files=4)
+    after = {r.k: r._row_id for r in read_version_lineage(spark, pa).collect()}
+    assert all(after[k] == ids[k] for k in ids)  # lineage survived
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j, colocated = spj_join(spark, pa, pb, "k")
+        assert colocated, "compact must preserve the sbucket layout"
+        assert count_shuffles(j) == 0
+        assert j.count() == dfa.join(dfb, "k").count()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        drop_spj_exposures(spark)

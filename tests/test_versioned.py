@@ -5053,11 +5053,20 @@ def test_row_lineage_clone_rollback_and_updates(spark, tmp_path):
     # recovered from the head's stats (lineage stays on)
     V.rollback(path, 1)
     assert _ids(spark, path) == ids
-    # a DV UPDATE's copies are new rows id-wise
+    # a DV UPDATE's copy KEEPS the row's identity (Iceberg v3): same
+    # _row_id, new values — the lineage feed can show it as an update
     v = V.update_where_dv(spark, path, "k", 5, 5, {"v": "999"})
     after = _ids(spark, path)
-    assert after[5] not in set(ids.values())
-    assert all(after[k] == ids[k] for k in ids if k != 5)
+    assert after == ids  # identical (row -> id) map, values changed
+    row5 = V.read_version_lineage(spark, path).filter("k = 5").collect()[0]
+    assert row5.v == 999 and row5._row_id == ids[5]
+    # and the LINEAGE CHANGE FEED shows the update under ONE id
+    feed = V.table_changes_lineage(
+        spark, path, v - 1, v
+    ).collect()
+    assert sorted((r._change_type, r._row_id, r.v) for r in feed) == [
+        ("delete", ids[5], 10), ("insert", ids[5], 999),
+    ]
 
 
 def test_row_lineage_refusals_and_sharded(spark, tmp_path, monkeypatch):
@@ -5098,3 +5107,53 @@ def test_row_lineage_refusals_and_sharded(spark, tmp_path, monkeypatch):
     ids2 = _ids(spark, path3)
     assert all(ids2[k] == ids[k] for k in ids)
     assert len(set(ids2.values())) == 70
+
+
+def test_lineage_change_feed(spark, tmp_path):
+    """table_changes_lineage: the changelog with stable row ids — deletes
+    carry the dead row's id, inserts the new one's; maintenance rewrites
+    cancel EXACTLY because ids are preserved; value-identical rows that
+    differ only in identity are distinguishable (the thing the value-only
+    feed cannot do); refusals typed."""
+    import pytest as _pytest
+
+    from tts_etl_pipeline_spark.sources import versioned as V
+
+    path = str(tmp_path / "t")
+    # two VALUE-IDENTICAL rows: only identity tells them apart
+    V.write_version(
+        spark.createDataFrame([(1, "a"), (1, "a"), (2, "b")], "k long, s string"),
+        path,
+    )
+    V.enable_row_lineage(path)  # v2
+    with _pytest.raises(ValueError, match="does not track"):
+        V.table_changes_lineage(spark, path, 1, 2)
+    ids = sorted(
+        r._row_id
+        for r in V.read_version_lineage(spark, path).filter("k = 1").collect()
+    )
+    V.write_version(spark.createDataFrame([(3, "c")], "k long, s string"), path)  # v3
+    feed = V.table_changes_lineage(spark, path, 2, 3).collect()
+    assert [(r.k, r._change_type) for r in feed] == [(3, "insert")]
+    # a DV delete's feed carries the DEAD row's id
+    V.delete_where_dv(spark, path, "k", 2, 2)  # v4
+    feed2 = V.table_changes_lineage(spark, path, 3, 4).collect()
+    assert len(feed2) == 1 and feed2[0]._change_type == "delete"
+    dead = feed2[0]._row_id
+    assert feed2[0].k == 2
+    # compact between versions: EMPTY lineage feed (ids preserved; with
+    # fresh ids this would be a fabricated full-table churn)
+    V.compact(spark, path, target_files=2)  # v5
+    assert V.table_changes_lineage(spark, path, 4, 5).count() == 0
+    # spanning everything: net change = +k3, -k2; the duplicate k=1 rows
+    # cancel by ID, so neither appears
+    span = V.table_changes_lineage(spark, path, 2, 5).collect()
+    assert sorted((r.k, r._change_type) for r in span) == [
+        (2, "delete"), (3, "insert"),
+    ]
+    assert {r._row_id for r in span if r.k == 2} == {dead}
+    assert not any(r._row_id in ids for r in span)  # k=1 rows never churn
+    # schema evolution inside the window: typed refusal
+    V.add_column(path, "extra", "long", default=0)
+    with _pytest.raises(ValueError, match="schema evolution"):
+        V.table_changes_lineage(spark, path, 2, V.current_version(path))

@@ -4292,3 +4292,87 @@ def j30_row_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# j31 — STORAGE-BUCKETED AGGREGATION on a versioned table (j28's groupBy
+# twin): orders written sbucket(16) on o_custkey is read through its
+# bucket layout (spj_read), so the per-customer rollup plans
+# partial+final HashAggregate DIRECTLY on the bucketed scan — ZERO
+# Exchange below the per-key aggregate, asserted in-plan in-query. At
+# 100 TB this is the other half of what the layout buys: the daily
+# per-key rollup stops re-shuffling the fact table every run. The final
+# histogram (orders-per-customer frequency) is a bounded second-level
+# aggregate whose one small shuffle is the expected cost. DuckDB
+# reproduces both levels declaratively, so value equality proves bucket
+# routing lost no row and no key straddles tasks.
+# ---------------------------------------------------------------------------
+@_register(
+    "j31_storage_bucketed_aggregate",
+    """
+    WITH per AS (
+      SELECT o_custkey,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                  AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT n AS orders_per_cust,
+           COUNT(*) AS n_cust,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM per GROUP BY n ORDER BY orders_per_cust
+    """,
+)
+def j31_storage_bucketed_aggregate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from tts_etl_pipeline_spark.functions.exact import money
+    from tts_etl_pipeline_spark.plans.inspect import (
+        count_shuffles,
+        physical_plan,
+    )
+    from tts_etl_pipeline_spark.sources.spj import (
+        drop_spj_exposures,
+        spj_read,
+    )
+    from tts_etl_pipeline_spark.sources.versioned import write_version
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    )
+    base = tempfile.mkdtemp(prefix="j31_")
+    path = f"{base}/orders_v"
+    try:
+        write_version(
+            orders, path, partition_by=(("sbucket", "o_custkey", 16),)
+        )
+        d, colocated = spj_read(spark, path, "o_custkey")
+        if not colocated:
+            raise RuntimeError("an sbucket(16) snapshot must expose bucketed")
+        per = d.groupBy("o_custkey").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((money("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents"),
+        )
+        plan = physical_plan(per)
+        if count_shuffles(per) != 0 or "Bucketed: true" not in plan:
+            raise RuntimeError(
+                f"the per-key aggregate must plan ZERO Exchange on the "
+                f"bucketed scan:\n{plan}"
+            )
+        return (
+            per.groupBy(F.col("n").alias("orders_per_cust"))
+            .agg(
+                F.count(F.lit(1)).alias("n_cust"),
+                F.sum("cents").cast("bigint").alias("sum_cents"),
+            )
+            .orderBy("orders_per_cust")
+            .localCheckpoint(eager=True)  # materialize before tmp vanishes
+        )
+    finally:
+        drop_spj_exposures(spark)
+        shutil.rmtree(base, ignore_errors=True)

@@ -217,6 +217,45 @@ def spj_join(
     return joined, True
 
 
+def spj_read(spark: SparkSession, path: str, key: str, fallback: bool = True):
+    """Read ONE versioned table through its storage-bucket layout so that
+    aggregations (and window functions) partitioned by `key` plan with
+    ZERO Exchange: the bucketed scan reports ``HashPartitioning(key, N)``
+    and Catalyst's partial+final HashAggregate collapses onto it — the
+    groupBy twin of spj_join, and the other half of what a pre-bucketed
+    100 TB layout buys (a daily per-key rollup re-shuffles the fact table
+    every run unless the layout is visible to the planner).
+
+    Same soundness gate as the join side (active sbucket spec on `key`,
+    every file carries its tuple, no pending merge-on-read state); an
+    incompatible snapshot degrades to the plain read. Returns
+    ``(df, colocated)``."""
+    v = V.current_version(path)
+    if v == 0:
+        raise ValueError(f"no committed versions at {path}")
+    m = V._read_manifest(path, v)
+    phys = V._phys(m, key)
+    sb = _active_sbucket(m, phys)
+    reason = None
+    if sb is None:
+        reason = f"{path}: active spec does not sbucket {key!r}"
+    else:
+        n, stat_key = sb
+        stats = m.get("stats") or {}
+        if any(stat_key not in (stats.get(f) or {}) for f in m["files"]):
+            reason = f"{path}: file(s) carry no {stat_key} tuple"
+        elif any(f in (m.get("dvs") or {}) for f in m["files"]):
+            reason = f"{path}: pending deletion vectors"
+        elif m.get("eqdeletes"):
+            reason = f"{path}: pending equality deletes"
+    if reason is not None:
+        if not fallback:
+            raise ValueError(f"storage-bucketed read impossible: {reason}")
+        return V.read_version(spark, path), False
+    name = _expose_bucketed(spark, path, m, v, phys, stat_key, n)
+    return _read_exposed(spark, name, m), True
+
+
 def drop_spj_exposures(spark: SparkSession) -> int:
     """Drop every ephemeral spj_* catalog table and its hard-link dir —
     session-scope cleanup for long-lived sessions."""

@@ -3943,10 +3943,13 @@ def fast_forward(path: str, branch: str) -> int:
 #   schema never mentions it; such files are flagged "__ridm" in stats).
 #   The lineage read coalesces: materialized column if present, else
 #   block arithmetic.
-# - copy-on-write row REWRITES (overwrite, merge, update) mint fresh ids
-#   (the rewritten row is a new row, id-wise) — the honest v1 contract;
-#   Iceberg's carried-id-on-update refinement needs per-row id transport
-#   through every mutation and is out of scope here.
+# - update_where_dv CARRIES ids: the copied row keeps the original row's
+#   identity (materialized like a maintenance rewrite), so the lineage
+#   change feed shows an update as delete+insert under ONE _row_id — the
+#   Iceberg v3 update semantics. Full row REWRITES that lose row
+#   provenance (overwrite, merge, SCD2 folds) mint fresh ids — the
+#   rewritten row is a new row, id-wise, and claiming otherwise without
+#   per-row transport would fabricate lineage.
 # ---------------------------------------------------------------------------
 
 _RID_COL = "__rid"  # the reserved hidden physical column + stats key
@@ -5093,7 +5096,11 @@ def update_where_dv(
     )
     if not touched:
         return None
-    df = _read_files(spark, path, read_m, touched, with_positions=True)
+    lineage = bool(m.get("row_lineage"))
+    df = _read_files(
+        spark, path, read_m, touched, with_positions=True,
+        extra_phys_cols=(_RID_COL,) if lineage else (),
+    )
     pred = _row_predicate(col, lo, hi, condition)
     hit = df.filter(F.coalesce(pred, F.lit(False)))
     # data files are immutable and the predicate deterministic, so the
@@ -5101,14 +5108,51 @@ def update_where_dv(
     updates = _grow_dv_map(spark, path, read_m, touched, hit)
     if updates is None:
         return None
+    if lineage:
+        # an UPDATE keeps the row's IDENTITY (Iceberg v3 row lineage):
+        # resolve each hit row's id — materialized bytes or block
+        # arithmetic — and materialize it into the copied rows, so the
+        # lineage change feed shows delete+insert under the SAME _row_id
+        from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+        stats_src = read_m.get("stats") or {}
+        firsts = [
+            (os.path.basename(f), int(stats_src[f][_RID_COL][0]))
+            for f in touched
+            if _RID_COL in (stats_src.get(f) or {})
+        ]
+        fdf = spark.createDataFrame(
+            firsts,
+            StructType(
+                [
+                    StructField("__rl_file", StringType(), False),
+                    StructField("__rl_first", LongType(), False),
+                ]
+            ),
+        )
+        hit = (
+            hit.join(
+                F.broadcast(fdf),
+                hit["__dv_file"] == F.col("__rl_file"),
+                "left",
+            )
+            .withColumn(
+                _RID_COL,
+                F.coalesce(
+                    F.col(_RID_COL), F.col("__rl_first") + F.col("__dv_pos")
+                ),
+            )
+            .drop("__rl_file", "__rl_first")
+        )
     updated = hit.select(
         *[
             (F.expr(a) if not isinstance(a, Column) else a).alias(c)
             if (a := assignments.get(c)) is not None
             else F.col(c)
             for c in df.columns
-            if c not in ("__dv_file", "__dv_pos")
-        ]
+            if c not in ("__dv_file", "__dv_pos", _RID_COL)
+        ],
+        *([F.col(_RID_COL)] if lineage else []),
     )
     cm = m.get("colmap")
     new_files = _stage_files(_stage_physical(updated, cm), path)
@@ -5126,8 +5170,9 @@ def update_where_dv(
     # a live equality delete (seq <= v) never re-kills the fresh copies
     for f in new_files:
         new_stats.setdefault(f, {})["__v"] = [v + 1, v + 1]
-    # row lineage: updated COPIES are new rows id-wise (the documented
-    # copy-on-write contract — carried-id updates are out of scope)
+        if lineage:
+            # the copies CARRY their rows' ids in their own bytes
+            new_stats[f]["__ridm"] = [1, 1]
     next_rid = _assign_row_ids(path, m, new_files, new_stats)
     if "shards" in m:
         plan = _sharded_delta_plan(
@@ -5513,6 +5558,127 @@ def optimize_zorder(
     )
 
 
+def _changed_file_sets(
+    path: str, old_m: dict, new_m: dict, from_version: int, to_version: int
+) -> tuple[list, list]:
+    """(old_only, new_only) — the file sets each side of a change feed
+    must re-read. Rows in files SHARED by both versions are identical by
+    construction (immutable files), so the diff reads only the symmetric
+    difference, PLUS any shared file whose row VISIBILITY moved:
+
+    - a deletion-vector commit changes visibility without changing the
+      file list — any shared file whose DV reference differs re-reads on
+      BOTH sides (each through its own manifest, so each side's vector
+      applies) and exceptAll cancels the still-visible rows;
+    - EQUALITY deletes likewise: a shared file whose APPLICABLE delete
+      set differs between the versions re-reads on both sides.
+    Cost stays O(changed files), never the table. Raises on files a
+    vacuum already reclaimed."""
+    old_files, new_files = set(old_m["files"]), set(new_m["files"])
+    old_dvs, new_dvs = old_m.get("dvs") or {}, new_m.get("dvs") or {}
+    dv_changed = {
+        f
+        for f in old_files & new_files
+        if old_dvs.get(f) != new_dvs.get(f)
+    }
+    old_eqs = old_m.get("eqdeletes") or []
+    new_eqs = new_m.get("eqdeletes") or []
+    if old_eqs != new_eqs:
+        o_ids = sorted((e["seq"], e["sc"]) for e in old_eqs)
+        n_ids = sorted((e["seq"], e["sc"]) for e in new_eqs)
+        stats_probe = new_m.get("stats") or {}
+        old_stats_probe = old_m.get("stats") or {}
+        for f in old_files & new_files:
+            rec = (stats_probe.get(f) or old_stats_probe.get(f) or {}).get("__v")
+            av = rec[0] if rec else float("-inf")  # unstamped = ancient
+            if [x for x in o_ids if x[0] > av] != [x for x in n_ids if x[0] > av]:
+                dv_changed.add(f)
+    old_only = sorted((old_files - new_files) | dv_changed)
+    new_only = sorted((new_files - old_files) | dv_changed)
+    missing = [
+        f for f in old_only + new_only if not os.path.exists(os.path.join(path, f))
+    ]
+    if missing:
+        raise ValueError(
+            f"change feed {from_version}->{to_version} references vacuumed "
+            f"files: {missing[:3]}"
+        )
+    return old_only, new_only
+
+
+def table_changes_lineage(
+    spark: SparkSession, path: str, from_version: int, to_version: int
+) -> DataFrame:
+    """The change feed WITH STABLE ROW IDS (the Iceberg v3 changelog
+    shape): every emitted row carries its `_row_id`, so a CDC consumer
+    can correlate a delete and its replacement, dedup redeliveries, and
+    audit exactly which physical rows a derived record came from — the
+    thing value-only feeds (table_changes) cannot answer when two rows
+    share all column values.
+
+    Same O(changed files) cost shape as table_changes; a maintenance
+    rewrite between the versions cancels EXACTLY because ids are
+    preserved (a compact's rewritten rows carry their old ids, so
+    exceptAll eliminates them — with fresh ids every compaction would
+    fabricate a full-table churn feed). Refused unless BOTH versions
+    track lineage and share one schema — a lineage feed across a schema
+    evolution has no sound row-identity diff, span the alter with two
+    feeds instead."""
+    from pyspark.sql import functions as F
+
+    for v in (from_version, to_version):
+        _check_version(path, v)
+    if from_version > to_version:
+        raise ValueError(
+            f"from_version {from_version} must be <= to_version {to_version}"
+        )
+    old_m = _read_manifest(path, from_version)
+    new_m = _read_manifest(path, to_version)
+    for v, m in ((from_version, old_m), (to_version, new_m)):
+        if not m.get("row_lineage"):
+            raise ValueError(
+                f"version {v} does not track row lineage (enable_row_lineage "
+                f"before the window you want to feed from)"
+            )
+    if old_m.get("schema") != new_m.get("schema") or (
+        old_m.get("colmap") or {}
+    ) != (new_m.get("colmap") or {}):
+        raise ValueError(
+            "lineage change feed across a schema evolution is not "
+            "supported; span the alter with two feeds"
+        )
+    old_only, new_only = _changed_file_sets(
+        path, old_m, new_m, from_version, to_version
+    )
+    base_cols = _schema_from_json(new_m["schema"]).names
+    if "_change_type" in base_cols or "_row_id" in base_cols:
+        raise ValueError(
+            "table has a _change_type/_row_id column — the names are "
+            "reserved by the lineage change feed"
+        )
+
+    def _side(m: dict, files: list) -> DataFrame:
+        if not files:
+            return None
+        return _read_files_lineage(spark, path, m, files).select(
+            *base_cols, "_row_id"
+        )
+
+    olds, news = _side(old_m, old_only), _side(new_m, new_only)
+    if olds is None and news is None:
+        empty = read_version(spark, path, to_version).limit(0)
+        return empty.withColumn("_row_id", F.lit(None).cast("long")).withColumn(
+            "_change_type", F.lit("insert")
+        )
+    if news is None:
+        news = spark.createDataFrame([], olds.schema)
+    if olds is None:
+        olds = spark.createDataFrame([], news.schema)
+    inserts = news.exceptAll(olds).withColumn("_change_type", F.lit("insert"))
+    deletes = olds.exceptAll(news).withColumn("_change_type", F.lit("delete"))
+    return inserts.unionByName(deletes)
+
+
 def table_changes(
     spark: SparkSession, path: str, from_version: int, to_version: int
 ) -> DataFrame:
@@ -5546,48 +5712,9 @@ def table_changes(
         )
     old_m = _read_manifest(path, from_version)
     new_m = _read_manifest(path, to_version)
-    old_files, new_files = set(old_m["files"]), set(new_m["files"])
-    # a deletion-vector commit changes ROW VISIBILITY without changing the
-    # file list: any shared file whose DV reference differs between the
-    # versions is re-read on BOTH sides (each side through its own
-    # manifest, so each side's vector applies) — exceptAll cancels the
-    # still-visible rows and the feed is exactly the newly-deleted (or
-    # rollback-restored) ones. Cost stays O(changed files): only files
-    # whose vector actually moved re-read, never the table.
-    old_dvs, new_dvs = old_m.get("dvs") or {}, new_m.get("dvs") or {}
-    dv_changed = {
-        f
-        for f in old_files & new_files
-        if old_dvs.get(f) != new_dvs.get(f)
-    }
-    # EQUALITY deletes change row visibility without touching the file
-    # list, exactly like DVs: any shared file whose APPLICABLE delete set
-    # differs between the versions re-reads on both sides (each through
-    # its own manifest, where _read_files applies its own deletes), and
-    # exceptAll cancels everything but the newly-deleted rows. Cost stays
-    # O(files the new delete touches).
-    old_eqs = old_m.get("eqdeletes") or []
-    new_eqs = new_m.get("eqdeletes") or []
-    if old_eqs != new_eqs:
-        o_ids = sorted((e["seq"], e["sc"]) for e in old_eqs)
-        n_ids = sorted((e["seq"], e["sc"]) for e in new_eqs)
-        stats_probe = new_m.get("stats") or {}
-        old_stats_probe = old_m.get("stats") or {}
-        for f in old_files & new_files:
-            rec = (stats_probe.get(f) or old_stats_probe.get(f) or {}).get("__v")
-            av = rec[0] if rec else float("-inf")  # unstamped = ancient
-            if [x for x in o_ids if x[0] > av] != [x for x in n_ids if x[0] > av]:
-                dv_changed.add(f)
-    old_only = sorted((old_files - new_files) | dv_changed)
-    new_only = sorted((new_files - old_files) | dv_changed)
-    missing = [
-        f for f in old_only + new_only if not os.path.exists(os.path.join(path, f))
-    ]
-    if missing:
-        raise ValueError(
-            f"change feed {from_version}->{to_version} references vacuumed "
-            f"files: {missing[:3]}"
-        )
+    old_only, new_only = _changed_file_sets(
+        path, old_m, new_m, from_version, to_version
+    )
     if not old_only and not new_only:  # identical file lists -> empty feed
         base = read_version(spark, path, to_version).limit(0)
         if "_change_type" in base.columns:
