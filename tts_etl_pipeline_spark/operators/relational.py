@@ -3674,29 +3674,37 @@ def j25_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
             raise RuntimeError("audit failed: staged nulls in key columns")
         if staged.count() != n_total - (0 if mx is None else 1):
             raise RuntimeError("staged snapshot is not main + batch - DV row")
-        # PUBLISH: main's history gains exactly the three staged commits
+        # PUBLISH: main's history gains exactly the staged commits (three
+        # on real data; the DV delete no-ops on an EMPTY batch — mx is
+        # None — leaving two, and publish must graft exactly those)
+        want = 3 if mx is None else 4
         head = fast_forward(path, "audit")
-        if head != 4 or [h["version"] for h in history(path)] != [1, 2, 3, 4]:
+        if head != want or [
+            h["version"] for h in history(path)
+        ] != list(range(1, want + 1)):
             raise RuntimeError(
                 f"fast-forward grafted a wrong chain: head={head}"
             )
-        m2, m3, m4 = manifest(path, 2), manifest(path, 3), manifest(path, 4)
+        m2, m3 = manifest(path, 2), manifest(path, 3)
         if (
             m2.get("published_from") != "audit"
-            or m4.get("published_from") != "audit"
+            or m3.get("published_from") != "audit"
             or m2.get("parent") != 1
             or m3.get("parent") != 2
-            or m4.get("parent") != 3
         ):
             raise RuntimeError("published commits lost lineage/provenance")
-        if history(path)[-1]["mode"] != "delete-dv" or not m4.get("dvs"):
-            raise RuntimeError(
-                "the published lineage lost the staged DV commit"
-            )
-        if m4["files"] != m3["files"]:
-            raise RuntimeError(
-                "a published DV delete must ride by reference — same files"
-            )
+        if mx is not None:
+            m4 = manifest(path, 4)
+            if m4.get("published_from") != "audit" or m4.get("parent") != 3:
+                raise RuntimeError("published commits lost lineage/provenance")
+            if history(path)[-1]["mode"] != "delete-dv" or not m4.get("dvs"):
+                raise RuntimeError(
+                    "the published lineage lost the staged DV commit"
+                )
+            if m4["files"] != m3["files"]:
+                raise RuntimeError(
+                    "a published DV delete must ride by reference — same files"
+                )
         if read_version(spark, path).count() != n_total - (
             0 if mx is None else 1
         ):
