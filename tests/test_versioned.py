@@ -5157,3 +5157,116 @@ def test_lineage_change_feed(spark, tmp_path):
     V.add_column(path, "extra", "long", default=0)
     with _pytest.raises(ValueError, match="schema evolution"):
         V.table_changes_lineage(spark, path, 2, V.current_version(path))
+
+
+# ----------------------- r13: replace_where (j33) -----------------------
+
+
+def test_replace_where_atomic_and_pruned(spark, tmp_path):
+    """THE j33 contract: one commit removes the matching slice and lands
+    the replacement; provably-disjoint files ride by reference (same
+    name, same mtime); the change feed across the commit is exactly
+    (old slice as deletes) + (df as inserts)."""
+    from tts_etl_pipeline_spark.sources import versioned as V
+
+    path = str(tmp_path / "t")
+    V.write_version(
+        spark.range(400).selectExpr("id AS k", "id * 10 AS v")
+        .repartitionByRange(4, "k"),
+        path,
+        collect_stats=("k",),
+    )
+    m1 = V._read_manifest(path, 1)
+    sig = {
+        f: os.stat(os.path.join(path, f)).st_mtime_ns for f in m1["files"]
+    }
+    new = spark.range(100, 180).selectExpr("id AS k", "id * 1000 AS v")
+    v2 = V.replace_where(new, path, "k", 100, 199)
+    assert v2 == 2 and V.current_version(path) == 2
+    got = {
+        r.k: r.v for r in V.read_version(spark, path).collect()
+    }
+    want = {k: k * 10 for k in range(400) if not 100 <= k <= 199}
+    want.update({k: k * 1000 for k in range(100, 180)})
+    assert got == want
+    # pruning: files disjoint from [100,199] ride by reference
+    m2 = V._read_manifest(path, 2)
+    reused = [f for f in m2["files"] if f in sig]
+    assert reused, "range-clustered files disjoint from the slice must ride"
+    for f in reused:
+        assert os.stat(os.path.join(path, f)).st_mtime_ns == sig[f]
+    stats1 = m1.get("stats", {})
+    for f in m1["files"]:
+        r = stats1.get(f, {}).get("k")
+        if r and (r[1] < 100 or r[0] > 199):
+            assert f in reused  # every provably-disjoint file was kept
+    # change feed: exactly the old slice out, the new rows in
+    feed = V.table_changes(spark, path, 1, 2).collect()
+    dels = sorted(r.k for r in feed if r._change_type == "delete")
+    ins = sorted(r.k for r in feed if r._change_type == "insert")
+    assert dels == list(range(100, 200))
+    assert ins == list(range(100, 180))
+
+
+def test_replace_where_guards(spark, tmp_path):
+    """Incoming rows outside the predicate (or NULL) refuse TYPED before
+    anything stages — head unmoved, no stray data files; empty df is a
+    pure pruned delete; a no-match predicate still lands the insert."""
+    from tts_etl_pipeline_spark.sources.versioned import (
+        ConstraintViolationError,
+    )
+    from tts_etl_pipeline_spark.sources import versioned as V
+
+    path = str(tmp_path / "t")
+    V.write_version(
+        spark.range(100).selectExpr("id AS k", "id AS v"), path,
+        collect_stats=("k",),
+    )
+    files_before = sorted(
+        f for f in os.listdir(os.path.join(path, "data"))
+    ) if os.path.isdir(os.path.join(path, "data")) else None
+    stray = spark.createDataFrame([(500, 1)], "k long, v long")
+    with pytest.raises(ConstraintViolationError, match="satisfy the predicate"):
+        V.replace_where(stray, path, "k", 10, 19)
+    nullk = spark.createDataFrame([(None, 1)], "k long, v long")
+    with pytest.raises(ConstraintViolationError, match="satisfy the predicate"):
+        V.replace_where(nullk, path, "k", 10, 19)
+    assert V.current_version(path) == 1
+    if files_before is not None:
+        assert sorted(os.listdir(os.path.join(path, "data"))) == files_before
+    # empty df: a pure pruned DELETE that still commits atomically
+    empty = spark.createDataFrame([], "k long, v long")
+    v2 = V.replace_where(empty, path, "k", 10, 19)
+    assert v2 == 2
+    assert V.read_version(spark, path).count() == 90
+    # no-match predicate: the INSERT half must land
+    add = spark.createDataFrame([(1000, 7)], "k long, v long")
+    v3 = V.replace_where(add, path, "k", 1000, 1000)
+    assert v3 == 3 and V.read_version(spark, path).count() == 91
+    # schema drift refuses (write_version_parts is the enforcement)
+    drift = spark.createDataFrame([(5, "x")], "k long, v string")
+    with pytest.raises(ValueError, match="schema"):
+        V.replace_where(drift, path, "k", 5, 5)
+
+
+def test_replace_where_respects_live_deletes(spark, tmp_path):
+    """Reused files stay covered by pending equality deletes and keep
+    their DVs; rewritten survivors materialize both (they read through
+    _read_files) — no deleted row is resurrected by a replace."""
+    from tts_etl_pipeline_spark.sources import versioned as V
+
+    path = str(tmp_path / "t")
+    V.write_version(
+        spark.range(200).selectExpr("id AS k", "id AS v")
+        .repartitionByRange(2, "k"),  # file A ~[0,99], file B ~[100,199]
+        path,
+        collect_stats=("k",),
+    )
+    V.delete_where_eq(path, "k", [5, 150])      # one key per file
+    V.delete_where_dv(spark, path, "k", 6, 6)   # and a DV'd row in file A
+    new = spark.createDataFrame([(20, -1)], "k long, v long")
+    V.replace_where(new, path, "k", 20, 29)     # rewrites file A only
+    got = {r.k: r.v for r in V.read_version(spark, path).collect()}
+    assert 5 not in got and 6 not in got and 150 not in got
+    assert got[20] == -1 and all(k not in got for k in range(21, 30))
+    assert got[30] == 30 and got[199] == 199

@@ -4384,3 +4384,255 @@ def j31_storage_bucketed_aggregate(
     finally:
         drop_spj_exposures(spark)
         shutil.rmtree(base, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# j32 — METADATA-ONLY AGGREGATION (Iceberg's aggregate pushdown to
+# manifests): COUNT(*) / MIN / MAX answered from per-file record counts
+# ("__n", stamped at commit like Iceberg's record_count) and manifest
+# column stats — ZERO data IO and ZERO Spark jobs, pinned in-query via a
+# job group AND by renaming every data file away and asking again. On a
+# sharded manifest the fold is entry-list-only (O(shards) driver work at
+# 10^6 files). Soundness is typed, never silent: a DV'd snapshot still
+# COUNTs exactly (vector cardinalities subtract via KB sidecars) but
+# refuses MIN/MAX (the vector may hold the extreme row) and degrades to
+# the scan — both paths land in the result, and DuckDB reproduces all of
+# it declaratively, so value equality proves the manifest numbers ARE the
+# data's.
+# ---------------------------------------------------------------------------
+@_register(
+    "j32_metadata_only_aggregate",
+    """
+    SELECT
+      (SELECT COUNT(*) FROM orders)                        AS cnt_all,
+      (SELECT MIN(o_orderkey) FROM orders)                 AS min_key,
+      (SELECT MAX(o_orderkey) FROM orders)                 AS max_key,
+      (SELECT MIN(o_totalprice) FROM orders)               AS min_price,
+      (SELECT MAX(o_totalprice) FROM orders)               AS max_price,
+      (SELECT COUNT(*) FROM orders
+        WHERE o_orderkey % 32 <> 5)                        AS cnt_live,
+      (SELECT MIN(o_orderkey) FROM orders
+        WHERE o_orderkey % 32 <> 5)                        AS min_key_live,
+      (SELECT MAX(o_orderkey) FROM orders
+        WHERE o_orderkey % 32 <> 5)                        AS max_key_live
+    """,
+)
+def j32_metadata_only_aggregate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os as _os
+    import shutil
+    import tempfile
+
+    from tts_etl_pipeline_spark.sources.versioned import (
+        _read_manifest,
+        aggregate_metadata,
+        current_version,
+        delete_where_dv,
+        plan_metadata_aggregate,
+        write_version,
+    )
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    stats = ("o_orderkey", "o_totalprice")
+    base = tempfile.mkdtemp(prefix="j32_")
+    path = f"{base}/orders_v"
+    try:
+        write_version(
+            orders.filter(F.col("o_orderkey") % 2 == 0), path,
+            collect_stats=stats,
+        )
+        write_version(
+            orders.filter(F.col("o_orderkey") % 2 == 1), path,
+            mode="append", collect_stats=stats,
+        )
+        mx = orders.agg(F.max("o_orderkey")).collect()[0][0]
+        deleted = mx is not None and delete_where_dv(
+            spark, path, "o_orderkey", 0, mx,
+            condition="o_orderkey % 32 = 5",
+        ) is not None
+        head = current_version(path)
+        full_v = 2 if head >= 2 else head  # the pre-delete snapshot
+        # the metadata plans: the FULL snapshot answers count+min/max,
+        # the DV'd head answers count (sidecar cardinalities subtract)
+        # but refuses min/max with a typed reason
+        p_full = plan_metadata_aggregate(path, stats, version=full_v)
+        if not p_full["metadata_only"] or p_full["shards_loaded"] != 0:
+            raise RuntimeError(f"full-snapshot plan not metadata-only: {p_full}")
+        p_cnt = plan_metadata_aggregate(path)
+        if not p_cnt["metadata_only"]:
+            raise RuntimeError(f"DV'd COUNT plan not metadata-only: {p_cnt}")
+        if deleted:
+            p_mm = plan_metadata_aggregate(path, ("o_orderkey",))
+            if p_mm["metadata_only"] or "deletion vector" not in p_mm["reason"]:
+                raise RuntimeError(
+                    f"a DV'd snapshot must refuse metadata MIN/MAX: {p_mm}"
+                )
+        # ZERO Spark jobs for the metadata-served answers
+        sc = spark.sparkContext
+        sc.setJobGroup("j32_meta_agg", "metadata-only aggregation")
+        full = aggregate_metadata(spark, path, stats, version=full_v)
+        live_cnt = aggregate_metadata(spark, path)
+        jobs = sc.statusTracker().getJobIdsForGroup("j32_meta_agg")
+        sc.setJobGroup(None, None)
+        if list(jobs):
+            raise RuntimeError(
+                f"metadata aggregation ran {len(jobs)} Spark job(s) — the "
+                "answer must come from the manifest alone"
+            )
+        # the DV'd min/max: typed fallback, served exactly by the scan
+        live_mm = aggregate_metadata(spark, path, ("o_orderkey",))
+        out = (
+            full.select(
+                F.col("count_rows").alias("cnt_all"),
+                F.col("min_o_orderkey").alias("min_key"),
+                F.col("max_o_orderkey").alias("max_key"),
+                F.col("min_o_totalprice").alias("min_price"),
+                F.col("max_o_totalprice").alias("max_price"),
+            )
+            .crossJoin(live_cnt.select(F.col("count_rows").alias("cnt_live")))
+            .crossJoin(
+                live_mm.select(
+                    F.col("min_o_orderkey").alias("min_key_live"),
+                    F.col("max_o_orderkey").alias("max_key_live"),
+                )
+            )
+            .localCheckpoint(eager=True)  # materialize before tmp vanishes
+        )
+        # the data-free proof: hide EVERY data file; the manifest still
+        # answers the same COUNT — not one data byte was behind it
+        m = _read_manifest(path, head)
+        for f in m["files"]:
+            _os.rename(_os.path.join(path, f), _os.path.join(path, f) + ".x")
+        p_again = plan_metadata_aggregate(path)
+        if not p_again["metadata_only"] or p_again["count"] != p_cnt["count"]:
+            raise RuntimeError(
+                "the metadata COUNT changed once the data files vanished — "
+                "something was reading data bytes"
+            )
+        return out
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# j33 — ATOMIC REPLACE-WHERE (Delta's INSERT OVERWRITE replaceWhere /
+# Iceberg's overwrite-by-filter): ONE commit swaps a key slice for its
+# recomputed replacement — the backfill primitive. In-query pins: the
+# history gains exactly one version (no torn delete+append window);
+# every file whose manifest range is provably disjoint from the slice
+# rides BY REFERENCE (same mtime — at 100 TB a day's backfill costs that
+# day's files, not the table); the change feed across the commit is
+# exactly old-slice-out + replacement-in; and an out-of-slice row
+# refuses TYPED with the head unmoved. DuckDB reproduces the final
+# state declaratively (CASE WHEN in-slice THEN recomputed), so value
+# equality proves the swap lost nothing and resurrected nothing.
+# ---------------------------------------------------------------------------
+@_register(
+    "j33_replace_where",
+    """
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(CAST(
+             CASE WHEN o_orderkey BETWEEN 100 AND 999
+                  THEN o_totalprice * 2 ELSE o_totalprice END
+             AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM orders
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def j33_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+    import shutil
+    import tempfile
+
+    from tts_etl_pipeline_spark.functions.exact import money
+    from tts_etl_pipeline_spark.sources.versioned import (
+        ConstraintViolationError,
+        current_version,
+        history,
+        manifest,
+        read_version,
+        replace_where,
+        table_changes,
+        write_version,
+    )
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    lo, hi = 100, 999
+    base = tempfile.mkdtemp(prefix="j33_")
+    path = f"{base}/orders_v"
+    try:
+        write_version(
+            orders.repartitionByRange(8, "o_orderkey"), path,
+            collect_stats=("o_orderkey",),
+        )
+        m1 = manifest(path, 1)
+        sig = {
+            f: _os.stat(_os.path.join(path, f)).st_mtime_ns
+            for f in m1["files"]
+        }
+        n_slice = orders.filter(
+            F.col("o_orderkey").between(lo, hi)
+        ).count()
+        # the typed guard first: an out-of-slice row refuses, head unmoved
+        stray = spark.createDataFrame(
+            [(hi + 1000, "F", 1.0)], orders.schema
+        )
+        try:
+            replace_where(stray, path, "o_orderkey", lo, hi)
+            raise RuntimeError("an out-of-slice row must refuse")
+        except ConstraintViolationError:
+            pass
+        if current_version(path) != 1:
+            raise RuntimeError("a refused replace moved the head")
+        # the backfill: the slice re-lands with recomputed prices
+        repl = orders.filter(F.col("o_orderkey").between(lo, hi)).withColumn(
+            "o_totalprice", F.col("o_totalprice") * 2
+        )
+        v2 = replace_where(repl, path, "o_orderkey", lo, hi)
+        if v2 != 2 or [h["version"] for h in history(path)] != [1, 2]:
+            raise RuntimeError("replace_where must be ONE commit")
+        # pruning: every provably-disjoint file rode by reference
+        m2 = manifest(path, 2)
+        stats1 = m1.get("stats", {})
+        for f in m1["files"]:
+            r = stats1.get(f, {}).get("o_orderkey")
+            if r and (r[1] < lo or r[0] > hi):
+                if f not in m2["files"] or _os.stat(
+                    _os.path.join(path, f)
+                ).st_mtime_ns != sig[f]:
+                    raise RuntimeError(
+                        f"disjoint file {f} was rewritten — the backfill "
+                        "must cost the slice, not the table"
+                    )
+        # change feed: exactly old-slice-out + replacement-in
+        feed = table_changes(spark, path, 1, 2)
+        counts = {
+            r["_change_type"]: r["n"]
+            for r in feed.groupBy("_change_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        if counts.get("delete", 0) != n_slice or counts.get(
+            "insert", 0
+        ) != n_slice:
+            raise RuntimeError(f"change feed is not slice-for-slice: {counts}")
+        return (
+            read_version(spark, path)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum((money("o_totalprice") * 100).cast("bigint"))
+                .cast("bigint")
+                .alias("sum_cents"),
+            )
+            .orderBy("o_orderstatus")
+            .localCheckpoint(eager=True)  # materialize before tmp vanishes
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

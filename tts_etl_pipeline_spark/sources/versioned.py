@@ -311,6 +311,17 @@ def _write_shard(
     summary = _shard_summary(files, stats)
     if summary:
         entry["summary"] = summary
+    # shard-level aggregate channel (aggregate_metadata): total record
+    # count when EVERY file carries its "__n" stamp, plus the number of
+    # DV-bearing files. "rows" and "dvf" were introduced together, so an
+    # entry with "rows" but no "dvf" PROVES the shard is vector-free —
+    # COUNT(*) then folds the entry without loading the shard at all.
+    n_recs = [(stats.get(f) or {}).get("__n") for f in files]
+    if files and all(r is not None for r in n_recs):
+        entry["rows"] = sum(int(r[0]) for r in n_recs)
+        ndv = sum(1 for f in files if f in payload["dvs"])
+        if ndv:
+            entry["dvf"] = ndv
     return entry
 
 
@@ -2336,6 +2347,11 @@ def write_version(
     # (affected by every delete) — the sound direction.
     for f in new_files:
         stats.setdefault(f, {})["__v"] = [base_version + 1, base_version + 1]
+        # "__n" is Iceberg's per-file record_count: one footer read at
+        # commit time makes COUNT(*) (aggregate_metadata) a pure manifest
+        # fold forever after — no snapshot scan, ever
+        n = _footer_num_rows(path, f)
+        stats[f]["__n"] = [n, n]
         if _rid_materialized:
             # this file's parquet bytes CARRY their row ids — the lineage
             # read must trust them, never mint a fresh block
@@ -2485,11 +2501,11 @@ def write_version_parts(
     for p in parts:
         staged.extend(_stage_files(_stage_physical(p, cm), path))
     new_v = expected_version + 1  # freshly staged parts' add version
-    new_files = [
-        f
+    nrows = {
+        f: int(pq.ParquetFile(os.path.join(path, f)).metadata.num_rows)
         for f in staged
-        if pq.ParquetFile(os.path.join(path, f)).metadata.num_rows > 0
-    ]
+    }
+    new_files = [f for f in staged if nrows[f] > 0]
     empties = [f for f in staged if f not in set(new_files)]
     if not new_files and not reuse_files and empties:
         # an all-empty snapshot still needs one schema-bearing file so
@@ -2519,6 +2535,9 @@ def write_version_parts(
     # covered — the fold materializes deletes only for what it rewrote
     for f in new_files:
         stats.setdefault(f, {})["__v"] = [new_v, new_v]
+        # record_count ("__n") from the footer this function ALREADY read
+        # for the empty-file filter — the COUNT(*) manifest fold is free
+        stats[f]["__n"] = [nrows[f], nrows[f]]
         if _rid_materialized:
             stats[f]["__ridm"] = [1, 1]  # ids ride in the file's own bytes
     next_rid = _assign_row_ids(path, base_m, new_files, stats)
@@ -3976,7 +3995,8 @@ def _assign_row_ids(
         rec = stats.setdefault(f, {})
         if _RID_COL in rec or "__ridm" in rec:
             continue  # already lineage-bearing (materialized or carried)
-        n = _footer_num_rows(path, f)
+        n_rec = rec.get("__n")  # commit already stamped record_count
+        n = n_rec[0] if n_rec else _footer_num_rows(path, f)
         rec[_RID_COL] = [nxt, nxt]
         nxt += n
     return nxt
@@ -4269,6 +4289,234 @@ def metadata_table(
         f"unknown metadata table {kind!r}; use history|snapshots|files|"
         f"partitions|refs"
     )
+
+
+class _MetaAggFallback(Exception):
+    """Internal: the manifest cannot answer this aggregate exactly."""
+
+
+def plan_metadata_aggregate(
+    path: str, cols: tuple = (), version: int | None = None
+) -> dict:
+    """Plan COUNT(*) / MIN(col) / MAX(col) from the MANIFEST alone —
+    Iceberg's metadata aggregate pushdown (SELECT COUNT(*) answered from
+    per-file record counts, MIN/MAX from manifest column stats) — and
+    return either the answer or a typed refusal, never a wrong number.
+
+    Returns {"metadata_only": True, "count": N, "minmax": {col: [lo, hi]
+    | None}, "version": v, "shards_loaded": k} when every contribution is
+    provably exact, else {"metadata_only": False, "reason": ...} and the
+    caller (aggregate_metadata) degrades to a snapshot scan.
+
+    Cost shape — the 100 TB point: on a sharded manifest a clean COUNT(*)
+    + MIN/MAX folds the O(shards) entry list alone (each entry carries
+    "rows" and the column summary), loading ZERO shard sidecars and ZERO
+    data bytes: a 10^6-file table answers in milliseconds of driver work.
+    A shard is loaded (KB of JSON, still zero data IO) only when its
+    entry predates the "rows" channel or carries deletion vectors whose
+    cardinality COUNT must subtract.
+
+    Exactness rules (each violation is a typed fallback, mirroring the
+    pruning stack's degrade-to-read discipline):
+    - COUNT(*): every file must carry its commit-time "__n" record count
+      (tables written before the channel fall back); DV-deleted positions
+      subtract via the KB sidecars; PENDING equality deletes fall back
+      (their matched-row count is unknowable without a scan).
+    - MIN/MAX: integer/float/boolean columns only — footer stats for
+      these are recorded EXACTLY by column_minmax, while string stats are
+      truncated BOUNDS (sound for pruning, not exact values) and decimal
+      stats fold through JSON floats; both refuse. Any DV in scope
+      refuses (the vector may have deleted the extreme row). A file
+      missing the column's stats refuses (all-NULL is indistinguishable
+      from not-collected) — except a 0-row file (contributes nothing) or
+      a file that PREDATES the column (add_version "__v" below a
+      defaults entry's seq): those rows all serve the initial-default,
+      which folds as a constant, Iceberg v3's default-aware scan planning
+      applied to aggregation. NaN caveat: parquet float stats share the
+      pruning stack's trust in writer NaN handling; pyarrow (this
+      engine's only writer) omits stats for NaN-bearing pages, which
+      lands on the refusing side."""
+    from pyspark.sql.types import (
+        BooleanType,
+        ByteType,
+        DoubleType,
+        FloatType,
+        IntegerType,
+        LongType,
+        ShortType,
+    )
+
+    v = current_version(path) if version is None else version
+    if version is not None:
+        _check_version(path, version)
+    if v == 0:
+        raise ValueError(f"no versions at {path}")
+    m = _read_manifest(path, v, materialize=False)
+
+    def fallback(reason: str) -> dict:
+        return {"metadata_only": False, "reason": reason, "version": v}
+
+    if m.get("schema") is None:
+        return fallback("legacy manifest without a recorded schema")
+    schema = _schema_from_json(m["schema"])
+    cm = m.get("colmap") or {}
+    ok_types = (
+        ByteType, ShortType, IntegerType, LongType,
+        FloatType, DoubleType, BooleanType,
+    )
+    phys_cols: dict = {}
+    unsupported: str | None = None
+    for c in cols:
+        if c not in schema.names:
+            # a typo refuses LOUDLY — falling back would scan and then
+            # raise anyway, after paying for the read
+            raise ValueError(f"no column {c!r} in the table schema")
+        if unsupported is None and not isinstance(
+            schema[c].dataType, ok_types
+        ):
+            unsupported = (
+                f"column {c!r} is {schema[c].dataType.simpleString()}: "
+                "manifest stats are exact only for int/float/boolean"
+            )
+        phys_cols[c] = cm.get(c, c)
+    if unsupported:
+        return fallback(unsupported)
+    if m.get("eqdeletes"):
+        return fallback("pending equality deletes: matched rows unknowable")
+    # initial-defaults: phys -> (value, seq); a file whose add version
+    # precedes seq serves `value` for every row (versioned._commit)
+    dflt: dict = {}
+    for d in m.get("defaults") or []:
+        if d["col"] not in dflt or d["seq"] > dflt[d["col"]][1]:
+            dflt[d["col"]] = (d.get("value"), d["seq"])
+
+    count = 0
+    mm: dict = {p: None for p in phys_cols.values()}
+    shards_loaded = 0
+
+    def fold_val(p: str, lo, hi) -> None:
+        cur = mm[p]
+        mm[p] = (
+            [lo, hi]
+            if cur is None
+            else [min(cur[0], lo), max(cur[1], hi)]
+        )
+
+    def fold_files(files: list, stats: dict, dvs_map: dict) -> None:
+        nonlocal count
+        for f in files:
+            rec = stats.get(f) or {}
+            n = rec.get("__n")
+            if n is None:
+                raise _MetaAggFallback(
+                    f"{f} predates per-file record counts"
+                )
+            count += int(n[0])
+            if not phys_cols:
+                continue
+            if f in dvs_map:
+                raise _MetaAggFallback(
+                    f"{f} carries a deletion vector: MIN/MAX may have "
+                    "been deleted"
+                )
+            if int(n[0]) == 0:
+                continue  # an empty file bounds nothing
+            fv = (rec.get("__v") or [0])[0]
+            for p in mm:
+                s = rec.get(p)
+                if s is not None:
+                    fold_val(p, s[0], s[1])
+                elif p in dflt and fv < dflt[p][1]:
+                    if dflt[p][0] is not None:
+                        fold_val(p, dflt[p][0], dflt[p][0])
+                    # default NULL: the file's rows bound nothing
+                else:
+                    raise _MetaAggFallback(
+                        f"{f} has no recorded stats for {p!r} (all-NULL "
+                        "and not-collected are indistinguishable)"
+                    )
+        if dvs_map:
+            # KB sidecars, still zero data IO: subtract deleted positions
+            for pos in _load_dvs(
+                path, {"dvs": dvs_map}, [f for f in files if f in dvs_map]
+            ).values():
+                count -= len(pos)
+
+    try:
+        if "shards" in m:
+            cache: dict = {}
+            for b, entry in sorted(m["shards"]["entries"].items()):
+                summ = entry.get("summary") or {}
+                if (
+                    "rows" in entry
+                    and "dvf" not in entry
+                    and all(p in summ for p in phys_cols.values())
+                ):
+                    # entry-only fold: "rows" with no "dvf" proves the
+                    # shard vector-free; a summary column proves every
+                    # file carries that stat (see _shard_summary)
+                    count += int(entry["rows"])
+                    for p in phys_cols.values():
+                        fold_val(p, summ[p][0], summ[p][1])
+                    continue
+                payload = _load_shard(path, entry, cache=cache)
+                shards_loaded += 1
+                fold_files(
+                    payload["files"],
+                    payload.get("stats") or {},
+                    payload.get("dvs") or {},
+                )
+        else:
+            fold_files(
+                m["files"], m.get("stats") or {}, m.get("dvs") or {}
+            )
+    except _MetaAggFallback as e:
+        return fallback(str(e))
+    inv = {p: c for c, p in phys_cols.items()}
+    return {
+        "metadata_only": True,
+        "reason": None,
+        "version": v,
+        "count": count,
+        "minmax": {inv[p]: mm[p] for p in mm},
+        "shards_loaded": shards_loaded,
+    }
+
+
+def aggregate_metadata(
+    spark: SparkSession,
+    path: str,
+    cols: tuple = (),
+    version: int | None = None,
+) -> DataFrame:
+    """SELECT COUNT(*), MIN(c), MAX(c)... answered from the MANIFEST when
+    plan_metadata_aggregate proves it exact (zero data IO — the files can
+    be cold, compressed, or on another continent), else by the plain
+    snapshot scan. One row either way: count_rows BIGINT plus
+    min_<c>/max_<c> in each column's own type, so callers cannot tell
+    which path served them except by asking the planner."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    plan = plan_metadata_aggregate(path, cols, version)
+    if plan["metadata_only"]:
+        m = _read_manifest(path, plan["version"], materialize=False)
+        schema = _schema_from_json(m["schema"])
+        fields = [StructField("count_rows", LongType(), True)]
+        row = [plan["count"]]
+        for c in cols:
+            lohi = plan["minmax"][c]
+            fields += [
+                StructField(f"min_{c}", schema[c].dataType, True),
+                StructField(f"max_{c}", schema[c].dataType, True),
+            ]
+            row += [None, None] if lohi is None else [lohi[0], lohi[1]]
+        return spark.createDataFrame([tuple(row)], StructType(fields))
+    df = read_version(spark, path, version)
+    aggs = [F.count(F.lit(1)).cast("long").alias("count_rows")]
+    for c in cols:
+        aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
+    return df.agg(*aggs)
 
 
 def vacuum(
@@ -5432,6 +5680,83 @@ def update_where(
     )
     return write_version_parts(
         [rewritten],
+        path,
+        reuse_files=untouched,
+        expected_version=v,
+        collect_stats=(col,) if collect_stats is None else collect_stats,
+    )
+
+
+def replace_where(
+    df: DataFrame,
+    path: str,
+    col: str,
+    lo,
+    hi,
+    condition=None,
+    collect_stats: tuple | None = None,
+) -> int:
+    """ATOMIC predicate overwrite — Delta's `INSERT OVERWRITE ...
+    replaceWhere` / Iceberg's overwrite-by-filter: ONE commit that both
+    removes every existing row matching `col BETWEEN lo AND hi [AND
+    condition]` and inserts `df`'s rows. There is no intermediate
+    version: a reader sees the old slice or the new slice, never neither
+    (the delete-then-append composition this replaces leaks exactly that
+    torn state between its two commits, and can strand the delete if the
+    writer dies between them — the backfill bug replaceWhere exists to
+    close).
+
+    Pruning shape (the 100 TB point): same as delete_where — only files
+    whose recorded `col` range intersects [lo, hi] are read and rewritten
+    to their surviving rows; every provably-disjoint file rides into the
+    new version BY REFERENCE (never read, never rewritten). A day's
+    backfill on a date-clustered table therefore costs O(that day's
+    files) + O(new rows), not O(table).
+
+    Guards:
+    - every `df` row must SATISFY the predicate (NULL fails like SQL
+      WHERE): rows outside the replaced slice would silently survive the
+      next replace of their own slice's key — Delta's replaceWhere
+      constraint, enforced here as ConstraintViolationError before
+      anything stages;
+    - `df` must match the table schema exactly (write_version_parts);
+    - CHECK constraints apply to the staged rows like every commit.
+
+    Unlike delete_where, a no-match predicate still commits (the INSERT
+    half must land); an empty `df` makes this a pure pruned DELETE with
+    overwrite semantics. The change feed across the commit is exactly
+    (old matching rows as deletes) + (df's rows as inserts). Row-lineage
+    tables follow the copy-on-write rule: rewritten survivors mint fresh
+    ids (stage the mutation as delete_where_dv + append when id
+    stability matters). Conflict safety: the snapshot-version CAS."""
+    from pyspark.sql import functions as F
+
+    spark = df.sparkSession
+    v = current_version(path)
+    if v == 0:
+        raise ValueError(
+            f"no versions at {path}; write_version creates the table"
+        )
+    pred = _row_predicate(col, lo, hi, condition)
+    stray = df.filter(~F.coalesce(pred, F.lit(False))).limit(1).collect()
+    if stray:
+        raise ConstraintViolationError(
+            f"replace_where: incoming rows must satisfy the predicate "
+            f"({col} BETWEEN {lo!r} AND {hi!r}"
+            f"{' AND <condition>' if condition is not None else ''}); "
+            f"offending row: {stray[0]}"
+        )
+    m = _read_manifest(path, v)
+    touched, untouched = _split_files_by_range(m, col, lo, hi)
+    parts = []
+    if touched:
+        survivors = _read_files(spark, path, m, touched).filter(
+            ~F.coalesce(pred, F.lit(False))
+        )
+        parts.append(survivors)
+    parts.append(df)
+    return write_version_parts(
+        parts,
         path,
         reuse_files=untouched,
         expected_version=v,
