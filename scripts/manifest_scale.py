@@ -110,7 +110,12 @@ def sharded(n: int) -> dict:
     )
     try:
         files = sorted(f"data/{uuid.uuid4().hex}.parquet" for _ in range(n))
-        stats = {f: {"k": [i * 100, i * 100 + 99]} for i, f in enumerate(files)}
+        # "__n" mirrors what every real commit stamps (record counts, r13)
+        # so the metadata-aggregate arm below measures the production path
+        stats = {
+            f: {"k": [i * 100, i * 100 + 99], "__n": [100, 100]}
+            for i, f in enumerate(files)
+        }
         t0 = time.perf_counter()
         V._commit(
             path, files, "overwrite",
@@ -120,7 +125,7 @@ def sharded(n: int) -> dict:
 
         # 1-entry append via the write_version fast path's exact steps
         new_f = f"data/{uuid.uuid4().hex}.parquet"
-        new_stats = {new_f: {"k": [n * 100, n * 100 + 99]}}
+        new_stats = {new_f: {"k": [n * 100, n * 100 + 99], "__n": [100, 100]}}
         t0 = time.perf_counter()
         m = V._read_manifest(path, 1, materialize=False)
         plen = m["shards"]["prefix_len"]
@@ -169,6 +174,23 @@ def sharded(n: int) -> dict:
         V.delete_where_eq(path, "k", list(range(0, 100_000, 100)))
         t_eq = time.perf_counter() - t0
 
+        # METADATA-ONLY AGGREGATION (r13, j32): COUNT(*)+MIN/MAX at the
+        # clean append snapshot folds the ENTRY LIST alone (zero shard
+        # loads); at the DV'd snapshot COUNT loads exactly the vectored
+        # bucket's shard + its KB sidecar. Zero data IO in both.
+        t0 = time.perf_counter()
+        agg2 = V.plan_metadata_aggregate(path, ("k",), version=2)
+        t_agg_clean = time.perf_counter() - t0
+        if not agg2["metadata_only"] or agg2["shards_loaded"] != 0:
+            raise RuntimeError(f"clean fold not entry-only: {agg2}")
+        if agg2["count"] != (n + 1) * 100 or agg2["minmax"]["k"][0] != 0:
+            raise RuntimeError(f"wrong fold: {agg2}")
+        t0 = time.perf_counter()
+        agg3 = V.plan_metadata_aggregate(path, version=3)
+        t_agg_dv = time.perf_counter() - t0
+        if not agg3["metadata_only"] or agg3["count"] != (n + 1) * 100 - 1:
+            raise RuntimeError(f"wrong DV-adjusted count: {agg3}")
+
         # pruned planning over a ~1% interior band
         lo, hi = 100 * (n // 2), 100 * (n // 2) + 100 * (n // 100)
         t0 = time.perf_counter()
@@ -192,6 +214,9 @@ def sharded(n: int) -> dict:
             "dv_delete_1_s": round(t_dv, 4),
             "eq_delete_1000keys_s": round(t_eq, 4),
             "plan_pruned_s": round(t_plan, 4),
+            "agg_meta_count_minmax_s": round(t_agg_clean, 4),
+            "agg_meta_dv_count_s": round(t_agg_dv, 4),
+            "agg_meta_dv_shards_loaded": agg3["shards_loaded"],
             "kept": len(kept),
             "skipped": skipped,
             "total": total,
