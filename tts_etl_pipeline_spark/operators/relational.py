@@ -4636,3 +4636,110 @@ def j33_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# j34 — CATALOG MULTI-TABLE TRANSACTION (the Nessie / Iceberg-REST shape):
+# single-table commits are atomic but a fact+detail pipeline updating TWO
+# versioned tables exposes a torn half-published state between its two
+# commits — Delta and Iceberg share the gap. sources/catalog.py moves the
+# atomic step up a level: tables commit normally (immutable versions,
+# invisible to catalog readers), then ONE hard-link CAS re-pins the
+# catalog's table->version map. In-query pins: after BOTH table commits
+# but BEFORE the catalog commit, catalog reads of both tables still serve
+# the old consistent set (the torn window provably closed); the flip is
+# simultaneous; a lost-update transaction on the same table refuses with
+# a typed CatalogConflictError; catalog v1 time-travels to the old SET.
+# The answer is a cross-table join read THROUGH the catalog head, which
+# DuckDB reproduces over the full inputs — value equality proves the
+# final pinned set is exactly whole-orders x whole-lineitem.
+# ---------------------------------------------------------------------------
+@_register(
+    "j34_catalog_multi_table_txn",
+    """
+    SELECT o.o_orderstatus,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(12,2)) * 100
+                AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderstatus ORDER BY o.o_orderstatus
+    """,
+)
+def j34_catalog_multi_table_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from tts_etl_pipeline_spark.functions.exact import money
+    from tts_etl_pipeline_spark.sources import catalog as C
+    from tts_etl_pipeline_spark.sources.versioned import write_version
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    lines = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    base = tempfile.mkdtemp(prefix="j34_")
+    cat, po, pl = f"{base}/cat", f"{base}/orders_v", f"{base}/lines_v"
+    try:
+        write_version(orders.filter(F.col("o_orderkey") % 2 == 0), po)
+        write_version(lines.filter(F.col("l_orderkey") % 2 == 0), pl)
+        txn0 = C.begin(cat)
+        txn0.stage("orders", 1, table_path=po)
+        txn0.stage("lines", 1, table_path=pl)
+        txn0.commit()
+        n_o1 = C.read_catalog(spark, cat, "orders").count()
+        n_l1 = C.read_catalog(spark, cat, "lines").count()
+        # the transaction: both tables gain their odd halves
+        loser = C.begin(cat)  # a stale competitor, for the conflict pin
+        v_o = write_version(
+            orders.filter(F.col("o_orderkey") % 2 == 1), po, mode="append"
+        )
+        # TORN WINDOW PROBE: orders' new version exists; catalog readers
+        # must still see the OLD consistent set on BOTH tables
+        if (
+            C.read_catalog(spark, cat, "orders").count() != n_o1
+            or C.read_catalog(spark, cat, "lines").count() != n_l1
+        ):
+            raise RuntimeError(
+                "catalog readers observed a half-published transaction"
+            )
+        v_l = write_version(
+            lines.filter(F.col("l_orderkey") % 2 == 1), pl, mode="append"
+        )
+        txn = C.begin(cat)
+        txn.stage("orders", v_o)
+        txn.stage("lines", v_l)
+        if txn.commit() != 2:
+            raise RuntimeError("the multi-table publish must be ONE commit")
+        # lost-update guard: the stale competitor staged the same table
+        loser.stage("orders", v_o)
+        try:
+            loser.commit()
+            raise RuntimeError("a re-pinned table must refuse typed")
+        except C.CatalogConflictError:
+            pass
+        # catalog time travel serves the OLD consistent set
+        if (
+            C.read_catalog(spark, cat, "orders", version=1).count() != n_o1
+            or C.read_catalog(spark, cat, "lines", version=1).count() != n_l1
+        ):
+            raise RuntimeError("catalog v1 lost the old version set")
+        return (
+            C.read_catalog(spark, cat, "orders")
+            .join(
+                C.read_catalog(spark, cat, "lines"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_items"),
+                F.sum((money("l_extendedprice") * 100).cast("bigint"))
+                .cast("bigint")
+                .alias("sum_cents"),
+            )
+            .orderBy("o_orderstatus")
+            .localCheckpoint(eager=True)  # materialize before tmp vanishes
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
