@@ -4743,3 +4743,293 @@ def j34_catalog_multi_table_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# j35 — FULL-CLAUSE-MATRIX MERGE (the complete Delta/Iceberg MERGE INTO
+# surface): one commit applies WHEN MATCHED AND cond DELETE, WHEN MATCHED
+# UPDATE SET *, WHEN NOT MATCHED INSERT *, WHEN NOT MATCHED BY SOURCE
+# DELETE and ...UPDATE SET — ordered clauses, first-satisfied wins. The
+# second merge drops the not-matched-by-source clauses, which re-arms the
+# manifest pruner: only files whose key range intersects the source key
+# span are rewritten, every provably-disjoint file rides BY REFERENCE
+# (mtime-pinned in-query) — the 100 TB CDC shape merge_upsert's
+# whole-table full-outer join lacks. Further pins: duplicate source keys
+# and a retyped source column refuse TYPED with the head unmoved; the
+# change feed across the pruned merge is exactly the touched rows
+# (carried identical rows cancel); history gains exactly one version per
+# merge. DuckDB reproduces both merges declaratively (CASE chains +
+# UNION ALL for inserts), so value equality proves every clause fired on
+# exactly its rows.
+# ---------------------------------------------------------------------------
+@_register(
+    "j36_token_index_pruned_scan",
+    """
+    WITH probe AS (
+      SELECT t FROM (
+        SELECT DISTINCT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t
+        FROM documents WHERE doc_id = (SELECT min(doc_id) FROM documents)
+      ) WHERE length(t) > 0 ORDER BY length(t) DESC, t LIMIT 1
+    )
+    SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents, probe
+    WHERE list_contains(string_split_regex(lower(text), '[^a-z0-9]+'), probe.t)
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def j36_token_index_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INVERTED TOKEN INDEX scan (sources/textindex.py): documents land in
+    a versioned table, build_text_index writes the per-snapshot token ->
+    file-posting sidecar (executor-built, md5-sharded so a probe loads
+    ONE shard, never the vocabulary), and the scan reads ONLY the files
+    the posting list names. In-query pins: the pruned read is row-exact
+    vs the full-scan token filter (the soundness contract — posting lists
+    may over-approximate, never miss); a token absent from the corpus
+    answers empty with ZERO file IO; a multi-word probe and a missing
+    index refuse TYPED. The probe token is derived deterministically
+    (longest token of the min-doc_id document), so DuckDB reproduces the
+    whole answer declaratively — value equality proves index-pruned ==
+    plain SQL. At 100 TB the posting list turns a corpus-wide token
+    predicate into O(matching files) IO, the min/max-stats story
+    (j9/j21) extended to free text where ranges prune nothing."""
+    import shutil
+    import tempfile
+
+    from tts_etl_pipeline_spark.sources.textindex import (
+        build_text_index,
+        read_version_token_pruned,
+        token_filter_expr,
+    )
+    from tts_etl_pipeline_spark.sources.versioned import write_version
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "n_chars"
+    )
+    out_schema = "lang string, n_docs bigint, sum_chars bigint"
+    base = tempfile.mkdtemp(prefix="j36_")
+    path = f"{base}/docs_v"
+    try:
+        write_version(
+            docs.repartitionByRange(8, "doc_id"), path,
+            collect_stats=("doc_id",),
+        )
+        build_text_index(spark, path, "text")
+        mind = docs.agg(F.min("doc_id")).first()[0]
+        if mind is None:  # empty corpus: empty result, schema intact
+            return spark.createDataFrame([], out_schema)
+        probe = (
+            docs.filter(F.col("doc_id") == mind)
+            .select(
+                F.explode(
+                    F.split(F.lower(F.col("text")), "[^a-z0-9]+")
+                ).alias("t")
+            )
+            .filter(F.length("t") > 0)
+            .distinct()
+            .orderBy(F.length("t").desc(), F.col("t"))
+            .limit(1)
+            .first()
+        )
+        if probe is None:
+            return spark.createDataFrame([], out_schema)
+        probe = probe["t"]
+        # typed guards: multi-token probe / missing index refuse
+        try:
+            read_version_token_pruned(spark, path, "two words")
+            raise RuntimeError("a multi-token probe must refuse")
+        except ValueError:
+            pass
+        try:
+            read_version_token_pruned(spark, path, probe, col="lang")
+            raise RuntimeError("an unbuilt index must refuse, never scan")
+        except ValueError:
+            pass
+        # a corpus-absent token answers empty with ZERO file IO
+        missdf, nmiss, _tot = read_version_token_pruned(
+            spark, path, "zzzyxnotatoken"
+        )
+        if nmiss != 0 or missdf.count() != 0:
+            raise RuntimeError("an unindexed token must read zero files")
+        pruned, _nread, _tot = read_version_token_pruned(spark, path, probe)
+        # soundness: index-pruned == full-scan token filter, row-exact
+        n_pruned = pruned.count()
+        n_full = docs.filter(token_filter_expr("text", probe)).count()
+        if n_pruned != n_full:
+            raise RuntimeError(
+                f"posting list missed rows: pruned {n_pruned} vs full {n_full}"
+            )
+        return (
+            pruned.groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            )
+            .orderBy("lang")
+            .localCheckpoint(eager=True)  # materialize before tmp vanishes
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+@_register(
+    "j35_merge_full_matrix",
+    """
+    WITH m1 AS (
+      SELECT o_orderkey AS k, o_orderstatus AS s,
+             CASE WHEN o_orderkey % 10 = 3 THEN o_totalprice * 2
+                  WHEN o_orderkey % 10 = 5 THEN o_totalprice + 1
+                  ELSE o_totalprice END AS p
+      FROM orders
+      WHERE o_orderkey % 10 NOT IN (7, 9)
+      UNION ALL
+      SELECT o_orderkey + 10000000, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 10 = 1
+    ), m2 AS (
+      SELECT k, s,
+             CASE WHEN k BETWEEN 100 AND 999 THEN p * 3 ELSE p END AS p
+      FROM m1
+    )
+    SELECT s AS o_orderstatus, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(CAST(p AS DECIMAL(12,2)) * 100 AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM m2 GROUP BY s ORDER BY s
+    """,
+)
+def j35_merge_full_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+    import shutil
+    import tempfile
+
+    from tts_etl_pipeline_spark.functions.exact import money
+    from tts_etl_pipeline_spark.sources.versioned import (
+        current_version,
+        history,
+        manifest,
+        merge,
+        read_version,
+        table_changes,
+        write_version,
+    )
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    base = tempfile.mkdtemp(prefix="j35_")
+    path = f"{base}/orders_v"
+    try:
+        write_version(
+            orders.repartitionByRange(8, "o_orderkey"), path,
+            collect_stats=("o_orderkey",),
+        )
+        k = F.col("o_orderkey")
+        source = (
+            orders.filter(k % 10 == 3)
+            .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+            .unionByName(
+                orders.filter(k % 10 == 7)
+                .withColumn("o_totalprice", F.lit(-1.0))
+            )
+            .unionByName(
+                orders.filter(k % 10 == 1)
+                .withColumn("o_orderkey", k + 10_000_000)
+            )
+        )
+        # typed guards first, head unmoved: duplicate keys / retyped column
+        if not source.limit(1).isEmpty():
+            try:
+                merge(
+                    spark, path, source.unionByName(source.limit(1)),
+                    "o_orderkey",
+                )
+                raise RuntimeError("duplicate source keys must refuse")
+            except ValueError:
+                pass
+        try:
+            merge(
+                spark, path,
+                source.withColumn(
+                    "o_totalprice", F.col("o_totalprice").cast("float")
+                ),
+                "o_orderkey",
+            )
+            raise RuntimeError("a retyped source column must refuse")
+        except ValueError:
+            pass
+        if current_version(path) != 1:
+            raise RuntimeError("a refused merge moved the head")
+        # merge 1: all five clause kinds in one commit
+        merge(
+            spark, path, source, "o_orderkey",
+            matched=(("delete", "s.o_totalprice < 0"), ("update", None)),
+            not_matched=(("insert", None),),
+            not_matched_by_source=(
+                ("delete", "t.o_orderkey % 10 = 9"),
+                (
+                    "update",
+                    "t.o_orderkey % 10 = 5",
+                    {"o_totalprice": "t.o_totalprice + 1"},
+                ),
+            ),
+        )
+        v1 = current_version(path)
+        m1 = manifest(path, v1)
+        sig = {
+            f: _os.stat(_os.path.join(path, f)).st_mtime_ns
+            for f in m1["files"]
+        }
+        # merge 2: no NMBS clauses => the pruner re-arms; keys confined to
+        # [100, 999] so key-clustered files outside the span ride by ref
+        lo, hi = 100, 999
+        cur = read_version(spark, path)
+        src2 = cur.filter(k.between(lo, hi)).withColumn(
+            "o_totalprice", F.col("o_totalprice") * 3
+        )
+        n2 = src2.count()
+        v2 = merge(spark, path, src2, "o_orderkey")
+        if n2 == 0:
+            if v2 is not None:
+                raise RuntimeError(
+                    "an empty no-NMBS merge must commit nothing (None)"
+                )
+        else:
+            if [h["version"] for h in history(path)] != list(range(1, v2 + 1)):
+                raise RuntimeError("each merge must be exactly ONE commit")
+            stats1 = m1.get("stats", {})
+            m2_files = manifest(path, v2)["files"]
+            for f in m1["files"]:
+                r = stats1.get(f, {}).get("o_orderkey")
+                if r and (r[1] < lo or r[0] > hi):
+                    if f not in m2_files or _os.stat(
+                        _os.path.join(path, f)
+                    ).st_mtime_ns != sig[f]:
+                        raise RuntimeError(
+                            f"disjoint file {f} was rewritten — a pruned "
+                            "merge must cost the overlap, not the table"
+                        )
+            # change feed across the pruned merge: exactly the updated rows
+            # as delete+insert pairs (carried identical rows cancel)
+            counts = {
+                r["_change_type"]: r["n"]
+                for r in table_changes(spark, path, v1, v2)
+                .groupBy("_change_type")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            if counts.get("delete", 0) != n2 or counts.get("insert", 0) != n2:
+                raise RuntimeError(
+                    f"pruned-merge change feed is not row-exact: {counts}"
+                )
+        return (
+            read_version(spark, path)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum((money("o_totalprice") * 100).cast("bigint"))
+                .cast("bigint")
+                .alias("sum_cents"),
+            )
+            .orderBy("o_orderstatus")
+            .localCheckpoint(eager=True)  # materialize before tmp vanishes
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -91,7 +91,14 @@ def spj_compatibility(path_a: str, path_b: str, key_a: str, key_b: str):
             return None, f"{path}: active spec does not sbucket {key!r}", None
         n, stat_key = sb
         stats = m.get("stats") or {}
-        missing = [f for f in m["files"] if stat_key not in (stats.get(f) or {})]
+        # a ZERO-ROW file (the schema-bearing placeholder an empty write
+        # keeps, __n == [0,0]) contributes no rows to any bucket: it is
+        # exempt from the tuple requirement and skipped at exposure
+        live = [
+            f for f in m["files"]
+            if (stats.get(f) or {}).get("__n") != [0, 0]
+        ]
+        missing = [f for f in live if stat_key not in (stats.get(f) or {})]
         if missing:
             return (
                 None,
@@ -130,6 +137,8 @@ def _expose_bucketed(
     loc = os.path.join(tempfile.gettempdir(), f"spj_expose_{digest}")
     os.makedirs(loc, exist_ok=True)
     for i, f in enumerate(sorted(m["files"])):
+        if (stats.get(f) or {}).get("__n") == [0, 0]:
+            continue  # zero-row placeholder: no rows, no bucket
         b = int(stats[f][stat_key][0])
         dst = os.path.join(loc, f"part-{i:05d}-{digest}_{b:05d}.c000.parquet")
         if os.path.exists(dst):

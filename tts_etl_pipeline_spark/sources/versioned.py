@@ -4844,6 +4844,190 @@ def merge_upsert(
     return write_version(merged, path, mode="overwrite", expected_version=base_version)
 
 
+def _merge_clause_decision(clauses, kind: str, default: str):
+    """First-satisfied-clause-wins decision column (the Delta MERGE clause
+    semantics): evaluates the ordered `clauses` conditions and yields the
+    tag of the FIRST whose condition holds ('u3'/'d1'/'i0'), else
+    `default`. A NULL condition coalesces to False (SQL WHERE), so a row
+    no clause claims falls through to the kind's default action."""
+    from pyspark.sql import functions as F
+
+    expr = F.lit(default)
+    for i in reversed(range(len(clauses))):
+        action, cond = clauses[i][0], clauses[i][1]
+        hit = (
+            F.lit(True)
+            if cond is None
+            else F.coalesce(F.expr(cond), F.lit(False))
+        )
+        expr = F.when(hit, F.lit(f"{action[0]}{i}")).otherwise(expr)
+    return expr
+
+
+def merge(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    key: str,
+    matched: tuple = (("update", None),),
+    not_matched: tuple = (("insert", None),),
+    not_matched_by_source: tuple = (),
+    collect_stats: tuple | None = None,
+    cluster: bool = True,
+) -> int | None:
+    """Full-clause-matrix MERGE INTO on a versioned table — the complete
+    Delta / Iceberg `MERGE` surface that merge_upsert's fixed
+    update/delete/insert shape special-cases:
+
+      WHEN MATCHED [AND cond]               THEN UPDATE SET * | DELETE
+      WHEN NOT MATCHED [AND cond]           THEN INSERT *
+      WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE
+                                                 | UPDATE SET assignments
+
+    Clause lists are ORDERED and the first clause whose condition holds
+    wins (the Delta contract); a row no clause claims keeps its default
+    (matched/target-only rows pass through unchanged, source-only rows
+    are dropped). Conditions are SQL strings over the aliases `t.` and
+    `s.` ("s.qty < 0", "t.status = 'closed'"); an unqualified name is
+    ambiguous by construction and refuses at analysis, which is the
+    safe failure. `matched` clauses are ("update"|"delete", cond);
+    `not_matched` clauses are ("insert", cond); `not_matched_by_source`
+    clauses are ("delete", cond) or ("update", cond, {col: expr-over-t}).
+
+    Pruning shape (the 100 TB point, and what merge_upsert's whole-table
+    rewrite lacks): when there are NO not-matched-by-source clauses, only
+    target files whose recorded `key` range intersects the SOURCE key
+    span [min, max] are read and rewritten; every provably-disjoint file
+    rides into the new version BY REFERENCE via write_version_parts — a
+    CDC batch against a key-clustered table costs O(overlapping files),
+    not O(table). Not-matched-by-source clauses must observe EVERY
+    target row, so their presence forces the full scan (the same rule
+    Delta applies). The commit is ONE snapshot (CAS on the base version:
+    concurrent writers surface as CommitConflictError, never lost rows),
+    and the change feed across it is exactly the changed rows — carried
+    identical rows cancel under table_changes' bag-semantics diff.
+
+    Guards (shared with merge_upsert): source schema must equal the
+    table schema (names AND types); duplicate non-NULL source keys raise
+    (one target row cannot take two updates); NULL-keyed source rows
+    never match — they flow to the not_matched clauses. Returns the
+    committed version, or None when the merge provably touches nothing
+    (empty source, no pruned-in files, no NMBS clauses)."""
+    from pyspark.sql import functions as F
+
+    for cl in matched:
+        if cl[0] not in ("update", "delete") or len(cl) != 2:
+            raise ValueError(f"bad matched clause {cl!r}")
+    for cl in not_matched:
+        if cl[0] != "insert" or len(cl) != 2:
+            raise ValueError(f"bad not_matched clause {cl!r}")
+    for cl in not_matched_by_source:
+        if cl[0] == "delete" and len(cl) == 2:
+            continue
+        if cl[0] == "update" and len(cl) == 3 and isinstance(cl[2], dict):
+            continue
+        raise ValueError(f"bad not_matched_by_source clause {cl!r}")
+
+    v = current_version(path)
+    if v == 0:
+        raise ValueError(f"no versions at {path}; write_version creates the table")
+    m = _read_manifest(path, v)
+    if m.get("schema"):
+        t_schema = [
+            (f.name, f.dataType)
+            for f in _schema_from_json(m["schema"]).fields
+        ]
+        s_schema = [(f.name, f.dataType) for f in source.schema.fields]
+        if t_schema != s_schema:
+            raise ValueError(
+                f"merge schema mismatch: target {t_schema} vs source {s_schema}"
+            )
+    cols = [f.name for f in source.schema.fields]
+    if key not in cols:
+        raise ValueError(f"merge key {key!r} is not a column")
+    for cl in not_matched_by_source:
+        if cl[0] == "update":
+            unknown = sorted(set(cl[2]) - set(cols))
+            if unknown:
+                raise ValueError(
+                    f"not_matched_by_source update assigns unknown columns "
+                    f"{unknown}"
+                )
+
+    # ONE batch-sized job proves key uniqueness AND yields the key span
+    # the pruner needs (the merge_upsert discipline, extended)
+    stat = source.agg(
+        F.min(key).alias("lo"),
+        F.max(key).alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.count(F.col(key))
+            - F.count_distinct(F.col(key))
+        ).alias("dups"),
+    ).first()
+    if stat["dups"]:
+        raise ValueError(
+            "merge source holds duplicate keys; dedup to one row per key "
+            "first (two updates for one target row would be ambiguous)"
+        )
+    if not_matched_by_source:
+        touched, untouched = list(m["files"]), []
+    elif stat["n"] == 0:
+        return None  # no source rows, no NMBS clauses: nothing can change
+    else:
+        touched, untouched = _split_files_by_range(m, key, stat["lo"], stat["hi"])
+        if not touched and not any(True for _ in not_matched):
+            return None  # nothing overlaps and inserts are impossible
+    if touched:
+        target = _read_files(spark, path, m, touched)
+    elif m.get("schema"):
+        target = spark.createDataFrame([], _schema_from_json(m["schema"]))
+    else:
+        target = read_version(spark, path, v).limit(0)
+
+    t = target.withColumn("__t_ex", F.lit(True)).alias("t")
+    s = source.withColumn("__s_ex", F.lit(True)).alias("s")
+    j = t.join(s, F.col(f"t.{key}") == F.col(f"s.{key}"), "full_outer")
+    is_m = F.col("__t_ex").isNotNull() & F.col("__s_ex").isNotNull()
+    t_only = F.col("__t_ex").isNotNull() & F.col("__s_ex").isNull()
+    m_dec = _merge_clause_decision(matched, "m", "keep")
+    i_dec = _merge_clause_decision(not_matched, "i", "drop")
+    n_dec = _merge_clause_decision(not_matched_by_source, "n", "keep")
+    dec = F.when(is_m, m_dec).when(t_only, n_dec).otherwise(i_dec)
+    j = j.withColumn("__dec", dec).filter(
+        ~F.col("__dec").startswith("d") & (F.col("__dec") != "drop")
+    )
+    take_s = (is_m | ~t_only) & F.col("__dec").startswith(
+        F.when(is_m, F.lit("u")).otherwise(F.lit("i"))
+    )
+    out = []
+    for c in cols:
+        e = F.when(take_s, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}"))
+        for i, cl in enumerate(not_matched_by_source):
+            if cl[0] == "update" and c in cl[2]:
+                e = F.when(
+                    t_only & (F.col("__dec") == f"u{i}"), F.expr(cl[2][c])
+                ).otherwise(e)
+        out.append(e.alias(c))
+    merged = j.select(*out)
+    if cluster:
+        # the join leaves the rewrite HASH-partitioned on the key — every
+        # output file would span the whole key domain and the NEXT merge
+        # could prune nothing. One extra range exchange of O(changed)
+        # keeps the rewritten files key-clustered (the optimized-write
+        # tradeoff), so the pruning above keeps paying off commit after
+        # commit; pass cluster=False to skip it when the caller reclusters
+        # via optimize_zorder anyway.
+        merged = merged.repartitionByRange(F.col(key))
+    return write_version_parts(
+        [merged],
+        path,
+        reuse_files=untouched,
+        expected_version=v,
+        collect_stats=(key,) if collect_stats is None else collect_stats,
+    )
+
+
 def _split_files_by_range(m: dict, col: str, lo, hi) -> tuple[list[str], list[str]]:
     """(touched, untouched): a file is untouched when its recorded manifest
     stats for `col` prove it DISJOINT from [lo, hi] (max < lo or min > hi —
