@@ -1891,3 +1891,131 @@ def st24_stream_cdc_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# st25 — INCREMENTAL JOIN-VIEW MAINTENANCE from TWO change feeds
+# (sources/ivm.py): st21 maintains a single-table aggregate; this is the
+# materialized-view step up — SELECT a.g, COUNT(*), SUM(b.m) over a JOIN,
+# kept in sync by the bag-algebra delta rule (ΔA ⋈ B@vb, then A@va ⋈ ΔB,
+# signs multiplying) while BOTH base tables take commits. Time travel
+# makes the rule exact: each step joins the delta against the precise
+# snapshot the state's (va, vb) version vector names, so the telescoping
+# sum lands on A@head ⋈ B@head bit-for-bit — no recompute, ever. The
+# query drains in TWO maintenance calls around further source commits
+# (pinning crash/resume: the vector clock in the state resumes mid-
+# backlog), then pins the replay no-op (a third call applies ZERO steps)
+# and sums the metric in BIGINT cents so signed folds are exact. Scale
+# shape per commit: one CDF read (O(changed files)), a broadcast of the
+# commit-sized delta, one manifest-PRUNED counterpart read (the delta's
+# key span), one state-sized merge — pruning effectiveness is pinned in
+# tests/test_ivm_join.py on a key-clustered layout. The oracle is the
+# batch join-aggregate over the final table states, so hash equality
+# proves the incremental path CONVERGES to the batch answer.
+# ---------------------------------------------------------------------------
+@_register(
+    "st25_ivm_join_from_cdf",
+    """
+    SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+                AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE o_orderkey % 10 <> 0 AND l_orderkey % 7 <> 3
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def st25_ivm_join_from_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+    import shutil
+    import tempfile
+
+    from tts_etl_pipeline_spark.sources.ivm import (
+        maintain_join_agg_from_cdf,
+        read_maintained_join_agg,
+    )
+    from tts_etl_pipeline_spark.sources.tables import table as _table
+    from tts_etl_pipeline_spark.sources.versioned import (
+        read_version,
+        write_version,
+    )
+
+    base = tempfile.mkdtemp(prefix="st25_ivm_")
+    pa, pb, st = (
+        _os.path.join(base, "orders_v"),
+        _os.path.join(base, "lines_v"),
+        _os.path.join(base, "state"),
+    )
+    try:
+        orders = _table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus"
+        )
+        lines = _table(spark, sf_dir, "lineitem").select(
+            "l_orderkey",
+            (F.col("l_extendedprice").cast("decimal(12,2)") * 100)
+            .cast("bigint")
+            .alias("cents"),
+        )
+        ok = F.col("o_orderkey")
+        write_version(  # A v1: even orderkeys
+            orders.filter(ok % 2 == 0).repartitionByRange(4, "o_orderkey"),
+            pa, collect_stats=("o_orderkey",),
+        )
+        write_version(  # B v1: every line
+            lines.repartitionByRange(4, "l_orderkey"),
+            pb, collect_stats=("l_orderkey",),
+        )
+        # first drain: state lands at vector (1, 1)
+        maintain_join_agg_from_cdf(
+            spark, pa, pb, st, "o_orderkey", "l_orderkey",
+            "o_orderstatus", "cents",
+        )
+        # further source churn on BOTH sides, then resume mid-backlog
+        write_version(  # A v2: append the odd half
+            orders.filter(ok % 2 == 1).repartitionByRange(4, "o_orderkey"),
+            pa, mode="append", collect_stats=("o_orderkey",),
+        )
+        write_version(  # A v3: delete keys % 10 == 0
+            read_version(spark, pa)
+            .filter(ok % 10 != 0)
+            .repartitionByRange(4, "o_orderkey"),
+            pa, mode="overwrite", collect_stats=("o_orderkey",),
+        )
+        write_version(  # B v2: delete lines with l_orderkey % 7 == 3
+            read_version(spark, pb)
+            .filter(F.col("l_orderkey") % 7 != 3)
+            .repartitionByRange(4, "l_orderkey"),
+            pb, mode="overwrite", collect_stats=("l_orderkey",),
+        )
+        rep = maintain_join_agg_from_cdf(
+            spark, pa, pb, st, "o_orderkey", "l_orderkey",
+            "o_orderstatus", "cents",
+        )
+        if rep["a_steps"] != 2 or rep["b_steps"] != 1:
+            raise RuntimeError(
+                f"the resume must apply exactly the backlog (2,1): {rep}"
+            )
+        # replay proof: a third drain applies NOTHING and changes nothing
+        before = sorted(
+            map(tuple, read_maintained_join_agg(spark, st).collect())
+        )
+        rep3 = maintain_join_agg_from_cdf(
+            spark, pa, pb, st, "o_orderkey", "l_orderkey",
+            "o_orderstatus", "cents",
+        )
+        after = sorted(
+            map(tuple, read_maintained_join_agg(spark, st).collect())
+        )
+        if rep3["a_steps"] or rep3["b_steps"] or before != after:
+            raise RuntimeError(f"IVM replay was not a no-op: {rep3}")
+        return (
+            read_maintained_join_agg(spark, st)
+            .select(
+                "o_orderstatus",
+                F.col("cnt").alias("n_items"),
+                F.col("s").alias("sum_cents"),
+            )
+            .orderBy("o_orderstatus")
+            .localCheckpoint(eager=True)  # materialize before tmp vanishes
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
