@@ -108,42 +108,80 @@ def bench_merge(spark, src: str, factor: int) -> None:
 
 
 def bench_textindex(spark, src: str) -> None:
+    """Two corpora: the sf0.1 documents table (tiny synthetic vocabulary —
+    every token lands in every file, the worst case for pruning), and a
+    200k-doc clustered corpus where the probe token is RARE (lives in one
+    file) — the case the index exists for."""
     base = tempfile.mkdtemp(prefix="fsr13_tix_")
-    path = os.path.join(base, "docs_v")
     try:
         docs = spark.read.parquet(os.path.join(src, "documents.parquet"))
         n = docs.count()
+        p1 = os.path.join(base, "docs_v")
         write_version(
-            docs.repartitionByRange(16, "doc_id"), path,
+            docs.repartitionByRange(16, "doc_id"), p1,
             collect_stats=("doc_id",),
         )
         t0 = time.time()
-        idx = build_text_index(spark, path, "text")
+        idx = build_text_index(spark, p1, "text")
         t_build = time.time() - t0
-        shards = [f for f in os.listdir(idx) if f.startswith("shard")]
         idx_bytes = sum(
             os.path.getsize(os.path.join(idx, f)) for f in os.listdir(idx)
         )
-        # probe: a unique-ish numeric token (doc ids appear in no text here,
-        # so probe a corpus word) — measure pruned read vs full token scan
         probe = "customer"
         t0 = time.time()
-        pruned, nread, ntot = read_version_token_pruned(spark, path, probe)
+        pruned, nread, ntot = read_version_token_pruned(spark, p1, probe)
         n_hit = pruned.count()
         t_probe = time.time() - t0
         t0 = time.time()
         n_full = (
-            read_version(spark, path)
+            read_version(spark, p1)
             .filter(token_filter_expr("text", probe))
             .count()
         )
         t_full = time.time() - t0
         assert n_hit == n_full
         print(
-            f"TEXTINDEX docs={n} build={t_build:.2f}s shards={len(shards)} "
+            f"TEXTINDEX[sf0.1 docs] docs={n} build={t_build:.2f}s "
             f"index_kb={idx_bytes / 1024:.0f} probe='{probe}' "
             f"files={nread}/{ntot} rows={n_hit} "
             f"probe_wall={t_probe:.2f}s fullscan_wall={t_full:.2f}s"
+        )
+        # clustered corpus, rare token: 200k docs / 64 files, the probe
+        # token only in docs 0..99 (one range file)
+        p2 = os.path.join(base, "big_v")
+        big = spark.range(0, 200_000).select(
+            F.col("id").alias("doc_id"),
+            F.concat(
+                F.lit("alpha beta gamma delta epsilon zeta eta theta doc "),
+                F.col("id").cast("string"),
+                F.when(F.col("id") < 100, F.lit(" needleword")).otherwise(
+                    F.lit("")
+                ),
+            ).alias("text"),
+        )
+        write_version(
+            big.repartitionByRange(64, "doc_id"), p2,
+            collect_stats=("doc_id",),
+        )
+        t0 = time.time()
+        build_text_index(spark, p2, "text")
+        t_build2 = time.time() - t0
+        t0 = time.time()
+        pruned, nread, ntot = read_version_token_pruned(spark, p2, "needleword")
+        n_hit = pruned.count()
+        t_probe2 = time.time() - t0
+        t0 = time.time()
+        n_full = (
+            read_version(spark, p2)
+            .filter(token_filter_expr("text", "needleword"))
+            .count()
+        )
+        t_full2 = time.time() - t0
+        assert n_hit == n_full == 100
+        print(
+            f"TEXTINDEX[200k clustered] build={t_build2:.2f}s "
+            f"probe='needleword' files={nread}/{ntot} rows={n_hit} "
+            f"probe_wall={t_probe2:.2f}s fullscan_wall={t_full2:.2f}s"
         )
     finally:
         shutil.rmtree(base, ignore_errors=True)
@@ -176,11 +214,11 @@ def bench_ivm(spark, src: str, factor: int) -> None:
             "o_orderstatus", "cents",
         )
         t_init = time.time() - t0
-        # the incremental step: one confined 2000-key append on A
-        batch = (
-            read_version(spark, pa)
-            .filter(F.col("o_orderkey").between(1, 2000))
-            .withColumn("o_orderkey", F.col("o_orderkey") + 10_000_000_000)
+        # the incremental step: one confined 2000-key append on A whose
+        # span OVERLAPS B (keys 1..2000), so the counterpart read does
+        # real pruned work, not a trivial all-skip
+        batch = read_version(spark, pa).filter(
+            F.col("o_orderkey").between(1, 2000)
         )
         write_version(
             batch.repartitionByRange(2, "o_orderkey"), pa, mode="append",

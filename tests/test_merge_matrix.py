@@ -296,6 +296,80 @@ def test_merge_respects_deletion_vectors(spark):
         shutil.rmtree(base, ignore_errors=True)
 
 
+def test_merge_stages_on_wap_branch(spark):
+    """The WAP x MERGE cell of the staging matrix: a full-clause-matrix
+    merge staged on a branch leaves main BYTE-IDENTICAL (file list +
+    mtimes) until fast_forward; the audit read sees the merged state;
+    publish delivers exactly it. A second branch merge targets the
+    BRANCH snapshot (the staged state), not main."""
+    from tts_etl_pipeline_spark.sources.versioned import (
+        create_branch,
+        current_version,
+        fast_forward,
+        read_branch,
+    )
+
+    base, path, df = _mk(spark, n=200, parts=4)
+    try:
+        m1 = manifest(path, 1)
+        sig = {
+            f: os.stat(os.path.join(path, f)).st_mtime_ns for f in m1["files"]
+        }
+        create_branch(path, "audit")
+        src = (
+            df.filter(F.col("k") <= 20)
+            .withColumn("p", F.col("p") * 2)
+            .unionByName(
+                df.filter(F.col("k") <= 5).withColumn("k", F.col("k") + 9000)
+            )
+        )
+        v2 = merge(
+            spark, path, src, "k",
+            matched=(("update", None),),
+            not_matched=(("insert", None),),
+            not_matched_by_source=(("delete", "t.k > 190"),),
+            branch="audit",
+        )
+        assert v2 == 2
+        # second staged merge sees the FIRST merge's state (branch head)
+        src2 = (
+            read_branch(spark, path, "audit")
+            .filter(F.col("k").between(1, 3))
+            .withColumn("p", F.col("p") + 1)
+        )
+        v3 = merge(spark, path, src2, "k", branch="audit")
+        assert v3 == 3
+        # main: untouched in every observable way
+        assert current_version(path) == 1
+        assert manifest(path, 1)["files"] == m1["files"]
+        assert {
+            f: os.stat(os.path.join(path, f)).st_mtime_ns
+            for f in m1["files"]
+        } == sig
+        assert read_version(spark, path).count() == 200
+        # audit read: the composed staged state
+        staged = {
+            r["k"]: r["p"] for r in read_branch(spark, path, "audit").collect()
+        }
+        exp = {}
+        for i in range(1, 191):  # NMBS deleted k > 190
+            p = i * 10.0
+            if i <= 20:
+                p *= 2
+            if i <= 3:
+                p += 1
+            exp[i] = p
+        for i in range(1, 6):
+            exp[i + 9000] = i * 10.0
+        assert staged == exp
+        # publish: main gains exactly the staged lineage
+        assert fast_forward(path, "audit") == 3
+        final = {r["k"]: r["p"] for r in read_version(spark, path).collect()}
+        assert final == exp
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def test_merge_typed_guards(spark):
     base, path, df = _mk(spark, n=20, parts=2)
     try:

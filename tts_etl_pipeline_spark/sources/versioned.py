@@ -2429,6 +2429,7 @@ def write_version_parts(
     collect_stats: tuple = (),
     collect_blooms: tuple = (),
     eqdeletes: list | None = None,
+    branch: str | None = None,
     _rid_materialized: bool = False,
 ) -> int:
     """Commit a new snapshot as REUSED parent data files + freshly staged
@@ -2466,7 +2467,13 @@ def write_version_parts(
     exactly like write_version(expected_version=...)."""
     if expected_version <= 0:
         raise ValueError("write_version_parts requires a committed parent version")
-    base_m = _read_manifest(path, expected_version)
+    bfork = None
+    if branch is not None:
+        binfo = _load_refs(path)["branches"].get(branch)
+        if binfo is None:
+            raise ValueError(f"no branch {branch!r} at {path}")
+        bfork = binfo["fork"]
+    base_m = _read_manifest(path, expected_version, branch=branch, fork=bfork)
     base_files = set(base_m["files"])
     foreign = [f for f in reuse_files if f not in base_files]
     if foreign:
@@ -2573,6 +2580,7 @@ def write_version_parts(
         # is rewritten and the entries are provably dead
         eqdeletes=eqdeletes,
         next_row_id=next_rid,
+        branch=branch,
     )
 
 
@@ -4874,6 +4882,7 @@ def merge(
     not_matched_by_source: tuple = (),
     collect_stats: tuple | None = None,
     cluster: bool = True,
+    branch: str | None = None,
 ) -> int | None:
     """Full-clause-matrix MERGE INTO on a versioned table — the complete
     Delta / Iceberg `MERGE` surface that merge_upsert's fixed
@@ -4912,7 +4921,13 @@ def merge(
     (one target row cannot take two updates); NULL-keyed source rows
     never match — they flow to the not_matched clauses. Returns the
     committed version, or None when the merge provably touches nothing
-    (empty source, no pruned-in files, no NMBS clauses)."""
+    (empty source, no pruned-in files, no NMBS clauses).
+
+    `branch` stages the whole merge on a WAP branch (the delete_where_eq
+    / upsert_where_eq discipline): the target is the BRANCH head, the
+    commit lands on the branch, and main stays byte-identical until
+    fast_forward publishes the staged lineage — completing the WAP x
+    MERGE cell of the staging matrix."""
     from pyspark.sql import functions as F
 
     for cl in matched:
@@ -4928,10 +4943,18 @@ def merge(
             continue
         raise ValueError(f"bad not_matched_by_source clause {cl!r}")
 
-    v = current_version(path)
+    bfork = None
+    if branch is not None:
+        binfo = _load_refs(path)["branches"].get(branch)
+        if binfo is None:
+            raise ValueError(f"no branch {branch!r} at {path}")
+        bfork = binfo["fork"]
+        v = branch_head(path, branch)
+    else:
+        v = current_version(path)
     if v == 0:
         raise ValueError(f"no versions at {path}; write_version creates the table")
-    m = _read_manifest(path, v)
+    m = _read_manifest(path, v, branch=branch, fork=bfork)
     if m.get("schema"):
         t_schema = [
             (f.name, f.dataType)
@@ -5025,6 +5048,7 @@ def merge(
         reuse_files=untouched,
         expected_version=v,
         collect_stats=(key,) if collect_stats is None else collect_stats,
+        branch=branch,
     )
 
 
