@@ -168,3 +168,68 @@ def test_ivm_typed_guards(spark):
             )
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_components_ivm_converges_and_resumes(spark):
+    from tts_etl_pipeline_spark.functions.graph import connected_components
+    from tts_etl_pipeline_spark.sources.ivm import (
+        maintain_components_from_cdf,
+        read_maintained_components,
+    )
+
+    base = tempfile.mkdtemp(prefix="civm_")
+    pe, st = f"{base}/e", f"{base}/st"
+    try:
+        # chains of <= 7 nodes, fragments spread over three commits
+        edges = (
+            spark.range(1, 401)
+            .select(F.col("id").alias("a"), (F.col("id") + 1).alias("b"))
+            .filter(F.col("a") % 7 != 0)
+        )
+        write_version(edges.filter(F.col("a") % 3 == 0), pe)
+        write_version(edges.filter(F.col("a") % 3 == 1), pe, mode="append")
+        rep1 = maintain_components_from_cdf(spark, pe, st)
+        assert rep1["steps"] == 2
+        write_version(edges.filter(F.col("a") % 3 == 2), pe, mode="append")
+        rep2 = maintain_components_from_cdf(spark, pe, st)
+        assert rep2["steps"] == 1 and rep2["label_merges"] > 0
+        got = {
+            r["node"]: r["component"]
+            for r in read_maintained_components(spark, st).collect()
+        }
+        exp = {
+            r["node"]: r["label"]
+            for r in connected_components(
+                edges.selectExpr("a AS src", "b AS dst")
+            ).collect()
+        }
+        assert got == exp
+        assert maintain_components_from_cdf(spark, pe, st)["steps"] == 0
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_components_ivm_refuses_deletes_and_nulls(spark):
+    from tts_etl_pipeline_spark.sources.ivm import (
+        maintain_components_from_cdf,
+    )
+
+    base = tempfile.mkdtemp(prefix="civm_")
+    pe, st = f"{base}/e", f"{base}/st"
+    try:
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3)], "a long, b long"
+        )
+        write_version(edges, pe)
+        maintain_components_from_cdf(spark, pe, st)
+        write_version(edges.limit(1), pe, mode="overwrite")  # a delete
+        with pytest.raises(ValueError, match="append-only"):
+            maintain_components_from_cdf(spark, pe, st)
+        pe2, st2 = f"{base}/e2", f"{base}/st2"
+        write_version(
+            spark.createDataFrame([(1, None)], "a long, b long"), pe2
+        )
+        with pytest.raises(ValueError, match="NULL endpoints"):
+            maintain_components_from_cdf(spark, pe2, st2)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -790,3 +790,115 @@ def pr6_copurchase_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_parts"), "component")
         .limit(PR6_TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# pr7 — INCREMENTAL CONNECTED COMPONENTS from the change feed
+# (sources/ivm.py::maintain_components_from_cdf): d8/d9 cluster a near-dup
+# graph batch-wise; this keeps the SAME labeling current as edge commits
+# land, the graph face of view maintenance. Each step contracts the
+# committed labeling and runs the O(log n) large-star/small-star kernel
+# on the LABEL GRAPH only — O(components touched by the batch), never
+# O(all nodes) — then broadcasts the batch-sized remap over the state.
+# The fixture is a deterministic chain graph over o_orderkey (consecutive
+# keys link unless gap > 3 or key % 7 == 0), committed in THREE batches
+# keyed by a % 3, so chain fragments land in different commits and the
+# cross-commit MERGES are what each maintenance step must discover: the
+# query drains mid-backlog (resume pinned), asserts label merges actually
+# happened, pins the replay no-op, and refuses an edge-delete commit
+# TYPED (a delete can split a component — append-only is the contract).
+# The oracle recomputes components declaratively (recursive CTE), so
+# value equality proves the incremental path converges to the batch
+# fixpoint node-for-node.
+# ---------------------------------------------------------------------------
+@_register(
+    "pr7_incremental_components",
+    """
+    WITH RECURSIVE e AS (
+      SELECT a, b FROM (
+        SELECT o_orderkey AS a,
+               LEAD(o_orderkey) OVER (ORDER BY o_orderkey) AS b
+        FROM orders) t
+      WHERE b IS NOT NULL AND b - a <= 3 AND a % 7 <> 0
+    ),
+    sym AS (
+      SELECT a AS src, b AS dst FROM e
+      UNION ALL SELECT b AS src, a AS dst FROM e
+    ),
+    reach(node, label) AS (
+      SELECT DISTINCT src, src FROM sym
+      UNION
+      SELECT s.src, r.label FROM sym s JOIN reach r ON s.dst = r.node
+    )
+    SELECT node, CAST(MIN(label) AS BIGINT) AS component
+    FROM reach GROUP BY node ORDER BY node
+    """,
+)
+def pr7_incremental_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from tts_etl_pipeline_spark.sources.ivm import (
+        maintain_components_from_cdf,
+        read_maintained_components,
+    )
+    from tts_etl_pipeline_spark.sources.versioned import (
+        read_version,
+        write_version,
+    )
+
+    orders = table(spark, sf_dir, "orders").select("o_orderkey")
+    base = tempfile.mkdtemp(prefix="pr7_")
+    pe, st = f"{base}/edges", f"{base}/state"
+    try:
+        w = Window.orderBy("o_orderkey")
+        edges = (
+            orders.withColumn("b", F.lead("o_orderkey").over(w))
+            .filter(
+                F.col("b").isNotNull()
+                & (F.col("b") - F.col("o_orderkey") <= 3)
+                & (F.col("o_orderkey") % 7 != 0)
+            )
+            .select(F.col("o_orderkey").alias("a"), "b")
+        )
+        edges = materialize(edges)
+        # three append commits, chain fragments interleaved across them
+        write_version(edges.filter(F.col("a") % 3 == 0), pe)
+        write_version(edges.filter(F.col("a") % 3 == 1), pe, mode="append")
+        # resume-mid-backlog: drain the first two commits ...
+        rep1 = maintain_components_from_cdf(spark, pe, st)
+        if rep1["steps"] != 2:
+            raise RuntimeError(f"first drain must apply 2 commits: {rep1}")
+        write_version(edges.filter(F.col("a") % 3 == 2), pe, mode="append")
+        # ... then the third lands and the resumed drain applies JUST it
+        rep2 = maintain_components_from_cdf(spark, pe, st)
+        if rep2["steps"] != 1:
+            raise RuntimeError(f"the resume must apply the backlog: {rep2}")
+        if edges.limit(1).count() and rep2["label_merges"] == 0:
+            raise RuntimeError(
+                "the final batch bridges fragments from earlier commits — "
+                "zero label merges means the step did not merge components"
+            )
+        # replay: a third drain applies nothing and changes nothing
+        rep3 = maintain_components_from_cdf(spark, pe, st)
+        if rep3["steps"] != 0:
+            raise RuntimeError(f"IVM replay was not a no-op: {rep3}")
+        # an edge DELETE refuses typed: components cannot un-merge
+        if edges.limit(1).count():
+            write_version(
+                read_version(spark, pe).limit(1), pe, mode="overwrite"
+            )
+            try:
+                maintain_components_from_cdf(spark, pe, st)
+                raise RuntimeError("an edge delete must refuse")
+            except ValueError:
+                pass
+        return (
+            read_maintained_components(spark, st)
+            .orderBy("node")
+            .localCheckpoint(eager=True)  # materialize before tmp vanishes
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -249,3 +249,161 @@ def read_maintained_join_agg(spark: SparkSession, state_path: str) -> DataFrame:
         .filter(~F.col("__meta"))
         .drop(*_META_COLS)
     )
+
+
+def maintain_components_from_cdf(
+    spark: SparkSession,
+    edges_path: str,
+    state_path: str,
+    a: str = "a",
+    b: str = "b",
+) -> dict:
+    """INCREMENTAL CONNECTED COMPONENTS over an append-only edge table —
+    the graph face of view maintenance (the near-dup clustering d8/d9
+    compute batch-wise, kept current as edge commits land).
+
+    The incremental insight: a committed labeling L is itself a
+    contracted graph. A new edge batch only ever MERGES existing
+    components, so each step runs connected_components (functions/
+    graph.py, the O(log n) large-star/small-star kernel) on the LABEL
+    GRAPH — edges (L[u], L[v]) for the batch's endpoints — whose size is
+    O(components touched by the batch), never O(all nodes). The
+    resulting label remap is batch-sized: broadcast it, relabel the
+    state rows whose label changed, insert the batch's new nodes, ONE
+    state commit per source commit with the applied-version watermark
+    (the st21/st25 exactly-once discipline).
+
+    Append-only is the contract: an edge DELETE can split a component,
+    which no label-merge can express — a delete in the feed refuses
+    TYPED (recompute batch-wise for decremental workloads), and NULL
+    endpoints refuse likewise (a NULL node id is a data bug, not a
+    vertex). Returns {steps, relabeled, inserted}."""
+    report = {"steps": 0, "label_merges": 0, "inserted": 0}
+    from tts_etl_pipeline_spark.functions.graph import connected_components
+
+    head = V.current_version(edges_path)
+    if head == 0:
+        raise ValueError(f"no versions at {edges_path}")
+    if V.current_version(state_path) > 0:
+        w = int(
+            V.read_version(spark, state_path)
+            .filter(F.col("__meta"))
+            .select("__v")
+            .head()[0]
+        )
+    else:
+        w = 0
+    for v in range(w + 1, head + 1):
+        feed = _signed_changes(spark, edges_path, v)
+        if feed.filter(F.col("__sign") < 0).limit(1).count():
+            raise ValueError(
+                "edge feed contains deletes; incremental components are "
+                "append-only (a delete can SPLIT a component — recompute "
+                "batch-wise instead)"
+            )
+        batch = feed.select(
+            F.col(a).alias("__u"), F.col(b).alias("__v")
+        ).distinct()
+        if batch.filter(
+            F.col("__u").isNull() | F.col("__v").isNull()
+        ).limit(1).count():
+            raise ValueError("edge batch holds NULL endpoints")
+        state = (
+            V.read_version(spark, state_path).filter(~F.col("__meta"))
+            if V.current_version(state_path) > 0
+            else None
+        )
+        nodes = (
+            batch.select(F.col("__u").alias("node"))
+            .unionByName(batch.select(F.col("__v").alias("node")))
+            .distinct()
+        )
+        if state is not None:
+            lab = state.select(
+                F.col("node").alias("__n"), F.col("label").alias("__l")
+            )
+            cur = nodes.join(
+                lab, nodes["node"] == F.col("__n"), "left"
+            ).select(
+                "node", F.coalesce("__l", "node").alias("label")
+            )
+        else:
+            cur = nodes.withColumn("label", F.col("node"))
+        from tts_etl_pipeline_spark.functions.checkpoints import materialize
+
+        cur = materialize(cur)
+        lu = cur.select(
+            F.col("node").alias("__u"), F.col("label").alias("__lu")
+        )
+        lv = cur.select(
+            F.col("node").alias("__v"), F.col("label").alias("__lv")
+        )
+        lgraph = (
+            batch.join(lu, "__u").join(lv, "__v")
+            .select(F.col("__lu").alias("src"), F.col("__lv").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        remap = connected_components(lgraph) if lgraph.limit(1).count() else None
+        # remap is LABEL-GRAPH-sized (merged components only): broadcast it
+        def relabeled(df):
+            if remap is None:
+                return df
+            r = F.broadcast(
+                remap.select(
+                    F.col("node").alias("__old"), F.col("label").alias("__new")
+                )
+            )
+            return df.join(r, df["label"] == F.col("__old"), "left").select(
+                "node", F.coalesce("__new", "label").alias("label")
+            )
+
+        if remap is not None:
+            report["label_merges"] += remap.count()
+        if state is not None:
+            fresh = cur.join(
+                state.select(F.col("node").alias("__have")),
+                cur["node"] == F.col("__have"),
+                "left_anti",
+            )
+            n_fresh = fresh.count()
+            new_state = relabeled(state.select("node", "label")).unionByName(
+                relabeled(fresh)
+            )
+            report["inserted"] += n_fresh
+        else:
+            new_state = relabeled(cur)
+            report["inserted"] += cur.count()
+        data = new_state.select(
+            F.lit(False).alias("__meta"),
+            F.lit(v).cast("long").alias("__v"),
+            F.col("node").cast("long"),
+            F.col("label").cast("long"),
+        )
+        meta_schema = T.StructType(
+            [
+                T.StructField("__meta", T.BooleanType(), False),
+                T.StructField("__v", T.LongType(), False),
+                T.StructField("node", T.LongType(), True),
+                T.StructField("label", T.LongType(), True),
+            ]
+        )
+        meta_row = spark.createDataFrame(
+            [(True, v, None, None)], meta_schema
+        )
+        V.write_version(
+            data.unionByName(meta_row), state_path, mode="overwrite"
+        )
+        report["steps"] += 1
+    return report
+
+
+def read_maintained_components(
+    spark: SparkSession, state_path: str
+) -> DataFrame:
+    """The maintained labeling as (node, component)."""
+    return (
+        V.read_version(spark, state_path)
+        .filter(~F.col("__meta"))
+        .select("node", F.col("label").alias("component"))
+    )
