@@ -1250,6 +1250,73 @@ def _stage_files(df: DataFrame, path: str) -> list[str]:
     return new_files
 
 
+UNIQUE_PREFIX = "unique:"
+
+
+def _enforce_unique(
+    spark: SparkSession,
+    path: str,
+    df,
+    uniques: list,
+    against: tuple | None,
+) -> None:
+    """UNIQUE enforcement at the commit boundary (the PRIMARY KEY half
+    Delta famously lacks): the staged rows must hold distinct non-NULL
+    values per unique column (SQL UNIQUE: NULLs never collide), and —
+    when `against` supplies (manifest, files) context — must not collide
+    with the rows already live in those files. The cross-check is
+    manifest-PRUNED: the staged key span plans via _plan_pruned_files
+    (summary-first on sharded manifests), the kept set intersects the
+    caller's `against` files, and the probe is one broadcast semi-join of
+    the batch keys — O(batch) + O(overlapping files), never O(table).
+    Reads go through _read_files, so rows dead under deletion vectors or
+    equality deletes never count as conflicts."""
+    from pyspark.sql import functions as F
+
+    for name, ucol in uniques:
+        if ucol not in df.columns:
+            raise ValueError(
+                f"UNIQUE constraint {name!r} references {ucol!r}, absent "
+                "from this commit's schema; drop the constraint first"
+            )
+        keys = df.select(F.col(ucol)).filter(F.col(ucol).isNotNull())
+        stat = keys.agg(
+            F.min(ucol).alias("lo"),
+            F.max(ucol).alias("hi"),
+            (F.count(ucol) - F.count_distinct(F.col(ucol))).alias("dups"),
+        ).first()
+        if stat["dups"]:
+            raise ConstraintViolationError(
+                f"UNIQUE constraint {name!r} ({ucol}) violated by duplicate "
+                "values within this commit; nothing was committed"
+            )
+        if against is None or stat["lo"] is None:
+            continue
+        a_m, a_files = against  # a_files None = every file in a_m
+        if a_files is not None and not a_files:
+            continue
+        read_m, kept, _skipped, _total = _plan_pruned_files(
+            path, a_m, ucol, stat["lo"], stat["hi"]
+        )
+        if a_files is not None:
+            kept = [f for f in kept if f in set(a_files)]
+        if not kept:
+            continue
+        hit = (
+            _read_files(spark, path, read_m, kept)
+            .select(F.col(ucol))
+            .join(F.broadcast(keys), ucol, "left_semi")
+            .limit(1)
+            .collect()
+        )
+        if hit:
+            raise ConstraintViolationError(
+                f"UNIQUE constraint {name!r} ({ucol}) violated: value "
+                f"{hit[0][0]!r} already exists in the table; nothing was "
+                "committed"
+            )
+
+
 def _enforce_constraints(
     spark: SparkSession,
     path: str,
@@ -1257,6 +1324,7 @@ def _enforce_constraints(
     constraints: dict,
     schema_json: str | None,
     colmap: dict | None = None,
+    unique_against: tuple | None = None,
 ) -> None:
     """CHECK enforcement at the commit boundary: probe the STAGED files
     (what will actually be committed — never a recomputation of the
@@ -1266,7 +1334,14 @@ def _enforce_constraints(
     first violated constraint, leaving the staged files as invisible
     vacuum-able orphans. Reads with the COMMIT schema when available, so
     a merge_schema append that omitted a constrained column serves NULL
-    for it (which passes CHECK) instead of failing analysis."""
+    for it (which passes CHECK) instead of failing analysis.
+
+    Constraint entries whose recorded expression starts with
+    ``unique:<col>`` route to _enforce_unique instead of the CHECK probe
+    — `unique_against` supplies the (manifest, files) the staged rows
+    must not collide with (None = in-commit distinctness only: the
+    overwrite / DV-update / CDC-upsert paths, where the same commit
+    retires the rows a naive cross-check would falsely collide with)."""
     if not constraints or not staged:
         return
     from pyspark.sql import functions as F
@@ -1279,7 +1354,20 @@ def _enforce_constraints(
     if colmap and schema_json is not None:
         cm = {v: k for k, v in colmap.items()}
         df = df.select(*[F.col(c).alias(cm.get(c, c)) for c in df.columns])
-    checks = sorted(constraints.items())
+    uniques = [
+        (n, e[len(UNIQUE_PREFIX):])
+        for n, e in sorted(constraints.items())
+        if e.startswith(UNIQUE_PREFIX)
+    ]
+    if uniques:
+        _enforce_unique(spark, path, df, uniques, unique_against)
+    checks = sorted(
+        (n, e)
+        for n, e in constraints.items()
+        if not e.startswith(UNIQUE_PREFIX)
+    )
+    if not checks:
+        return
     try:
         probe = df.select(
             *[
@@ -1626,6 +1714,11 @@ def add_constraint(
     commits with the constraint recorded (same file list — the change
     feed across it is empty). Every later commit on any write path
     enforces it against the staged rows until drop_constraint."""
+    if expr.startswith(UNIQUE_PREFIX):
+        raise ValueError(
+            f"the {UNIQUE_PREFIX!r} prefix is reserved for "
+            "add_unique_constraint's recorded form"
+        )
     v = current_version(path)
     if v == 0:
         raise ValueError(f"no versions at {path}")
@@ -1654,6 +1747,71 @@ def add_constraint(
         schema_json=m.get("schema"),
         constraints=cons,
         **_alter_payload_kwargs(m),  # every sidecar map, or shards verbatim
+    )
+
+
+def add_unique_constraint(
+    spark: SparkSession, path: str, name: str, col: str
+) -> int:
+    """ALTER TABLE ADD CONSTRAINT name UNIQUE (col) — the PRIMARY-KEY-
+    style guarantee the mainstream lakehouse formats decline to enforce
+    (Delta/Iceberg record PK metadata as informational only). EXISTING
+    rows are validated first (one distinct-count probe; duplicates
+    refuse and commit nothing), then a METADATA-ONLY version records the
+    constraint as ``unique:<col>`` in the constraints channel, where
+    every later commit enforces it via _enforce_unique:
+
+    - in-commit duplicates always refuse (every write path);
+    - appends cross-check against the PARENT snapshot with
+      manifest-pruned IO (staged key span -> _plan_pruned_files ->
+      broadcast semi-join): O(batch) + O(overlapping files);
+    - rewrite commits (merge, replace_where, update_where — the
+      write_version_parts family) cross-check against the files that
+      RIDE ALONG unrewritten; rows retiring in the same commit never
+      count as conflicts;
+    - paths that retire old copies within the commit itself (overwrite,
+      DV updates, CDC upserts whose equality delete covers the key)
+      enforce in-commit distinctness only — their uniqueness-vs-table is
+      held by construction when the unique column IS the mutation key,
+      and an UPDATE that sets the unique column to an existing value is
+      the documented enforcement gap (probe before updating).
+
+    NULL values never collide (SQL UNIQUE). drop_constraint removes the
+    guarantee like any CHECK."""
+    v = current_version(path)
+    if v == 0:
+        raise ValueError(f"no versions at {path}")
+    m = _read_manifest(path, v, materialize=False)
+    schema_json = m.get("schema")
+    if schema_json and col not in _schema_from_json(schema_json).names:
+        raise ValueError(f"{col!r} is not a column of {path}")
+    cons = dict(m.get("constraints") or {})
+    if name in cons:
+        raise ValueError(f"constraint {name!r} already exists: {cons[name]}")
+    from pyspark.sql import functions as F
+
+    dup = (
+        read_version(spark, path, v)
+        .filter(F.col(col).isNotNull())
+        .groupBy(col)
+        .count()
+        .filter(F.col("count") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        raise ConstraintViolationError(
+            f"cannot add UNIQUE constraint {name!r} ({col}): existing rows "
+            f"duplicate value {dup[0][0]!r}"
+        )
+    cons[name] = f"{UNIQUE_PREFIX}{col}"
+    return _commit(
+        path,
+        mode="alter",
+        expected_parent=v,
+        schema_json=schema_json,
+        constraints=cons,
+        **_alter_payload_kwargs(m),
     )
 
 
@@ -2329,12 +2487,15 @@ def write_version(
         blooms.update(base_m.get("blooms", {}))
         dvs.update(base_m.get("dvs", {}))
     if base_version > 0:
-        # CHECK constraints apply to appended AND overwriting rows alike
+        # CHECK constraints apply to appended AND overwriting rows alike;
+        # UNIQUE cross-checks against the parent snapshot only on APPEND
+        # (an overwrite retires every parent row in the same commit)
         cons = base_m.get("constraints")
         if cons:
             _enforce_constraints(
                 df.sparkSession, path, new_files, cons,
                 commit_schema.json(), colmap=cm,
+                unique_against=(base_m, None) if mode == "append" else None,
             )
     # stats/blooms are keyed by PHYSICAL names (stable across renames);
     # per-FILE dict merge, not replace — a partitioned file's synthetic
@@ -2523,10 +2684,13 @@ def write_version_parts(
     cons = base_m.get("constraints")
     if cons and parts:
         # reused files carry rows the parent already validated; only the
-        # freshly staged rows need the CHECK probe
+        # freshly staged rows need the CHECK probe. UNIQUE cross-checks
+        # against the REUSED files only: the rewritten files' rows retire
+        # with this commit, so colliding with them is not a violation
         _enforce_constraints(
             parts[0].sparkSession, path, new_files, cons, schema_json,
             colmap=cm,
+            unique_against=(base_m, list(reuse_files)),
         )
     phys_of = (cm or {}).get
     base_stats = base_m.get("stats", {})
