@@ -258,13 +258,103 @@ def bench_ivm(spark, src: str, factor: int) -> None:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def bench_replicate(spark, src: str, factor: int) -> None:
+    """Initial full sync vs delta sync of a ~6 M-row versioned table."""
+    from tts_etl_pipeline_spark.sources.replicate import replicate
+
+    base = tempfile.mkdtemp(prefix="fsr13_repl_")
+    psrc = os.path.join(base, "src")
+    pdst = os.path.join(base, "dst")
+    try:
+        big = scaled_orders(spark, src, factor)
+        write_version(
+            big.repartitionByRange(64, "o_orderkey"), psrc,
+            collect_stats=("o_orderkey",),
+        )
+        t0 = time.time()
+        r1 = replicate(psrc, pdst)
+        t_full = time.time() - t0
+        write_version(
+            big.filter(F.col("o_orderkey").between(1, 2000)).withColumn(
+                "o_orderkey", F.col("o_orderkey") + 10_000_000_000
+            ),
+            psrc, mode="append", collect_stats=("o_orderkey",),
+        )
+        t0 = time.time()
+        r2 = replicate(psrc, pdst)
+        t_delta = time.time() - t0
+        print(
+            f"REPLICATE full_sync={t_full:.2f}s "
+            f"({r1['files_copied']} files, {r1['bytes_copied'] >> 20} MB) "
+            f"delta_sync={t_delta:.3f}s ({r2['files_copied']} files, "
+            f"{r2['bytes_copied'] >> 10} KB)"
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def bench_pyds(spark, src: str, factor: int) -> None:
+    """Python DataSource scan of the ~6 M-row table: pushdown-planned
+    point-range read vs the full-scan filter through the same source."""
+    import json
+
+    from tts_etl_pipeline_spark.sources.pyds_versioned import register
+
+    base = tempfile.mkdtemp(prefix="fsr13_pyds_")
+    path = os.path.join(base, "t")
+    prior = spark.conf.get("spark.sql.python.filterPushdown.enabled", "false")
+    try:
+        register(spark)
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+        big = scaled_orders(spark, src, factor)
+        write_version(
+            big.repartitionByRange(64, "o_orderkey"), path,
+            collect_stats=("o_orderkey",),
+        )
+        rpt = os.path.join(base, "rpt.json")
+        t0 = time.time()
+        n = (
+            spark.read.format("versioned_table")
+            .option("path", path)
+            .option("report", rpt)
+            .load()
+            .filter(F.col("o_orderkey").between(1, 2000))
+            .count()
+        )
+        t_pruned = time.time() - t0
+        rep = json.load(open(rpt))
+        t0 = time.time()
+        n_full = (
+            spark.read.format("versioned_table")
+            .option("path", path)
+            .load()
+            .count()
+        )
+        t_full = time.time() - t0
+        print(
+            f"PYDS rows={n_full} pushdown_scan={t_pruned:.2f}s "
+            f"(planned {rep['files_planned']}/{rep['files_total']} files, "
+            f"{n} rows) full_scan={t_full:.2f}s"
+        )
+    finally:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", prior)
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def main() -> None:
     src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     factor = int(sys.argv[2]) if len(sys.argv) > 2 else 40
     spark = get_spark("feature_scale_r13", cpus=32)
-    bench_merge(spark, src, factor)
-    bench_textindex(spark, src)
-    bench_ivm(spark, src, factor)
+    only = sys.argv[3].split(",") if len(sys.argv) > 3 else None
+    for name, fn in [
+        ("merge", lambda: bench_merge(spark, src, factor)),
+        ("textindex", lambda: bench_textindex(spark, src)),
+        ("ivm", lambda: bench_ivm(spark, src, factor)),
+        ("replicate", lambda: bench_replicate(spark, src, factor)),
+        ("pyds", lambda: bench_pyds(spark, src, factor)),
+    ]:
+        if only is None or name in only:
+            fn()
 
 
 if __name__ == "__main__":

@@ -4745,6 +4745,372 @@ def j34_catalog_multi_table_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(base, ignore_errors=True)
 
 
+@_register(
+    "j39_unique_constraint",
+    """
+    SELECT o_orderstatus, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM (
+      SELECT o_orderstatus, o_totalprice FROM orders
+      UNION ALL
+      SELECT o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 10 = 4
+    )
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def j39_unique_constraint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENFORCED UNIQUE constraints (add_unique_constraint, versioned.py)
+    — the PRIMARY-KEY guarantee Delta and Iceberg record as
+    informational-only, enforced here at every commit boundary. In-query
+    pins: adding the constraint is METADATA-ONLY (file list + mtimes
+    identical, the j29 discipline) and refuses TYPED on a table that
+    already duplicates the column; an append that duplicates WITHIN its
+    batch refuses; an append colliding with a LIVE table row refuses
+    (manifest-pruned cross-check: staged key span -> overlapping files
+    -> broadcast semi-join, O(batch) at 100 TB); a disjoint append and
+    a key-preserving MERGE rewrite both commit; every refusal leaves
+    the head unmoved. DuckDB reproduces the surviving commits' final
+    state, so value equality proves enforcement blocked exactly the
+    violating commits and nothing else."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    from tts_etl_pipeline_spark.functions.exact import money
+    from tts_etl_pipeline_spark.sources.versioned import (
+        ConstraintViolationError,
+        add_unique_constraint,
+        current_version,
+        manifest,
+        merge,
+        read_version,
+        write_version,
+    )
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    base = tempfile.mkdtemp(prefix="j39_")
+    path = f"{base}/orders_v"
+    try:
+        write_version(
+            orders.repartitionByRange(8, "o_orderkey"), path,
+            collect_stats=("o_orderkey",),
+        )
+        n1 = orders.count()
+        m1 = manifest(path, 1)
+        sig = {
+            f: _os.stat(_os.path.join(path, f)).st_mtime_ns
+            for f in m1["files"]
+        }
+        add_unique_constraint(spark, path, "pk_orderkey", "o_orderkey")
+        m2 = manifest(path, 2)
+        if m2["files"] != m1["files"] or {
+            f: _os.stat(_os.path.join(path, f)).st_mtime_ns
+            for f in m1["files"]
+        } != sig:
+            raise RuntimeError("ADD UNIQUE must be metadata-only")
+        if n1 > 0:
+            # a table already duplicating the column refuses the ALTER
+            dup_path = f"{base}/dup_v"
+            write_version(
+                orders.limit(5).unionByName(orders.limit(5)), dup_path
+            )
+            try:
+                add_unique_constraint(spark, dup_path, "pk", "o_orderkey")
+                raise RuntimeError("ALTER on a duplicated table must refuse")
+            except ConstraintViolationError:
+                pass
+            # in-batch duplicate refuses, head unmoved
+            k0 = orders.agg(F.min("o_orderkey")).first()[0]
+            probe = orders.filter(F.col("o_orderkey") == k0).withColumn(
+                "o_orderkey", F.col("o_orderkey") + 77_000_000
+            )
+            try:
+                write_version(
+                    probe.unionByName(probe), path, mode="append"
+                )
+                raise RuntimeError("an in-batch duplicate must refuse")
+            except ConstraintViolationError:
+                pass
+            # collision with a LIVE row refuses, head unmoved
+            try:
+                write_version(
+                    orders.filter(F.col("o_orderkey") == k0), path,
+                    mode="append",
+                )
+                raise RuntimeError("a live-row collision must refuse")
+            except ConstraintViolationError:
+                pass
+            if current_version(path) != 2:
+                raise RuntimeError("a refused commit moved the head")
+        # a DISJOINT append commits under the constraint
+        write_version(
+            orders.filter(F.col("o_orderkey") % 10 == 4).withColumn(
+                "o_orderkey", F.col("o_orderkey") + 10_000_000
+            ),
+            path, mode="append", collect_stats=("o_orderkey",),
+        )
+        # a key-preserving MERGE rewrite commits (rewritten rows retire,
+        # so their re-staged copies are not conflicts)
+        cur = read_version(spark, path)
+        src = cur.filter(F.col("o_orderkey").between(100, 999))
+        if src.limit(1).count():
+            merge(spark, path, src, "o_orderkey")
+        return (
+            read_version(spark, path)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum((money("o_totalprice") * 100).cast("bigint"))
+                .cast("bigint")
+                .alias("sum_cents"),
+            )
+            .orderBy("o_orderstatus")
+            .localCheckpoint(eager=True)  # materialize before tmp vanishes
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+@_register(
+    "j38_python_datasource_pushdown",
+    """
+    SELECT o_orderstatus, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM orders WHERE o_orderkey BETWEEN 100 AND 999
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def j38_python_datasource_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VERSIONED TABLES AS A SPARK DATA SOURCE (sources/pyds_versioned.py):
+    `CREATE TEMPORARY VIEW ... USING versioned_table OPTIONS (path,
+    version)` — time travel straight from SQL — with pushFilters-driven
+    FILE SKIPPING planned from the manifest stats channel (the Iceberg
+    DataSourceV2 story through the 4.1 Python DataSource API). In-query
+    pins: the filtered scan's planning report proves provably-disjoint
+    files were never planned (files_planned < files_total); the view
+    pinned at v1 still serves the pre-overwrite snapshot while the head
+    view serves the new one; a merge-on-read snapshot refuses TYPED
+    (the DataSource serves clean snapshots; read_version is the MoR
+    funnel). The answer flows entirely through the SQL view, so oracle
+    equality proves the source's Arrow read path (colmap renames, null
+    fill, widening casts) is row-exact."""
+    import json as _json
+    import shutil
+    import tempfile
+
+    from tts_etl_pipeline_spark.sources.pyds_versioned import register
+    from tts_etl_pipeline_spark.sources.versioned import write_version
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    base = tempfile.mkdtemp(prefix="j38_")
+    path = f"{base}/orders_v"
+    view = "j38_orders_v1"
+    prior = spark.conf.get("spark.sql.python.filterPushdown.enabled", "false")
+    try:
+        register(spark)
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+        write_version(
+            orders.repartitionByRange(8, "o_orderkey"), path,
+            collect_stats=("o_orderkey",),
+        )
+        n1 = orders.count()
+        # head moves: v2 keeps only even keys — v1 must still serve whole
+        write_version(
+            orders.filter(F.col("o_orderkey") % 2 == 0), path,
+            mode="overwrite",
+        )
+        rpt = f"{base}/report.json"
+        spark.sql(
+            f"CREATE OR REPLACE TEMPORARY VIEW {view} USING versioned_table "
+            f"OPTIONS (path '{path}', version '1', report '{rpt}')"
+        )
+        if spark.table(view).count() != n1:
+            raise RuntimeError("the v1 view must serve the pre-overwrite rows")
+        head = (
+            spark.read.format("versioned_table").option("path", path).load()
+        )
+        if n1 and head.count() >= n1:
+            raise RuntimeError("the head read must see the overwrite")
+        out = spark.sql(
+            f"""
+            SELECT o_orderstatus, COUNT(*) AS n_rows,
+                   CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                        AS BIGINT)) AS BIGINT) AS sum_cents
+            FROM {view} WHERE o_orderkey BETWEEN 100 AND 999
+            GROUP BY o_orderstatus ORDER BY o_orderstatus
+            """
+        ).localCheckpoint(eager=True)
+        if n1 > 0:
+            rep = _json.loads(open(rpt).read())
+            if rep["files_total"] > 1 and (
+                rep["files_planned"] >= rep["files_total"]
+            ):
+                raise RuntimeError(
+                    f"pushdown planned every file despite the key filter: "
+                    f"{rep}"
+                )
+            # merge-on-read snapshots refuse typed, never serve stale rows
+            from tts_etl_pipeline_spark.sources.versioned import (
+                delete_where_dv,
+            )
+
+            k0 = head.agg(F.min("o_orderkey")).first()[0]
+            if k0 is not None and delete_where_dv(
+                spark, path, "o_orderkey", k0, k0
+            ):
+                try:
+                    spark.read.format("versioned_table").option(
+                        "path", path
+                    ).load().count()
+                    raise RuntimeError("a DV-bearing snapshot must refuse")
+                except Exception as ex:
+                    if "deletion vectors" not in str(ex):
+                        raise
+        return out
+    finally:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", prior)
+        try:
+            spark.catalog.dropTempView(view)
+        except Exception:
+            pass
+        shutil.rmtree(base, ignore_errors=True)
+
+
+@_register(
+    "j37_incremental_replication",
+    """
+    SELECT o_orderstatus, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM (
+      SELECT o_orderstatus, o_totalprice FROM orders
+      WHERE o_orderkey NOT BETWEEN 100 AND 999
+      UNION ALL
+      SELECT o_orderstatus, o_totalprice FROM orders
+      WHERE o_orderkey % 10 = 2
+    )
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def j37_incremental_replication(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL TABLE REPLICATION (sources/replicate.py): a versioned
+    orders table — clustered write, then a DV delete (sidecar state),
+    then an append — syncs to a replica in three replicate() calls.
+    In-query pins: the SECOND sync ships exactly the new commit's data
+    files (delta-only, counted against the manifest diff); the third is
+    a provable no-op (0 files); the replica time-travels (v1 equals the
+    pre-delete row count) and serves the staged WAP branch; a diverged
+    destination refuses TYPED. The answer is read FROM THE REPLICA, so
+    oracle equality proves the mirrored lineage serves the same bytes —
+    the DR contract. At 100 TB a sync costs the commits since the last
+    sync (immutable files + content-addressed sidecars), never the
+    table."""
+    import shutil
+    import tempfile
+
+    from tts_etl_pipeline_spark.functions.exact import money
+    from tts_etl_pipeline_spark.sources.replicate import (
+        ReplicaDivergedError,
+        replicate,
+    )
+    from tts_etl_pipeline_spark.sources.versioned import (
+        create_branch,
+        current_version,
+        delete_where_dv,
+        manifest,
+        read_branch,
+        read_version,
+        write_version,
+    )
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    base = tempfile.mkdtemp(prefix="j37_")
+    src, dst = f"{base}/src", f"{base}/replica"
+    try:
+        write_version(
+            orders.repartitionByRange(8, "o_orderkey"), src,
+            collect_stats=("o_orderkey",),
+        )
+        n1 = orders.count()
+        delete_where_dv(spark, src, "o_orderkey", 100, 999)
+        create_branch(src, "wap")
+        write_version(
+            orders.limit(3).withColumn(
+                "o_orderkey", F.col("o_orderkey") + 50_000_000
+            ),
+            src, mode="append", branch="wap",
+        )
+        head1 = current_version(src)
+        r1 = replicate(src, dst)
+        if r1["versions_synced"] != head1:
+            raise RuntimeError(f"first sync must ship the full lineage: {r1}")
+        # replica time travel: v1 predates the DV delete
+        if read_version(spark, dst, 1).count() != n1:
+            raise RuntimeError("replica v1 lost the pre-delete snapshot")
+        # staged WAP branch survived failover
+        if read_branch(spark, dst, "wap").count() != read_branch(
+            spark, src, "wap"
+        ).count():
+            raise RuntimeError("the staged branch did not replicate")
+        # incremental: ONE append ships exactly its delta
+        write_version(
+            orders.filter(F.col("o_orderkey") % 10 == 2).withColumn(
+                "o_orderkey", F.col("o_orderkey") + 10_000_000
+            ),
+            src, mode="append", collect_stats=("o_orderkey",),
+        )
+        head2 = current_version(src)
+        new_files = set(manifest(src, head2)["files"]) - set(
+            manifest(src, head1)["files"]
+        )
+        r2 = replicate(src, dst)
+        if r2["versions_synced"] != head2 - head1 or (
+            new_files and r2["files_copied"] != len(new_files)
+        ):
+            raise RuntimeError(
+                f"delta sync must ship exactly the new commit: {r2} "
+                f"(new files {len(new_files)})"
+            )
+        r3 = replicate(src, dst)
+        if r3["versions_synced"] or r3["files_copied"]:
+            raise RuntimeError(f"a re-sync must be a no-op: {r3}")
+        # divergence refuses typed (probe on a scratch copy of the replica)
+        if n1 > 0:
+            write_version(orders.limit(1), dst, mode="append")
+            try:
+                replicate(src, dst)
+                raise RuntimeError("a diverged replica must refuse")
+            except ReplicaDivergedError:
+                pass
+            # the answer below reads the last REPLICATED version, which
+            # divergence never touched
+            answer_v = head2
+        else:
+            answer_v = None
+        return (
+            read_version(spark, dst, answer_v)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum((money("o_totalprice") * 100).cast("bigint"))
+                .cast("bigint")
+                .alias("sum_cents"),
+            )
+            .orderBy("o_orderstatus")
+            .localCheckpoint(eager=True)  # materialize before tmp vanishes
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 # ---------------------------------------------------------------------------
 # j35 — FULL-CLAUSE-MATRIX MERGE (the complete Delta/Iceberg MERGE INTO
 # surface): one commit applies WHEN MATCHED AND cond DELETE, WHEN MATCHED
