@@ -312,6 +312,17 @@ def bench_pyds(spark, src: str, factor: int) -> None:
             collect_stats=("o_orderkey",),
         )
         rpt = os.path.join(base, "rpt.json")
+        # full scan FIRST: the initial Python-DataSource job pays worker
+        # spin-up + Arrow setup; measuring the pruned scan first would
+        # bill that cold-start to the pruning path
+        t0 = time.time()
+        n_full = (
+            spark.read.format("versioned_table")
+            .option("path", path)
+            .load()
+            .count()
+        )
+        t_full = time.time() - t0
         t0 = time.time()
         n = (
             spark.read.format("versioned_table")
@@ -323,14 +334,6 @@ def bench_pyds(spark, src: str, factor: int) -> None:
         )
         t_pruned = time.time() - t0
         rep = json.load(open(rpt))
-        t0 = time.time()
-        n_full = (
-            spark.read.format("versioned_table")
-            .option("path", path)
-            .load()
-            .count()
-        )
-        t_full = time.time() - t0
         print(
             f"PYDS rows={n_full} pushdown_scan={t_pruned:.2f}s "
             f"(planned {rep['files_planned']}/{rep['files_total']} files, "
