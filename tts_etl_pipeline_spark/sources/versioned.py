@@ -5253,6 +5253,17 @@ def _row_predicate(col: str, lo, hi, condition):
     return pred
 
 
+def _resolve_write_head(path: str, branch: str | None) -> tuple:
+    """(head version, branch fork) for a mutation's base snapshot: main's
+    head, or the branch head when the mutation stages on a WAP branch."""
+    if branch is None:
+        return current_version(path), None
+    binfo = _load_refs(path)["branches"].get(branch)
+    if binfo is None:
+        raise ValueError(f"no branch {branch!r} at {path}")
+    return branch_head(path, branch), binfo["fork"]
+
+
 def delete_where(
     spark: SparkSession,
     path: str,
@@ -5261,6 +5272,7 @@ def delete_where(
     hi,
     condition=None,
     collect_stats: tuple | None = None,
+    branch: str | None = None,
 ) -> int | None:
     """Row-level DELETE on the versioned table — Delta's `DELETE FROM t
     WHERE ...` with MANIFEST-level file pruning: rows matching
@@ -5280,13 +5292,15 @@ def delete_where(
     (default: `col`, keeping later pruned reads/deletes alive; pass
     collect_stats to record more). The change feed across the commit is
     exactly the deleted rows (bag exceptAll). Conflict safety: the commit
-    carries the snapshot's version CAS, like every writer here."""
+    carries the snapshot's version CAS, like every writer here. `branch`
+    stages the delete on a WAP branch (targets the BRANCH snapshot; main
+    stays byte-identical until fast_forward)."""
     from pyspark.sql import functions as F
 
-    v = current_version(path)
+    v, bfork = _resolve_write_head(path, branch)
     if v == 0:
         raise ValueError(f"no versions at {path}")
-    m = _read_manifest(path, v)
+    m = _read_manifest(path, v, branch=branch, fork=bfork)
     touched, untouched = _split_files_by_range(m, col, lo, hi)
     if not touched:
         return None  # every file provably disjoint: nothing to delete
@@ -5303,6 +5317,7 @@ def delete_where(
         reuse_files=untouched,
         expected_version=v,
         collect_stats=(col,) if collect_stats is None else collect_stats,
+        branch=branch,
     )
 
 
@@ -5996,6 +6011,7 @@ def update_where(
     assignments: dict,
     condition=None,
     collect_stats: tuple | None = None,
+    branch: str | None = None,
 ) -> int | None:
     """Row-level UPDATE on the versioned table — Delta's `UPDATE t SET ...
     WHERE ...` with the same MANIFEST-level file pruning as delete_where:
@@ -6010,14 +6026,15 @@ def update_where(
     columns raise — UPDATE never evolves the schema (and
     write_version_parts independently refuses a type change). The change
     feed across the commit is delete+insert pairs for exactly the updated
-    rows."""
+    rows. `branch` stages the update on a WAP branch (the delete_where
+    contract)."""
     from pyspark.sql import Column
     from pyspark.sql import functions as F
 
-    v = current_version(path)
+    v, bfork = _resolve_write_head(path, branch)
     if v == 0:
         raise ValueError(f"no versions at {path}")
-    m = _read_manifest(path, v)
+    m = _read_manifest(path, v, branch=branch, fork=bfork)
     if m.get("schema"):
         unknown = sorted(
             set(assignments) - set(_schema_from_json(m["schema"]).names)
@@ -6056,6 +6073,7 @@ def update_where(
         reuse_files=untouched,
         expected_version=v,
         collect_stats=(col,) if collect_stats is None else collect_stats,
+        branch=branch,
     )
 
 
@@ -6067,6 +6085,7 @@ def replace_where(
     hi,
     condition=None,
     collect_stats: tuple | None = None,
+    branch: str | None = None,
 ) -> int:
     """ATOMIC predicate overwrite — Delta's `INSERT OVERWRITE ...
     replaceWhere` / Iceberg's overwrite-by-filter: ONE commit that both
@@ -6100,11 +6119,13 @@ def replace_where(
     (old matching rows as deletes) + (df's rows as inserts). Row-lineage
     tables follow the copy-on-write rule: rewritten survivors mint fresh
     ids (stage the mutation as delete_where_dv + append when id
-    stability matters). Conflict safety: the snapshot-version CAS."""
+    stability matters). Conflict safety: the snapshot-version CAS.
+    `branch` stages the replace on a WAP branch (the delete_where
+    contract)."""
     from pyspark.sql import functions as F
 
     spark = df.sparkSession
-    v = current_version(path)
+    v, bfork = _resolve_write_head(path, branch)
     if v == 0:
         raise ValueError(
             f"no versions at {path}; write_version creates the table"
@@ -6118,7 +6139,7 @@ def replace_where(
             f"{' AND <condition>' if condition is not None else ''}); "
             f"offending row: {stray[0]}"
         )
-    m = _read_manifest(path, v)
+    m = _read_manifest(path, v, branch=branch, fork=bfork)
     touched, untouched = _split_files_by_range(m, col, lo, hi)
     parts = []
     if touched:
@@ -6133,6 +6154,7 @@ def replace_where(
         reuse_files=untouched,
         expected_version=v,
         collect_stats=(col,) if collect_stats is None else collect_stats,
+        branch=branch,
     )
 
 
