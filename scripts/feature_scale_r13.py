@@ -344,6 +344,49 @@ def bench_pyds(spark, src: str, factor: int) -> None:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def bench_components(spark, n_nodes: int = 2_000_000) -> None:
+    """Incremental components at scale: a 2 M-node chain graph committed
+    whole, then ONE small batch (2 000 edges bridging existing chains) —
+    the step must cost the batch's label graph, not the node count."""
+    from tts_etl_pipeline_spark.sources.ivm import (
+        maintain_components_from_cdf,
+        read_maintained_components,
+    )
+
+    base = tempfile.mkdtemp(prefix="fsr13_cc_")
+    pe, st = os.path.join(base, "e"), os.path.join(base, "st")
+    try:
+        edges = (
+            spark.range(1, n_nodes + 1)
+            .select(F.col("id").alias("a"), (F.col("id") + 1).alias("b"))
+            .filter(F.col("a") % 10 != 0)  # chains of 10
+        )
+        write_version(edges.repartition(32), pe)
+        t0 = time.time()
+        maintain_components_from_cdf(spark, pe, st)
+        t_init = time.time() - t0
+        # the incremental batch: 2 000 bridge edges merging chain pairs
+        bridge = (
+            spark.range(1, 2001)
+            .select(
+                (F.col("id") * 20).alias("a"),
+                (F.col("id") * 20 + 1).alias("b"),
+            )
+        )
+        write_version(bridge, pe, mode="append")
+        t0 = time.time()
+        rep = maintain_components_from_cdf(spark, pe, st)
+        t_step = time.time() - t0
+        n = read_maintained_components(spark, st).count()
+        print(
+            f"COMPONENTS nodes={n} init_drain={t_init:.2f}s "
+            f"step_wall={t_step:.2f}s (label_merges={rep['label_merges']}, "
+            f"inserted={rep['inserted']})"
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def main() -> None:
     src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     factor = int(sys.argv[2]) if len(sys.argv) > 2 else 40
@@ -355,6 +398,7 @@ def main() -> None:
         ("ivm", lambda: bench_ivm(spark, src, factor)),
         ("replicate", lambda: bench_replicate(spark, src, factor)),
         ("pyds", lambda: bench_pyds(spark, src, factor)),
+        ("components", lambda: bench_components(spark)),
     ]:
         if only is None or name in only:
             fn()

@@ -788,3 +788,116 @@ def v8_knn_graph_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst", F.round("cosine", 9).alias("cosine"), "rn")
         .orderBy("src", "rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# v9 — MMR DIVERSIFIED TOP-K (Maximal Marginal Relevance, Carbonell &
+# Goldstein 1998): relevance-only top-k (v1) returns near-duplicates of
+# each other; retrieval-augmented pipelines re-rank a candidate pool so
+# each pick balances query relevance against similarity to what is
+# ALREADY picked:  argmax_d [ lam*sim(q,d) - (1-lam)*max_{s in S} sim(d,s) ].
+# Scale shape: the DISTRIBUTED stage is exact top-C candidate generation
+# (broadcast queries x corpus, the v1 machinery; at 100 TB swap in any
+# ANN path v3-v6 for the same bounded pool), and the greedy selection is
+# O(k*C) on the C-bounded pool — the standard serving split. Greedy
+# iteration is not SQL-expressible, so the query is registered
+# rows-only; exactness is held by tests/test_mmr.py's independent
+# pure-Python replay (the t17/h4 loop-reference discipline), and
+# determinism by the (score desc, id asc) tie rule at both stages.
+# ---------------------------------------------------------------------------
+MMR_POOL = 50
+MMR_K = 10
+MMR_LAMBDA = 0.7
+
+
+def _mmr_candidate_pool(spark: SparkSession, sf_dir: str) -> list:
+    """The DISTRIBUTED stage: exact top-MMR_POOL candidates per query by
+    Spark-computed cosine (broadcast queries x corpus + one window
+    rank), collected WITH both vectors. The greedy stage recomputes
+    every similarity from the vectors in one Python float domain, so the
+    Spark score only selects the pool — a one-ulp disagreement between
+    engines can at worst swap the pool's boundary member, never reorder
+    the selection arithmetic (the determinism the replay pin needs)."""
+    from pyspark.sql.window import Window as W
+
+    emb = table(spark, sf_dir, "embeddings").filter(norm("embedding") > 0.0)
+    q = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("n_id"), F.col("embedding").alias("n_emb")
+    )
+    scored = (
+        corpus.join(F.broadcast(q))
+        .filter(F.col("n_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "n_id",
+            "n_emb",
+            "q_emb",
+            (dot("q_emb", "n_emb") / (norm("q_emb") * norm("n_emb")))
+            .alias("rel"),
+        )
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("rel"), "n_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= MMR_POOL)
+        .collect()  # bounded: N_QUERY_VECS x MMR_POOL candidate rows
+    )
+
+
+@_register("v9_mmr_diversified_topk", None)
+def v9_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rows = mmr_select(_mmr_candidate_pool(spark, sf_dir), MMR_K, MMR_LAMBDA)
+    out_schema = "q_id bigint, rank bigint, n_id bigint, relevance double"
+    return spark.createDataFrame(rows, out_schema).orderBy("q_id", "rank")
+
+
+def _pycos(a: list, b: list) -> float:
+    import math
+
+    num = sum(x * y for x, y in zip(a, b))
+    da = math.sqrt(sum(x * x for x in a))
+    db = math.sqrt(sum(y * y for y in b))
+    return num / (da * db) if da > 0 and db > 0 else 0.0
+
+
+def mmr_select(pool_rows, k: int, lam: float) -> list:
+    """Greedy MMR over collected candidate rows (q_id, n_id, n_emb,
+    q_emb): per query, pick k items maximizing lam*rel(q,d) -
+    (1-lam)*max-sim(d, selected); EVERY similarity (relevance included)
+    is recomputed here from the raw vectors in one float domain; ties
+    break on (score desc, n_id asc). Deterministic for the replay pin."""
+    from collections import defaultdict
+
+    by_q: dict = defaultdict(list)
+    for r in pool_rows:
+        vec = list(r["n_emb"])
+        by_q[r["q_id"]].append(
+            (r["n_id"], vec, _pycos(list(r["q_emb"]), vec))
+        )
+    out = []
+    for q_id in sorted(by_q):
+        sel: list = []
+        remaining = sorted(by_q[q_id], key=lambda t: (-t[2], t[0]))
+        while remaining and len(sel) < k:
+            best = None
+            for n_id, vec, rel in remaining:
+                # raw max similarity to the selected set — a NEGATIVE
+                # cosine is genuine anti-similarity and must not be
+                # floored to zero (it makes the candidate MORE marginal)
+                div = max(
+                    (_pycos(vec, svec) for _sid, svec, _srel in sel),
+                    default=0.0,
+                )
+                score = lam * rel - (1.0 - lam) * div
+                if best is None or score > best[0] or (
+                    score == best[0] and n_id < best[1]
+                ):
+                    best = (score, n_id, vec, rel)
+            sel.append((best[1], best[2], best[3]))
+            remaining = [t for t in remaining if t[0] != best[1]]
+        for rank, (n_id, _vec, rel) in enumerate(sel, 1):
+            out.append((int(q_id), rank, int(n_id), round(rel, 9)))
+    return out
