@@ -853,6 +853,10 @@ def pr7_incremental_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = tempfile.mkdtemp(prefix="pr7_")
     pe, st = f"{base}/edges", f"{base}/state"
     try:
+        # global-sort: the chain fixture needs one total order over
+        # o_orderkey to define "consecutive"; fixture construction only —
+        # the OPERATOR under test (maintain_components_from_cdf) never
+        # sorts globally, and the edge list itself is what scales
         w = Window.orderBy("o_orderkey")
         edges = (
             orders.withColumn("b", F.lead("o_orderkey").over(w))

@@ -308,6 +308,13 @@ def maintain_components_from_cdf(
             F.col("__u").isNull() | F.col("__v").isNull()
         ).limit(1).count():
             raise ValueError("edge batch holds NULL endpoints")
+        if batch.filter(
+            (F.col("__u") < 0) | (F.col("__v") < 0)
+        ).limit(1).count():
+            raise ValueError(
+                "edge batch holds negative node ids; the state's watermark "
+                "sentinel reserves them (ids must be non-negative)"
+            )
         state = (
             V.read_version(spark, state_path).filter(~F.col("__meta"))
             if V.current_version(state_path) > 0
@@ -360,40 +367,62 @@ def maintain_components_from_cdf(
 
         if remap is not None:
             report["label_merges"] += remap.count()
+
+        def _rows(df, vv):
+            return df.select(
+                F.lit(False).alias("__meta"),
+                F.lit(vv).cast("long").alias("__v"),
+                F.col("node").cast("long"),
+                F.col("label").cast("long"),
+            )
+
+        meta_schema = T.StructType(
+            [
+                T.StructField("__meta", T.BooleanType(), False),
+                T.StructField("__v", T.LongType(), False),
+                T.StructField("node", T.LongType(), False),
+                T.StructField("label", T.LongType(), True),
+            ]
+        )
+        # the watermark rides as a sentinel node (-1): equality deletes
+        # cannot target NULL, and the CDC-upsert state commit below is
+        # keyed on `node` — real node ids must therefore be non-negative
+        meta_row = spark.createDataFrame([(True, v, -1, None)], meta_schema)
         if state is not None:
             fresh = cur.join(
                 state.select(F.col("node").alias("__have")),
                 cur["node"] == F.col("__have"),
                 "left_anti",
             )
-            n_fresh = fresh.count()
-            new_state = relabeled(state.select("node", "label")).unionByName(
-                relabeled(fresh)
-            )
-            report["inserted"] += n_fresh
+            report["inserted"] += fresh.count()
+            # O(CHANGED) state commit, not O(state): only rows whose label
+            # the remap moves, plus genuinely new nodes, upsert through
+            # the Iceberg-CDC path (fresh files + one equality delete on
+            # `node`) — the unchanged millions ride by reference. compact()
+            # / purge_eq bound the accreted delete list like DV debt.
+            if remap is None:
+                changed_old = fresh.limit(0)
+            else:
+                r = F.broadcast(
+                    remap.select(
+                        F.col("node").alias("__old"),
+                        F.col("label").alias("__new"),
+                    )
+                )
+                changed_old = state.join(
+                    r, state["label"] == F.col("__old")
+                ).select("node", F.col("__new").alias("label"))
+            batch = _rows(
+                changed_old.unionByName(relabeled(fresh)), v
+            ).unionByName(meta_row)
+            V.upsert_where_eq(batch, state_path, "node")
         else:
-            new_state = relabeled(cur)
             report["inserted"] += cur.count()
-        data = new_state.select(
-            F.lit(False).alias("__meta"),
-            F.lit(v).cast("long").alias("__v"),
-            F.col("node").cast("long"),
-            F.col("label").cast("long"),
-        )
-        meta_schema = T.StructType(
-            [
-                T.StructField("__meta", T.BooleanType(), False),
-                T.StructField("__v", T.LongType(), False),
-                T.StructField("node", T.LongType(), True),
-                T.StructField("label", T.LongType(), True),
-            ]
-        )
-        meta_row = spark.createDataFrame(
-            [(True, v, None, None)], meta_schema
-        )
-        V.write_version(
-            data.unionByName(meta_row), state_path, mode="overwrite"
-        )
+            V.write_version(
+                _rows(relabeled(cur), v).unionByName(meta_row),
+                state_path,
+                mode="overwrite",
+            )
         report["steps"] += 1
     return report
 

@@ -251,7 +251,13 @@ def spj_read(spark: SparkSession, path: str, key: str, fallback: bool = True):
     else:
         n, stat_key = sb
         stats = m.get("stats") or {}
-        if any(stat_key not in (stats.get(f) or {}) for f in m["files"]):
+        # zero-row placeholder files (__n == [0, 0]) carry no rows and so
+        # no bucket tuple: exempt, same as spj_compatibility
+        live = [
+            f for f in m["files"]
+            if (stats.get(f) or {}).get("__n") != [0, 0]
+        ]
+        if any(stat_key not in (stats.get(f) or {}) for f in live):
             reason = f"{path}: file(s) carry no {stat_key} tuple"
         elif any(f in (m.get("dvs") or {}) for f in m["files"]):
             reason = f"{path}: pending deletion vectors"
