@@ -4746,6 +4746,138 @@ def j34_catalog_multi_table_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "j40_auto_maintenance",
+    """
+    WITH base AS (
+      SELECT o_orderstatus, o_totalprice FROM orders
+      WHERE o_orderkey NOT BETWEEN 100 AND 999 AND o_orderkey % 100 <> 7
+      UNION ALL
+      SELECT o_orderstatus, o_totalprice
+      FROM orders, generate_series(1, 12) AS g(i)
+      WHERE o_orderkey % 10 = 3 AND o_orderkey % 100 <> 7
+    )
+    SELECT o_orderstatus, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM base GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def j40_auto_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POLICY-DRIVEN TABLE MAINTENANCE (sources/maintenance.py): the
+    one-call OPTIMIZE loop — purge_eq / purge_dvs / compact / vacuum
+    fired by manifest-derived debt metrics (KB of driver work to decide,
+    the 100 TB planning bound). The table degrades realistically: a DV
+    delete (merge-on-read debt), twelve tiny appends (small-file debt),
+    six equality-delete commits (CDC debt); two maintenance passes then
+    pin — TYPED, in-query — that exactly the right actions fire
+    ([purge_dvs] first, then purge_eq+vacuum with the file count back
+    under policy), that every action is content-preserving (the row
+    count never moves), and that a third pass is a provable no-op (the
+    vacuum marker, not the head number, drives the version trigger).
+    DuckDB reproduces the degraded-then-maintained final state, so value
+    equality proves maintenance reorganized bytes and lost nothing."""
+    import shutil
+    import tempfile
+
+    from tts_etl_pipeline_spark.functions.exact import money
+    from tts_etl_pipeline_spark.sources.maintenance import (
+        auto_maintain,
+        table_debt,
+    )
+    from tts_etl_pipeline_spark.sources.versioned import (
+        delete_where_dv,
+        delete_where_eq,
+        read_version,
+        write_version,
+    )
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    base = tempfile.mkdtemp(prefix="j40_")
+    path = f"{base}/orders_v"
+    try:
+        write_version(
+            orders.repartitionByRange(8, "o_orderkey"), path,
+            collect_stats=("o_orderkey",),
+        )
+        n_live = orders.count()
+        # --- degrade 1: merge-on-read debt ---------------------------
+        delete_where_dv(spark, path, "o_orderkey", 100, 999)
+        n_live = read_version(spark, path).count()
+        quiet = {
+            "max_files": 10**6, "max_eq_deletes": 10**6,
+            "max_versions": 10**9, "max_dv_ratio": 0.001,
+            "collect_stats": ("o_orderkey",),
+        }
+        acts1 = auto_maintain(spark, path, quiet)
+        if n_live and [a["action"] for a in acts1] != ["purge_dvs"]:
+            raise RuntimeError(f"DV debt must fire exactly purge_dvs: {acts1}")
+        if read_version(spark, path).count() != n_live:
+            raise RuntimeError("purge_dvs changed the table's contents")
+        # --- degrade 2: small-file + CDC debt ------------------------
+        slice3 = orders.filter(F.col("o_orderkey") % 10 == 3)
+        for i in range(1, 13):
+            write_version(
+                slice3.withColumn(
+                    "o_orderkey", F.col("o_orderkey") + i * 10_000_000
+                ),
+                path, mode="append", collect_stats=("o_orderkey",),
+            )
+        k7 = [
+            r[0]
+            for r in orders.filter(F.col("o_orderkey") % 100 == 7)
+            .select("o_orderkey")
+            .collect()
+        ]
+        n_eq_commits = 0
+        for c in range(6):  # up to six commits -> six eq-delete entries
+            chunk = [k for j, k in enumerate(k7) if j % 6 == c]
+            # every shifted append copy shares k % 100 (10^7 % 100 = 0),
+            # so deleting the copies too keeps the oracle declarative
+            all_copies = [k + i * 10_000_000 for k in chunk for i in range(13)]
+            if all_copies:
+                delete_where_eq(path, "o_orderkey", all_copies)
+                n_eq_commits += 1
+        policy = {
+            "max_files": 16, "target_files": 8, "max_dv_ratio": 0.05,
+            "max_eq_deletes": 0, "max_versions": 5, "keep_versions": 2,
+            "grace_seconds": 0, "collect_stats": ("o_orderkey",),
+        }
+        acts2 = auto_maintain(spark, path, policy)
+        fired = [a["action"] for a in acts2]
+        if n_live and (
+            ("purge_eq" not in fired and n_eq_commits)
+            or "vacuum" not in fired
+            or "aborted" in fired
+        ):
+            raise RuntimeError(f"CDC+version debt must purge and vacuum: {fired}")
+        debt = table_debt(path)
+        if debt["n_eq_deletes"] or debt["dv_dead_rows"] or (
+            debt["n_files"] > policy["max_files"]
+        ):
+            raise RuntimeError(f"maintenance left debt behind: {debt}")
+        # --- idempotence: a third pass does nothing -------------------
+        acts3 = auto_maintain(spark, path, policy)
+        if acts3:
+            raise RuntimeError(f"a debt-free pass must be empty: {acts3}")
+        return (
+            read_version(spark, path)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum((money("o_totalprice") * 100).cast("bigint"))
+                .cast("bigint")
+                .alias("sum_cents"),
+            )
+            .orderBy("o_orderstatus")
+            .localCheckpoint(eager=True)  # materialize before tmp vanishes
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+@_register(
     "j39_unique_constraint",
     """
     SELECT o_orderstatus, COUNT(*) AS n_rows,
