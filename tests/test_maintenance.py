@@ -151,3 +151,44 @@ def test_debt_folds_sharded_summaries_without_materializing(spark):
     finally:
         V._SHARD_INLINE_MAX = old
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_reindex_refreshes_stale_text_indexes(spark):
+    from tts_etl_pipeline_spark.sources.textindex import (
+        build_text_index,
+        read_version_token_pruned,
+    )
+
+    base = tempfile.mkdtemp(prefix="mnt_")
+    try:
+        path = f"{base}/t"
+        df = spark.range(0, 50).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("alpha doc "), F.col("id").cast("string"))
+            .alias("text"),
+        )
+        write_version(df, path)
+        # an unindexed table never fires reindex
+        assert auto_maintain(spark, path) == []
+        build_text_index(spark, path, "text")
+        write_version(  # head moves: v1's index is now stale
+            spark.createDataFrame(
+                [(99, "freshword here")], "doc_id long, text string"
+            ),
+            path, mode="append",
+        )
+        acts = auto_maintain(spark, path)
+        assert [a["action"] for a in acts] == ["reindex"]
+        hit, nread, _ = read_version_token_pruned(spark, path, "freshword")
+        assert hit.count() == 1 and nread == 1
+        assert auto_maintain(spark, path) == []  # fresh: nothing fires
+        # opt-out honored
+        write_version(
+            spark.createDataFrame(
+                [(100, "more text")], "doc_id long, text string"
+            ),
+            path, mode="append",
+        )
+        assert auto_maintain(spark, path, {"reindex_text": False}) == []
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -24,6 +24,10 @@ order:
                  unreferenced files from superseded versions accumulate;
                  expire to `keep_versions` (age-gated by
                  `grace_seconds`, the vacuum contract).
+5. reindex     — text-index freshness: a table that opted into
+                 sources/textindex.py sidecars (any _textidx dir) gets
+                 its head snapshot indexed for every indexed column;
+                 runs LAST so it indexes the post-maintenance head.
 
 Every action is CONTENT-PRESERVING (same rows before and after — the
 j40 oracle holds the whole loop to value equality); each returns a
@@ -55,6 +59,10 @@ DEFAULT_POLICY = {
     "keep_versions": 4,
     "grace_seconds": 3600.0,
     "collect_stats": (),
+    # a table that HAS text indexes (any _textidx sidecar) keeps them
+    # fresh: the head snapshot gets an index for every indexed column.
+    # Opt-out for write-heavy tables where probes are rare.
+    "reindex_text": True,
 }
 
 
@@ -120,6 +128,33 @@ def table_debt(path: str) -> dict:
         # files, it never renumbers history)
         "versions_since_vacuum": head - _marker(path).get("last_vacuum_head", 0),
     }
+
+
+def _stale_text_indexes(path: str) -> list[str]:
+    """Columns with SOME _textidx sidecar but none for the HEAD snapshot
+    — the indexed-but-stale set the reindex action refreshes. Pure
+    directory listing; an empty/absent _textidx dir means the table
+    never opted into text indexing and nothing fires."""
+    root = os.path.join(path, "_textidx")
+    if not os.path.isdir(root):
+        return []
+    head = V.current_version(path)
+    have_head: set = set()
+    cols: set = set()
+    for d in os.listdir(root):
+        if not d.startswith("v") or "_" not in d:
+            continue
+        if not os.path.exists(os.path.join(root, d, "meta.json")):
+            continue  # half-built: not a commitment to the feature
+        vstr, col = d[1:].split("_", 1)
+        try:
+            v = int(vstr)
+        except ValueError:
+            continue
+        cols.add(col)
+        if v == head:
+            have_head.add(col)
+    return sorted(cols - have_head)
 
 
 def _marker_path(path: str) -> str:
@@ -190,6 +225,17 @@ def auto_maintain(
             mk = _marker(path)
             mk["last_vacuum_head"] = V.current_version(path)
             V._write_atomic(_marker_path(path), mk)
+        if p["reindex_text"]:
+            for col in _stale_text_indexes(path):
+                from tts_etl_pipeline_spark.sources.textindex import (
+                    build_text_index,
+                )
+
+                build_text_index(spark, path, col)
+                record(
+                    "reindex",
+                    f"text index for {col!r} lagged the head snapshot",
+                )
     except V.CommitConflictError as ex:
         # a live writer won a CAS mid-loop: stop cleanly, report the
         # completed prefix — maintenance re-runs on the next schedule
