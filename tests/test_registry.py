@@ -54,6 +54,9 @@ def test_registry_importable_and_consistent():
         "m6_audio_fingerprint_neardup",
         "h4_lttb_downsample",
         "st11_pyds_stream_counts",
+        # v9: MMR greedy re-rank — iterative selection has no SQL twin;
+        # exactness pinned vs an independent replay in tests/test_mmr.py
+        "v9_mmr_diversified_topk",
     }
 
 
