@@ -359,3 +359,33 @@ def test_spj_survives_compact_and_lineage(spark, tmp_path):
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         drop_spj_exposures(spark)
+
+
+def test_spj_refuses_pending_initial_defaults(spark, tmp_path):
+    """A pending add_column initial-default would read as NULL through
+    the raw-parquet catalog exposure where read_version serves the
+    default — wrong data, so both the join and the single-table read
+    degrade/refuse instead."""
+    import pyspark.sql.functions as F
+
+    from tts_etl_pipeline_spark.sources.spj import (
+        spj_compatibility,
+        spj_read,
+    )
+    from tts_etl_pipeline_spark.sources.versioned import (
+        add_column,
+        write_version,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.range(1, 201).select(
+        F.col("id").alias("k"), (F.col("id") * 2.0).alias("v")
+    )
+    write_version(df, path, partition_by=(("sbucket", "k", 8),))
+    add_column(path, "note", "string", default="x")
+    n, reason, _ = spj_compatibility(path, path, "k", "k")
+    assert n is None and "initial-default" in reason
+    d, colocated = spj_read(spark, path, "k")
+    assert not colocated
+    # the fallback read serves the DEFAULT, never NULL
+    assert d.filter(F.col("note") == "x").count() == 200

@@ -177,3 +177,30 @@ def test_tokenizer_matches_read_side_split():
         toks = set(TOKEN_RE.findall(s.lower()))
         split = {t for t in re.split(r"[^a-z0-9]+", s.lower()) if t}
         assert toks == split, s
+
+
+def test_index_refuses_pending_initial_default(spark):
+    """A column with a pending add_column initial-default serves default
+    text through read_version that the raw files don't carry — indexing
+    would MISS those files' tokens, so the build refuses typed until
+    compact() materializes the default."""
+    from tts_etl_pipeline_spark.sources.versioned import (
+        add_column,
+        compact,
+    )
+
+    base = tempfile.mkdtemp(prefix="tix_def_")
+    path = f"{base}/t"
+    try:
+        write_version(
+            spark.createDataFrame([(1,), (2,)], "doc_id long"), path
+        )
+        add_column(path, "text", "string", default="hello world")
+        with pytest.raises(ValueError, match="initial-default"):
+            build_text_index(spark, path, "text")
+        compact(spark, path)  # materializes the default into real bytes
+        build_text_index(spark, path, "text")
+        hit, nread, _ = read_version_token_pruned(spark, path, "hello")
+        assert hit.count() == 2 and nread >= 1
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

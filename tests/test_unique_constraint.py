@@ -128,3 +128,28 @@ def test_unique_alter_guards(t):
             spark.createDataFrame([(1, 1.0)], "k long, v double"),
             path, mode="append",
         )
+
+
+def test_unique_cdc_upsert_updates_pass_and_inserts_check(t):
+    """The CDC-upsert arm: upsert_where_eq's equality delete retires the
+    old copies of its keys IN THE SAME COMMIT, so updating existing keys
+    under a PK must commit (the review caught a draft refusing every
+    legitimate update); genuinely new keys still insert; in-batch
+    distinctness still enforced by the upsert's own guard."""
+    from tts_etl_pipeline_spark.sources.versioned import upsert_where_eq
+
+    path, df, spark = t
+    batch = spark.createDataFrame(
+        [(1, 111.0), (2, 222.0), (9_999, 9.0)], "k long, v double"
+    )
+    upsert_where_eq(batch, path, "k")
+    got = {r["k"]: r["v"] for r in read_version(spark, path).collect()}
+    assert got[1] == 111.0 and got[2] == 222.0 and got[9_999] == 9.0
+    assert len(got) == 201  # 200 originals (2 updated in place) + 1 new
+    # and a plain append still cross-checks (the exemption is scoped to
+    # the eq-covered column of the upsert commit, not a blanket off)
+    with pytest.raises(ConstraintViolationError, match="already exists"):
+        write_version(
+            spark.createDataFrame([(1, 0.0)], "k long, v double"),
+            path, mode="append",
+        )

@@ -4032,8 +4032,11 @@ def j28_storage_partitioned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         write_version(orders, po, partition_by=(("sbucket", "o_orderkey", 16),))
         write_version(rollup, pl, partition_by=(("sbucket", "l_orderkey", 16),))
-        # one file group per live bucket — the O(buckets) layout contract
-        if orders.count() >= 16 and len(manifest(po, 1)["files"]) != 16:
+        # one file group per live bucket — the O(buckets) layout contract.
+        # The ==16 form needs every bucket OCCUPIED: at n rows the chance
+        # of an empty murmur3 bucket is ~16*(15/16)^n, non-trivial below a
+        # few hundred rows — gate on a count that makes it negligible
+        if orders.count() >= 1024 and len(manifest(po, 1)["files"]) != 16:
             raise RuntimeError(
                 f"sbucket(16) wrote {len(manifest(po, 1)['files'])} file "
                 f"groups; want one per bucket"

@@ -277,7 +277,7 @@ def maintain_components_from_cdf(
     which no label-merge can express — a delete in the feed refuses
     TYPED (recompute batch-wise for decremental workloads), and NULL
     endpoints refuse likewise (a NULL node id is a data bug, not a
-    vertex). Returns {steps, relabeled, inserted}."""
+    vertex). Returns {steps, label_merges, inserted}."""
     report = {"steps": 0, "label_merges": 0, "inserted": 0}
     from tts_etl_pipeline_spark.functions.graph import connected_components
 

@@ -121,7 +121,14 @@ def table_debt(path: str) -> dict:
         "n_files": n_files,
         "n_rows": total_rows if rows_known else None,
         "dv_dead_rows": dv_dead,
-        "dv_ratio": (dv_dead / total_rows) if total_rows else 0.0,
+        # an unknown denominator (pre-"__n" files) yields None, and the
+        # purge trigger treats None as "do not auto-fire" — a partial sum
+        # would either suppress a real purge or fire one on every pass
+        "dv_ratio": (
+            (dv_dead / total_rows if total_rows else 0.0)
+            if rows_known
+            else None
+        ),
         "n_eq_deletes": len(m.get("eqdeletes") or []),
         # versions accumulated SINCE THE LAST VACUUM this loop ran (the
         # head number alone would re-trigger forever: vacuum reclaims
@@ -193,7 +200,11 @@ def auto_maintain(
                 f"{p['max_eq_deletes']}",
             )
         debt = table_debt(path)
-        if debt["dv_ratio"] > p["max_dv_ratio"] and debt["dv_dead_rows"]:
+        if (
+            debt["dv_ratio"] is not None
+            and debt["dv_ratio"] > p["max_dv_ratio"]
+            and debt["dv_dead_rows"]
+        ):
             V.purge_dvs(spark, path, collect_stats=p["collect_stats"] or None)
             record(
                 "purge_dvs",

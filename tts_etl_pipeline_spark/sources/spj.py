@@ -110,6 +110,16 @@ def spj_compatibility(path_a: str, path_b: str, key_a: str, key_b: str):
             return None, f"{path}: pending deletion vectors (purge_dvs first)", None
         if m.get("eqdeletes"):
             return None, f"{path}: pending equality deletes (purge_eq first)", None
+        if m.get("defaults"):
+            # the exposed catalog table reads RAW parquet: a column whose
+            # pre-add files serve an initial-default through read_version
+            # would silently read NULL here — wrong data, not just slow
+            return (
+                None,
+                f"{path}: pending column initial-defaults (compact() "
+                "materializes them)",
+                None,
+            )
         out.append((n, m, v, phys, stat_key))
     (na, ma, va, pa, ka), (nb, mb, vb, pb, kb) = out
     if na != nb:
@@ -263,6 +273,10 @@ def spj_read(spark: SparkSession, path: str, key: str, fallback: bool = True):
             reason = f"{path}: pending deletion vectors"
         elif m.get("eqdeletes"):
             reason = f"{path}: pending equality deletes"
+        elif m.get("defaults"):
+            # raw-parquet exposure would serve NULL where read_version
+            # serves the recorded initial-default — wrong data, refuse
+            reason = f"{path}: pending column initial-defaults"
     if reason is not None:
         if not fallback:
             raise ValueError(f"storage-bucketed read impossible: {reason}")

@@ -92,6 +92,27 @@ def build_text_index(
     schema = V._schema_from_json(m["schema"]) if m.get("schema") else None
     if schema is not None and col not in schema.names:
         raise ValueError(f"{col!r} is not a column of {path}")
+    d_seqs = [
+        d["seq"] for d in (m.get("defaults") or []) if d.get("col") == phys
+    ]
+    if d_seqs:
+        # a file added BEFORE the default's seq SERVES the recorded
+        # initial-default through read_version but carries no physical
+        # column to tokenize — an index built over it would MISS those
+        # rows' (default) tokens, breaking the never-miss contract.
+        # compact() rewrites files with fresh "__v" stamps past every
+        # default, after which indexing is sound again; only genuinely
+        # pre-default live files refuse.
+        max_seq = max(d_seqs)
+        st = m.get("stats") or {}
+        for f in m["files"]:
+            vrec = (st.get(f) or {}).get("__v")
+            if vrec is None or int(vrec[0]) < max_seq:
+                raise ValueError(
+                    f"column {col!r} carries a pending initial-default that "
+                    f"covers live file {f!r}; compact() the table to "
+                    "materialize it before indexing"
+                )
     out = _index_dir(path, v, col)
     if os.path.exists(os.path.join(out, "meta.json")):
         return out

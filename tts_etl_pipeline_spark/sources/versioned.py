@@ -797,7 +797,9 @@ def _evolved_schema(base_schema, new_schema, merge_schema: bool):
 _STRING_BOUND_LEN = 16
 
 
-def _footer_minmax(path: str, rel_files: list[str], cols: tuple) -> dict:
+def _footer_minmax(
+    path: str, rel_files: list[str], cols: tuple, with_counts: bool = False
+) -> dict:
     """Per-file [min, max] per requested column from the parquet FOOTERS of
     freshly committed files — recorded once, at commit time, into the
     manifest (Iceberg's manifest-entry column stats). Planning-time file
@@ -830,6 +832,10 @@ def _footer_minmax(path: str, rel_files: list[str], cols: tuple) -> dict:
             ).items()
             if v is not None
         }
+        if with_counts:
+            # "__n" from the footer THIS loop already opened — callers
+            # collecting stats never pay a second per-file footer read
+            rec["__n"] = [meta.num_rows, meta.num_rows]
         if rec:
             out[rel] = rec
     return out
@@ -1259,6 +1265,7 @@ def _enforce_unique(
     df,
     uniques: list,
     against: tuple | None,
+    exempt_col: str | None = None,
 ) -> None:
     """UNIQUE enforcement at the commit boundary (the PRIMARY KEY half
     Delta famously lacks): the staged rows must hold distinct non-NULL
@@ -1290,7 +1297,10 @@ def _enforce_unique(
                 f"UNIQUE constraint {name!r} ({ucol}) violated by duplicate "
                 "values within this commit; nothing was committed"
             )
-        if against is None or stat["lo"] is None:
+        if against is None or stat["lo"] is None or ucol == exempt_col:
+            # exempt_col: this commit's equality delete retires every
+            # older copy of the staged keys on that column — colliding
+            # parent rows are dead on arrival, not violations
             continue
         a_m, a_files = against  # a_files None = every file in a_m
         if a_files is not None and not a_files:
@@ -1299,7 +1309,8 @@ def _enforce_unique(
             path, a_m, ucol, stat["lo"], stat["hi"]
         )
         if a_files is not None:
-            kept = [f for f in kept if f in set(a_files)]
+            a_set = set(a_files)
+            kept = [f for f in kept if f in a_set]
         if not kept:
             continue
         hit = (
@@ -1325,6 +1336,7 @@ def _enforce_constraints(
     schema_json: str | None,
     colmap: dict | None = None,
     unique_against: tuple | None = None,
+    unique_exempt_col: str | None = None,
 ) -> None:
     """CHECK enforcement at the commit boundary: probe the STAGED files
     (what will actually be committed — never a recomputation of the
@@ -1360,7 +1372,10 @@ def _enforce_constraints(
         if e.startswith(UNIQUE_PREFIX)
     ]
     if uniques:
-        _enforce_unique(spark, path, df, uniques, unique_against)
+        _enforce_unique(
+            spark, path, df, uniques, unique_against,
+            exempt_col=unique_exempt_col,
+        )
     checks = sorted(
         (n, e)
         for n, e in constraints.items()
@@ -2489,13 +2504,21 @@ def write_version(
     if base_version > 0:
         # CHECK constraints apply to appended AND overwriting rows alike;
         # UNIQUE cross-checks against the parent snapshot only on APPEND
-        # (an overwrite retires every parent row in the same commit)
+        # (an overwrite retires every parent row in the same commit). A
+        # CDC upsert's equality delete retires EVERY older copy of the
+        # staged keys in this same commit, so the cross-check is skipped
+        # for a unique column the delete covers — refusing there would
+        # block every legitimate update (in-commit distinctness still
+        # enforced)
         cons = base_m.get("constraints")
         if cons:
             _enforce_constraints(
                 df.sparkSession, path, new_files, cons,
                 commit_schema.json(), colmap=cm,
                 unique_against=(base_m, None) if mode == "append" else None,
+                unique_exempt_col=(
+                    eq_delete[0] if eq_delete is not None else None
+                ),
             )
     # stats/blooms are keyed by PHYSICAL names (stable across renames);
     # per-FILE dict merge, not replace — a partitioned file's synthetic
@@ -2506,13 +2529,27 @@ def write_version(
     # added BEFORE the delete, which is what lets a CDC re-insert of a
     # deleted key survive. Files that predate the stamp read as ancient
     # (affected by every delete) — the sound direction.
+    # "__n" is Iceberg's per-file record_count: ONE footer read at commit
+    # time makes COUNT(*) (aggregate_metadata) a pure manifest fold
+    # forever after — and when collect_stats is set, the min/max pass
+    # reads it from the footer it already opened (no second open)
+    if collect_stats:
+        footer = _footer_minmax(
+            path, new_files, tuple(phys_of(c, c) for c in collect_stats),
+            with_counts=True,
+        )
+    else:
+        footer = {
+            f: {"__n": [n, n]}
+            for f in new_files
+            for n in (_footer_num_rows(path, f),)
+        }
     for f in new_files:
         stats.setdefault(f, {})["__v"] = [base_version + 1, base_version + 1]
-        # "__n" is Iceberg's per-file record_count: one footer read at
-        # commit time makes COUNT(*) (aggregate_metadata) a pure manifest
-        # fold forever after — no snapshot scan, ever
-        n = _footer_num_rows(path, f)
-        stats[f]["__n"] = [n, n]
+        stats[f].update(footer.get(f) or {})
+        if "__n" not in stats[f]:  # stat-less footer entry: count anyway
+            n = _footer_num_rows(path, f)
+            stats[f]["__n"] = [n, n]
         if _rid_materialized:
             # this file's parquet bytes CARRY their row ids — the lineage
             # read must trust them, never mint a fresh block
@@ -2522,11 +2559,6 @@ def write_version(
     # row lineage: fresh contiguous id blocks for genuinely new rows
     # (skipped for __ridm files, whose ids ride in their own bytes)
     next_rid = _assign_row_ids(path, base_m, new_files, stats)
-    if collect_stats:
-        for f, rec in _footer_minmax(
-            path, new_files, tuple(phys_of(c, c) for c in collect_stats)
-        ).items():
-            stats.setdefault(f, {}).update(rec)
     if collect_blooms:
         built = _collect_blooms_spark(
             df.sparkSession, path, new_files,
