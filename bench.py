@@ -235,6 +235,20 @@ def main() -> None:
         queries["q1_pricing_summary"](spark, "/root/testdata/sf0.001").collect()
     except Exception:
         pass
+    # warm the shuffle exchange path too (hash partitioner, shuffle
+    # writer/reader, AQE stage machinery): the sf0.001 flagship plan has no
+    # Exchange to exercise, so without this the FIRST timed query that
+    # shuffles pays the one-time init+JIT inside its timed region (measured
+    # ~0.5 s on the first shuffling query, r13 optimization round)
+    from pyspark.sql import functions as _F
+
+    (
+        spark.range(100_000)
+        .repartition(8, _F.xxhash64("id"))
+        .groupBy((_F.col("id") % 7).alias("g"))
+        .count()
+        .collect()
+    )
 
     # Each query is timed twice back-to-back and the MIN recorded: the
     # shared host shows transient contention spikes (BASELINE.md documents

@@ -38,8 +38,10 @@ def test_q1_pushdown_and_pruning(spark, sf_dir):
         "l_quantity", "l_extendedprice", "l_discount", "l_tax",
         "l_returnflag", "l_linestatus", "l_shipdate",
     }
-    # partial+final agg => exactly 2 exchanges (agg + sort)
-    assert count_shuffles(df) == 2
+    # partial+final agg => exactly 1 exchange (r13 optimization: the final
+    # presentation sort was dropped — driver hash is order-insensitive —
+    # and the scan rebalance is a no-op at this fixture's size)
+    assert count_shuffles(df) == 1
 
 
 def test_q6_single_stage_no_join_shuffle(spark, sf_dir):
@@ -280,7 +282,9 @@ def test_c8_partial_topn_before_source_shuffle(spark, sf_dir):
     df = c8_source_quota_cap(spark, sf_dir)
     plan = physical_plan(df)
     assert "MapInPandas" in plan
-    assert count_shuffles(df) == 2, plan
+    # r13 optimization: the presentation sort was dropped (driver hash is
+    # order-insensitive), leaving only the window's source-hash Exchange
+    assert count_shuffles(df) == 1, plan
     # the partial prune sits BELOW the hash Exchange: formatted plans number
     # leaves first, so the MapInPandas node id < the source-hash Exchange id
     map_id = int(re.search(r"\((\d+)\) MapInPandas", plan).group(1))
@@ -383,7 +387,9 @@ def test_h2_single_hash_exchange_feeds_windows_and_agg(spark, sf_dir):
 
     df = h2_daily_value_bars(spark, sf_dir)
     plan = physical_plan(df)
-    assert count_shuffles(df) == 2, plan
+    # r13 optimization: the presentation orderBy was dropped (driver hash is
+    # order-insensitive), leaving the single (day, event_type) hash Exchange
+    assert count_shuffles(df) == 1, plan
     assert plan.count("hashpartitioning") >= 1
     # both row_number sorts appear, but no second hash Exchange between them
     assert len(re.findall(r"^\(\d+\) Window", plan, flags=re.MULTILINE)) == 2, plan

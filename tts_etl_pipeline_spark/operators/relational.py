@@ -37,7 +37,7 @@ from tts_etl_pipeline_spark.functions.exact import (
     frac,
     money,
 )
-from tts_etl_pipeline_spark.sources.tables import scaled_broadcast, table
+from tts_etl_pipeline_spark.sources.tables import rebalance_scan, scaled_broadcast, table
 
 QUERIES: dict = {}
 ORACLES: dict = {}
@@ -79,8 +79,13 @@ def _register(name: str, oracle: str | None):
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
+    flt = li.filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz")
+    )
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
+        # the decimal partial aggregates are the scan stage's cost; rebalance
+        # parallelizes them when the file layout cannot (no-op at scale)
+        rebalance_scan(flt, spark, sf_dir, "lineitem")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum(money("l_quantity")).cast("double").alias("sum_qty"),
@@ -94,7 +99,8 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(frac("l_discount")).cast("double") / F.count(F.lit(1))).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
-        .orderBy("l_returnflag", "l_linestatus")
+        # no final sort: presentation-only (driver hash is order-insensitive;
+        # guide §2.4 — a global sort of the result is a pure extra exchange)
     )
 
 
@@ -216,7 +222,7 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
         .agg(F.sum(disc_price()).cast("double").alias("revenue"))
-        .orderBy(F.desc("revenue"), "n_name")
+        # no final sort: presentation-only (driver hash is order-insensitive)
     )
 
 
@@ -359,7 +365,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("nation", "o_year")
         .agg(F.sum("amount").cast("double").alias("sum_profit"))
-        .orderBy("nation", F.desc("o_year"))
+        # no final sort: presentation-only (driver hash is order-insensitive)
     )
 
 
@@ -450,7 +456,7 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.coalesce(F.col("cnt"), F.lit(0)).alias("c_count"))
         .groupBy("c_count")
         .agg(F.count(F.lit(1)).alias("custdist"))
-        .orderBy(F.desc("custdist"), F.desc("c_count"))
+        # no final sort: presentation-only (driver hash is order-insensitive)
     )
 
 
@@ -995,7 +1001,7 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "part_revenue",
             (F.col("part_revenue") / total_dbl).alias("revenue_share"),
         )
-        .orderBy(F.desc("part_revenue"), "p_name")
+        # no final sort: presentation-only (driver hash is order-insensitive)
     )
 
 

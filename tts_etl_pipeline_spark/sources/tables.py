@@ -97,6 +97,112 @@ def scaled_broadcast(
     return maybe_broadcast(df, None if size is None else int(size * expansion))
 
 
+# --- scan-parallelism rebalance (optimization guide §2.5 "input skew") ----
+#
+# A parquet file with one row group is effectively UNSPLITTABLE: Spark may
+# cut it into byte-range splits, but the reader assigns each row group to
+# the single split holding its midpoint, so one task decodes everything and
+# the rest no-op. The driver's fixtures are exactly that shape (one file,
+# one row group per table), which serializes every downstream per-row
+# computation that runs in the scan stage — decimal partial aggregates,
+# regex scrubbing, tokenization — on one core (measured: q1's scan+partial
+# agg stage 1.0 s single-reader while 31 cores idle, g6 1.2 s, d13's gram
+# explode 1.2 s).
+#
+# `rebalance_scan` is the guide's fix ("repartition immediately after the
+# read"), GUARDED so it is a no-op wherever the scan already parallelizes
+# naturally: it fires only when the table's estimated split count is below
+# the session's core count AND the table is big enough for a shuffle to be
+# worth it. At production scale (thousands of files) the guard always
+# declines, so the plan carries no extra Exchange; the threshold also keeps
+# the sf0.001 pytest fixtures (max 194 KB) out, so plan pins stay exact.
+# Callers apply it ONLY where the scan stage carries heavy per-row work —
+# a scan feeding a key shuffle (join/window) gains nothing from an extra
+# round-robin exchange and never calls this.
+
+REBALANCE_MIN_BYTES = 512 << 10  # below this, a shuffle costs more than it buys
+_SPLIT_BYTES = 128 << 20  # spark.sql.files.maxPartitionBytes default
+
+
+def _natural_splits(sf_dir: str, name: str) -> tuple[int, int]:
+    """(estimated scan split count, total bytes) for a test table's parquet.
+    Split estimate is files-granular (ceil(size / 128 MB) per file) — a
+    LOWER bound Spark can only beat, which makes the guard conservative:
+    we decline to rebalance as soon as the layout itself parallelizes."""
+    import math
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    files: list[int] = []
+    try:
+        if os.path.isfile(path):
+            files = [os.path.getsize(path)]
+        elif os.path.isdir(path):
+            files = [
+                os.path.getsize(os.path.join(root, f))
+                for root, _, fs in os.walk(path)
+                for f in fs
+                if f.endswith(".parquet")
+            ]
+    except OSError:
+        pass
+    if not files:
+        return (1 << 30, 0)  # unknown layout: report "already parallel", no-op
+    return (sum(max(1, math.ceil(sz / _SPLIT_BYTES)) for sz in files), sum(files))
+
+
+def rebalance_scan(
+    df: DataFrame,
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    per_task_bytes: int = 1 << 20,
+) -> DataFrame:
+    """Rebalance `df` (a projection/filter over test table `name`) when the
+    underlying scan cannot parallelize on its own. Apply AFTER filters
+    (pushdown stays at the scan) and BEFORE the heavy per-row work. No-op
+    at cluster scale.
+
+    The partition count is SIZE-DERIVED (compressed bytes / per_task_bytes,
+    capped at the core count), not a flat core count: measured on the 11 MB
+    lineitem fixture, a 32-way rebalance burned ~10 s of JVM CPU per run
+    (GC + scheduler + 32x32 tiny shuffle blocks — guide §2.2's block-count
+    quadratic in miniature) and made the bench SLOWER, while a handful of
+    ~1 MB partitions keeps nearly all the parallel win at a fraction of the
+    overhead. Callers whose per-row work is extreme relative to bytes
+    (regex scrubbing over compressed text) pass a smaller per_task_bytes."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    splits, bytes_ = _natural_splits(sf_dir, name)
+    cores = spark.sparkContext.defaultParallelism
+    if splits >= cores or bytes_ < REBALANCE_MIN_BYTES:
+        return df
+    n = max(2, min(cores, math.ceil(bytes_ / per_task_bytes)))
+    # hash-partition on a deterministic row digest rather than round-robin:
+    # keyless repartition(n) pays a local sort of its input for retry
+    # determinism (SPARK-23207), which costs more than the parallelism buys
+    # at this size; xxhash64 over the row is deterministic under task retry
+    # (guide §2.5) and spreads uniformly, with no sort.
+    return df.repartition(n, F.xxhash64(*df.columns))
+
+
+def small_task_count(spark: SparkSession, sf_dir: str, name: str, per_task_bytes: int = 2 << 20) -> int:
+    """Partition count for a PYTHON (Arrow) stage over a relation derived
+    from test table `name`: sized by input bytes so a tiny input does not
+    fan out to `cores` workers (each Arrow task pays worker spin-up +
+    batch round-trip — measured 10 s of stage run time for 0.24 s of CPU
+    on a 32-task mapInPandas over 5000 rows). Grows with the data and is
+    capped at the session's core count, so at scale it saturates the
+    cluster; the caller's upstream guard (natural splits) keeps this off
+    the 100 TB path entirely."""
+    import math
+
+    _, bytes_ = _natural_splits(sf_dir, name)
+    cores = spark.sparkContext.defaultParallelism
+    return max(1, min(cores, math.ceil(bytes_ / per_task_bytes)))
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
