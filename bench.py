@@ -239,7 +239,9 @@ def main() -> None:
     # writer/reader, AQE stage machinery): the sf0.001 flagship plan has no
     # Exchange to exercise, so without this the FIRST timed query that
     # shuffles pays the one-time init+JIT inside its timed region (measured
-    # ~0.5 s on the first shuffling query, r13 optimization round)
+    # ~0.5 s on the first shuffling query, r13 optimization round). All
+    # synthetic range data — nothing here touches the timed tables or
+    # caches their results.
     from pyspark.sql import functions as _F
 
     (

@@ -1656,8 +1656,9 @@ def c14_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     if n == 1:
         # one tiny partition: the merge pass over it IS the exact skyline —
         # running the per-batch local prune first would only add a second
-        # Python stage and exchange for the same rows
-        return feat.repartition(1).mapInPandas(merge_pass, _C14_SCHEMA)
+        # Python stage and exchange for the same rows. coalesce (narrow)
+        # instead of repartition: no Exchange at all on this path.
+        return feat.coalesce(1).mapInPandas(merge_pass, _C14_SCHEMA)
     candidates = feat.repartition(n).mapInPandas(local_pass, _C14_SCHEMA)
     return (
         candidates.repartition(1)

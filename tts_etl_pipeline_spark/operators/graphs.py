@@ -311,7 +311,9 @@ TRI_TOP_K = 25
     """,
 )
 def pr2_triangle_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = materialize(copurchase_artifact(spark, sf_dir).select("u", "v"))
+    # no materialize: the artifact IS an on-disk parquet — re-scanning it
+    # per branch is cheaper than copying it into block storage first
+    pairs = copurchase_artifact(spark, sf_dir).select("u", "v")
     deg = materialize(
         pairs.selectExpr("u AS node")
         .unionByName(pairs.selectExpr("v AS node"))
@@ -445,10 +447,10 @@ BFS_MAX_HOPS = 20
     """,
 )
 def pr3_bfs_hop_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Materialize the pairs BEFORE symmetrizing: an un-materialized union
-    # would re-read the artifact in both branches (ReuseExchange is
-    # best-effort only), and the downstream BFS joins reuse the blocks.
-    pairs = materialize(copurchase_artifact(spark, sf_dir).select("u", "v"))
+    # pairs is not materialized: the artifact IS an on-disk parquet, so the
+    # union's two branches each re-scan it cheaply; `sym` below is the
+    # relation every BFS level re-reads, and IT is materialized once.
+    pairs = copurchase_artifact(spark, sf_dir).select("u", "v")
     sym = materialize(
         pairs.selectExpr("u AS src", "v AS dst").unionByName(
             pairs.selectExpr("v AS src", "u AS dst")

@@ -1540,19 +1540,31 @@ def q23_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     late = (
         F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
     ).cast("int")
-    per_order = (
+    # Two chained aggregations instead of one with two countDistincts: the
+    # distinct-agg form makes the planner Expand the joined fact rows x3
+    # (one replica per distinct column plus one for the plain aggregates)
+    # before the hash agg. Aggregating first at (orderkey, suppkey) grain
+    # and then at orderkey grain computes the same four values with NO
+    # Expand — and neither agg needs a new Exchange, because the join's
+    # hash partitioning on orderkey already clusters both grains.
+    per_supp = (
         li.join(orders_f, li.l_orderkey == orders_f.o_orderkey)
         .withColumn("late", late)
-        .groupBy("l_orderkey")
+        .groupBy("l_orderkey", "l_suppkey")
         .agg(
-            F.countDistinct("l_suppkey").alias("n_supp"),
-            F.countDistinct(
-                F.when(F.col("late") == 1, F.col("l_suppkey"))
-            ).alias("n_late_supp"),
-            F.max(F.when(F.col("late") == 1, F.col("l_suppkey"))).alias(
+            F.max("late").alias("supp_late"),
+            F.sum("late").alias("supp_late_lines"),
+        )
+    )
+    per_order = (
+        per_supp.groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_supp"),
+            F.sum("supp_late").alias("n_late_supp"),
+            F.max(F.when(F.col("supp_late") == 1, F.col("l_suppkey"))).alias(
                 "late_supp"
             ),
-            F.sum("late").alias("n_late_lines"),
+            F.sum("supp_late_lines").alias("n_late_lines"),
         )
         .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
     )
