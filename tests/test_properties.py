@@ -466,3 +466,47 @@ def test_partition_probe_soundness_strings(v, w):
     lo, hi = min(v, "m" * 3), max(v, "m" * 3)
     d2 = _derive_probe("truncate", w, lo, hi)
     assert d2 is not None and d2[0] <= tv <= d2[1]
+
+
+def test_c14_skyline_kernel_matches_bruteforce():
+    """The O(n log n) sort-filter-skyline kernel (r13 optimization) must
+    return exactly the brute-force dominance filter's rows — including
+    all-axes tie groups surviving together — across randomized frames in
+    both a heavy-tie regime (small value domain) and a spread regime."""
+    import numpy as np
+    import pandas as pd
+
+    from tts_etl_pipeline_spark.operators.curation import _c14_skyline_pdf
+
+    def brute(pdf):
+        X = np.stack(
+            [
+                pdf["n_unique"].to_numpy(np.int64),
+                pdf["max_word"].to_numpy(np.int64),
+                -pdf["n_chars"].to_numpy(np.int64),
+            ],
+            axis=1,
+        )
+        n = len(X)
+        keep = np.ones(n, dtype=bool)
+        for i in range(n):
+            ge = (X >= X[i]).all(1)
+            gt = (X > X[i]).any(1)
+            keep[i] = not (ge & gt).any()
+        return pdf[keep]
+
+    rng = np.random.default_rng(42)
+    for trial in range(200):
+        n = int(rng.integers(0, 80))
+        lo, hi = (1, 5) if trial % 2 else (1, 50)  # ties-heavy vs spread
+        pdf = pd.DataFrame(
+            {
+                "doc_id": np.arange(n),
+                "n_chars": rng.integers(lo, hi, n),
+                "n_unique": rng.integers(lo, hi, n),
+                "max_word": rng.integers(lo, hi, n),
+            }
+        )
+        want = set(brute(pdf)["doc_id"])
+        got = set(_c14_skyline_pdf(pdf)["doc_id"])
+        assert got == want, (trial, sorted(got ^ want))
