@@ -22,10 +22,8 @@ import urllib.request
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from pyspark.sql import SparkSession
-
 from tts_etl_pipeline_spark.registry import all_queries
-from tts_etl_pipeline_spark.session import DEFAULT_SF_DIR, cpu_count
+from tts_etl_pipeline_spark.session import DEFAULT_SF_DIR, get_spark
 
 DEFAULT_SET = [
     "c14_pareto_skyline",
@@ -45,24 +43,6 @@ DEFAULT_SET = [
 ]
 
 
-def get_spark_ui(app_name: str = "profile") -> SparkSession:
-    n = cpu_count()
-    return (
-        SparkSession.builder.master(f"local[{n}]")
-        .appName(app_name)
-        .config("spark.sql.shuffle.partitions", str(n))
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
-        .config("spark.ui.enabled", "true")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .getOrCreate()
-    )
-
-
 def _api(base: str, path: str):
     with urllib.request.urlopen(f"{base}/api/v1/{path}") as r:
         return json.load(r)
@@ -71,7 +51,7 @@ def _api(base: str, path: str):
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
     names = sys.argv[1:] or DEFAULT_SET
-    spark = get_spark_ui()
+    spark = get_spark("profile", ui=True)
     base = spark.sparkContext.uiWebUrl
     app_id = spark.sparkContext.applicationId
     queries = all_queries()

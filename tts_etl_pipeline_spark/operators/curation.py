@@ -1691,7 +1691,11 @@ def c14_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Python stage and exchange for the same rows. coalesce (narrow)
         # instead of repartition: no Exchange at all on this path.
         return feat.coalesce(1).mapInPandas(merge_pass, _C14_SCHEMA)
-    candidates = feat.repartition(n).mapInPandas(local_pass, _C14_SCHEMA)
+    # hash on the unique doc id, not round-robin: keyless repartition pays
+    # the SPARK-23207 retry-determinism sort (the rebalance_scan lesson)
+    candidates = feat.repartition(n, F.xxhash64("doc_id")).mapInPandas(
+        local_pass, _C14_SCHEMA
+    )
     return (
         candidates.repartition(1)
         .mapInPandas(merge_pass, _C14_SCHEMA)

@@ -183,7 +183,10 @@ def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = materialize(
         # rebalance BEFORE the tokenize+explode so the index build
         # parallelizes when the file layout cannot (no-op at scale)
-        rebalance_scan(docs, spark, sf_dir, "documents", per_task_bytes=128 << 10)
+        rebalance_scan(
+            docs.select("doc_id", "text"), spark, sf_dir, "documents",
+            per_task_bytes=128 << 10,
+        )
         .select(
             "doc_id",
             F.explode(
@@ -815,7 +818,10 @@ def d13_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rebalance BEFORE the tokenize+gram explode so the checkpoint job
     # parallelizes when the file layout cannot (no-op at scale)
     grams = materialize(
-        rebalance_scan(docs, spark, sf_dir, "documents", per_task_bytes=64 << 10)
+        rebalance_scan(
+            docs.select("doc_id", "lang", "text"), spark, sf_dir, "documents",
+            per_task_bytes=64 << 10,
+        )
         .select("doc_id", "lang", toks.alias("t"))
         .filter(F.size("t") >= CONTAM_NGRAM)
         .select("doc_id", "lang", F.explode(grams_col).alias("g"))

@@ -1146,10 +1146,11 @@ def e11_native_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def e12_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = table(spark, sf_dir, "events")
+    ev = table(spark, sf_dir, "events").select("event_type", "props")
     v = F.try_parse_json(F.col("props"))
     # rebalance: the per-row JSON parse dominates the scan stage (no-op at
-    # scale)
+    # scale); projected to the two used columns first so the exchange
+    # carries nothing else
     ev = rebalance_scan(ev, spark, sf_dir, "events", per_task_bytes=256 << 10)
     rows = ev.select(
         "event_type",

@@ -52,7 +52,12 @@ def g1_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = (
         # decimal partial sums are the scan stage's cost; rebalance
         # parallelizes them when the file layout cannot (no-op at scale)
-        rebalance_scan(li, spark, sf_dir, "lineitem")
+        rebalance_scan(
+            li.select("l_returnflag", "l_linestatus", "l_extendedprice", "l_discount"),
+            spark,
+            sf_dir,
+            "lineitem",
+        )
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum(disc_price()).alias("rev_dec"),

@@ -81,6 +81,10 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     flt = li.filter(
         F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz")
+    ).select(  # narrow projection BEFORE the rebalance: the exchange must
+        # not carry (or the scan decode) the 4 unused fact columns
+        "l_returnflag", "l_linestatus", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax",
     )
     return (
         # the decimal partial aggregates are the scan stage's cost; rebalance

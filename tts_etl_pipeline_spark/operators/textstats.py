@@ -515,9 +515,10 @@ def t10_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # rebalance BEFORE the regex pass: the PII regexes dominate the scan
     # stage (no-op at scale)
-    t = rebalance_scan(docs, spark, sf_dir, "documents", per_task_bytes=64 << 10).select(
-        "doc_id", "lang", enriched.alias("t")
-    )
+    t = rebalance_scan(
+        docs.select("doc_id", "lang", "text"), spark, sf_dir, "documents",
+        per_task_bytes=64 << 10,
+    ).select("doc_id", "lang", enriched.alias("t"))
     clean = F.regexp_replace(
         F.regexp_replace(F.col("t"), EMAIL_RE, "[EMAIL]"), PHONE_RE, "[PHONE]"
     )

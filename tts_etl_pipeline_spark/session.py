@@ -20,8 +20,16 @@ def cpu_count() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
-def get_spark(app_name: str = "tts_etl_pipeline_spark", cpus: int | None = None) -> SparkSession:
-    """Build (or reuse) a local SparkSession with scale-aware defaults."""
+def get_spark(
+    app_name: str = "tts_etl_pipeline_spark",
+    cpus: int | None = None,
+    ui: bool = False,
+) -> SparkSession:
+    """Build (or reuse) a local SparkSession with scale-aware defaults.
+
+    `ui=True` enables the Spark UI (REST status API) for profiling
+    sessions (scripts/profile_bench.py) — everything else stays the
+    bench/driver configuration, so profiled plans match benched plans."""
     n = cpus or cpu_count()
     builder = (
         SparkSession.builder.master(f"local[{n}]")
@@ -34,7 +42,7 @@ def get_spark(app_name: str = "tts_etl_pipeline_spark", cpus: int | None = None)
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
-        .config("spark.ui.enabled", "false")
+        .config("spark.ui.enabled", "true" if ui else "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
     spark = builder.getOrCreate()

@@ -193,13 +193,15 @@ def small_task_count(spark: SparkSession, sf_dir: str, name: str, per_task_bytes
     fan out to `cores` workers (each Arrow task pays worker spin-up +
     batch round-trip — measured 10 s of stage run time for 0.24 s of CPU
     on a 32-task mapInPandas over 5000 rows). Grows with the data and is
-    capped at the session's core count, so at scale it saturates the
-    cluster; the caller's upstream guard (natural splits) keeps this off
-    the 100 TB path entirely."""
+    capped at the session's core count. An UNKNOWN layout (remote paths
+    os.path cannot stat) reports the full core count — assuming BIG is
+    the safe direction, matching _natural_splits' conservative no-op."""
     import math
 
     _, bytes_ = _natural_splits(sf_dir, name)
     cores = spark.sparkContext.defaultParallelism
+    if bytes_ == 0:
+        return cores
     return max(1, min(cores, math.ceil(bytes_ / per_task_bytes)))
 
 
