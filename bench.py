@@ -244,13 +244,16 @@ def main() -> None:
     # caches their results.
     from pyspark.sql import functions as _F
 
-    (
-        spark.range(100_000)
-        .repartition(8, _F.xxhash64("id"))
-        .groupBy((_F.col("id") % 7).alias("g"))
-        .count()
-        .collect()
-    )
+    try:  # degrade to an unwarmed measurement, never abort the bench (ADVICE r13)
+        (
+            spark.range(100_000)
+            .repartition(8, _F.xxhash64("id"))
+            .groupBy((_F.col("id") % 7).alias("g"))
+            .count()
+            .collect()
+        )
+    except Exception:
+        pass
 
     # Each query is timed twice back-to-back and the MIN recorded: the
     # shared host shows transient contention spikes (BASELINE.md documents

@@ -14,6 +14,7 @@ Writes JSON lines to stdout; human summary to stderr.
 
 from __future__ import annotations
 
+import calendar
 import json
 import os
 import sys
@@ -92,7 +93,9 @@ def main() -> None:
                 # sub-second precision from the GMT strings' millis field
                 sms = float(j["submissionTime"][20:23] or 0) / 1e3
                 cms = float(j["completionTime"][20:23] or 0) / 1e3
-                job_wall += (time.mktime(ct) + cms) - (time.mktime(st) + sms)
+                # timegm, not mktime: the strings are GMT, and mktime's
+                # local-time reading would skew across a DST edge (ADVICE r13)
+                job_wall += (calendar.timegm(ct) + cms) - (calendar.timegm(st) + sms)
             except Exception:
                 pass
         # per-stage attribution: stages with FEW tasks but LARGE run time are

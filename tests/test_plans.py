@@ -1060,3 +1060,62 @@ def test_eq_delete_read_applies_values_with_broadcast_hash_anti_join(
     assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
     assert df.count() == 1998  # 2000 - 3 deleted + 1 re-inserted
+
+
+def test_rebalance_scan_fired_path_and_guard(spark, tmp_path):
+    """ADVICE r13: the FIRED path of rebalance_scan (guard passes, one
+    hash-repartition Exchange inserted with the size-derived count) had no
+    unit coverage — every plan pin runs at sf0.001 where all tables sit
+    under REBALANCE_MIN_BYTES. Build a >512 KiB single-row-group parquet in
+    a temp sf_dir and pin: exactly one extra Exchange, hashpartitioning on
+    the deterministic position digest (not round-robin — no SPARK-23207
+    retry sort), partition count = ceil(bytes/per_task_bytes) clamped to
+    [2, cores]; and the no-op just under the threshold returns the input
+    plan unchanged."""
+    import math
+    import os
+
+    from pyspark.sql import functions as F
+
+    from tts_etl_pipeline_spark.plans.inspect import count_shuffles, physical_plan
+    from tts_etl_pipeline_spark.sources.tables import (
+        REBALANCE_MIN_BYTES,
+        _natural_splits,
+        rebalance_scan,
+    )
+
+    sf = str(tmp_path)
+    # ~1.2 MB of incompressible-ish hex > REBALANCE_MIN_BYTES, one file
+    (
+        spark.range(40_000)
+        .select("id", F.md5(F.col("id").cast("string")).alias("h"))
+        .coalesce(1)
+        .write.parquet(os.path.join(sf, "big.parquet"))
+    )
+    splits, nbytes = _natural_splits(sf, "big")
+    assert nbytes > REBALANCE_MIN_BYTES and splits == 1
+    df = spark.read.parquet(os.path.join(sf, "big.parquet"))
+    per_task = 128 << 10
+    out = rebalance_scan(df, spark, sf, "big", per_task_bytes=per_task)
+    cores = spark.sparkContext.defaultParallelism
+    expect_n = max(2, min(cores, math.ceil(nbytes / per_task)))
+    plan = physical_plan(out)
+    assert count_shuffles(out) == count_shuffles(df) + 1, plan
+    # the position digest is projected as _nondeterministic#N below the
+    # exchange; pin the hash shape AND the size-derived partition count
+    assert re.search(
+        rf"hashpartitioning\(xxhash64\(_nondeterministic#\d+L?, 42\), {expect_n}\)",
+        plan,
+    ), (expect_n, plan)
+    assert "RoundRobinPartitioning" not in plan, plan
+    # no-op branch: just under the byte floor -> the input plan, unchanged
+    (
+        spark.range(500)
+        .select("id", F.md5(F.col("id").cast("string")).alias("h"))
+        .coalesce(1)
+        .write.parquet(os.path.join(sf, "small.parquet"))
+    )
+    _, small_bytes = _natural_splits(sf, "small")
+    assert small_bytes < REBALANCE_MIN_BYTES
+    sdf = spark.read.parquet(os.path.join(sf, "small.parquet"))
+    assert rebalance_scan(sdf, spark, sf, "small", per_task_bytes=per_task) is sdf

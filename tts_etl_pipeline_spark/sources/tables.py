@@ -182,9 +182,15 @@ def rebalance_scan(
     # hash-partition on a deterministic row digest rather than round-robin:
     # keyless repartition(n) pays a local sort of its input for retry
     # determinism (SPARK-23207), which costs more than the parallelism buys
-    # at this size; xxhash64 over the row is deterministic under task retry
-    # (guide §2.5) and spreads uniformly, with no sort.
-    return df.repartition(n, F.xxhash64(*df.columns))
+    # at this size. The digest is xxhash64 over the row POSITION
+    # (monotonically_increasing_id = scan partition id + in-partition row
+    # index — deterministic under task retry because the same split replays
+    # in the same order, unlike rand(); guide §2.5): position is unique by
+    # construction, so the spread stays uniform even when the projected
+    # columns are low-cardinality/heavy-tailed (a value-hash collocates
+    # duplicate rows — ADVICE r13), and it avoids hashing wide text columns
+    # just to pick a partition.
+    return df.repartition(n, F.xxhash64(F.monotonically_increasing_id()))
 
 
 def small_task_count(spark: SparkSession, sf_dir: str, name: str, per_task_bytes: int = 2 << 20) -> int:
