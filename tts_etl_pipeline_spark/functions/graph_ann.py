@@ -82,10 +82,29 @@ def _dense_ordinals(nodes: DataFrame) -> DataFrame:
     )
 
 
+def prepare_nodes(emb: DataFrame) -> tuple[DataFrame, int, DataFrame]:
+    """(nodes, n, ordinals) for the build/search passes, each materialized
+    once. v5 runs build THEN search over the SAME corpus; before r14 each
+    pass re-materialized the node projection, re-counted it, and re-derived
+    the dense-ordinal map (a groupBy + bucket window + broadcast join) —
+    two checkpoint barriers, one count job and one ordinal build doing
+    nothing the first pass hadn't already done. Callers that run only one
+    pass (the recall tests) still get the same relations lazily."""
+    nodes = materialize(
+        emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("e"))
+    )
+    n = nodes.count()
+    # dense ordinal <-> id map for hash-mod-n init (ids need not be dense);
+    # built without a global window — see _dense_ordinals
+    ordinals = materialize(_dense_ordinals(nodes))
+    return nodes, n, ordinals
+
+
 def build_knn_graph(
     emb: DataFrame,
     k: int = K_NEIGHBORS,
     rounds: int = N_DESCENT_ROUNDS,
+    prepared: tuple[DataFrame, int, DataFrame] | None = None,
 ) -> DataFrame:
     """NN-Descent: returns the directed kNN edge list (src, dst, cosine).
 
@@ -97,13 +116,7 @@ def build_knn_graph(
     was tried in r5 and measured recall 0.72 vs 0.86 on the uniform
     fixture, so the implemented candidate set is the keeper), scored
     exactly, top-k kept per src."""
-    nodes = materialize(
-        emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("e"))
-    )
-    n = nodes.count()
-    # dense ordinal <-> id map for hash-mod-n init (ids need not be dense);
-    # built without a global window — see _dense_ordinals
-    ordinals = materialize(_dense_ordinals(nodes))
+    nodes, n, ordinals = prepared if prepared is not None else prepare_nodes(emb)
     salts = F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("salt")
     init = (
         nodes.select("id", salts)
@@ -154,22 +167,25 @@ def graph_search_topk(
     beam: int = BEAM,
     hops: int = N_HOPS,
     n_entries: int = N_ENTRIES,
-) -> tuple[DataFrame, DataFrame]:
+    prepared: tuple[DataFrame, int, DataFrame] | None = None,
+    track_seen: bool = True,
+) -> tuple[DataFrame, DataFrame | None]:
     """Batched beam search over the kNN graph.
 
     Returns (topk, scored): topk = (q_id, n_id, cosine, rn) for the k best
     per query; scored = every distinct (q_id, n_id) pair the search ever
     scored — the candidate audit trail the recall tests use to assert the
     search stayed sublinear (|scored| ≈ entries + beam·K·hops per query,
-    constant in corpus size)."""
-    nodes = materialize(
-        emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("e"))
-    )
-    n = nodes.count()
+    constant in corpus size). The trail is an AUDIT artifact: with
+    track_seen=False (the v5 query path) its per-hop union+distinct
+    checkpoints — one full shuffle + barrier per hop over the scored-pair
+    superset, r14 measured 3 of the query's ~17 eager jobs — are skipped
+    entirely and scored is None. Search results are unaffected: `seen`
+    never feeds `best`."""
+    nodes, n, ordinals = prepared if prepared is not None else prepare_nodes(emb)
     q = nodes.filter(F.col("id") < n_query).select(
         F.col("id").alias("q_id"), F.col("e").alias("qe")
     )
-    ordinals = materialize(_dense_ordinals(nodes))
     salts = F.explode(F.array(*[F.lit(1000 + i) for i in range(n_entries)])).alias(
         "salt"
     )
@@ -185,7 +201,7 @@ def graph_search_topk(
     # the audit trail starts from the UNTRIMMED entry set: every entry pair
     # was scored, so initializing from the beam-trimmed `best` would
     # undercount whenever n_entries > beam (ADVICE r4)
-    seen = entries.select("q_id", "n_id")
+    seen = entries.select("q_id", "n_id") if track_seen else None
     for _ in range(hops):
         frontier = best.select("q_id", "n_id")
         expanded = (
@@ -196,7 +212,8 @@ def graph_search_topk(
             .distinct()
         )
         best = _score_vs_queries(expanded, q, nodes, beam)
-        seen = materialize(seen.union(expanded).distinct())
+        if track_seen:
+            seen = materialize(seen.union(expanded).distinct())
     w = W.partitionBy("q_id").orderBy(F.desc("cosine"), "n_id")
     topk = (
         best.withColumn("rn", F.row_number().over(w).cast("bigint"))

@@ -386,12 +386,20 @@ def d10_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "n_chars", fp.alias("fp")
     )
 
-    # Size the filter FROM the corpus (one control-plane count, the d8/t12
-    # scalar pattern): a fixed m saturates at scale — FPR -> 1 and every row
-    # silently routes to the exact join. max() keeps the historical floor so
-    # small corpora don't get a degenerate tiny filter.
-    n_corpus = corpus_fps.count()
-    n_items = max(100_000, n_corpus)
+    # Size the filter from the documents table's parquet FOOTER row count
+    # (catalog-stats stand-in, zero jobs) instead of a count() job over the
+    # filtered corpus: any UPPER bound on the corpus count works — the
+    # total row count over-sizes the filter by the 1/5 batch share, which
+    # only LOWERS the FPR, and the output is bloom-parameter-independent
+    # (false positives all route to the exact anti-join). A fixed m would
+    # still saturate at scale (FPR -> 1), so the bound must scale with the
+    # table; max() keeps the historical floor so small corpora don't get a
+    # degenerate tiny filter. Fallback: the old count() job if the footer
+    # is unreadable (remote path).
+    from tts_etl_pipeline_spark.sources.tables import _natural_splits, table_row_count
+
+    n_total = table_row_count(sf_dir, "documents")
+    n_items = max(100_000, n_total if n_total is not None else corpus_fps.count())
 
     # distributed bloom build: one partial filter per partition, OR-merged —
     # fixed KBs per partition regardless of corpus size (cms.py pattern)
@@ -420,7 +428,11 @@ def d10_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # instead of one ~m/8-byte blob per corpus partition.
     FAN_IN = 16
     partials = corpus_fps.mapInPandas(partial, "bloom binary")
-    n_parts = corpus_fps.rdd.getNumPartitions()
+    # scan split count from the file layout (files-granular lower bound,
+    # same estimator as the rebalance guard) — the .rdd conversion this
+    # replaces forced a full second physical planning of the corpus scan
+    # just to read its partition count
+    n_parts, _ = _natural_splits(sf_dir, "documents")
     if n_parts > FAN_IN:
         partials = partials.repartition(
             max(1, n_parts // FAN_IN)

@@ -806,9 +806,9 @@ def f9_listagg_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def r2_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window as W
+    from datetime import timedelta
 
-    from tts_etl_pipeline_spark.functions.checkpoints import materialize
+    from pyspark.sql.window import Window as W
 
     ev = table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
 
@@ -846,7 +846,16 @@ def r2_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(prev_h.isNull() | (F.col("hour") > prev_h + F.expr("INTERVAL 1 HOUR")), 1)
         .otherwise(0),
     )
-    incidents = materialize(
+    # The incident relation is CALENDAR-BOUNDED (islands of hot hours:
+    # <= 24*365*years rows at ANY event volume), so it comes to the driver
+    # as one control-plane collect — the d10-count/t12-scalar pattern —
+    # instead of a localCheckpoint that every downstream branch re-reads.
+    # r13 measured this query at 14 jobs / 33 stages for a 159-row result,
+    # most of them the checkpoint barrier + broadcast builds + AQE rounds
+    # over the incidents branch (r13 verdict item 3); the collect computes
+    # the branch ONCE and the grid cells + final join-back become local
+    # relations with no upstream stages.
+    inc_rows = (
         hot.withColumn(
             "inc", F.sum("new_inc").over(w_h.rowsBetween(W.unboundedPreceding, 0))
         )
@@ -855,20 +864,23 @@ def r2_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("hour").alias("inc_start"),
             (F.max("hour") + F.expr("INTERVAL 1 HOUR")).alias("inc_end"),
         )
+        .collect()
     )
-
-    # -- grid-bucketed equi-join: incident cells broadcast ------------------
-    inc_cells = incidents.select(
-        "inc",
-        "inc_start",
-        "inc_end",
-        F.explode(
-            F.sequence(
-                "inc_start",
-                F.col("inc_end") - F.expr("INTERVAL 1 HOUR"),
-                F.expr("INTERVAL 1 HOUR"),
-            )
-        ).alias("cell"),
+    incidents = spark.createDataFrame(
+        [(r["inc"], r["inc_start"], r["inc_end"]) for r in inc_rows],
+        "inc bigint, inc_start timestamp_ntz, inc_end timestamp_ntz",
+    )
+    # -- grid-bucketed equi-join: incident cells exploded driver-side ------
+    cell_rows = []
+    for r in inc_rows:
+        cell = r["inc_start"]
+        while cell < r["inc_end"]:
+            cell_rows.append((r["inc"], r["inc_start"], r["inc_end"], cell))
+            cell += timedelta(hours=1)
+    inc_cells = spark.createDataFrame(
+        cell_rows,
+        "inc bigint, inc_start timestamp_ntz, inc_end timestamp_ntz,"
+        " cell timestamp_ntz",
     )
     sess_cells = sessions.select(
         "user_id",
@@ -883,29 +895,33 @@ def r2_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("cell"),
     )
-    pairs = (
+    # project to the 3 needed columns BEFORE the distinct exchange (§2.3);
+    # the (inc, user, session) dedup then folds into the countDistinct's
+    # partial aggregate instead of its own Expand-bearing two-phase plan
+    overlaps = (
         sess_cells.join(F.broadcast(inc_cells), "cell")
         .filter((F.col("s_start") < F.col("inc_end")) & (F.col("inc_start") <= F.col("s_end")))
-        .select("inc", "inc_start", "inc_end", "user_id", "session_id")
-        .distinct()
+        .select("inc", "user_id", "session_id")
+    )
+    per_user = overlaps.groupBy("inc", "user_id").agg(
+        F.countDistinct("session_id").alias("ns")
+    )
+    per_inc = per_user.groupBy("inc").agg(
+        F.sum("ns").alias("ns_sum"), F.count(F.lit(1)).alias("nu")
     )
     hours = lambda a, b: (  # noqa: E731
         (F.unix_micros(b.cast("timestamp")) - F.unix_micros(a.cast("timestamp")))
         / 3600000000
     ).cast("bigint")
     return (
-        incidents.join(pairs, ["inc", "inc_start", "inc_end"], "left")
-        .groupBy("inc_start", "inc_end")
-        .agg(
-            F.count("user_id").alias("n_sessions"),
-            F.countDistinct("user_id").alias("n_users"),
-        )
+        # per_inc is incident-grain, so the broadcast hint is bounded-safe
+        incidents.join(F.broadcast(per_inc), "inc", "left")
         .select(
             F.date_format("inc_start", "yyyy-MM-dd HH:mm:ss").alias("incident_start"),
             F.date_format("inc_end", "yyyy-MM-dd HH:mm:ss").alias("incident_end"),
             hours(F.col("inc_start"), F.col("inc_end")).alias("n_hours"),
-            "n_sessions",
-            "n_users",
+            F.coalesce("ns_sum", F.lit(0)).cast("bigint").alias("n_sessions"),
+            F.coalesce("nu", F.lit(0)).cast("bigint").alias("n_users"),
         )
         # no final sort: presentation-only (driver hash is order-insensitive)
     )

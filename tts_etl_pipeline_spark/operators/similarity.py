@@ -358,11 +358,19 @@ def v5_graph_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tts_etl_pipeline_spark.functions.graph_ann import (
         build_knn_graph,
         graph_search_topk,
+        prepare_nodes,
     )
 
     emb = table(spark, sf_dir, "embeddings")
-    edges = build_knn_graph(emb)
-    topk, _ = graph_search_topk(emb, edges, N_QUERY_VECS, TOP_K)
+    # one node projection / count / ordinal map shared by build and search,
+    # and no audit-trail accumulation on the query path (r14: the per-hop
+    # seen-union checkpoints and the duplicated prepare were ~5 of the
+    # query's eager jobs, all invisible in its output)
+    prepared = prepare_nodes(emb)
+    edges = build_knn_graph(emb, prepared=prepared)
+    topk, _ = graph_search_topk(
+        emb, edges, N_QUERY_VECS, TOP_K, prepared=prepared, track_seen=False
+    )
     return topk
 
 

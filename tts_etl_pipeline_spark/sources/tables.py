@@ -193,6 +193,31 @@ def rebalance_scan(
     return df.repartition(n, F.xxhash64(F.monotonically_increasing_id()))
 
 
+def table_row_count(sf_dir: str, name: str) -> int | None:
+    """Row count of a test table from its parquet FOOTER metadata — zero
+    Spark jobs, no data scan; the row-count twin of table_disk_bytes (both
+    are the local stand-in for catalog statistics). Used to SIZE sketches
+    (d10's bloom capacity) where any upper bound on the item count works:
+    at cluster scale this is one stats lookup instead of a count() job.
+    None when the path cannot be read as parquet."""
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        if os.path.isfile(path):
+            return pq.ParquetFile(path).metadata.num_rows
+        if os.path.isdir(path):
+            return sum(
+                pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+                for root, _, fs in os.walk(path)
+                for f in fs
+                if f.endswith(".parquet")
+            )
+    except Exception:
+        pass
+    return None
+
+
 def small_task_count(spark: SparkSession, sf_dir: str, name: str, per_task_bytes: int = 2 << 20) -> int:
     """Partition count for a PYTHON (Arrow) stage over a relation derived
     from test table `name`: sized by input bytes so a tiny input does not
