@@ -185,6 +185,11 @@ def test_salted_join_spreads_duplicate_hot_key_rows(spark):
         salted_join(fact, dim, "k", how="cross")
 
 
+@pytest.mark.slowtier  # 53 s: the 63-round propagation side of the chain is
+# the whole cost, and both algorithms carry their own ground-truth pins in
+# the default lane (big-star vs union-find in test_properties + the 5k-node
+# stress below; propagation's fixpoint guard in test_scale_patterns) — the
+# cross-equivalence re-run stays one `-m slowtier` away (r13 verdict item 1)
 def test_bigstar_components_match_propagation(spark):
     """large-star/small-star (functions/graph.py) and min-label propagation
     must agree exactly — same (node, component-min) fixpoint — on chains

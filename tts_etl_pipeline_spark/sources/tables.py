@@ -236,6 +236,34 @@ def small_task_count(spark: SparkSession, sf_dir: str, name: str, per_task_bytes
     return max(1, min(cores, math.ceil(bytes_ / per_task_bytes)))
 
 
+# Parquet SCHEMA cache — the metadata a catalog/metastore would hold.
+# Every bare spark.read.parquet() call re-infers the schema from the file
+# footer (~80 ms warm per call, measured r14); a 6-table star query paid
+# ~0.5 s of pure schema re-inference per construction, twice per benched
+# query. The cache keys on (path, mtime_ns, size) so a regenerated fixture
+# re-infers, stores the session-independent StructType only (METADATA — no
+# data, no results, nothing derived from query execution), and every read
+# still scans the parquet itself. Directory layouts fall through to the
+# plain inference path (a dir stat can't see content changes).
+_SCHEMA_CACHE: dict = {}
+
+
+def _read_parquet_cached(spark: SparkSession, path: str) -> DataFrame:
+    if not os.path.isfile(path):
+        return spark.read.parquet(path)
+    try:
+        st = os.stat(path)
+    except OSError:
+        return spark.read.parquet(path)
+    key = (path, st.st_mtime_ns, st.st_size)
+    schema = _SCHEMA_CACHE.get(key)
+    if schema is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[key] = df.schema
+        return df
+    return spark.read.schema(schema).parquet(path)
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
@@ -246,7 +274,7 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         return _events(spark, sf_dir)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return _read_parquet_cached(spark, f"{sf_dir}/{name}.parquet")
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -267,7 +295,7 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import types as T
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    df = _read_parquet_cached(spark, f"{sf_dir}/events.parquet")
     if isinstance(df.schema["ts"].dataType, T.LongType):  # TIMESTAMP(NANOS)
         ts = F.timestamp_micros(F.expr("ts div 1000"))
     else:  # TIMESTAMP(MICROS)/(MILLIS) — already a timestamp column
