@@ -195,20 +195,32 @@ def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    # corpus size folds from the checkpointed token index as a broadcast
-    # 1-row aggregate — no separate count job, no second documents scan
-    n_docs = tok.agg(F.countDistinct("doc_id").alias("n_docs"))
+    # corpus size: doc_id is the documents PK and every document emits >= 1
+    # token row (the coalesce('') discipline above), so countDistinct(doc_id)
+    # over the index == the table's parquet-footer row count — read the
+    # footer (catalog-stats stand-in, zero jobs) and fold the df cap to a
+    # LITERAL instead of aggregating the checkpointed index into a 1-row
+    # broadcast (two agg stages + a broadcast build per run, r14). Fallback
+    # to the in-query aggregate when the footer is unreadable (remote path).
+    from tts_etl_pipeline_spark.sources.tables import table_row_count
+
     df_tok = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
-    keep_tokens = (
-        df_tok.join(F.broadcast(n_docs))
-        .filter(
-            F.col("n")
-            <= F.least(
-                MAX_DF_FRACTION * F.col("n_docs"), F.lit(float(MAX_DF_ABSOLUTE))
+    n_total = table_row_count(sf_dir, "documents")
+    if n_total is not None:
+        cap = F.lit(min(MAX_DF_FRACTION * n_total, float(MAX_DF_ABSOLUTE)))
+        keep_tokens = df_tok.filter(F.col("n") <= cap).select("token")
+    else:
+        n_docs = tok.agg(F.countDistinct("doc_id").alias("n_docs"))
+        keep_tokens = (
+            df_tok.join(F.broadcast(n_docs))
+            .filter(
+                F.col("n")
+                <= F.least(
+                    MAX_DF_FRACTION * F.col("n_docs"), F.lit(float(MAX_DF_ABSOLUTE))
+                )
             )
+            .select("token")
         )
-        .select("token")
-    )
     tok_f = materialize(tok.join(scaled_broadcast(keep_tokens, sf_dir, "documents"), "token"))
     # sizes is referenced TWICE (sa for id_a, sb for id_b): without its own
     # materialization each broadcast build re-aggregates the corpus-sized
