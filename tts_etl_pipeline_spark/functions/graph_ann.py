@@ -50,8 +50,16 @@ N_HOPS = 3
 N_ENTRIES = 4  # seeded entry points per query
 
 
-def _cosine(a_emb: str, b_emb: str):
-    return dot(a_emb, b_emb) / (norm(a_emb) * norm(b_emb))
+def _cosine_pre(a_emb: str, b_emb: str, a_nrm: str, b_nrm: str):
+    """Cosine from embeddings + PRECOMPUTED norms. dot()/norm() are
+    higher-order aggregate() expressions (interpreted per element, no
+    codegen — r14 profiled the NN-Descent scoring stages at ~46 s CPU for
+    ~2M pairs, 3 aggregates each); the norm is a per-NODE quantity, so
+    computing it once per node in prepare_nodes and joining it alongside
+    the embedding removes 2 of the 3 per-PAIR aggregates. Values are
+    BIT-IDENTICAL to dot(a,b)/(norm(a)*norm(b)): same operands, same
+    fold order, same multiply-then-divide."""
+    return dot(a_emb, b_emb) / (F.col(a_nrm) * F.col(b_nrm))
 
 
 _ORD_BUCKETS = 1024  # constant — the offset relation never grows with n
@@ -91,7 +99,11 @@ def prepare_nodes(emb: DataFrame) -> tuple[DataFrame, int, DataFrame]:
     nothing the first pass hadn't already done. Callers that run only one
     pass (the recall tests) still get the same relations lazily."""
     nodes = materialize(
-        emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("e"))
+        emb.select(
+            F.col("vec_id").alias("id"),
+            F.col("embedding").alias("e"),
+            norm("embedding").alias("nrm"),  # once per node, not per pair
+        )
     )
     n = nodes.count()
     # dense ordinal <-> id map for hash-mod-n init (ids need not be dense);
@@ -147,9 +159,19 @@ def build_knn_graph(
 
 def _score_and_trim(pairs: DataFrame, nodes: DataFrame, k: int) -> DataFrame:
     scored = (
-        pairs.join(nodes.select(F.col("id").alias("src"), F.col("e").alias("se")), "src")
-        .join(nodes.select(F.col("id").alias("dst"), F.col("e").alias("de")), "dst")
-        .select("src", "dst", _cosine("se", "de").alias("cosine"))
+        pairs.join(
+            nodes.select(
+                F.col("id").alias("src"), F.col("e").alias("se"), F.col("nrm").alias("snrm")
+            ),
+            "src",
+        )
+        .join(
+            nodes.select(
+                F.col("id").alias("dst"), F.col("e").alias("de"), F.col("nrm").alias("dnrm")
+            ),
+            "dst",
+        )
+        .select("src", "dst", _cosine_pre("se", "de", "snrm", "dnrm").alias("cosine"))
     )
     w = W.partitionBy("src").orderBy(F.desc("cosine"), "dst")
     return materialize(
@@ -184,7 +206,7 @@ def graph_search_topk(
     never feeds `best`."""
     nodes, n, ordinals = prepared if prepared is not None else prepare_nodes(emb)
     q = nodes.filter(F.col("id") < n_query).select(
-        F.col("id").alias("q_id"), F.col("e").alias("qe")
+        F.col("id").alias("q_id"), F.col("e").alias("qe"), F.col("nrm").alias("qnrm")
     )
     salts = F.explode(F.array(*[F.lit(1000 + i) for i in range(n_entries)])).alias(
         "salt"
@@ -229,8 +251,13 @@ def _score_vs_queries(
 ) -> DataFrame:
     scored = (
         pairs.join(F.broadcast(q), "q_id")
-        .join(nodes.select(F.col("id").alias("n_id"), F.col("e").alias("ne")), "n_id")
-        .select("q_id", "n_id", _cosine("qe", "ne").alias("cosine"))
+        .join(
+            nodes.select(
+                F.col("id").alias("n_id"), F.col("e").alias("ne"), F.col("nrm").alias("nnrm")
+            ),
+            "n_id",
+        )
+        .select("q_id", "n_id", _cosine_pre("qe", "ne", "qnrm", "nnrm").alias("cosine"))
     )
     w = W.partitionBy("q_id").orderBy(F.desc("cosine"), "n_id")
     return materialize(

@@ -1307,7 +1307,20 @@ def f13_collated_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def f14_interval_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    # rebalance: at bench layout the orders side broadcasts, so the scan,
+    # the join AND the per-row interval arithmetic all pipeline inside the
+    # single-task lineitem scan stage (the q1 shape; no-op at scale)
+    li = rebalance_scan(
+        # the inner join would infer IsNotNull(l_orderkey) anyway, but the
+        # inference cannot push through the rebalance's position digest —
+        # stating it below keeps the predicate at the scan
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_shipdate")
+        .filter(F.col("l_orderkey").isNotNull()),
+        spark,
+        sf_dir,
+        "lineitem",
+    )
     orders = table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderdate", "o_orderpriority"
     )
